@@ -1,0 +1,110 @@
+package graft.core
+
+/**
+ * Distance / math kernels (SURVEY.md §2.7; reference: Distances.java:31-153,
+ * FloatPacker.java:21-39).
+ *
+ * Semantics preserved exactly:
+ *  - squared-distance-everywhere discipline (sqrt elision; α-pruning
+ *    operates on squared values — reference: GraphBuilder.java:14-26)
+ *  - cosine of a zero-norm vector is 0.0 (reference: Distances.java:149-153)
+ *
+ * Accumulation is in double, sequentially in index order, so results are
+ * bit-deterministic and match a straightforward SQL oracle. The JIT
+ * auto-vectorizes these loops; at 100 TB scale these kernels run inside
+ * whole-stage-codegen'd expressions (graft.functions.VectorExpressions) or
+ * tight mapPartitions loops — never as interpreted row-by-row UDF calls.
+ */
+object Distances {
+
+  /** Squared Euclidean distance (reference: Distances.java:48-64). */
+  def l2Squared(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val d = a(i).toDouble - b(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Squared Euclidean over a sub-range — avoids copies for PQ subspaces
+    * (reference: Distances.java:77-94). Compares a(aOff..aOff+len) with
+    * b(bOff..bOff+len). */
+  def l2SquaredRange(a: Array[Float], aOff: Int, b: Array[Float], bOff: Int, len: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < len) {
+      val d = a(aOff + i).toDouble - b(bOff + i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Euclidean distance (reference: Distances.java:31-33). */
+  def l2(a: Array[Float], b: Array[Float]): Double = math.sqrt(l2Squared(a, b))
+
+  /** Dot product (reference: Distances.java:103-118). */
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      acc += a(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** L2 norm (reference: Distances.java:126-140). */
+  def norm(a: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      acc += a(i).toDouble * a(i).toDouble
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** Cosine similarity; 0.0 if either norm is 0 (reference: Distances.java:149-153). */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val na = norm(a)
+    val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot(a, b) / (na * nb)
+  }
+
+  /** score/distance conventions (reference: FdbVectorIndex.java:686-693). */
+  def scoreAndDistance(metric: Metric, a: Array[Float], b: Array[Float]): (Double, Double) =
+    metric match {
+      case Metric.L2 =>
+        val d = l2(a, b)
+        (-d, d)
+      case Metric.Cosine =>
+        val s = cosine(a, b)
+        (s, 1.0 - s)
+    }
+}
+
+/** float32 ↔ little-endian byte packing for byte-compatible import/export
+  * (reference: FloatPacker.java:21-39). Parquet arrays make this unnecessary
+  * internally; kept for interop. */
+object FloatPacker {
+  def pack(v: Array[Float]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(v.length * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asFloatBuffer().put(v)
+    bb.array()
+  }
+  def unpack(b: Array[Byte]): Array[Float] = {
+    require(b.length % 4 == 0, "byte length must be a multiple of 4")
+    val fb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+    val out = new Array[Float](b.length / 4)
+    fb.get(out)
+    out
+  }
+}

@@ -1,0 +1,135 @@
+package graft.core
+
+/**
+ * Core data model of the engine (SURVEY.md §1).
+ *
+ * Mirrors the reference's protobuf data model
+ * (reference: src/main/proto/vectorsearch.proto:31-155) re-expressed as
+ * Scala case classes backing Spark `Dataset`s and a JSON manifest.
+ */
+
+/** Distance metric (reference: vectorsearch.proto:42-43, VectorIndexConfig.java:20-23). */
+sealed abstract class Metric(val name: String)
+object Metric {
+  case object L2 extends Metric("L2")
+  case object Cosine extends Metric("COSINE")
+  def parse(s: String): Metric = s.toUpperCase match {
+    case "L2"     => L2
+    case "COSINE" => Cosine
+    case other    => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+}
+
+/**
+ * Index-level immutable configuration, persisted once at creation and
+ * validated on every reopen (reference: FdbVectorStore.java:77-166).
+ *
+ * Defaults follow the reference's production defaults
+ * (reference: VectorIndexConfig.java:389-397).
+ */
+final case class IndexMeta(
+    name: String,
+    dimension: Int,
+    metric: String = Metric.L2.name,
+    maxSegmentSize: Int = 100000,
+    pqM: Int = 16,
+    pqK: Int = 256,
+    graphDegree: Int = 64,
+    graphBuildBreadth: Int = 256,
+    graphAlpha: Double = 1.2,
+    oversample: Int = 2) {
+  require(dimension > 0, "dimension must be positive")
+  require(pqM > 0 && dimension % pqM == 0, s"pqM=$pqM must divide dimension=$dimension")
+  require(pqK > 0 && pqK <= 256, "pqK must be in (0,256] (codes are 1 byte/subspace)")
+  def metricEnum: Metric = Metric.parse(metric)
+}
+
+/** Segment lifecycle states (reference: vectorsearch.proto:74-101). */
+object SegmentState {
+  val Active = "ACTIVE"
+  val Pending = "PENDING"
+  val Sealed = "SEALED"
+  val Compacting = "COMPACTING"
+  val Writing = "WRITING"
+  val all: Set[String] = Set(Active, Pending, Sealed, Compacting, Writing)
+}
+
+/** Per-segment metadata row in the manifest (reference: vectorsearch.proto:74-101). */
+final case class SegmentMeta(
+    segId: Int,
+    state: String,
+    count: Long,
+    deletedCount: Long,
+    createdAtMs: Long,
+    lastVacuumAtMs: Long = 0L) {
+  require(SegmentState.all.contains(state), s"invalid state $state")
+}
+
+/** One vector row (reference: vectorsearch.proto:108-126). */
+final case class VectorRecord(
+    segId: Int,
+    vecId: Int,
+    gid: Long,
+    embedding: Array[Float],
+    deleted: Boolean,
+    payload: Array[Byte])
+
+/** Search hit; score is higher-is-better (reference: SearchResult.java:18,
+  * FdbVectorIndex.java:686-693): L2 → score = -distance; COSINE → score =
+  * similarity, distance = 1 - similarity. */
+final case class SearchResult(gid: Long, score: Double, distance: Double, payload: Array[Byte])
+
+/** Graph-search mode (reference: SearchParams.java:33-42). */
+object SearchMode {
+  val BestFirst = "BEST_FIRST"
+  val Beam = "BEAM" // deprecated in the reference; kept for parity with WARN-once
+}
+
+object SeedStrategy {
+  val TopAdc = "TOP_ADC"
+  val RandomPivots = "RANDOM_PIVOTS"
+}
+
+/**
+ * Search-time parameters (reference: SearchParams.java:20-31).
+ */
+final case class SearchParams(
+    efSearch: Int,
+    beamWidth: Int,
+    maxIters: Int,
+    maxExplore: Int,
+    refineFrontier: Boolean = false,
+    minHops: Int = 0,
+    pivots: Int = 0,
+    seedStrategy: String = SeedStrategy.TopAdc,
+    perSegmentLimitMultiplier: Int = 1,
+    normalizeOnRead: Boolean = false,
+    mode: String = SearchMode.BestFirst)
+
+object SearchParams {
+  /** Defaults factory (reference: SearchParams.java:74-82):
+    * ef = max(100, k*oversample*4), beam = clamp(k*2, 8, 64), iters = 6,
+    * maxExplore = max(ef*4, 4096), BEST_FIRST. */
+  def defaults(k: Int, oversample: Int): SearchParams = {
+    val ef = math.max(100, k * oversample * 4)
+    val beam = math.max(8, math.min(64, k * 2))
+    SearchParams(
+      efSearch = ef,
+      beamWidth = beam,
+      maxIters = 6,
+      maxExplore = math.max(ef * 4, 4096))
+  }
+}
+
+/** Engine-wide maintenance policy constants (reference: VectorIndexConfig.java:401-418). */
+final case class MaintenancePolicy(
+    vacuumMinDeletedRatio: Double = 0.25,
+    vacuumCooldownMs: Long = 60000L,
+    compactionAgeWeight: Double = 0.3,
+    compactionSizeWeight: Double = 0.5,
+    compactionFragWeight: Double = 0.2,
+    compactionMinSegments: Int = 2,
+    compactionMaxSegments: Int = 8,
+    compactionMinFragmentation: Double = 0.1,
+    compactionFillBudget: Double = 0.8,
+    maxConcurrentCompactions: Int = 1)

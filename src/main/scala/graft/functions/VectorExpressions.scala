@@ -1,0 +1,257 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.SparkShims
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the distance kernels (SURVEY.md §2.7;
+ * reference: Distances.java:31-153) and PQ ADC lookup
+ * (reference: FdbVectorIndex.java:1057-1079).
+ *
+ * These participate in whole-stage codegen (`doGenCode`), so distance
+ * computations stay inside the generated loop with no boxing or UDF
+ * serialization — the main perf lever for brute-force / rerank scans at
+ * 100 TB scale (SURVEY.md §4 "SIMD vectorized kernels" row).
+ *
+ * Accumulation: double, sequential in index order — bit-deterministic and
+ * identical to graft.core.Distances and to a double-lambda DuckDB oracle.
+ */
+trait VectorBinaryExpression extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[SparkShims.AbstractType] =
+    SparkShims.abstractTypes(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+}
+
+/** Squared L2 distance between two float arrays (reference: Distances.java:48-64). */
+case class L2SquaredDistance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "l2_squared"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Dot product (reference: Distances.java:103-118). */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Cosine similarity; 0.0 if either norm is 0 (reference: Distances.java:149-153). */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** L2 norm of one float array (reference: Distances.java:126-140). */
+case class VectorNorm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[SparkShims.AbstractType] =
+    SparkShims.abstractTypes(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/**
+ * PQ asymmetric-distance-computation lookup
+ * (reference: FdbVectorIndex.java:1057-1065 `pqApproxDistance`).
+ *
+ * left:  flattened LUT ARRAY<DOUBLE> of length M*K — lut[m*K + c] is the
+ *        squared sub-distance of the query's m-th subvector to centroid c.
+ * right: BINARY code of length M (one centroid id per subspace).
+ * result: Σ_m lut[m*K + (code[m] & 0xFF)].
+ */
+case class PqAdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[SparkShims.AbstractType] =
+    SparkShims.abstractTypes(ArrayType(DoubleType), BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val code = b.asInstanceOf[Array[Byte]]
+    val m = code.length
+    if (m == 0) return 0.0
+    val k = lut.numElements() / m
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      acc += lut.getDouble(i * k + (code(i) & 0xff))
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $b.length;
+         |double $acc = 0.0;
+         |if ($m > 0) {
+         |  int $k = $a.numElements() / $m;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += $a.getDouble($i * $k + ($b[$i] & 0xff));
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Column-API entry points for the native expressions. */
+object vector {
+  private def col(e: Expression): Column = SparkShims.column(e)
+  private def expr(c: Column): Expression = SparkShims.expression(c)
+
+  def l2_squared(a: Column, b: Column): Column = col(L2SquaredDistance(expr(a), expr(b)))
+  def l2_distance(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.sqrt(l2_squared(a, b))
+  def vec_dot(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))
+  def vec_norm(a: Column): Column = col(VectorNorm(expr(a)))
+  def pq_adc_distance(lut: Column, code: Column): Column =
+    col(PqAdcDistance(expr(lut), expr(code)))
+}

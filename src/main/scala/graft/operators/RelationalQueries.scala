@@ -1,0 +1,302 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Relational operator coverage (SURVEY.md §2.6): the reference has no SQL
+ * surface — Catalyst provides joins/aggregations/windows/set-ops for free.
+ * These queries pin that coverage to the DuckDB oracle and double as the
+ * scale/bench workload over the TPC-H-ish tables.
+ *
+ * Oracle-parity rules used throughout this codebase:
+ *  - every computed column is aliased identically in Spark and SQL;
+ *  - float aggregates are rounded (sum order is engine-dependent at ulp
+ *    precision); pure-integer-valued doubles (l_quantity) are exact;
+ *  - timestamps are projected as DATE or formatted strings (parquet
+ *    TIMESTAMP physical types differ between engines);
+ *  - every ORDER BY carries a unique tie-break key.
+ */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as LONG nanos —
+    * convert to a micros timestamp (integer division, no double precision
+    * loss; DuckDB truncates ns→µs identically). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: grouped aggregation with derived
+    // measures; map-side partial agg + single shuffle on the group keys.
+    "rel_q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H Q3-style shipping priority: 3-way join; orders/customer filter
+    // pushed below the join; top-k on rounded revenue with key tie-break.
+    "rel_q3_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style local supplier volume: 6-way join with broadcast dims.
+    "rel_q5_region_volume" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Window: top-3 parts by retail price per brand (rank + tie-break).
+    "rel_window_topk_parts" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t(s, dir, "part")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rnk"))
+        .orderBy(col("p_brand"), col("rnk"))
+    }),
+
+    // Window: running quantity per supplier over ship order (exact: integral
+    // doubles sum exactly in any order).
+    "rel_window_running_qty" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 5)
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Distinct aggregation (shuffle-dedup + agg).
+    "rel_agg_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // Set ops over derived sets (every base key set in the test data is
+    // dense, so EXCEPT of raw keys would be trivially empty).
+    "rel_setop_except" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      rich.except(building).orderBy(col("custkey"))
+    }),
+
+    "rel_setop_intersect" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      val auto = t(s, dir, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("custkey"))
+      rich.intersect(auto).orderBy(col("custkey"))
+    }),
+
+    // JSON scalar extraction from the events props column.
+    "rel_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .filter(col("event_id") % 50 === 0)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Rollup (grouping sets) over return flag / line status.
+    "rel_rollup_flags" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Scalar string/date functions over orders.
+    "rel_scalar_functions" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"),
+          length(col("o_orderstatus")).cast("long").as("status_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+          round(col("o_totalprice") * 0.1, 2).as("tithe"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Event-time tumbling-window aggregation (the batch shape of the
+    // Structured Streaming windowed agg; see graft.streaming).
+    "rel_events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("hour_ts"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(o_orderdate AS DATE) AS orderdate,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "rel_q5_region_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "rel_window_topk_parts" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |                       ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part) x
+        |WHERE rnk <= 3
+        |ORDER BY p_brand, rnk""".stripMargin,
+
+    "rel_window_running_qty" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "rel_agg_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "rel_setop_except" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY custkey""".stripMargin,
+
+    "rel_setop_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |ORDER BY custkey""".stripMargin,
+
+    "rel_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events
+        |WHERE event_id % 50 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "rel_rollup_flags" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "rel_scalar_functions" ->
+      """SELECT o_orderkey,
+        |  upper(substring(o_orderpriority, 1, 3)) AS prio3,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(length(o_orderstatus) AS BIGINT) AS status_len,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+        |  round(o_totalprice * 0.1, 2) AS tithe
+        |FROM orders
+        |WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "rel_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_ts, event_type""".stripMargin
+  )
+}

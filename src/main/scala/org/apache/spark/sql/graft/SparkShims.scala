@@ -1,0 +1,26 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType}
+
+/**
+ * Minimal access shims for Spark internals that are `private[sql]` in
+ * Spark 4.x. This is the standard pattern for Spark extension libraries:
+ * a single tiny object inside an `org.apache.spark.sql` subpackage, so the
+ * rest of the codebase stays in its own `graft.*` namespace and compiles
+ * against public signatures only.
+ */
+object SparkShims {
+  /** `AbstractDataType` is Scala-`private[sql]`; re-export for
+    * `ExpectsInputTypes.inputTypes` overrides. */
+  type AbstractType = AbstractDataType
+
+  def abstractTypes(ts: DataType*): Seq[AbstractDataType] = ts
+
+  /** Column ↔ Expression bridges (Spark 4 moved these behind
+    * `org.apache.spark.sql.classic.ExpressionUtils`). */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
