@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.RelationalQueries
+import graft.operators.{RelationalQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (RelationalQueries.queries, RelationalQueries.oracles)
+      (RelationalQueries.queries, RelationalQueries.oracles),
+      (VectorQueries.queries, VectorQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

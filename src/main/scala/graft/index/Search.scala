@@ -1,0 +1,153 @@
+package graft.index
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.functions.vector
+
+/**
+ * Distributed KNN query (SURVEY.md §3.1): the Spark re-expression of the
+ * reference's per-segment fan-out (FdbVectorIndex.query, :351-467).
+ *
+ * Plan shape (one job, three stages):
+ *  1. driver: read manifest, collect + broadcast codebooks and the query
+ *     batch (both small — the analog of codebook prefetch, T6);
+ *  2. SEALED/COMPACTING segments: cogroup(codes, graph) by segId — one
+ *     task per segment runs ADC + best-first expansion for every query
+ *     (J2/J3), emitting approx candidates only (16 B/vector codes are
+ *     scanned, never raw embeddings — the PQ bandwidth win at 100 TB);
+ *     ACTIVE/PENDING segments: brute-force scan (J1) via broadcast-join +
+ *     codegen'd distance, no candidate stage;
+ *  3. exact rerank of sealed candidates (J5): semi-join back to the
+ *     vectors table (partition-pruned on segId), codegen'd exact distance,
+ *     then per-segment cap and global top-k merge (J7/J8) with window
+ *     functions; `gid` is the deterministic tie-break.
+ *
+ * WRITING segments are invisible (F2); deleted rows are dropped at rerank
+ * (F1); scores follow the reference conventions exactly (L2: -distance;
+ * COSINE: similarity, distance = 1 - similarity).
+ */
+object Search {
+
+  /** queriesDf columns: (queryId LONG, qv ARRAY<FLOAT>).
+    * Returns (queryId, gid, score, distance, payload). */
+  def query(
+      spark: SparkSession,
+      store: IndexStore,
+      queriesDf: DataFrame,
+      k: Int,
+      paramsOpt: Option[SearchParams] = None): DataFrame = {
+    import spark.implicits._
+
+    val m = store.readManifest()
+    val im = m.meta
+    val metric = im.metricEnum
+    val params = paramsOpt.getOrElse(SearchParams.defaults(k, im.oversample))
+    val perSegLimit = k * math.max(1, im.oversample) // FdbVectorIndex.java:420
+
+    val sealedSegs = m.segments.collect {
+      case s if s.state == SegmentState.Sealed || s.state == SegmentState.Compacting => s.segId
+    }
+    val bruteSegs = m.segments.collect {
+      case s if s.state == SegmentState.Active || s.state == SegmentState.Pending => s.segId
+    }
+
+    // broadcast the query batch (small) — the analog of sending q to every
+    // segment task; and the codebooks (T5/T6 cache → broadcast)
+    val queries: Array[(Long, Array[Float])] = queriesDf
+      .select(col("queryId").cast("long"), col("qv").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .collect()
+    val qB = spark.sparkContext.broadcast(queries)
+
+    val vectors = store.readVectors(spark)
+
+    // ---- brute-force path over ACTIVE/PENDING segments (J1) -------------
+    val bruteScored: DataFrame =
+      if (bruteSegs.isEmpty) emptyResults(spark)
+      else {
+        val live = vectors
+          .filter(col("segId").isin(bruteSegs: _*))
+          .filter(!col("deleted"))
+        scored(live.crossJoin(broadcast(queriesDf)), metric)
+          .select(col("queryId"), col("segId"), col("gid"), col("score"), col("distance"), col("payload"))
+      }
+
+    // ---- sealed path: per-segment ADC + graph expansion (J2/J3) ---------
+    val sealedScored: DataFrame =
+      if (sealedSegs.isEmpty) emptyResults(spark)
+      else {
+        val cbMap: Map[Int, Pq.Codebook] = store.readCodebooks(spark)
+          .filter(col("segId").isin(sealedSegs: _*))
+          .collect()
+          .map(r => r.segId -> Pq.Codebook(r.m, r.k, r.subDim, r.centroids))
+          .toMap
+        val cbB = spark.sparkContext.broadcast(cbMap)
+
+        val codesK = store.readCodes(spark)
+          .filter(col("segId").isin(sealedSegs: _*)).as[CodeRow]
+          .groupByKey(_.segId)
+        val graphK = store.readGraph(spark)
+          .filter(col("segId").isin(sealedSegs: _*)).as[GraphRow]
+          .groupByKey(_.segId)
+
+        val candidates = codesK.cogroup(graphK) { (segId, cs, gs) =>
+          cbB.value.get(segId) match {
+            case None => Iterator.empty // missing codebook → segment yields nothing
+            case Some(cb) =>
+              val codeMap = new mutable.HashMap[Int, Array[Byte]]()
+              cs.foreach(c => codeMap.put(c.vecId, c.code))
+              val adj = new mutable.HashMap[Int, Array[Int]]()
+              gs.foreach(g => adj.put(g.vecId, g.neighbors))
+              qB.value.iterator.flatMap { case (qid, q) =>
+                SegmentSearch.searchSealed(segId, cb, q, codeMap, adj, perSegLimit, params)
+                  .iterator.map(a => (qid, segId, a.vecId))
+              }
+          }
+        }.toDF("queryId", "segId", "vecId")
+
+        // exact rerank (J5): candidates ⋈ vectors (pruned to sealed segs)
+        val sealedVectors = vectors.filter(col("segId").isin(sealedSegs: _*))
+        val joined = sealedVectors
+          .join(candidates.hint("broadcast"), Seq("segId", "vecId"))
+          .filter(!col("deleted"))
+          .join(broadcast(queriesDf), Seq("queryId"))
+        scored(joined, metric)
+          .select(col("queryId"), col("segId"), col("gid"), col("score"), col("distance"), col("payload"))
+      }
+
+    // ---- per-segment cap (J8) + global merge (J7) -----------------------
+    val all = bruteScored.unionByName(sealedScored)
+    val perSeg = Window.partitionBy(col("queryId"), col("segId"))
+      .orderBy(col("score").desc, col("gid"))
+    val global = Window.partitionBy(col("queryId"))
+      .orderBy(col("score").desc, col("gid"))
+    all
+      .withColumn("segRank", row_number().over(perSeg))
+      .filter(col("segRank") <= perSegLimit)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col("gid"), col("score"), col("distance"), col("payload"), col("rank"))
+  }
+
+  /** Attach score/distance columns per the reference's conventions
+    * (FdbVectorIndex.java:686-693) via codegen'd expressions. */
+  private def scored(df: DataFrame, metric: Metric): DataFrame = metric match {
+    case Metric.L2 =>
+      val d = sqrt(vector.l2_squared(col("embedding"), col("qv")))
+      df.withColumn("distance", d).withColumn("score", -col("distance"))
+    case Metric.Cosine =>
+      val sim = vector.cosine_sim(col("embedding"), col("qv"))
+      df.withColumn("score", sim).withColumn("distance", lit(1.0) - col("score"))
+  }
+
+  private def emptyResults(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Int, Long, Double, Double, Array[Byte])]
+      .toDF("queryId", "segId", "gid", "score", "distance", "payload")
+  }
+}

@@ -1,0 +1,230 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+/**
+ * The segmented vector index: batch ingest with strict-cap rotation, seal
+ * jobs, tombstone deletes (SURVEY.md §2.1 S3/S5/S6, §2.8 G4, §2.9 M1).
+ *
+ * Spark re-expression of the reference's write path
+ * (FdbVectorStore.java:210-727): FDB's transaction chunking disappears —
+ * a batch job is the atomicity unit, committed by the manifest rename.
+ *
+ * Scale design: ingest assigns ids with per-partition offsets (zipWithIndex
+ * — two narrow passes, no global window shuffle); seal runs one in-memory
+ * build per segment inside `flatMapGroups`, so a 1000-executor cluster
+ * seals 1000 segments concurrently; all tables are parquet partitioned by
+ * segId for partition pruning.
+ */
+final class SegmentedIndex(val spark: SparkSession, val store: IndexStore) {
+
+  import spark.implicits._
+
+  def manifest: Manifest = store.readManifest()
+  def meta: IndexMeta = manifest.meta
+
+  /**
+   * Batch insert (reference addAll semantics, FdbVectorIndex.java:321-334):
+   * vectors fill the ACTIVE segment to `maxSegmentSize`, full segments
+   * rotate to PENDING (enqueue-build ≙ "needs seal"), the tail partial
+   * segment stays ACTIVE. Insert order — and therefore the deterministic
+   * (segId, vecId) assignment invariant (i-th vector of the batch lands at
+   * ((c+i)/cap, (c+i)%cap), reference test VectorIndexTest.java:91-122) —
+   * follows `orderCol` ascending.
+   *
+   * @param df       input with `embeddingCol` ARRAY<FLOAT> (+ optional payload)
+   * @param orderCol unique orderable column defining insert order
+   * @return assigned rows (gid, segId, vecId) and the updated manifest
+   */
+  def addAll(
+      df: DataFrame,
+      embeddingCol: String,
+      orderCol: String,
+      payloadCol: Option[String] = None): Manifest = {
+    val m0 = manifest
+    val dim = m0.meta.dimension
+    val cap = m0.meta.maxSegmentSize
+    val active = m0.active.getOrElse(
+      throw new IllegalStateException("no ACTIVE segment"))
+    val startFill = active.count
+    val activeSegId = active.segId
+    val nextSegId = m0.nextSegId
+    val gid0 = m0.nextGid
+
+    // deterministic global positions without a single-partition window:
+    // range-partition by the order column, sort within partitions, then
+    // zipWithIndex (computes per-partition counts in one lightweight job).
+    val cols = Seq(col(orderCol), col(embeddingCol).cast("array<float>").as("emb")) ++
+      payloadCol.map(c => col(c).cast("binary").as("payload"))
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val prepared = df.select(cols: _*)
+      .repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val hasPayload = payloadCol.isDefined
+
+    val assigned: Dataset[VectorRecord] = prepared.rdd.zipWithIndex
+      .map { case (row: Row, idx: Long) =>
+        val emb = row.getSeq[Float](1).toArray
+        if (emb.length != dim)
+          throw new IllegalArgumentException(
+            s"embedding dimension ${emb.length} != index dimension $dim")
+        val pos = startFill + idx
+        val segOff = (pos / cap).toInt
+        val segId = if (segOff == 0) activeSegId else nextSegId + segOff - 1
+        VectorRecord(
+          segId = segId,
+          vecId = (pos % cap).toInt,
+          gid = gid0 + idx,
+          embedding = emb,
+          deleted = false,
+          payload = if (hasPayload) row.getAs[Array[Byte]](2) else Array.emptyByteArray)
+      }
+      .toDS()
+
+    store.appendVectors(assigned)
+
+    // manifest update: derive new segment states from the insert count
+    val n = df.count()
+    val endPos = startFill + n
+    val lastSegOff = if (endPos == 0) 0 else ((endPos - 1) / cap).toInt
+    val nowMs = System.currentTimeMillis()
+    var segs = m0.segments
+    var nextId = nextSegId
+    for (off <- 0 to lastSegOff) {
+      val segId = if (off == 0) activeSegId else nextSegId + off - 1
+      val count = math.min(cap.toLong, endPos - off.toLong * cap)
+      val existing = segs.find(_.segId == segId)
+      val created = existing.map(_.createdAtMs).getOrElse(nowMs)
+      val state = if (count >= cap) SegmentState.Pending else SegmentState.Active
+      val sm = SegmentMeta(segId, state, count, existing.map(_.deletedCount).getOrElse(0L), created)
+      segs = segs.filterNot(_.segId == segId) :+ sm
+      if (off > 0) nextId = math.max(nextId, segId + 1)
+    }
+    // strict-cap rotation: if everything filled exactly, open a fresh ACTIVE
+    // segment (reference rotateToNextActive, FdbVectorStore.java:512-539)
+    if (segs.forall(_.state != SegmentState.Active)) {
+      segs = segs :+ SegmentMeta(nextId, SegmentState.Active, 0L, 0L, nowMs)
+      nextId += 1
+    }
+    val m1 = m0.copy(segments = segs.sortBy(_.segId), nextGid = gid0 + n, nextSegId = nextId)
+    store.writeManifest(m1)
+    m1
+  }
+
+  /**
+   * Seal job (reference: SegmentBuildService.build, :72-141): for every
+   * PENDING (or WRITING) segment — never ACTIVE — train PQ, encode codes,
+   * build the graph, write artifacts, then flip state to SEALED in one
+   * manifest commit. Idempotent: artifacts are dynamic-partition
+   * overwrites, re-running is safe (reference invariant tested in
+   * SegmentBuildServiceIdempotentTest.java:43).
+   */
+  def sealPending(states: Set[String] = Set(SegmentState.Pending, SegmentState.Writing)): Manifest = {
+    val m0 = manifest
+    val toSeal = m0.segments.filter(s => states.contains(s.state)).map(_.segId)
+    if (toSeal.isEmpty) return m0
+    val metaB = spark.sparkContext.broadcast(m0.meta)
+
+    val rows = store.readVectors(spark)
+      .filter(col("segId").isin(toSeal: _*))
+      .as[VectorRecord]
+      .groupByKey(_.segId)
+      .flatMapGroups { (segId, it) =>
+        val im = metaB.value
+        val recs = it.toArray.sortBy(_.vecId)
+        if (recs.isEmpty) Iterator.empty
+        else {
+          val vecs: Array[Array[Float]] = recs.map(_.embedding)
+          val cb = Pq.train(vecs.toIndexedSeq, im.dimension, im.pqM, im.pqK)
+          // strategy selection mirrors SegmentBuildService.java:207-209
+          val graph =
+            if (im.graphAlpha <= 1.0) GraphBuilder.buildL2Neighbors(vecs, im.graphDegree)
+            else GraphBuilder.buildVamanaGraph(vecs, im.graphDegree, im.graphBuildBreadth, im.graphAlpha)
+          // graph neighbors are positions into the sorted array — remap to
+          // vecIds (identical when ids are contiguous, they diverge after
+          // vacuum leaves holes)
+          val codeRows = recs.iterator.zipWithIndex.map { case (r, i) =>
+            val neighVecIds = graph(i).map(p => recs(p).vecId)
+            SealRow(segId, r.vecId, Pq.encode(cb, r.embedding), neighVecIds, 0, 0, 0, Array.emptyFloatArray, "cg")
+          }
+          val cbRow = Iterator.single(
+            SealRow(segId, -1, Array.emptyByteArray, Array.emptyIntArray, cb.m, cb.k, cb.subDim, cb.centroids, "cb"))
+          codeRows ++ cbRow
+        }
+      }
+      .persist()
+
+    store.writeCodes(rows.filter(_.kind == "cg").map(r => CodeRow(r.segId, r.vecId, r.code)))
+    store.writeGraph(rows.filter(_.kind == "cg").map(r => GraphRow(r.segId, r.vecId, r.neighbors)))
+    store.writeCodebooks(rows.filter(_.kind == "cb").map(r => CodebookRow(r.segId, r.m, r.k, r.subDim, r.centroids)))
+    rows.unpersist()
+
+    val m1 = m0.copy(segments = m0.segments.map { s =>
+      if (states.contains(s.state)) s.copy(state = SegmentState.Sealed) else s
+    })
+    store.writeManifest(m1)
+    m1
+  }
+
+  /**
+   * Tombstone delete by gid (reference M1, FdbVectorStore.deleteBatch
+   * :276-346): flips `deleted` on the affected rows, rewriting only the
+   * touched segment partitions; counters move count → deletedCount.
+   */
+  def delete(gids: Seq[Long]): Manifest = {
+    val m0 = manifest
+    if (gids.isEmpty) return m0
+    val gidSet = gids.toSet
+    val gidB = spark.sparkContext.broadcast(gidSet)
+
+    val vectors = store.readVectors(spark)
+    val touchedSegs = vectors
+      .filter(r => gidB.value.contains(r.gid) && !r.deleted)
+      .groupByKey(_.segId).count().collect().toMap
+
+    if (touchedSegs.isEmpty) return m0
+    val segIds = touchedSegs.keys.toSeq
+    val rewritten = vectors
+      .filter(col("segId").isin(segIds: _*))
+      .as[VectorRecord]
+      .map(r => if (gidB.value.contains(r.gid)) r.copy(deleted = true) else r)
+    store.overwriteVectorSegments(rewritten)
+
+    val m1 = m0.copy(segments = m0.segments.map { s =>
+      touchedSegs.get(s.segId) match {
+        case Some(d) => s.copy(count = s.count - d, deletedCount = s.deletedCount + d)
+        case None => s
+      }
+    })
+    store.writeManifest(m1)
+    m1
+  }
+
+  /** gid → (segId, vecId) resolution (S9); missing gids yield (-1,-1)
+    * (reference: FdbVectorIndex.java:500-525). */
+  def resolveIds(gids: Seq[Long]): Map[Long, (Int, Int)] = {
+    val gidB = spark.sparkContext.broadcast(gids.toSet)
+    val found = store.readVectors(spark)
+      .filter(r => gidB.value.contains(r.gid) && !r.deleted)
+      .map(r => (r.gid, r.segId, r.vecId))
+      .collect()
+      .map { case (g, s, v) => g -> (s, v) }
+      .toMap
+    gids.map(g => g -> found.getOrElse(g, (-1, -1))).toMap
+  }
+}
+
+/** Unified output row of the seal job (codes+graph, or the codebook). */
+final case class SealRow(
+    segId: Int,
+    vecId: Int,
+    code: Array[Byte],
+    neighbors: Array[Int],
+    m: Int,
+    k: Int,
+    subDim: Int,
+    centroids: Array[Float],
+    kind: String)

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.IndexMeta
+import graft.functions.vector
+import graft.index.{IndexStore, Search, SegmentedIndex}
+
+/**
+ * Vector-engine operator coverage against the DuckDB oracle (SURVEY.md §2):
+ * the SQL-expressible operators are verified value-exactly (the distance
+ * expressions and DuckDB's double-lambda forms accumulate identically);
+ * the approximate sealed path (J2/J3/J5) is a rows-only entry here and
+ * gets its recall gate in SegmentedIndexSpec.
+ *
+ * DuckDB parity notes: distances are written as double-precision
+ * list_transform/list_sum lambdas on the oracle side — bit-identical to
+ * the codegen'd expressions (verified); ranks carry a vec_id tie-break.
+ */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** segment cap used by the pure-DataFrame assignment queries */
+  private val Cap = 1000
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3/S5: deterministic ingest assignment — i-th vector (by vec_id
+    // order) lands at (i/cap, i%cap) with gid=i (the reference's order
+    // invariant, VectorIndexTest.java:91-122).
+    "vec_ingest_assignment" -> ((s, dir) => {
+      val w = Window.orderBy(col("vec_id"))
+      emb(s, dir)
+        .withColumn("gid", row_number().over(w).cast("long") - 1)
+        .select(
+          col("vec_id"),
+          col("gid"),
+          (col("gid") / Cap).cast("int").as("segId"),
+          (col("gid") % Cap).cast("int").as("vecId"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // A4: segment counters with a synthetic tombstone predicate.
+    "vec_segment_counters" -> ((s, dir) => {
+      emb(s, dir)
+        .withColumn("segId", (col("vec_id") / Cap).cast("int"))
+        .withColumn("deleted", col("vec_id") % 7 === 0)
+        .groupBy(col("segId"))
+        .agg(
+          sum(when(col("deleted"), 0L).otherwise(1L)).as("live_count"),
+          sum(when(col("deleted"), 1L).otherwise(0L)).as("deleted_count"))
+        .orderBy(col("segId"))
+    }),
+
+    // S9: gid → (segId, vecId) resolution; missing gids yield (-1,-1).
+    "vec_gid_resolve" -> ((s, dir) => {
+      import s.implicits._
+      val wanted = Seq(0L, 5L, 123L, 999999L).toDF("gid")
+      val present = emb(s, dir).select(col("vec_id").as("gid"))
+        .withColumn("segId", (col("gid") / Cap).cast("int"))
+        .withColumn("vecId", (col("gid") % Cap).cast("int"))
+      wanted.join(present, Seq("gid"), "left")
+        .select(col("gid"),
+          coalesce(col("segId"), lit(-1)).as("segId"),
+          coalesce(col("vecId"), lit(-1)).as("vecId"))
+        .orderBy(col("gid"))
+    }),
+
+    // J1: brute-force exact KNN, L2 metric — theta-join + codegen'd
+    // distance + per-query top-k window (the reference's
+    // searchBruteForceSegment re-expressed relationally).
+    "vec_knn_brute_l2" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("l2sq"), col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .withColumn("l2sq", vector.l2_squared(col("embedding"), col("qv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("l2sq"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // J1 cosine variant with the reference's score convention.
+    "vec_knn_brute_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .withColumn("score", vector.cosine_sim(col("embedding"), col("qv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+          col("score"), (lit(1.0) - col("score")).as("distance"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // A3: medoid — centroid by per-dimension average, then argmin
+    // squared distance (GraphBuilder.findMedoid relationally).
+    "vec_medoid" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dims = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      val centroid = dims.groupBy(col("idx"))
+        .agg(avg(col("v").cast("double")).as("c"))
+      val d2 = dims.join(broadcast(centroid), Seq("idx"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("v").cast("double") - col("c")) * (col("v").cast("double") - col("c"))).as("d2"))
+      d2.select(col("vec_id"), round(col("d2"), 6).as("d2r"))
+        .orderBy(col("d2r"), col("vec_id"))
+        .limit(1)
+    }),
+
+    // K5/K6 as aggregates: norm statistics over the corpus.
+    "vec_norm_stats" -> ((s, dir) => {
+      emb(s, dir)
+        .withColumn("nrm", vector.vec_norm(col("embedding")))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"),
+          round(avg(col("nrm")), 6).as("avg_norm"))
+    }),
+
+    // J2+J3+J5+J7 end-to-end: build a real segmented index (ingest → seal
+    // → ANN query) in a temp dir. Approximate — no SQL oracle; the
+    // rows-only check plus the ScalaTest recall gate cover it.
+    "vec_knn_sealed" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sealed-q").toString
+      val store = new IndexStore(tmp)
+      val dim = emb(s, dir).select(size(col("embedding"))).first().getInt(0)
+      store.createOrOpen(IndexMeta("sealed_q", dimension = dim, maxSegmentSize = 1000,
+        pqM = 8, pqK = 16, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
+        oversample = 2), System.currentTimeMillis())
+      val idx = new SegmentedIndex(s, store)
+      idx.addAll(emb(s, dir), "embedding", "vec_id")
+      idx.sealPending()
+      val queries = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+      Search.query(s, store, queries, 10)
+        .select(col("queryId"), col("gid"), col("rank"))
+        .orderBy(col("queryId"), col("rank"))
+    })
+  )
+
+  private val l2sqLambda =
+    "list_sum(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+  private val dotLambda =
+    "list_sum(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def normLambda(src: String) =
+    s"sqrt(list_sum(list_transform($src, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  val oracles: Map[String, String] = Map(
+    "vec_ingest_assignment" ->
+      s"""SELECT vec_id,
+         |  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS gid,
+         |  CAST((row_number() OVER (ORDER BY vec_id) - 1) / $Cap AS INTEGER) AS segId,
+         |  CAST((row_number() OVER (ORDER BY vec_id) - 1) % $Cap AS INTEGER) AS vecId
+         |FROM embeddings
+         |ORDER BY vec_id""".stripMargin,
+
+    "vec_segment_counters" ->
+      s"""SELECT CAST(vec_id / $Cap AS INTEGER) AS segId,
+         |  sum(CASE WHEN vec_id % 7 = 0 THEN 0 ELSE 1 END) AS live_count,
+         |  sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) AS deleted_count
+         |FROM embeddings
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "vec_gid_resolve" ->
+      s"""SELECT w.gid,
+         |  coalesce(CAST(e.vec_id / $Cap AS INTEGER), -1) AS segId,
+         |  coalesce(CAST(e.vec_id % $Cap AS INTEGER), -1) AS vecId
+         |FROM (VALUES (0), (5), (123), (999999)) AS w(gid)
+         |LEFT JOIN embeddings e ON e.vec_id = w.gid
+         |ORDER BY w.gid""".stripMargin,
+
+    "vec_knn_brute_l2" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         |SELECT query_id, neighbor_id, rnk, l2sq FROM (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    $l2sqLambda AS l2sq,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |                       ORDER BY $l2sqLambda, e.vec_id) AS rnk
+         |  FROM embeddings e, q) x
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "vec_knn_brute_cosine" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    CASE WHEN ${normLambda("e.embedding")} = 0 OR ${normLambda("q.qv")} = 0 THEN 0.0
+         |         ELSE $dotLambda / (${normLambda("e.embedding")} * ${normLambda("q.qv")})
+         |    END AS score
+         |  FROM embeddings e, q)
+         |SELECT query_id, neighbor_id, rnk, score, 1.0 - score AS distance FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "vec_medoid" ->
+      """WITH dims AS (
+        |  SELECT vec_id, u.idx - 1 AS idx, CAST(u.v AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(embedding) AS v,
+        |                    generate_subscripts(embedding, 1) AS idx) u),
+        |centroid AS (
+        |  SELECT idx, avg(v) AS c FROM dims GROUP BY idx),
+        |d2 AS (
+        |  SELECT d.vec_id, sum((d.v - c.c) * (d.v - c.c)) AS d2
+        |  FROM dims d JOIN centroid c USING (idx) GROUP BY d.vec_id)
+        |SELECT vec_id, round(d2, 6) AS d2r FROM d2
+        |ORDER BY d2r, vec_id LIMIT 1""".stripMargin,
+
+    "vec_norm_stats" ->
+      s"""SELECT count(*) AS n,
+         |  round(min(${normLambda("embedding")}), 6) AS min_norm,
+         |  round(max(${normLambda("embedding")}), 6) AS max_norm,
+         |  round(avg(${normLambda("embedding")}), 6) AS avg_norm
+         |FROM embeddings""".stripMargin
+  )
+}
