@@ -126,7 +126,21 @@ final class SegmentedIndex(val spark: SparkSession, val store: IndexStore) {
     val m0 = manifest
     val toSeal = m0.segments.filter(s => states.contains(s.state)).map(_.segId)
     if (toSeal.isEmpty) return m0
-    val metaB = spark.sparkContext.broadcast(m0.meta)
+    buildArtifacts(toSeal)
+    val m1 = m0.copy(segments = m0.segments.map { s =>
+      if (states.contains(s.state)) s.copy(state = SegmentState.Sealed) else s
+    })
+    store.writeManifest(m1)
+    m1
+  }
+
+  /** Artifact half of the seal job — PQ + graph build and table writes,
+    * with NO manifest change. Compaction uses this to keep the final
+    * registry swap a single commit (reference: MaintenanceService.java:
+    * 391-414 swaps registry only after build completes). */
+  def buildArtifacts(toSeal: Seq[Int]): Unit = {
+    if (toSeal.isEmpty) return
+    val metaB = spark.sparkContext.broadcast(manifest.meta)
 
     val rows = store.readVectors(spark)
       .filter(col("segId").isin(toSeal: _*))
@@ -161,12 +175,7 @@ final class SegmentedIndex(val spark: SparkSession, val store: IndexStore) {
     store.writeGraph(rows.filter(_.kind == "cg").map(r => GraphRow(r.segId, r.vecId, r.neighbors)))
     store.writeCodebooks(rows.filter(_.kind == "cb").map(r => CodebookRow(r.segId, r.m, r.k, r.subDim, r.centroids)))
     rows.unpersist()
-
-    val m1 = m0.copy(segments = m0.segments.map { s =>
-      if (states.contains(s.state)) s.copy(state = SegmentState.Sealed) else s
-    })
-    store.writeManifest(m1)
-    m1
+    ()
   }
 
   /**
