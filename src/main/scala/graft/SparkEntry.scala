@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{RelationalQueries, VectorQueries}
+import graft.operators.{PipelineQueries, RelationalQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
-      (VectorQueries.queries, VectorQueries.oracles)
+      (VectorQueries.queries, VectorQueries.oracles),
+      (PipelineQueries.queries, PipelineQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Distances
+import graft.functions.vector
+import graft.index.Pq
+
+/**
+ * Approximate nearest-neighbor similarity search over an embedding column —
+ * the pipeline-level ANN (complementing the segmented DiskANN engine in
+ * graft.index): brute-force top-k as the exact baseline, IVF (inverted
+ * file) coarse quantization as the scale path.
+ *
+ * IVF at 100 TB: centroids are trained once on a bounded sample (driver
+ * k-means, same deterministic Lloyd's kernel as PQ with m=1), the
+ * assignment is a codegen'd argmin over broadcast centroids, and a query
+ * probes only `nprobe`/`nlist` of the data — the scan narrows by the
+ * cluster equi-join (shuffle-free with the index pre-partitioned by
+ * cluster).
+ */
+object Ann {
+
+  /** Flat IVF model: centroid c starts at c*dim. */
+  final case class IvfModel(nlist: Int, dim: Int, centroids: Array[Float]) {
+    def centroid(c: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      System.arraycopy(centroids, c * dim, out, 0, dim)
+      out
+    }
+    /** nprobe nearest centroid ids for a query (driver-side; nlist is small). */
+    def probes(q: Array[Float], nprobe: Int): Seq[Int] =
+      (0 until nlist).sortBy(c => Distances.l2SquaredRange(q, 0, centroids, c * dim, dim))
+        .take(math.min(nprobe, nlist))
+  }
+
+  /** Train the coarse quantizer on a deterministic sample (k-means via the
+    * PQ trainer with a single subspace; seed fixed). */
+  def trainIvf(
+      spark: SparkSession,
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      nlist: Int,
+      sampleSize: Int = 100000,
+      seed: Long = Pq.DefaultSeed): IvfModel = {
+    import spark.implicits._
+    val sample = df.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(embCol).cast("array<float>")).as[Array[Float]].collect()
+    require(sample.nonEmpty, "cannot train IVF on an empty dataset")
+    val dim = sample.head.length
+    val cb = Pq.train(sample.toIndexedSeq, dim, m = 1, k = nlist, seed = seed)
+    IvfModel(nlist, dim, cb.centroids)
+  }
+
+  /** Cluster-assignment column: argmin squared-L2 over the centroids —
+    * an unrolled codegen'd expression (nlist is small by design). */
+  def clusterOf(emb: Column, model: IvfModel): Column = {
+    val scored = (0 until model.nlist).map { c =>
+      struct(
+        vector.l2_squared(emb, typedlit(model.centroid(c).toSeq)).as("d"),
+        lit(c).as("c"))
+    }
+    least(scored: _*).getField("c")
+  }
+
+  /** Materialize the IVF index: input rows + their cluster id, repartitioned
+    * by cluster so probes are partition-local. */
+  def buildIndex(df: DataFrame, embCol: String, model: IvfModel): DataFrame =
+    df.withColumn("cluster", clusterOf(col(embCol), model))
+      .repartition(col("cluster"))
+
+  /**
+   * IVF query: each (query, probe-cluster) pair equi-joins the index on
+   * `cluster`, exact distance on the narrowed set, per-query top-k.
+   * `queries`: (queryId LONG, qv ARRAY<FLOAT>) — collected and broadcast
+   * (query batches are small relative to the corpus).
+   */
+  def searchIvf(
+      spark: SparkSession,
+      index: DataFrame,
+      idCol: String,
+      embCol: String,
+      queries: Seq[(Long, Array[Float])],
+      model: IvfModel,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, q) =>
+      model.probes(q, nprobe).map(c => (qid, c, q))
+    }.toDF("queryId", "cluster", "qv")
+    val w = Window.partitionBy(col("queryId")).orderBy(col("cosine").desc, col(idCol))
+    index.join(broadcast(probeRows), Seq("cluster"))
+      .withColumn("cosine", vector.cosine_sim(col(embCol), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Exact brute-force cosine top-k — the baseline/oracle. */
+  def searchBrute(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val q = queries.toDF("queryId", "qv")
+    val w = Window.partitionBy(col("queryId")).orderBy(col("cosine").desc, col(idCol))
+    df.crossJoin(broadcast(q))
+      .withColumn("cosine", vector.cosine_sim(col(embCol), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

@@ -1,0 +1,233 @@
+package graft.pipeline
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.vector
+
+/**
+ * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, n-gram Jaccard verification, and embedding-cosine near-dup.
+ *
+ * Scale design (the 100 TB story):
+ *  - signatures are computed in ONE codegen'd pass per document (native
+ *    column expressions — `transform`/`aggregate`/`xxhash64` — no UDFs);
+ *  - candidate generation is an equi-join on LSH band buckets (shuffle on
+ *    band hash, never an O(n²) cross join);
+ *  - only candidate pairs pay the exact verification cost (Jaccard /
+ *    Hamming / cosine), via a self-join narrowed to bucket collisions;
+ *  - `doc_a < doc_b` canonicalization keeps each pair once.
+ */
+object Dedup {
+
+  // --- exact ---------------------------------------------------------------
+
+  /** Exact dedup on the normalized-content fingerprint: every row mapped to
+    * the group's minimum id (survivor). */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withFp = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.contentFingerprint(col(textCol)).as("fingerprint"))
+    val survivors = withFp.groupBy("fingerprint")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+    withFp.join(survivors, "fingerprint")
+      .select(col("doc_id"), col("canonical_id"), col("group_size"))
+  }
+
+  // --- MinHash + LSH -------------------------------------------------------
+
+  /** Large Mersenne prime for the affine MinHash permutations. */
+  private val MinHashPrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a, b) parameter pairs for the MinHash permutations. */
+  private def minHashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new Random(seed)
+    Seq.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Word-`k` shingles of a text column (distinct, hashed to 64-bit). */
+  def shingleHashes(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val grams = when(size(toks) < k, array(xxhash64(concat_ws(" ", toks))))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+    array_distinct(grams)
+  }
+
+  /** MinHash signature: for each permutation i, min over shingles of
+    * (a_i·h + b_i) mod p. One nested `transform` — a single codegen'd
+    * expression per row. */
+  def minHashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
+    val params = minHashParams(numHashes, seed)
+    val perms = params.map { case (a, b) =>
+      array_min(transform(shingles,
+        h => pmod(pmod(h, lit(MinHashPrime)) * a + b, lit(MinHashPrime))))
+    }
+    array(perms: _*)
+  }
+
+  /**
+   * MinHash-LSH near-duplicate pairs: signature → `bands` band-hashes →
+   * equi-join on (band, bandHash) → exact Jaccard verification on the
+   * colliding pairs → threshold filter.
+   *
+   * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+   */
+  def minHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val sigs = df.select(col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), shingleK).as("shingles"))
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+
+    val banded = sigs.select(
+      col("doc_id"), col("shingles"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+        .as(Seq("band", "bandHash")))
+
+    val left = banded.select(col("band"), col("bandHash"),
+      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val right = banded.select(col("band"), col("bandHash"),
+      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+
+    left.join(right, Seq("band", "bandHash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity join over ALL pairs (quadratic — the
+    * verification oracle for the LSH path; use only on bounded inputs). */
+  def ngramJaccardJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), shingleK).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // --- SimHash -------------------------------------------------------------
+
+  /**
+   * 64-bit SimHash packed into a LONG: per token, each bit of xxhash64
+   * votes +1/-1; the sign of each accumulated position becomes the bit.
+   * Entirely native: aggregate + zip_with over a 64-slot vote vector.
+   */
+  def simHash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val votes = aggregate(
+      toks,
+      typedlit(Seq.fill(64)(0L)),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /**
+   * SimHash near-duplicates at Hamming distance ≤ `maxHamming`: block on
+   * 16-bit bands (pigeonhole: distance ≤ 3 guarantees ≥ 1 identical band),
+   * verify with bit_count(xor). Output (doc_a, doc_b, hamming).
+   */
+  def simHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL))).as(Seq("band", "bandVal")))
+    val left = banded.select(col("band"), col("bandVal"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val right = banded.select(col("band"), col("bandVal"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    left.join(right, Seq("band", "bandVal"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // --- embedding cosine near-dup -------------------------------------------
+
+  /** Exact cosine near-duplicate pairs over an embedding column (quadratic;
+    * the oracle for the LSH-blocked variant below). */
+  def cosineNearDuplicatesExact(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = df.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", vector.cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /**
+   * LSH-blocked cosine near-dup: `tables` independent random-hyperplane
+   * sketches of `planesPerTable` bits; pairs colliding in ≥ 1 table are
+   * verified exactly. The shuffle key is the (table, sketch) bucket —
+   * linear in data size, never quadratic.
+   */
+  def cosineNearDuplicatesLsh(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      threshold: Double,
+      tables: Int = 16,
+      planesPerTable: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    val rnd = new Random(seed)
+    val sketches: Seq[Column] = (0 until tables).map { t =>
+      val bits = (0 until planesPerTable).map { _ =>
+        val plane = Array.fill(dim)(rnd.nextGaussian().toFloat)
+        when(vector.vec_dot(col(embCol), typedlit(plane.toSeq)) >= 0, lit(1)).otherwise(lit(0))
+      }
+      concat_ws("", lit(t.toString) +: lit("_") +: bits: _*)
+    }
+    val sk = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"),
+      posexplode(array(sketches: _*)).as(Seq("table", "bucket")))
+    val left = sk.select(col("table"), col("bucket"), col("doc_id").as("id_a"), col("emb").as("emb_a"))
+    val right = sk.select(col("table"), col("bucket"), col("doc_id").as("id_b"), col("emb").as("emb_b"))
+    left.join(right, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "emb_a", "emb_b").distinct()
+      .withColumn("cosine", vector.cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,166 @@
+package graft.pipeline
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Self-oracle gates for the hash-based pipeline operators (the DuckDB
+  * gate covers the SQL-expressible ones). */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** documents plus near-dup copies of every 10th doc. */
+  private def corpusNear = {
+    val d = docs.select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graftmutation")).as("text")))
+  }
+
+  test("minhash-LSH finds every planted near-dup pair; survivors verified by exact jaccard") {
+    val got = Dedup.minHashNearDuplicates(corpusNear, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // planted pairs: (id, id+100000) for id % 10 == 0 — jaccard well above 0.5
+    val planted = docs.select("doc_id").as[Long].collect()
+      .filter(_ % 10 == 0).map(id => (id, id + 100000)).toSet
+    assert(planted.subsetOf(got),
+      s"missing planted pairs: ${planted.diff(got).take(5)}")
+    // soundness: every reported pair really has exact jaccard ≥ 0.5
+    val exact = Dedup.ngramJaccardJoin(corpusNear, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact).take(5)}")
+  }
+
+  test("simhash blocking is COMPLETE for hamming ≤ 3 (pigeonhole over 4 bands)") {
+    val got = Dedup.simHashNearDuplicates(corpusNear, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    got.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
+    // exact oracle: brute-force hamming over all pairs — 3 bit flips cannot
+    // touch all four 16-bit bands, so LSH must find exactly these pairs
+    val sh = corpusNear.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .as[(Long, Long)].collect()
+    val exact = (for {
+      (ida, sa) <- sh; (idb, sb) <- sh if ida < idb
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    assert(exact.nonEmpty, "fixture produced no hamming≤3 pairs")
+    assert(got.map(g => (g._1, g._2)).toSet == exact)
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val d = docs.select("doc_id", "text")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val dups = Dedup.exactDuplicates(corpus, "doc_id", "text")
+      .filter(col("group_size") > 1)
+    val n = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(dups.count() == 2 * n) // each planted copy + its original
+    // canonical is always the minimum id of the group
+    assert(dups.filter(col("canonical_id") > col("doc_id")).count() == 0)
+  }
+
+  test("cosine LSH finds planted high-similarity pairs (recall ≥ 0.9 at threshold 0.95)") {
+    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val perturbed = embeddings.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          v + when(i === 0, 0.01f).otherwise(0.0f)).as("embedding"))
+    val corpus = embeddings.select("vec_id", "embedding").unionByName(perturbed)
+    val exact = Dedup.cosineNearDuplicatesExact(corpus, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.cosineNearDuplicatesLsh(corpus, "vec_id", "embedding", dim, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // verification step guarantees soundness
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("IVF ANN recall@10 ≥ 0.8 vs brute force (nlist=16, nprobe=8)") {
+    val model = Ann.trainIvf(spark, embeddings, "embedding", "vec_id", nlist = 16)
+    val index = Ann.buildIndex(embeddings, "embedding", model)
+    val qs = embeddings.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+    val ivf = Ann.searchIvf(spark, index, "vec_id", "embedding", qs, model, k = 10, nprobe = 8)
+      .select("queryId", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = Ann.searchBrute(spark, embeddings, "vec_id", "embedding", qs, k = 10)
+      .select("queryId", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = qs.map { case (qid, _) =>
+      ivf.getOrElse(qid, Set.empty).intersect(brute(qid)).size
+    }.sum
+    val recall = hits.toDouble / (qs.size * 10)
+    assert(recall >= 0.8, s"IVF recall@10 = $recall")
+  }
+
+  test("language-ID identifies script and stopword-profiled languages") {
+    val fixture = Seq(
+      (1L, "the cat sat on the mat and it was happy with that"),
+      (2L, "el perro corre por la calle y los gatos del barrio lo miran"),
+      (3L, "der hund und die katze sind nicht mit den kindern im haus"),
+      (4L, "le chien et le chat sont dans la maison des voisins"),
+      (5L, "这是一个中文句子用来测试语言识别"),
+      (6L, "Это русское предложение для теста"),
+      (7L, "zxqv wkrp flmb grtn")).toDF("id", "text")
+    val got = fixture.select(col("id"), TextAnalysis.langId(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "de" && got(4L) == "fr")
+    assert(got(5L) == "zh" && got(6L) == "ru" && got(7L) == "und")
+  }
+
+  test("rolling fingerprint is stable under small edits, unlike the content fingerprint") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val edited = base + " appended"
+    val df = Seq((1L, base), (2L, edited)).toDF("id", "text")
+    val fps = df.select(col("id"),
+      TextAnalysis.contentFingerprint(col("text")).as("md5"),
+      TextAnalysis.rollingFingerprint(col("text")).as("sketch"))
+      .as[(Long, String, Array[Long])].collect().sortBy(_._1)
+    assert(fps(0)._2 != fps(1)._2) // md5 differs
+    val overlap = fps(0)._3.toSet.intersect(fps(1)._3.toSet).size.toDouble /
+      fps(0)._3.length
+    assert(overlap >= 0.75, s"sketch overlap $overlap") // sketch mostly survives
+  }
+
+  test("multimodal: decode stub round-trips the synthetic header; frame sampling fans out") {
+    val blobs = Multimodal.withSyntheticMedia(spark, docs, "doc_id")
+    val decoded = Multimodal.decode(blobs).collect()
+    assert(decoded.length == docs.count())
+    decoded.foreach { d =>
+      assert(d.width == (d.doc_id % 640 + 16).toInt)
+      assert(d.height == (d.doc_id % 480 + 16).toInt)
+      assert(d.channels == (if (d.mediaType == "audio") 1 else 3))
+      assert(d.features.length == 16 && d.features.forall(f => f >= 0f && f <= 1f))
+    }
+    val resized = Multimodal.resize(Multimodal.decode(blobs), maxDim = 128).collect()
+    resized.foreach(d => assert(math.max(d.width, d.height) <= 128))
+    val frames = Multimodal.sampleFrames(blobs, everyMs = 5000)
+    val perDoc = frames.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    perDoc.foreach { case (id, n) =>
+      val dur = id % 60000
+      assert(n == math.min(math.max(1L, dur / 5000), 32L))
+    }
+  }
+
+  test("quality score is in [0,1] and favors clean prose over noise") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs into the forest with a happy grin on its face while the birds are singing"),
+      (2L, "!!!??? ;;; ((()))" ),
+      (3L, "123 456 789 000 111")).toDF("id", "text")
+    val scores = df.select(col("id"), TextAnalysis.qualityScore(col("text")))
+      .as[(Long, Double)].collect().toMap
+    scores.values.foreach(s => assert(s >= 0.0 && s <= 1.0))
+    assert(scores(1L) > scores(2L) && scores(1L) > scores(3L))
+  }
+}
