@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.SparkShims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native text-sketching expressions for the dedup operators.
+ *
+ * Why custom expressions and not composed built-ins: a shingle set built
+ * from `transform(sequence(...), i -> slice(split(text), i, k))` gets its
+ * tokenizer INLINED into every array position by CollapseProject — the
+ * regex split of the text re-executes once per shingle per consumer
+ * (observed 15× slowdown at sf0.1). These kernels tokenize once per row
+ * and do the rest imperatively, exactly the preference order of
+ * SURVEY.md §7.3 ("custom Catalyst Expression" tier).
+ *
+ * `CodegenFallback` is deliberate: the kernel is string processing with no
+ * per-field arithmetic for Janino to fuse; the surrounding operators stay
+ * inside whole-stage codegen.
+ */
+private object TextKernels {
+  final val HashSeed = 42L
+
+  def tokenize(text: UTF8String): Array[String] =
+    text.toString.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  def hashString(s: String): Long = {
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, HashSeed)
+  }
+
+  /** Distinct hashed word-k-grams; short texts hash as one gram. */
+  def shingles(text: UTF8String, k: Int): Array[Long] = {
+    val toks = tokenize(text)
+    val grams =
+      if (toks.length < k) Array(hashString(toks.mkString(" ")))
+      else Array.tabulate(toks.length - k + 1)(i => hashString(toks.slice(i, i + k).mkString(" ")))
+    grams.distinct
+  }
+}
+
+/** ARRAY<BIGINT> of distinct hashed word-`k`-grams of a text column. */
+case class ShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextKernels.shingles(input.asInstanceOf[UTF8String], k))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature over a shingle-hash array: for permutation (a_i, b_i),
+  * min over shingles of (a_i·(h mod p) + b_i) mod p. */
+case class MinHashSignatureExpr(child: Expression, params: Seq[(Long, Long)])
+    extends UnaryExpression with CodegenFallback {
+  private val Prime = 2147483647L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData].toLongArray()
+    val sig = new Array[Long](params.length)
+    var i = 0
+    while (i < params.length) {
+      val (a, b) = params(i)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < shingles.length) {
+        val h = java.lang.Math.floorMod(shingles(j), Prime)
+        val v = java.lang.Math.floorMod(a * h + b, Prime)
+        if (v < best) best = v
+        j += 1
+      }
+      sig(i) = if (shingles.isEmpty) 0L else best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash of a text column packed into a LONG: each token's hash
+  * bits vote +1/-1 per position; the sign becomes the bit. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextKernels.tokenize(input.asInstanceOf[UTF8String])
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = TextKernels.hashString(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API entry points. */
+object text {
+  def shingle_hashes(c: Column, k: Int): Column =
+    SparkShims.column(ShingleHashesExpr(SparkShims.expression(c), k))
+  def minhash_signature(c: Column, params: Seq[(Long, Long)]): Column =
+    SparkShims.column(MinHashSignatureExpr(SparkShims.expression(c), params))
+  def simhash64(c: Column): Column =
+    SparkShims.column(SimHash64Expr(SparkShims.expression(c)))
+}

@@ -59,7 +59,14 @@ final class SegmentedIndex(val spark: SparkSession, val store: IndexStore) {
     // zipWithIndex (computes per-partition counts in one lightweight job).
     val cols = Seq(col(orderCol), col(embeddingCol).cast("array<float>").as("emb")) ++
       payloadCol.map(c => col(c).cast("binary").as("payload"))
-    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    // partition sizing: ~one partition per segment-cap of rows keeps output
+    // files segment-sized (a 32-way split of a 2k-row batch would write 32
+    // tiny files per segment; a 100-executor cluster ingesting billions of
+    // rows still fans out fully)
+    val n = df.count()
+    val parts = math.max(1, math.min(
+      4 * spark.sparkContext.defaultParallelism,
+      ((n + cap - 1) / cap).toInt))
     val prepared = df.select(cols: _*)
       .repartitionByRange(parts, col(orderCol))
       .sortWithinPartitions(orderCol)
@@ -87,7 +94,6 @@ final class SegmentedIndex(val spark: SparkSession, val store: IndexStore) {
     store.appendVectors(assigned)
 
     // manifest update: derive new segment states from the insert count
-    val n = df.count()
     val endPos = startFill + n
     val lastSegOff = if (endPos == 0) 0 else ((endPos - 1) / cap).toInt
     val nowMs = System.currentTimeMillis()

@@ -5,7 +5,7 @@ import scala.util.Random
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.vector
+import graft.functions.{text, vector}
 
 /**
  * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -46,27 +46,17 @@ object Dedup {
     Seq.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Word-`k` shingles of a text column (distinct, hashed to 64-bit). */
-  def shingleHashes(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val grams = when(size(toks) < k, array(xxhash64(concat_ws(" ", toks))))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - k),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
-    array_distinct(grams)
-  }
+  /** Word-`k` shingles of a text column (distinct, hashed to 64-bit) —
+    * a native expression (graft.functions.ShingleHashesExpr) that
+    * tokenizes once per row. */
+  def shingleHashes(textCol: Column, k: Int = 3): Column =
+    text.shingle_hashes(textCol, k)
 
   /** MinHash signature: for each permutation i, min over shingles of
-    * (a_i·h + b_i) mod p. One nested `transform` — a single codegen'd
-    * expression per row. */
-  def minHashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
-    val params = minHashParams(numHashes, seed)
-    val perms = params.map { case (a, b) =>
-      array_min(transform(shingles,
-        h => pmod(pmod(h, lit(MinHashPrime)) * a + b, lit(MinHashPrime))))
-    }
-    array(perms: _*)
-  }
+    * (a_i·h + b_i) mod p — a native expression
+    * (graft.functions.MinHashSignatureExpr). */
+  def minHashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 42L): Column =
+    text.minhash_signature(shingles, minHashParams(numHashes, seed))
 
   /**
    * MinHash-LSH near-duplicate pairs: signature → `bands` band-hashes →
@@ -91,20 +81,25 @@ object Dedup {
       .withColumn("sig", minHashSignature(col("shingles"), numHashes))
 
     val banded = sigs.select(
-      col("doc_id"), col("shingles"),
+      col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
         .as(Seq("band", "bandHash")))
 
-    val left = banded.select(col("band"), col("bandHash"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val right = banded.select(col("band"), col("bandHash"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-
-    left.join(right, Seq("band", "bandHash"))
+    // dedupe candidate pairs on ids BEFORE touching the shingle arrays —
+    // distinct over (id, id) longs is cheap; distinct over 2×~50-element
+    // arrays is not
+    val candidates = banded.select(col("band"), col("bandHash"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bandHash"), col("doc_id").as("doc_b")),
+        Seq("band", "bandHash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .select("doc_a", "doc_b").distinct()
+
+    val shOnly = sigs.select(col("doc_id"), col("shingles"))
+    candidates
+      .join(shOnly.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(shOnly.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
@@ -134,26 +129,10 @@ object Dedup {
 
   // --- SimHash -------------------------------------------------------------
 
-  /**
-   * 64-bit SimHash packed into a LONG: per token, each bit of xxhash64
-   * votes +1/-1; the sign of each accumulated position becomes the bit.
-   * Entirely native: aggregate + zip_with over a 64-slot vote vector.
-   */
-  def simHash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val votes = aggregate(
-      toks,
-      typedlit(Seq.fill(64)(0L)),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          b => when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
-        (x, y) => x + y))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
-  }
+  /** 64-bit SimHash packed into a LONG — a native expression
+    * (graft.functions.SimHash64Expr): one tokenize + 64 bit-votes per
+    * token, imperative, no 64-wide lambda trees. */
+  def simHash(textCol: Column): Column = text.simhash64(textCol)
 
   /**
    * SimHash near-duplicates at Hamming distance ≤ `maxHamming`: block on
