@@ -136,6 +136,51 @@ object RelationalQueries {
       rich.intersect(auto).orderBy(col("custkey"))
     }),
 
+    // TPC-H Q4-style: EXISTS semi-join + grouped count.
+    "rel_q4_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01") && col("o_orderdate") < lit("1996-10-01"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-07-01"))
+        .select(col("l_orderkey"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q13-style: LEFT OUTER join + two-level aggregation (customer
+    // order-count distribution, including zero-order customers).
+    "rel_q13_cust_distribution" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") =!= "P")
+      val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Gap-based sessionization via windows: a new session starts after
+    // > 30 min of user inactivity; session id = cumulative start count.
+    "rel_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .filter(col("user_id") <= 50)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          round(sum(col("value")), 4).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // JSON scalar extraction from the events props column.
     "rel_json_extract" -> ((s, dir) => {
       events(s, dir)
@@ -165,7 +210,7 @@ object RelationalQueries {
           month(col("o_orderdate")).cast("long").as("o_month"),
           length(col("o_orderstatus")).cast("long").as("status_len"),
           concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
-          round(col("o_totalprice") * 0.1, 2).as("tithe"))
+          round(col("o_totalprice") * 100).cast("long").as("total_cents"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -263,6 +308,45 @@ object RelationalQueries {
         |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         |ORDER BY custkey""".stripMargin,
 
+    "rel_q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1996-07-01')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY c_custkey) x
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "rel_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id <= 50
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  round(sum(value), 4) AS session_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
     "rel_json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
@@ -284,7 +368,7 @@ object RelationalQueries {
         |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
         |  CAST(length(o_orderstatus) AS BIGINT) AS status_len,
         |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
-        |  round(o_totalprice * 0.1, 2) AS tithe
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
         |FROM orders
         |WHERE o_orderkey % 100 = 0
         |ORDER BY o_orderkey""".stripMargin,

@@ -127,6 +127,42 @@ object VectorQueries {
           round(avg(col("nrm")), 6).as("avg_norm"))
     }),
 
+    // A5: the compaction planner's weighted scoring (0.3·age + 0.5·size +
+    // 0.2·frag, min-max normalized, 0.5 on degenerate ranges) over
+    // segment stats derived deterministically from vec_id (cap 100,
+    // deleted = vec_id%7==0, createdAtMs = segId·1000). The greedy budget
+    // pick on top of these scores is covered in MaintenanceSpec.
+    "vec_compaction_scoring" -> ((s, dir) => {
+      val segs = emb(s, dir)
+        .withColumn("segId", (col("vec_id") / 100).cast("int"))
+        .withColumn("deleted", col("vec_id") % 7 === 0)
+        .groupBy(col("segId"))
+        .agg(
+          sum(when(col("deleted"), 0L).otherwise(1L)).as("cnt"),
+          sum(when(col("deleted"), 1L).otherwise(0L)).as("del"))
+        .withColumn("createdAtMs", col("segId").cast("long") * 1000)
+      val bounds = segs.agg(
+        min(col("createdAtMs")).as("minC"), max(col("createdAtMs")).as("maxC"),
+        min(col("cnt")).as("minN"), max(col("cnt")).as("maxN"))
+      val scored = segs.crossJoin(broadcast(bounds))
+        .withColumn("ageScore",
+          when(col("maxC") === col("minC"), 0.5)
+            .otherwise((col("maxC") - col("createdAtMs")).cast("double") / (col("maxC") - col("minC"))))
+        .withColumn("sizeScore",
+          when(col("maxN") === col("minN"), 0.5)
+            .otherwise((col("maxN") - col("cnt")).cast("double") / (col("maxN") - col("minN"))))
+        .withColumn("fragScore",
+          when(col("cnt") + col("del") === 0, 0.0)
+            .otherwise(col("del").cast("double") / (col("cnt") + col("del"))))
+      scored.select(col("segId"), col("cnt"), col("del"),
+        round(col("ageScore"), 6).as("age_score"),
+        round(col("sizeScore"), 6).as("size_score"),
+        round(col("fragScore"), 6).as("frag_score"),
+        round(col("ageScore") * 0.3 + col("sizeScore") * 0.5 + col("fragScore") * 0.2, 6)
+          .as("composite"))
+        .orderBy(col("composite").desc, col("segId"))
+    }),
+
     // J2+J3+J5+J7 end-to-end: build a real segmented index (ingest → seal
     // → ANN query) in a temp dir. Approximate — no SQL oracle; the
     // rows-only check plus the ScalaTest recall gate cover it.
@@ -159,13 +195,13 @@ object VectorQueries {
     "vec_ingest_assignment" ->
       s"""SELECT vec_id,
          |  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS gid,
-         |  CAST((row_number() OVER (ORDER BY vec_id) - 1) / $Cap AS INTEGER) AS segId,
+         |  CAST((row_number() OVER (ORDER BY vec_id) - 1) // $Cap AS INTEGER) AS segId,
          |  CAST((row_number() OVER (ORDER BY vec_id) - 1) % $Cap AS INTEGER) AS vecId
          |FROM embeddings
          |ORDER BY vec_id""".stripMargin,
 
     "vec_segment_counters" ->
-      s"""SELECT CAST(vec_id / $Cap AS INTEGER) AS segId,
+      s"""SELECT CAST(vec_id // $Cap AS INTEGER) AS segId,
          |  sum(CASE WHEN vec_id % 7 = 0 THEN 0 ELSE 1 END) AS live_count,
          |  sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) AS deleted_count
          |FROM embeddings
@@ -173,7 +209,7 @@ object VectorQueries {
 
     "vec_gid_resolve" ->
       s"""SELECT w.gid,
-         |  coalesce(CAST(e.vec_id / $Cap AS INTEGER), -1) AS segId,
+         |  coalesce(CAST(e.vec_id // $Cap AS INTEGER), -1) AS segId,
          |  coalesce(CAST(e.vec_id % $Cap AS INTEGER), -1) AS vecId
          |FROM (VALUES (0), (5), (123), (999999)) AS w(gid)
          |LEFT JOIN embeddings e ON e.vec_id = w.gid
@@ -221,6 +257,34 @@ object VectorQueries {
         |  FROM dims d JOIN centroid c USING (idx) GROUP BY d.vec_id)
         |SELECT vec_id, round(d2, 6) AS d2r FROM d2
         |ORDER BY d2r, vec_id LIMIT 1""".stripMargin,
+
+    "vec_compaction_scoring" ->
+      """WITH segs AS (
+        |  SELECT CAST(vec_id // 100 AS INTEGER) AS segId,
+        |    sum(CASE WHEN vec_id % 7 = 0 THEN 0 ELSE 1 END) AS cnt,
+        |    sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) AS del
+        |  FROM embeddings GROUP BY 1),
+        |segs2 AS (
+        |  SELECT segId, cnt, del, CAST(segId AS BIGINT) * 1000 AS createdAtMs FROM segs),
+        |bounds AS (
+        |  SELECT min(createdAtMs) minC, max(createdAtMs) maxC,
+        |         min(cnt) minN, max(cnt) maxN FROM segs2),
+        |scored AS (
+        |  SELECT segId, cnt, del,
+        |    CASE WHEN maxC = minC THEN 0.5
+        |         ELSE (maxC - createdAtMs) * 1.0 / (maxC - minC) END AS ageScore,
+        |    CASE WHEN maxN = minN THEN 0.5
+        |         ELSE (maxN - cnt) * 1.0 / (maxN - minN) END AS sizeScore,
+        |    CASE WHEN cnt + del = 0 THEN 0.0
+        |         ELSE del * 1.0 / (cnt + del) END AS fragScore
+        |  FROM segs2, bounds)
+        |SELECT segId, cnt, del,
+        |  round(ageScore, 6) AS age_score,
+        |  round(sizeScore, 6) AS size_score,
+        |  round(fragScore, 6) AS frag_score,
+        |  round(ageScore * 0.3 + sizeScore * 0.5 + fragScore * 0.2, 6) AS composite
+        |FROM scored
+        |ORDER BY composite DESC, segId""".stripMargin,
 
     "vec_norm_stats" ->
       s"""SELECT count(*) AS n,

@@ -179,7 +179,8 @@ object Dedup {
    * LSH-blocked cosine near-dup: `tables` independent random-hyperplane
    * sketches of `planesPerTable` bits; pairs colliding in ≥ 1 table are
    * verified exactly. The shuffle key is the (table, sketch) bucket —
-   * linear in data size, never quadratic.
+   * linear in data size, never quadratic. All sketches come from ONE
+   * native expression pass (graft.functions.HyperplaneSketch).
    */
   def cosineNearDuplicatesLsh(
       df: DataFrame,
@@ -191,15 +192,10 @@ object Dedup {
       planesPerTable: Int = 10,
       seed: Long = 42L): DataFrame = {
     val rnd = new Random(seed)
-    val sketches: Seq[Column] = (0 until tables).map { t =>
-      val bits = (0 until planesPerTable).map { _ =>
-        val plane = Array.fill(dim)(rnd.nextGaussian().toFloat)
-        when(vector.vec_dot(col(embCol), typedlit(plane.toSeq)) >= 0, lit(1)).otherwise(lit(0))
-      }
-      concat_ws("", lit(t.toString) +: lit("_") +: bits: _*)
-    }
+    val planes = Array.fill(tables * planesPerTable * dim)(rnd.nextGaussian().toFloat)
     val sk = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"),
-      posexplode(array(sketches: _*)).as(Seq("table", "bucket")))
+      posexplode(graft.functions.sketch.hyperplane_sketch(col(embCol), planes, tables, planesPerTable))
+        .as(Seq("table", "bucket")))
     val left = sk.select(col("table"), col("bucket"), col("doc_id").as("id_a"), col("emb").as("emb_a"))
     val right = sk.select(col("table"), col("bucket"), col("doc_id").as("id_b"), col("emb").as("emb_b"))
     left.join(right, Seq("table", "bucket"))
