@@ -1,0 +1,71 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{IndexMeta, MaintenancePolicy, SegmentState}
+import graft.maintenance.Maintenance
+
+/**
+ * Multi-index orchestration (SURVEY.md §2.10 T2/T3): one Spark application
+ * driving seal + maintenance across many indexes — the batch re-expression
+ * of the reference's global cross-index worker queues
+ * (GlobalBuildQueueAdapter.java:62-90, GlobalWorkerRunner.java:90-123).
+ *
+ * The reference's config-merge rule is preserved
+ * (GlobalWorkerRunner.java:382-422): DATA parameters (dimension, metric,
+ * PQ/graph knobs) always come from each index's persisted IndexMeta;
+ * OPERATIONAL parameters (vacuum/compaction policy) come from the runner's
+ * template and apply uniformly.
+ */
+final class GlobalRunner(
+    spark: SparkSession,
+    val indexPaths: Seq[String],
+    val policyTemplate: MaintenancePolicy = MaintenancePolicy()) {
+
+  /** Open every registered index, validating stored metadata. */
+  def indexes: Seq[SegmentedIndex] =
+    indexPaths.map(p => new SegmentedIndex(spark, new IndexStore(p)))
+
+  /** One build sweep: seal every PENDING/WRITING segment of every index
+    * (the drain of the reference's global build queue; idempotent). */
+  def sealAll(): Map[String, Int] =
+    indexes.map { idx =>
+      val pending = idx.manifest.segments.count(s =>
+        s.state == SegmentState.Pending || s.state == SegmentState.Writing)
+      idx.sealPending()
+      idx.store.path -> pending
+    }.toMap
+
+  /** One maintenance sweep: policy-driven vacuum then compaction per index
+    * (the drain of the global maintenance queue). Returns per-index counts
+    * of (vacuumed segments, compactions run). */
+  def maintainAll(nowMs: Long): Map[String, (Int, Int)] =
+    indexes.map { idx =>
+      val maint = new Maintenance(idx, policyTemplate)
+      val vacuumed = maint.segmentsNeedingVacuum(nowMs).map { segId =>
+        maint.vacuumSegment(segId, nowMs)
+      }.count(_ > 0)
+      val compacted = idx.manifest.segments.headOption
+        .map(s => maint.maybeCompact(s.segId, nowMs))
+        .count(_ >= 0)
+      idx.store.path -> (vacuumed, compacted)
+    }.toMap
+
+  /** Queue-empty barrier across every index (T4 awaitIndexingComplete):
+    * true when no segment anywhere still needs a build. */
+  def indexingComplete: Boolean =
+    indexes.forall(_.manifest.segments.forall(s =>
+      s.state != SegmentState.Pending && s.state != SegmentState.Writing))
+}
+
+object GlobalRunner {
+  /** Create-or-open many indexes from (path, meta) templates. */
+  def createAll(
+      spark: SparkSession,
+      specs: Seq[(String, IndexMeta)],
+      nowMs: Long,
+      policy: MaintenancePolicy = MaintenancePolicy()): GlobalRunner = {
+    specs.foreach { case (path, meta) => new IndexStore(path).createOrOpen(meta, nowMs) }
+    new GlobalRunner(spark, specs.map(_._1), policy)
+  }
+}

@@ -34,13 +34,16 @@ import graft.functions.vector
 object Search {
 
   /** queriesDf columns: (queryId LONG, qv ARRAY<FLOAT>).
-    * Returns (queryId, gid, score, distance, payload). */
+    * Returns (queryId, gid, score, distance, payload, rank).
+    * `useAggregatorMerge` selects the bounded-heap top-k merge (default,
+    * map-side combining) vs the window-function merge (full sort). */
   def query(
       spark: SparkSession,
       store: IndexStore,
       queriesDf: DataFrame,
       k: Int,
-      paramsOpt: Option[SearchParams] = None): DataFrame = {
+      paramsOpt: Option[SearchParams] = None,
+      useAggregatorMerge: Boolean = true): DataFrame = {
     import spark.implicits._
 
     val m = store.readManifest()
@@ -124,14 +127,35 @@ object Search {
     val all = bruteScored.unionByName(sealedScored)
     val perSeg = Window.partitionBy(col("queryId"), col("segId"))
       .orderBy(col("score").desc, col("gid"))
-    val global = Window.partitionBy(col("queryId"))
-      .orderBy(col("score").desc, col("gid"))
-    all
+    val capped = all
       .withColumn("segRank", row_number().over(perSeg))
       .filter(col("segRank") <= perSegLimit)
-      .withColumn("rank", row_number().over(global))
-      .filter(col("rank") <= k)
-      .select(col("queryId"), col("gid"), col("score"), col("distance"), col("payload"), col("rank"))
+
+    if (useAggregatorMerge) {
+      // scale path: bounded-heap top-k Aggregator — partial aggregation
+      // sends ≤ k pairs per (query, partition) into the merge shuffle
+      // instead of every capped candidate (SURVEY.md §7.3)
+      import spark.implicits._
+      val topkAgg = new graft.functions.TopKAggregator(k)
+      val ranked = capped.select(col("queryId"), col("gid"), col("score"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(topkAgg.toColumn.name("topk"))
+        .flatMap { case (qid, tk) =>
+          tk.iterator.zipWithIndex.map { case ((gid, _), i) => (qid, gid, i + 1) }
+        }
+        .toDF("queryId", "gid", "rank")
+      capped.join(ranked, Seq("queryId", "gid"))
+        .select(col("queryId"), col("gid"), col("score"), col("distance"), col("payload"), col("rank"))
+    } else {
+      val global = Window.partitionBy(col("queryId"))
+        .orderBy(col("score").desc, col("gid"))
+      capped
+        .withColumn("rank", row_number().over(global))
+        .filter(col("rank") <= k)
+        .select(col("queryId"), col("gid"), col("score"), col("distance"), col("payload"), col("rank"))
+    }
   }
 
   /** Attach score/distance columns per the reference's conventions
