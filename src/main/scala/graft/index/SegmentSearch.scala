@@ -20,6 +20,15 @@ object SegmentSearch {
   /** One approximate candidate (reference's `Approx` record). */
   final case class Approx(vecId: Int, approx: Double)
 
+  /** BEAM is deprecated in the reference (SearchParams.java:33-37) — warn
+    * once per JVM, exactly like FdbVectorIndex.java:369-372. */
+  private val beamWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[index] def warnBeamOnce(): Unit =
+    if (beamWarned.compareAndSet(false, true)) {
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn("BEAM search mode is deprecated; prefer BEST_FIRST")
+    }
+
   /** Query-time parameter auto-tune by segment cardinality — formulas kept
     * verbatim (reference: FdbVectorIndex.java:772-784). `k` is the
     * per-segment result budget (perSegLimit at the call site). */
@@ -195,7 +204,10 @@ object SegmentSearch {
     val expanded =
       if (params.mode == SearchMode.BestFirst)
         bestFirstExpand(seeds, codeF, adjF, lut, cb.k, cb.m, eff)
-      else beamExpand(seeds, codeF, adjF, lut, cb.k, cb.m, eff)
+      else {
+        warnBeamOnce()
+        beamExpand(seeds, codeF, adjF, lut, cb.k, cb.m, eff)
+      }
     val topN = math.min(expanded.size, math.max(eff.efSearch, k))
     expanded.sortBy(a => (a.approx, a.vecId)).take(topN)
   }

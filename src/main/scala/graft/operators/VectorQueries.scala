@@ -170,8 +170,12 @@ object VectorQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft-sealed-q").toString
       val store = new IndexStore(tmp)
       val dim = emb(s, dir).select(size(col("embedding"))).first().getInt(0)
-      store.createOrOpen(IndexMeta("sealed_q", dimension = dim, maxSegmentSize = 1000,
-        pqM = 8, pqK = 16, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
+      // cap 250 ⇒ every sf seals ≥ 2 segments (embeddings ≥ 500 rows), so
+      // this exercises the REAL sealed path, not the brute fallback; PQ
+      // knobs sized for dim-64 data (subDim 4, 256 centroids — the coarse
+      // pqM=8/pqK=16 combo loses ~90% recall at this dimensionality)
+      store.createOrOpen(IndexMeta("sealed_q", dimension = dim, maxSegmentSize = 250,
+        pqM = 16, pqK = 256, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
         oversample = 2), System.currentTimeMillis())
       val idx = new SegmentedIndex(s, store)
       idx.addAll(emb(s, dir), "embedding", "vec_id")

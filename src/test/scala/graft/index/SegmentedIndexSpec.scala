@@ -138,6 +138,35 @@ class SegmentedIndexSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@10 = $recall < 0.9")
   }
 
+  test("recall@10 ≥ 0.9 at n=1000, 100 queries (reference parallel-query gate)") {
+    // reference: VectorIndexTest.java:506-563 — n=1000, maxSegmentSize=200,
+    // pqM=4, pqK=16, graphDegree=16, 100 queries, k=10
+    val dim = 8
+    val idx = tempIndex(IndexMeta("theavy", dimension = dim, maxSegmentSize = 200,
+      pqM = 4, pqK = 16, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
+      oversample = 2))
+    val data = gaussianDf(1000, dim, 1234).cache()
+    idx.addAll(data, "embedding", "id")
+    idx.sealPending()
+
+    val k = 10
+    val queries = data.filter(col("id") < 100)
+      .select(col("id").as("queryId"), col("embedding").as("qv"))
+    val got = Search.query(spark, idx.store, queries, k)
+      .select("queryId", "gid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val all = data.select("id", "embedding").as[(Long, Array[Float])].collect()
+    var hit = 0
+    all.filter(_._1 < 100).foreach { case (qid, qv) =>
+      val expect = all.sortBy { case (gid, v) => (Distances.l2Squared(qv, v), gid) }
+        .take(k).map(_._1).toSet
+      hit += expect.intersect(got.getOrElse(qid, Set.empty)).size
+    }
+    val recall = hit.toDouble / (100 * k)
+    assert(recall >= 0.9, s"recall@10 = $recall < 0.9 (n=1000)")
+  }
+
   test("aggregator merge and window merge return identical top-k") {
     val dim = 8
     val idx = tempIndex(IndexMeta("tm", dimension = dim, maxSegmentSize = 60,
