@@ -75,14 +75,25 @@ class SegmentedIndexSpec extends AnyFunSuite {
     }
   }
 
-  test("config mismatch on reopen throws") {
+  test("config mismatch on reopen throws (every knob; reference tests 7 variants)") {
     val dir = Files.createTempDirectory("graft-idx").toString
     val store = new IndexStore(dir)
-    store.createOrOpen(IndexMeta("t4", dimension = 8, maxSegmentSize = 10,
-      pqM = 2, pqK = 4, graphDegree = 4), 0L)
-    intercept[IllegalStateException] {
-      store.createOrOpen(IndexMeta("t4", dimension = 16, maxSegmentSize = 10,
-        pqM = 2, pqK = 4, graphDegree = 4), 0L)
+    val base = IndexMeta("t4", dimension = 8, maxSegmentSize = 10,
+      pqM = 2, pqK = 4, graphDegree = 4)
+    store.createOrOpen(base, 0L)
+    // reopening with the identical config succeeds
+    store.createOrOpen(base, 99L)
+    val variants = Seq[IndexMeta => IndexMeta](
+      _.copy(dimension = 16),
+      _.copy(metric = Metric.Cosine.name),
+      _.copy(maxSegmentSize = 20),
+      _.copy(pqM = 4),
+      _.copy(pqK = 8),
+      _.copy(graphDegree = 8),
+      _.copy(graphAlpha = 1.5),
+      _.copy(oversample = 3))
+    variants.foreach { mutate =>
+      intercept[IllegalStateException] { store.createOrOpen(mutate(base), 0L) }
     }
   }
 
