@@ -199,6 +199,44 @@ object RelationalQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // CUBE grouping over flag × ship-year.
+    "rel_cube_flag_year" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+        .cube(col("l_returnflag"), col("ship_year"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("ship_year").asc_nulls_first)
+    }),
+
+    // TPC-H Q18-style: large orders via HAVING-filtered subquery join.
+    "rel_q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 180)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("orderdate"),
+          round(col("o_totalprice"), 2).as("totalprice"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q17-style: rows below 20% of their part's average quantity
+    // (correlated aggregate re-expressed as a join).
+    "rel_q17_small_quantity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_threshold"))
+      li.join(avgQty, col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < col("qty_threshold"))
+        .agg(
+          count(lit(1)).as("n_small"),
+          round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
     // Scalar string/date functions over orders.
     "rel_scalar_functions" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -360,6 +398,34 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "rel_cube_flag_year" ->
+      """SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, CAST(year(l_shipdate) AS BIGINT))
+        |ORDER BY l_returnflag ASC NULLS FIRST, ship_year ASC NULLS FIRST""".stripMargin,
+
+    "rel_q18_large_orders" ->
+      """SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        |  round(o_totalprice, 2) AS totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 180) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "rel_q17_small_quantity" ->
+      """SELECT count(*) AS n_small,
+        |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey AS p_key, avg(l_quantity) * 0.2 AS qty_threshold
+        |      FROM lineitem GROUP BY l_partkey) t
+        |  ON l.l_partkey = t.p_key
+        |WHERE l.l_quantity < t.qty_threshold""".stripMargin,
 
     "rel_scalar_functions" ->
       """SELECT o_orderkey,
