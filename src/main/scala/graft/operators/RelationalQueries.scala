@@ -181,6 +181,31 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Backward as-of join: each click attributed to the user's latest
+    // purchase at-or-before it (graft.pipeline.AsOf union-and-carry — one
+    // shuffle on user_id, no range join). Right side deduped per (user,
+    // ts) so ties are deterministic.
+    "rel_asof_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("ts"),
+          col("m.event_id").as("p_event_id"), col("m.value").as("p_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .filter(col("user_id") <= 100)
+      graft.pipeline.AsOf.joinBackward(
+        clicks, purchases.filter(col("user_id") <= 100),
+        keyCols = Seq("user_id"), tsCol = "ts",
+        valueCols = Seq("p_event_id", "p_value"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("asof_p_event_id"),
+          round(col("asof_p_value"), 4).as("asof_p_value_r"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // JSON scalar extraction from the events props column.
     "rel_json_extract" -> ((s, dir) => {
       events(s, dir)
@@ -384,6 +409,24 @@ object RelationalQueries {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "rel_asof_attribution" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts,
+        |    arg_max(event_id, event_id) AS p_event_id,
+        |    arg_max(value, event_id) AS p_value
+        |  FROM events WHERE event_type = 'purchase' AND user_id <= 100
+        |  GROUP BY user_id, ts),
+        |clicks AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click' AND user_id <= 100)
+        |SELECT c.user_id, c.event_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  p.p_event_id AS asof_p_event_id,
+        |  round(p.p_value, 4) AS asof_p_value_r
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
 
     "rel_json_extract" ->
       """SELECT event_id,

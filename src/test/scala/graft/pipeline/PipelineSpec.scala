@@ -153,6 +153,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join: latest at-or-before match per key, ties included, no-match null") {
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, 100L, ts(10)), // after right@5 and right@10 (tie) → 10 wins
+      (1L, 101L, ts(7)),  // between right@5 and right@10 → 5
+      (1L, 102L, ts(3)),  // before any right → null
+      (2L, 200L, ts(50))  // key with no right rows at all → null
+    ).toDF("k", "lid", "ts")
+    val right = Seq(
+      (1L, ts(5), "r5"),
+      (1L, ts(10), "r10")
+    ).toDF("k", "ts", "tag")
+    val got = AsOf.joinBackward(left, right, Seq("k"), "ts", Seq("tag"))
+      .select(col("lid"), col("asof_tag")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(got(100L).contains("r10")) // exact-tie ts=10 matches
+    assert(got(101L).contains("r5"))
+    assert(got(102L).isEmpty)
+    assert(got(200L).isEmpty)
+  }
+
   test("quality score is in [0,1] and favors clean prose over noise") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs into the forest with a happy grin on its face while the birds are singing"),
