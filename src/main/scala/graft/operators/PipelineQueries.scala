@@ -123,6 +123,29 @@ object PipelineQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // Deterministic train/val/test split — hash-free Knuth-multiplicative
+    // bucketing on doc_id (reproducible across engines and runs; the
+    // standard pattern for dataset splits at scale).
+    "pipeline_split_assignment" -> ((s, dir) => {
+      val bucket = pmod(col("doc_id") * 2654435761L, lit(100))
+      docs(s, dir)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+        .orderBy(col("split"))
+    }),
+
+    // Vocabulary statistics: token explode → frequency → top terms.
+    "text_vocab_topk" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(25)
+    }),
+
     // Multimodal decode+resize: synthetic blobs → mapPartitions decode stub
     // → metadata out. Fully deterministic → SQL oracle on the closed form.
     "multimodal_decode" -> ((s, dir) => {
@@ -203,6 +226,23 @@ object PipelineQueries {
         |WHERE a.vec_id < b.vec_id) p
         |WHERE cosine >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "pipeline_split_assignment" ->
+      """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, sum(n_chars) AS n_chars_total
+        |FROM documents
+        |GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "text_vocab_topk" ->
+      """SELECT token, count(*) AS freq FROM (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents) x
+        |GROUP BY token
+        |ORDER BY freq DESC, token
+        |LIMIT 25""".stripMargin,
 
     "multimodal_decode" ->
       """WITH meta AS (
