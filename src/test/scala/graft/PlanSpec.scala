@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale properties README promises
+  * (pushdown, pruning, broadcasts) must stay visible in the plans. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: ship-date filter and column pruning reach the parquet scan") {
+    val p = plan("rel_q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    // pruned read schema: no orderkey/partkey/suppkey columns
+    assert(!p.contains("l_partkey"))
+  }
+
+  test("q3: dimension tables join via broadcast, filters pushed") {
+    val p = plan("rel_q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("brute KNN: query side broadcast, probe predicate pushed") {
+    val p = plan("vec_knn_brute_l2")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LessThan(vec_id,5)"))
+  }
+
+  test("text stats run in a single scan stage (no shuffle before the sort)") {
+    val p = plan("text_stats")
+    // exactly one exchange — the final presentation sort
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1)
+  }
+
+  test("minhash signatures come from the native expressions, not lambda trees") {
+    val p = plan("dedup_minhash")
+    assert(p.contains("shingle_hashes"))
+    assert(p.contains("minhash_signature"))
+  }
+}
