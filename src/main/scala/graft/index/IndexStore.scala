@@ -29,7 +29,14 @@ final case class Manifest(
     meta: IndexMeta,
     segments: List[SegmentMeta],
     nextGid: Long,
-    nextSegId: Int) {
+    nextSegId: Int,
+    /** Highest streaming micro-batch id already ingested (None = no
+      * streaming history; Option so manifests written before this field
+      * deserialize cleanly; contentAs because Jackson erases Option[Long]
+      * to boxed Integer otherwise). Used by Streaming.continuousIngest to
+      * make batch replays after failure idempotent. */
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    lastStreamBatchId: Option[Long] = None) {
   def segment(segId: Int): Option[SegmentMeta] = segments.find(_.segId == segId)
   def active: Option[SegmentMeta] = segments.find(_.state == SegmentState.Active)
   def withSegment(sm: SegmentMeta): Manifest =

@@ -23,6 +23,11 @@ object Streaming {
    * Continuous vector ingest (T1): every micro-batch appends to the index
    * with strict-cap rotation; full segments seal inline (the "build
    * worker"). `awaitIndexingComplete` (T4) ≙ processAllAvailable.
+   *
+   * Replay safety: the manifest records the highest ingested batch id, so
+   * a micro-batch redelivered after a failure (Structured Streaming's
+   * at-least-once foreachBatch contract) is skipped instead of
+   * double-ingested.
    */
   def continuousIngest(
       idx: SegmentedIndex,
@@ -32,13 +37,27 @@ object Streaming {
       sealEachBatch: Boolean = true): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          idx.addAll(batch, embeddingCol, orderCol)
-          if (sealEachBatch) idx.sealPending()
-        }
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(idx, batch, batchId, embeddingCol, orderCol, sealEachBatch)
       }
+
+  /** One micro-batch of the continuous ingest — public so replay behavior
+    * is directly testable. Skips batches at or below the recorded
+    * high-water batch id. */
+  def ingestBatch(
+      idx: SegmentedIndex,
+      batch: DataFrame,
+      batchId: Long,
+      embeddingCol: String,
+      orderCol: String,
+      sealEachBatch: Boolean): Unit = {
+    val seen = idx.manifest.lastStreamBatchId.getOrElse(-1L)
+    if (batchId <= seen || batch.isEmpty) return
+    idx.addAll(batch, embeddingCol, orderCol)
+    if (sealEachBatch) idx.sealPending()
+    val m = idx.manifest
+    idx.store.writeManifest(m.copy(lastStreamBatchId = Some(batchId)))
+  }
 
   /** Watermarked tumbling-window event aggregation — the streaming twin of
     * the batch `rel_events_hourly` query. */

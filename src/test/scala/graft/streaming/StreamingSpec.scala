@@ -54,6 +54,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(top == 7L) // self-query hits itself through the sealed path
   }
 
+  test("micro-batch replay after failure is idempotent (no double ingest)") {
+    val dir = Files.createTempDirectory("graft-replay").toString
+    val store = new IndexStore(dir)
+    store.createOrOpen(IndexMeta("rp", dimension = 4, maxSegmentSize = 100,
+      pqM = 2, pqK = 4, graphDegree = 4, graphBuildBreadth = 16), 0L)
+    val idx = new SegmentedIndex(spark, store)
+    val r = new Random(6)
+    val batch = (0 until 20).map(i => (i.toLong, Array.fill(4)(r.nextGaussian().toFloat)))
+      .toDF("id", "embedding")
+
+    Streaming.ingestBatch(idx, batch, batchId = 0, "embedding", "id", sealEachBatch = false)
+    assert(idx.manifest.nextGid == 20L)
+    // the streaming runtime redelivers batch 0 after a simulated failure
+    Streaming.ingestBatch(idx, batch, batchId = 0, "embedding", "id", sealEachBatch = false)
+    assert(idx.manifest.nextGid == 20L) // skipped, not duplicated
+    // the next batch proceeds normally
+    Streaming.ingestBatch(idx, batch, batchId = 1, "embedding", "id", sealEachBatch = false)
+    assert(idx.manifest.nextGid == 40L)
+    assert(idx.manifest.lastStreamBatchId.contains(1L))
+  }
+
   test("watermarked tumbling-window aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
