@@ -277,6 +277,29 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Pivot: per-user-bucket event-type counts as columns.
+    "rel_pivot_events" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", Seq("click", "purchase", "view", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_bucket"))
+    }),
+
+    // Unpivot (melt): wide part metrics back to (key, metric, value) rows.
+    "rel_unpivot_part" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").cast("double").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "metric", "value")
+        .orderBy(col("p_partkey"), col("metric"))
+    }),
+
     // Event-time tumbling-window aggregation (the batch shape of the
     // Structured Streaming windowed agg; see graft.streaming).
     "rel_events_hourly" -> ((s, dir) => {
@@ -481,6 +504,25 @@ object RelationalQueries {
         |FROM orders
         |WHERE o_orderkey % 100 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "rel_pivot_events" ->
+      """SELECT CAST(user_id % 10 AS INTEGER) AS user_bucket,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        |FROM events
+        |GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+
+    "rel_unpivot_part" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |  FROM part WHERE p_partkey % 50 = 0
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value
+        |  FROM part WHERE p_partkey % 50 = 0) x
+        |ORDER BY p_partkey, metric""".stripMargin,
 
     "rel_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
