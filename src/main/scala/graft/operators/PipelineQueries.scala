@@ -231,7 +231,7 @@ object PipelineQueries {
       """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
         |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
         |            ELSE 'test' END AS split,
-        |  count(*) AS n_docs, sum(n_chars) AS n_chars_total
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM documents
         |GROUP BY 1 ORDER BY split""".stripMargin,
 

@@ -423,8 +423,8 @@ object RelationalQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, event_id, ts, value,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -507,11 +507,11 @@ object RelationalQueries {
 
     "rel_pivot_events" ->
       """SELECT CAST(user_id % 10 AS INTEGER) AS user_bucket,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events
         |GROUP BY 1 ORDER BY user_bucket""".stripMargin,
 

@@ -206,8 +206,8 @@ object VectorQueries {
 
     "vec_segment_counters" ->
       s"""SELECT CAST(vec_id // $Cap AS INTEGER) AS segId,
-         |  sum(CASE WHEN vec_id % 7 = 0 THEN 0 ELSE 1 END) AS live_count,
-         |  sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) AS deleted_count
+         |  CAST(sum(CASE WHEN vec_id % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS live_count,
+         |  CAST(sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS deleted_count
          |FROM embeddings
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -265,8 +265,8 @@ object VectorQueries {
     "vec_compaction_scoring" ->
       """WITH segs AS (
         |  SELECT CAST(vec_id // 100 AS INTEGER) AS segId,
-        |    sum(CASE WHEN vec_id % 7 = 0 THEN 0 ELSE 1 END) AS cnt,
-        |    sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) AS del
+        |    CAST(sum(CASE WHEN vec_id % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS del
         |  FROM embeddings GROUP BY 1),
         |segs2 AS (
         |  SELECT segId, cnt, del, CAST(segId AS BIGINT) * 1000 AS createdAtMs FROM segs),

@@ -53,8 +53,22 @@ def main():
             duck = con.sql(sql)
             duck_cols = duck.columns
             duck_rows = duck.fetchall()
+            duck_arrow = con.sql(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        # dtype-strict: the driver hashes values dtype-sensitively, so a
+        # DuckDB HUGEINT (→ float64/decimal) vs Spark int64 mismatch fails
+        # its gate even when Python-level values compare equal.
+        stypes = {c: str(spark_tbl.schema.field(c).type) for c in spark_cols}
+        dtypes = {c: str(duck_arrow.schema.field(c).type) for c in duck_arrow.column_names}
+        dtype_bad = [
+            (c, stypes.get(c), dtypes.get(c)) for c in sorted(set(stypes) | set(dtypes))
+            if stypes.get(c) != dtypes.get(c)
+        ]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch {dtype_bad}")
             n_fail += 1
             continue
         sc, sr = canon(spark_rows, spark_cols)
