@@ -76,7 +76,7 @@ object Search {
         val live = vectors
           .filter(col("segId").isin(bruteSegs: _*))
           .filter(!col("deleted"))
-        scored(live.crossJoin(broadcast(queriesDf)), metric)
+        scored(live.crossJoin(broadcast(queriesDf)), metric, params.normalizeOnRead)
           .select(col("queryId"), col("segId"), col("gid"), col("score"), col("distance"), col("payload"))
       }
 
@@ -113,13 +113,18 @@ object Search {
           }
         }.toDF("queryId", "segId", "vecId")
 
-        // exact rerank (J5): candidates ⋈ vectors (pruned to sealed segs)
+        // exact rerank (J5): candidates ⋈ vectors (pruned to sealed segs).
+        // Shuffle hash join, NOT broadcast: candidates are O(queries ×
+        // segments × k·oversample) rows — at 100× segment count a broadcast
+        // would exceed driver/executor limits; a hash shuffle on
+        // (segId, vecId) scales linearly and the vectors side is already
+        // partition-pruned.
         val sealedVectors = vectors.filter(col("segId").isin(sealedSegs: _*))
         val joined = sealedVectors
-          .join(candidates.hint("broadcast"), Seq("segId", "vecId"))
+          .join(candidates.hint("shuffle_hash"), Seq("segId", "vecId"))
           .filter(!col("deleted"))
           .join(broadcast(queriesDf), Seq("queryId"))
-        scored(joined, metric)
+        scored(joined, metric, params.normalizeOnRead)
           .select(col("queryId"), col("segId"), col("gid"), col("score"), col("distance"), col("payload"))
       }
 
@@ -133,20 +138,30 @@ object Search {
 
     if (useAggregatorMerge) {
       // scale path: bounded-heap top-k Aggregator — partial aggregation
-      // sends ≤ k pairs per (query, partition) into the merge shuffle
-      // instead of every capped candidate (SURVEY.md §7.3)
+      // sends ≤ k hits per (query, partition) into the merge shuffle
+      // instead of every capped candidate (SURVEY.md §7.3). The payload
+      // rides through the heap and distance derives from score, so the
+      // merge output IS the final result — the candidate subtree (segment
+      // search + rerank) is evaluated exactly once.
       import spark.implicits._
       val topkAgg = new graft.functions.TopKAggregator(k)
-      val ranked = capped.select(col("queryId"), col("gid"), col("score"))
-        .as[(Long, Long, Double)]
+      val merged = capped.select(col("queryId"), col("gid"), col("score"), col("payload"))
+        .as[(Long, Long, Double, Array[Byte])]
         .groupByKey(_._1)
-        .mapValues(r => (r._2, r._3))
+        .mapValues(r => (r._2, r._3, r._4))
         .agg(topkAgg.toColumn.name("topk"))
         .flatMap { case (qid, tk) =>
-          tk.iterator.zipWithIndex.map { case ((gid, _), i) => (qid, gid, i + 1) }
+          tk.iterator.zipWithIndex.map { case ((gid, score, payload), i) =>
+            (qid, gid, score, payload, i + 1)
+          }
         }
-        .toDF("queryId", "gid", "rank")
-      capped.join(ranked, Seq("queryId", "gid"))
+        .toDF("queryId", "gid", "score", "payload", "rank")
+      val distance = metric match {
+        case Metric.L2     => -col("score")
+        case Metric.Cosine => lit(1.0) - col("score")
+      }
+      merged
+        .withColumn("distance", distance)
         .select(col("queryId"), col("gid"), col("score"), col("distance"), col("payload"), col("rank"))
     } else {
       val global = Window.partitionBy(col("queryId"))
@@ -159,13 +174,26 @@ object Search {
   }
 
   /** Attach score/distance columns per the reference's conventions
-    * (FdbVectorIndex.java:686-693) via codegen'd expressions. */
-  private def scored(df: DataFrame, metric: Metric): DataFrame = metric match {
+    * (FdbVectorIndex.java:686-693) via codegen'd expressions.
+    *
+    * `normalizeOnRead` (COSINE only, reference FdbVectorIndex.java:823-828,
+    * 1006-1015): similarity is computed as dot(q,emb)/(‖q‖·‖emb‖) with an
+    * explicit zero-denominator → 0.0 guard — the reference's
+    * normalize-at-read scoring path — instead of the fused cosine kernel. */
+  private[index] def scored(
+      df: DataFrame,
+      metric: Metric,
+      normalizeOnRead: Boolean = false): DataFrame = metric match {
     case Metric.L2 =>
       val d = sqrt(vector.l2_squared(col("embedding"), col("qv")))
       df.withColumn("distance", d).withColumn("score", -col("distance"))
     case Metric.Cosine =>
-      val sim = vector.cosine_sim(col("embedding"), col("qv"))
+      val sim =
+        if (normalizeOnRead) {
+          val denom = vector.vec_norm(col("embedding")) * vector.vec_norm(col("qv"))
+          when(denom === 0.0, 0.0)
+            .otherwise(vector.vec_dot(col("embedding"), col("qv")) / denom)
+        } else vector.cosine_sim(col("embedding"), col("qv"))
       df.withColumn("score", sim).withColumn("distance", lit(1.0) - col("score"))
   }
 

@@ -37,6 +37,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1)
   }
 
+  test("sealed KNN rerank joins candidates via shuffle hash, not broadcast") {
+    // the candidate set is O(queries × segments × k·oversample) — at 100×
+    // segment count it no longer fits a broadcast; the rerank must hash-
+    // shuffle on (segId, vecId) (Search.scala rerank join)
+    val p = plan("vec_knn_sealed")
+    assert(p.contains("ShuffledHashJoin"))
+  }
+
   test("minhash signatures come from the native expressions, not lambda trees") {
     val p = plan("dedup_minhash")
     assert(p.contains("shingle_hashes"))

@@ -47,4 +47,30 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(idx.resolveIds(Seq(6L, 5L))(6L) == (0, 6))
     assert(idx.resolveIds(Seq(6L, 5L))(5L) == (-1, -1))
   }
+
+  test("normalizeOnRead parity: COSINE scoring matches the fused kernel; zero vectors score 0") {
+    // reference FdbVectorIndex.java:823-828,1006-1015: with normalizeOnRead
+    // the rerank computes dot/(‖q‖·‖emb‖) with a zero-denominator guard —
+    // same result as the fused cosine kernel on every input, including the
+    // all-zero vector, which must score 0.0 (not NaN).
+    val dir = Files.createTempDirectory("graft-nor").toString
+    val idx = VectorIndex.createOrOpen(spark, dir,
+      IndexMeta("nor", dimension = 4, metric = Metric.Cosine.name, maxSegmentSize = 20,
+        pqM = 2, pqK = 4, graphDegree = 4, graphBuildBreadth = 16))
+    val r = new Random(7)
+    val vecs = Array.fill(29)(Array.fill(4)(r.nextGaussian().toFloat)) :+ Array(0f, 0f, 0f, 0f)
+    idx.addAll(vecs, vecs.indices.map(i => s"d$i".getBytes("UTF-8")).toArray)
+    idx.awaitIndexingComplete()
+
+    val q = vecs(3)
+    val base = idx.query(q, k = 30)
+    val nor = idx.query(q, k = 30,
+      params = Some(SearchParams.defaults(30, 2).copy(normalizeOnRead = true)))
+    assert(nor.map(r => (r.gid, r.score)) == base.map(r => (r.gid, r.score)))
+
+    // zero query vector: every score 0.0 under the normalize-at-read guard
+    val zq = idx.query(Array(0f, 0f, 0f, 0f), k = 5,
+      params = Some(SearchParams.defaults(5, 2).copy(normalizeOnRead = true)))
+    assert(zq.forall(_.score == 0.0))
+  }
 }
