@@ -27,15 +27,51 @@ object VectorQueries {
   /** segment cap used by the pure-DataFrame assignment queries */
   private val Cap = 1000
 
+  /** Shared sealed-index build, memoized per sf dir for the JVM: the full
+    * lifecycle (ingest → PQ train → Vamana → seal) runs once; every
+    * consumer of the sealed path (correctness query, bench query-path
+    * timing) then exercises the QUERY side only. cap 250 ⇒ every sf seals
+    * ≥ 2 segments (embeddings ≥ 500 rows), so this is the REAL sealed
+    * path, not the brute fallback; PQ knobs sized for dim-64 data
+    * (subDim 4, 256 centroids — the coarse pqM=8/pqK=16 combo loses ~90%
+    * recall at this dimensionality); oversample 4 ⇒ ef 160 over 250-node
+    * segments, which the recall gates pin at exactly 1.0 — making the
+    * output exact-KNN-equal and therefore DuckDB-oracle-checkable. */
+  private val sealedCache = scala.collection.mutable.HashMap.empty[String, IndexStore]
+
+  private[graft] def sealedStore(s: SparkSession, dir: String): IndexStore = sealedCache.synchronized {
+    sealedCache.getOrElseUpdate(dir, buildSealedIndex(s, dir))
+  }
+
+  private[graft] def buildSealedIndex(s: SparkSession, dir: String): IndexStore = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sealed-q").toString
+    val store = new IndexStore(tmp)
+    val dim = emb(s, dir).select(size(col("embedding"))).first().getInt(0)
+    store.createOrOpen(IndexMeta("sealed_q", dimension = dim, maxSegmentSize = 250,
+      pqM = 16, pqK = 256, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
+      oversample = 4), System.currentTimeMillis())
+    val idx = new SegmentedIndex(s, store)
+    idx.addAll(emb(s, dir), "embedding", "vec_id")
+    idx.sealPending()
+    store
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S3/S5: deterministic ingest assignment — i-th vector (by vec_id
     // order) lands at (i/cap, i%cap) with gid=i (the reference's order
-    // invariant, VectorIndexTest.java:91-122).
+    // invariant, VectorIndexTest.java:91-122). Positions come from the
+    // same scale-safe mechanism the real ingest uses (SegmentedIndex
+    // .addAll:58-75): range-partition on the order column + per-partition
+    // sort + zipWithIndex — never a global no-partition window.
     "vec_ingest_assignment" -> ((s, dir) => {
-      val w = Window.orderBy(col("vec_id"))
-      emb(s, dir)
-        .withColumn("gid", row_number().over(w).cast("long") - 1)
-        .select(
+      import s.implicits._
+      val assigned = emb(s, dir).select(col("vec_id").cast("long"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .rdd.zipWithIndex
+        .map { case (row, idx) => (row.getLong(0), idx) }
+        .toDF("vec_id", "gid")
+      assigned.select(
           col("vec_id"),
           col("gid"),
           (col("gid") / Cap).cast("int").as("segId"),
@@ -163,33 +199,39 @@ object VectorQueries {
         .orderBy(col("composite").desc, col("segId"))
     }),
 
-    // J2+J3+J5+J7 end-to-end: build a real segmented index (ingest → seal
-    // → ANN query) in a temp dir. Approximate — no SQL oracle; the
-    // rows-only check plus the ScalaTest recall gate cover it.
+    // S6/G4 observable outcome of the seal job: ingest → rotation → seal
+    // leaves a deterministic manifest (full segments SEALED at cap, the
+    // partial/empty tail ACTIVE). Builds FRESH (not the cache) so the
+    // bench row prices the full build path (PQ train ×N segments +
+    // Vamana), separate from the query path below.
+    "vec_seal_build" -> ((s, dir) => {
+      import s.implicits._
+      val store = buildSealedIndex(s, dir)
+      store.readManifest().segments
+        .map(sm => (sm.segId, sm.state, sm.count))
+        .toDF("segId", "state", "count")
+        .orderBy(col("segId"))
+    }),
+
+    // J2+J3+J5+J7 end-to-end on the shared sealed index, exact-checkable:
+    // at this config the recall gates pin recall = 1.0, the rerank is
+    // exact with the (score desc, gid) tie-break, and sqrt/L2 accumulate
+    // bit-identically to DuckDB's double lambdas — so the ANN output
+    // EQUALS the brute-force oracle row-for-row (the reference's quality
+    // gate made exact, VectorIndexTest.java:212-259).
     "vec_knn_sealed" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sealed-q").toString
-      val store = new IndexStore(tmp)
-      val dim = emb(s, dir).select(size(col("embedding"))).first().getInt(0)
-      // cap 250 ⇒ every sf seals ≥ 2 segments (embeddings ≥ 500 rows), so
-      // this exercises the REAL sealed path, not the brute fallback; PQ
-      // knobs sized for dim-64 data (subDim 4, 256 centroids — the coarse
-      // pqM=8/pqK=16 combo loses ~90% recall at this dimensionality)
-      store.createOrOpen(IndexMeta("sealed_q", dimension = dim, maxSegmentSize = 250,
-        pqM = 16, pqK = 256, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
-        oversample = 2), System.currentTimeMillis())
-      val idx = new SegmentedIndex(s, store)
-      idx.addAll(emb(s, dir), "embedding", "vec_id")
-      idx.sealPending()
+      val store = sealedStore(s, dir)
       val queries = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
       Search.query(s, store, queries, 10)
-        .select(col("queryId"), col("gid"), col("rank"))
+        .select(col("queryId"), col("gid"), col("rank"), col("distance"))
         .orderBy(col("queryId"), col("rank"))
     })
   )
 
-  private val l2sqLambda =
-    "list_sum(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+  private def l2sqL(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+  private val l2sqLambda = l2sqL("e.embedding", "q.qv")
   private val dotLambda =
     "list_sum(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
   private def normLambda(src: String) =
@@ -289,6 +331,30 @@ object VectorQueries {
         |  round(ageScore * 0.3 + sizeScore * 0.5 + fragScore * 0.2, 6) AS composite
         |FROM scored
         |ORDER BY composite DESC, segId""".stripMargin,
+
+    "vec_seal_build" ->
+      """WITH n AS (SELECT count(*) AS c FROM embeddings),
+        |ids AS (SELECT unnest(generate_series(0, (SELECT c // 250 FROM n))) AS i)
+        |SELECT CAST(i AS INTEGER) AS segId,
+        |  CASE WHEN c - i * 250 >= 250 THEN 'SEALED' ELSE 'ACTIVE' END AS state,
+        |  CAST(least(250, c - i * 250) AS BIGINT) AS "count"
+        |FROM ids, n
+        |ORDER BY segId""".stripMargin,
+
+    "vec_knn_sealed" ->
+      s"""WITH g AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS gid, embedding
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         |SELECT queryId, gid, rnk AS "rank", dist AS distance FROM (
+         |  SELECT q.queryId, g.gid,
+         |    sqrt(${l2sqL("g.embedding", "q.qv")}) AS dist,
+         |    row_number() OVER (PARTITION BY q.queryId
+         |                       ORDER BY ${l2sqL("g.embedding", "q.qv")}, g.gid) AS rnk
+         |  FROM g, q) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
 
     "vec_norm_stats" ->
       s"""SELECT count(*) AS n,
