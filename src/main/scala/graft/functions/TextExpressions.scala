@@ -34,6 +34,37 @@ private object TextKernels {
     XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, HashSeed)
   }
 
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Little-endian uint64 of MD5 bytes 8..15 — bit-identical to DuckDB's
+    * `md5_number_lower`, so sketches built on it are SQL-oracle-checkable
+    * hash-for-hash across engines. */
+  def md5Lower64(s: String): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (bytes(i) & 0xffL); i -= 1 }
+    h
+  }
+
+  /** Winnowing-style document sketch: the `n` smallest distinct hashes of
+    * the sliding word-`k`-gram window (order-independent, robust to small
+    * edits). Hash = md5Lower64 >>> 1 — 63 bits, so signed-LONG ordering
+    * equals DuckDB's unsigned `md5_number_lower(g) >> 1` ordering and the
+    * whole sketch is SQL-oracle-checkable hash-for-hash. */
+  def gramSketch(text: UTF8String, k: Int, n: Int): Array[Long] = {
+    val toks = tokenize(text)
+    val grams =
+      if (toks.length < k) Array(toks.mkString(" "))
+      else Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" "))
+    grams.map(g => md5Lower64(g) >>> 1).distinct.sorted.take(n)
+  }
+
   /** Distinct hashed word-k-grams; short texts hash as one gram. */
   def shingles(text: UTF8String, k: Int): Array[Long] = {
     val toks = tokenize(text)
@@ -52,6 +83,19 @@ case class ShingleHashesExpr(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(TextKernels.shingles(input.asInstanceOf[UTF8String], k))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ARRAY<BIGINT> sketch of the `n` smallest distinct word-`k`-gram hashes
+  * (TextKernels.gramSketch), ascending. */
+case class GramSketchExpr(child: Expression, k: Int, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_sketch"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextKernels.gramSketch(input.asInstanceOf[UTF8String], k, n))
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -89,7 +133,10 @@ case class MinHashSignatureExpr(child: Expression, params: Seq[(Long, Long)])
 }
 
 /** 64-bit SimHash of a text column packed into a LONG: each token's hash
-  * bits vote +1/-1 per position; the sign becomes the bit. */
+  * bits vote +1/-1 per position; the sign becomes the bit. Token hash is
+  * md5Lower64 (NOT xxhash64) so the whole fingerprint — and therefore the
+  * pair Hamming distances — can be recomputed in DuckDB SQL for the
+  * correctness gate. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -99,7 +146,7 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      val h = TextKernels.hashString(toks(i))
+      val h = TextKernels.md5Lower64(toks(i))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -123,6 +170,8 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
 object text {
   def shingle_hashes(c: Column, k: Int): Column =
     SparkShims.column(ShingleHashesExpr(SparkShims.expression(c), k))
+  def gram_sketch(c: Column, k: Int, n: Int): Column =
+    SparkShims.column(GramSketchExpr(SparkShims.expression(c), k, n))
   def minhash_signature(c: Column, params: Seq[(Long, Long)]): Column =
     SparkShims.column(MinHashSignatureExpr(SparkShims.expression(c), params))
   def simhash64(c: Column): Column =

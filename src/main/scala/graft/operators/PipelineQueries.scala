@@ -49,23 +49,27 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Language-ID heuristic (script ranges + stopword voting) — rows-only
-    // (struct-greatest voting is engine-specific); fixture accuracy gated
-    // in PipelineSpec.
+    // Language-ID heuristic (script ranges + stopword voting), per-doc:
+    // the vote argmax with its (votes desc, lang desc) tie-break is
+    // replicated in SQL via greatest() + an ordered CASE, so every
+    // prediction is value-checked; fixture accuracy vs the ground-truth
+    // lang column is additionally gated in PipelineSpec.
     "text_langid" -> ((s, dir) => {
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
-        .orderBy(col("lang_pred"))
+        .orderBy(col("doc_id"))
     }),
 
-    // Rolling-hash document sketch — rows-only (xxhash64 signatures).
+    // Rolling-window document sketch: the md5-based gram hashes are
+    // engine-independent, so the sketch bounds are value-checked against
+    // a DuckDB replication of the full hash pipeline.
     "text_fingerprint_sketch" -> ((s, dir) => {
       docs(s, dir).filter(col("doc_id") < 20)
         .select(col("doc_id"),
           TextAnalysis.rollingFingerprint(col("text")).as("sketch"))
         .select(col("doc_id"), size(col("sketch")).as("sketch_len"),
-          element_at(col("sketch"), 1).as("min_gram_hash"))
+          element_at(col("sketch"), 1).as("min_gram_hash"),
+          element_at(col("sketch"), size(col("sketch"))).as("max_in_sketch"))
         .orderBy(col("doc_id"))
     }),
 
@@ -76,29 +80,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // MinHash-LSH near-dup pairs — rows-only; PipelineSpec proves the
-    // candidate set matches the exact-Jaccard oracle.
+    // MinHash-LSH near-dup pairs with exact-Jaccard verification: LSH only
+    // BLOCKS (banded equi-join, linear); every emitted pair carries the
+    // exact shingle Jaccard — equal to the all-pairs Jaccard join whenever
+    // band recall is 1.0 on the corpus, which DuckDB verifies value-
+    // exactly (the planted near-dups sit at j ≥ 0.889, far above the
+    // band-miss cliff at threshold 0.5).
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minHashNearDuplicates(corpusNear(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash near-dup pairs (Hamming ≤ 3) — rows-only.
+    // SimHash near-dup pairs (Hamming ≤ 3): the token hash is md5Lower64 =
+    // DuckDB's md5_number_lower, so the oracle recomputes the ENTIRE
+    // fingerprint (per-token bit votes → sign bits → pair Hamming) in SQL
+    // and checks the hash math hash-for-hash.
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simHashNearDuplicates(corpusNear(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // Embedding-cosine near-dup pairs, exact — full-precision oracle.
+    // Embedding-cosine near-dup pairs, exact — full-precision oracle. The
+    // quadratic cross join is the documented bounded verification oracle,
+    // so the registered input is CAPPED (vec_id < 1000); unbounded corpora
+    // go through the LSH-blocked variant below.
     "dedup_cosine_exact" -> ((s, dir) => {
-      Dedup.cosineNearDuplicatesExact(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
+      val bounded = emb(s, dir).filter(col("vec_id") < 1000)
+      Dedup.cosineNearDuplicatesExact(bounded, "vec_id", "embedding", threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // LSH-blocked cosine near-dup on a planted high-similarity corpus
     // (embeddings ∪ perturbed copies at vec_id+100000, cosine ≈ 0.999 —
-    // the realistic near-dup regime for hyperplane LSH) — rows-only;
-    // recall gated in PipelineSpec.
+    // the realistic near-dup regime for hyperplane LSH). Blocking only
+    // narrows; every emitted pair carries the EXACT cosine, so the output
+    // equals the all-pairs join (planted pairs miss all 16 tables with
+    // probability ~1e-22) and DuckDB verifies it value-exactly.
     "dedup_cosine_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       val dim = e.select(size(col("embedding"))).first().getInt(0)
@@ -111,7 +128,12 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // IVF ANN over embeddings — rows-only; recall gated in PipelineSpec.
+    // IVF ANN over embeddings, exact-checkable: at nprobe = nlist every
+    // cluster is probed, so the full machinery (k-means train, codegen'd
+    // argmin assignment, probe equi-join, per-query top-k merge) must
+    // reproduce the brute-force cosine top-k row-for-row — which DuckDB
+    // verifies value-exactly. The pruned regime (nprobe < nlist) is
+    // recall-gated in PipelineSpec.
     "ann_ivf_cosine" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
@@ -119,7 +141,7 @@ object PipelineQueries {
       val index = Ann.buildIndex(e, "embedding", model)
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
-      Ann.searchIvf(s, index, "vec_id", "embedding", qs, model, k = 10, nprobe = 8)
+      Ann.searchIvf(s, index, "vec_id", "embedding", qs, model, k = 10, nprobe = 16)
         .orderBy(col("queryId"), col("rank"))
     }),
 
@@ -165,6 +187,44 @@ object PipelineQueries {
     })
   )
 
+  private def dotL(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def normL(src: String) =
+    s"sqrt(list_sum(list_transform($src, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** All-pairs exact word-3-gram-shingle Jaccard over the planted-near-dup
+    * corpus — the shared ground truth for every blocked dedup variant.
+    * Shingle semantics mirror TextKernels.shingles (distinct trigrams;
+    * < 3 tokens hash as one whole-text gram); the pair join goes through
+    * an exploded shingle equi-join, so the oracle itself is not quadratic. */
+  private val jaccardPairsSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' graftmutation' AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM corpus),
+      |sh AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS s
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, c * 1.0 / (na.n + nb.n - c) AS jaccard
+      |FROM inter
+      |JOIN sizes na ON na.doc_id = inter.doc_a
+      |JOIN sizes nb ON nb.doc_id = inter.doc_b
+      |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // punct class inside a SQL single-quoted literal ('' = ')
   private val punctSql = """[.,!?;:''"()\-]"""
   private val toksSql =
@@ -199,6 +259,44 @@ object PipelineQueries {
          |  fingerprint
          |FROM base ORDER BY doc_id""".stripMargin,
 
+    "text_langid" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $toksSql AS tk FROM documents),
+         |v AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(tk, x -> list_contains(['the','and','of','to','is','in','that','it','with','for'], x))) AS v_en,
+         |    len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','los','del','las','por'], x))) AS v_es,
+         |    len(list_filter(tk, x -> list_contains(['der','die','und','das','ist','nicht','von','mit','den','ein'], x))) AS v_de,
+         |    len(list_filter(tk, x -> list_contains(['le','la','les','de','et','est','un','une','des','que'], x))) AS v_fr
+         |  FROM base)
+         |SELECT doc_id,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+         |       WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+         |       WHEN greatest(v_en, v_es, v_de, v_fr) > 0 THEN
+         |         CASE greatest(v_en, v_es, v_de, v_fr)
+         |           WHEN v_fr THEN 'fr' WHEN v_es THEN 'es'
+         |           WHEN v_en THEN 'en' ELSE 'de' END
+         |       ELSE 'und' END AS lang_pred
+         |FROM v
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint_sketch" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id < 20),
+         |hs AS (
+         |  SELECT doc_id, list_sort(list_distinct(list_transform(
+         |    CASE WHEN len(tk) < 4 THEN [array_to_string(tk, ' ')]
+         |         ELSE list_transform(generate_series(1, len(tk) - 3),
+         |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END,
+         |    g -> CAST(md5_number_lower(g) >> 1 AS BIGINT)))) AS hh
+         |  FROM base)
+         |SELECT doc_id,
+         |  CAST(least(8, len(hh)) AS INTEGER) AS sketch_len,
+         |  hh[1] AS min_gram_hash,
+         |  hh[least(8, len(hh))] AS max_in_sketch
+         |FROM hs ORDER BY doc_id""".stripMargin,
+
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -223,9 +321,77 @@ object PipelineQueries {
         |  / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
         |   * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
         |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id) p
+        |WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000) p
         |WHERE cosine >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash" -> jaccardPairsSql,
+
+    // full SimHash replication: md5_number_lower == the engine's
+    // md5Lower64 token hash, bit votes and sign bits recomputed per doc,
+    // then all-pairs Hamming ≤ 3 (the corpus is planted + bounded; the
+    // engine side blocks with 16-bit bands instead of going quadratic)
+    "dedup_simhash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftmutation' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS t
+        |  FROM corpus),
+        |votes AS (
+        |  SELECT doc_id, bits.b AS b,
+        |    sum(CASE WHEN (md5_number_lower(t) >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM toks, (SELECT unnest(generate_series(0, 63)) AS b) bits
+        |  GROUP BY doc_id, bits.b),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END)
+        |         AS UBIGINT) AS f
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_cosine_lsh" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(embedding, (v, i) ->
+         |      CASE WHEN i = 1 THEN CAST(v + CAST(0.01 AS FLOAT) AS FLOAT) ELSE v END) AS embedding
+         |  FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CASE WHEN ${normL("a.embedding")} = 0 OR ${normL("b.embedding")} = 0 THEN 0.0
+         |         ELSE ${dotL("a.embedding", "b.embedding")}
+         |              / (${normL("a.embedding")} * ${normL("b.embedding")})
+         |    END AS cosine
+         |  FROM corpus a, corpus b
+         |  WHERE a.vec_id < b.vec_id) p
+         |WHERE cosine >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_ivf_cosine" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.queryId, e.vec_id AS neighbor_id,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cosine
+         |  FROM embeddings e, q)
+         |SELECT queryId, neighbor_id, rnk AS "rank", cosine FROM (
+         |  SELECT queryId, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY queryId
+         |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
 
     "pipeline_split_assignment" ->
       """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'

@@ -100,12 +100,16 @@ object Dedup {
     candidates
       .join(shOnly.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(shOnly.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** |∩|/|∪| at full double precision: integer set sizes divide exactly the
+    * same in any engine (IEEE), so the value is oracle-checkable without
+    * rounding (round() differs across engines at exact midpoints). */
+  private def jaccardOf(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Exact n-gram Jaccard similarity join over ALL pairs (quadratic — the
     * verification oracle for the LSH path; use only on bounded inputs). */
@@ -120,9 +124,7 @@ object Dedup {
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

@@ -102,17 +102,14 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Rolling-hash document sketch: xxhash64 of each word 4-gram, keep the
-    * numerically smallest `n` (winnowing-style selection — robust to small
-    * edits, order-independent). */
-  def rollingFingerprint(text: Column, n: Int = 8): Column = {
-    val toks = tokens(text)
-    val grams = when(size(toks) < 4, array(xxhash64(concat_ws(" ", toks))))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - 4),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(4))))))
-    slice(array_sort(array_distinct(grams)), 1, n)
-  }
+  /** Rolling-window document sketch: the `n` numerically smallest distinct
+    * hashes over the sliding word-4-gram window (winnowing-style selection
+    * — robust to small edits, order-independent). A native expression
+    * (graft.functions.GramSketchExpr): tokenizes once per row, and its
+    * md5Lower64 hash equals DuckDB's md5_number_lower, so the sketch is
+    * SQL-oracle-checkable hash-for-hash. */
+  def rollingFingerprint(text: Column, n: Int = 8): Column =
+    graft.functions.text.gram_sketch(text, 4, n)
 
   /** Attach the full stats bundle to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
