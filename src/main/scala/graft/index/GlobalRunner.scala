@@ -36,19 +36,20 @@ final class GlobalRunner(
       idx.store.path -> pending
     }.toMap
 
-  /** One maintenance sweep: policy-driven vacuum then compaction per index
-    * (the drain of the global maintenance queue). Returns per-index counts
-    * of (vacuumed segments, compactions run). */
+  /** One maintenance sweep: policy-driven vacuum, then compaction anchored
+    * on the segments the vacuum left under half-full — the reference's
+    * post-vacuum hook (MaintenanceService.java:200-216), never an
+    * arbitrary head-of-registry anchor. Returns per-index counts of
+    * (vacuumed segments, compactions run). */
   def maintainAll(nowMs: Long): Map[String, (Int, Int)] =
     indexes.map { idx =>
       val maint = new Maintenance(idx, policyTemplate)
-      val vacuumed = maint.segmentsNeedingVacuum(nowMs).map { segId =>
-        maint.vacuumSegment(segId, nowMs)
-      }.count(_ > 0)
-      val compacted = idx.manifest.segments.headOption
-        .map(s => maint.maybeCompact(s.segId, nowMs))
-        .count(_ >= 0)
-      idx.store.path -> (vacuumed, compacted)
+      val vacuumed = maint.segmentsNeedingVacuum(nowMs)
+        .filter(segId => maint.vacuumSegment(segId, nowMs) > 0)
+      val compacted = vacuumed.filter(maint.suggestsCompaction).count { anchor =>
+        idx.manifest.segment(anchor).isDefined && maint.maybeCompact(anchor, nowMs) >= 0
+      }
+      idx.store.path -> (vacuumed.size, compacted)
     }.toMap
 
   /** Queue-empty barrier across every index (T4 awaitIndexingComplete):

@@ -180,7 +180,22 @@ final class SegmentedIndex(val spark: SparkSession, val store: IndexStore) {
     store.writeCodes(rows.filter(_.kind == "cg").map(r => CodeRow(r.segId, r.vecId, r.code)))
     store.writeGraph(rows.filter(_.kind == "cg").map(r => GraphRow(r.segId, r.vecId, r.neighbors)))
     store.writeCodebooks(rows.filter(_.kind == "cb").map(r => CodebookRow(r.segId, r.m, r.k, r.subDim, r.centroids)))
+    // reference parity (SegmentBuildService.java:143-157,377-387): a
+    // segment with no vector rows still seals with an explicit all-zero
+    // codebook artifact, so a SEALED segment ALWAYS has its codebook and
+    // the query path never special-cases "sealed but artifact-less".
+    // (bounded collect: one segId per sealed segment of this sweep)
+    val builtSegs = rows.filter(_.kind == "cb").map(_.segId).collect().toSet
     rows.unpersist()
+    val emptySegs = toSeal.filterNot(builtSegs.contains)
+    if (emptySegs.nonEmpty) {
+      val im = metaB.value
+      val subDim = im.dimension / im.pqM
+      store.writeCodebooks(emptySegs
+        .map(sid => CodebookRow(sid, im.pqM, im.pqK, subDim,
+          new Array[Float](im.pqM * im.pqK * subDim)))
+        .toDS())
+    }
     ()
   }
 

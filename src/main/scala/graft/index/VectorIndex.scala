@@ -17,7 +17,9 @@ import graft.core._
  * with a DataFrame, `Search.query` with a query DataFrame); this facade
  * materializes small results on the driver by design.
  */
-final class VectorIndex private (val index: SegmentedIndex) {
+final class VectorIndex private (
+    val index: SegmentedIndex,
+    val policy: MaintenancePolicy = MaintenancePolicy()) {
 
   private val spark: SparkSession = index.spark
   import spark.implicits._
@@ -57,18 +59,47 @@ final class VectorIndex private (val index: SegmentedIndex) {
   /** Tombstone one gid (reference: delete). */
   def delete(gid: Long): Unit = deleteAll(Seq(gid))
 
-  /** Tombstone a batch of gids (reference: deleteAll). */
-  def deleteAll(gids: Seq[Long]): Unit = { index.delete(gids); () }
+  /** Tombstone a batch of gids, then run the reference's maintenance
+    * chain (reference: delete schedules vacuum when the policy trips,
+    * FdbVectorIndex.java:552-608; vacuum hands off to compaction-candidate
+    * search, MaintenanceService.java:200-216). In the batch engine the
+    * "queue hop" is a synchronous policy-gated sweep. */
+  def deleteAll(gids: Seq[Long]): Unit = {
+    index.delete(gids)
+    autoMaintain(System.currentTimeMillis())
+    ()
+  }
+
+  /** The delete → vacuum → compaction chain: every segment the policy
+    * marks for vacuum is vacuumed; every vacuumed segment the post-vacuum
+    * hook leaves under half-full anchors a compaction pass. Returns the
+    * vacuumed segIds. */
+  def autoMaintain(nowMs: Long): Seq[Int] = {
+    val maint = new graft.maintenance.Maintenance(index, policy)
+    val vacuumed = maint.segmentsNeedingVacuum(nowMs)
+      .filter(segId => maint.vacuumSegment(segId, nowMs) > 0)
+    vacuumed.filter(maint.suggestsCompaction).foreach { anchor =>
+      // the anchor may already have been consumed by a previous pass
+      if (index.manifest.segment(anchor).isDefined) maint.maybeCompact(anchor, nowMs)
+    }
+    vacuumed
+  }
 
   /** gid → (segId, vecId); missing → (-1, -1) (reference: resolveIds). */
   def resolveIds(gids: Seq[Long]): Map[Long, (Int, Int)] = index.resolveIds(gids)
 }
 
 object VectorIndex {
-  /** Create or open an index at `path` (reference: createOrOpen). */
-  def createOrOpen(spark: SparkSession, path: String, meta: IndexMeta): VectorIndex = {
+  /** Create or open an index at `path` (reference: createOrOpen). The
+    * maintenance policy is OPERATIONAL config (runner-supplied, not
+    * persisted — the reference's config-merge rule). */
+  def createOrOpen(
+      spark: SparkSession,
+      path: String,
+      meta: IndexMeta,
+      policy: MaintenancePolicy = MaintenancePolicy()): VectorIndex = {
     val store = new IndexStore(path)
     store.createOrOpen(meta, System.currentTimeMillis())
-    new VectorIndex(new SegmentedIndex(spark, store))
+    new VectorIndex(new SegmentedIndex(spark, store), policy)
   }
 }

@@ -83,4 +83,38 @@ class LifecycleSpec extends AnyFunSuite {
       .collect()
     assert(hits.length == 20 && hits.forall { case (q, g) => q == g })
   }
+
+  test("delete auto-chains vacuum and compaction through the facade (reference queue chain)") {
+    val dim = 8
+    val dir = Files.createTempDirectory("graft-chain").toString
+    val idx = graft.index.VectorIndex.createOrOpen(spark, dir,
+      IndexMeta("chain", dimension = dim, maxSegmentSize = 100,
+        pqM = 4, pqK = 16, graphDegree = 16, graphBuildBreadth = 64),
+      policy = MaintenancePolicy(vacuumCooldownMs = 0))
+
+    val r = new Random(42)
+    val vecs = Array.fill(300)(Array.fill(dim)(r.nextGaussian().toFloat))
+    idx.addAll(vecs)
+    idx.awaitIndexingComplete()
+    assert(idx.index.manifest.segments.count(_.state == SegmentState.Sealed) == 3)
+
+    // one deleteAll call: seg0 loses 60 (ratio 0.6 → vacuum trips, 40 live
+    // < cap/2 → compaction anchor), seg1 loses 20 (ratio 0.2 → stays
+    // fragmented, making the picked set pass the min-fragmentation gate)
+    idx.deleteAll((0L until 60L) ++ (100L until 120L))
+
+    val m = idx.index.manifest
+    // seg0 was vacuumed (auto) and then compacted away together with seg1
+    assert(m.segment(0).isEmpty && m.segment(1).isEmpty)
+    val compacted = m.segments.filter(s => s.segId >= 4 && s.state == SegmentState.Sealed)
+    assert(compacted.map(_.count) == Seq(120L)) // 40 + 80 live rows merged
+    assert(m.segment(2).exists(s => s.state == SegmentState.Sealed && s.count == 100L))
+
+    // data layer agrees: tombstones physically gone, gids stable
+    val live = idx.index.store.readVectors(spark).filter(!col("deleted"))
+      .select("gid").as[Long].collect().toSet
+    assert(live == (0L until 300L).toSet -- (0L until 60L) -- (100L until 120L))
+    val res = idx.query(vecs(150), k = 1)
+    assert(res.head.gid == 150L)
+  }
 }

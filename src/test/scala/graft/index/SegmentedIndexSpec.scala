@@ -236,4 +236,39 @@ class SegmentedIndexSpec extends AnyFunSuite {
     assert(resolved(0L) == (-1, -1) && resolved(999L) == (-1, -1))
     assert(resolved(5L) == (0, 5))
   }
+
+  test("sealing an empty PENDING segment writes an explicit zero codebook; queries stay safe") {
+    // reference parity: SegmentBuildService.java:143-157,377-387 seals
+    // degenerate segments with an all-zero codebook rather than leaving a
+    // SEALED segment without artifacts
+    val dim = 4
+    val idx = tempIndex(IndexMeta("t9", dimension = dim, maxSegmentSize = 10,
+      pqM = 2, pqK = 4, graphDegree = 4, graphBuildBreadth = 16))
+    val data = gaussianDf(7, dim, 11).cache()
+    idx.addAll(data, "embedding", "id")
+
+    // an empty PENDING segment — the shape a crashed ingest or an
+    // exact-cap rotation can leave behind
+    val m0 = idx.store.readManifest()
+    idx.store.writeManifest(
+      m0.withSegment(SegmentMeta(5, SegmentState.Pending, 0L, 0L, 0L)).copy(nextSegId = 6))
+
+    idx.sealPending()
+    val m1 = idx.store.readManifest()
+    assert(m1.segment(5).get.state == SegmentState.Sealed)
+
+    val cb = idx.store.readCodebooks(spark).filter(col("segId") === 5).collect()
+    assert(cb.length == 1)
+    assert(cb.head.m == 2 && cb.head.k == 4 && cb.head.subDim == 2)
+    assert(cb.head.centroids.length == 2 * 4 * 2 && cb.head.centroids.forall(_ == 0f))
+    // no codes/graph rows for the empty segment
+    assert(idx.store.readCodes(spark).filter(col("segId") === 5).count() == 0)
+
+    // the sealed-but-empty segment contributes nothing; queries answer
+    // from the remaining data without error
+    val q = data.filter(col("id") === 3)
+      .select(col("id").as("queryId"), col("embedding").as("qv"))
+    val top = Search.query(spark, idx.store, q, 3).select("gid").as[Long].collect()
+    assert(top.nonEmpty && top.head == 3L)
+  }
 }
