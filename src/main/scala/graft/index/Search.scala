@@ -52,6 +52,11 @@ object Search {
     val params = paramsOpt.getOrElse(SearchParams.defaults(k, im.oversample))
     val perSegLimit = k * math.max(1, im.oversample) // FdbVectorIndex.java:420
 
+    // per-phase engine metrics (reference Metrics.java meters): kernel
+    // phases aggregate through accumulators; declarative stages report
+    // row counts through observe() nodes
+    val phaseSink = graft.util.EngineMetrics.forSession(spark).phaseSink
+
     val sealedSegs = m.segments.collect {
       case s if s.state == SegmentState.Sealed || s.state == SegmentState.Compacting => s.segId
     }
@@ -107,7 +112,7 @@ object Search {
               val adj = new mutable.HashMap[Int, Array[Int]]()
               gs.foreach(g => adj.put(g.vecId, g.neighbors))
               qB.value.iterator.flatMap { case (qid, q) =>
-                SegmentSearch.searchSealed(segId, cb, q, codeMap, adj, perSegLimit, params)
+                SegmentSearch.searchSealed(segId, cb, q, codeMap, adj, perSegLimit, params, phaseSink)
                   .iterator.map(a => (qid, segId, a.vecId))
               }
           }
@@ -126,6 +131,7 @@ object Search {
           .join(broadcast(queriesDf), Seq("queryId"))
         scored(joined, metric, params.normalizeOnRead)
           .select(col("queryId"), col("segId"), col("gid"), col("score"), col("distance"), col("payload"))
+          .observe("graft_sealed_rerank", count(lit(1)).as("rows"))
       }
 
     // ---- per-segment cap (J8) + global merge (J7) -----------------------
@@ -163,6 +169,7 @@ object Search {
       merged
         .withColumn("distance", distance)
         .select(col("queryId"), col("gid"), col("score"), col("distance"), col("payload"), col("rank"))
+        .observe("graft_topk_merge", count(lit(1)).as("rows"))
     } else {
       val global = Window.partitionBy(col("queryId"))
         .orderBy(col("score").desc, col("gid"))
@@ -170,6 +177,7 @@ object Search {
         .withColumn("rank", row_number().over(global))
         .filter(col("rank") <= k)
         .select(col("queryId"), col("gid"), col("score"), col("distance"), col("payload"), col("rank"))
+        .observe("graft_topk_merge", count(lit(1)).as("rows"))
     }
   }
 

@@ -20,6 +20,24 @@ object SegmentSearch {
   /** One approximate candidate (reference's `Approx` record). */
   final case class Approx(vecId: Int, approx: Double)
 
+  /** Per-phase instrumentation hook (reference: adcScanMs /
+    * graphTraversalMs meters around each phase, FdbVectorIndex.java:99-116,
+    * 787-837). Implementations must be serializable — the call site passes
+    * Spark-accumulator-backed sinks into executor tasks. */
+  trait PhaseSink extends Serializable {
+    def adcScan(nanos: Long): Unit
+    def traversal(nanos: Long): Unit
+    def candidates(n: Int): Unit
+  }
+
+  object PhaseSink {
+    object Noop extends PhaseSink {
+      override def adcScan(nanos: Long): Unit = ()
+      override def traversal(nanos: Long): Unit = ()
+      override def candidates(n: Int): Unit = ()
+    }
+  }
+
   /** BEAM is deprecated in the reference (SearchParams.java:33-37) — warn
     * once per JVM, exactly like FdbVectorIndex.java:369-372. */
   private val beamWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -188,19 +206,23 @@ object SegmentSearch {
       codeMap: scala.collection.Map[Int, Array[Byte]],
       adjacency: scala.collection.Map[Int, Array[Int]],
       k: Int,
-      params: SearchParams): IndexedSeq[Approx] = {
+      params: SearchParams,
+      phases: PhaseSink = PhaseSink.Noop): IndexedSeq[Approx] = {
     if (codeMap.isEmpty) return IndexedSeq.empty
+    val tAdc = System.nanoTime()
     val lut = Pq.buildLut(cb, q)
     val approxAll = codeMap.iterator
       .filter { case (_, codes) => codes != null && codes.length >= cb.m }
       .map { case (vecId, codes) => Approx(vecId, Pq.adcDistance(lut, cb.k, codes)) }
       .toIndexedSeq
       .sortBy(a => (a.approx, a.vecId))
+    phases.adcScan(System.nanoTime() - tAdc)
     if (approxAll.isEmpty) return IndexedSeq.empty
     val eff = autoTune(params, approxAll.length, k)
     val seeds = selectSeeds(approxAll, segId, lut, params.copy(beamWidth = eff.beamWidth))
     val codeF: Int => Array[Byte] = codeMap.getOrElse(_, null)
     val adjF: Int => Array[Int] = adjacency.getOrElse(_, null)
+    val tExp = System.nanoTime()
     val expanded =
       if (params.mode == SearchMode.BestFirst)
         bestFirstExpand(seeds, codeF, adjF, lut, cb.k, cb.m, eff)
@@ -208,7 +230,10 @@ object SegmentSearch {
         warnBeamOnce()
         beamExpand(seeds, codeF, adjF, lut, cb.k, cb.m, eff)
       }
+    phases.traversal(System.nanoTime() - tExp)
     val topN = math.min(expanded.size, math.max(eff.efSearch, k))
-    expanded.sortBy(a => (a.approx, a.vecId)).take(topN)
+    val out = expanded.sortBy(a => (a.approx, a.vecId)).take(topN)
+    phases.candidates(out.size)
+    out
   }
 }
