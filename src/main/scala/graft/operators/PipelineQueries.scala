@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Ann, Dedup, Multimodal, Packing, TextAnalysis}
 
 /**
  * LLM-data-pipeline operator coverage (dedup / text analysis / similarity
@@ -100,6 +100,16 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Near-dup pair graph → transitive dedup clusters (connected
+    // components by min-label propagation, one survivor per cluster) —
+    // the step between pairwise matching and actual corpus pruning. The
+    // oracle recomputes the components with a recursive CTE over the same
+    // exact-Jaccard pair set.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minHashNearDuplicates(corpusNear(s, dir), "doc_id", "text", threshold = 0.5)
+      Dedup.duplicateClusters(pairs).orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup pairs, exact — full-precision oracle. The
     // quadratic cross join is the documented bounded verification oracle,
     // so the registered input is CAPPED (vec_id < 1000); unbounded corpora
@@ -158,6 +168,17 @@ object PipelineQueries {
         .orderBy(col("split"))
     }),
 
+    // Sequence packing: shard-partitioned token-budget pack assignment
+    // (the LLM context-window packing step) — deterministic prefix-sum
+    // bucketing, value-checked against the same window math in SQL.
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      val withToks = docs(s, dir)
+        .withColumn("toks", TextAnalysis.approxBpeTokenCount(col("text")))
+      Packing.packSequences(withToks, "doc_id", "toks", budget = 2048L, shards = 8)
+        .select(col("doc_id"), col("pack_shard"), col("pack_bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Vocabulary statistics: token explode → frequency → top terms.
     "text_vocab_topk" -> ((s, dir) => {
       docs(s, dir)
@@ -197,8 +218,8 @@ object PipelineQueries {
     * Shingle semantics mirror TextKernels.shingles (distinct trigrams;
     * < 3 tokens hash as one whole-text gram); the pair join goes through
     * an exploded shingle equi-join, so the oracle itself is not quadratic. */
-  private val jaccardPairsSql =
-    """WITH corpus AS (
+  private val jaccardPairsBody =
+    """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, text || ' graftmutation' AS text
@@ -217,13 +238,18 @@ object PipelineQueries {
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, c * 1.0 / (na.n + nb.n - c) AS jaccard
-      |FROM inter
-      |JOIN sizes na ON na.doc_id = inter.doc_a
-      |JOIN sizes nb ON nb.doc_id = inter.doc_b
-      |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  GROUP BY 1, 2),
+      |jpairs AS (
+      |  SELECT doc_a, doc_b, c * 1.0 / (na.n + nb.n - c) AS jaccard
+      |  FROM inter
+      |  JOIN sizes na ON na.doc_id = inter.doc_a
+      |  JOIN sizes nb ON nb.doc_id = inter.doc_b
+      |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5)""".stripMargin
+
+  private val jaccardPairsSql =
+    s"""WITH $jaccardPairsBody
+       |SELECT doc_a, doc_b, jaccard FROM jpairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // punct class inside a SQL single-quoted literal ('' = ')
   private val punctSql = """[.,!?;:''"()\-]"""
@@ -327,6 +353,21 @@ object PipelineQueries {
 
     "dedup_minhash" -> jaccardPairsSql,
 
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairsBody,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |cc AS (
+         |  SELECT id, id AS label FROM nodes
+         |  UNION
+         |  SELECT e.v AS id, cc.label FROM cc JOIN edges e ON cc.id = e.u)
+         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |FROM cc GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
+
     // full SimHash replication: md5_number_lower == the engine's
     // md5Lower64 token hash, bit votes and sign bits recomputed per doc,
     // then all-pairs Hamming ≤ 3 (the corpus is planted + bounded; the
@@ -400,6 +441,19 @@ object PipelineQueries {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM documents
         |GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "pipeline_pack_sequences" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 8 AS pack_shard,
+        |    CAST(ceil(len(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT) AS toks
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, pack_shard,
+        |    sum(toks) OVER (PARTITION BY pack_shard ORDER BY doc_id) - toks AS start_off
+        |  FROM base)
+        |SELECT doc_id, CAST(pack_shard AS INTEGER) AS pack_shard,
+        |  CAST(start_off // 2048 AS BIGINT) AS pack_bin
+        |FROM off ORDER BY doc_id""".stripMargin,
 
     "text_vocab_topk" ->
       """SELECT token, count(*) AS freq FROM (

@@ -160,6 +160,51 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /**
+   * Connected components over a near-duplicate pair graph → cluster labels
+   * (minimum reachable id), the step that turns pairwise matches into
+   * dedup groups with one canonical survivor each.
+   *
+   * Min-label propagation: each round joins current labels across edges
+   * and keeps the per-node minimum; rounds needed = cluster diameter.
+   * Near-dup graphs are shallow (planted chains converge in 2-3 rounds),
+   * and each round is one equi-join + partial-aggregating groupBy — both
+   * linear in |E| and fully parallel, the standard Spark CC pattern.
+   * `localCheckpoint` per round cuts the iterative lineage so plans stay
+   * flat at any round count.
+   *
+   * Output: (doc_id, cluster_id) for every id that appears in a pair;
+   * cluster_id = min id of the component (its survivor).
+   */
+  def duplicateClusters(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val prop = edges.join(labels.withColumnRenamed("id", "u"), Seq("u"))
+        .select(col("v").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // --- embedding cosine near-dup -------------------------------------------
 
   /** Exact cosine near-duplicate pairs over an embedding column (quadratic;

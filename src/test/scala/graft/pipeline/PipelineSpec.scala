@@ -27,6 +27,16 @@ class PipelineSpec extends AnyFunSuite {
         concat(col("text"), lit(" graftmutation")).as("text")))
   }
 
+  test("duplicate clusters: min-label propagation resolves transitive chains") {
+    // chain 1-2, 2-3, 3-4 → one cluster labeled 1; isolated pair 10-11 → 10;
+    // pair ordering and insertion order must not matter
+    val pairs = Seq((3L, 4L), (1L, 2L), (2L, 3L), (11L, 10L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash-LSH finds every planted near-dup pair; survivors verified by exact jaccard") {
     val got = Dedup.minHashNearDuplicates(corpusNear, "doc_id", "text", threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
