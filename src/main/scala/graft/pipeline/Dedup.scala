@@ -181,8 +181,13 @@ object Dedup {
       aCol: String = "doc_a",
       bCol: String = "doc_b",
       maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+    // one pass over the (possibly expensive) pair pipeline: mirror each
+    // pair via explode instead of unioning two evaluations of `pairs`
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")),
+        struct(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
