@@ -43,12 +43,7 @@ final class GlobalRunner(
     * (vacuumed segments, compactions run). */
   def maintainAll(nowMs: Long): Map[String, (Int, Int)] =
     indexes.map { idx =>
-      val maint = new Maintenance(idx, policyTemplate)
-      val vacuumed = maint.segmentsNeedingVacuum(nowMs)
-        .filter(segId => maint.vacuumSegment(segId, nowMs) > 0)
-      val compacted = vacuumed.filter(maint.suggestsCompaction).count { anchor =>
-        idx.manifest.segment(anchor).isDefined && maint.maybeCompact(anchor, nowMs) >= 0
-      }
+      val (vacuumed, compacted) = new Maintenance(idx, policyTemplate).sweep(nowMs)
       idx.store.path -> (vacuumed.size, compacted)
     }.toMap
 

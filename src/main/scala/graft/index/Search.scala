@@ -33,6 +33,11 @@ import graft.functions.vector
  */
 object Search {
 
+  /** observe() metric names must be unique within one Spark plan —
+    * suffix them per invocation so two Search.query results can be
+    * combined (union across indexes, different k) in a single action. */
+  private val observeId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** queriesDf columns: (queryId LONG, qv ARRAY<FLOAT>).
     * Returns (queryId, gid, score, distance, payload, rank).
     * `useAggregatorMerge` selects the bounded-heap top-k merge (default,
@@ -56,6 +61,7 @@ object Search {
     // phases aggregate through accumulators; declarative stages report
     // row counts through observe() nodes
     val phaseSink = graft.util.EngineMetrics.forSession(spark).phaseSink
+    val obsTag = observeId.incrementAndGet()
 
     val sealedSegs = m.segments.collect {
       case s if s.state == SegmentState.Sealed || s.state == SegmentState.Compacting => s.segId
@@ -131,7 +137,7 @@ object Search {
           .join(broadcast(queriesDf), Seq("queryId"))
         scored(joined, metric, params.normalizeOnRead)
           .select(col("queryId"), col("segId"), col("gid"), col("score"), col("distance"), col("payload"))
-          .observe("graft_sealed_rerank", count(lit(1)).as("rows"))
+          .observe(s"graft_sealed_rerank_$obsTag", count(lit(1)).as("rows"))
       }
 
     // ---- per-segment cap (J8) + global merge (J7) -----------------------
@@ -169,7 +175,7 @@ object Search {
       merged
         .withColumn("distance", distance)
         .select(col("queryId"), col("gid"), col("score"), col("distance"), col("payload"), col("rank"))
-        .observe("graft_topk_merge", count(lit(1)).as("rows"))
+        .observe(s"graft_topk_merge_$obsTag", count(lit(1)).as("rows"))
     } else {
       val global = Window.partitionBy(col("queryId"))
         .orderBy(col("score").desc, col("gid"))
@@ -177,7 +183,7 @@ object Search {
         .withColumn("rank", row_number().over(global))
         .filter(col("rank") <= k)
         .select(col("queryId"), col("gid"), col("score"), col("distance"), col("payload"), col("rank"))
-        .observe("graft_topk_merge", count(lit(1)).as("rows"))
+        .observe(s"graft_topk_merge_$obsTag", count(lit(1)).as("rows"))
     }
   }
 
@@ -185,9 +191,11 @@ object Search {
     * (FdbVectorIndex.java:686-693) via codegen'd expressions.
     *
     * `normalizeOnRead` (COSINE only, reference FdbVectorIndex.java:823-828,
-    * 1006-1015): similarity is computed as dot(q,emb)/(‖q‖·‖emb‖) with an
-    * explicit zero-denominator → 0.0 guard — the reference's
-    * normalize-at-read scoring path — instead of the fused cosine kernel. */
+    * 1006-1015): similarity is computed as dot(q,emb)/(‖q‖·‖emb‖) with the
+    * reference's zero-PRODUCT → 0.0 guard (`denom == 0.0 ? 0.0 : …`) —
+    * kept verbatim for parity, including its behavior on subnormal norms
+    * whose product underflows (the fused kernel guards each norm
+    * individually and would return a finite similarity there). */
   private[index] def scored(
       df: DataFrame,
       metric: Metric,

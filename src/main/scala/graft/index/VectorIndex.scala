@@ -71,19 +71,11 @@ final class VectorIndex private (
   }
 
   /** The delete → vacuum → compaction chain: every segment the policy
-    * marks for vacuum is vacuumed; every vacuumed segment the post-vacuum
-    * hook leaves under half-full anchors a compaction pass. Returns the
-    * vacuumed segIds. */
-  def autoMaintain(nowMs: Long): Seq[Int] = {
-    val maint = new graft.maintenance.Maintenance(index, policy)
-    val vacuumed = maint.segmentsNeedingVacuum(nowMs)
-      .filter(segId => maint.vacuumSegment(segId, nowMs) > 0)
-    vacuumed.filter(maint.suggestsCompaction).foreach { anchor =>
-      // the anchor may already have been consumed by a previous pass
-      if (index.manifest.segment(anchor).isDefined) maint.maybeCompact(anchor, nowMs)
-    }
-    vacuumed
-  }
+    * marks for vacuum is vacuumed; every vacuumed SEALED segment the
+    * post-vacuum hook leaves under half-full anchors a compaction pass.
+    * Returns the vacuumed segIds. */
+  def autoMaintain(nowMs: Long): Seq[Int] =
+    new graft.maintenance.Maintenance(index, policy).sweep(nowMs)._1
 
   /** gid → (segId, vecId); missing → (-1, -1) (reference: resolveIds). */
   def resolveIds(gids: Seq[Long]): Map[Long, (Int, Int)] = index.resolveIds(gids)

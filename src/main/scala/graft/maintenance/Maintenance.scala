@@ -122,6 +122,10 @@ final class Maintenance(
   def findCompactionCandidates(anchorSegId: Int): Seq[Int] = {
     val sealedSegs = index.manifest.segments.filter(_.state == SegmentState.Sealed)
     if (sealedSegs.size < policy.compactionMinSegments) return Nil
+    // the anchor must itself be a compactable SEALED segment — silently
+    // proceeding without it would compact an unrelated set of healthy
+    // segments whenever the caller anchors on an ACTIVE/vanished segment
+    if (!sealedSegs.exists(_.segId == anchorSegId)) return Nil
 
     val minCreated = sealedSegs.map(_.createdAtMs).min
     val maxCreated = sealedSegs.map(_.createdAtMs).max
@@ -245,6 +249,22 @@ final class Maintenance(
     if (cands.isEmpty) return -1
     if (!markCandidatesCompacting(cands)) return -1
     compactSegments(cands, nowMs)
+  }
+
+  /** One full maintenance sweep — the reference's delete → vacuum →
+    * compaction chain (FdbVectorIndex.java:552-608 scheduleVacuum…;
+    * MaintenanceService.java:200-216 post-vacuum hook): vacuum every
+    * segment the policy trips, then compact anchored on the vacuumed
+    * segments the hook left under half-full. Shared by the facade's
+    * auto-chain and the global runner. Returns (vacuumed segIds,
+    * compactions run). */
+  def sweep(nowMs: Long): (Seq[Int], Int) = {
+    val vacuumed = segmentsNeedingVacuum(nowMs)
+      .filter(segId => vacuumSegment(segId, nowMs) > 0)
+    val compacted = vacuumed.filter(suggestsCompaction).count { anchor =>
+      maybeCompact(anchor, nowMs) >= 0
+    }
+    (vacuumed, compacted)
   }
 
   private def deleteRecursively(p: Path): Unit =

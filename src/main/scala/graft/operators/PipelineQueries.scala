@@ -388,10 +388,14 @@ object PipelineQueries {
         |  FROM toks, (SELECT unnest(generate_series(0, 63)) AS b) bits
         |  GROUP BY doc_id, bits.b),
         |fp AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END)
-        |         AS UBIGINT) AS f
-        |  FROM votes GROUP BY doc_id)
+        |  -- LEFT JOIN from corpus: a zero-token doc has no vote rows but
+        |  -- still fingerprints as 0 (matching the engine's empty-votes
+        |  -- path), so blank docs pair with each other on both sides
+        |  SELECT c.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN v.v > 0 THEN CAST(1 AS UBIGINT) << v.b
+        |                           ELSE CAST(0 AS UBIGINT) END), 0) AS UBIGINT) AS f
+        |  FROM corpus c LEFT JOIN votes v ON v.doc_id = c.doc_id
+        |  GROUP BY c.doc_id)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id

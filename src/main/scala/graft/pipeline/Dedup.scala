@@ -207,6 +207,12 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    // silently returning partial labels would split one true component
+    // into several "clusters" — fail loudly instead (deeper graphs need a
+    // larger maxRounds; rounds scale with cluster diameter)
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxRounds rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

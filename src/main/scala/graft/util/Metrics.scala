@@ -33,18 +33,26 @@ final class EngineMetrics private[util] (
 
 object EngineMetrics {
 
+  // weak keys: metrics of stopped/discarded sessions become collectable
+  // instead of accumulating in a JVM that cycles SparkSessions
   private val perSession =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, EngineMetrics]()
+    new java.util.WeakHashMap[SparkSession, EngineMetrics]()
 
   /** The engine metrics of a session (created on first use; accumulators
     * are registered once and aggregate across all queries of the session,
     * like the reference's process-wide meters). */
-  def forSession(spark: SparkSession): EngineMetrics =
-    perSession.computeIfAbsent(spark, s => new EngineMetrics(
-      s.sparkContext.longAccumulator("graft.query.adcScanNanos"),
-      s.sparkContext.longAccumulator("graft.query.graphTraversalNanos"),
-      s.sparkContext.longAccumulator("graft.query.sealedCandidates"),
-      s.sparkContext.longAccumulator("graft.query.sealedSegmentsSearched")))
+  def forSession(spark: SparkSession): EngineMetrics = perSession.synchronized {
+    var em = perSession.get(spark)
+    if (em == null) {
+      em = new EngineMetrics(
+        spark.sparkContext.longAccumulator("graft.query.adcScanNanos"),
+        spark.sparkContext.longAccumulator("graft.query.graphTraversalNanos"),
+        spark.sparkContext.longAccumulator("graft.query.sealedCandidates"),
+        spark.sparkContext.longAccumulator("graft.query.sealedSegmentsSearched"))
+      perSession.put(spark, em)
+    }
+    em
+  }
 
   private final class AccumulatorSink(em: EngineMetrics) extends PhaseSink {
     override def adcScan(nanos: Long): Unit = em.adcScanNanos.add(nanos)

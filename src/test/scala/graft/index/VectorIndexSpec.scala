@@ -50,9 +50,9 @@ class VectorIndexSpec extends AnyFunSuite {
 
   test("normalizeOnRead parity: COSINE scoring matches the fused kernel; zero vectors score 0") {
     // reference FdbVectorIndex.java:823-828,1006-1015: with normalizeOnRead
-    // the rerank computes dot/(‖q‖·‖emb‖) with a zero-denominator guard —
-    // same result as the fused cosine kernel on every input, including the
-    // all-zero vector, which must score 0.0 (not NaN).
+    // the rerank computes dot/(‖q‖·‖emb‖) with the reference's zero-product
+    // guard — same result as the fused cosine kernel on normal-range
+    // inputs (asserted here), and 0.0 (not NaN) on the all-zero vector.
     val dir = Files.createTempDirectory("graft-nor").toString
     val idx = VectorIndex.createOrOpen(spark, dir,
       IndexMeta("nor", dimension = 4, metric = Metric.Cosine.name, maxSegmentSize = 20,

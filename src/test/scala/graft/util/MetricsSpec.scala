@@ -54,8 +54,11 @@ class MetricsSpec extends AnyFunSuite {
     assert(em.sealedSegmentsSearched.value >= segs0 + 12)
 
     // observable plan metrics: rerank row count and final top-k count
+    // (names carry a per-invocation suffix so query plans stay composable)
     val om = res.queryExecution.observedMetrics
-    assert(om.contains("graft_sealed_rerank") && om("graft_sealed_rerank").getLong(0) > 0)
-    assert(om.contains("graft_topk_merge") && om("graft_topk_merge").getLong(0) == 20L)
+    val rerank = om.collectFirst { case (k, v) if k.startsWith("graft_sealed_rerank") => v }
+    val merge = om.collectFirst { case (k, v) if k.startsWith("graft_topk_merge") => v }
+    assert(rerank.exists(_.getLong(0) > 0))
+    assert(merge.exists(_.getLong(0) == 20L))
   }
 }
