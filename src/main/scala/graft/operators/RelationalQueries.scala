@@ -312,8 +312,42 @@ object RelationalQueries {
           round(sum(col("value")), 4).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("hour_ts"), col("event_type"))
+    }),
+
+    // The same hourly rollup through Structured Streaming (T1): file
+    // source → windowed-style grouped agg → AvailableNow drain into a
+    // memory sink. Proves the streaming engine computes EXACTLY the batch
+    // answer (same DuckDB oracle), which is what exactly-once micro-batch
+    // semantics promise. countDistinct is not legal in streaming aggs, so
+    // the streaming variant carries (n_events, sum_value) only.
+    "stream_events_hourly" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file-stream source needs a directory basePath; narrow the
+      // listing to the events table with a glob filter
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val agg = stream
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+      val name = s"stream_events_hourly_${streamRunId.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("hour_ts"), col("event_type"))
     })
   )
+
+  /** memory-sink table names must be unique per invocation. */
+  private val streamRunId = new java.util.concurrent.atomic.AtomicLong(0L)
 
   val oracles: Map[String, String] = Map(
     "rel_q1_pricing_summary" ->
@@ -530,6 +564,15 @@ object RelationalQueries {
         |  count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_ts, event_type""".stripMargin,
+
+    "stream_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_ts, event_type""".stripMargin
