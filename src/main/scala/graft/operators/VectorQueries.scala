@@ -226,12 +226,66 @@ object VectorQueries {
       Search.query(s, store, queries, 10)
         .select(col("queryId"), col("gid"), col("rank"), col("distance"))
         .orderBy(col("queryId"), col("rank"))
+    }),
+
+    // J4: the deprecated BEAM expansion mode through the same recall-1.0
+    // config — also exact-KNN-equal (probed at sf0.01 and sf0.1), so the
+    // legacy mode gets the same hard value oracle as BEST_FIRST.
+    "vec_knn_sealed_beam" -> ((s, dir) => {
+      val store = sealedStore(s, dir)
+      val queries = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+      val params = graft.core.SearchParams.defaults(10, 4)
+        .copy(mode = graft.core.SearchMode.Beam)
+      Search.query(s, store, queries, 10, Some(params))
+        .select(col("queryId"), col("gid"), col("rank"), col("distance"))
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
+    // F1/M1 through the sealed path: tombstoned rows must vanish from
+    // sealed-segment results at the rerank. Fresh 3×100-row index over a
+    // bounded slice (identical at every sf), every 7th gid deleted; the
+    // oracle is exact KNN over the surviving rows only.
+    "vec_knn_sealed_deleted" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sealed-del").toString
+      val store = new IndexStore(tmp)
+      val e = emb(s, dir).filter(col("vec_id") < 300)
+      val dim = e.select(size(col("embedding"))).first().getInt(0)
+      store.createOrOpen(IndexMeta("sealed_del", dimension = dim, maxSegmentSize = 100,
+        pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
+        oversample = 4), System.currentTimeMillis())
+      val idx = new SegmentedIndex(s, store)
+      idx.addAll(e, "embedding", "vec_id")
+      idx.sealPending()
+      idx.delete((0L until 300L).filter(_ % 7 == 0))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+      Search.query(s, store, queries, 10)
+        .select(col("queryId"), col("gid"), col("rank"), col("distance"))
+        .orderBy(col("queryId"), col("rank"))
     })
   )
 
   private def l2sqL(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
   private val l2sqLambda = l2sqL("e.embedding", "q.qv")
+
+  /** Exact-KNN ground truth for the sealed-path queries (recall-1.0
+    * configs make the ANN output equal this row-for-row). */
+  private val sealedKnnOracle =
+    s"""WITH g AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS gid, embedding
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings WHERE vec_id < 5)
+       |SELECT queryId, gid, rnk AS "rank", dist AS distance FROM (
+       |  SELECT q.queryId, g.gid,
+       |    sqrt(${l2sqL("g.embedding", "q.qv")}) AS dist,
+       |    row_number() OVER (PARTITION BY q.queryId
+       |                       ORDER BY ${l2sqL("g.embedding", "q.qv")}, g.gid) AS rnk
+       |  FROM g, q) x
+       |WHERE rnk <= 10
+       |ORDER BY queryId, rnk""".stripMargin
   private val dotLambda =
     "list_sum(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
   private def normLambda(src: String) =
@@ -341,10 +395,15 @@ object VectorQueries {
         |FROM ids, n
         |ORDER BY segId""".stripMargin,
 
-    "vec_knn_sealed" ->
+    "vec_knn_sealed" -> sealedKnnOracle,
+
+    "vec_knn_sealed_beam" -> sealedKnnOracle,
+
+    "vec_knn_sealed_deleted" ->
       s"""WITH g AS (
          |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS gid, embedding
-         |  FROM embeddings),
+         |  FROM embeddings WHERE vec_id < 300),
+         |live AS (SELECT * FROM g WHERE gid % 7 <> 0),
          |q AS (
          |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings WHERE vec_id < 5)
          |SELECT queryId, gid, rnk AS "rank", dist AS distance FROM (
@@ -352,7 +411,7 @@ object VectorQueries {
          |    sqrt(${l2sqL("g.embedding", "q.qv")}) AS dist,
          |    row_number() OVER (PARTITION BY q.queryId
          |                       ORDER BY ${l2sqL("g.embedding", "q.qv")}, g.gid) AS rnk
-         |  FROM g, q) x
+         |  FROM live g, q) x
          |WHERE rnk <= 10
          |ORDER BY queryId, rnk""".stripMargin,
 
