@@ -1,11 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.index.SegmentedIndex
+
+/** Open-session state carried between micro-batches by the streaming
+  * sessionizer (one per active user). */
+final case class SessionState(
+    seq: Long, startMs: Long, lastMs: Long, n: Long, value: Double)
+
+/** One closed session, matching the batch `rel_sessionize` row shape. */
+final case class SessionOut(
+    user_id: Long, session_id: Long, n_events: Long,
+    session_start: String, session_value: Double)
 
 /**
  * Streaming execution (SURVEY.md §2.10): the reference's task-queue-driven
@@ -77,5 +86,80 @@ object Streaming {
     val q = writer.start()
     q.processAllAvailable()
     q
+  }
+
+  private def fmtSessionStart(ms: Long): String = {
+    val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    f.format(new java.util.Date(ms))
+  }
+
+  /**
+   * Streaming gap-based sessionization with CUSTOM STATE — the
+   * `flatMapGroupsWithState` twin of the batch `rel_sessionize` window
+   * query: per-user open-session state carried across micro-batches,
+   * sessions closed either by an in-batch gap > `gapSec` or by an
+   * event-time timeout once the watermark passes lastEvent + gap.
+   * Emits rows identical to the batch query's (user_id, session_id,
+   * n_events, session_start, session_value) with the same 1-based
+   * per-user session numbering.
+   *
+   * Scale: state is one tiny record per ACTIVE user (bounded by the
+   * timeout eviction), partitioned by user — the canonical stateful-
+   * streaming shape for behavioral analytics at any user count.
+   *
+   * `events` columns: user_id LONG, event_id LONG, ts TIMESTAMP,
+   * value DOUBLE.
+   */
+  def sessionizeStream(
+      events: DataFrame,
+      gapSec: Long = 1800L,
+      watermark: String = "30 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("value").cast("double"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastEvent + gap: the open session is closed.
+            // Keep an n=0 marker (no new timeout) so per-user session
+            // numbering stays cumulative like the batch window query.
+            val s = state.get
+            state.update(s.copy(n = 0L, value = 0.0))
+            Iterator.single(SessionOut(userId, s.seq, s.n, fmtSessionStart(s.startMs), s.value))
+          } else {
+            val sorted = it.toArray.sortBy { case (_, eid, ts, _) => (ts.getTime, eid) }
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var open = state.getOption
+            sorted.foreach { case (_, _, ts, v) =>
+              val ms = ts.getTime
+              open match {
+                case Some(s) if s.n == 0L => // closed-by-timeout marker
+                  open = Some(SessionState(s.seq + 1, ms, ms, 1L, v))
+                case Some(s) if ms - s.lastMs <= gapSec * 1000 =>
+                  open = Some(s.copy(lastMs = ms, n = s.n + 1, value = s.value + v))
+                case Some(s) => // in-batch gap: close and start the next
+                  closed += SessionOut(userId, s.seq, s.n, fmtSessionStart(s.startMs), s.value)
+                  open = Some(SessionState(s.seq + 1, ms, ms, 1L, v))
+                case None =>
+                  open = Some(SessionState(1L, ms, ms, 1L, v))
+              }
+            }
+            open.foreach { s =>
+              if (s.n > 0L) {
+                state.update(s)
+                state.setTimeoutTimestamp(s.lastMs + gapSec * 1000)
+              }
+            }
+            closed.iterator
+          }
+      }
   }
 }

@@ -75,6 +75,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(idx.manifest.lastStreamBatchId.contains(1L))
   }
 
+  test("flatMapGroupsWithState sessionization: in-batch gaps, cross-batch state, event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    val sess = Streaming.sessionizeStream(
+      input.toDF().toDF("user_id", "event_id", "ts", "value"))
+    val q = sess.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out").start()
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    def emitted() = spark.table("sess_out").as[SessionOut].collect().toSet
+
+    // user 1: {10:00, 10:10} then 11:00 (50-min gap closes session 1
+    // IN-batch); user 2: one event, stays open
+    input.addData((1L, 1L, ts(10, 0), 1.0), (1L, 2L, ts(10, 10), 2.0),
+      (1L, 3L, ts(11, 0), 4.0), (2L, 4L, ts(10, 0), 7.0))
+    q.processAllAvailable()
+    assert(emitted() == Set(SessionOut(1L, 1L, 2L, "2026-01-01 10:00:00", 3.0)))
+
+    // 15:00 closes user 1's session 2 by gap; the advanced watermark
+    // (14:30) then times out user 2's idle session
+    input.addData((1L, 5L, ts(15, 0), 9.0))
+    q.processAllAvailable()
+    // 20:00 closes user 1's session 3; numbering stays cumulative
+    input.addData((1L, 6L, ts(20, 0), 1.0))
+    q.processAllAvailable()
+
+    assert(emitted() == Set(
+      SessionOut(1L, 1L, 2L, "2026-01-01 10:00:00", 3.0),
+      SessionOut(1L, 2L, 1L, "2026-01-01 11:00:00", 4.0),
+      SessionOut(2L, 1L, 1L, "2026-01-01 10:00:00", 7.0),
+      SessionOut(1L, 3L, 1L, "2026-01-01 15:00:00", 9.0)))
+    // user 1's session 4 (20:00) is still open — not emitted
+    q.stop()
+  }
+
   test("watermarked tumbling-window aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
