@@ -118,6 +118,20 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
     }),
 
+    // Exact interpolated quantiles per group: Spark `percentile` ==
+    // DuckDB percentile_cont; interpolation of integral doubles is
+    // binary-exact, so full precision is emitted.
+    "rel_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Set ops over derived sets (every base key set in the test data is
     // dense, so EXCEPT of raw keys would be trivially empty).
     "rel_setop_except" -> ((s, dir) => {
@@ -447,6 +461,16 @@ object RelationalQueries {
         |  GROUP BY c_custkey) x
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "rel_percentiles" ->
+      """SELECT l_returnflag,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY l_returnflag""".stripMargin,
 
     "rel_sessionize" ->
       """WITH flagged AS (
