@@ -195,6 +195,27 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Range join via time-axis bucketing (graft.pipeline.RangeJoin): probe
+    // dates matched to the orders whose 90-day fulfillment window contains
+    // them — a hash equi-join on bucket ids + residual predicate, never a
+    // nested-loop range join (PlanSpec guards the join strategy).
+    "rel_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val probes = (1 to 12).map(m => f"1996-$m%02d-01").toDF("d")
+        .select(to_date(col("d")).as("probe_date"))
+        .withColumn("p", datediff(col("probe_date"), lit("1970-01-01")).cast("long"))
+      val ords = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+        .withColumn("s0", datediff(col("od"), lit("1970-01-01")).cast("long"))
+        .withColumn("e0", col("s0") + 90)
+      graft.pipeline.RangeJoin.pointInInterval(probes, "p", ords, "s0", "e0", bucketWidth = 32L)
+        .select(
+          date_format(col("probe_date"), "yyyy-MM-dd").as("probe_date"),
+          col("o_orderkey"),
+          date_format(col("od"), "yyyy-MM-dd").as("o_orderdate"))
+        .orderBy(col("probe_date"), col("o_orderkey"))
+    }),
+
     // Backward as-of join: each click attributed to the user's latest
     // purchase at-or-before it (graft.pipeline.AsOf union-and-carry — one
     // shuffle on user_id, no range join). Right side deduped per (user,
@@ -461,6 +482,22 @@ object RelationalQueries {
         |  GROUP BY c_custkey) x
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "rel_range_join" ->
+      """WITH probes AS (
+        |  SELECT CAST(v.d AS DATE) AS probe_date
+        |  FROM (VALUES ('1996-01-01'),('1996-02-01'),('1996-03-01'),('1996-04-01'),
+        |               ('1996-05-01'),('1996-06-01'),('1996-07-01'),('1996-08-01'),
+        |               ('1996-09-01'),('1996-10-01'),('1996-11-01'),('1996-12-01')) v(d)),
+        |ords AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT strftime(p.probe_date, '%Y-%m-%d') AS probe_date,
+        |  o.o_orderkey,
+        |  strftime(o.od, '%Y-%m-%d') AS o_orderdate
+        |FROM probes p JOIN ords o
+        |  ON p.probe_date BETWEEN o.od AND o.od + 90
+        |ORDER BY probe_date, o_orderkey""".stripMargin,
 
     "rel_percentiles" ->
       """SELECT l_returnflag,

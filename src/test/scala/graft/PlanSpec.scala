@@ -45,6 +45,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"))
   }
 
+  test("range join runs as a bucket equi-join, not a nested-loop range join") {
+    val p = plan("rel_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("HashJoin")) // bucket-id equi-join (broadcast or shuffled)
+  }
+
   test("minhash signatures come from the native expressions, not lambda trees") {
     val p = plan("dedup_minhash")
     assert(p.contains("shingle_hashes"))

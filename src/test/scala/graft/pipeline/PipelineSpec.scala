@@ -27,6 +27,20 @@ class PipelineSpec extends AnyFunSuite {
         concat(col("text"), lit(" graftmutation")).as("text")))
   }
 
+  test("range join: inclusive bounds, bucket-boundary crossings, no duplicate matches") {
+    // bucketWidth 10: interval [8, 23] touches buckets 0,1,2 — a point in
+    // each bucket must match exactly once; bounds are inclusive both ends
+    val points = Seq(7L, 8L, 15L, 23L, 24L).toDF("p")
+    val intervals = Seq((100L, 8L, 23L), (200L, 40L, 40L)).toDF("iid", "s0", "e0")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "s0", "e0", bucketWidth = 10L)
+      .select("p", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((8L, 100L), (15L, 100L), (23L, 100L)))
+    // degenerate single-point interval matches its own point only
+    val got2 = RangeJoin.pointInInterval(Seq(40L).toDF("p"), "p", intervals, "s0", "e0", 10L)
+      .select("p", "iid").as[(Long, Long)].collect().toSeq
+    assert(got2 == Seq((40L, 200L)))
+  }
+
   test("duplicate clusters: min-label propagation resolves transitive chains") {
     // chain 1-2, 2-3, 3-4 → one cluster labeled 1; isolated pair 10-11 → 10;
     // pair ordering and insertion order must not matter
