@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Dedup, Multimodal, Packing, TextAnalysis}
+import graft.pipeline.{Ann, Dedup, Multimodal, Packing, Sampling, TextAnalysis}
 
 /**
  * LLM-data-pipeline operator coverage (dedup / text analysis / similarity
@@ -166,6 +166,17 @@ object PipelineQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
         .orderBy(col("split"))
+    }),
+
+    // Data-mixture rebalancing: deterministic per-source downsampling via
+    // multiplicative-hash buckets (the corpus mixing-ratio enforcement
+    // step) — one codegen'd filter pass, reproducible across engines.
+    "pipeline_mixture_rebalance" -> ((s, dir) => {
+      val rates = Map("src0" -> 0.2, "src1" -> 0.5, "src2" -> 0.0)
+      Sampling.rebalanceMixture(docs(s, dir), "doc_id", "source", rates, defaultRate = 0.8)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+        .orderBy(col("source"))
     }),
 
     // Sequence packing: shard-partitioned token-budget pack assignment
@@ -445,6 +456,15 @@ object PipelineQueries {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM documents
         |GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "pipeline_mixture_rebalance" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000000 <
+        |  (CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.5
+        |               WHEN 'src2' THEN 0.0 ELSE 0.8 END) * 1000000
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "pipeline_pack_sequences" ->
       """WITH base AS (

@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data pipelines: data-mixture
+ * rebalancing (per-source keep rates) via multiplicative-hash bucketing.
+ *
+ * No RNG state: a row's fate is a pure function of its id, so the sample
+ * is reproducible across engines, runs, and cluster sizes, and the
+ * operation is one narrow codegen'd filter pass — no shuffle, no
+ * per-partition sampling state, composable with any downstream op. This
+ * is the standard mechanism for enforcing corpus mixing ratios (and for
+ * deterministic train/val/test splits, `pipeline_split_assignment`).
+ */
+object Sampling {
+
+  /** Knuth multiplicative-hash bucket of an integral id in [0, buckets). */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(id * 2654435761L, lit(buckets))
+
+  /**
+   * Keep a row iff its id's hash bucket (parts-per-million) falls under
+   * the keep rate of its source; sources absent from `rates` keep
+   * `defaultRate`.
+   */
+  def rebalanceMixture(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, r).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 1000000) < rate * 1000000)
+  }
+}
