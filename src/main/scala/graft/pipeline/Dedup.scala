@@ -165,13 +165,15 @@ object Dedup {
    * (minimum reachable id), the step that turns pairwise matches into
    * dedup groups with one canonical survivor each.
    *
-   * Min-label propagation: each round joins current labels across edges
-   * and keeps the per-node minimum; rounds needed = cluster diameter.
-   * Near-dup graphs are shallow (planted chains converge in 2-3 rounds),
-   * and each round is one equi-join + partial-aggregating groupBy — both
-   * linear in |E| and fully parallel, the standard Spark CC pattern.
-   * `localCheckpoint` per round cuts the iterative lineage so plans stay
-   * flat at any round count.
+   * Min-label propagation with pointer jumping: each round (a) joins
+   * current labels across edges and keeps the per-node minimum, then
+   * (b) path-halves by replacing every label with its label's label —
+   * so label distances shrink geometrically and convergence takes
+   * O(log diameter) rounds, not O(diameter) (a 1000-link drift chain
+   * converges in ~10 rounds). Every step is an equi-join +
+   * partial-aggregating groupBy — linear in |E| and fully parallel, the
+   * standard large-scale CC recipe. `localCheckpoint` per round cuts the
+   * iterative lineage so plans stay flat at any round count.
    *
    * Output: (doc_id, cluster_id) for every id that appears in a pair;
    * cluster_id = min id of the component (its survivor).
@@ -195,10 +197,18 @@ object Dedup {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
+      // (a) edge propagation: pull the neighbor's label
       val prop = edges.join(labels.withColumnRenamed("id", "u"), Seq("u"))
         .select(col("v").as("id"), col("label"))
-      val next = labels.unionByName(prop)
+      val stepped = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
+      // (b) pointer jumping: label := label(label) — a label always names
+      // a node of the same component (and labels only decrease), so the
+      // lookup table is `stepped` itself and each id joins exactly one
+      // lookup row
+      val next = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("ll")), Seq("label"))
+        .select(col("id"), least(col("label"), col("ll")).as("label"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
         .filter(col("label") =!= col("prev")).count()

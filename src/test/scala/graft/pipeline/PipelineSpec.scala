@@ -51,6 +51,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicate clusters: pointer jumping converges a 200-link drift chain within the round budget") {
+    // a worst-case drift chain (each doc near-dups only its neighbor):
+    // diameter 200 — plain min-label propagation would need 200 rounds;
+    // pointer jumping must finish within the default 20
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
+    assert(got.length == 201 && got.forall(_._2 == 0L))
+  }
+
   test("minhash-LSH finds every planted near-dup pair; survivors verified by exact jaccard") {
     val got = Dedup.minHashNearDuplicates(corpusNear, "doc_id", "text", threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
