@@ -7,14 +7,18 @@ import graft.pipeline.{Ann, Dedup, Multimodal, Packing, Sampling, TextAnalysis}
 
 /**
  * LLM-data-pipeline operator coverage (dedup / text analysis / similarity
- * search / multimodal — the north-star extensions beyond the reference's
- * surface). SQL-expressible operators carry DuckDB oracles; hash-based
- * ones (xxhash64 signatures) are rows-only here and verified against
- * exact oracles in PipelineSpec.
+ * search / multimodal / packing / mixing — the north-star extensions
+ * beyond the reference's surface). EVERY query carries a DuckDB value
+ * oracle: SQL-expressible operators directly; blocked/approximate ones at
+ * exactly-checkable configurations (LSH candidates exact-verified,
+ * md5-derived sketch hashes recomputed in SQL via md5_number_lower, IVF
+ * probing all clusters); the approximate regimes are recall-gated in
+ * PipelineSpec.
  *
  * The test corpus plants deterministic duplicates: documents ∪ copies at
- * doc_id+100000 (exact for %10==0, lightly mutated for near-dup paths) —
- * the driver data has no natural duplicates.
+ * doc_id+100000 (exact for %10==0, lightly mutated for near-dup paths);
+ * the corpus also carries natural near-dup pairs, all covered by the
+ * all-pairs oracles.
  */
 object PipelineQueries {
 

@@ -27,12 +27,15 @@ object RelationalQueries {
     * `spark.sql.legacy.parquet.nanosAsLong` it arrives as LONG nanos —
     * convert to a micros timestamp (integer division, no double precision
     * loss; DuckDB truncates ns→µs identically). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val df = t(s, dir, "events")
+  /** ns→µs timestamp normalization shared by the batch and streaming
+    * events readers — ONE place owns the conversion rule. */
+  private def normalizeTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
-  }
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    normalizeTs(t(s, dir, "events"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: grouped aggregation with derived
@@ -360,12 +363,8 @@ object RelationalQueries {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // the file-stream source needs a directory basePath; narrow the
       // listing to the events table with a glob filter
-      val raw = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val stream =
-        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
+      val stream = normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       val agg = stream
         .groupBy(
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
@@ -374,6 +373,11 @@ object RelationalQueries {
           count(lit(1)).as("n_events"),
           round(sum(col("value")), 4).as("sum_value"))
       val name = s"stream_events_hourly_${streamRunId.incrementAndGet()}"
+      // the memory sink registers a temp view per invocation — drop the
+      // previous one so repeated gate/bench runs don't accumulate cached
+      // result sets in the session catalog
+      Option(lastStreamView.getAndSet(name))
+        .foreach(prev => s.catalog.dropTempView(prev))
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -381,8 +385,10 @@ object RelationalQueries {
     })
   )
 
-  /** memory-sink table names must be unique per invocation. */
+  /** memory-sink table names must be unique per invocation (Spark rejects
+    * a reused active query name); only the latest view is retained. */
   private val streamRunId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastStreamView = new java.util.concurrent.atomic.AtomicReference[String](null)
 
   val oracles: Map[String, String] = Map(
     "rel_q1_pricing_summary" ->

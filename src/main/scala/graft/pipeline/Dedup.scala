@@ -197,11 +197,14 @@ object Dedup {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      // (a) edge propagation: pull the neighbor's label
+      // (a) edge propagation: pull the neighbor's label. Materialized
+      // eagerly — the |E|-sized aggregation feeds BOTH sides of the
+      // pointer-jump self-join and must not run twice.
       val prop = edges.join(labels.withColumnRenamed("id", "u"), Seq("u"))
         .select(col("v").as("id"), col("label"))
       val stepped = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
       // (b) pointer jumping: label := label(label) — a label always names
       // a node of the same component (and labels only decrease), so the
       // lookup table is `stepped` itself and each id joins exactly one

@@ -88,11 +88,10 @@ object Streaming {
     q
   }
 
-  private def fmtSessionStart(ms: Long): String = {
-    val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
-    f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-    f.format(new java.util.Date(ms))
-  }
+  private def fmtSessionStart(ms: Long, zone: String): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneId.of(zone))
+      .format(java.time.Instant.ofEpochMilli(ms))
 
   /**
    * Streaming gap-based sessionization with CUSTOM STATE — the
@@ -100,13 +99,20 @@ object Streaming {
    * query: per-user open-session state carried across micro-batches,
    * sessions closed either by an in-batch gap > `gapSec` or by an
    * event-time timeout once the watermark passes lastEvent + gap.
-   * Emits rows identical to the batch query's (user_id, session_id,
-   * n_events, session_start, session_value) with the same 1-based
-   * per-user session numbering.
+   * Emits the batch query's (user_id, session_id, n_events,
+   * session_start, session_value) rows — same whole-second gap
+   * comparison (`unix_timestamp` semantics), same session-time-zone
+   * formatting, same 1-based per-user numbering — for event streams
+   * delivered in watermark order. Late-but-above-watermark events merge
+   * into the open session via min/max bounds; events older than the open
+   * session's horizon (start − gap) are discarded like any
+   * below-watermark data.
    *
-   * Scale: state is one tiny record per ACTIVE user (bounded by the
-   * timeout eviction), partitioned by user — the canonical stateful-
-   * streaming shape for behavioral analytics at any user count.
+   * Scale/state story: one tiny record per user. An idle user's record
+   * is kept for `retentionSec` after its session closes (so numbering
+   * stays cumulative across idle periods, like the batch query), then
+   * evicted by a second event-time timeout — state is bounded by users
+   * active within the retention horizon, not by all users ever seen.
    *
    * `events` columns: user_id LONG, event_id LONG, ts TIMESTAMP,
    * value DOUBLE.
@@ -114,9 +120,12 @@ object Streaming {
   def sessionizeStream(
       events: DataFrame,
       gapSec: Long = 1800L,
-      watermark: String = "30 minutes"): Dataset[SessionOut] = {
+      watermark: String = "30 minutes",
+      retentionSec: Long = 30L * 24 * 3600): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val gapMs = gapSec * 1000
 
     events
       .withWatermark("ts", watermark)
@@ -127,13 +136,24 @@ object Streaming {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId, it, state: GroupState[SessionState]) =>
+          // batch parity: unix_timestamp compares whole seconds
+          def gapExceeded(aMs: Long, bMs: Long): Boolean =
+            bMs / 1000 - aMs / 1000 > gapSec
           if (state.hasTimedOut) {
-            // watermark passed lastEvent + gap: the open session is closed.
-            // Keep an n=0 marker (no new timeout) so per-user session
-            // numbering stays cumulative like the batch window query.
             val s = state.get
-            state.update(s.copy(n = 0L, value = 0.0))
-            Iterator.single(SessionOut(userId, s.seq, s.n, fmtSessionStart(s.startMs), s.value))
+            if (s.n == 0L) {
+              // numbering-retention horizon passed: evict entirely
+              state.remove()
+              Iterator.empty
+            } else {
+              // watermark passed lastEvent + gap: close the session; keep
+              // an n=0 marker under a retention timeout so numbering
+              // stays cumulative while the user plausibly returns
+              state.update(s.copy(n = 0L, value = 0.0))
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + retentionSec * 1000, state.getCurrentWatermarkMs() + 1))
+              Iterator.single(SessionOut(userId, s.seq, s.n, fmtSessionStart(s.startMs, zone), s.value))
+            }
           } else {
             val sorted = it.toArray.sortBy { case (_, eid, ts, _) => (ts.getTime, eid) }
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
@@ -143,11 +163,18 @@ object Streaming {
               open match {
                 case Some(s) if s.n == 0L => // closed-by-timeout marker
                   open = Some(SessionState(s.seq + 1, ms, ms, 1L, v))
-                case Some(s) if ms - s.lastMs <= gapSec * 1000 =>
-                  open = Some(s.copy(lastMs = ms, n = s.n + 1, value = s.value + v))
-                case Some(s) => // in-batch gap: close and start the next
-                  closed += SessionOut(userId, s.seq, s.n, fmtSessionStart(s.startMs), s.value)
+                case Some(s) if !gapExceeded(s.lastMs, ms) && !gapExceeded(ms, s.startMs) =>
+                  // in-gap (possibly out-of-order): widen the session
+                  open = Some(s.copy(startMs = math.min(s.startMs, ms),
+                    lastMs = math.max(s.lastMs, ms), n = s.n + 1, value = s.value + v))
+                case Some(s) if gapExceeded(s.lastMs, ms) =>
+                  // forward gap: close and start the next
+                  closed += SessionOut(userId, s.seq, s.n, fmtSessionStart(s.startMs, zone), s.value)
                   open = Some(SessionState(s.seq + 1, ms, ms, 1L, v))
+                case Some(_) =>
+                  // older than the open session's horizon — below-watermark
+                  // late data by construction; discard (watermark contract)
+                  ()
                 case None =>
                   open = Some(SessionState(1L, ms, ms, 1L, v))
               }
@@ -155,7 +182,9 @@ object Streaming {
             open.foreach { s =>
               if (s.n > 0L) {
                 state.update(s)
-                state.setTimeoutTimestamp(s.lastMs + gapSec * 1000)
+                // never set a timeout at or below the current watermark
+                state.setTimeoutTimestamp(
+                  math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
               }
             }
             closed.iterator
