@@ -9,17 +9,26 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.vector
 
+/** Unified per-segment payload row for the sealed search cogroup: each row
+  * is either a PQ code (`code != null`) or an adjacency list
+  * (`neighbors != null`). Unioning codes+graph into one keyed stream lets a
+  * single binary cogroup against the codebooks table deliver everything a
+  * segment task needs — the codebooks never pass through the driver. */
+final case class SegPayloadRow(
+    segId: Int, vecId: Int, code: Array[Byte], neighbors: Array[Int])
+
 /**
  * Distributed KNN query (SURVEY.md §3.1): the Spark re-expression of the
  * reference's per-segment fan-out (FdbVectorIndex.query, :351-467).
  *
  * Plan shape (one job, three stages):
- *  1. driver: read manifest, collect + broadcast codebooks and the query
- *     batch (both small — the analog of codebook prefetch, T6);
- *  2. SEALED/COMPACTING segments: cogroup(codes, graph) by segId — one
- *     task per segment runs ADC + best-first expansion for every query
- *     (J2/J3), emitting approx candidates only (16 B/vector codes are
- *     scanned, never raw embeddings — the PQ bandwidth win at 100 TB);
+ *  1. driver: read manifest, collect + broadcast the query batch (small);
+ *  2. SEALED/COMPACTING segments: cogroup(codebooks, codes ∪ graph) by
+ *     segId — one task per segment loads its own codebook (T5/T6 cache →
+ *     per-segment cogroup load; the driver never holds codebooks) and runs
+ *     ADC + best-first expansion for every query (J2/J3), emitting approx
+ *     candidates only (16 B/vector codes are scanned, never raw
+ *     embeddings — the PQ bandwidth win at 100 TB);
  *     ACTIVE/PENDING segments: brute-force scan (J1) via broadcast-join +
  *     codegen'd distance, no candidate stage;
  *  3. exact rerank of sealed candidates (J5): semi-join back to the
@@ -95,32 +104,41 @@ object Search {
     val sealedScored: DataFrame =
       if (sealedSegs.isEmpty) emptyResults(spark)
       else {
-        val cbMap: Map[Int, Pq.Codebook] = store.readCodebooks(spark)
-          .filter(col("segId").isin(sealedSegs: _*))
-          .collect()
-          .map(r => r.segId -> Pq.Codebook(r.m, r.k, r.subDim, r.centroids))
-          .toMap
-        val cbB = spark.sparkContext.broadcast(cbMap)
-
-        val codesK = store.readCodes(spark)
+        // Codebooks are loaded PER SEGMENT inside the search task (the
+        // Spark analog of the reference's per-segment cache bulk-load,
+        // SegmentCaches.java:37-84) — never collected to the driver. At
+        // production shape (dim 768, pqM 16, pqK 256) one codebook is
+        // ~786 KB; at 10k sealed segments a driver collect+broadcast would
+        // hold ~8 GB per query call. Instead the codebooks table (one row
+        // per segment) rides its own tiny shuffle keyed by segId into the
+        // same cogroup that already co-locates codes+graph.
+        val cbK = store.readCodebooks(spark)
+          .filter(col("segId").isin(sealedSegs: _*)).as[CodebookRow]
+          .groupByKey(_.segId)
+        val payloadK = store.readCodes(spark)
           .filter(col("segId").isin(sealedSegs: _*)).as[CodeRow]
-          .groupByKey(_.segId)
-        val graphK = store.readGraph(spark)
-          .filter(col("segId").isin(sealedSegs: _*)).as[GraphRow]
+          .map(c => SegPayloadRow(c.segId, c.vecId, c.code, null))
+          .unionByName(store.readGraph(spark)
+            .filter(col("segId").isin(sealedSegs: _*)).as[GraphRow]
+            .map(g => SegPayloadRow(g.segId, g.vecId, null, g.neighbors)))
           .groupByKey(_.segId)
 
-        val candidates = codesK.cogroup(graphK) { (segId, cs, gs) =>
-          cbB.value.get(segId) match {
-            case None => Iterator.empty // missing codebook → segment yields nothing
-            case Some(cb) =>
-              val codeMap = new mutable.HashMap[Int, Array[Byte]]()
-              cs.foreach(c => codeMap.put(c.vecId, c.code))
-              val adj = new mutable.HashMap[Int, Array[Int]]()
-              gs.foreach(g => adj.put(g.vecId, g.neighbors))
-              qB.value.iterator.flatMap { case (qid, q) =>
-                SegmentSearch.searchSealed(segId, cb, q, codeMap, adj, perSegLimit, params, phaseSink)
-                  .iterator.map(a => (qid, segId, a.vecId))
-              }
+        // codebook side first (left) — one row, read before the bulk stream
+        val candidates = cbK.cogroup(payloadK) { (segId, cbs, rows) =>
+          if (!cbs.hasNext) Iterator.empty // missing codebook → segment yields nothing
+          else {
+            val cbr = cbs.next()
+            val cb = Pq.Codebook(cbr.m, cbr.k, cbr.subDim, cbr.centroids)
+            val codeMap = new mutable.HashMap[Int, Array[Byte]]()
+            val adj = new mutable.HashMap[Int, Array[Int]]()
+            rows.foreach { r =>
+              if (r.code != null) codeMap.put(r.vecId, r.code)
+              else adj.put(r.vecId, r.neighbors)
+            }
+            qB.value.iterator.flatMap { case (qid, q) =>
+              SegmentSearch.searchSealed(segId, cb, q, codeMap, adj, perSegLimit, params, phaseSink)
+                .iterator.map(a => (qid, segId, a.vecId))
+            }
           }
         }.toDF("queryId", "segId", "vecId")
 

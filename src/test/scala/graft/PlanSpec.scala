@@ -45,6 +45,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"))
   }
 
+  test("sealed KNN loads codebooks per-segment in the plan, not via driver collect") {
+    // codebooks must appear as a distributed parquet scan feeding the
+    // segment cogroup (one ~786 KB row per segment at production shape);
+    // a driver collect+broadcast is O(total codebook bytes) on the driver
+    // per call and dies at ~10k sealed segments
+    val p = plan("vec_knn_sealed")
+    assert(p.contains("codebooks"), "codebooks table missing from the distributed plan")
+    assert(p.contains("CoGroup"))
+  }
+
   test("range join runs as a bucket equi-join, not a nested-loop range join") {
     val p = plan("rel_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
