@@ -163,7 +163,7 @@ object PipelineQueries {
     // bucketing on doc_id (reproducible across engines and runs; the
     // standard pattern for dataset splits at scale).
     "pipeline_split_assignment" -> ((s, dir) => {
-      val bucket = pmod(col("doc_id") * 2654435761L, lit(100))
+      val bucket = Sampling.hashBucket(col("doc_id"), 100)
       docs(s, dir)
         .withColumn("split",
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
@@ -454,8 +454,8 @@ object PipelineQueries {
          |ORDER BY queryId, rnk""".stripMargin,
 
     "pipeline_split_assignment" ->
-      """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      """SELECT CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+        |            WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 90 THEN 'val'
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM documents
@@ -464,7 +464,7 @@ object PipelineQueries {
     "pipeline_mixture_rebalance" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 1000000 <
+        |WHERE ((doc_id % 2147483647) * 2654435761) % 1000000 <
         |  (CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.5
         |               WHEN 'src2' THEN 0.0 ELSE 0.8 END) * 1000000
         |GROUP BY source

@@ -37,14 +37,56 @@ object VectorQueries {
     * recall at this dimensionality); oversample 4 ⇒ ef 160 over 250-node
     * segments, which the recall gates pin at exactly 1.0 — making the
     * output exact-KNN-equal and therefore DuckDB-oracle-checkable. */
-  private val sealedCache = scala.collection.mutable.HashMap.empty[String, IndexStore]
+  private val sealedCache = scala.collection.mutable.HashMap.empty[String, (String, IndexStore)]
+
+  /** Temp index trees built this JVM — removed on exit (repeated gate/
+    * bench invocations must not leak one tree per run). */
+  private val tempStores = scala.collection.mutable.ArrayBuffer.empty[String]
+  sys.addShutdownHook { tempStores.synchronized { tempStores.foreach(deleteTree) } }
+
+  private def deleteTree(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  /** Size+mtime fingerprint of the source embeddings — a changed dataset
+    * under the same path must invalidate the memoized sealed index, not
+    * serve stale sealed results for the rest of the JVM. */
+  private def dataFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .toSeq.sorted.mkString("|")
+    }
+  }
 
   private[graft] def sealedStore(s: SparkSession, dir: String): IndexStore = sealedCache.synchronized {
-    sealedCache.getOrElseUpdate(dir, buildSealedIndex(s, dir))
+    val fp = dataFingerprint(dir)
+    sealedCache.get(dir) match {
+      case Some((`fp`, store)) => store
+      case stale =>
+        stale.foreach { case (_, old) =>
+          tempStores.synchronized { tempStores -= old.path }
+          deleteTree(old.path)
+        }
+        val built = buildSealedIndex(s, dir)
+        sealedCache.put(dir, (fp, built))
+        built
+    }
   }
 
   private[graft] def buildSealedIndex(s: SparkSession, dir: String): IndexStore = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sealed-q").toString
+    tempStores.synchronized { tempStores += tmp }
     val store = new IndexStore(tmp)
     val dim = emb(s, dir).select(size(col("embedding"))).first().getInt(0)
     store.createOrOpen(IndexMeta("sealed_q", dimension = dim, maxSegmentSize = 250,
@@ -248,6 +290,7 @@ object VectorQueries {
     // oracle is exact KNN over the surviving rows only.
     "vec_knn_sealed_deleted" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-sealed-del").toString
+      tempStores.synchronized { tempStores += tmp }
       val store = new IndexStore(tmp)
       val e = emb(s, dir).filter(col("vec_id") < 300)
       val dim = e.select(size(col("embedding"))).first().getInt(0)

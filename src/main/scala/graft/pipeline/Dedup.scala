@@ -4,6 +4,7 @@ import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SparkShims
 
 import graft.functions.{text, vector}
 
@@ -199,11 +200,15 @@ object Dedup {
     while (round < maxRounds && !converged) {
       // (a) edge propagation: pull the neighbor's label. Materialized
       // eagerly — the |E|-sized aggregation feeds BOTH sides of the
-      // pointer-jump self-join and must not run twice.
+      // pointer-jump self-join and must not run twice. The previous label
+      // rides along as `prev` (labels holds exactly one row per id, so
+      // min(prev) over the union recovers it) — the convergence check
+      // below then needs no join back to the old labels.
       val prop = edges.join(labels.withColumnRenamed("id", "u"), Seq("u"))
-        .select(col("v").as("id"), col("label"))
-      val stepped = labels.unionByName(prop)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("v").as("id"), col("label"), lit(null).cast("long").as("prev"))
+      val stepped = labels.withColumn("prev", col("label"))
+        .unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"), min("prev").as("prev"))
         .localCheckpoint(true)
       // (b) pointer jumping: label := label(label) — a label always names
       // a node of the same component (and labels only decrease), so the
@@ -211,12 +216,18 @@ object Dedup {
       // lookup row
       val next = stepped
         .join(stepped.select(col("id").as("label"), col("label").as("ll")), Seq("label"))
-        .select(col("id"), least(col("label"), col("ll")).as("label"))
+        .select(col("id"), least(col("label"), col("ll")).as("label"), col("prev"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).count()
+      // next is materialized: release the superseded round's storage
+      // (Dataset.unpersist can't reach a checkpoint RDD — shim does)
+      SparkShims.unpersistCheckpoint(stepped)
+      SparkShims.unpersistCheckpoint(labels)
+      // cheap in-memory scan over the checkpointed rows — no join action
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      // keep `next` itself (not a projection) so the next round's
+      // unpersistCheckpoint still sees the LogicalRDD; `prev` is
+      // overwritten at the top of the loop and dropped from the output
       labels = next
-      converged = changed == 0
       round += 1
     }
     edges.unpersist()
@@ -264,14 +275,22 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val rnd = new Random(seed)
     val planes = Array.fill(tables * planesPerTable * dim)(rnd.nextGaussian().toFloat)
-    val sk = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"),
+    val sk = df.select(col(idCol).as("doc_id"),
       posexplode(graft.functions.sketch.hyperplane_sketch(col(embCol), planes, tables, planesPerTable))
         .as(Seq("table", "bucket")))
-    val left = sk.select(col("table"), col("bucket"), col("doc_id").as("id_a"), col("emb").as("emb_a"))
-    val right = sk.select(col("table"), col("bucket"), col("doc_id").as("id_b"), col("emb").as("emb_b"))
-    left.join(right, Seq("table", "bucket"))
+    // dedupe bucket collisions on bare id pairs BEFORE re-joining the
+    // embedding arrays — distinct over two longs is cheap; shuffling and
+    // hash-comparing 2×dim float arrays per candidate is not (mirrors the
+    // MinHash candidate pattern above)
+    val candidates = sk.select(col("table"), col("bucket"), col("doc_id").as("id_a"))
+      .join(sk.select(col("table"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "emb_a", "emb_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val embOnly = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
+    candidates
+      .join(embOnly.select(col("doc_id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
+      .join(embOnly.select(col("doc_id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
       .withColumn("cosine", vector.cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

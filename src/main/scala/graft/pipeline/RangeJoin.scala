@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -36,11 +36,22 @@ object RangeJoin {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val w = lit(bucketWidth)
-    val pts = points.withColumn("__bucket", floor(col(pointCol) / w))
+    val pts = points.withColumn("__bucket", floorDiv(col(pointCol), w))
     val ints = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(startCol) / w), floor(col(endCol) / w))))
+      explode(sequence(floorDiv(col(startCol), w), floorDiv(col(endCol), w))))
     pts.join(ints, Seq("__bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
+  }
+
+  /** Exact LONG floor-division. Spark's `/` on LONGs is DOUBLE division —
+    * beyond 2^53 (epoch-nanos territory) `floor(a / w)` can land a point
+    * or interval boundary in the wrong bucket and the residual predicate
+    * then silently drops genuinely matching rows. Integral `div` truncates
+    * toward zero; subtract 1 when a negative value has a remainder. */
+  private def floorDiv(c: Column, w: Column): Column = {
+    val q = call_function("div", c, w)
+    val r = c % w // sign follows c; w > 0 by require above
+    q - when(r < 0, 1).otherwise(0)
   }
 }

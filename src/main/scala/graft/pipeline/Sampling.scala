@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
-  /** Knuth multiplicative-hash bucket of an integral id in [0, buckets). */
+  /** Knuth multiplicative-hash bucket of an integral id in [0, buckets).
+    * The id is reduced mod 2^31−1 BEFORE the multiply: the product is then
+    * ≤ (2^31−2)·2654435761 ≈ 5.7e18 < Long.MaxValue, so the hash never
+    * overflows — un-reduced, ids above ~3.5e9 throw under Spark 4's
+    * default ANSI mode (and silently wrap otherwise, diverging from any
+    * BIGINT-exact oracle). */
   def hashBucket(id: Column, buckets: Int): Column =
-    pmod(id * 2654435761L, lit(buckets))
+    pmod(pmod(id, lit(2147483647L)) * 2654435761L, lit(buckets))
 
   /**
    * Keep a row iff its id's hash bucket (parts-per-million) falls under

@@ -114,6 +114,14 @@ object Streaming {
    * evicted by a second event-time timeout — state is bounded by users
    * active within the retention horizon, not by all users ever seen.
    *
+   * NUMBERING CONTRACT: batch parity of the 1-based per-user session_id
+   * holds only within the retention horizon. Once eviction drops a user's
+   * marker, a returning user restarts at session_id 1 — downstream joins
+   * keyed on (user_id, session_id) must treat the horizon as a numbering
+   * epoch (or make `retentionSec` as large as the pipeline's lifetime,
+   * trading state bounded by ALL users ever seen for cumulative-forever
+   * numbering; both are deliberate choices, pick per workload).
+   *
    * `events` columns: user_id LONG, event_id LONG, ts TIMESTAMP,
    * value DOUBLE.
    */

@@ -23,4 +23,14 @@ object SparkShims {
     * `org.apache.spark.sql.classic.ExpressionUtils`). */
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * Dataset. `Dataset.unpersist` only touches the relation cache, not the
+    * checkpoint RDD — iterative algorithms that checkpoint per round leak
+    * O(rounds × |V|) storage without this. */
+  def unpersistCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    ds.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -61,6 +61,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin")) // bucket-id equi-join (broadcast or shuffled)
   }
 
+  test("cosine-LSH candidate distinct runs over bare id pairs, not embeddings") {
+    // the dedupe of bucket collisions must shuffle two longs per pair;
+    // carrying the 2×dim float arrays through the distinct multiplies the
+    // shuffle by ~100× at dim 768
+    val p = plan("dedup_cosine_lsh")
+    val distincts = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(distincts.nonEmpty)
+    assert(distincts.forall(l => !l.contains("emb")))
+  }
+
   test("minhash signatures come from the native expressions, not lambda trees") {
     val p = plan("dedup_minhash")
     assert(p.contains("shingle_hashes"))
