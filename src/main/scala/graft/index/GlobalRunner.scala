@@ -20,21 +20,53 @@ import graft.maintenance.Maintenance
 final class GlobalRunner(
     spark: SparkSession,
     val indexPaths: Seq[String],
-    val policyTemplate: MaintenancePolicy = MaintenancePolicy()) {
+    val policyTemplate: MaintenancePolicy = MaintenancePolicy(),
+    /** Worker threads per sweep — the pool-size analog of the reference's
+      * maintenance worker pool (MaintenanceWorkerPool.java:41-71). Each
+      * per-index job submits independent Spark jobs; the Spark scheduler
+      * interleaves them across the cluster, so at many indexes the driver
+      * no longer serializes what the executors could overlap. */
+    val sweepParallelism: Int = 8,
+    /** Called on the worker thread as each per-index job begins — an
+      * observability/test hook (path of the index being swept). */
+    private[index] val jobStartHook: String => Unit = _ => ()) {
 
   /** Open every registered index, validating stored metadata. */
   def indexes: Seq[SegmentedIndex] =
     indexPaths.map(p => new SegmentedIndex(spark, new IndexStore(p)))
 
+  /** Run one job per index on a bounded pool; indexes are independent
+    * (each owns its manifest and paths), so concurrent sweeps are safe. */
+  private def perIndex[A](f: SegmentedIndex => A): Map[String, A] = {
+    val idxs = indexes
+    if (idxs.sizeIs <= 1 || sweepParallelism <= 1)
+      idxs.map(idx => idx.store.path -> { jobStartHook(idx.store.path); f(idx) }).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(idxs.size, sweepParallelism))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val fut = scala.concurrent.Future.sequence(idxs.map { idx =>
+          scala.concurrent.Future {
+            jobStartHook(idx.store.path)
+            idx.store.path -> f(idx)
+          }
+        })
+        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf).toMap
+      } finally pool.shutdown()
+    }
+  }
+
   /** One build sweep: seal every PENDING/WRITING segment of every index
     * (the drain of the reference's global build queue; idempotent). */
   def sealAll(): Map[String, Int] =
-    indexes.map { idx =>
+    perIndex { idx =>
       val pending = idx.manifest.segments.count(s =>
         s.state == SegmentState.Pending || s.state == SegmentState.Writing)
       idx.sealPending()
-      idx.store.path -> pending
-    }.toMap
+      pending
+    }
 
   /** One maintenance sweep: policy-driven vacuum, then compaction anchored
     * on the segments the vacuum left under half-full — the reference's
@@ -42,10 +74,10 @@ final class GlobalRunner(
     * arbitrary head-of-registry anchor. Returns per-index counts of
     * (vacuumed segments, compactions run). */
   def maintainAll(nowMs: Long): Map[String, (Int, Int)] =
-    indexes.map { idx =>
+    perIndex { idx =>
       val (vacuumed, compacted) = new Maintenance(idx, policyTemplate).sweep(nowMs)
-      idx.store.path -> (vacuumed.size, compacted)
-    }.toMap
+      (vacuumed.size, compacted)
+    }
 
   /** Queue-empty barrier across every index (T4 awaitIndexingComplete):
     * true when no segment anywhere still needs a build. */

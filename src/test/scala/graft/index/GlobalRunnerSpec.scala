@@ -44,6 +44,31 @@ class GlobalRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("sealAll sweeps indexes concurrently, results unchanged") {
+    val specs = (0 until 2).map { i =>
+      val dir = Files.createTempDirectory(s"graft-conc$i").toString
+      dir -> IndexMeta(s"conc$i", dimension = 4, maxSegmentSize = 30,
+        pqM = 2, pqK = 4, graphDegree = 4, graphBuildBreadth = 16)
+    }
+    // deterministic concurrency evidence: each per-index job blocks on a
+    // 2-party barrier at start — only genuinely overlapping jobs release
+    // it; a serial sweep times out here and fails
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val runner = new GlobalRunner(spark, specs.map(_._1),
+      jobStartHook = _ => barrier.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    specs.foreach { case (path, meta) => new IndexStore(path).createOrOpen(meta, 0L) }
+    runner.indexes.zipWithIndex.foreach { case (idx, i) =>
+      idx.addAll(gaussianDf(60, 4, i + 1), "embedding", "id")
+    }
+    val sealedCounts = runner.sealAll()
+    assert(sealedCounts.values.forall(_ == 2)) // 60 rows / cap 30 → 2 PENDING each
+    assert(runner.indexingComplete)
+    // sealed artifacts exist per index (same outcome as serial sweeps)
+    runner.indexes.foreach { idx =>
+      assert(idx.manifest.segments.count(_.state == SegmentState.Sealed) == 2)
+    }
+  }
+
   test("maintenance sweep vacuums fragmented segments across indexes") {
     val dir = Files.createTempDirectory("graft-multi-m").toString
     val meta = IndexMeta("mm", dimension = 4, maxSegmentSize = 40,

@@ -110,6 +110,62 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("sessionization merges late-but-above-watermark events delivered in later micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    val sess = Streaming.sessionizeStream(
+      input.toDF().toDF("user_id", "event_id", "ts", "value"))
+    val q = sess.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_ooo").start()
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    def emitted() = spark.table("sess_ooo").as[SessionOut].collect().toSet
+
+    // batch 1: open session [10:00, 10:20]; watermark advances to 09:50
+    input.addData((7L, 1L, ts(10, 0), 1.0), (7L, 2L, ts(10, 20), 2.0))
+    q.processAllAvailable()
+    assert(emitted().isEmpty)
+
+    // batch 2: late but above-watermark arrivals — 09:55 is EARLIER than
+    // the open session's start (widens it backwards), 10:10 fills the
+    // middle; both must merge instead of opening a phantom session
+    input.addData((7L, 3L, ts(9, 55), 4.0), (7L, 4L, ts(10, 10), 8.0))
+    q.processAllAvailable()
+    assert(emitted().isEmpty)
+
+    // batch 3: 13:00 exceeds the gap → session 1 closes with the merged
+    // bounds and all four values
+    input.addData((7L, 5L, ts(13, 0), 16.0))
+    q.processAllAvailable()
+    val streamed = emitted()
+    assert(streamed == Set(SessionOut(7L, 1L, 4L, "2026-01-01 09:55:00", 15.0)))
+    q.stop()
+
+    // batch parity: the same five events through the batch lag-window
+    // recipe (rel_sessionize) produce the identical closed-session row
+    val batch = Seq(
+      (7L, 1L, ts(10, 0), 1.0), (7L, 2L, ts(10, 20), 2.0),
+      (7L, 3L, ts(9, 55), 4.0), (7L, 4L, ts(10, 10), 8.0),
+      (7L, 5L, ts(13, 0), 16.0)).toDF("user_id", "event_id", "ts", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batchSessions = batch
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        sum(col("value")).as("session_value"))
+      .as[SessionOut].collect().toSet
+    // session 2 (13:00) is still open in the stream — compare the closed one
+    assert(batchSessions.filter(_.session_id == 1L) == streamed)
+  }
+
   test("watermarked tumbling-window aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]

@@ -39,6 +39,7 @@ class MetricsSpec extends AnyFunSuite {
     val trav0 = em.graphTraversalNanos.value
     val cand0 = em.sealedCandidates.value
     val segs0 = em.sealedSegmentsSearched.value
+    val adcHist0 = HistogramAccumulator.total(em.adcScanHist.value)
 
     val queries = df.filter(col("id") < 4)
       .select(col("id").as("queryId"), col("embedding").as("qv"))
@@ -60,5 +61,37 @@ class MetricsSpec extends AnyFunSuite {
     val merge = om.collectFirst { case (k, v) if k.startsWith("graft_topk_merge") => v }
     assert(rerank.exists(_.getLong(0) > 0))
     assert(merge.exists(_.getLong(0) == 20L))
+
+    // per-invocation distributions: one observation per (query, segment)
+    // kernel call, percentile extraction works and is monotone
+    assert(HistogramAccumulator.total(em.adcScanHist.value) - adcHist0 ==
+      em.sealedSegmentsSearched.value - segs0)
+    val p50 = em.adcScanPercentileNanos(0.5)
+    val p99 = em.adcScanPercentileNanos(0.99)
+    assert(p50 > 0L && p99 >= p50)
+    assert(em.graphTraversalPercentileNanos(0.99) >=
+      em.graphTraversalPercentileNanos(0.5))
+    assert(em.candidatesPercentile(1.0) >= em.candidatesPercentile(0.5))
+  }
+
+  test("histogram percentile extraction: known distribution, bounded state") {
+    val h = new HistogramAccumulator
+    // 90 fast observations (~1 µs) + 10 slow (~1 ms): p50 must sit in the
+    // fast band, p95+ in the slow band, with the 2× bucket-edge bound
+    (1 to 90).foreach(_ => h.add(1000L))
+    (1 to 10).foreach(_ => h.add(1000000L))
+    val v = h.value
+    assert(HistogramAccumulator.total(v) == 100L)
+    val p50 = HistogramAccumulator.percentile(v, 0.5)
+    val p95 = HistogramAccumulator.percentile(v, 0.95)
+    assert(p50 >= 1000L && p50 < 2048L)
+    assert(p95 >= 1000000L && p95 < 2097152L)
+    // merge is element-wise; copy is independent state
+    val h2 = h.copy()
+    h2.merge(h)
+    assert(HistogramAccumulator.total(h2.value) == 200L)
+    assert(HistogramAccumulator.total(h.value) == 100L)
+    // empty histogram yields 0
+    assert(HistogramAccumulator.percentile(new HistogramAccumulator().value, 0.99) == 0L)
   }
 }
