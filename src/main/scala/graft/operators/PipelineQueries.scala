@@ -114,6 +114,22 @@ object PipelineQueries {
       Dedup.duplicateClusters(pairs).orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination: training docs whose word-trigram overlap
+    // with a held-out eval slice (every 37th doc plays the benchmark)
+    // reaches 50% — the pre-training hygiene step that keeps eval text
+    // out of the corpus. Equi-join on the native shingle hashes, never a
+    // corpus × bench cross join; overlap is an integer-ratio double
+    // (bit-exact in any engine). Self-pairs (overlap 1.0) are the planted
+    // verbatim contaminations.
+    "pipeline_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      graft.pipeline.Decontaminate.ngramOverlap(
+          d, "doc_id", "text", bench, "bench_id", "text", minOverlap = 0.5)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // Embedding-cosine near-dup pairs, exact — full-precision oracle. The
     // quadratic cross join is the documented bounded verification oracle,
     // so the registered input is CAPPED (vec_id < 1000); unbounded corpora
@@ -367,6 +383,32 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash" -> jaccardPairsSql,
+
+    // same tokenize → distinct-trigram pattern as the jaccard body, but
+    // over plain documents; the engine joins on 64-bit shingle hashes,
+    // the oracle on the shingle strings themselves (same equivalence the
+    // minhash gate already relies on)
+    "pipeline_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS s
+        |  FROM toks),
+        |bsh AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 37 = 0),
+        |bsizes AS (SELECT bench_id, count(*) AS n FROM bsh GROUP BY bench_id),
+        |inter AS (
+        |  SELECT cs.doc_id, b.bench_id, count(*) AS c
+        |  FROM sh cs JOIN bsh b ON cs.s = b.s
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_id, i.bench_id, i.c * 1.0 / bs.n AS overlap
+        |FROM inter i JOIN bsizes bs ON bs.bench_id = i.bench_id
+        |WHERE i.c * 1.0 / bs.n >= 0.5
+        |ORDER BY i.doc_id, i.bench_id""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairsBody,

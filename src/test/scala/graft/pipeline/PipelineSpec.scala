@@ -90,6 +90,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(g => (g._1, g._2)).toSet == exact)
   }
 
+  test("decontamination: verbatim bench docs hit overlap 1.0; df-cap only drops, never invents") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val exact = Decontaminate.ngramOverlap(
+      d, "doc_id", "text", bench, "bench_id", "text", minOverlap = 0.5)
+      .as[(Long, Long, Double)].collect()
+    // every bench doc is verbatim in the corpus → a self-pair at 1.0
+    val selfPairs = exact.filter(p => p._1 == p._2)
+    assert(selfPairs.nonEmpty && selfPairs.forall(_._3 == 1.0))
+    assert(selfPairs.length == bench.count())
+
+    // df-capped run: a subset of the exact pairs with overlap never higher
+    // (shingles are dropped from the join, denominators stay full)
+    val capped = Decontaminate.ngramOverlap(
+      d, "doc_id", "text", bench, "bench_id", "text", minOverlap = 0.5,
+      maxBenchShingleDf = 2)
+      .as[(Long, Long, Double)].collect()
+    val exactByPair = exact.map(p => (p._1, p._2) -> p._3).toMap
+    capped.foreach { case (a, b, ov) =>
+      assert(exactByPair.contains((a, b)), s"df-cap invented pair ($a,$b)")
+      assert(ov <= exactByPair((a, b)) + 1e-12)
+    }
+  }
+
   test("exact dedup groups identical normalized texts") {
     val d = docs.select("doc_id", "text")
     val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
