@@ -166,6 +166,62 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Gopher-style repetition quality signals in ONE pass over the text:
+  * STRUCT(dup_line_ratio DOUBLE, top_bigram_ratio DOUBLE).
+  *
+  *  - dup_line_ratio: fraction of non-empty trimmed lines that repeat an
+  *    earlier line — boilerplate/navigation detection;
+  *  - top_bigram_ratio: fraction of the doc's word-bigrams taken by its
+  *    single most frequent bigram — loop/babble detection.
+  *
+  * Both are integer-ratio doubles (bit-exact across engines, no
+  * rounding). Line trimming strips exactly ' ', '\t', '\r' so DuckDB's
+  * `trim(l, ' \t\r')` reproduces it byte-for-byte (Java's String.trim
+  * strips all control chars ≤ U+0020 — NOT cross-engine-stable). */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_line_ratio", DoubleType, nullable = false),
+    StructField("top_bigram_ratio", DoubleType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  private def trimLight(s: String): String = {
+    var a = 0
+    var b = s.length
+    def soft(c: Char) = c == ' ' || c == '\t' || c == '\r'
+    while (a < b && soft(s.charAt(a))) a += 1
+    while (b > a && soft(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val lines = u.toString.split("\n", -1).map(trimLight).filter(_.nonEmpty)
+    val dupLine =
+      if (lines.isEmpty) 0.0
+      else (lines.length - lines.distinct.length).toDouble / lines.length
+    val toks = TextKernels.tokenize(u)
+    val topBigram =
+      if (toks.length < 2) 0.0
+      else {
+        val counts = new java.util.HashMap[String, Integer]()
+        var max = 0
+        var i = 0
+        while (i < toks.length - 1) {
+          val c = counts.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+          if (c > max) max = c
+          i += 1
+        }
+        max.toDouble / (toks.length - 1)
+      }
+    InternalRow(dupLine, topBigram)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points. */
 object text {
   def shingle_hashes(c: Column, k: Int): Column =
@@ -176,4 +232,6 @@ object text {
     SparkShims.column(MinHashSignatureExpr(SparkShims.expression(c), params))
   def simhash64(c: Column): Column =
     SparkShims.column(SimHash64Expr(SparkShims.expression(c)))
+  def repetition_stats(c: Column): Column =
+    SparkShims.column(RepetitionStatsExpr(SparkShims.expression(c)))
 }

@@ -53,6 +53,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition quality signals (duplicate-line fraction,
+    // top-bigram mass) — one native expression pass; ratios are
+    // integer-ratio doubles emitted at full precision.
+    "text_repetition" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("rep"))
+        .select(col("doc_id"),
+          col("rep.dup_line_ratio").as("dup_line_ratio"),
+          col("rep.top_bigram_ratio").as("top_bigram_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID heuristic (script ranges + stopword voting), per-doc:
     // the vote argmax with its (votes desc, lang desc) tie-break is
     // replicated in SQL via greatest() + an ordered CASE, so every
@@ -383,6 +395,34 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash" -> jaccardPairsSql,
+
+    "text_repetition" ->
+      """WITH lines AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '\n'),
+        |      l -> trim(l, ' ' || chr(9) || chr(13))), l -> len(l) > 0) AS ls
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS g
+        |  FROM toks WHERE len(tk) >= 2),
+        |top AS (
+        |  SELECT doc_id, max(c) AS mx
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN len(l.ls) = 0 THEN 0.0
+        |       ELSE (len(l.ls) - len(list_distinct(l.ls))) * 1.0 / len(l.ls) END AS dup_line_ratio,
+        |  coalesce(t.mx * 1.0 / (len(k.tk) - 1), 0.0) AS top_bigram_ratio
+        |FROM documents d
+        |JOIN lines l ON l.doc_id = d.doc_id
+        |JOIN toks k ON k.doc_id = d.doc_id
+        |LEFT JOIN top t ON t.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same tokenize → distinct-trigram pattern as the jaccard body, but
     // over plain documents; the engine joins on 64-bit shingle hashes,

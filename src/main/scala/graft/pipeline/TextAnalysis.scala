@@ -95,6 +95,14 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  /** Gopher-style repetition signals (one native pass,
+    * graft.functions.RepetitionStatsExpr): STRUCT(dup_line_ratio,
+    * top_bigram_ratio) — duplicate-line fraction for boilerplate, top
+    * single-bigram mass for loops/babble. Integer-ratio doubles, so
+    * SQL-oracle-checkable at full precision. */
+  def repetitionStats(text: Column): Column =
+    graft.functions.text.repetition_stats(text)
+
   // --- fingerprinting ------------------------------------------------------
 
   /** Content fingerprint: md5 of the whitespace-normalized lowercased text

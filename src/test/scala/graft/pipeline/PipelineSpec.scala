@@ -90,6 +90,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(g => (g._1, g._2)).toSet == exact)
   }
 
+  test("repetition stats: planted boilerplate and loops score high, clean prose low") {
+    val rows = Seq(
+      (1L, "menu\nhome\nmenu\nhome\nmenu"),                 // 3 dup lines of 5
+      (2L, "buy now buy now buy now buy now"),              // one bigram loops
+      (3L, "the quick brown fox jumps over the lazy dog"),  // clean
+      (4L, ""), (5L, "single")                              // degenerate
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        TextAnalysis.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.dup_line_ratio"), col("r.top_bigram_ratio"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 3.0 / 5.0)
+    // "buy now"×4 + "now buy"×3 of 7 bigrams
+    assert(out(2L)._2 == 4.0 / 7.0)
+    assert(out(3L)._1 == 0.0 && out(3L)._2 == 1.0 / 8.0) // 8 distinct bigrams, max count 1
+    assert(out(4L) == ((0.0, 0.0)) && out(5L) == ((0.0, 0.0)))
+  }
+
   test("decontamination: verbatim bench docs hit overlap 1.0; df-cap only drops, never invents") {
     val d = docs.select(col("doc_id"), col("text"))
     val bench = d.filter(col("doc_id") % 37 === 0)
