@@ -93,7 +93,7 @@ object RelationalQueries {
       val w = Window.partitionBy(col("p_brand"))
         .orderBy(col("p_retailprice").desc, col("p_partkey"))
       t(s, dir, "part")
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rnk"))
         .orderBy(col("p_brand"), col("rnk"))

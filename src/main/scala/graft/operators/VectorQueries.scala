@@ -157,7 +157,7 @@ object VectorQueries {
       val w = Window.partitionBy(col("query_id")).orderBy(col("l2sq"), col("vec_id"))
       e.crossJoin(broadcast(q))
         .withColumn("l2sq", vector.l2_squared(col("embedding"), col("qv")))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("l2sq"))
         .orderBy(col("query_id"), col("rnk"))
@@ -172,7 +172,7 @@ object VectorQueries {
         .orderBy(col("score").desc, col("vec_id"))
       e.crossJoin(broadcast(q))
         .withColumn("score", vector.cosine_sim(col("embedding"), col("qv")))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
           col("score"), (lit(1.0) - col("score")).as("distance"))
@@ -266,7 +266,7 @@ object VectorQueries {
       val queries = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
       Search.query(s, store, queries, 10)
-        .select(col("queryId"), col("gid"), col("rank"), col("distance"))
+        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
         .orderBy(col("queryId"), col("rank"))
     }),
 
@@ -280,7 +280,7 @@ object VectorQueries {
       val params = graft.core.SearchParams.defaults(10, 4)
         .copy(mode = graft.core.SearchMode.Beam)
       Search.query(s, store, queries, 10, Some(params))
-        .select(col("queryId"), col("gid"), col("rank"), col("distance"))
+        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
         .orderBy(col("queryId"), col("rank"))
     }),
 
@@ -304,7 +304,7 @@ object VectorQueries {
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
       Search.query(s, store, queries, 10)
-        .select(col("queryId"), col("gid"), col("rank"), col("distance"))
+        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
         .orderBy(col("queryId"), col("rank"))
     })
   )
@@ -354,7 +354,7 @@ object VectorQueries {
       s"""SELECT w.gid,
          |  coalesce(CAST(e.vec_id // $Cap AS INTEGER), -1) AS segId,
          |  coalesce(CAST(e.vec_id % $Cap AS INTEGER), -1) AS vecId
-         |FROM (VALUES (0), (5), (123), (999999)) AS w(gid)
+         |FROM (VALUES (CAST(0 AS BIGINT)), (5), (123), (999999)) AS w(gid)
          |LEFT JOIN embeddings e ON e.vec_id = w.gid
          |ORDER BY w.gid""".stripMargin,
 

@@ -94,7 +94,7 @@ object Ann {
     val w = Window.partitionBy(col("queryId")).orderBy(col("cosine").desc, col(idCol))
     index.join(broadcast(probeRows), Seq("cluster"))
       .withColumn("cosine", vector.cosine_sim(col(embCol), col("qv")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
@@ -112,7 +112,7 @@ object Ann {
     val w = Window.partitionBy(col("queryId")).orderBy(col("cosine").desc, col(idCol))
     df.crossJoin(broadcast(q))
       .withColumn("cosine", vector.cosine_sim(col(embCol), col("qv")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
