@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.SparkShims
 import org.apache.spark.sql.types._
@@ -241,6 +241,69 @@ case class PqAdcDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/**
+ * Symmetric per-vector int8 quantization stats in ONE pass:
+ * STRUCT(scale, codes_sum, codes_l1, max_abs_err, mse).
+ *
+ * scale = max|x| / 127; code_i = floor(x_i/scale + 0.5) ∈ [-127, 127];
+ * errors measured against the dequantized values. A single expression —
+ * not composed built-ins — because the shared `scale` subexpression would
+ * be inlined into every element lambda by CollapseProject (O(dim²) work
+ * per row). Every operation (float→double cast, max, divide, floor,
+ * multiply-subtract, index-order sum) is IEEE-identical in DuckDB list
+ * lambdas, so the stats are SQL-oracle-checkable at full precision.
+ * Zero vectors yield scale 0 and all-zero stats.
+ */
+case class Int8QuantStatsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def inputTypes: Seq[SparkShims.AbstractType] =
+    SparkShims.abstractTypes(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes_sum", LongType, nullable = false),
+    StructField("codes_l1", LongType, nullable = false),
+    StructField("max_abs_err", DoubleType, nullable = false),
+    StructField("mse", DoubleType, nullable = false)))
+  override def prettyName: String = "int8_quant_stats"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > m) m = v
+      i += 1
+    }
+    if (m == 0.0 || n == 0) InternalRow(0.0, 0L, 0L, 0.0, 0.0)
+    else {
+      val scale = m / 127.0
+      var sum = 0L
+      var l1 = 0L
+      var maxErr = 0.0
+      var sq = 0.0
+      i = 0
+      while (i < n) {
+        val v = x.getFloat(i).toDouble
+        val q = math.floor(v / scale + 0.5).toLong
+        val e = v - q * scale
+        val ae = math.abs(e)
+        if (ae > maxErr) maxErr = ae
+        sq += e * e
+        sum += q
+        l1 += math.abs(q)
+        i += 1
+      }
+      InternalRow(scale, sum, l1, maxErr, sq / n)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Column-API entry points for the native expressions. */
 object vector {
   private def col(e: Expression): Column = SparkShims.column(e)
@@ -254,4 +317,5 @@ object vector {
   def vec_norm(a: Column): Column = col(VectorNorm(expr(a)))
   def pq_adc_distance(lut: Column, code: Column): Column =
     col(PqAdcDistance(expr(lut), expr(code)))
+  def int8_quant_stats(a: Column): Column = col(Int8QuantStatsExpr(expr(a)))
 }

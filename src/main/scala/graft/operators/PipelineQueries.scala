@@ -126,6 +126,22 @@ object PipelineQueries {
       Dedup.duplicateClusters(pairs).orderBy(col("doc_id"))
     }),
 
+    // Int8 embedding quantization (symmetric, per-vector scale): the 4×
+    // storage-shrink step for the embedding channel, one native pass
+    // (scale composed from built-ins would inline the max-reduction into
+    // every element lambda). Stats are IEEE-identical in DuckDB list
+    // lambdas — checked at full precision, no rounding anywhere.
+    "pipeline_embed_quantize" -> ((s, dir) => {
+      emb(s, dir)
+        .select(col("vec_id"),
+          graft.functions.vector.int8_quant_stats(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q.scale").as("scale"),
+          col("q.codes_sum").as("codes_sum"), col("q.codes_l1").as("codes_l1"),
+          col("q.max_abs_err").as("max_abs_err"), col("q.mse").as("mse"))
+        .filter(col("scale") > 0)
+        .orderBy(col("vec_id"))
+    }),
+
     // Benchmark decontamination: training docs whose word-trigram overlap
     // with a held-out eval slice (every 37th doc plays the benchmark)
     // reaches 50% — the pre-training hygiene step that keeps eval text
@@ -428,6 +444,25 @@ object PipelineQueries {
     // over plain documents; the engine joins on 64-bit shingle hashes,
     // the oracle on the shingle strings themselves (same equivalence the
     // minhash gate already relies on)
+    "pipeline_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, scale, len(embedding) AS n,
+        |    list_transform(embedding,
+        |      x -> floor(CAST(x AS DOUBLE) / scale + 0.5)) AS codes,
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale) AS errs
+        |  FROM q WHERE scale > 0)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS codes_sum,
+        |  CAST(list_sum(list_transform(codes, v -> abs(v))) AS BIGINT) AS codes_l1,
+        |  list_max(list_transform(errs, e -> abs(e))) AS max_abs_err,
+        |  list_sum(list_transform(errs, e -> e * e)) / n AS mse
+        |FROM c ORDER BY vec_id""".stripMargin,
+
     "pipeline_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,

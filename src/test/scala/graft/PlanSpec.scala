@@ -71,6 +71,13 @@ class PlanSpec extends AnyFunSuite {
     assert(distincts.forall(l => !l.contains("emb")))
   }
 
+  test("decontamination matches via a shingle-hash equi-join with the bench side broadcast") {
+    val p = plan("pipeline_decontaminate")
+    assert(p.contains("shingle_hashes")) // native one-pass tokenizer
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin")) // tiny bench side broadcasts
+  }
+
   test("minhash signatures come from the native expressions, not lambda trees") {
     val p = plan("dedup_minhash")
     assert(p.contains("shingle_hashes"))

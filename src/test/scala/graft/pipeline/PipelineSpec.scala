@@ -90,6 +90,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(g => (g._1, g._2)).toSet == exact)
   }
 
+  test("int8 quantization: max error bounded by scale/2, codes reconstruct the extremes") {
+    val out = embeddings.select(col("vec_id"),
+        graft.functions.vector.int8_quant_stats(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q.scale"), col("q.codes_l1"),
+        col("q.max_abs_err"), col("q.mse"))
+      .as[(Long, Double, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, scale, l1, maxErr, mse) =>
+      assert(scale > 0.0, s"vec $id degenerate scale")
+      // rounding to the nearest code can miss by at most half a step
+      assert(maxErr <= scale / 2 + 1e-12, s"vec $id maxErr $maxErr > scale/2 $scale")
+      assert(mse <= maxErr * maxErr + 1e-12)
+      // the max-|x| element maps to ±127 exactly, so l1 ≥ 127
+      assert(l1 >= 127L)
+    }
+    // zero vector → all-zero stats (the guard path)
+    val z = Seq((0L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+      .select(graft.functions.vector.int8_quant_stats(col("embedding")).as("q"))
+      .select(col("q.scale"), col("q.codes_sum"), col("q.max_abs_err"))
+      .as[(Double, Long, Double)].head()
+    assert(z == ((0.0, 0L, 0.0)))
+  }
+
   test("repetition stats: planted boilerplate and loops score high, clean prose low") {
     val rows = Seq(
       (1L, "menu\nhome\nmenu\nhome\nmenu"),                 // 3 dup lines of 5
