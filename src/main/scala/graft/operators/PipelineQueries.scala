@@ -22,6 +22,11 @@ import graft.pipeline.{Ann, Dedup, Multimodal, Packing, Sampling, TextAnalysis}
  */
 object PipelineQueries {
 
+  /** memory-sink names must be unique per invocation; only the latest
+    * temp view is retained (mirrors RelationalQueries' stream plumbing). */
+  private val dedupRunId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastDedupView = new java.util.concurrent.atomic.AtomicReference[String](null)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -124,6 +129,33 @@ object PipelineQueries {
     "dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minHashNearDuplicates(corpusNear(s, dir), "doc_id", "text", threshold = 0.5)
       Dedup.duplicateClusters(pairs).orderBy(col("doc_id"))
+    }),
+
+    // Streaming exact dedup drained over the documents table with planted
+    // exact duplicates (every 10th doc re-emitted in-stream at
+    // doc_id+100000): WHICH row of a same-fingerprint group survives is
+    // arrival-order-dependent, but HOW MANY survive is not — the drained
+    // survivor count must equal the batch distinct-fingerprint count.
+    "stream_dedup_survivors" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("text"),
+          explode(when(col("doc_id") % 10 === 0, array(lit(0L), lit(100000L)))
+            .otherwise(array(lit(0L)))).as("shift"))
+        .select((col("doc_id") + col("shift")).as("doc_id"), col("text"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"))
+      val deduped = graft.streaming.Streaming
+        .streamingExactDedup(stream, "doc_id", "text")
+        .select(col("doc_id"), col("fingerprint"))
+      val name = s"stream_dedup_${dedupRunId.incrementAndGet()}"
+      Option(lastDedupView.getAndSet(name))
+        .foreach(prev => s.catalog.dropTempView(prev))
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).agg(count(lit(1)).as("n_survivors"))
     }),
 
     // Int8 embedding quantization (symmetric, per-vector scale): the 4×
@@ -444,6 +476,15 @@ object PipelineQueries {
     // over plain documents; the engine joins on 64-bit shingle hashes,
     // the oracle on the shingle strings themselves (same equivalence the
     // minhash gate already relies on)
+    "stream_dedup_survivors" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT CAST(count(DISTINCT
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_survivors
+        |FROM corpus""".stripMargin,
+
     "pipeline_embed_quantize" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,

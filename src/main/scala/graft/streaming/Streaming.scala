@@ -29,6 +29,35 @@ final case class SessionOut(
 object Streaming {
 
   /**
+   * Streaming exact dedup over a document stream: keep the FIRST arrival
+   * of each normalized-content fingerprint, drop every later duplicate —
+   * the streaming counterpart of `Dedup.exactDuplicates` for ingest-time
+   * corpus hygiene (batch dedup picks a canonical survivor after the
+   * fact; a stream must decide per event).
+   *
+   * State/scale story: `dropDuplicatesWithinWatermark` keys state on the
+   * 128-bit fingerprint only (not the text) and evicts entries once the
+   * watermark passes their event time + the deduplication horizon, so
+   * state is bounded by the horizon's fingerprint cardinality, not by all
+   * documents ever seen. Duplicates delivered farther apart than the
+   * horizon pass through — the same bounded-memory trade every streaming
+   * dedup makes; run the batch operator downstream for full-corpus
+   * guarantees.
+   *
+   * `docs` columns: `idCol`, `textCol`, `ts` TIMESTAMP (event time).
+   */
+  def streamingExactDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("fingerprint",
+        graft.pipeline.TextAnalysis.contentFingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /**
    * Continuous vector ingest (T1): every micro-batch appends to the index
    * with strict-cap rotation; full segments seal inline (the "build
    * worker"). `awaitIndexingComplete` (T4) ≙ processAllAvailable.

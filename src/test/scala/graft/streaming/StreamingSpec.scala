@@ -166,6 +166,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchSessions.filter(_.session_id == 1L) == streamed)
   }
 
+  test("streaming exact dedup keeps first arrivals, drops cross-batch duplicates within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val deduped = Streaming.streamingExactDedup(
+      input.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text")
+    val q = deduped.select(col("doc_id")).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_stream").start()
+
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    def kept() = spark.table("dedup_stream").as[Long].collect().toSet
+
+    // batch 1: two distinct docs + an in-batch duplicate (same text,
+    // different whitespace/case — the normalized fingerprint matches)
+    input.addData((1L, "Alpha beta gamma", ts(0)), (2L, "delta epsilon", ts(1)),
+      (3L, "alpha  BETA gamma", ts(2)))
+    q.processAllAvailable()
+    assert(kept() == Set(1L, 2L))
+
+    // batch 2: a cross-batch duplicate of doc 1 within the horizon is
+    // dropped; a genuinely new doc passes
+    input.addData((4L, "ALPHA beta GAMMA", ts(5)), (5L, "zeta eta theta", ts(6)))
+    q.processAllAvailable()
+    assert(kept() == Set(1L, 2L, 5L))
+    q.stop()
+  }
+
   test("watermarked tumbling-window aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
