@@ -76,6 +76,16 @@ final class IndexStore(val path: String) {
   def readManifest(): Manifest =
     mapper.readValue(Files.readAllBytes(Paths.get(manifestPath)), classOf[Manifest])
 
+  /** Content hash of the committed manifest — the cache-invalidation key
+    * for per-process reuse of sealed-search inputs. Every mutation
+    * (seal, delete, vacuum, compaction, ingest) commits a new manifest
+    * through the atomic rename, so a changed index always changes this. */
+  def manifestVersion(): String = {
+    val bytes = Files.readAllBytes(Paths.get(manifestPath))
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    d.map("%02x".format(_)).mkString
+  }
+
   /** Commit the manifest atomically: temp file + rename. */
   def writeManifest(m: Manifest): Unit = {
     Files.createDirectories(Paths.get(path))

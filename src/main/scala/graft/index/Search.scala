@@ -47,6 +47,53 @@ object Search {
     * combined (union across indexes, different k) in a single action. */
   private val observeId = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Per-process reuse of sealed-search inputs across query calls — the
+    * Spark analog of the reference's TTL'd segment caches
+    * (SegmentCaches.java:37-129), with the block manager playing
+    * Caffeine. Caches ONLY the compressed representations built to be
+    * cached — PQ codes, adjacency, codebooks — never raw vectors (the
+    * reference caches exactly the same two tables). Keyed by the
+    * manifest content hash: every mutation commits a new manifest, so a
+    * changed index invalidates on the next call and the stale persisted
+    * blocks are released. Entries keep full lineage (persist, not
+    * checkpoint), so memory-pressure eviction degrades to a re-scan,
+    * never an error. */
+  private final case class CachedInputs(
+      version: String,
+      payload: org.apache.spark.sql.Dataset[SegPayloadRow],
+      codebooks: org.apache.spark.sql.Dataset[CodebookRow])
+  private val inputCache = mutable.HashMap.empty[String, CachedInputs]
+
+  private def sealedInputs(
+      spark: SparkSession,
+      store: IndexStore,
+      sealedSegs: Seq[Int]): (org.apache.spark.sql.Dataset[SegPayloadRow],
+        org.apache.spark.sql.Dataset[CodebookRow]) = inputCache.synchronized {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val version = store.manifestVersion()
+    inputCache.get(store.path) match {
+      case Some(e) if e.version == version => (e.payload, e.codebooks)
+      case stale =>
+        stale.foreach { e =>
+          e.payload.unpersist(blocking = false)
+          e.codebooks.unpersist(blocking = false)
+        }
+        val cb = store.readCodebooks(spark)
+          .filter(col("segId").isin(sealedSegs: _*)).as[CodebookRow]
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val payload = store.readCodes(spark)
+          .filter(col("segId").isin(sealedSegs: _*)).as[CodeRow]
+          .map(c => SegPayloadRow(c.segId, c.vecId, c.code, null))
+          .unionByName(store.readGraph(spark)
+            .filter(col("segId").isin(sealedSegs: _*)).as[GraphRow]
+            .map(g => SegPayloadRow(g.segId, g.vecId, null, g.neighbors)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        inputCache.put(store.path, CachedInputs(version, payload, cb))
+        (payload, cb)
+    }
+  }
+
   /** queriesDf columns: (queryId LONG, qv ARRAY<FLOAT>).
     * Returns (queryId, gid, score, distance, payload, rank).
     * `useAggregatorMerge` selects the bounded-heap top-k merge (default,
@@ -112,16 +159,9 @@ object Search {
         // hold ~8 GB per query call. Instead the codebooks table (one row
         // per segment) rides its own tiny shuffle keyed by segId into the
         // same cogroup that already co-locates codes+graph.
-        val cbK = store.readCodebooks(spark)
-          .filter(col("segId").isin(sealedSegs: _*)).as[CodebookRow]
-          .groupByKey(_.segId)
-        val payloadK = store.readCodes(spark)
-          .filter(col("segId").isin(sealedSegs: _*)).as[CodeRow]
-          .map(c => SegPayloadRow(c.segId, c.vecId, c.code, null))
-          .unionByName(store.readGraph(spark)
-            .filter(col("segId").isin(sealedSegs: _*)).as[GraphRow]
-            .map(g => SegPayloadRow(g.segId, g.vecId, null, g.neighbors)))
-          .groupByKey(_.segId)
+        val (payload, cbs) = sealedInputs(spark, store, sealedSegs)
+        val cbK = cbs.groupByKey(_.segId)
+        val payloadK = payload.groupByKey(_.segId)
 
         // codebook side first (left) — one row, read before the bulk stream
         val candidates = cbK.cogroup(payloadK) { (segId, cbs, rows) =>

@@ -45,6 +45,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"))
   }
 
+  test("repeated sealed queries reuse cached codes/graph inputs (block manager as SegmentCaches)") {
+    // first call populates the per-manifest-version cache; this (repeat)
+    // call must read codes+graph from InMemoryTableScan, not parquet
+    SparkEntry.queries("vec_knn_sealed")(spark, dir).count()
+    val p = plan("vec_knn_sealed")
+    assert(p.contains("InMemoryTableScan"))
+  }
+
   test("sealed KNN loads codebooks per-segment in the plan, not via driver collect") {
     // codebooks must appear as a distributed parquet scan feeding the
     // segment cogroup (one ~786 KB row per segment at production shape);
