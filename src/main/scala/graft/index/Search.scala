@@ -62,7 +62,10 @@ object Search {
       version: String,
       payload: org.apache.spark.sql.Dataset[SegPayloadRow],
       codebooks: org.apache.spark.sql.Dataset[CodebookRow])
-  private val inputCache = mutable.HashMap.empty[String, CachedInputs]
+  /** Insertion-ordered so overflow evicts the longest-resident store —
+    * bounds a long-lived service querying many ephemeral indexes. */
+  private val inputCache = mutable.LinkedHashMap.empty[String, CachedInputs]
+  private val MaxCachedStores = 64
 
   private def sealedInputs(
       spark: SparkSession,
@@ -90,6 +93,12 @@ object Search {
             .map(g => SegPayloadRow(g.segId, g.vecId, null, g.neighbors)))
           .persist(StorageLevel.MEMORY_AND_DISK)
         inputCache.put(store.path, CachedInputs(version, payload, cb))
+        while (inputCache.size > MaxCachedStores) {
+          val (oldPath, old) = inputCache.head
+          old.payload.unpersist(blocking = false)
+          old.codebooks.unpersist(blocking = false)
+          inputCache.remove(oldPath)
+        }
         (payload, cb)
     }
   }

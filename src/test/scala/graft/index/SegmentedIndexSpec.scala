@@ -178,6 +178,36 @@ class SegmentedIndexSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@10 = $recall < 0.9 (n=1000)")
   }
 
+  test("40-segment fan-out: sealed results exact-match brute force at recall-1.0 config") {
+    // high segment fan-out exercises the cogroup + per-segment cap +
+    // bounded-heap global merge at 5-20x the segment counts other suites
+    // reach; ef 160 >> 50-row segments pins recall at 1.0, so the result
+    // must EQUAL exact KNN row-for-row, not just overlap it
+    val dim = 8
+    val idx = tempIndex(IndexMeta("t40", dimension = dim, maxSegmentSize = 50,
+      pqM = 4, pqK = 16, graphDegree = 8, graphBuildBreadth = 32, graphAlpha = 1.2,
+      oversample = 4))
+    val data = gaussianDf(2000, dim, 7).cache()
+    idx.addAll(data, "embedding", "id")
+    idx.sealPending()
+    val m = idx.manifest
+    assert(m.segments.count(_.state == SegmentState.Sealed) == 40)
+
+    val k = 5
+    val queries = data.filter(col("id") < 8)
+      .select(col("id").as("queryId"), col("embedding").as("qv"))
+    val got = Search.query(spark, idx.store, queries, k)
+      .select("queryId", "gid", "rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    val all = data.select("id", "embedding").as[(Long, Array[Float])].collect()
+    all.filter(_._1 < 8).foreach { case (qid, qv) =>
+      val expect = all.sortBy { case (gid, v) => (Distances.l2Squared(qv, v), gid) }
+        .take(k).map(_._1).toSeq
+      assert(got(qid) == expect, s"query $qid: ${got(qid)} != $expect")
+    }
+  }
+
   test("aggregator merge and window merge return identical top-k") {
     val dim = 8
     val idx = tempIndex(IndexMeta("tm", dimension = dim, maxSegmentSize = 60,
