@@ -284,6 +284,36 @@ object VectorQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // M3/M4 through the sealed path: one maintenance sweep runs BOTH
+    // phases — vacuum physically removes seg 0's tombstones (ratio 0.67 >
+    // 0.25), leaving it under half-full (33 < 50, the compaction anchor);
+    // seg 1 sits at 20% deletion (below the vacuum ratio), so the picked
+    // set {0, 1} carries avgFrag 0.15 ≥ 0.1 and compacts gid-stably into
+    // a fresh segment, dropping seg 1's tombstones during the copy.
+    // Query results must STILL equal exact KNN over the survivors —
+    // physical rewrite changes storage, never answers. (MaintenanceSpec
+    // asserts this exact sweep reports 1 vacuum + 1 compaction.)
+    "vec_knn_post_vacuum" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-post-vac").toString
+      tempStores.synchronized { tempStores += tmp }
+      val store = new IndexStore(tmp)
+      val e = emb(s, dir).filter(col("vec_id") < 300)
+      val dim = e.select(size(col("embedding"))).first().getInt(0)
+      store.createOrOpen(IndexMeta("post_vac", dimension = dim, maxSegmentSize = 100,
+        pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
+        oversample = 4), System.currentTimeMillis())
+      val idx = new SegmentedIndex(s, store)
+      idx.addAll(e, "embedding", "vec_id")
+      idx.sealPending()
+      idx.delete((0L until 100L).filter(_ % 3 != 0) ++ (100L until 200L).filter(_ % 5 == 0))
+      new graft.maintenance.Maintenance(idx).sweep(nowMs = System.currentTimeMillis() + 3600_000L)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+      Search.query(s, store, queries, 10)
+        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
     // F1/M1 through the sealed path: tombstoned rows must vanish from
     // sealed-segment results at the rerank. Fresh 3×100-row index over a
     // bounded slice (identical at every sf), every 7th gid deleted; the
@@ -441,6 +471,24 @@ object VectorQueries {
     "vec_knn_sealed" -> sealedKnnOracle,
 
     "vec_knn_sealed_beam" -> sealedKnnOracle,
+
+    "vec_knn_post_vacuum" ->
+      s"""WITH g AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS gid, embedding
+         |  FROM embeddings WHERE vec_id < 300),
+         |live AS (SELECT * FROM g WHERE NOT (
+         |  (gid < 100 AND gid % 3 <> 0) OR
+         |  (gid >= 100 AND gid < 200 AND gid % 5 = 0))),
+         |q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         |SELECT queryId, gid, rnk AS "rank", dist AS distance FROM (
+         |  SELECT q.queryId, g.gid,
+         |    sqrt(${l2sqL("g.embedding", "q.qv")}) AS dist,
+         |    row_number() OVER (PARTITION BY q.queryId
+         |                       ORDER BY ${l2sqL("g.embedding", "q.qv")}, g.gid) AS rnk
+         |  FROM live g, q) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
 
     "vec_knn_sealed_deleted" ->
       s"""WITH g AS (

@@ -151,6 +151,28 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(resolved(5L)._1 == 3 && resolved(3L) == (-1, -1))
   }
 
+  test("sweep chains vacuum into compaction when a fragmented neighbor joins the set") {
+    // the vec_knn_post_vacuum gate scenario at unit scale: seg 0 deleted
+    // 2/3 (vacuumed → under-half anchor, frag resets to 0), seg 1 at 20%
+    // deletion (below the vacuum ratio) supplies the picked set's
+    // fragmentation, so ONE sweep reports both phases
+    val (idx, maint) = newIndex("swp", cap = 50)
+    idx.addAll(gaussianDf(150, 11), "embedding", "id") // segs 0,1,2 full
+    idx.sealPending()
+    idx.delete((0L until 50L).filter(_ % 3 != 0) ++ (50L until 100L).filter(_ % 5 == 0))
+    val (vacuumed, compacted) = maint.sweep(nowMs = 999999L)
+    assert(vacuumed == Seq(0))
+    assert(compacted == 1)
+    // the compacted segment holds seg 0+1 survivors, gids stable,
+    // seg 1's tombstones dropped during the copy
+    val m = idx.manifest
+    val newSeg = m.segments.filter(_.state == SegmentState.Sealed)
+      .filterNot(s => s.segId == 2).maxBy(_.segId)
+    assert(newSeg.count == 17 + 40) // 50-33 deleted in seg0, 50-10 in seg1
+    assert(newSeg.deletedCount == 0)
+    assert(m.segment(0).isEmpty && m.segment(1).isEmpty) // sources dropped
+  }
+
   test("maybeCompact end-to-end with policy gates") {
     val (idx, maint) = newIndex("mc2", cap = 30)
     idx.addAll(gaussianDf(60, 7), "embedding", "id")
