@@ -1,0 +1,82 @@
+package graft.index
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core._
+
+/** Degenerate-input behavior of the query path: a library must return
+  * empty/short results for empty inputs, never throw or hang — the edge
+  * paths the happy-path suites never reach. */
+class SearchEdgeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newIndex(cap: Int = 50): SegmentedIndex = {
+    val dir = Files.createTempDirectory("graft-edge").toString
+    val store = new IndexStore(dir)
+    store.createOrOpen(IndexMeta("edge", dimension = 4, maxSegmentSize = cap,
+      pqM = 2, pqK = 4, graphDegree = 4, graphBuildBreadth = 16), 1000L)
+    new SegmentedIndex(spark, store)
+  }
+
+  private def gaussianDf(n: Int, seed: Long) = {
+    val r = new Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(4)(r.nextGaussian().toFloat)))
+      .toDF("id", "embedding")
+  }
+
+  private def queriesOf(df: org.apache.spark.sql.DataFrame, n: Int) =
+    df.filter(col("id") < n)
+      .select(col("id").as("queryId"), col("embedding").as("qv"))
+
+  test("querying a brand-new index (one empty ACTIVE segment) returns no rows") {
+    val idx = newIndex()
+    val q = Seq((0L, Array(0.1f, 0.2f, 0.3f, 0.4f))).toDF("queryId", "qv")
+    assert(Search.query(spark, idx.store, q, 5).count() == 0L)
+  }
+
+  test("an empty query batch returns an empty result against a populated index") {
+    val idx = newIndex()
+    val data = gaussianDf(60, 1)
+    idx.addAll(data, "embedding", "id")
+    idx.sealPending()
+    val q = queriesOf(data, 0)
+    assert(Search.query(spark, idx.store, q, 5).count() == 0L)
+  }
+
+  test("k larger than the corpus returns every live row exactly once, ranked") {
+    val idx = newIndex()
+    val data = gaussianDf(30, 2) // single ACTIVE segment, brute path
+    idx.addAll(data, "embedding", "id")
+    val q = queriesOf(data, 1)
+    val rows = Search.query(spark, idx.store, q, 100)
+      .select("gid", "rank").as[(Long, Long)].collect()
+    assert(rows.length == 30)
+    assert(rows.map(_._1).distinct.length == 30)
+    assert(rows.map(_._2).sorted.toSeq == (1L to 30L))
+  }
+
+  test("addAll of zero rows is a no-op; manifest unchanged") {
+    val idx = newIndex()
+    val before = idx.manifest
+    val m = idx.addAll(gaussianDf(0, 3), "embedding", "id")
+    assert(m.nextGid == before.nextGid)
+    assert(m.segments.map(_.count).sum == 0L)
+  }
+
+  test("deleting every row then querying the sealed path returns nothing") {
+    val idx = newIndex()
+    idx.addAll(gaussianDf(50, 4), "embedding", "id")
+    idx.sealPending()
+    idx.delete(0L until 50L)
+    val q = Seq((0L, Array(0.1f, 0.2f, 0.3f, 0.4f))).toDF("queryId", "qv")
+    assert(Search.query(spark, idx.store, q, 5).count() == 0L)
+  }
+}
