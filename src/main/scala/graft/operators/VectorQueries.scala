@@ -270,6 +270,22 @@ object VectorQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // J6: RANDOM_PIVOTS seeding (the reference's deterministic
+    // `(segId<<21) ^ bits(lut[0])` pivot formula) through the recall-1.0
+    // config — seeding strategy changes where the walk STARTS, never what
+    // it must find, so the output stays exact-KNN-equal under the same
+    // hard oracle.
+    "vec_knn_sealed_pivots" -> ((s, dir) => {
+      val store = sealedStore(s, dir)
+      val queries = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+      val params = graft.core.SearchParams.defaults(10, 4)
+        .copy(seedStrategy = graft.core.SeedStrategy.RandomPivots, pivots = 8)
+      Search.query(s, store, queries, 10, Some(params))
+        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
     // J4: the deprecated BEAM expansion mode through the same recall-1.0
     // config — also exact-KNN-equal (probed at sf0.01 and sf0.1), so the
     // legacy mode gets the same hard value oracle as BEST_FIRST.
@@ -471,6 +487,8 @@ object VectorQueries {
     "vec_knn_sealed" -> sealedKnnOracle,
 
     "vec_knn_sealed_beam" -> sealedKnnOracle,
+
+    "vec_knn_sealed_pivots" -> sealedKnnOracle,
 
     "vec_knn_post_vacuum" ->
       s"""WITH g AS (
