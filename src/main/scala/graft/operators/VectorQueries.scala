@@ -270,6 +270,33 @@ object VectorQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // F2: WRITING segments are invisible to search (the reference's
+    // state-dispatch rule — a compaction target must never serve results
+    // before its single-commit swap). Ingest-only build (no seal cost),
+    // seg 0 flipped to WRITING in the manifest; the brute path over the
+    // remaining PENDING/ACTIVE segments must equal exact KNN over
+    // gid ≥ 100 only.
+    "vec_knn_writing_invisible" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-writing").toString
+      tempStores.synchronized { tempStores += tmp }
+      val store = new IndexStore(tmp)
+      val e = emb(s, dir).filter(col("vec_id") < 300)
+      val dim = e.select(size(col("embedding"))).first().getInt(0)
+      store.createOrOpen(IndexMeta("writing_inv", dimension = dim, maxSegmentSize = 100,
+        pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
+        oversample = 4), System.currentTimeMillis())
+      val idx = new SegmentedIndex(s, store)
+      idx.addAll(e, "embedding", "vec_id")
+      val m = store.readManifest()
+      store.writeManifest(m.withSegment(
+        m.segment(0).get.copy(state = graft.core.SegmentState.Writing)))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+      Search.query(s, store, queries, 10)
+        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
     // J6: RANDOM_PIVOTS seeding (the reference's deterministic
     // `(segId<<21) ^ bits(lut[0])` pivot formula) through the recall-1.0
     // config — seeding strategy changes where the walk STARTS, never what
@@ -489,6 +516,22 @@ object VectorQueries {
     "vec_knn_sealed_beam" -> sealedKnnOracle,
 
     "vec_knn_sealed_pivots" -> sealedKnnOracle,
+
+    "vec_knn_writing_invisible" ->
+      s"""WITH g AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS gid, embedding
+         |  FROM embeddings WHERE vec_id < 300),
+         |live AS (SELECT * FROM g WHERE gid >= 100),
+         |q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         |SELECT queryId, gid, rnk AS "rank", dist AS distance FROM (
+         |  SELECT q.queryId, g.gid,
+         |    sqrt(${l2sqL("g.embedding", "q.qv")}) AS dist,
+         |    row_number() OVER (PARTITION BY q.queryId
+         |                       ORDER BY ${l2sqL("g.embedding", "q.qv")}, g.gid) AS rnk
+         |  FROM live g, q) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
 
     "vec_knn_post_vacuum" ->
       s"""WITH g AS (
