@@ -270,6 +270,29 @@ object VectorQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // G1: graphAlpha ≤ 1.0 selects the exact-kNN graph builder
+    // (buildL2Neighbors) instead of Vamana — the reference's builder
+    // dispatch rule. Fresh 3×100 build at alpha 1.0; ef 160 over 100-node
+    // segments is exhaustive, so the query must equal exact KNN.
+    "vec_knn_sealed_alpha1" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-alpha1").toString
+      tempStores.synchronized { tempStores += tmp }
+      val store = new IndexStore(tmp)
+      val e = emb(s, dir).filter(col("vec_id") < 300)
+      val dim = e.select(size(col("embedding"))).first().getInt(0)
+      store.createOrOpen(IndexMeta("alpha1", dimension = dim, maxSegmentSize = 100,
+        pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.0,
+        oversample = 4), System.currentTimeMillis())
+      val idx = new SegmentedIndex(s, store)
+      idx.addAll(e, "embedding", "vec_id")
+      idx.sealPending()
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+      Search.query(s, store, queries, 10)
+        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
     // F2: WRITING segments are invisible to search (the reference's
     // state-dispatch rule — a compaction target must never serve results
     // before its single-commit swap). Ingest-only build (no seal cost),
@@ -516,6 +539,21 @@ object VectorQueries {
     "vec_knn_sealed_beam" -> sealedKnnOracle,
 
     "vec_knn_sealed_pivots" -> sealedKnnOracle,
+
+    "vec_knn_sealed_alpha1" ->
+      s"""WITH g AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS gid, embedding
+         |  FROM embeddings WHERE vec_id < 300),
+         |q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         |SELECT queryId, gid, rnk AS "rank", dist AS distance FROM (
+         |  SELECT q.queryId, g.gid,
+         |    sqrt(${l2sqL("g.embedding", "q.qv")}) AS dist,
+         |    row_number() OVER (PARTITION BY q.queryId
+         |                       ORDER BY ${l2sqL("g.embedding", "q.qv")}, g.gid) AS rnk
+         |  FROM g, q) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
 
     "vec_knn_writing_invisible" ->
       s"""WITH g AS (
