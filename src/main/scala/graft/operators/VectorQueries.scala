@@ -69,20 +69,32 @@ object VectorQueries {
     }
   }
 
-  private[graft] def sealedStore(s: SparkSession, dir: String): IndexStore = sealedCache.synchronized {
+  /** Memoize a derived index (built + optionally mutated) per
+    * (variant, data fingerprint): every derived-index gate row prices its
+    * QUERY path after the first call in a JVM — build cost is priced
+    * explicitly and solely by `vec_seal_build`, which always builds
+    * fresh (the build/query split of the flagship row, applied
+    * uniformly). A changed dataset invalidates and reclaims the old tree. */
+  private def memoizedStore(
+      variant: String, s: SparkSession, dir: String)(
+      build: => IndexStore): IndexStore = sealedCache.synchronized {
+    val key = s"$variant@$dir"
     val fp = dataFingerprint(dir)
-    sealedCache.get(dir) match {
+    sealedCache.get(key) match {
       case Some((`fp`, store)) => store
       case stale =>
         stale.foreach { case (_, old) =>
           tempStores.synchronized { tempStores -= old.path }
           deleteTree(old.path)
         }
-        val built = buildSealedIndex(s, dir)
-        sealedCache.put(dir, (fp, built))
+        val built = build
+        sealedCache.put(key, (fp, built))
         built
     }
   }
+
+  private[graft] def sealedStore(s: SparkSession, dir: String): IndexStore =
+    memoizedStore("sealed_q", s, dir)(buildSealedIndex(s, dir))
 
   private[graft] def buildSealedIndex(s: SparkSession, dir: String): IndexStore = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sealed-q").toString
@@ -275,17 +287,20 @@ object VectorQueries {
     // dispatch rule. Fresh 3×100 build at alpha 1.0; ef 160 over 100-node
     // segments is exhaustive, so the query must equal exact KNN.
     "vec_knn_sealed_alpha1" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-alpha1").toString
-      tempStores.synchronized { tempStores += tmp }
-      val store = new IndexStore(tmp)
       val e = emb(s, dir).filter(col("vec_id") < 300)
-      val dim = e.select(size(col("embedding"))).first().getInt(0)
-      store.createOrOpen(IndexMeta("alpha1", dimension = dim, maxSegmentSize = 100,
-        pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.0,
-        oversample = 4), System.currentTimeMillis())
-      val idx = new SegmentedIndex(s, store)
-      idx.addAll(e, "embedding", "vec_id")
-      idx.sealPending()
+      val store = memoizedStore("alpha1", s, dir) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-alpha1").toString
+        tempStores.synchronized { tempStores += tmp }
+        val st = new IndexStore(tmp)
+        val dim = e.select(size(col("embedding"))).first().getInt(0)
+        st.createOrOpen(IndexMeta("alpha1", dimension = dim, maxSegmentSize = 100,
+          pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.0,
+          oversample = 4), System.currentTimeMillis())
+        val idx = new SegmentedIndex(s, st)
+        idx.addAll(e, "embedding", "vec_id")
+        idx.sealPending()
+        st
+      }
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
       Search.query(s, store, queries, 10)
@@ -300,19 +315,22 @@ object VectorQueries {
     // remaining PENDING/ACTIVE segments must equal exact KNN over
     // gid ≥ 100 only.
     "vec_knn_writing_invisible" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-writing").toString
-      tempStores.synchronized { tempStores += tmp }
-      val store = new IndexStore(tmp)
       val e = emb(s, dir).filter(col("vec_id") < 300)
-      val dim = e.select(size(col("embedding"))).first().getInt(0)
-      store.createOrOpen(IndexMeta("writing_inv", dimension = dim, maxSegmentSize = 100,
-        pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
-        oversample = 4), System.currentTimeMillis())
-      val idx = new SegmentedIndex(s, store)
-      idx.addAll(e, "embedding", "vec_id")
-      val m = store.readManifest()
-      store.writeManifest(m.withSegment(
-        m.segment(0).get.copy(state = graft.core.SegmentState.Writing)))
+      val store = memoizedStore("writing_inv", s, dir) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-writing").toString
+        tempStores.synchronized { tempStores += tmp }
+        val st = new IndexStore(tmp)
+        val dim = e.select(size(col("embedding"))).first().getInt(0)
+        st.createOrOpen(IndexMeta("writing_inv", dimension = dim, maxSegmentSize = 100,
+          pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
+          oversample = 4), System.currentTimeMillis())
+        val idx = new SegmentedIndex(s, st)
+        idx.addAll(e, "embedding", "vec_id")
+        val m = st.readManifest()
+        st.writeManifest(m.withSegment(
+          m.segment(0).get.copy(state = graft.core.SegmentState.Writing)))
+        st
+      }
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
       Search.query(s, store, queries, 10)
@@ -360,19 +378,22 @@ object VectorQueries {
     // physical rewrite changes storage, never answers. (MaintenanceSpec
     // asserts this exact sweep reports 1 vacuum + 1 compaction.)
     "vec_knn_post_vacuum" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-post-vac").toString
-      tempStores.synchronized { tempStores += tmp }
-      val store = new IndexStore(tmp)
       val e = emb(s, dir).filter(col("vec_id") < 300)
-      val dim = e.select(size(col("embedding"))).first().getInt(0)
-      store.createOrOpen(IndexMeta("post_vac", dimension = dim, maxSegmentSize = 100,
-        pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
-        oversample = 4), System.currentTimeMillis())
-      val idx = new SegmentedIndex(s, store)
-      idx.addAll(e, "embedding", "vec_id")
-      idx.sealPending()
-      idx.delete((0L until 100L).filter(_ % 3 != 0) ++ (100L until 200L).filter(_ % 5 == 0))
-      new graft.maintenance.Maintenance(idx).sweep(nowMs = System.currentTimeMillis() + 3600_000L)
+      val store = memoizedStore("post_vac", s, dir) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-post-vac").toString
+        tempStores.synchronized { tempStores += tmp }
+        val st = new IndexStore(tmp)
+        val dim = e.select(size(col("embedding"))).first().getInt(0)
+        st.createOrOpen(IndexMeta("post_vac", dimension = dim, maxSegmentSize = 100,
+          pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
+          oversample = 4), System.currentTimeMillis())
+        val idx = new SegmentedIndex(s, st)
+        idx.addAll(e, "embedding", "vec_id")
+        idx.sealPending()
+        idx.delete((0L until 100L).filter(_ % 3 != 0) ++ (100L until 200L).filter(_ % 5 == 0))
+        new graft.maintenance.Maintenance(idx).sweep(nowMs = System.currentTimeMillis() + 3600_000L)
+        st
+      }
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
       Search.query(s, store, queries, 10)
@@ -385,18 +406,21 @@ object VectorQueries {
     // bounded slice (identical at every sf), every 7th gid deleted; the
     // oracle is exact KNN over the surviving rows only.
     "vec_knn_sealed_deleted" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sealed-del").toString
-      tempStores.synchronized { tempStores += tmp }
-      val store = new IndexStore(tmp)
       val e = emb(s, dir).filter(col("vec_id") < 300)
-      val dim = e.select(size(col("embedding"))).first().getInt(0)
-      store.createOrOpen(IndexMeta("sealed_del", dimension = dim, maxSegmentSize = 100,
-        pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
-        oversample = 4), System.currentTimeMillis())
-      val idx = new SegmentedIndex(s, store)
-      idx.addAll(e, "embedding", "vec_id")
-      idx.sealPending()
-      idx.delete((0L until 300L).filter(_ % 7 == 0))
+      val store = memoizedStore("sealed_del", s, dir) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sealed-del").toString
+        tempStores.synchronized { tempStores += tmp }
+        val st = new IndexStore(tmp)
+        val dim = e.select(size(col("embedding"))).first().getInt(0)
+        st.createOrOpen(IndexMeta("sealed_del", dimension = dim, maxSegmentSize = 100,
+          pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
+          oversample = 4), System.currentTimeMillis())
+        val idx = new SegmentedIndex(s, st)
+        idx.addAll(e, "embedding", "vec_id")
+        idx.sealPending()
+        idx.delete((0L until 300L).filter(_ % 7 == 0))
+        st
+      }
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
       Search.query(s, store, queries, 10)
