@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
-import graft.core.IndexMeta
+import graft.core.{IndexMeta, SearchParams}
 import graft.functions.vector
 
 /** Deterministic low-intrinsic-dimension corpus for the production-shape
@@ -119,11 +119,6 @@ class HeavyRecallSpec extends AnyFunSuite {
         .map(q => (q, HeavyRecallData.queryFor(q)))
         .toDF("queryId", "qv")
 
-      val tQ0 = System.nanoTime()
-      val approx = Search.query(spark, store, queriesDf, k)
-        .select(col("queryId"), col("gid")).as[(Long, Long)].collect()
-      val tQ1 = System.nanoTime()
-
       // exact ground truth over the same stored vectors (gid-keyed)
       val w = Window.partitionBy(col("queryId"))
         .orderBy(col("d2").asc, col("gid").asc)
@@ -133,20 +128,32 @@ class HeavyRecallSpec extends AnyFunSuite {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= k)
         .select(col("queryId"), col("gid")).as[(Long, Long)].collect()
-
-      val approxByQ = approx.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
       val truthByQ = truth.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
       assert(truthByQ.size == numQueries)
-      val recalls = truthByQ.map { case (qid, t) =>
-        approxByQ.getOrElse(qid, Set.empty[Long]).intersect(t).size.toDouble / t.size
-      }.toSeq
-      val meanRecall = recalls.sum / recalls.size
 
-      info(f"ingest ${(tIngest - t0) / 1e9}%.1f s, seal ${(tSeal - tIngest) / 1e9}%.1f s, " +
-        f"query(${numQueries}) ${(tQ1 - tQ0) / 1e9}%.1f s")
-      info(f"recall@$k mean=$meanRecall%.4f min=${recalls.min}%.2f " +
-        f"(n=$n, ${sealedCount} sealed segments)")
-      assert(meanRecall >= 0.9, f"recall@$k $meanRecall%.4f below the 0.9 gate")
+      info(f"ingest ${(tIngest - t0) / 1e9}%.1f s, seal ${(tSeal - tIngest) / 1e9}%.1f s")
+
+      // recall-vs-ef curve from ONE build: the approximation trade-off a
+      // production operator actually tunes. Only the default config
+      // (ef 160) is gated; the lower-ef points document the curve.
+      val defaults = SearchParams.defaults(k, oversample = 4)
+      val curve = Seq(48, 96, defaults.efSearch).map { ef =>
+        val params = defaults.copy(efSearch = ef)
+        val tQ0 = System.nanoTime()
+        val approx = Search.query(spark, store, queriesDf, k, Some(params))
+          .select(col("queryId"), col("gid")).as[(Long, Long)].collect()
+        val secs = (System.nanoTime() - tQ0) / 1e9
+        val approxByQ = approx.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        val recalls = truthByQ.map { case (qid, t) =>
+          approxByQ.getOrElse(qid, Set.empty[Long]).intersect(t).size.toDouble / t.size
+        }.toSeq
+        val mean = recalls.sum / recalls.size
+        info(f"ef=$ef%4d: recall@$k mean=$mean%.4f min=${recalls.min}%.2f " +
+          f"(${numQueries} queries in $secs%.1f s)")
+        ef -> mean
+      }
+      val gated = curve.last._2
+      assert(gated >= 0.9, f"recall@$k $gated%.4f below the 0.9 gate at default ef")
     } finally {
       // temp index trees are multi-GB at this shape — always reclaim
       import scala.jdk.CollectionConverters._
