@@ -60,6 +60,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.length == 201 && got.forall(_._2 == 0L))
   }
 
+  test("duplicateClusters releases superseded per-round checkpoint storage") {
+    val pairs = Seq.tabulate(199)(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b") // one 200-node chain → several pointer-jump rounds
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.duplicateClusters(pairs, maxRounds = 30)
+    assert(out.count() == 200L)
+    // every superseded round's localCheckpoint must be unpersisted — only
+    // the returned labels (and nothing per-round) may remain
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1, s"leaked ${after - before} cached RDDs")
+  }
+
   test("minhash-LSH finds every planted near-dup pair; survivors verified by exact jaccard") {
     val got = Dedup.minHashNearDuplicates(corpusNear, "doc_id", "text", threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
