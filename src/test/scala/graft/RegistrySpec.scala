@@ -1,0 +1,22 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry integrity: the correctness gate's structural invariants. */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every registered query carries a DuckDB oracle (0 no_oracle, both ways)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("query names are unique across modules (no silent map overwrite)") {
+    import graft.operators._
+    val all = Seq(RelationalQueries.queries.keys, VectorQueries.queries.keys,
+      PipelineQueries.queries.keys).flatten.toSeq
+    val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names: $dupes")
+  }
+}
