@@ -62,6 +62,21 @@ object HeavyRecallData {
   /** Held-out query from the same distribution (disjoint seed space). */
   def queryFor(q: Long): Array[Float] =
     embed(0x7F4A7C159E3779B9L ^ (q + 1000000L), 0x4C957F2D5851F42DL ^ (q + 2000000L))
+
+  private def normalized(v: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val inv = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
+    v.map(x => (x * inv).toFloat)
+  }
+
+  /** Unit-norm variants for the COSINE gate — pre-normalizing is the
+    * standard cosine-ANN practice (the build side is L2 in the reference
+    * regardless of metric; on the unit sphere L2 and cosine order
+    * identically, so candidate generation aligns with the metric). */
+  def unitVectorFor(id: Long): Array[Float] = normalized(vectorFor(id))
+  def unitQueryFor(q: Long): Array[Float] = normalized(queryFor(q))
 }
 
 /**
@@ -156,6 +171,65 @@ class HeavyRecallSpec extends AnyFunSuite {
       assert(gated >= 0.9, f"recall@$k $gated%.4f below the 0.9 gate at default ef")
     } finally {
       // temp index trees are multi-GB at this shape — always reclaim
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(tmp)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("COSINE recall@10 >= 0.9 at production shape (unit-norm corpus)") {
+    assume(sys.env.contains("GRAFT_HEAVY") || sys.props.contains("GRAFT_HEAVY"),
+      "heavy gate: set GRAFT_HEAVY=1 to run")
+    val spark = TestSpark.spark
+    import spark.implicits._
+
+    val n = 50000L
+    val k = 10
+    val numQueries = 100
+    val data = spark.range(n)
+      .map(id => (id, HeavyRecallData.unitVectorFor(id)))
+      .toDF("vec_id", "embedding")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-heavy-cos").toString
+    try {
+      val store = new IndexStore(tmp)
+      store.createOrOpen(IndexMeta("heavy_cos", dimension = HeavyRecallData.Dim,
+        metric = graft.core.Metric.Cosine.name, maxSegmentSize = 12500,
+        pqM = 16, pqK = 256, graphDegree = 64, graphBuildBreadth = 256,
+        graphAlpha = 1.2, oversample = 4), System.currentTimeMillis())
+      val idx = new SegmentedIndex(spark, store)
+      idx.addAll(data, "embedding", "vec_id")
+      idx.sealPending()
+      assert(store.readManifest().segments
+        .count(_.state == graft.core.SegmentState.Sealed) >= 4)
+
+      val queriesDf = spark.range(numQueries.toLong)
+        .map(q => (q, HeavyRecallData.unitQueryFor(q)))
+        .toDF("queryId", "qv")
+
+      val approx = Search.query(spark, store, queriesDf, k)
+        .select(col("queryId"), col("gid")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+
+      val w = Window.partitionBy(col("queryId"))
+        .orderBy(col("sim").desc, col("gid").asc)
+      val truth = store.readVectors(spark).filter(!col("deleted"))
+        .crossJoin(broadcast(queriesDf))
+        .withColumn("sim", vector.cosine_sim(col("embedding"), col("qv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("queryId"), col("gid")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+
+      val recalls = truth.map { case (qid, t) =>
+        approx.getOrElse(qid, Set.empty[Long]).intersect(t).size.toDouble / t.size
+      }.toSeq
+      val mean = recalls.sum / recalls.size
+      info(f"COSINE recall@$k mean=$mean%.4f min=${recalls.min}%.2f")
+      assert(mean >= 0.9, f"COSINE recall@$k $mean%.4f below the 0.9 gate")
+    } finally {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(tmp)
       if (java.nio.file.Files.exists(p))
