@@ -76,12 +76,16 @@ final class IndexStore(val path: String) {
   def readManifest(): Manifest =
     mapper.readValue(Files.readAllBytes(Paths.get(manifestPath)), classOf[Manifest])
 
-  /** Content hash of the committed manifest — the cache-invalidation key
-    * for per-process reuse of sealed-search inputs. Every mutation
-    * (seal, delete, vacuum, compaction, ingest) commits a new manifest
-    * through the atomic rename, so a changed index always changes this. */
-  def manifestVersion(): String = {
+  /** One read, both views: the parsed manifest and its content hash come
+    * from the SAME bytes, so a consumer that keys a cache on the version
+    * can never pair it with a manifest from a different commit (a second
+    * read racing a concurrent seal/vacuum would). */
+  def readManifestWithVersion(): (Manifest, String) = {
     val bytes = Files.readAllBytes(Paths.get(manifestPath))
+    (mapper.readValue(bytes, classOf[Manifest]), hashBytes(bytes))
+  }
+
+  private def hashBytes(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     d.map("%02x".format(_)).mkString
   }

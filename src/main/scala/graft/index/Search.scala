@@ -70,18 +70,28 @@ object Search {
   private def sealedInputs(
       spark: SparkSession,
       store: IndexStore,
-      sealedSegs: Seq[Int]): (org.apache.spark.sql.Dataset[SegPayloadRow],
+      sealedSegs: Seq[Int],
+      version: String): (org.apache.spark.sql.Dataset[SegPayloadRow],
         org.apache.spark.sql.Dataset[CodebookRow]) = inputCache.synchronized {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
-    val version = store.manifestVersion()
+    // `version` is the hash of the SAME manifest bytes the caller planned
+    // against — never re-read here, or a concurrent seal between the two
+    // reads would cache a payload filtered by the old segment set under
+    // the new version (serving it, minus the new segment, forever after).
     inputCache.get(store.path) match {
-      case Some(e) if e.version == version => (e.payload, e.codebooks)
+      case Some(e) if e.version == version &&
+          (e.payload.sparkSession.sparkContext eq spark.sparkContext) &&
+          !spark.sparkContext.isStopped =>
+        (e.payload, e.codebooks)
       case stale =>
-        stale.foreach { e =>
-          e.payload.unpersist(blocking = false)
-          e.codebooks.unpersist(blocking = false)
-        }
+        // a stale entry from a stopped context has nothing to release —
+        // its blocks died with the context, and unpersist would throw
+        stale.filterNot(_.payload.sparkSession.sparkContext.isStopped)
+          .foreach { e =>
+            e.payload.unpersist(blocking = false)
+            e.codebooks.unpersist(blocking = false)
+          }
         val cb = store.readCodebooks(spark)
           .filter(col("segId").isin(sealedSegs: _*)).as[CodebookRow]
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -116,7 +126,7 @@ object Search {
       useAggregatorMerge: Boolean = true): DataFrame = {
     import spark.implicits._
 
-    val m = store.readManifest()
+    val (m, manifestVersion) = store.readManifestWithVersion()
     val im = m.meta
     val metric = im.metricEnum
     val params = paramsOpt.getOrElse(SearchParams.defaults(k, im.oversample))
@@ -168,7 +178,7 @@ object Search {
         // hold ~8 GB per query call. Instead the codebooks table (one row
         // per segment) rides its own tiny shuffle keyed by segId into the
         // same cogroup that already co-locates codes+graph.
-        val (payload, cbs) = sealedInputs(spark, store, sealedSegs)
+        val (payload, cbs) = sealedInputs(spark, store, sealedSegs, manifestVersion)
         val cbK = cbs.groupByKey(_.segId)
         val payloadK = payload.groupByKey(_.segId)
 

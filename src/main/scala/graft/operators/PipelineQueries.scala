@@ -147,7 +147,7 @@ object PipelineQueries {
         .select((col("doc_id") + col("shift")).as("doc_id"), col("text"),
           lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"))
       val deduped = graft.streaming.Streaming
-        .streamingExactDedup(stream, "doc_id", "text")
+        .streamingExactDedup(stream, "text")
         .select(col("doc_id"), col("fingerprint"))
       val name = s"stream_dedup_${dedupRunId.incrementAndGet()}"
       Option(lastDedupView.getAndSet(name))

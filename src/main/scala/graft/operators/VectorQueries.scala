@@ -75,26 +75,66 @@ object VectorQueries {
     * explicitly and solely by `vec_seal_build`, which always builds
     * fresh (the build/query split of the flagship row, applied
     * uniformly). A changed dataset invalidates and reclaims the old tree. */
+  /** One lock object per cache key: a multi-minute first build of one
+    * variant must not block cache hits (or first builds) of the others —
+    * the shared map is only ever held for a get/put, never across a
+    * Spark job. */
+  private val keyLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def memoizedStore(
       variant: String, s: SparkSession, dir: String)(
-      build: => IndexStore): IndexStore = sealedCache.synchronized {
+      build: => IndexStore): IndexStore = {
     val key = s"$variant@$dir"
-    val fp = dataFingerprint(dir)
-    sealedCache.get(key) match {
-      case Some((`fp`, store)) => store
-      case stale =>
-        stale.foreach { case (_, old) =>
-          tempStores.synchronized { tempStores -= old.path }
-          deleteTree(old.path)
-        }
-        val built = build
-        sealedCache.put(key, (fp, built))
-        built
+    keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val fp = dataFingerprint(dir)
+      sealedCache.synchronized { sealedCache.get(key) } match {
+        case Some((`fp`, store)) => store
+        case stale =>
+          stale.foreach { case (_, old) =>
+            tempStores.synchronized { tempStores -= old.path }
+            deleteTree(old.path)
+          }
+          val built = build
+          sealedCache.synchronized { sealedCache.put(key, (fp, built)) }
+          built
+      }
     }
   }
 
   private[graft] def sealedStore(s: SparkSession, dir: String): IndexStore =
     memoizedStore("sealed_q", s, dir)(buildSealedIndex(s, dir))
+
+  /** Build scaffold shared by every derived-index gate row: temp tree
+    * registered for JVM-exit cleanup, recall-1.0 gate knobs (3×100-row
+    * segments, exhaustive ef), ingest of `e`, then the variant's own
+    * mutation (seal / manifest flip / delete / maintenance sweep). */
+  private def buildVariant(
+      name: String, s: SparkSession, e: DataFrame, alpha: Double = 1.2)(
+      mutate: SegmentedIndex => Unit): IndexStore = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+    tempStores.synchronized { tempStores += tmp }
+    val st = new IndexStore(tmp)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    st.createOrOpen(IndexMeta(name, dimension = dim, maxSegmentSize = 100,
+      pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = alpha,
+      oversample = 4), System.currentTimeMillis())
+    val idx = new SegmentedIndex(s, st)
+    idx.addAll(e, "embedding", "vec_id")
+    mutate(idx)
+    st
+  }
+
+  /** The shared query tail of the sealed gate rows: 5 self-queries, k=10,
+    * rank cast long for the oracle's dtype contract. */
+  private def sealedGateQuery(
+      s: SparkSession, store: IndexStore, e: DataFrame,
+      params: Option[graft.core.SearchParams] = None): DataFrame = {
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+    Search.query(s, store, queries, 10, params)
+      .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
+      .orderBy(col("queryId"), col("rank"))
+  }
 
   private[graft] def buildSealedIndex(s: SparkSession, dir: String): IndexStore = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sealed-q").toString
@@ -273,14 +313,8 @@ object VectorQueries {
     // bit-identically to DuckDB's double lambdas — so the ANN output
     // EQUALS the brute-force oracle row-for-row (the reference's quality
     // gate made exact, VectorIndexTest.java:212-259).
-    "vec_knn_sealed" -> ((s, dir) => {
-      val store = sealedStore(s, dir)
-      val queries = emb(s, dir).filter(col("vec_id") < 5)
-        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
-      Search.query(s, store, queries, 10)
-        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
-        .orderBy(col("queryId"), col("rank"))
-    }),
+    "vec_knn_sealed" -> ((s, dir) =>
+      sealedGateQuery(s, sealedStore(s, dir), emb(s, dir))),
 
     // G1: graphAlpha ≤ 1.0 selects the exact-kNN graph builder
     // (buildL2Neighbors) instead of Vamana — the reference's builder
@@ -289,23 +323,9 @@ object VectorQueries {
     "vec_knn_sealed_alpha1" -> ((s, dir) => {
       val e = emb(s, dir).filter(col("vec_id") < 300)
       val store = memoizedStore("alpha1", s, dir) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-alpha1").toString
-        tempStores.synchronized { tempStores += tmp }
-        val st = new IndexStore(tmp)
-        val dim = e.select(size(col("embedding"))).first().getInt(0)
-        st.createOrOpen(IndexMeta("alpha1", dimension = dim, maxSegmentSize = 100,
-          pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.0,
-          oversample = 4), System.currentTimeMillis())
-        val idx = new SegmentedIndex(s, st)
-        idx.addAll(e, "embedding", "vec_id")
-        idx.sealPending()
-        st
+        buildVariant("alpha1", s, e, alpha = 1.0)(_.sealPending())
       }
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
-      Search.query(s, store, queries, 10)
-        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
-        .orderBy(col("queryId"), col("rank"))
+      sealedGateQuery(s, store, e)
     }),
 
     // F2: WRITING segments are invisible to search (the reference's
@@ -317,25 +337,13 @@ object VectorQueries {
     "vec_knn_writing_invisible" -> ((s, dir) => {
       val e = emb(s, dir).filter(col("vec_id") < 300)
       val store = memoizedStore("writing_inv", s, dir) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-writing").toString
-        tempStores.synchronized { tempStores += tmp }
-        val st = new IndexStore(tmp)
-        val dim = e.select(size(col("embedding"))).first().getInt(0)
-        st.createOrOpen(IndexMeta("writing_inv", dimension = dim, maxSegmentSize = 100,
-          pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
-          oversample = 4), System.currentTimeMillis())
-        val idx = new SegmentedIndex(s, st)
-        idx.addAll(e, "embedding", "vec_id")
-        val m = st.readManifest()
-        st.writeManifest(m.withSegment(
-          m.segment(0).get.copy(state = graft.core.SegmentState.Writing)))
-        st
+        buildVariant("writing_inv", s, e) { idx =>
+          val m = idx.store.readManifest()
+          idx.store.writeManifest(m.withSegment(
+            m.segment(0).get.copy(state = graft.core.SegmentState.Writing)))
+        }
       }
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
-      Search.query(s, store, queries, 10)
-        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
-        .orderBy(col("queryId"), col("rank"))
+      sealedGateQuery(s, store, e)
     }),
 
     // J6: RANDOM_PIVOTS seeding (the reference's deterministic
@@ -344,28 +352,18 @@ object VectorQueries {
     // it must find, so the output stays exact-KNN-equal under the same
     // hard oracle.
     "vec_knn_sealed_pivots" -> ((s, dir) => {
-      val store = sealedStore(s, dir)
-      val queries = emb(s, dir).filter(col("vec_id") < 5)
-        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
       val params = graft.core.SearchParams.defaults(10, 4)
         .copy(seedStrategy = graft.core.SeedStrategy.RandomPivots, pivots = 8)
-      Search.query(s, store, queries, 10, Some(params))
-        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
-        .orderBy(col("queryId"), col("rank"))
+      sealedGateQuery(s, sealedStore(s, dir), emb(s, dir), Some(params))
     }),
 
     // J4: the deprecated BEAM expansion mode through the same recall-1.0
     // config — also exact-KNN-equal (probed at sf0.01 and sf0.1), so the
     // legacy mode gets the same hard value oracle as BEST_FIRST.
     "vec_knn_sealed_beam" -> ((s, dir) => {
-      val store = sealedStore(s, dir)
-      val queries = emb(s, dir).filter(col("vec_id") < 5)
-        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
       val params = graft.core.SearchParams.defaults(10, 4)
         .copy(mode = graft.core.SearchMode.Beam)
-      Search.query(s, store, queries, 10, Some(params))
-        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
-        .orderBy(col("queryId"), col("rank"))
+      sealedGateQuery(s, sealedStore(s, dir), emb(s, dir), Some(params))
     }),
 
     // M3/M4 through the sealed path: one maintenance sweep runs BOTH
@@ -380,25 +378,13 @@ object VectorQueries {
     "vec_knn_post_vacuum" -> ((s, dir) => {
       val e = emb(s, dir).filter(col("vec_id") < 300)
       val store = memoizedStore("post_vac", s, dir) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-post-vac").toString
-        tempStores.synchronized { tempStores += tmp }
-        val st = new IndexStore(tmp)
-        val dim = e.select(size(col("embedding"))).first().getInt(0)
-        st.createOrOpen(IndexMeta("post_vac", dimension = dim, maxSegmentSize = 100,
-          pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
-          oversample = 4), System.currentTimeMillis())
-        val idx = new SegmentedIndex(s, st)
-        idx.addAll(e, "embedding", "vec_id")
-        idx.sealPending()
-        idx.delete((0L until 100L).filter(_ % 3 != 0) ++ (100L until 200L).filter(_ % 5 == 0))
-        new graft.maintenance.Maintenance(idx).sweep(nowMs = System.currentTimeMillis() + 3600_000L)
-        st
+        buildVariant("post_vac", s, e) { idx =>
+          idx.sealPending()
+          idx.delete((0L until 100L).filter(_ % 3 != 0) ++ (100L until 200L).filter(_ % 5 == 0))
+          new graft.maintenance.Maintenance(idx).sweep(nowMs = System.currentTimeMillis() + 3600_000L)
+        }
       }
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
-      Search.query(s, store, queries, 10)
-        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
-        .orderBy(col("queryId"), col("rank"))
+      sealedGateQuery(s, store, e)
     }),
 
     // F1/M1 through the sealed path: tombstoned rows must vanish from
@@ -408,24 +394,12 @@ object VectorQueries {
     "vec_knn_sealed_deleted" -> ((s, dir) => {
       val e = emb(s, dir).filter(col("vec_id") < 300)
       val store = memoizedStore("sealed_del", s, dir) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-sealed-del").toString
-        tempStores.synchronized { tempStores += tmp }
-        val st = new IndexStore(tmp)
-        val dim = e.select(size(col("embedding"))).first().getInt(0)
-        st.createOrOpen(IndexMeta("sealed_del", dimension = dim, maxSegmentSize = 100,
-          pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
-          oversample = 4), System.currentTimeMillis())
-        val idx = new SegmentedIndex(s, st)
-        idx.addAll(e, "embedding", "vec_id")
-        idx.sealPending()
-        idx.delete((0L until 300L).filter(_ % 7 == 0))
-        st
+        buildVariant("sealed_del", s, e) { idx =>
+          idx.sealPending()
+          idx.delete((0L until 300L).filter(_ % 7 == 0))
+        }
       }
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
-      Search.query(s, store, queries, 10)
-        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
-        .orderBy(col("queryId"), col("rank"))
+      sealedGateQuery(s, store, e)
     })
   )
 

@@ -44,11 +44,11 @@ object Streaming {
    * dedup makes; run the batch operator downstream for full-corpus
    * guarantees.
    *
-   * `docs` columns: `idCol`, `textCol`, `ts` TIMESTAMP (event time).
+   * `docs` columns: `textCol`, `ts` TIMESTAMP (event time); all other
+   * columns (ids, payloads) ride through untouched on the survivors.
    */
   def streamingExactDedup(
       docs: DataFrame,
-      idCol: String,
       textCol: String,
       watermark: String = "10 minutes"): DataFrame =
     docs

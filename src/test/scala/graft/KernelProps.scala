@@ -51,7 +51,8 @@ object KernelProps extends Properties("graft-kernels") {
 
   property("l2Squared: symmetric, zero on self, nonnegative") =
     forAll(vecGen, Gen.long) { (a, seed) =>
-      val b = a.map(v => v + new Random(seed).nextFloat())
+      val r = new Random(seed)
+      val b = a.map(v => v + r.nextFloat())
       val ab = Distances.l2Squared(a, b)
       Distances.l2Squared(a, a) == 0.0 &&
         ab == Distances.l2Squared(b, a) && ab >= 0.0

@@ -53,6 +53,32 @@ class ConcurrentQuerySpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("a segment sealed after a cached query is visible to the next query") {
+    // pins the input-cache invalidation invariant: the cached sealed
+    // payload is keyed by the SAME manifest snapshot the query planned
+    // against, so a seal committed between queries always rebuilds the
+    // cache — a stale payload would silently drop the new segment's
+    // vectors from every result.
+    val idx = sealedIndex(24)
+    val q0 = idx.store.readVectors(spark).filter(col("gid") < 2)
+      .select(col("gid").as("queryId"), col("embedding").as("qv"))
+    Search.query(spark, idx.store, q0, 5).collect() // warm the cache
+
+    val r = new Random(99)
+    val more = (100 until 200).map(i => (i.toLong, Array.fill(4)(r.nextGaussian().toFloat)))
+      .toDF("id", "embedding")
+    idx.addAll(more, "embedding", "id")
+    idx.sealPending()
+
+    // self-query a vector that lives only in the newly sealed segment:
+    // it must come back as its own nearest neighbor
+    val target = idx.store.readVectors(spark).filter(col("gid") === 150L)
+      .select(lit(0L).as("queryId"), col("embedding").as("qv"))
+    val top = Search.query(spark, idx.store, target, 1)
+      .select("gid").as[Long].head()
+    assert(top == 150L, "newly sealed segment invisible — stale cached payload served")
+  }
+
   test("results of two indexes union into one action (observe names stay unique)") {
     val idxA = sealedIndex(22)
     val idxB = sealedIndex(23)

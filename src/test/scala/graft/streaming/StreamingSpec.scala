@@ -170,7 +170,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
     val deduped = Streaming.streamingExactDedup(
-      input.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text")
+      input.toDF().toDF("doc_id", "text", "ts"), "text")
     val q = deduped.select(col("doc_id")).writeStream
       .outputMode(OutputMode.Append)
       .format("memory").queryName("dedup_stream").start()
