@@ -382,6 +382,43 @@ object RelationalQueries {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy(col("hour_ts"), col("event_type"))
+    }),
+
+    // Gap sessionization through the streaming custom-state path
+    // (Streaming.sessionizeStream, §2.10/§2.12), driver-oracled against
+    // the SAME DuckDB recipe as the batch rel_sessionize. Append-mode
+    // stateful sessions only emit when they CLOSE, so each event row is
+    // paired with a far-future sentinel (one explode, the
+    // stream_dedup_survivors pattern): sentinels sort last within the
+    // drained batch, their > gap distance closes every real session
+    // in-batch via the sessionizer's gap rule, and the sentinel session
+    // itself stays open and is never emitted. The emitted set is
+    // therefore exactly the batch lag-window sessionization.
+    "stream_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .filter(col("user_id") <= 50)
+      val withSentinels = ev.select(col("user_id"),
+          explode(array(
+            struct(col("event_id"), col("ts"), col("value")),
+            struct(lit(-1L).as("event_id"),
+              to_timestamp(lit("2100-01-01 00:00:00")).as("ts"),
+              lit(0.0).as("value")))).as("e"))
+        .select(col("user_id"), col("e.event_id").as("event_id"),
+          col("e.ts").as("ts"), col("e.value").as("value"))
+      val sessions = graft.streaming.Streaming.sessionizeStream(withSentinels)
+      val name = s"stream_sessionize_${streamRunId.incrementAndGet()}"
+      Option(lastSessView.getAndSet(name))
+        .foreach(prev => s.catalog.dropTempView(prev))
+      val q = sessions.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"), round(col("session_value"), 4).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
     })
   )
 
@@ -389,6 +426,28 @@ object RelationalQueries {
     * a reused active query name); only the latest view is retained. */
   private val streamRunId = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lastStreamView = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastSessView = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Shared by `rel_sessionize` (batch windows) and `stream_sessionize`
+    * (custom streaming state): one ground truth, two execution paths. */
+  private val sessionizeOracle =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM events WHERE user_id <= 50
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  round(sum(value), 4) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "rel_q1_pricing_summary" ->
@@ -515,24 +574,11 @@ object RelationalQueries {
         |GROUP BY 1
         |ORDER BY l_returnflag""".stripMargin,
 
-    "rel_sessionize" ->
-      """WITH flagged AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
-        |  FROM events WHERE user_id <= 50
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sessions AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM flagged)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  round(sum(value), 4) AS session_value
-        |FROM sessions
-        |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+    "rel_sessionize" -> sessionizeOracle,
+
+    // the streaming sessionizer must produce EXACTLY the batch answer —
+    // same oracle, word for word
+    "stream_sessionize" -> sessionizeOracle,
 
     "rel_asof_attribution" ->
       """WITH purchases AS (
