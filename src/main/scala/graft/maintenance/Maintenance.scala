@@ -30,14 +30,8 @@ final class Maintenance(
 
   /** Vacuum eligibility (reference: FdbVectorIndex.scheduleVacuumForSegment,
     * :552-608): deleted ratio ≥ threshold AND cooldown elapsed. */
-  def shouldVacuum(sm: SegmentMeta, nowMs: Long): Boolean = {
-    val total = sm.count + sm.deletedCount
-    val ratio = if (total == 0) 0.0 else sm.deletedCount.toDouble / total
-    if (ratio < policy.vacuumMinDeletedRatio) false
-    else if (policy.vacuumCooldownMs > 0 && sm.lastVacuumAtMs > 0 &&
-      nowMs - sm.lastVacuumAtMs < policy.vacuumCooldownMs) false
-    else true
-  }
+  def shouldVacuum(sm: SegmentMeta, nowMs: Long): Boolean =
+    Maintenance.shouldVacuum(policy, sm, nowMs)
 
   /** Segments the policy would schedule for vacuum now. */
   def segmentsNeedingVacuum(nowMs: Long): Seq[Int] =
@@ -272,4 +266,19 @@ final class Maintenance(
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
     }
+}
+
+object Maintenance {
+
+  /** The M2 policy math, index-free so the driver gate can exercise the
+    * SAME function the sweep uses (reference:
+    * FdbVectorIndex.scheduleVacuumForSegment:552-608). */
+  def shouldVacuum(policy: MaintenancePolicy, sm: SegmentMeta, nowMs: Long): Boolean = {
+    val total = sm.count + sm.deletedCount
+    val ratio = if (total == 0) 0.0 else sm.deletedCount.toDouble / total
+    if (ratio < policy.vacuumMinDeletedRatio) false
+    else if (policy.vacuumCooldownMs > 0 && sm.lastVacuumAtMs > 0 &&
+      nowMs - sm.lastVacuumAtMs < policy.vacuumCooldownMs) false
+    else true
+  }
 }

@@ -262,6 +262,41 @@ object VectorQueries {
     // segment stats derived deterministically from vec_id (cap 100,
     // deleted = vec_id%7==0, createdAtMs = segId·1000). The greedy budget
     // pick on top of these scores is covered in MaintenanceSpec.
+    // M2: the vacuum eligibility policy itself (ratio ≥ 0.25 AND 60 s
+    // cooldown elapsed, the reference defaults), driven through the REAL
+    // Maintenance.shouldVacuum over synthetic segment counters derived
+    // from embeddings. Even segIds delete every 3rd vec (ratio ≈ 1/3,
+    // above threshold) and alternate lastVacuumAt between inside the
+    // cooldown (segId%4=0 → blocked) and past it (segId%4=2 →
+    // eligible); odd segIds sit below the ratio (1/7) — the oracle
+    // recomputes all three branches in SQL. The per-segment collect is
+    // bounded: one row per 100 vec_ids.
+    "vec_vacuum_policy" -> ((s, dir) => {
+      import s.implicits._
+      val nowMs = 1000000000L
+      val segs = emb(s, dir)
+        .withColumn("segId", (col("vec_id") / 100).cast("int"))
+        .withColumn("deleted",
+          col("vec_id") % when(col("segId") % 2 === 0, 3).otherwise(7) === 0)
+        .groupBy(col("segId"))
+        .agg(
+          sum(when(col("deleted"), 0L).otherwise(1L)).as("cnt"),
+          sum(when(col("deleted"), 1L).otherwise(0L)).as("del"))
+        .withColumn("last_vacuum_ms",
+          when(col("segId") % 4 === 0, nowMs - 30000L)
+            .when(col("segId") % 4 === 2, nowMs - 120000L)
+            .otherwise(0L))
+        .as[(Int, Long, Long, Long)].collect()
+      val policy = graft.core.MaintenancePolicy()
+      segs.toSeq.map { case (segId, cnt, del, lastVac) =>
+        val sm = graft.core.SegmentMeta(segId, graft.core.SegmentState.Sealed,
+          cnt, del, createdAtMs = 0L, lastVacuumAtMs = lastVac)
+        (segId, cnt, del, lastVac,
+          if (graft.maintenance.Maintenance.shouldVacuum(policy, sm, nowMs)) 1L else 0L)
+      }.toDF("segId", "cnt", "del", "last_vacuum_ms", "eligible")
+        .orderBy(col("segId"))
+    }),
+
     "vec_compaction_scoring" -> ((s, dir) => {
       val segs = emb(s, dir)
         .withColumn("segId", (col("vec_id") / 100).cast("int"))
@@ -494,6 +529,28 @@ object VectorQueries {
         |  FROM dims d JOIN centroid c USING (idx) GROUP BY d.vec_id)
         |SELECT vec_id, round(d2, 6) AS d2r FROM d2
         |ORDER BY d2r, vec_id LIMIT 1""".stripMargin,
+
+    "vec_vacuum_policy" ->
+      """WITH segs AS (
+        |  SELECT CAST(vec_id // 100 AS INTEGER) AS segId,
+        |    CAST(sum(CASE WHEN vec_id % (CASE WHEN (vec_id // 100) % 2 = 0 THEN 3 ELSE 7 END) = 0
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN vec_id % (CASE WHEN (vec_id // 100) % 2 = 0 THEN 3 ELSE 7 END) = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS del
+        |  FROM embeddings GROUP BY 1),
+        |segs2 AS (
+        |  SELECT segId, cnt, del,
+        |    CAST(CASE WHEN segId % 4 = 0 THEN 1000000000 - 30000
+        |              WHEN segId % 4 = 2 THEN 1000000000 - 120000
+        |              ELSE 0 END AS BIGINT) AS last_vacuum_ms
+        |  FROM segs)
+        |SELECT segId, cnt, del, last_vacuum_ms,
+        |  CAST(CASE WHEN (cnt + del) > 0
+        |         AND CAST(del AS DOUBLE) / (cnt + del) >= 0.25
+        |         AND (last_vacuum_ms = 0 OR 1000000000 - last_vacuum_ms >= 60000)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS eligible
+        |FROM segs2
+        |ORDER BY segId""".stripMargin,
 
     "vec_compaction_scoring" ->
       """WITH segs AS (
