@@ -58,14 +58,80 @@ object Search {
     * blocks are released. Entries keep full lineage (persist, not
     * checkpoint), so memory-pressure eviction degrades to a re-scan,
     * never an error. */
-  private final case class CachedInputs(
+  private[index] final case class CachedInputs(
       version: String,
       payload: org.apache.spark.sql.Dataset[SegPayloadRow],
-      codebooks: org.apache.spark.sql.Dataset[CodebookRow])
-  /** Insertion-ordered so overflow evicts the longest-resident store —
-    * bounds a long-lived service querying many ephemeral indexes. */
+      codebooks: org.apache.spark.sql.Dataset[CodebookRow]) {
+    /** Updated on every hit — the expireAfterAccess clock. */
+    var lastAccess: Long = 0L
+  }
+  /** Access-ordered (hits re-insert at the tail) so overflow evicts the
+    * least-recently-used store — bounds a long-lived service querying
+    * many ephemeral indexes. */
   private val inputCache = mutable.LinkedHashMap.empty[String, CachedInputs]
   private val MaxCachedStores = 64
+  /** Reference parity: SegmentCaches.java:39-45 evicts by
+    * expireAfterAccess(10 min) as well as by size — without it a
+    * long-lived service on one busy index pins codes+graph in the block
+    * manager indefinitely. Swept on every cache access. */
+  private[index] var ttlNanos: Long = 10L * 60 * 1000 * 1000 * 1000
+  /** Superseded / size-evicted entries are NOT unpersisted at replacement
+    * time: a concurrent query planned against the old manifest may still
+    * be mid-flight, and its recompute-from-lineage could hit segment
+    * files the very mutation that superseded the entry (vacuum,
+    * compaction) has already deleted. They park on a grace list and are
+    * released one grace period later, by which time any in-flight action
+    * has finished or failed for its own reasons. */
+  private[index] var graceNanos: Long = 60L * 1000 * 1000 * 1000
+  private val graceList = mutable.ArrayBuffer.empty[(Long, String, CachedInputs)]
+  /** Injectable for TTL tests; production uses the monotonic clock. */
+  private[index] var clock: () => Long = () => System.nanoTime()
+
+  private def release(e: CachedInputs): Unit =
+    // an entry from a stopped context has nothing to release — its blocks
+    // died with the context, and unpersist would throw
+    if (!e.payload.sparkSession.sparkContext.isStopped) {
+      e.payload.unpersist(blocking = false)
+      e.codebooks.unpersist(blocking = false)
+    }
+
+  /** Park a no-longer-current entry for deferred release (see graceNanos). */
+  private def parkSuperseded(path: String, e: CachedInputs, now: Long): Unit =
+    graceList += ((now + graceNanos, path, e))
+
+  /** Release grace-listed entries past their deadline and evict cache
+    * entries idle past the TTL. Called under the cache lock. */
+  private def sweep(now: Long): Unit = {
+    val due = graceList.filter(_._1 <= now)
+    if (due.nonEmpty) {
+      due.foreach { case (_, _, e) => release(e) }
+      graceList.filterInPlace(_._1 > now)
+    }
+    val expired = inputCache.collect {
+      case (p, e) if now - e.lastAccess > ttlNanos => p
+    }
+    expired.foreach { p => inputCache.remove(p).foreach(release) }
+  }
+
+  /** Drop and release the cached entry for `storePath`, bypassing the
+    * grace list. Call BEFORE deleting the store's files: once the files
+    * are gone a lingering persisted entry is a trap — any block evicted
+    * under memory pressure would recompute from lineage into the deleted
+    * tree. Only correct when the caller owns the store exclusively (e.g.
+    * a temp index being rebuilt on data-fingerprint change). */
+  def invalidate(storePath: String): Unit = inputCache.synchronized {
+    inputCache.remove(storePath).foreach(release)
+    graceList.filter(_._2 == storePath).foreach { case (_, _, e) => release(e) }
+    graceList.filterInPlace(_._2 != storePath)
+  }
+
+  /** Test hooks: entry count and grace-list depth under the lock. */
+  private[index] def cacheStats: (Int, Int) =
+    inputCache.synchronized((inputCache.size, graceList.size))
+  private[index] def cachedPaths: Set[String] =
+    inputCache.synchronized(inputCache.keySet.toSet)
+  private[index] def graceSnapshot: List[(Long, String, CachedInputs)] =
+    inputCache.synchronized(graceList.toList)
 
   private def sealedInputs(
       spark: SparkSession,
@@ -75,6 +141,8 @@ object Search {
         org.apache.spark.sql.Dataset[CodebookRow]) = inputCache.synchronized {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
+    val now = clock()
+    sweep(now)
     // `version` is the hash of the SAME manifest bytes the caller planned
     // against — never re-read here, or a concurrent seal between the two
     // reads would cache a payload filtered by the old segment set under
@@ -83,15 +151,17 @@ object Search {
       case Some(e) if e.version == version &&
           (e.payload.sparkSession.sparkContext eq spark.sparkContext) &&
           !spark.sparkContext.isStopped =>
+        e.lastAccess = now
+        // re-insert at the tail: LinkedHashMap iterates in insertion
+        // order, so overflow eviction below sees true LRU order
+        inputCache.remove(store.path)
+        inputCache.put(store.path, e)
         (e.payload, e.codebooks)
       case stale =>
-        // a stale entry from a stopped context has nothing to release —
-        // its blocks died with the context, and unpersist would throw
-        stale.filterNot(_.payload.sparkSession.sparkContext.isStopped)
-          .foreach { e =>
-            e.payload.unpersist(blocking = false)
-            e.codebooks.unpersist(blocking = false)
-          }
+        stale.foreach { e =>
+          inputCache.remove(store.path)
+          parkSuperseded(store.path, e, now)
+        }
         val cb = store.readCodebooks(spark)
           .filter(col("segId").isin(sealedSegs: _*)).as[CodebookRow]
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -102,12 +172,13 @@ object Search {
             .filter(col("segId").isin(sealedSegs: _*)).as[GraphRow]
             .map(g => SegPayloadRow(g.segId, g.vecId, null, g.neighbors)))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        inputCache.put(store.path, CachedInputs(version, payload, cb))
+        val entry = CachedInputs(version, payload, cb)
+        entry.lastAccess = now
+        inputCache.put(store.path, entry)
         while (inputCache.size > MaxCachedStores) {
           val (oldPath, old) = inputCache.head
-          old.payload.unpersist(blocking = false)
-          old.codebooks.unpersist(blocking = false)
           inputCache.remove(oldPath)
+          parkSuperseded(oldPath, old, now)
         }
         (payload, cb)
     }

@@ -92,6 +92,11 @@ object VectorQueries {
         case stale =>
           stale.foreach { case (_, old) =>
             tempStores.synchronized { tempStores -= old.path }
+            // release the sealed-input cache's persisted blocks for the
+            // old tree BEFORE deleting its files — a lingering entry
+            // whose blocks get memory-evicted would recompute from
+            // lineage into the deleted tree
+            graft.index.Search.invalidate(old.path)
             deleteTree(old.path)
           }
           val built = build
