@@ -99,18 +99,32 @@ object Search {
   private def parkSuperseded(path: String, e: CachedInputs, now: Long): Unit =
     graceList += ((now + graceNanos, path, e))
 
-  /** Release grace-listed entries past their deadline and evict cache
-    * entries idle past the TTL. Called under the cache lock. */
+  /** Evict cache entries idle past the TTL and release grace-listed
+    * entries past their deadline. TTL-expired entries are PARKED, not
+    * released: a query planned >ttlNanos ago against a since-vacuumed
+    * manifest can still be in flight, and an immediate unpersist would
+    * let a memory-evicted block recompute from lineage into deleted
+    * segment files. Parking precedes the drain so a zero grace period
+    * still releases within the same sweep. Called under the cache lock. */
   private def sweep(now: Long): Unit = {
+    val expired = inputCache.collect {
+      case (p, e) if now - e.lastAccess > ttlNanos => p
+    }
+    expired.foreach { p => inputCache.remove(p).foreach(parkSuperseded(p, _, now)) }
     val due = graceList.filter(_._1 <= now)
     if (due.nonEmpty) {
       due.foreach { case (_, _, e) => release(e) }
       graceList.filterInPlace(_._1 > now)
     }
-    val expired = inputCache.collect {
-      case (p, e) if now - e.lastAccess > ttlNanos => p
-    }
-    expired.foreach { p => inputCache.remove(p).foreach(release) }
+  }
+
+  /** Cheap idle-path drain: release overdue grace-listed entries and
+    * TTL-expired cache entries without needing a sealed-segment query.
+    * `sweep` otherwise runs only inside `sealedInputs`, so on an index
+    * with no sealed segments parked blocks would stay pinned until JVM
+    * exit. Called at every `query()` entry. */
+  private[index] def drainExpired(): Unit = inputCache.synchronized {
+    if (graceList.nonEmpty || inputCache.nonEmpty) sweep(clock())
   }
 
   /** Drop and release the cached entry for `storePath`, bypassing the
@@ -197,6 +211,7 @@ object Search {
       useAggregatorMerge: Boolean = true): DataFrame = {
     import spark.implicits._
 
+    drainExpired() // free stale cache blocks even on brute-only queries
     val (m, manifestVersion) = store.readManifestWithVersion()
     val im = m.meta
     val metric = im.metricEnum

@@ -67,6 +67,41 @@ class CacheExpirySpec extends AnyFunSuite {
     }
   }
 
+  test("a TTL-expired entry parks for the grace period before its blocks release") {
+    val clock0 = Search.clock
+    val ttl0 = Search.ttlNanos
+    val grace0 = Search.graceNanos
+    var now = 1L
+    try {
+      Search.clock = () => now
+      Search.ttlNanos = 1000L
+      Search.graceNanos = 5000L
+      val a = sealedIndex(36)
+      Search.query(spark, a.store, q(a), 5).collect()
+      val entry = Search.graceSnapshot // empty — A is live
+      assert(entry.isEmpty)
+
+      now += Search.ttlNanos + 1 // A idles past the TTL
+      Search.drainExpired()
+      assert(!Search.cachedPaths.contains(a.store.path), "idle entry not expired")
+      val parked = Search.graceSnapshot.filter(_._2 == a.store.path)
+      assert(parked.nonEmpty, "TTL-expired entry must park, not release —" +
+        " a query planned against it can still be in flight")
+      assert(parked.forall(_._3.payload.storageLevel.useMemory),
+        "TTL-expired entry's blocks released before the grace period")
+
+      now += Search.graceNanos + 1
+      Search.drainExpired()
+      assert(Search.graceSnapshot.forall(_._2 != a.store.path))
+      assert(parked.forall(!_._3.payload.storageLevel.useMemory),
+        "grace-listed blocks not released after the grace period")
+    } finally {
+      Search.clock = clock0
+      Search.ttlNanos = ttl0
+      Search.graceNanos = grace0
+    }
+  }
+
   test("a hit refreshes the access time — a busy entry never expires") {
     val clock0 = Search.clock
     val ttl0 = Search.ttlNanos
