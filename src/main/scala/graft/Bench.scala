@@ -46,7 +46,29 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // per-query regression gate: compare against the recorded anchors so
+    // every round self-adjudicates its own spikes (BASELINE.md protocol)
+    val ratios = results.flatMap { case (name, t) =>
+      BenchAnchors.seconds.get(name).map(a => (name, t, t / a))
+    }
+    val flagged = ratios.filter(_._3 > RegressionFactor).sortBy(-_._3)
+    if (flagged.nonEmpty) {
+      System.err.println(s"[bench] WARN ${flagged.size} queries exceed " +
+        s"${RegressionFactor}x their anchor (likely load jitter — " +
+        "adjudicate with isolated warm medians before trusting):")
+      flagged.foreach { case (name, t, r) =>
+        System.err.println(f"[bench]   $name%-28s ${BenchAnchors.seconds(name)}%6.2f s -> $t%6.2f s  (${r}%4.1fx)")
+      }
+    }
+    val ratioJson = ratios.map { case (k, _, r) => f""""$k":$r%.2f""" }
+      .mkString("{", ",", "}")
+    val regJson = flagged.map { case (k, _, r) => f""""$k":$r%.2f""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"anchor_ratio":$ratioJson,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** A query slower than this multiple of its anchor is flagged. */
+  val RegressionFactor = 2.0
 }

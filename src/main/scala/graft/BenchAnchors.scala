@@ -1,0 +1,79 @@
+package graft
+
+/** Per-query regression anchors for [[Bench]]: seconds at sf0.1 on
+  * local[32], taken as the per-query max of the round-6 driver run and a
+  * round-7 quiet-box run (conservative against load jitter — the bench
+  * box documents 30-100% run-to-run variance). A query slower than
+  * [[Bench.RegressionFactor]] x its anchor prints in a WARN table and
+  * its ratio lands in the bench JSON under "regressions", so each round
+  * self-adjudicates instead of deferring spikes to the next judge pass.
+  * Queries without an anchor (newly registered) are skipped; refresh an
+  * anchor only from an isolated warm median (see BASELINE.md round-5
+  * adjudication protocol).
+  */
+object BenchAnchors {
+  val seconds: Map[String, Double] = Map(
+    "ann_ivf_cosine" -> 1.009,
+    "dedup_clusters" -> 3.819,
+    "dedup_cosine_exact" -> 0.408,
+    "dedup_cosine_lsh" -> 0.965,
+    "dedup_exact" -> 2.267,
+    "dedup_minhash" -> 1.679,
+    "dedup_simhash" -> 1.299,
+    "multimodal_decode" -> 0.222,
+    "multimodal_frames" -> 0.212,
+    "pipeline_decontaminate" -> 0.716,
+    "pipeline_embed_quantize" -> 0.205,
+    "pipeline_mixture_rebalance" -> 0.256,
+    "pipeline_pack_sequences" -> 0.203,
+    "pipeline_split_assignment" -> 0.263,
+    "rel_agg_distinct" -> 0.155,
+    "rel_asof_attribution" -> 0.223,
+    "rel_cube_flag_year" -> 0.6,
+    "rel_events_hourly" -> 0.619,
+    "rel_json_extract" -> 0.179,
+    "rel_percentiles" -> 0.253,
+    "rel_pivot_events" -> 0.281,
+    "rel_q13_cust_distribution" -> 0.571,
+    "rel_q17_small_quantity" -> 0.534,
+    "rel_q18_large_orders" -> 0.721,
+    "rel_q1_pricing_summary" -> 0.309,
+    "rel_q3_shipping_priority" -> 0.666,
+    "rel_q4_order_priority" -> 0.728,
+    "rel_q5_region_volume" -> 2.845,
+    "rel_range_join" -> 1.1,
+    "rel_rollup_flags" -> 1.295,
+    "rel_scalar_functions" -> 0.48,
+    "rel_sessionize" -> 0.619,
+    "rel_setop_except" -> 0.426,
+    "rel_setop_intersect" -> 0.311,
+    "rel_unpivot_part" -> 0.16,
+    "rel_window_running_qty" -> 0.168,
+    "rel_window_topk_parts" -> 0.322,
+    "stream_dedup_survivors" -> 2.412,
+    "stream_events_hourly" -> 1.516,
+    "stream_sessionize" -> 1.863,
+    "text_fingerprint_sketch" -> 0.159,
+    "text_langid" -> 0.17,
+    "text_repetition" -> 0.131,
+    "text_stats" -> 0.231,
+    "text_vocab_topk" -> 0.471,
+    "vec_compaction_scoring" -> 0.544,
+    "vec_gid_resolve" -> 0.226,
+    "vec_ingest_assignment" -> 0.272,
+    "vec_knn_brute_cosine" -> 0.379,
+    "vec_knn_brute_l2" -> 0.273,
+    "vec_knn_post_vacuum" -> 1.122,
+    "vec_knn_sealed" -> 0.678,
+    "vec_knn_sealed_alpha1" -> 0.578,
+    "vec_knn_sealed_beam" -> 0.723,
+    "vec_knn_sealed_deleted" -> 0.572,
+    "vec_knn_sealed_pivots" -> 0.598,
+    "vec_knn_writing_invisible" -> 0.533,
+    "vec_medoid" -> 0.548,
+    "vec_norm_stats" -> 0.145,
+    "vec_seal_build" -> 1.949,
+    "vec_segment_counters" -> 0.241,
+    "vec_vacuum_policy" -> 0.279,
+  )
+}
