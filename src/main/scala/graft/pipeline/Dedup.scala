@@ -19,7 +19,12 @@ import graft.functions.{text, vector}
  *    band hash, never an O(n²) cross join);
  *  - only candidate pairs pay the exact verification cost (Jaccard /
  *    Hamming / cosine), via a self-join narrowed to bucket collisions;
- *  - `doc_a < doc_b` canonicalization keeps each pair once.
+ *  - `doc_a < doc_b` canonicalization keeps each pair once;
+ *  - hot-bucket guard: content-identical docs collapse to one
+ *    representative BEFORE the bucket self-join (see
+ *    [[expandMemberPairs]]) — a degenerate corpus of millions of
+ *    identical documents otherwise lands in one bucket and the join goes
+ *    quadratic in corpus size instead of in distinct contents.
  */
 object Dedup {
 
@@ -77,8 +82,18 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    val sigs = df.select(col(idCol).as("doc_id"),
+    val docs = df.select(col(idCol).as("doc_id"),
       shingleHashes(col(textCol), shingleK).as("shingles"))
+    // hot-bucket guard: shingle-identical docs share EVERY band, so they
+    // always collide — collapse each distinct shingle set to its min-id
+    // representative before the band join and expand afterwards. Output
+    // is exactly what the unguarded join emits (identical docs pair at
+    // jaccard 1.0 with everything their rep pairs with), but the join is
+    // quadratic only in distinct contents.
+    val groups = docs.groupBy("shingles")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))
+    val memberOf = docs.join(groups, Seq("shingles")).select(col("doc_id"), col("rep"))
+    val sigs = groups.select(col("rep").as("doc_id"), col("shingles"))
       .withColumn("sig", minHashSignature(col("shingles"), numHashes))
 
     val banded = sigs.select(
@@ -98,12 +113,18 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
 
     val shOnly = sigs.select(col("doc_id"), col("shingles"))
-    candidates
+    val repPairs = candidates
       .join(shOnly.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(shOnly.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+
+    val groupSelf = groups
+      .withColumn("jaccard", jaccardOf(col("shingles"), col("shingles")))
+      .filter(col("jaccard") >= threshold)
+      .select("rep", "gsize", "jaccard")
+    expandMemberPairs(repPairs, "jaccard", memberOf, groupSelf)
   }
 
   /** |∩|/|∪| at full double precision: integer set sizes divide exactly the
@@ -111,6 +132,41 @@ object Dedup {
     * rounding (round() differs across engines at exact midpoints). */
   private def jaccardOf(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Hot-bucket guard, expansion half. `repPairs` are verified pairs over
+    * group REPRESENTATIVES (one doc per distinct content, id = group min);
+    * rebuild the full pair set over members:
+    *  - inter-group pairs inherit the rep pair's similarity (members are
+    *    content-identical to their rep), re-canonicalized with
+    *    least/greatest — a member of the lower rep's group can outrank
+    *    one of the higher's;
+    *  - intra-group pairs (identical contents) carry the group's
+    *    self-similarity, computed by the SAME expression as the pair path
+    *    and pre-filtered by the same threshold in `groupSelf`, so emitted
+    *    values are bit-identical to what the unguarded join would produce.
+    * Every step is an equi-join on longs; total work is linear in corpus
+    * size plus OUTPUT size (a corpus of n identical docs genuinely has
+    * n(n-1)/2 duplicate pairs — the join streams them, nothing quadratic
+    * is shuffled or verified). Near-identical-but-distinct floods (every
+    * pairwise similarity above threshold) remain quadratic in distinct
+    * contents — inherent to the pairwise output contract. */
+  private def expandMemberPairs(
+      repPairs: DataFrame, // (doc_a, doc_b, <value>), ids are reps
+      valueCol: String,
+      memberOf: DataFrame, // (doc_id, rep)
+      groupSelf: DataFrame): DataFrame = { // (rep, gsize, <value>), kept groups only
+    val inter = repPairs
+      .join(memberOf.select(col("rep").as("doc_a"), col("doc_id").as("m_a")), Seq("doc_a"))
+      .join(memberOf.select(col("rep").as("doc_b"), col("doc_id").as("m_b")), Seq("doc_b"))
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col(valueCol))
+    val intra = groupSelf.filter(col("gsize") > 1)
+      .join(memberOf.select(col("rep"), col("doc_id").as("m_a")), Seq("rep"))
+      .join(memberOf.select(col("rep"), col("doc_id").as("m_b")), Seq("rep"))
+      .filter(col("m_a") < col("m_b"))
+      .select(col("m_a").as("doc_a"), col("m_b").as("doc_b"), col(valueCol))
+    inter.unionByName(intra)
+  }
 
   /** Exact n-gram Jaccard similarity join over ALL pairs (quadratic — the
     * verification oracle for the LSH path; use only on bounded inputs). */
@@ -147,18 +203,31 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sh"))
+    val docs = df.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sh"))
+    // hot-bucket guard on the 64-bit sketch itself (a long — the cheapest
+    // collapse key of the three LSH paths): equal sketches collide in
+    // every band and pair at hamming 0, so only distinct sketch values
+    // enter the band join
+    val groups = docs.groupBy("sh")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))
+    val memberOf = docs.join(groups, Seq("sh")).select(col("doc_id"), col("rep"))
+    val sh = groups.select(col("rep").as("doc_id"), col("sh"))
     val banded = sh.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL))).as(Seq("band", "bandVal")))
     val left = banded.select(col("band"), col("bandVal"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val right = banded.select(col("band"), col("bandVal"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    left.join(right, Seq("band", "bandVal"))
+    val repPairs = left.join(right, Seq("band", "bandVal"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+    val groupSelf = groups
+      .withColumn("hamming", bit_count(col("sh").bitwiseXOR(col("sh"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("rep", "gsize", "hamming")
+    expandMemberPairs(repPairs, "hamming", memberOf, groupSelf)
   }
 
   /**
@@ -275,24 +344,40 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val rnd = new Random(seed)
     val planes = Array.fill(tables * planesPerTable * dim)(rnd.nextGaussian().toFloat)
-    val sk = df.select(col(idCol).as("doc_id"),
-      posexplode(graft.functions.sketch.hyperplane_sketch(col(embCol), planes, tables, planesPerTable))
+    val docs = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
+    // hot-bucket guard: identical embeddings produce identical sketches in
+    // every table — collapse them before the bucket join. The group's
+    // self-cosine is computed by the SAME expression (cosine_sim(e, e) is
+    // NOT exactly 1.0 in floating point — sqrt(s)² != s) so emitted
+    // values match the unguarded join bit-for-bit.
+    val groups = docs.groupBy("emb")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))
+    val memberOf = docs.join(groups, Seq("emb")).select(col("doc_id"), col("rep"))
+    val reps = groups.select(col("rep").as("doc_id"), col("emb"))
+    val sk = reps.select(col("doc_id"),
+      posexplode(graft.functions.sketch.hyperplane_sketch(col("emb"), planes, tables, planesPerTable))
         .as(Seq("table", "bucket")))
     // dedupe bucket collisions on bare id pairs BEFORE re-joining the
     // embedding arrays — distinct over two longs is cheap; shuffling and
     // hash-comparing 2×dim float arrays per candidate is not (mirrors the
     // MinHash candidate pattern above)
-    val candidates = sk.select(col("table"), col("bucket"), col("doc_id").as("id_a"))
-      .join(sk.select(col("table"), col("bucket"), col("doc_id").as("id_b")),
+    val candidates = sk.select(col("table"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(sk.select(col("table"), col("bucket"), col("doc_id").as("doc_b")),
         Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val embOnly = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
-    candidates
-      .join(embOnly.select(col("doc_id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
-      .join(embOnly.select(col("doc_id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val embOnly = reps.select(col("doc_id"), col("emb"))
+    val repPairs = candidates
+      .join(embOnly.select(col("doc_id").as("doc_a"), col("emb").as("emb_a")), Seq("doc_a"))
+      .join(embOnly.select(col("doc_id").as("doc_b"), col("emb").as("emb_b")), Seq("doc_b"))
       .withColumn("cosine", vector.cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .select("doc_a", "doc_b", "cosine")
+    val groupSelf = groups
+      .withColumn("cosine", vector.cosine_sim(col("emb"), col("emb")))
+      .filter(col("cosine") >= threshold)
+      .select("rep", "gsize", "cosine")
+    expandMemberPairs(repPairs, "cosine", memberOf, groupSelf)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("cosine"))
   }
 }

@@ -102,6 +102,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(g => (g._1, g._2)).toSet == exact)
   }
 
+  test("hot-bucket guard: a 10k identical-doc flood stays linear in the candidate stage") {
+    // Before the guard, 10k identical docs all landed in the same
+    // (band, bandHash) bucket of EVERY band: a 16 x 10k^2 = 1.6e9-row
+    // candidate join. With the guard they collapse to one representative,
+    // so the only quadratic term is the (true) 50M-pair OUTPUT, streamed
+    // by an equi-join on the group key — this test completing at all is
+    // the guard working.
+    val n = 10000
+    val flood = spark.range(n).select(col("id").as("doc_id"),
+      lit("the same exact document text repeated verbatim for the flood case").as("text"))
+    val others = Seq(
+      (100001L, "a completely different first document about engines and planners"),
+      (100002L, "unrelated second text concerning catalyst physical planning rules"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minHashNearDuplicates(flood.unionByName(others),
+      "doc_id", "text", threshold = 0.5)
+    assert(out.filter(col("jaccard") =!= 1.0).isEmpty,
+      "only identical-doc pairs exist at threshold 0.5 in this corpus")
+    assert(out.count() == n.toLong * (n - 1) / 2)
+  }
+
+  test("hot-bucket guard: simhash flood collapses on the sketch value") {
+    val n = 3000
+    val flood = spark.range(n).select(col("id").as("doc_id"),
+      lit("identical content for every row of the simhash flood").as("text"))
+    val out = Dedup.simHashNearDuplicates(flood, "doc_id", "text", maxHamming = 3)
+    assert(out.filter(col("hamming") =!= 0).isEmpty)
+    assert(out.count() == n.toLong * (n - 1) / 2)
+  }
+
+  test("hot-bucket guard: identical embeddings collapse before the cosine-LSH bucket join") {
+    val n = 2000
+    val dim = 16
+    val same = array((0 until dim).map(i => lit((0.1f * (i % 5 + 1)))): _*)
+    val flood = spark.range(n).select(col("id").as("vec_id"), same.as("embedding"))
+    val out = Dedup.cosineNearDuplicatesLsh(flood, "vec_id", "embedding", dim, threshold = 0.95)
+    // every pair is the same identical-embedding pair — one distinct value,
+    // computed by the same cosine expression as the unguarded join
+    assert(out.select("cosine").distinct().count() == 1)
+    assert(out.count() == n.toLong * (n - 1) / 2)
+  }
+
   test("int8 quantization: max error bounded by scale/2, codes reconstruct the extremes") {
     val out = embeddings.select(col("vec_id"),
         graft.functions.vector.int8_quant_stats(col("embedding")).as("q"))
