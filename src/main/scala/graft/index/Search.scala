@@ -87,6 +87,12 @@ object Search {
   /** Injectable for TTL tests; production uses the monotonic clock. */
   private[index] var clock: () => Long = () => System.nanoTime()
 
+  /** Sealed-path query batches are broadcast and searched in chunks of
+    * this size (one cogroup per chunk, unioned): per-segment task time
+    * and broadcast size stay flat as the batch grows, and chunks
+    * parallelize across the executor pool. Var for tests. */
+  private[index] var queryChunkSize: Int = 1024
+
   private def release(e: CachedInputs): Unit =
     // an entry from a stopped context has nothing to release — its blocks
     // died with the context, and unpersist would throw
@@ -231,13 +237,14 @@ object Search {
       case s if s.state == SegmentState.Active || s.state == SegmentState.Pending => s.segId
     }
 
-    // broadcast the query batch (small) — the analog of sending q to every
-    // segment task; and the codebooks (T5/T6 cache → broadcast)
+    // collect the query batch (the KNN contract is a bounded batch) — the
+    // analog of sending q to every segment task. Broadcast and searched
+    // in chunks of `queryChunkSize` below, so per-segment task time and
+    // broadcast size stay flat as the batch grows.
     val queries: Array[(Long, Array[Float])] = queriesDf
       .select(col("queryId").cast("long"), col("qv").cast("array<float>"))
       .as[(Long, Array[Float])]
       .collect()
-    val qB = spark.sparkContext.broadcast(queries)
 
     val vectors = store.readVectors(spark)
 
@@ -268,24 +275,38 @@ object Search {
         val cbK = cbs.groupByKey(_.segId)
         val payloadK = payload.groupByKey(_.segId)
 
-        // codebook side first (left) — one row, read before the bulk stream
-        val candidates = cbK.cogroup(payloadK) { (segId, cbs, rows) =>
-          if (!cbs.hasNext) Iterator.empty // missing codebook → segment yields nothing
-          else {
-            val cbr = cbs.next()
-            val cb = Pq.Codebook(cbr.m, cbr.k, cbr.subDim, cbr.centroids)
-            val codeMap = new mutable.HashMap[Int, Array[Byte]]()
-            val adj = new mutable.HashMap[Int, Array[Int]]()
-            rows.foreach { r =>
-              if (r.code != null) codeMap.put(r.vecId, r.code)
-              else adj.put(r.vecId, r.neighbors)
+        // the query batch enters in bounded chunks: one cogroup per chunk,
+        // unioned. A single cogroup looping the WHOLE batch makes every
+        // segment task a straggler proportional to batch size; chunking
+        // bounds per-task time AND parallelizes chunks across the
+        // executor pool (the payload is persisted, so the per-chunk
+        // re-shuffle reads cached blocks, not parquet). Batches up to
+        // `queryChunkSize` keep the exact single-cogroup plan.
+        val chunks = // one empty chunk keeps the empty-batch plan shape
+          if (queries.isEmpty) Seq(Array.empty[(Long, Array[Float])])
+          else queries.grouped(queryChunkSize).toSeq
+        val chunkCandidates = chunks.map { chunk =>
+          val qB = spark.sparkContext.broadcast(chunk)
+          // codebook side first (left) — one row, read before the bulk stream
+          cbK.cogroup(payloadK) { (segId, cbs, rows) =>
+            if (!cbs.hasNext) Iterator.empty // missing codebook → segment yields nothing
+            else {
+              val cbr = cbs.next()
+              val cb = Pq.Codebook(cbr.m, cbr.k, cbr.subDim, cbr.centroids)
+              val codeMap = new mutable.HashMap[Int, Array[Byte]]()
+              val adj = new mutable.HashMap[Int, Array[Int]]()
+              rows.foreach { r =>
+                if (r.code != null) codeMap.put(r.vecId, r.code)
+                else adj.put(r.vecId, r.neighbors)
+              }
+              qB.value.iterator.flatMap { case (qid, q) =>
+                SegmentSearch.searchSealed(segId, cb, q, codeMap, adj, perSegLimit, params, phaseSink)
+                  .iterator.map(a => (qid, segId, a.vecId))
+              }
             }
-            qB.value.iterator.flatMap { case (qid, q) =>
-              SegmentSearch.searchSealed(segId, cb, q, codeMap, adj, perSegLimit, params, phaseSink)
-                .iterator.map(a => (qid, segId, a.vecId))
-            }
-          }
-        }.toDF("queryId", "segId", "vecId")
+          }.toDF("queryId", "segId", "vecId")
+        }
+        val candidates = chunkCandidates.reduce(_ unionByName _)
 
         // exact rerank (J5): candidates ⋈ vectors (pruned to sealed segs).
         // Shuffle hash join, NOT broadcast: candidates are O(queries ×

@@ -74,7 +74,12 @@ class PlanSpec extends AnyFunSuite {
     // carrying the 2×dim float arrays through the distinct multiplies the
     // shuffle by ~100× at dim 768
     val p = plan("dedup_cosine_lsh")
-    val distincts = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    // scope to the pair-distinct aggregates: the hot-bucket guard's
+    // rep-collapse legitimately groups BY the embedding (one linear pass);
+    // only the candidate-PAIR distinct must never carry arrays
+    val distincts = p.linesIterator
+      .filter(l => l.contains("HashAggregate") &&
+        l.contains("doc_a") && l.contains("doc_b")).toSeq
     assert(distincts.nonEmpty)
     assert(distincts.forall(l => !l.contains("emb")))
   }
@@ -87,8 +92,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("minhash signatures come from the native expressions, not lambda trees") {
-    val p = plan("dedup_minhash")
-    assert(p.contains("shingle_hashes"))
-    assert(p.contains("minhash_signature"))
+    // pinned on the optimized LOGICAL plan: the physical toString hides
+    // expressions that collapse into an aggregate's result projection
+    // (where minhash_signature now sits, computed once per rep group)
+    val lp = SparkEntry.queries("dedup_minhash")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(lp.contains("shingle_hashes"))
+    assert(lp.contains("minhash_signature"))
   }
 }

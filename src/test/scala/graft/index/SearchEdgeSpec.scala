@@ -63,6 +63,30 @@ class SearchEdgeSpec extends AnyFunSuite {
     assert(rows.map(_._2).sorted.toSeq == (1L to 30L))
   }
 
+  test("a 5k-query batch chunks through the sealed path; results match the single-chunk plan") {
+    val idx = newIndex()
+    val data = gaussianDf(120, 9)
+    idx.addAll(data, "embedding", "id")
+    idx.sealPending()
+    // 5000 queries: each reuses a corpus vector, queryId is its own id space
+    val r = new Random(10)
+    val base = data.select("embedding").as[Array[Float]].collect()
+    val big = (0 until 5000).map(i => (i.toLong, base(r.nextInt(base.length))))
+      .toDF("queryId", "qv")
+
+    val chunk0 = Search.queryChunkSize
+    try {
+      Search.queryChunkSize = 1024 // 5 chunks
+      val chunked = Search.query(spark, idx.store, big, 3)
+        .select("queryId", "gid", "rank").as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(chunked.length == 5000 * 3)
+      Search.queryChunkSize = Int.MaxValue // the old single-cogroup plan
+      val single = Search.query(spark, idx.store, big, 3)
+        .select("queryId", "gid", "rank").as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(chunked == single, "chunked batch must be plan-invariant")
+    } finally Search.queryChunkSize = chunk0
+  }
+
   test("addAll of zero rows is a no-op; manifest unchanged") {
     val idx = newIndex()
     val before = idx.manifest
