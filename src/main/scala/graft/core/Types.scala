@@ -37,11 +37,27 @@ final case class IndexMeta(
     graphDegree: Int = 64,
     graphBuildBreadth: Int = 256,
     graphAlpha: Double = 1.2,
-    oversample: Int = 2) {
+    oversample: Int = 2,
+    graphBuildMode: String = GraphBuildMode.Auto) {
   require(dimension > 0, "dimension must be positive")
   require(pqM > 0 && dimension % pqM == 0, s"pqM=$pqM must divide dimension=$dimension")
   require(pqK > 0 && pqK <= 256, "pqK must be in (0,256] (codes are 1 byte/subspace)")
+  require(GraphBuildMode.all.contains(graphBuildMode),
+    s"graphBuildMode=$graphBuildMode not in ${GraphBuildMode.all}")
   def metricEnum: Metric = Metric.parse(metric)
+}
+
+/** Segment graph construction strategy (reference exercises all three
+  * builders: SegmentBuildService.java:207-209 auto-selects exact-kNN vs
+  * Vamana on alpha; GraphBuilderPruningTest.java:12-85 drives the
+  * brute-force top-L + greedy α-prune builder directly).
+  *  - AUTO: graphAlpha ≤ 1.0 → exact kNN graph, else incremental Vamana.
+  *  - PRUNED: brute-force top-`graphBuildBreadth` then greedy α-prune
+  *    (GraphBuilder.buildPrunedNeighbors) regardless of alpha. */
+object GraphBuildMode {
+  val Auto = "AUTO"
+  val Pruned = "PRUNED"
+  val all: Set[String] = Set(Auto, Pruned)
 }
 
 /** Segment lifecycle states (reference: vectorsearch.proto:74-101). */

@@ -159,9 +159,13 @@ final class SegmentedIndex(val spark: SparkSession, val store: IndexStore) {
         else {
           val vecs: Array[Array[Float]] = recs.map(_.embedding)
           val cb = Pq.train(vecs.toIndexedSeq, im.dimension, im.pqM, im.pqK)
-          // strategy selection mirrors SegmentBuildService.java:207-209
+          // strategy selection mirrors SegmentBuildService.java:207-209;
+          // PRUNED forces the brute-force top-L + α-prune builder the
+          // reference drives via GraphBuilderPruningTest.java:12-85
           val graph =
-            if (im.graphAlpha <= 1.0) GraphBuilder.buildL2Neighbors(vecs, im.graphDegree)
+            if (im.graphBuildMode == graft.core.GraphBuildMode.Pruned)
+              GraphBuilder.buildPrunedNeighbors(vecs, im.graphDegree, im.graphBuildBreadth, im.graphAlpha)
+            else if (im.graphAlpha <= 1.0) GraphBuilder.buildL2Neighbors(vecs, im.graphDegree)
             else GraphBuilder.buildVamanaGraph(vecs, im.graphDegree, im.graphBuildBreadth, im.graphAlpha)
           // graph neighbors are positions into the sorted array — remap to
           // vecIds (identical when ids are contiguous, they diverge after

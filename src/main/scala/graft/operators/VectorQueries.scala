@@ -114,7 +114,8 @@ object VectorQueries {
     * segments, exhaustive ef), ingest of `e`, then the variant's own
     * mutation (seal / manifest flip / delete / maintenance sweep). */
   private def buildVariant(
-      name: String, s: SparkSession, e: DataFrame, alpha: Double = 1.2)(
+      name: String, s: SparkSession, e: DataFrame, alpha: Double = 1.2,
+      graphMode: String = graft.core.GraphBuildMode.Auto)(
       mutate: SegmentedIndex => Unit): IndexStore = {
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
     tempStores.synchronized { tempStores += tmp }
@@ -122,7 +123,7 @@ object VectorQueries {
     val dim = e.select(size(col("embedding"))).first().getInt(0)
     st.createOrOpen(IndexMeta(name, dimension = dim, maxSegmentSize = 100,
       pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = alpha,
-      oversample = 4), System.currentTimeMillis())
+      oversample = 4, graphBuildMode = graphMode), System.currentTimeMillis())
     val idx = new SegmentedIndex(s, st)
     idx.addAll(e, "embedding", "vec_id")
     mutate(idx)
@@ -368,6 +369,20 @@ object VectorQueries {
       sealedGateQuery(s, store, e)
     }),
 
+    // G2: graphBuildMode=PRUNED forces the brute-force top-L + greedy
+    // α-prune builder (the reference's GraphBuilderPruningTest surface)
+    // through the seal job — same recall-1.0 config as the alpha1 row
+    // (ef 160 exhausts 100-node segments), so the output must equal
+    // exact KNN under the same hard oracle.
+    "vec_knn_sealed_pruned" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 300)
+      val store = memoizedStore("pruned", s, dir) {
+        buildVariant("pruned", s, e,
+          graphMode = graft.core.GraphBuildMode.Pruned)(_.sealPending())
+      }
+      sealedGateQuery(s, store, e)
+    }),
+
     // F2: WRITING segments are invisible to search (the reference's
     // state-dispatch rule — a compaction target must never serve results
     // before its single-commit swap). Ingest-only build (no seal cost),
@@ -597,6 +612,23 @@ object VectorQueries {
     "vec_knn_sealed" -> sealedKnnOracle,
 
     "vec_knn_sealed_beam" -> sealedKnnOracle,
+
+    // same exact-KNN oracle as alpha1: the PRUNED builder changes graph
+    // construction, never what an exhaustive search must find
+    "vec_knn_sealed_pruned" ->
+      s"""WITH g AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS gid, embedding
+         |  FROM embeddings WHERE vec_id < 300),
+         |q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         |SELECT queryId, gid, rnk AS "rank", dist AS distance FROM (
+         |  SELECT q.queryId, g.gid,
+         |    sqrt(${l2sqL("g.embedding", "q.qv")}) AS dist,
+         |    row_number() OVER (PARTITION BY q.queryId
+         |                       ORDER BY ${l2sqL("g.embedding", "q.qv")}, g.gid) AS rnk
+         |  FROM g, q) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
 
     "vec_knn_sealed_pivots" -> sealedKnnOracle,
 

@@ -91,10 +91,24 @@ class SegmentedIndexSpec extends AnyFunSuite {
       _.copy(pqK = 8),
       _.copy(graphDegree = 8),
       _.copy(graphAlpha = 1.5),
-      _.copy(oversample = 3))
+      _.copy(oversample = 3),
+      _.copy(graphBuildMode = GraphBuildMode.Pruned))
     variants.foreach { mutate =>
       intercept[IllegalStateException] { store.createOrOpen(mutate(base), 0L) }
     }
+  }
+
+  test("a manifest written before graphBuildMode existed reopens as AUTO") {
+    val dir = Files.createTempDirectory("graft-idx").toString
+    val store = new IndexStore(dir)
+    store.createOrOpen(IndexMeta("t4b", dimension = 8, maxSegmentSize = 10,
+      pqM = 2, pqK = 4, graphDegree = 4), 0L)
+    // strip the field, simulating a pre-upgrade manifest on disk
+    val p = java.nio.file.Paths.get(store.manifestPath)
+    val json = new String(Files.readAllBytes(p), "UTF-8")
+      .replaceAll(""",\s*"graphBuildMode"\s*:\s*"AUTO"""", "")
+    Files.write(p, json.getBytes("UTF-8"))
+    assert(store.readManifest().meta.graphBuildMode == GraphBuildMode.Auto)
   }
 
   test("seal builds codes/graph/codebooks for PENDING only; ACTIVE untouched") {
