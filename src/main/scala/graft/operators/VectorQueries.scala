@@ -369,6 +369,25 @@ object VectorQueries {
       sealedGateQuery(s, store, e)
     }),
 
+    // F2/M4: COMPACTING segments stay fully searchable — the reference
+    // keeps compaction sources serving results until the single-commit
+    // swap (MaintenanceService.java:248-417). Seal, then flip two
+    // segments COMPACTING through the REAL throttled transition
+    // (Maintenance.markCandidatesCompacting); results must be identical
+    // to the all-SEALED index, i.e. exact KNN over the full corpus.
+    "vec_knn_during_compaction" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 300)
+      val store = memoizedStore("compacting", s, dir) {
+        buildVariant("compacting", s, e) { idx =>
+          idx.sealPending()
+          val mt = new graft.maintenance.Maintenance(idx)
+          require(mt.markCandidatesCompacting(Seq(0, 1)),
+            "COMPACTING transition rejected — fixture segments not SEALED")
+        }
+      }
+      sealedGateQuery(s, store, e)
+    }),
+
     // G2: graphBuildMode=PRUNED forces the brute-force top-L + greedy
     // α-prune builder (the reference's GraphBuilderPruningTest surface)
     // through the seal job — same recall-1.0 config as the alpha1 row
@@ -612,6 +631,24 @@ object VectorQueries {
     "vec_knn_sealed" -> sealedKnnOracle,
 
     "vec_knn_sealed_beam" -> sealedKnnOracle,
+
+    // same exact-KNN oracle as alpha1: COMPACTING state changes segment
+    // lifecycle bookkeeping, never visibility — sources serve until the
+    // compaction's single-commit swap
+    "vec_knn_during_compaction" ->
+      s"""WITH g AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS gid, embedding
+         |  FROM embeddings WHERE vec_id < 300),
+         |q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         |SELECT queryId, gid, rnk AS "rank", dist AS distance FROM (
+         |  SELECT q.queryId, g.gid,
+         |    sqrt(${l2sqL("g.embedding", "q.qv")}) AS dist,
+         |    row_number() OVER (PARTITION BY q.queryId
+         |                       ORDER BY ${l2sqL("g.embedding", "q.qv")}, g.gid) AS rnk
+         |  FROM g, q) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
 
     // same exact-KNN oracle as alpha1: the PRUNED builder changes graph
     // construction, never what an exhaustive search must find
