@@ -10,13 +10,13 @@ import org.apache.spark.sql.functions._
  * with typed metadata, plus decode / feature-extract / resize /
  * frame-sample operators.
  *
- * The actual media codecs are NOT available in this environment, so the
- * decode kernels are deterministic STUBs (clearly marked) that parse the
- * synthetic blob header. Everything around them — the schema, the
- * mapPartitions batch shape (the Scala analog of `mapInPandas`: one
- * iterator in, one iterator out, arrow-sized batches), partitioning, and
- * the typed metadata struct — is real and is what a production decode UDF
- * would plug into.
+ * Byte-level kernels are pluggable via [[MediaDecoder]]; the default
+ * [[SyntheticHeaderDecoder]] is a deterministic STUB (media codecs are
+ * not available in this environment) that parses the synthetic blob
+ * header. Everything around the kernel — the schema, the mapPartitions
+ * batch shape (the Scala analog of `mapInPandas`: one iterator in, one
+ * iterator out, arrow-sized batches), partitioning, and the typed
+ * metadata struct — is real and is what a production decoder plugs into.
  */
 object Multimodal {
 
@@ -35,7 +35,7 @@ object Multimodal {
       n_bytes: Long,
       features: Array[Float])
 
-  private val Magic = 0x47524d4d // "GRMM"
+  private[pipeline] val Magic = 0x47524d4d // "GRMM"
 
   /** Deterministic synthetic blob for doc_id: a 13-byte header
     * [magic, width, height, channels] + pseudo-random payload. Stands in
@@ -71,57 +71,41 @@ object Multimodal {
 
   /**
    * Decode stage — mapPartitions with explicit batching (the Scala shape
-   * of `mapInPandas`): pull `batchSize` blobs, "decode" each, emit rows.
-   * STUB: header parse + first-16-bytes feature vector stands in for a
-   * real image decode; swap `decodeOne` for an actual codec in
-   * production. Batch shape, schema, and partition behavior are real.
+   * of `mapInPandas`): pull `batchSize` blobs, decode each via the
+   * pluggable kernel, emit rows. Batch shape, schema, and partition
+   * behavior are real; the default kernel is the synthetic-header stub.
    */
-  def decode(blobs: Dataset[MediaBlob], batchSize: Int = 256): Dataset[DecodedMedia] = {
+  def decode(
+      blobs: Dataset[MediaBlob],
+      batchSize: Int = 256,
+      decoder: MediaDecoder = SyntheticHeaderDecoder): Dataset[DecodedMedia] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map(decodeOne)
+        batch.iterator.map(decoder.decodeOne)
       }
     }
   }
 
-  /** STUB decode kernel: parses the synthetic header; a real implementation
-    * would call the image/audio library here. */
-  private def decodeOne(b: MediaBlob): DecodedMedia = {
-    val bb = ByteBuffer.wrap(b.data).order(ByteOrder.BIG_ENDIAN)
-    val magic = bb.getInt()
-    require(magic == Magic, s"bad media magic: $magic")
-    val width = bb.getInt()
-    val height = bb.getInt()
-    val channels = bb.get().toInt
-    val features = new Array[Float](16)
-    var i = 0
-    while (i < 16 && bb.remaining() > 0) {
-      features(i) = (bb.get() & 0xff) / 255.0f
-      i += 1
-    }
-    DecodedMedia(b.doc_id, b.mediaType, width, height, channels, b.data.length.toLong, features)
-  }
-
-  /** Resize stub: pure metadata transform (a real kernel would rescale
-    * pixels inside the same mapPartitions shape). */
-  def resize(decoded: Dataset[DecodedMedia], maxDim: Int): Dataset[DecodedMedia] = {
+  /** Resize: per-row kernel delegate (the stub transforms metadata; a
+    * real kernel rescales pixels inside the same map shape). */
+  def resize(
+      decoded: Dataset[DecodedMedia],
+      maxDim: Int,
+      decoder: MediaDecoder = SyntheticHeaderDecoder): Dataset[DecodedMedia] = {
     import decoded.sparkSession.implicits._
-    decoded.map { d =>
-      val scale = math.min(1.0, maxDim.toDouble / math.max(d.width, d.height))
-      d.copy(
-        width = math.max(1, math.round(d.width * scale).toInt),
-        height = math.max(1, math.round(d.height * scale).toInt))
-    }
+    decoded.map(d => decoder.resizeOne(d, maxDim))
   }
 
-  /** Frame-sampling stub for video rows: one output row per sampled frame
-    * (flatMap fan-out — the real kernel would seek/decode frames). */
-  def sampleFrames(blobs: Dataset[MediaBlob], everyMs: Long): DataFrame = {
+  /** Frame sampling for video rows: one output row per sampled frame
+    * (flatMap fan-out, bounded by the kernel's frame cap). */
+  def sampleFrames(
+      blobs: Dataset[MediaBlob],
+      everyMs: Long,
+      decoder: MediaDecoder = SyntheticHeaderDecoder): DataFrame = {
     import blobs.sparkSession.implicits._
     blobs.filter(_.mediaType == "video").flatMap { b =>
-      val n = math.max(1L, b.meta.durationMs / math.max(1L, everyMs))
-      (0L until math.min(n, 32L)).map(f => (b.doc_id, f, f * everyMs))
+      decoder.sampleFrameTimestamps(b, everyMs).map { case (f, ts) => (b.doc_id, f, ts) }
     }.toDF("doc_id", "frame_idx", "ts_ms")
   }
 }

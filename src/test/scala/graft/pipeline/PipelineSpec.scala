@@ -306,6 +306,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: a custom MediaDecoder drops into every operator unchanged") {
+    // a "codec" that reports fixed dimensions and a constant feature —
+    // if the operators delegate correctly, its outputs flow through the
+    // same schema/batch plumbing as the stub's
+    object FixedDecoder extends MediaDecoder {
+      override def decodeOne(b: Multimodal.MediaBlob): Multimodal.DecodedMedia =
+        Multimodal.DecodedMedia(b.doc_id, b.mediaType, 1000, 500, 3,
+          b.data.length.toLong, Array.fill(4)(0.25f))
+      override def sampleFrameTimestamps(
+          b: Multimodal.MediaBlob, everyMs: Long): Seq[(Long, Long)] =
+        Seq((0L, 0L), (1L, everyMs))
+    }
+    val blobs = Multimodal.withSyntheticMedia(spark, docs.limit(30), "doc_id")
+    val dec = Multimodal.decode(blobs, batchSize = 7, decoder = FixedDecoder)
+    assert(dec.collect().forall(d =>
+      d.width == 1000 && d.height == 500 && d.features.sameElements(Array.fill(4)(0.25f))))
+    val rs = Multimodal.resize(dec, maxDim = 100, decoder = FixedDecoder)
+    assert(rs.collect().forall(d => d.width == 100 && d.height == 50))
+    val fr = Multimodal.sampleFrames(blobs, everyMs = 500, decoder = FixedDecoder)
+    val perDoc = fr.groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(perDoc.nonEmpty && perDoc.forall(_ == 2L), "custom frame policy must apply")
+  }
+
   test("as-of join: latest at-or-before match per key, ties included, no-match null") {
     import java.sql.Timestamp
     def ts(s: Int) = new Timestamp(s * 1000L)
