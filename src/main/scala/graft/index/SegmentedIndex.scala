@@ -56,42 +56,62 @@ final class SegmentedIndex(val spark: SparkSession, val store: IndexStore) {
 
     // deterministic global positions without a single-partition window:
     // range-partition by the order column, sort within partitions, then
-    // zipWithIndex (computes per-partition counts in one lightweight job).
+    // assign positions from per-partition counts. The batch is fully
+    // evaluated exactly ONCE — in the counts job's shuffle map stage;
+    // the assignment and write jobs re-read the shuffle files (stage
+    // reuse), never the source plan. (Replaced count() + zipWithIndex,
+    // which evaluated the batch twice.)
     val cols = Seq(col(orderCol), col(embeddingCol).cast("array<float>").as("emb")) ++
       payloadCol.map(c => col(c).cast("binary").as("payload"))
-    // partition sizing: ~one partition per segment-cap of rows keeps output
-    // files segment-sized (a 32-way split of a 2k-row batch would write 32
-    // tiny files per segment; a 100-executor cluster ingesting billions of
-    // rows still fans out fully)
-    val n = df.count()
-    val parts = math.max(1, math.min(
-      4 * spark.sparkContext.defaultParallelism,
-      ((n + cap - 1) / cap).toInt))
+    val parts = math.max(1, 4 * spark.sparkContext.defaultParallelism)
     val prepared = df.select(cols: _*)
       .repartitionByRange(parts, col(orderCol))
       .sortWithinPartitions(orderCol)
     val hasPayload = payloadCol.isDefined
 
-    val assigned: Dataset[VectorRecord] = prepared.rdd.zipWithIndex
-      .map { case (row: Row, idx: Long) =>
-        val emb = row.getSeq[Float](1).toArray
-        if (emb.length != dim)
-          throw new IllegalArgumentException(
-            s"embedding dimension ${emb.length} != index dimension $dim")
-        val pos = startFill + idx
-        val segOff = (pos / cap).toInt
-        val segId = if (segOff == 0) activeSegId else nextSegId + segOff - 1
-        VectorRecord(
-          segId = segId,
-          vecId = (pos % cap).toInt,
-          gid = gid0 + idx,
-          embedding = emb,
-          deleted = false,
-          payload = if (hasPayload) row.getAs[Array[Byte]](2) else Array.emptyByteArray)
+    // one lightweight pass over the shuffle output: per-partition row
+    // counts → exclusive prefix offsets (parts entries — rides the task
+    // closure). Range partitions are ordered by the order column, so
+    // offset(i) + local index IS the global sorted position.
+    val rdd = prepared.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val n = counts.sum
+    val offsets = counts.scanLeft(0L)(_ + _)
+
+    val assigned: Dataset[VectorRecord] = rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        var idx = offsets(pi)
+        it.map { row =>
+          val emb = row.getSeq[Float](1).toArray
+          if (emb.length != dim)
+            throw new IllegalArgumentException(
+              s"embedding dimension ${emb.length} != index dimension $dim")
+          val pos = startFill + idx
+          val segOff = (pos / cap).toInt
+          val segId = if (segOff == 0) activeSegId else nextSegId + segOff - 1
+          val rec = VectorRecord(
+            segId = segId,
+            vecId = (pos % cap).toInt,
+            gid = gid0 + idx,
+            embedding = emb,
+            deleted = false,
+            payload = if (hasPayload) row.getAs[Array[Byte]](2) else Array.emptyByteArray)
+          idx += 1
+          rec
+        }
       }
       .toDS()
 
-    store.appendVectors(assigned)
+    // output file sizing: merge the fixed shuffle fan-out down to
+    // ~one task per segment-cap of rows before the partitionBy(segId)
+    // write — a 2k-row batch otherwise writes `parts` tiny files into
+    // one segment; a billion-row batch keeps full fan-out. coalesce is
+    // narrow (merges adjacent ranges, no second shuffle).
+    val outParts = math.max(1, math.min(parts, ((n + cap - 1) / cap).toInt))
+    store.appendVectors(assigned.coalesce(outParts))
 
     // manifest update: derive new segment states from the insert count
     val endPos = startFill + n
