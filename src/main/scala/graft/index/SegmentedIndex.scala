@@ -63,8 +63,16 @@ final class SegmentedIndex(val spark: SparkSession, val store: IndexStore) {
     // which evaluated the batch twice.)
     val cols = Seq(col(orderCol), col(embeddingCol).cast("array<float>").as("emb")) ++
       payloadCol.map(c => col(c).cast("binary").as("payload"))
-    val parts = math.max(1, 4 * spark.sparkContext.defaultParallelism)
-    val prepared = df.select(cols: _*)
+    val projected = df.select(cols: _*)
+    // fan-out without a count scan: the source's own partition count is a
+    // free size proxy (file splits for a scan, shuffle.partitions for a
+    // shuffled plan) — a 1-partition 500-row batch keeps 1-2 range
+    // partitions instead of paying 4x-parallelism empty-task overhead; a
+    // many-split billion-row batch still fans out fully
+    val parts = math.max(1, math.min(
+      4 * spark.sparkContext.defaultParallelism,
+      2 * projected.rdd.getNumPartitions))
+    val prepared = projected
       .repartitionByRange(parts, col(orderCol))
       .sortWithinPartitions(orderCol)
     val hasPayload = payloadCol.isDefined

@@ -3,6 +3,7 @@ package graft.pipeline
 import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.SparkShims
 
@@ -89,11 +90,18 @@ object Dedup {
     // representative before the band join and expand afterwards. Output
     // is exactly what the unguarded join emits (identical docs pair at
     // jaccard 1.0 with everything their rep pairs with), but the join is
-    // quadratic only in distinct contents.
-    val groups = docs.groupBy("shingles")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))
-    val memberOf = docs.join(groups, Seq("shingles")).select(col("doc_id"), col("rep"))
-    val sigs = groups.select(col("rep").as("doc_id"), col("shingles"))
+    // quadratic only in distinct contents. Window functions (not a
+    // groupBy + join-back) tag rep/gsize: every consumer then shares ONE
+    // exchange of `docs` — column pruning can't specialize the child, so
+    // ReuseExchange collapses the whole operator onto a single source
+    // scan + shingle shuffle.
+    val w = Window.partitionBy("shingles")
+    val tagged = docs
+      .withColumn("rep", min("doc_id").over(w))
+      .withColumn("gsize", count(lit(1)).over(w))
+    val memberOf = tagged.select(col("doc_id"), col("rep"))
+    val repRows = tagged.filter(col("doc_id") === col("rep"))
+    val sigs = repRows.select(col("doc_id"), col("shingles"))
       .withColumn("sig", minHashSignature(col("shingles"), numHashes))
 
     val banded = sigs.select(
@@ -120,10 +128,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
-    val groupSelf = groups
+    val groupSelf = repRows
       .withColumn("jaccard", jaccardOf(col("shingles"), col("shingles")))
       .filter(col("jaccard") >= threshold)
-      .select("rep", "gsize", "jaccard")
+      .select(col("doc_id").as("rep"), col("gsize"), col("jaccard"))
     expandMemberPairs(repPairs, "jaccard", memberOf, groupSelf)
   }
 
@@ -207,11 +215,15 @@ object Dedup {
     // hot-bucket guard on the 64-bit sketch itself (a long — the cheapest
     // collapse key of the three LSH paths): equal sketches collide in
     // every band and pair at hamming 0, so only distinct sketch values
-    // enter the band join
-    val groups = docs.groupBy("sh")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))
-    val memberOf = docs.join(groups, Seq("sh")).select(col("doc_id"), col("rep"))
-    val sh = groups.select(col("rep").as("doc_id"), col("sh"))
+    // enter the band join. Window-tagged (see minHashNearDuplicates) so
+    // every consumer reuses one exchange of `docs`.
+    val w = Window.partitionBy("sh")
+    val tagged = docs
+      .withColumn("rep", min("doc_id").over(w))
+      .withColumn("gsize", count(lit(1)).over(w))
+    val memberOf = tagged.select(col("doc_id"), col("rep"))
+    val repRows = tagged.filter(col("doc_id") === col("rep"))
+    val sh = repRows.select(col("doc_id"), col("sh"))
     val banded = sh.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL))).as(Seq("band", "bandVal")))
@@ -223,10 +235,10 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
-    val groupSelf = groups
+    val groupSelf = repRows
       .withColumn("hamming", bit_count(col("sh").bitwiseXOR(col("sh"))))
       .filter(col("hamming") <= maxHamming)
-      .select("rep", "gsize", "hamming")
+      .select(col("doc_id").as("rep"), col("gsize"), col("hamming"))
     expandMemberPairs(repPairs, "hamming", memberOf, groupSelf)
   }
 
@@ -349,11 +361,15 @@ object Dedup {
     // every table — collapse them before the bucket join. The group's
     // self-cosine is computed by the SAME expression (cosine_sim(e, e) is
     // NOT exactly 1.0 in floating point — sqrt(s)² != s) so emitted
-    // values match the unguarded join bit-for-bit.
-    val groups = docs.groupBy("emb")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))
-    val memberOf = docs.join(groups, Seq("emb")).select(col("doc_id"), col("rep"))
-    val reps = groups.select(col("rep").as("doc_id"), col("emb"))
+    // values match the unguarded join bit-for-bit. Window-tagged (see
+    // minHashNearDuplicates) so every consumer reuses one exchange.
+    val w = Window.partitionBy("emb")
+    val tagged = docs
+      .withColumn("rep", min("doc_id").over(w))
+      .withColumn("gsize", count(lit(1)).over(w))
+    val memberOf = tagged.select(col("doc_id"), col("rep"))
+    val repRows = tagged.filter(col("doc_id") === col("rep"))
+    val reps = repRows.select(col("doc_id"), col("emb"))
     val sk = reps.select(col("doc_id"),
       posexplode(graft.functions.sketch.hyperplane_sketch(col("emb"), planes, tables, planesPerTable))
         .as(Seq("table", "bucket")))
@@ -373,10 +389,10 @@ object Dedup {
       .withColumn("cosine", vector.cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select("doc_a", "doc_b", "cosine")
-    val groupSelf = groups
+    val groupSelf = repRows
       .withColumn("cosine", vector.cosine_sim(col("emb"), col("emb")))
       .filter(col("cosine") >= threshold)
-      .select("rep", "gsize", "cosine")
+      .select(col("doc_id").as("rep"), col("gsize"), col("cosine"))
     expandMemberPairs(repPairs, "cosine", memberOf, groupSelf)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("cosine"))
   }
