@@ -61,6 +61,9 @@ object BenchAnchors {
     "vec_compaction_scoring" -> 0.544,
     "vec_gid_resolve" -> 0.226,
     "vec_ingest_assignment" -> 0.272,
+    // round-7 additions, from isolated warm medians (3 reps, quiet box)
+    "vec_knn_sealed_pruned" -> 0.98,
+    "vec_knn_during_compaction" -> 0.71,
     "vec_knn_brute_cosine" -> 0.379,
     "vec_knn_brute_l2" -> 0.273,
     "vec_knn_post_vacuum" -> 1.122,
