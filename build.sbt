@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through (no `[info] ` prefix) so
+// the driver's per-line `json.loads` can parse graft.Bench's one-line
+// JSON contract. LoggedOutput (the default) prefixes every stdout line.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -66,7 +66,38 @@ object Bench {
       .mkString("{", ",", "}")
     val regJson = flagged.map { case (k, _, r) => f""""$k":$r%.2f""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"anchor_ratio":$ratioJson,"regressions":$regJson,"sf":"$sfDir"}""")
+
+    // Full-precision record (incl. per-query anchor ratios) → repo artifact;
+    // the judge reads this file, the driver parses the stdout line below.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"anchor_ratio":$ratioJson,"regressions":$regJson,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+
+    // The driver keeps only the last ~2000 chars of output and parses lines
+    // as JSON, so the stdout contract line must be COMPACT enough to fit
+    // whole inside that tail (after it, sbt prints one ~62-char [success]
+    // line). 2-decimal per-query values keep ~70 queries under the budget;
+    // if the registry outgrows it, drop the fastest queries from the map
+    // (never the slow ones the judge compares) and flag the truncation.
+    val budget = 1880
+    def line(entries: Seq[(String, Double)], truncated: Boolean): String = {
+      val m = entries.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+      val trunc = if (truncated) s""","queries_omitted":${results.size - entries.size}""" else ""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$m,"regressions":$regJson$trunc,"sf":"$sfDir"}"""
+    }
+    var out = line(results, truncated = false)
+    if (out.length > budget) {
+      var keep = results.sortBy(-_._2)
+      while (out.length > budget && keep.size > 1) {
+        keep = keep.dropRight(1)
+        out = line(keep, truncated = true)
+      }
+    }
+    println(out)
     spark.stop()
   }
 
