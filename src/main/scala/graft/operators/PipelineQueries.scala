@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Dedup, Multimodal, Packing, Sampling, TextAnalysis}
+import graft.pipeline.{Ann, Dedup, Embeddings, Multimodal, Packing, Sampling, TextAnalysis}
 
 /**
  * LLM-data-pipeline operator coverage (dedup / text analysis / similarity
@@ -296,6 +296,64 @@ object PipelineQueries {
       val blobs = Multimodal.withSyntheticMedia(s, docs(s, dir), "doc_id")
       Multimodal.sampleFrames(blobs, everyMs = 5000)
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Deterministic stratified sample: k smallest hash draws per source
+    // (rank-limited window — no stratum ever materializes fully).
+    "pipeline_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "source", k = 20)
+        .select(col("source"), col("doc_id"), col("sample_rank"))
+        .orderBy(col("source"), col("sample_rank"))
+    }),
+
+    // PII scan + redaction over a corpus with deterministically planted
+    // PII (the raw synthetic corpus is PII-free, so both engines derive
+    // the same augmented text from doc_id before scanning). Counts per
+    // class + md5 of the redacted text prove detection AND replacement
+    // byte-parity; one codegen'd pass per row.
+    "text_pii_scan" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text2", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(""),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") / lit(7)).cast("long") % 256).cast("string")))
+          .otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise("")))
+      planted
+        .withColumn("pii", TextAnalysis.piiCounts(col("text2")))
+        .select(col("doc_id"),
+          col("pii.n_emails").as("n_emails"),
+          col("pii.n_ipv4").as("n_ipv4"),
+          col("pii.n_phones").as("n_phones"),
+          md5(TextAnalysis.redactPii(col("text2"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TF-IDF keyword extraction: per-document top-3 terms (smoothed idf,
+    // deterministic term-asc tie-break), bounded to every 7th doc.
+    "text_tfidf_topk" -> ((s, dir) => {
+      TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .filter(col("doc_id") % 7 === 0)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Per-label embedding centroids (+ dispersion of each member to its
+    // centroid for every 25th vector) — the embedding-quality /
+    // clustering-summary primitive; map-side partial agg keeps the
+    // shuffle at label×dim cardinality.
+    "embed_label_centroids" -> ((s, dir) => {
+      Embeddings.groupCentroids(emb(s, dir), "label", "embedding")
+        .select(col("label"), col("dim_idx"),
+          round(col("centroid_value"), 6).as("centroid_r"), col("n_members"))
+        .filter(col("dim_idx") % 8 === 0)
+        .orderBy(col("label"), col("dim_idx"))
     })
   )
 
@@ -673,6 +731,69 @@ object PipelineQueries {
         |FROM (SELECT doc_id, doc_id % 60000 AS dur FROM documents WHERE doc_id % 3 = 2) v,
         |  LATERAL (SELECT unnest(generate_series(0,
         |    CAST(least(greatest(1, dur // 5000), 32) - 1 AS BIGINT))) AS f) g
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "pipeline_stratified_sample" ->
+      """SELECT source, doc_id, CAST(rnk AS INTEGER) AS sample_rank FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ((doc_id % 2147483647) * 2654435761) % 1000000, doc_id) AS rnk
+        |  FROM documents) x
+        |WHERE rnk <= 20
+        |ORDER BY source, sample_rank""".stripMargin,
+
+    "text_pii_scan" ->
+      """WITH planted AS (
+        |  SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 3 = 0 THEN concat(' reach me at user',
+        |      CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,
+        |    CASE WHEN doc_id % 4 = 0 THEN concat(' from host 10.0.',
+        |      CAST(doc_id % 256 AS VARCHAR), '.', CAST((doc_id // 7) % 256 AS VARCHAR)) ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN concat(' call 555-',
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END) AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(CAST(tf AS DOUBLE) *
+        |      (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN dfreq USING (term), n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, score, CAST(rnk AS INTEGER) AS "rank"
+        |FROM ranked WHERE rnk <= 3 AND doc_id % 7 = 0
+        |ORDER BY doc_id, "rank"""".stripMargin,
+
+    "embed_label_centroids" ->
+      """WITH dims AS (
+        |  SELECT label, u.idx - 1 AS idx, CAST(u.v AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(embedding) AS v,
+        |                    generate_subscripts(embedding, 1) AS idx) u)
+        |SELECT label, CAST(idx AS INTEGER) AS dim_idx,
+        |  round(avg(v), 6) AS centroid_r, count(*) AS n_members
+        |FROM dims WHERE idx % 8 = 0
+        |GROUP BY label, idx
+        |ORDER BY label, dim_idx""".stripMargin
   )
 }

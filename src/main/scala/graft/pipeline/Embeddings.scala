@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-level embedding aggregation: per-group elementwise centroids.
+ *
+ * The same math as the index medoid step (SURVEY §2.4 A3,
+ * `GraphBuilder.findMedoid`) lifted to a declarative grouped form:
+ * posexplode to (group, dim, value), then one hash aggregation. The
+ * explode inflates rows ×dim, but partial (map-side) aggregation
+ * collapses every partition to ≤ groups×dim rows before the shuffle, so
+ * the exchange carries group-level, not vector-level, cardinality — at
+ * 100 TB this is a single scan + a tiny shuffle, the plan a hand-written
+ * vector-sum Aggregator would also produce, with codegen for free.
+ */
+object Embeddings {
+
+  /** Per-`groupCol` elementwise mean of `vecCol` (+ member count):
+    * rows (group, dim_idx, centroid_value, n_members). */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim_idx", "v")))
+      .groupBy(col(groupCol), col("dim_idx"))
+      .agg(avg(col("v").cast("double")).as("centroid_value"),
+        count(lit(1)).as("n_members"))
+
+  /** Distance of each vector to its own group centroid — the dispersion /
+    * outlier signal (embedding-quality monitoring). Joins the exploded
+    * vectors back to the broadcast centroids on (group, dim). */
+  def centroidDispersion(df: DataFrame, idCol: String, groupCol: String, vecCol: String): DataFrame = {
+    val dims = df.select(col(idCol), col(groupCol),
+      posexplode(col(vecCol)).as(Seq("dim_idx", "v")))
+    val cent = groupCentroids(df, groupCol, vecCol)
+      .select(col(groupCol), col("dim_idx"), col("centroid_value"))
+    dims.join(broadcast(cent), Seq(groupCol, "dim_idx"))
+      .groupBy(col(idCol), col(groupCol))
+      .agg(sum((col("v").cast("double") - col("centroid_value")) *
+        (col("v").cast("double") - col("centroid_value"))).as("d2"))
+  }
+
+  /** Convenience: unit-normalize a float-vector column (zero norm → zero
+    * vector, matching the K6 zero-norm convention). */
+  def l2Normalize(vec: Column): Column = {
+    val nrm = sqrt(aggregate(vec, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(nrm === 0.0, vec).otherwise(
+      transform(vec, x => (x.cast("double") / nrm).cast("float")))
+  }
+}

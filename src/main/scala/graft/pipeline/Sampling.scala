@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -42,5 +43,25 @@ object Sampling {
       when(col(sourceCol) === src, r).otherwise(acc)
     }
     df.filter(hashBucket(col(idCol), 1000000) < rate * 1000000)
+  }
+
+  /**
+   * Deterministic stratified sample: the `k` rows of each stratum whose
+   * ids draw the smallest multiplicative-hash values (ties broken by id).
+   * A pseudo-random-but-reproducible per-group sample — the eval-set /
+   * per-source-inspection primitive. One hash-partitioned window per
+   * stratum: the shuffle is on the stratum key only, rows stream through
+   * `row_number` with rank-limit pushdown (Catalyst rewrites
+   * `row_number <= k` into a per-partition bounded top-k, so no stratum
+   * ever materializes fully — skew-safe at 100 TB unless k itself is
+   * huge).
+   */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val draw = hashBucket(col(idCol), 1000000)
+    val w = Window.partitionBy(col(stratumCol)).orderBy(draw, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
   }
 }

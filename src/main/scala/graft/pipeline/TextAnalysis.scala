@@ -119,6 +119,65 @@ object TextAnalysis {
   def rollingFingerprint(text: Column, n: Int = 8): Column =
     graft.functions.text.gram_sketch(text, 4, n)
 
+  // --- PII detection / redaction -------------------------------------------
+
+  /** PII patterns kept to the regex subset where Java (Spark) and RE2
+    * (DuckDB, the oracle) agree byte-for-byte: no backreferences, no
+    * lookaround, ASCII word boundaries only. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Per-row PII occurrence counts: STRUCT(n_emails, n_ipv4, n_phones).
+    * One codegen'd pass, pipelined into the scan. */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailPattern)).cast("long").as("n_emails"),
+    regexp_count(text, lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
+    regexp_count(text, lit(PhonePattern)).cast("long").as("n_phones"))
+
+  /** Redact all three PII classes with typed placeholders. Order matters:
+    * emails first (an address can embed digit runs), then IPs (dotted
+    * quads), then phones — each later pattern cannot match inside an
+    * earlier placeholder. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  // --- TF-IDF keyword extraction -------------------------------------------
+
+  /**
+   * Per-document top-`k` terms by smoothed TF-IDF
+   * (`tf · (ln((N+1)/(df+1)) + 1)`): the classic keyword-extraction /
+   * relevance primitive over a tokenized corpus.
+   *
+   * Shape at scale: explode → two hash aggregations (both with full
+   * map-side partial aggregation, so the shuffles carry term-level, not
+   * token-level, cardinality), a broadcast of the single-row corpus size,
+   * and a rank-limited window (Catalyst bounds it to k per document
+   * before the sort). The document-frequency side is term-keyed — skew
+   * concentrates on stopword-grade terms, which partial aggregation
+   * already collapses per map task.
+   */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score", round(
+        col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rank"))
+  }
+
   /** Attach the full stats bundle to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

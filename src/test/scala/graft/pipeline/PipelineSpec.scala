@@ -361,4 +361,81 @@ class PipelineSpec extends AnyFunSuite {
     scores.values.foreach(s => assert(s >= 0.0 && s <= 1.0))
     assert(scores(1L) > scores(2L) && scores(1L) > scores(3L))
   }
+
+  test("stratified sample: exactly k per full stratum, deterministic, partitioning-invariant") {
+    val rows = (0L until 200L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val a = Sampling.stratifiedSample(rows, "id", "src", k = 10)
+      .select("src", "id", "sample_rank").as[(String, Long, Int)].collect().toSet
+    assert(a.groupBy(_._1).forall(_._2.size == 10))
+    // short stratum keeps all its rows
+    val withShort = rows.unionByName(Seq((9999L, "rare")).toDF("id", "src"))
+    val b = Sampling.stratifiedSample(withShort, "id", "src", k = 10)
+      .filter(col("src") === "rare").count()
+    assert(b == 1)
+    // repartitioning must not change the sample (hash-draw determinism)
+    val c = Sampling.stratifiedSample(rows.repartition(13), "id", "src", k = 10)
+      .select("src", "id", "sample_rank").as[(String, Long, Int)].collect().toSet
+    assert(a == c)
+  }
+
+  test("PII counts and redaction: all three classes, placeholders don't re-match") {
+    val df = Seq(
+      (1L, "write bob.smith+x@corp.example.org from 10.1.2.3 or call 555-123-4567 now"),
+      (2L, "no pii here, just 1.2 version numbers and 12-34 ranges"),
+      (3L, "two mails a@b.co c@d.io and ips 192.168.0.1 8.8.8.8")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.piiCounts(col("text")).as("p"),
+        TextAnalysis.redactPii(col("text")).as("r"))
+      .select(col("id"), col("p.n_emails"), col("p.n_ipv4"), col("p.n_phones"), col("r"))
+      .as[(Long, Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(got(1L)._2 == 1 && got(1L)._3 == 1 && got(1L)._4 == 1)
+    assert(got(2L)._2 == 0 && got(2L)._3 == 0 && got(2L)._4 == 0)
+    assert(got(3L)._2 == 2 && got(3L)._3 == 2)
+    assert(got(1L)._5 == "write <EMAIL> from <IP> or call <PHONE> now")
+    // a redacted string scans clean — placeholders are fixed points
+    val again = Seq(got(1L)._5).toDF("text")
+      .select(TextAnalysis.piiCounts(col("text")).as("p"))
+      .select(col("p.n_emails"), col("p.n_ipv4"), col("p.n_phones"))
+      .as[(Long, Long, Long)].collect().head
+    assert(again == ((0L, 0L, 0L)))
+  }
+
+  test("tf-idf top terms: rarer term outranks commoner term at equal tf") {
+    // 'zebra' appears in 1 doc, 'common' in all 4 → idf(zebra) > idf(common)
+    val df = Seq(
+      (1L, "common zebra"),
+      (2L, "common alpha"),
+      (3L, "common alpha"),
+      (4L, "common beta")).toDF("id", "text")
+    val top1 = TextAnalysis.tfIdfTopTerms(df, "id", "text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(top1(1L) == "zebra")
+    assert(top1(4L) == "beta")
+    // within one doc, tf dominates at equal df: repeated rare term wins
+    val df2 = Seq((1L, "x xray xray"), (2L, "x solo")).toDF("id", "text")
+    val top2 = TextAnalysis.tfIdfTopTerms(df2, "id", "text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(top2(1L) == "xray")
+  }
+
+  test("group centroids: elementwise means + dispersion identifies the outlier") {
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(3.0f, 0.0f)),
+      (3L, 0, Array(2.0f, 30.0f)), // outlier in dim 1
+      (4L, 1, Array(0.0f, 5.0f))).toDF("id", "label", "vec")
+    val cent = Embeddings.groupCentroids(df, "label", "vec")
+      .as[(Int, Int, Double, Long)].collect()
+      .map { case (l, d, c, n) => (l, d) -> ((c, n)) }.toMap
+    assert(cent((0, 0))._1 == 2.0 && cent((0, 1))._1 == 10.0 && cent((0, 0))._2 == 3)
+    assert(cent((1, 0))._1 == 0.0 && cent((1, 1))._1 == 5.0)
+    val disp = Embeddings.centroidDispersion(df, "id", "label", "vec")
+      .as[(Long, Int, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(disp(3L) == disp.values.max)
+    // zero-norm convention: normalize leaves the zero vector untouched
+    val z = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(3.0f, 4.0f))).toDF("id", "vec")
+      .select(col("id"), Embeddings.l2Normalize(col("vec")).as("n"))
+      .as[(Long, Array[Float])].collect().toMap
+    assert(z(1L).toSeq == Seq(0.0f, 0.0f))
+    assert(math.abs(z(2L)(0) - 0.6f) < 1e-6 && math.abs(z(2L)(1) - 0.8f) < 1e-6)
+  }
 }
