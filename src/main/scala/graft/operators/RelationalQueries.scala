@@ -419,6 +419,27 @@ object RelationalQueries {
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("session_start"), round(col("session_value"), 4).as("session_value"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Bucketed sink + co-located join: both sides written bucketed/sorted
+    // on the join key, so the recurring star-schema join replans with NO
+    // exchange on either side (PlanSpec pins the shuffle-free plan; this
+    // gate pins the values through the bucketed write→read round trip).
+    "rel_bucketed_join" -> ((s, dir) => {
+      val suffix = math.abs(dir.hashCode).toString
+      val custT = s"graft_bkt_customer_$suffix"
+      val ordT = s"graft_bkt_orders_$suffix"
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"), custT, "c_custkey", 8)
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "orders").select("o_custkey", "o_totalprice"), ordT, "o_custkey", 8)
+      graft.sources.Bucketing.readBucketed(s, ordT)
+        .join(graft.sources.Bucketing.readBucketed(s, custT),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -688,6 +709,13 @@ object RelationalQueries {
         |  round(sum(value), 4) AS sum_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY hour_ts, event_type""".stripMargin
+        |ORDER BY hour_ts, event_type""".stripMargin,
+
+    "rel_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -100,4 +100,28 @@ class PlanSpec extends AnyFunSuite {
     assert(lp.contains("shingle_hashes"))
     assert(lp.contains("minhash_signature"))
   }
+
+  test("bucketed join: neither side shuffles — the layout carries the partitioning") {
+    // force the merge-join path (broadcast would hide the property under test)
+    val s = spark
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions._
+      graft.sources.Bucketing.writeBucketed(
+        s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_mktsegment"),
+        "graft_plan_bkt_cust", "c_custkey", 4)
+      graft.sources.Bucketing.writeBucketed(
+        s.read.parquet(s"$dir/orders.parquet").select("o_custkey", "o_totalprice"),
+        "graft_plan_bkt_ord", "o_custkey", 4)
+      val joined = s.table("graft_plan_bkt_ord")
+        .join(s.table("graft_plan_bkt_cust"), col("o_custkey") === col("c_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("Bucketed: true"))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }
