@@ -344,6 +344,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // The composite preprocessing chain a training-data run actually
+    // executes — exact dedup → quality filter → deterministic split →
+    // per-split token budget — value-checked end-to-end through all four
+    // operators at once (each is also gated individually).
+    "pipeline_end_to_end" -> ((s, dir) => {
+      val corpus = corpusExact(s, dir)
+      val survivors = Dedup.exactDuplicates(corpus, "doc_id", "text")
+        .filter(col("doc_id") === col("canonical_id"))
+        .select("doc_id")
+      val kept = corpus.join(survivors, Seq("doc_id"))
+      val filtered = kept
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.45)
+      val bucket = Sampling.hashBucket(col("doc_id"), 100)
+      filtered
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .withColumn("toks", TextAnalysis.approxBpeTokenCount(col("text")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_bpe_tokens"))
+        .orderBy(col("split"))
+    }),
+
     // Per-label embedding centroids (+ dispersion of each member to its
     // centroid for every 25th vector) — the embedding-quality /
     // clustering-summary primitive; map-side partial agg keeps the
@@ -783,6 +806,45 @@ object PipelineQueries {
         |SELECT doc_id, term, score, CAST(rnk AS INTEGER) AS "rank"
         |FROM ranked WHERE rnk <= 3 AND doc_id % 7 = 0
         |ORDER BY doc_id, "rank"""".stripMargin,
+
+    "pipeline_end_to_end" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |fp AS (
+         |  SELECT doc_id, text,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |  FROM corpus),
+         |surv AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY 1),
+         |kept AS (
+         |  SELECT f.doc_id, f.text FROM fp f
+         |  JOIN surv s ON f.doc_id = s.doc_id AND f.fingerprint = s.fingerprint),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE (len(text) - len(regexp_replace(text, '$punctSql', '', 'g'))) * 1.0 / len(text) END AS praw,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / len(text) END AS draw,
+         |    CASE WHEN len($toksSql) = 0 THEN 0.0
+         |         ELSE len(list_filter($toksSql, t -> list_contains($swListSql, t))) * 1.0
+         |              / len($toksSql) END AS swraw
+         |  FROM kept),
+         |q AS (
+         |  SELECT doc_id, text FROM scored
+         |  WHERE round(least(n_tokens / 50.0, 1.0) * 0.4
+         |      + (1.0 - least(praw * 5.0, 1.0)) * 0.2
+         |      + (1.0 - least(draw * 5.0, 1.0)) * 0.2
+         |      + least(swraw * 4.0, 1.0) * 0.2, 6) >= 0.45),
+         |sp AS (
+         |  SELECT CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+         |              WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |    CAST(ceil(len(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT) AS toks
+         |  FROM q)
+         |SELECT split, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_bpe_tokens
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "embed_label_centroids" ->
       """WITH dims AS (

@@ -18,10 +18,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a managed bucketed parquet table, bucketed AND sorted
-    * by `key` — sorted buckets let the merge join skip its sort too. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    * by `key` — sorted buckets let the merge join skip its sort too.
+    * Idempotent across sessions: a managed table's directory outlives the
+    * in-memory catalog, and `saveAsTable` refuses a path it doesn't own —
+    * drop the catalog entry AND any orphaned directory first. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 
   /** Read a bucketed table back (scan carries the bucket partitioning). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
