@@ -78,5 +78,12 @@ object BenchAnchors {
     "vec_seal_build" -> 1.949,
     "vec_segment_counters" -> 0.241,
     "vec_vacuum_policy" -> 0.279,
+    // round-7 additions (quiet-box sf0.1 run, 2026-08-12)
+    "embed_label_centroids" -> 0.28,
+    "pipeline_end_to_end" -> 1.24,
+    "pipeline_stratified_sample" -> 0.28,
+    "rel_bucketed_join" -> 1.45,
+    "text_pii_scan" -> 0.11,
+    "text_tfidf_topk" -> 0.95,
   )
 }

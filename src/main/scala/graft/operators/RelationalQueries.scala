@@ -384,6 +384,32 @@ object RelationalQueries {
       s.table(name).orderBy(col("hour_ts"), col("event_type"))
     }),
 
+    // Sliding event-time windows through the streaming engine (1 h
+    // windows every 30 min — each event lands in exactly two overlapping
+    // windows; the tumbling gate above can't see overlap semantics).
+    // Complete-mode drain; the oracle materializes both member windows
+    // per event on the epoch-aligned 30-min grid Spark's window() uses.
+    "stream_sliding_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      val name = s"stream_sliding_${streamRunId.incrementAndGet()}"
+      Option(lastSlideView.getAndSet(name))
+        .foreach(prev => s.catalog.dropTempView(prev))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("win_start"), col("event_type"))
+    }),
+
     // Gap sessionization through the streaming custom-state path
     // (Streaming.sessionizeStream, §2.10/§2.12), driver-oracled against
     // the SAME DuckDB recipe as the batch rel_sessionize. Append-mode
@@ -448,6 +474,7 @@ object RelationalQueries {
   private val streamRunId = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lastStreamView = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastSessView = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastSlideView = new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** Shared by `rel_sessionize` (batch windows) and `stream_sessionize`
     * (custom streaming state): one ground truth, two execution paths. */
@@ -710,6 +737,20 @@ object RelationalQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_ts, event_type""".stripMargin,
+
+    "stream_sliding_windows" ->
+      """WITH wins AS (
+        |  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS w,
+        |    event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)) AS w,
+        |    event_type, value
+        |  FROM events)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM wins GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "rel_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
