@@ -350,10 +350,7 @@ object PipelineQueries {
     // operators at once (each is also gated individually).
     "pipeline_end_to_end" -> ((s, dir) => {
       val corpus = corpusExact(s, dir)
-      val survivors = Dedup.exactDuplicates(corpus, "doc_id", "text")
-        .filter(col("doc_id") === col("canonical_id"))
-        .select("doc_id")
-      val kept = corpus.join(survivors, Seq("doc_id"))
+      val kept = Dedup.exactDedupSurvivors(corpus, "doc_id", "text")
       val filtered = kept
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .filter(col("quality") >= 0.45)

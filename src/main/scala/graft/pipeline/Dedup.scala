@@ -42,6 +42,20 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"), col("group_size"))
   }
 
+  /** Survivor ROWS after exact dedup: every column of the smallest-id row
+    * per normalized-content fingerprint. Unlike [[exactDuplicates]] (which
+    * reports the group structure), this is the pipeline's keep-set step —
+    * and it runs as ONE scan plus one fingerprint-keyed shuffle (window
+    * min + filter), not a groupBy + self-join: at 100 TB that halves the
+    * scans and drops both join exchanges. */
+  def exactDedupSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__graft_fp"))
+    df.withColumn("__graft_fp", TextAnalysis.contentFingerprint(col(textCol)))
+      .withColumn("__graft_min_id", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__graft_min_id"))
+      .drop("__graft_fp", "__graft_min_id")
+  }
+
   // --- MinHash + LSH -------------------------------------------------------
 
   /** Large Mersenne prime for the affine MinHash permutations. */

@@ -101,6 +101,13 @@ class PlanSpec extends AnyFunSuite {
     assert(lp.contains("minhash_signature"))
   }
 
+  test("end-to-end pipeline: survivor selection is a window pass, not a self-join") {
+    val p = plan("pipeline_end_to_end")
+    assert(!p.contains("Join"), s"dedup survivors must not self-join:\n$p")
+    // corpus = base ∪ planted copies → exactly two scans of documents
+    assert(p.linesIterator.count(_.trim.contains("FileScan")) == 2)
+  }
+
   test("bucketed join: neither side shuffles — the layout carries the partitioning") {
     // force the merge-join path (broadcast would hide the property under test)
     val s = spark
