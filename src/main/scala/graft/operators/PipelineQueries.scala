@@ -364,6 +364,25 @@ object PipelineQueries {
         .orderBy(col("split"))
     }),
 
+    // The SQL surface: the same codegen'd kernels callable from plain SQL
+    // text via GraftExtensions (registered at session build through
+    // spark.sql.extensions AND re-registered at runtime here so the gate
+    // holds in any session). Values re-derived in DuckDB list arithmetic.
+    "sql_graft_functions" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      s.sql(
+        s"""SELECT e.vec_id,
+           |  round(vec_norm(e.embedding), 6) AS nrm,
+           |  round(cosine_sim(e.embedding, q.embedding), 6) AS cos_q,
+           |  round(l2_squared(e.embedding, q.embedding), 4) AS l2sq,
+           |  round(vec_dot(e.embedding, q.embedding), 4) AS dot_q
+           |FROM parquet.`$dir/embeddings.parquet` e,
+           |     (SELECT embedding FROM parquet.`$dir/embeddings.parquet`
+           |      WHERE vec_id = 0) q
+           |WHERE e.vec_id % 50 = 0
+           |ORDER BY e.vec_id""".stripMargin)
+    }),
+
     // Per-label embedding centroids (+ dispersion of each member to its
     // centroid for every 25th vector) — the embedding-quality /
     // clustering-summary primitive; map-side partial agg keeps the
@@ -842,6 +861,21 @@ object PipelineQueries {
          |  FROM q)
          |SELECT split, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_bpe_tokens
          |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    "sql_graft_functions" ->
+      s"""SELECT e.vec_id,
+         |  round(${normL("e.embedding")}, 6) AS nrm,
+         |  round(CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.embedding")} = 0
+         |        THEN 0.0
+         |        ELSE ${dotL("e.embedding", "q.embedding")}
+         |             / (${normL("e.embedding")} * ${normL("q.embedding")}) END, 6) AS cos_q,
+         |  round(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+         |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 4) AS l2sq,
+         |  round(${dotL("e.embedding", "q.embedding")}, 4) AS dot_q
+         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id % 50 = 0
+         |ORDER BY e.vec_id""".stripMargin,
 
     "embed_label_centroids" ->
       """WITH dims AS (

@@ -24,6 +24,18 @@ object SparkShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Runtime SQL-function registration into an EXISTING session
+    * (`sessionState` is `private[sql]`): the complement of the
+    * `spark.sql.extensions` injection path, for sessions the caller did
+    * not build. Idempotent — re-registering a name replaces the entry. */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
   /** Release the block-manager storage behind a `localCheckpoint`ed
     * Dataset. `Dataset.unpersist` only touches the relation cache, not the
     * checkpoint RDD — iterative algorithms that checkpoint per round leak

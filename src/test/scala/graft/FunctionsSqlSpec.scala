@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL registration surface (GraftExtensions): every custom kernel
+  * callable from SQL text, literal-parameter validation, value parity
+  * with the Scala DSL. */
+class FunctionsSqlSpec extends AnyFunSuite {
+
+  private lazy val spark = { val s = TestSpark.spark; GraftExtensions.register(s); s }
+
+  test("vector kernels are callable from SQL and match the DSL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f))).toDF("id", "a", "b")
+    df.createOrReplaceTempView("graft_fn_sql_v")
+    val viaSql = spark.sql(
+      """SELECT vec_norm(a) AS n, cosine_sim(a, b) AS c,
+        |  l2_squared(a, b) AS l2, vec_dot(a, b) AS d
+        |FROM graft_fn_sql_v""".stripMargin)
+      .as[(Double, Double, Double, Double)].head()
+    val viaDsl = df.select(
+      graft.functions.vector.vec_norm(col("a")),
+      graft.functions.vector.cosine_sim(col("a"), col("b")),
+      graft.functions.vector.l2_squared(col("a"), col("b")),
+      graft.functions.vector.vec_dot(col("a"), col("b")))
+      .as[(Double, Double, Double, Double)].head()
+    assert(viaSql == viaDsl)
+    assert(viaSql._1 == 3.0 && viaSql._4 == 2.0)
+  }
+
+  test("text sketches are callable from SQL; zero-norm cosine is 0.0") {
+    import spark.implicits._
+    Seq(("a b c d e", Array(0.0f, 0.0f), Array(1.0f, 1.0f)))
+      .toDF("t", "z", "v").createOrReplaceTempView("graft_fn_sql_t")
+    val row = spark.sql(
+      """SELECT size(shingle_hashes(t, 3)) AS ns, simhash64(t) AS sh,
+        |  size(gram_sketch(t, 4, 8)) AS gs,
+        |  repetition_stats(t).dup_line_ratio AS dlr,
+        |  cosine_sim(z, v) AS zc
+        |FROM graft_fn_sql_t""".stripMargin)
+      .as[(Int, Long, Int, Double, Double)].head()
+    assert(row._1 == 3) // 5 tokens → 3 distinct trigrams
+    assert(row._3 == 2) // 5 tokens → 2 distinct 4-grams
+    assert(row._5 == 0.0)
+  }
+
+  test("non-literal sketch parameters are rejected with a clear error") {
+    import spark.implicits._
+    Seq(("a b c", 3)).toDF("t", "k").createOrReplaceTempView("graft_fn_sql_e")
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(t, k) FROM graft_fn_sql_e").collect()
+    }
+    assert(e.getMessage.contains("foldable integer literal")
+      || Option(e.getCause).exists(_.getMessage.contains("foldable integer literal")))
+  }
+}
