@@ -364,6 +364,21 @@ object PipelineQueries {
         .orderBy(col("split"))
     }),
 
+    // Embedding-quality monitoring: the 3 per label whose members sit
+    // farthest from their label centroid (dispersion outliers — mislabel
+    // / contamination candidates). Centroids broadcast back onto the
+    // exploded members; rank-limited window per label.
+    "embed_dispersion_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Embeddings.centroidDispersion(emb(s, dir), "vec_id", "label", "embedding")
+      val w = Window.partitionBy(col("label")).orderBy(col("d2r").desc, col("vec_id"))
+      d.select(col("vec_id"), col("label"), round(col("d2"), 4).as("d2r"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("label"), col("vec_id"), col("d2r"), col("rnk"))
+        .orderBy(col("label"), col("rnk"))
+    }),
+
     // The SQL surface: the same codegen'd kernels callable from plain SQL
     // text via GraftExtensions (registered at session build through
     // spark.sql.extensions AND re-registered at runtime here so the gate
@@ -861,6 +876,27 @@ object PipelineQueries {
          |  FROM q)
          |SELECT split, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_bpe_tokens
          |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    "embed_dispersion_outliers" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label, u.idx - 1 AS idx, CAST(u.v AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(embedding) AS v,
+        |                    generate_subscripts(embedding, 1) AS idx) u),
+        |centroid AS (
+        |  SELECT label, idx, avg(v) AS c FROM dims GROUP BY label, idx),
+        |d2 AS (
+        |  SELECT d.vec_id, d.label, sum((d.v - c.c) * (d.v - c.c)) AS d2
+        |  FROM dims d JOIN centroid c ON d.label = c.label AND d.idx = c.idx
+        |  GROUP BY d.vec_id, d.label),
+        |ranked AS (
+        |  SELECT label, vec_id, round(d2, 4) AS d2r,
+        |    row_number() OVER (PARTITION BY label
+        |                       ORDER BY round(d2, 4) DESC, vec_id) AS rnk
+        |  FROM d2)
+        |SELECT label, vec_id, d2r, CAST(rnk AS INTEGER) AS rnk
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY label, rnk""".stripMargin,
 
     "sql_graft_functions" ->
       s"""SELECT e.vec_id,
