@@ -364,6 +364,24 @@ object PipelineQueries {
         .orderBy(col("split"))
     }),
 
+    // JSONL corpus interchange: export documents as gzip JSONL shards,
+    // re-ingest with an explicit schema, and prove the round trip is
+    // lossless by aggregating per source over the RE-READ copy against
+    // the parquet-path oracle.
+    "pipeline_jsonl_roundtrip" -> ((s, dir) => {
+      val src = docs(s, dir)
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_jsonl_${math.abs(dir.hashCode)}").getAbsolutePath
+      graft.sources.TextInterchange.writeJsonl(src.repartition(4), path)
+      graft.sources.TextInterchange.readJsonl(s, path, src.schema)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          count(col("text")).as("n_texts"))
+        .orderBy(col("source"))
+    }),
+
     // Embedding-quality monitoring: the 3 per label whose members sit
     // farthest from their label centroid (dispersion outliers — mislabel
     // / contamination candidates). Centroids broadcast back onto the
@@ -876,6 +894,14 @@ object PipelineQueries {
          |  FROM q)
          |SELECT split, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_bpe_tokens
          |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    "pipeline_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        |  count(text) AS n_texts
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "embed_dispersion_outliers" ->
       """WITH dims AS (
