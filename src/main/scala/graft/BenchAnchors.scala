@@ -85,5 +85,9 @@ object BenchAnchors {
     "rel_bucketed_join" -> 1.45,
     "text_pii_scan" -> 0.11,
     "text_tfidf_topk" -> 0.95,
+    "embed_dispersion_outliers" -> 0.66,
+    "pipeline_jsonl_roundtrip" -> 0.56,
+    "sql_graft_functions" -> 0.28,
+    "stream_sliding_windows" -> 1.30,
   )
 }
