@@ -372,7 +372,7 @@ object PipelineQueries {
       val src = docs(s, dir)
       val path = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        s"graft_jsonl_${math.abs(dir.hashCode)}").getAbsolutePath
+        s"graft_jsonl_${dir.hashCode & 0x7fffffff}").getAbsolutePath
       graft.sources.TextInterchange.writeJsonl(src.repartition(4), path)
       graft.sources.TextInterchange.readJsonl(s, path, src.schema)
         .groupBy(col("source"))
@@ -479,30 +479,39 @@ object PipelineQueries {
   private val swListSql =
     "['the','a','an','of','and','to','in','is','it','that','for','on','with','as','this','are','be','or']"
 
+  /** Shared quality-score SQL fragments — parity-critical: every oracle
+    * that emits or filters on the score (text_stats, pipeline_end_to_end)
+    * interpolates THESE, so the formula can never drift between gates.
+    * Must stay semantically identical to `TextAnalysis.qualityScore`. */
+  private val qualityRawColsSql =
+    s"""CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(text) = 0 THEN 0.0
+       |         ELSE (len(text) - len(regexp_replace(text, '$punctSql', '', 'g'))) * 1.0 / len(text) END AS praw,
+       |    CASE WHEN len(text) = 0 THEN 0.0
+       |         ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / len(text) END AS draw,
+       |    CASE WHEN len($toksSql) = 0 THEN 0.0
+       |         ELSE len(list_filter($toksSql, t -> list_contains($swListSql, t))) * 1.0
+       |              / len($toksSql) END AS swraw""".stripMargin
+  private val qualityFormulaSql =
+    """round(least(n_tokens / 50.0, 1.0) * 0.4
+      |      + (1.0 - least(praw * 5.0, 1.0)) * 0.2
+      |      + (1.0 - least(draw * 5.0, 1.0)) * 0.2
+      |      + least(swraw * 4.0, 1.0) * 0.2, 6)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, text,
          |    CAST(len(text) AS BIGINT) AS n_chars_calc,
-         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
          |    CAST(ceil(len(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT) AS n_bpe_tokens,
-         |    CASE WHEN len(text) = 0 THEN 0.0
-         |         ELSE (len(text) - len(regexp_replace(text, '$punctSql', '', 'g'))) * 1.0 / len(text) END AS praw,
-         |    CASE WHEN len(text) = 0 THEN 0.0
-         |         ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / len(text) END AS draw,
-         |    CASE WHEN len($toksSql) = 0 THEN 0.0
-         |         ELSE len(list_filter($toksSql, t -> list_contains($swListSql, t))) * 1.0
-         |              / len($toksSql) END AS swraw,
+         |    $qualityRawColsSql,
          |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
          |  FROM documents WHERE doc_id % 5 = 0)
          |SELECT doc_id, n_chars_calc, n_tokens, n_bpe_tokens,
          |  round(praw, 6) AS punct_ratio,
          |  round(draw, 6) AS digit_ratio,
          |  round(swraw, 6) AS stopword_ratio,
-         |  round(least(n_tokens / 50.0, 1.0) * 0.4
-         |      + (1.0 - least(praw * 5.0, 1.0)) * 0.2
-         |      + (1.0 - least(draw * 5.0, 1.0)) * 0.2
-         |      + least(swraw * 4.0, 1.0) * 0.2, 6) AS quality_score,
+         |  $qualityFormulaSql AS quality_score,
          |  fingerprint
          |FROM base ORDER BY doc_id""".stripMargin,
 
@@ -871,21 +880,11 @@ object PipelineQueries {
          |  JOIN surv s ON f.doc_id = s.doc_id AND f.fingerprint = s.fingerprint),
          |scored AS (
          |  SELECT doc_id, text,
-         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         |    CASE WHEN len(text) = 0 THEN 0.0
-         |         ELSE (len(text) - len(regexp_replace(text, '$punctSql', '', 'g'))) * 1.0 / len(text) END AS praw,
-         |    CASE WHEN len(text) = 0 THEN 0.0
-         |         ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / len(text) END AS draw,
-         |    CASE WHEN len($toksSql) = 0 THEN 0.0
-         |         ELSE len(list_filter($toksSql, t -> list_contains($swListSql, t))) * 1.0
-         |              / len($toksSql) END AS swraw
+         |    $qualityRawColsSql
          |  FROM kept),
          |q AS (
          |  SELECT doc_id, text FROM scored
-         |  WHERE round(least(n_tokens / 50.0, 1.0) * 0.4
-         |      + (1.0 - least(praw * 5.0, 1.0)) * 0.2
-         |      + (1.0 - least(draw * 5.0, 1.0)) * 0.2
-         |      + least(swraw * 4.0, 1.0) * 0.2, 6) >= 0.45),
+         |  WHERE $qualityFormulaSql >= 0.45),
          |sp AS (
          |  SELECT CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
          |              WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 90 THEN 'val'

@@ -452,7 +452,7 @@ object RelationalQueries {
     // exchange on either side (PlanSpec pins the shuffle-free plan; this
     // gate pins the values through the bucketed write→read round trip).
     "rel_bucketed_join" -> ((s, dir) => {
-      val suffix = math.abs(dir.hashCode).toString
+      val suffix = (dir.hashCode & 0x7fffffff).toString
       val custT = s"graft_bkt_customer_$suffix"
       val ordT = s"graft_bkt_orders_$suffix"
       graft.sources.Bucketing.writeBucketed(
@@ -738,16 +738,18 @@ object RelationalQueries {
         |GROUP BY 1, 2
         |ORDER BY hour_ts, event_type""".stripMargin,
 
+    // NB: integer-microsecond bucketing (epoch_us //) and NAIVE timestamp
+    // reconstruction — epoch()'s double loses sub-µs precision at 2024
+    // epochs, and to_timestamp() returns a TIMESTAMPTZ whose strftime
+    // rendering shifts with the DuckDB session timezone.
     "stream_sliding_windows" ->
       """WITH wins AS (
-        |  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS w,
-        |    event_type, value
-        |  FROM events
+        |  SELECT epoch_us(ts) // 1800000000 AS b, event_type, value FROM events
         |  UNION ALL
-        |  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)) AS w,
-        |    event_type, value
-        |  FROM events)
-        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  SELECT epoch_us(ts) // 1800000000 - 1 AS b, event_type, value FROM events)
+        |SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+        |    + (b * 1800) * INTERVAL '1 second', '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM wins GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,

@@ -50,7 +50,13 @@ object Dedup {
     * scans and drops both join exchanges. */
   def exactDedupSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(col("__graft_fp"))
-    df.withColumn("__graft_fp", TextAnalysis.contentFingerprint(col(textCol)))
+    // NULL text has no content to match on: give each such row its own
+    // fingerprint (its id) so unrelated no-text rows are never collapsed
+    // into one survivor — SQL-join semantics (NULL never equals NULL)
+    // agree.
+    val fp = coalesce(TextAnalysis.contentFingerprint(col(textCol)),
+      concat(lit("__graft_null_"), col(idCol).cast("string")))
+    df.withColumn("__graft_fp", fp)
       .withColumn("__graft_min_id", min(col(idCol)).over(w))
       .filter(col(idCol) === col("__graft_min_id"))
       .drop("__graft_fp", "__graft_min_id")

@@ -24,7 +24,15 @@ object TextInterchange {
 
   /** Read JSONL shards with a REQUIRED schema (no inference pass).
     * Corrupt lines land in `_corrupt_record` (PERMISSIVE) instead of
-    * failing the 100-TB job. */
-  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    * failing the 100-TB job — Spark only captures them when the read
+    * schema actually CONTAINS the corrupt-record column, so it is
+    * appended here; drop it (or route it to quarantine) downstream. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val corruptCol = spark.conf.get(
+      "spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+    val withCorrupt =
+      if (schema.fieldNames.contains(corruptCol)) schema
+      else schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    spark.read.schema(withCorrupt).option("mode", "PERMISSIVE").json(path)
+  }
 }

@@ -417,6 +417,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(top2(1L) == "xray")
   }
 
+  test("exact-dedup survivors: NULL-text rows are never collapsed together") {
+    val df = Seq(
+      (1L, Option("same text")), (2L, Option("same text")),
+      (3L, Option.empty[String]), (4L, Option.empty[String])).toDF("id", "text")
+    val surv = Dedup.exactDedupSurvivors(df, "id", "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    // duplicates collapse to min id; each NULL-text row survives alone
+    assert(surv == Seq(1L, 3L, 4L))
+  }
+
+  test("jsonl round trip: corrupt lines are quarantined, not silently nulled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_spec").toFile
+    try {
+      val f = new java.io.File(dir, "part-00000.json")
+      val w = new java.io.PrintWriter(f)
+      w.println("""{"doc_id": 1, "text": "ok"}""")
+      w.println("""{"doc_id": 2, "text": TRUNCATED""")
+      w.close()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      // Spark disallows querying ONLY the corrupt column from raw JSON;
+      // cache first (its own documented guidance) before inspecting it
+      val back = graft.sources.TextInterchange
+        .readJsonl(spark, dir.getAbsolutePath, schema).cache()
+      try {
+        assert(back.columns.contains("_corrupt_record"))
+        assert(back.filter(col("_corrupt_record").isNotNull).count() == 1)
+        assert(back.filter(col("_corrupt_record").isNull)
+          .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+      } finally back.unpersist()
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("group centroids: elementwise means + dispersion identifies the outlier") {
     val df = Seq(
       (1L, 0, Array(1.0f, 0.0f)),
