@@ -364,6 +364,25 @@ object PipelineQueries {
         .orderBy(col("split"))
     }),
 
+    // Leakage-safe split: the whole exact-duplicate cluster inherits the
+    // split of its canonical representative (min doc_id per fingerprint,
+    // one window pass), so no near-identical text can sit in both train
+    // and test. n_clusters per split proves cluster-atomicity together
+    // with the PipelineSpec no-cluster-spans-splits property.
+    "pipeline_leakage_safe_split" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("__fp"))
+      val withRep = corpusExact(s, dir)
+        .withColumn("__fp", TextAnalysis.contentFingerprint(col("text")))
+        .withColumn("cluster_rep", min(col("doc_id")).over(w))
+        .drop("__fp")
+      Sampling.splitByGroup(withRep, "cluster_rep")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_rep")).as("n_clusters"))
+        .orderBy(col("split"))
+    }),
+
     // JSONL corpus interchange: export documents as gzip JSONL shards,
     // re-ingest with an explicit schema, and prove the round trip is
     // lossless by aggregating per source over the RE-READ copy against
@@ -893,6 +912,24 @@ object PipelineQueries {
          |  FROM q)
          |SELECT split, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_bpe_tokens
          |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    "pipeline_leakage_safe_split" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM corpus),
+        |rep AS (SELECT fingerprint, min(doc_id) AS cluster_rep FROM fp GROUP BY 1),
+        |j AS (SELECT f.doc_id, r.cluster_rep FROM fp f JOIN rep r USING (fingerprint))
+        |SELECT CASE WHEN ((cluster_rep % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+        |            WHEN ((cluster_rep % 2147483647) * 2654435761) % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT cluster_rep) AS n_clusters
+        |FROM j GROUP BY 1 ORDER BY split""".stripMargin,
 
     "pipeline_jsonl_roundtrip" ->
       """SELECT source, count(*) AS n_docs,

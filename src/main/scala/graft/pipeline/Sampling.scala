@@ -46,6 +46,27 @@ object Sampling {
   }
 
   /**
+   * Leakage-safe split assignment: the split is a pure function of a
+   * GROUP id (e.g. the duplicate-cluster representative), so every
+   * member of a near/exact-duplicate cluster lands in the same split —
+   * the train/test-contamination guard a corpus pipeline needs after
+   * dedup clustering. Same multiplicative-hash determinism as
+   * [[hashBucket]]; one narrow codegen'd projection, no shuffle beyond
+   * whatever produced the group column.
+   */
+  def splitByGroup(
+      df: DataFrame, groupIdCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "invalid split percentages")
+    val b = hashBucket(col(groupIdCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /**
    * Deterministic stratified sample: the `k` rows of each stratum whose
    * ids draw the smallest multiplicative-hash values (ties broken by id).
    * A pseudo-random-but-reproducible per-group sample — the eval-set /

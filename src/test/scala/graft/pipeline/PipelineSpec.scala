@@ -417,6 +417,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(top2(1L) == "xray")
   }
 
+  test("leakage-safe split: no duplicate cluster ever spans two splits") {
+    // real connected components (chains, not just exact groups): each
+    // cluster's members must all inherit the representative's split
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs) // (doc_id, cluster_rep)
+    val split = Sampling.splitByGroup(
+      clusters.withColumnRenamed(clusters.columns(1), "cluster_rep"), "cluster_rep")
+    val perCluster = split.groupBy("cluster_rep")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .as[(Long, Long)].collect()
+    assert(perCluster.nonEmpty && perCluster.forall(_._2 == 1L))
+  }
+
   test("exact-dedup survivors: NULL-text rows are never collapsed together") {
     val df = Seq(
       (1L, Option("same text")), (2L, Option("same text")),
