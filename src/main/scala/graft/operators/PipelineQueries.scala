@@ -364,6 +364,16 @@ object PipelineQueries {
         .orderBy(col("split"))
     }),
 
+    // GPT-2-style regex pretokenization count (the BPE-budget proxy one
+    // step closer than chars/4): one codegen'd regexp pass per row.
+    "text_bpe_regex_count" -> ((s, dir) => {
+      docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          TextAnalysis.bpeRegexTokenCount(col("text")).as("n_subword_tokens"),
+          TextAnalysis.approxBpeTokenCount(col("text")).as("n_chars4_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Leakage-safe split: the whole exact-duplicate cluster inherits the
     // split of its canonical representative (min doc_id per fingerprint,
     // one window pass), so no near-identical text can sit in both train
@@ -912,6 +922,16 @@ object PipelineQueries {
          |  FROM q)
          |SELECT split, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_bpe_tokens
          |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    "text_bpe_regex_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT)
+        |    AS n_subword_tokens,
+        |  CAST(ceil(len(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT)
+        |    AS n_chars4_tokens
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "pipeline_leakage_safe_split" ->
       """WITH corpus AS (

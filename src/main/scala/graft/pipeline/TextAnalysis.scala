@@ -30,6 +30,20 @@ object TextAnalysis {
   def approxBpeTokenCount(text: Column): Column =
     ceil(length(regexp_replace(text, "\\s+", "")).cast("double") / 4.0).cast("long")
 
+  /** GPT-2-style pretokenizer pattern, restricted to the Java/RE2-common
+    * subset (the upstream pattern's trailing-space lookahead dropped —
+    * RE2 has no lookahead): contraction suffixes, letter runs, digit
+    * runs, punctuation runs (each absorbing one leading space),
+    * whitespace runs. */
+  val BpeTokenPattern =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pretokenizer segment count — the closer-than-chars/4 budget proxy
+    * (actual BPE merges only split within these segments, so this upper
+    * bound tracks real token counts well for latin-script text). */
+  def bpeRegexTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern)).cast("long")
+
   def punctRatio(text: Column): Column = {
     val n = length(text)
     when(n === 0, 0.0).otherwise(
