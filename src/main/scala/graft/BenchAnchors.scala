@@ -93,5 +93,7 @@ object BenchAnchors {
     "pipeline_jsonl_roundtrip" -> 0.56,
     "sql_graft_functions" -> 0.28,
     "stream_sliding_windows" -> 1.30,
+    "pipeline_leakage_safe_split" -> 0.37,
+    "text_bpe_regex_count" -> 0.11,
   )
 }
