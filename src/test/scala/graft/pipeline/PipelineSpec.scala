@@ -417,6 +417,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(top2(1L) == "xray")
   }
 
+  test("bpe regex pretokenizer: contraction/run segmentation, counts hand-checked") {
+    val df = Seq(
+      (1L, "I'll say it's 42 tokens, really!"), // I|'ll| say| it|'s| 42| tokens|,| really|!
+      (2L, ""),
+      (3L, "a  b")).toDF("id", "text") // a|(2-space ' b' → space absorbed? run splits)
+    val got = df.select(col("id"),
+        TextAnalysis.bpeRegexTokenCount(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 10L) // matches the DuckDB oracle segmentation
+    assert(got(2L) == 0L)
+    // "a  b": 'a' + ' ' (leftover of double space) + ' b' → 3 segments
+    assert(got(3L) == 3L)
+  }
+
   test("leakage-safe split: no duplicate cluster ever spans two splits") {
     // real connected components (chains, not just exact groups): each
     // cluster's members must all inherit the representative's split
