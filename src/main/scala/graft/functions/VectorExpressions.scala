@@ -242,6 +242,101 @@ case class PqAdcDistance(left: Expression, right: Expression)
 }
 
 /**
+ * PQ encoding: nearest centroid per subspace by squared L2
+ * (reference: pq/PqEncoder.java:18-38), as a codegen'd column so index
+ * builds encode inside the scan's generated loop — one pass over the
+ * corpus, no UDF serialization.
+ *
+ * first:  embedding ARRAY<FLOAT> of length m*subDim.
+ * second: flat codebook ARRAY<FLOAT> of length m*k*subDim (centroid (s,c)
+ *         starts at (s*k + c)*subDim — graft.index.Pq.Codebook layout),
+ *         a broadcast-sized literal.
+ * third:  m (number of subspaces; foldable INT).
+ * result: BINARY code of length m, code[s] = argmin_c ||sub_s - cent||².
+ * Ties break toward the lower centroid id (strict `<`), matching
+ * Pq.encode; k must be ≤ 256 so a centroid id fits one byte.
+ */
+case class PqEncode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[SparkShims.AbstractType] =
+    SparkShims.abstractTypes(ArrayType(FloatType), ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val emb = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val m = c.asInstanceOf[Int]
+    val dim = emb.numElements()
+    val subDim = dim / m
+    val k = if (m * subDim == 0) 0 else cents.numElements() / (m * subDim)
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var cc = 0
+      while (cc < k) {
+        val cOff = (s * k + cc) * subDim
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = emb.getFloat(off + i).toDouble - cents.getFloat(cOff + i).toDouble
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = cc }
+        cc += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val subDim = ctx.freshName("subDim")
+      val k = ctx.freshName("k")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val cc = ctx.freshName("cc")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val cOff = ctx.freshName("cOff")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $subDim = $c == 0 ? 0 : $a.numElements() / $c;
+         |int $k = ($c * $subDim) == 0 ? 0 : $b.numElements() / ($c * $subDim);
+         |byte[] $out = new byte[$c];
+         |for (int $s = 0; $s < $c; $s++) {
+         |  int $off = $s * $subDim;
+         |  int $best = 0;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $cc = 0; $cc < $k; $cc++) {
+         |    int $cOff = ($s * $k + $cc) * $subDim;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $d = (double) $a.getFloat($off + $i) - (double) $b.getFloat($cOff + $i);
+         |      $acc += $d * $d;
+         |    }
+         |    if ($acc < $bestD) { $bestD = $acc; $best = $cc; }
+         |  }
+         |  $out[$s] = (byte) $best;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, sE: Expression, t: Expression): Expression = copy(f, sE, t)
+}
+
+/**
  * Symmetric per-vector int8 quantization stats in ONE pass:
  * STRUCT(scale, codes_sum, codes_l1, max_abs_err, mse).
  *
@@ -317,5 +412,7 @@ object vector {
   def vec_norm(a: Column): Column = col(VectorNorm(expr(a)))
   def pq_adc_distance(lut: Column, code: Column): Column =
     col(PqAdcDistance(expr(lut), expr(code)))
+  def pq_encode(emb: Column, centroids: Column, m: Column): Column =
+    col(PqEncode(expr(emb), expr(centroids), expr(m)))
   def int8_quant_stats(a: Column): Column = col(Int8QuantStatsExpr(expr(a)))
 }

@@ -235,6 +235,25 @@ object PipelineQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // IVF-PQ ANN: coarse quantizer narrows to probed clusters, the PQ ADC
+    // scan (codes + per-query LUT, no embeddings) ranks them, exact cosine
+    // reranks a bounded shortlist. Gate config is the recall-1.0 point —
+    // nprobe=nlist and exhaustive rerank — so the result is value-equal to
+    // brute force and DuckDB-oracled; the pruned/approximate behavior
+    // (recall ≥ 0.8 at nprobe=8/rerank=10×k, codes-only ADC scan) is
+    // pinned by PipelineSpec.
+    "ann_ivfpq_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val model = Ann.trainIvfPq(s, e, "embedding", "vec_id", nlist = 16, pqM = 8, pqK = 16)
+      val index = Ann.buildIndexPq(e, "embedding", model)
+      val qs = e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+      Ann.searchIvfPq(s, index, "vec_id", "embedding", qs, model,
+          k = 10, nprobe = 16, rerank = Int.MaxValue)
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
     // Deterministic train/val/test split — hash-free Knuth-multiplicative
     // bucketing on doc_id (reproducible across engines and runs; the
     // standard pattern for dataset splits at scale).
@@ -765,6 +784,24 @@ object PipelineQueries {
     "ann_ivf_cosine" ->
       s"""WITH q AS (
          |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.queryId, e.vec_id AS neighbor_id,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cosine
+         |  FROM embeddings e, q)
+         |SELECT queryId, neighbor_id, rnk AS "rank", cosine FROM (
+         |  SELECT queryId, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY queryId
+         |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
+
+    "ann_ivfpq_cosine" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
+         |  WHERE vec_id >= 5 AND vec_id < 10),
          |scored AS (
          |  SELECT q.queryId, e.vec_id AS neighbor_id,
          |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0

@@ -99,6 +99,96 @@ object Ann {
       .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** IVF-PQ model: IVF coarse quantizer + a PQ codebook for the ADC scan.
+    * PQ trains on raw vectors with L2 (the reference has no metric switch
+    * here — SURVEY.md §7.4 item 5); k ≤ 256 so codes are one byte per
+    * subspace. */
+  final case class IvfPqModel(ivf: IvfModel, codebook: Pq.Codebook)
+
+  /** Train coarse quantizer + PQ codebook on one deterministic sample. */
+  def trainIvfPq(
+      spark: SparkSession,
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      nlist: Int,
+      pqM: Int,
+      pqK: Int,
+      sampleSize: Int = 100000,
+      seed: Long = Pq.DefaultSeed): IvfPqModel = {
+    import spark.implicits._
+    require(pqK <= 256, s"pqK=$pqK does not fit a one-byte code")
+    val sample = df.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(embCol).cast("array<float>")).as[Array[Float]].collect()
+    require(sample.nonEmpty, "cannot train IVF-PQ on an empty dataset")
+    val dim = sample.head.length
+    val ivfCb = Pq.train(sample.toIndexedSeq, dim, m = 1, k = nlist, seed = seed)
+    val pqCb = Pq.train(sample.toIndexedSeq, dim, m = pqM, k = pqK, seed = seed)
+    IvfPqModel(IvfModel(nlist, dim, ivfCb.centroids), pqCb)
+  }
+
+  /** Materialize the IVF-PQ index: cluster id + one-byte-per-subspace PQ
+    * code, both codegen'd columns in the same scan pass; repartitioned by
+    * cluster so probes are partition-local. At 100 TB the codes column is
+    * what the ADC scan reads — `pqM` bytes per vector instead of the
+    * `4*dim`-byte embedding, a 32x scan-width cut at dim=64/m=8. */
+  def buildIndexPq(df: DataFrame, embCol: String, model: IvfPqModel): DataFrame =
+    df.withColumn("cluster", clusterOf(col(embCol), model.ivf))
+      .withColumn("pq_code",
+        vector.pq_encode(col(embCol), typedlit(model.codebook.centroids.toSeq),
+          lit(model.codebook.m)))
+      .repartition(col("cluster"))
+
+  /**
+   * IVF-PQ query: probe `nprobe` clusters, rank the narrowed set by the
+   * PQ ADC approximation (per-query LUT built driver-side, broadcast with
+   * the probe rows — `m*k` doubles per query), keep the best `rerank`
+   * candidates per query, then exact-rerank only those on the full
+   * embeddings. `rerank >=` the probed-set size degenerates to exact
+   * search over the probes (the oracle configuration); production uses
+   * `rerank` of a few×k (recall pinned by PipelineSpec).
+   *
+   * Scale shape: the ADC scan touches (cluster, id, code) only; the
+   * embedding column is read in a second pruned scan joined against the
+   * broadcast shortlist — at 100 TB that is the difference between
+   * sorting 25 TB of floats and scanning 0.8 TB of codes plus a
+   * broadcast-filtered rerank pass.
+   */
+  def searchIvfPq(
+      spark: SparkSession,
+      index: DataFrame,
+      idCol: String,
+      embCol: String,
+      queries: Seq[(Long, Array[Float])],
+      model: IvfPqModel,
+      k: Int,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, q) =>
+      val lut = Pq.buildLut(model.codebook, q)
+      model.ivf.probes(q, nprobe).map(c => (qid, c, q, lut))
+    }.toDF("queryId", "cluster", "qv", "lut")
+    val adcW = Window.partitionBy(col("queryId")).orderBy(col("adc"), col(idCol))
+    // ADC scan: codes + id only — the embedding column never enters this pass.
+    val shortlist = index.select(col("cluster"), col(idCol), col("pq_code"))
+      .join(broadcast(probeRows), Seq("cluster"))
+      .withColumn("adc", vector.pq_adc_distance(col("lut"), col("pq_code")))
+      .withColumn("adc_rank", row_number().over(adcW))
+      .filter(col("adc_rank") <= rerank)
+      .select(col("queryId"), col(idCol), col("qv"))
+    // Exact rerank: the bounded shortlist (|queries|*rerank rows) broadcasts
+    // back onto the embeddings — a broadcast-hash join, no shuffle of the
+    // corpus, and the scan is pruned to (id, embedding).
+    val w = Window.partitionBy(col("queryId")).orderBy(col("cosine").desc, col(idCol))
+    index.select(col(idCol), col(embCol))
+      .join(broadcast(shortlist), Seq(idCol))
+      .withColumn("cosine", vector.cosine_sim(col(embCol), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Exact brute-force cosine top-k — the baseline/oracle. */
   def searchBrute(
       spark: SparkSession,

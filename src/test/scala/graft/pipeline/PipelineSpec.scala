@@ -257,6 +257,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall@10 = $recall")
   }
 
+  test("IVF-PQ ADC + exact rerank: recall@10 ≥ 0.8 under real pruning, exact at full config") {
+    val model = Ann.trainIvfPq(spark, embeddings, "embedding", "vec_id",
+      nlist = 16, pqM = 8, pqK = 64)
+    val index = Ann.buildIndexPq(embeddings, "embedding", model)
+    val qs = embeddings.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+    val brute = Ann.searchBrute(spark, embeddings, "vec_id", "embedding", qs, k = 10)
+      .select("queryId", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // pruned config: nprobe=8 of 16, rerank=10×k of a probed set ~half the
+    // corpus — the ADC ordering is load-bearing here, not a no-op
+    val pruned = Ann.searchIvfPq(spark, index, "vec_id", "embedding", qs, model,
+        k = 10, nprobe = 8, rerank = 100)
+      .select("queryId", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = qs.map { case (qid, _) =>
+      pruned.getOrElse(qid, Set.empty).intersect(brute(qid)).size
+    }.sum
+    val recall = hits.toDouble / (qs.size * 10)
+    assert(recall >= 0.8, s"IVF-PQ recall@10 = $recall")
+
+    // gate config (nprobe=nlist, exhaustive rerank) must equal brute force
+    val full = Ann.searchIvfPq(spark, index, "vec_id", "embedding", qs, model,
+        k = 10, nprobe = 16, rerank = Int.MaxValue)
+      .select("queryId", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qs.foreach { case (qid, _) => assert(full(qid) == brute(qid), s"query $qid") }
+  }
+
+  test("pq_encode column matches the JVM Pq.encode kernel byte-for-byte") {
+    val model = Ann.trainIvfPq(spark, embeddings, "embedding", "vec_id",
+      nlist = 4, pqM = 8, pqK = 16)
+    val viaCol = Ann.buildIndexPq(embeddings, "embedding", model)
+      .select(col("vec_id"), col("pq_code"))
+      .as[(Long, Array[Byte])].collect().toMap
+    val viaJvm = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> graft.index.Pq.encode(model.codebook, e) }.toMap
+    assert(viaCol.keySet == viaJvm.keySet)
+    viaCol.foreach { case (id, code) =>
+      assert(java.util.Arrays.equals(code, viaJvm(id)), s"vec $id")
+    }
+  }
+
   test("language-ID identifies script and stopword-profiled languages") {
     val fixture = Seq(
       (1L, "the cat sat on the mat and it was happy with that"),
