@@ -87,6 +87,28 @@ case class ShingleHashesExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ARRAY<BIGINT> of hashed word-`k`-grams in TOKEN ORDER, one per start
+  * position, NOT deduplicated — the positional variant of
+  * ShingleHashesExpr for span-level operators (element i is the gram
+  * starting at token i; texts shorter than k hash as one whole-text gram
+  * at position 0). */
+case class ShingleHashesPosExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_pos"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextKernels.tokenize(input.asInstanceOf[UTF8String])
+    val grams =
+      if (toks.length < k) Array(TextKernels.hashString(toks.mkString(" ")))
+      else Array.tabulate(toks.length - k + 1)(i =>
+        TextKernels.hashString(toks.slice(i, i + k).mkString(" ")))
+    new GenericArrayData(grams)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** ARRAY<BIGINT> sketch of the `n` smallest distinct word-`k`-gram hashes
   * (TextKernels.gramSketch), ascending. */
 case class GramSketchExpr(child: Expression, k: Int, n: Int)
@@ -226,6 +248,8 @@ case class RepetitionStatsExpr(child: Expression)
 object text {
   def shingle_hashes(c: Column, k: Int): Column =
     SparkShims.column(ShingleHashesExpr(SparkShims.expression(c), k))
+  def shingle_hashes_pos(c: Column, k: Int): Column =
+    SparkShims.column(ShingleHashesPosExpr(SparkShims.expression(c), k))
   def gram_sketch(c: Column, k: Int, n: Int): Column =
     SparkShims.column(GramSketchExpr(SparkShims.expression(c), k, n))
   def minhash_signature(c: Column, params: Seq[(Long, Long)]): Column =

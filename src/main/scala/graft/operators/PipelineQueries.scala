@@ -101,6 +101,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Repeated n-gram spans (exact-substring dedup signal, Lee et al.
+    // 2022): maximal runs of consecutive 3-grams shared with ≥1 other
+    // doc, as (span_start, span_len) per doc — span granularity so the
+    // pipeline can strip the copied passage, not the whole doc. The
+    // planted exact copies surface as full-document spans; incidental
+    // cross-doc 3-grams stay short. Linear shuffles only (hash groupBy +
+    // semi-join + per-doc window).
+    "dedup_ngram_spans" -> ((s, dir) => {
+      Dedup.repeatedNgramSpans(corpusExact(s, dir), "doc_id", "text", shingleK = 3)
+        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+          col("span_len"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // MinHash-LSH near-dup pairs with exact-Jaccard verification: LSH only
     // BLOCKS (banded equi-join, linear); every emitted pair carries the
     // exact shingle Jaccard — equal to the all-pairs Jaccard join whenever
@@ -797,6 +811,33 @@ object PipelineQueries {
          |  FROM scored) x
          |WHERE rnk <= 10
          |ORDER BY queryId, rnk""".stripMargin,
+
+    "dedup_ngram_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM corpus),
+        |grams AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 3 THEN [{'pos': 0, 'g': array_to_string(tk, ' ')}]
+        |         ELSE list_transform(generate_series(1, len(tk) - 2),
+        |                i -> {'pos': i - 1, 'g': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]}) END,
+        |    recursive := true)
+        |  FROM toks),
+        |dupg AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |dpos AS (SELECT gr.doc_id, gr.pos FROM grams gr JOIN dupg USING (g)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM dpos)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  count(*) + 2 AS span_len
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "ann_ivfpq_cosine" ->
       s"""WITH q AS (

@@ -416,4 +416,47 @@ object Dedup {
     expandMemberPairs(repPairs, "cosine", memberOf, groupSelf)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("cosine"))
   }
+
+  /**
+   * Repeated n-gram SPANS: maximal runs of consecutive word-k-grams that
+   * also appear in at least one OTHER document — the exact-substring
+   * dedup signal of "Deduplicating Training Data Makes Language Models
+   * Better" (Lee et al., 2022), at span granularity so callers can strip
+   * or down-weight the duplicated region instead of dropping the doc.
+   *
+   * Shape: one positional-shingle pass per doc (token-ordered, not
+   * deduped), a groupBy on the 64-bit gram hash to find cross-doc grams
+   * (distinct-doc count ≥ 2), a semi-join back to positions, and a
+   * gaps-and-islands window per doc. Both shuffles are linear in total
+   * gram count; nothing is quadratic in corpus size. Ubiquitous grams
+   * ("of the and") mark single positions but only grow a span if a whole
+   * RUN of consecutive grams is shared, so stop-word noise stays
+   * span_len ≈ k while true copied passages stand out.
+   *
+   * @param minSpanTokens keep spans covering at least this many tokens
+   *                      (a span of r consecutive grams covers r+k-1)
+   * @return (doc_id, span_start, span_len) — 0-based token offset and
+   *         token length of each maximal duplicated run
+   */
+  def repeatedNgramSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      minSpanTokens: Int = 0): DataFrame = {
+    val pos = df.select(col(idCol).as("doc_id"),
+        posexplode(text.shingle_hashes_pos(col(textCol), shingleK)).as(Seq("pos", "sh")))
+    val crossDoc = pos.groupBy(col("sh"))
+      .agg(count_distinct(col("doc_id")).as("df_docs"))
+      .filter(col("df_docs") >= 2)
+      .select("sh")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos.join(crossDoc, Seq("sh"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"), count(lit(1)).as("run_len"))
+      .withColumn("span_len", col("run_len") + lit(shingleK.toLong - 1))
+      .filter(col("span_len") >= minSpanTokens)
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
 }

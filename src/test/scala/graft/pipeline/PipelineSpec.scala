@@ -257,6 +257,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall@10 = $recall")
   }
 
+  test("repeated n-gram spans: hand-checked maximal runs, cross-doc only") {
+    // doc 1 and 2 share the 6-token passage "the quick brown fox jumps high"
+    // (4 consecutive 3-grams); doc 3 is disjoint; doc 4 repeats a 3-gram
+    // WITHIN itself only (no other doc has it) so it must NOT span.
+    val fixture = Seq(
+      (1L, "alpha beta the quick brown fox jumps high gamma delta"),
+      (2L, "the quick brown fox jumps high omega"),
+      (3L, "completely unrelated tokens about spark physical planning"),
+      (4L, "self self self self repeat repeat zz self self self self")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedNgramSpans(fixture, "doc_id", "text", shingleK = 3)
+      .as[(Long, Int, Long)].collect().toSet
+    // doc 1: tokens 2..7 → grams at pos 2..5 (run 4) → span (2, 6)
+    // doc 4: "self self self" appears at positions 0,1 and 7,8 — but only
+    // within doc 4, so no cross-doc gram, no span.
+    assert(spans == Set((1L, 2, 6L), (2L, 0, 6L)), s"got $spans")
+  }
+
   test("IVF-PQ ADC + exact rerank: recall@10 ≥ 0.8 under real pruning, exact at full config") {
     val model = Ann.trainIvfPq(spark, embeddings, "embedding", "vec_id",
       nlist = 16, pqM = 8, pqK = 64)
