@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -36,6 +36,17 @@ object RelationalQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame =
     normalizeTs(t(s, dir, "events"))
+
+  /** Exact integer money arithmetic: prices/discounts/balances in the
+    * test data are exact 2-decimal values, so revenue sums in integer
+    * 1e-4-dollar units are bit-identical across engines — immune to
+    * float-sum order sensitivity and round() midpoint flakes (the
+    * BASELINE.md oracle-parity rule: scale to integer, don't round). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** price×(1−discount) in exact 1e-4-dollar units. */
+  private def volC4(price: Column, disc: Column): Column =
+    cents(price) * (lit(100L) - cents(disc))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: grouped aggregation with derived
@@ -86,6 +97,143 @@ object RelationalQueries {
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("n_name"))
+    }),
+
+    // TPC-H Q6: single-table filter + scalar aggregate. The whole predicate
+    // (date range, discount band, quantity cap) pushes to the parquet scan.
+    "rel_q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+          && col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / lit(10000.0))
+          .as("revenue"))
+    }),
+
+    // TPC-H Q7-style volume shipping: both nation dims broadcast twice
+    // (supplier side and customer side), disjunctive nation-pair predicate
+    // applied after, grouped by year.
+    "rel_q7_volume_shipping" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(
+        col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      l.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg((sum(volC4(col("l_extendedprice"), col("l_discount"))) / lit(10000.0)).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8-style national market share: 7-way join (all dims broadcast,
+    // the lineitem-orders fact join shuffles once), conditional-sum ratio.
+    "rel_q8_market_share" -> ((s, dir) => {
+      val nCust = t(s, dir, "nation").select(
+        col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+      val nSupp = t(s, dir, "nation").select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nCust), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+          col("cn_region") === col("r_regionkey"))
+        .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
+        .withColumn("volume", volC4(col("l_extendedprice"), col("l_discount")))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("nation") === "NATION_6", col("volume")).otherwise(0L)) * lit(1.0)
+            / sum(col("volume")), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q10-style returned items: fact-fact join + broadcast dims,
+    // revenue top-20 ordered on the ROUNDED value with key tie-break.
+    "rel_q10_returned_items" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg((sum(volC4(col("l_extendedprice"), col("l_discount"))) / lit(10000.0)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+    }),
+
+    // TPC-H Q14: promo revenue share — conditional aggregation over one
+    // broadcast-joined month of lineitem.
+    "rel_q14_promo_effect" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01") && col("l_shipdate") < lit("1996-10-01"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .withColumn("volume", volC4(col("l_extendedprice"), col("l_discount")))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", col("volume")).otherwise(0L))
+            / sum(col("volume")), 6).as("promo_revenue"))
+    }),
+
+    // TPC-H Q15: top supplier by quarterly revenue — grouped revenue view
+    // joined against its own broadcast scalar max (ties all surface).
+    "rel_q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg((sum(volC4(col("l_extendedprice"), col("l_discount"))) / lit(10000.0))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q19-style discounted revenue: three-way disjunctive predicate
+    // over brand × size × quantity — the classic OR-pushdown shape (each
+    // disjunct prunes on both join sides).
+    "rel_q19_disjunctive_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11))
+          || (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20))
+          || (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30)))
+        .agg((sum(volC4(col("l_extendedprice"), col("l_discount"))) / lit(10000.0)).as("revenue"))
+    }),
+
+    // TPC-H Q22-style idle rich customers: scalar-subquery threshold
+    // (broadcast cross join) + anti join against recent orders.
+    "rel_q22_idle_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), (sum(cents(col("c_acctbal"))) / lit(100.0))
+          .as("totacctbal"))
+        .orderBy(col("c_nationkey"))
     }),
 
     // Window: top-3 parts by retail price per brand (rank + tie-break).
@@ -539,6 +687,96 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    "rel_q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |               * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "rel_q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS BIGINT) / 10000.0 AS revenue FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01') x
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "rel_q8_market_share" ->
+      """SELECT o_year,
+        |  round(CAST(sum(CASE WHEN nation = 'NATION_6' THEN volume ELSE 0 END) AS BIGINT) * 1.0
+        |        / CAST(sum(volume) AS BIGINT), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) AS volume, n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') x
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "rel_q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue, c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "rel_q14_promo_effect" ->
+      """SELECT round(
+        |    100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) ELSE 0 END) AS BIGINT)
+        |    / CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "rel_q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0 AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "rel_q19_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "rel_q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) / 100.0 AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "rel_window_topk_parts" ->
       """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
