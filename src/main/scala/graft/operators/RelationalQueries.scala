@@ -558,6 +558,41 @@ object RelationalQueries {
       s.table(name).orderBy(col("win_start"), col("event_type"))
     }),
 
+    // Stream-stream event-time interval join: clicks joined to purchases
+    // by the same user within [0, 30 min], both sides watermarked — the
+    // state-bounded streaming join (watermark + interval bound let Spark
+    // evict join state; an unbounded stream-stream join would grow state
+    // forever). Inner-join matches emit as they arrive, so the
+    // AvailableNow drain equals the batch interval join and shares a
+    // DuckDB oracle. At 100 TB/day the same plan holds: state is bounded
+    // by (watermark + interval) × arrival rate per side.
+    "stream_interval_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src(): DataFrame = normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user_id")
+            && col("purchase_ts") >= col("click_ts")
+            && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("delay_us"))
+      val name = s"stream_ivjoin_${streamRunId.incrementAndGet()}"
+      Option(lastJoinView.getAndSet(name))
+        .foreach(prev => s.catalog.dropTempView(prev))
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // Gap sessionization through the streaming custom-state path
     // (Streaming.sessionizeStream, §2.10/§2.12), driver-oracled against
     // the SAME DuckDB recipe as the batch rel_sessionize. Append-mode
@@ -623,6 +658,7 @@ object RelationalQueries {
   private val lastStreamView = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastSessView = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastSlideView = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastJoinView = new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** Shared by `rel_sessionize` (batch windows) and `stream_sessionize`
     * (custom streaming state): one ground truth, two execution paths. */
@@ -991,6 +1027,15 @@ object RelationalQueries {
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM wins GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+
+    "stream_interval_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS delay_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "rel_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
