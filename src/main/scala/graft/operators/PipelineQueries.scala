@@ -268,6 +268,30 @@ object PipelineQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // Matryoshka (MRL) coarse search: top-k by dot product of the
+    // renormed 16-dim prefixes (= cosine on the truncation), with the
+    // full-dim cosine carried alongside — the cheap-representation /
+    // full-rerank pattern. 16 of 64 dims means 4x less scan width for
+    // the coarse pass at 100 TB; everything stays in composed built-ins
+    // (slice + normalize lambda + codegen'd dot).
+    "embed_matryoshka_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.vector
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("queryId")).orderBy(col("cos16").desc, col("vec_id"))
+      e.crossJoin(broadcast(qs))
+        .withColumn("cos16", vector.vec_dot(
+          Embeddings.matryoshka(col("embedding"), 16), Embeddings.matryoshka(col("qv"), 16)))
+        .withColumn("cos_full", vector.cosine_sim(col("embedding"), col("qv")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("queryId"), col("vec_id").as("neighbor_id"), col("rank"),
+          col("cos16"), col("cos_full"))
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
     // Deterministic train/val/test split — hash-free Knuth-multiplicative
     // bucketing on doc_id (reproducible across engines and runs; the
     // standard pattern for dataset splits at scale).
@@ -495,6 +519,15 @@ object PipelineQueries {
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
   private def normL(src: String) =
     s"sqrt(list_sum(list_transform($src, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** DuckDB mirror of Embeddings.matryoshka(_, 16): slice the first 16
+    * dims, divide by the slice norm, cast back to FLOAT element-wise
+    * (zero-norm slices pass through, the K6 convention). */
+  private def mat16(src: String) = {
+    val sl = s"$src[1:16]"
+    s"""CASE WHEN ${normL(sl)} = 0 THEN $sl
+       |     ELSE list_transform($sl, x -> CAST(CAST(x AS DOUBLE) / ${normL(sl)} AS FLOAT)) END""".stripMargin
+  }
 
   /** All-pairs exact word-3-gram-shingle Jaccard over the planted-near-dup
     * corpus — the shared ground truth for every blocked dedup variant.
@@ -853,6 +886,25 @@ object PipelineQueries {
          |  SELECT queryId, neighbor_id, cosine,
          |    row_number() OVER (PARTITION BY queryId
          |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
+
+    "embed_matryoshka_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
+         |  WHERE vec_id >= 10 AND vec_id < 15),
+         |scored AS (
+         |  SELECT q.queryId, e.vec_id AS neighbor_id,
+         |    ${dotL(s"(${mat16("e.embedding")})", s"(${mat16("q.qv")})")} AS cos16,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cos_full
+         |  FROM embeddings e, q)
+         |SELECT queryId, neighbor_id, rnk AS "rank", cos16, cos_full FROM (
+         |  SELECT queryId, neighbor_id, cos16, cos_full,
+         |    row_number() OVER (PARTITION BY queryId
+         |                       ORDER BY cos16 DESC, neighbor_id) AS rnk
          |  FROM scored) x
          |WHERE rnk <= 10
          |ORDER BY queryId, rnk""".stripMargin,

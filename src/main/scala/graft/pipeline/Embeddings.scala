@@ -47,4 +47,12 @@ object Embeddings {
     when(nrm === 0.0, vec).otherwise(
       transform(vec, x => (x.cast("double") / nrm).cast("float")))
   }
+
+  /** Matryoshka truncation: keep the first `d` dims and re-unit-normalize
+    * (MRL-trained embeddings pack coarse semantics into the prefix, so the
+    * renormed prefix is a drop-in cheap representation — 4x less scan
+    * width at d = dim/4 for coarse search, with the full vector kept for
+    * rerank). Composed built-ins only: slice + the normalize lambda stay
+    * inside whole-stage codegen. */
+  def matryoshka(vec: Column, d: Int): Column = l2Normalize(slice(vec, 1, d))
 }
