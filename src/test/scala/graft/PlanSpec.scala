@@ -108,6 +108,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.trim.contains("FileScan")) == 2)
   }
 
+  test("IVF-PQ over a MATERIALIZED index: the ADC scan prunes the embedding column") {
+    // the production shape: the index (cluster, id, pq_code, embedding)
+    // is built once and persisted; the query-time ADC pass must then read
+    // (cluster, id, pq_code) only — pqM bytes per vector, not 4*dim —
+    // with the embedding column entering solely via the broadcast-joined
+    // rerank scan. (Built inline, the codes derive from the embedding in
+    // the same plan, so the pruning claim only exists post-materialize.)
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.Ann
+    val s = spark
+    import s.implicits._
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val model = Ann.trainIvfPq(s, e, "embedding", "vec_id", nlist = 4, pqM = 8, pqK = 16)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ivfpq_plan").toString
+    Ann.buildIndexPq(e, "embedding", model).write.mode("overwrite").parquet(idxPath)
+    val index = s.read.parquet(idxPath)
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+    val p = Ann.searchIvfPq(s, index, "vec_id", "embedding", qs, model,
+      k = 5, nprobe = 4, rerank = 20).queryExecution.executedPlan.toString
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toList
+    assert(schemas.exists(l => l.contains("pq_code") && !l.contains("embedding")),
+      s"expected an embedding-free codes scan (the ADC pass):\n${schemas.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), "rerank must broadcast the shortlist")
+  }
+
+  test("q8 market share: every dimension joins via broadcast, one fact shuffle") {
+    val p = plan("rel_q8_market_share")
+    assert(p.linesIterator.count(_.trim.contains("BroadcastHashJoin")) >= 6,
+      s"7-way join should broadcast all six dims:\n$p")
+    // only the lineitem⋈orders fact join (plus the final agg/sort) shuffles
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 4)
+  }
+
+  test("q6: the full predicate pushes to the parquet scan") {
+    val p = plan("rel_q6_forecast_revenue")
+    // the dump truncates the PushedFilters list — assert the pushdown
+    // prefix plus the date/discount/quantity bounds in the Filter node
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains(">= 0.03") && p.contains("<= 0.07"))
+    assert(p.contains("< 24.0"))
+  }
+
   test("bucketed join: neither side shuffles — the layout carries the partitioning") {
     // force the merge-join path (broadcast would hide the property under test)
     val s = spark
