@@ -95,5 +95,20 @@ object BenchAnchors {
     "stream_sliding_windows" -> 1.30,
     "pipeline_leakage_safe_split" -> 0.37,
     "text_bpe_regex_count" -> 0.11,
+    // round-7 late additions (max of 3 isolated quiet-box reps at sf0.1,
+    // 2026-08-13; stream_interval_join anchored at its 8-state-partition
+    // config — see the gate's sizing comment)
+    "ann_ivfpq_cosine" -> 1.41,
+    "dedup_ngram_spans" -> 2.13,
+    "embed_matryoshka_topk" -> 1.40,
+    "stream_interval_join" -> 2.98,
+    "rel_q6_forecast_revenue" -> 0.20,
+    "rel_q7_volume_shipping" -> 0.88,
+    "rel_q8_market_share" -> 0.90,
+    "rel_q10_returned_items" -> 0.74,
+    "rel_q14_promo_effect" -> 0.33,
+    "rel_q15_top_supplier" -> 0.63,
+    "rel_q19_disjunctive_revenue" -> 0.41,
+    "rel_q22_idle_customers" -> 0.52,
   )
 }

@@ -568,6 +568,14 @@ object RelationalQueries {
     // by (watermark + interval) × arrival rate per side.
     "stream_interval_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
+      // a stream-stream join keeps 4 state stores per shuffle partition;
+      // store setup dominates at gate scale (32 parts = 7.9 s vs 8 = 2.7 s
+      // isolated medians), so size state partitions to the stream's
+      // arrival rate, not the session default — the same knob a real
+      // deployment tunes upward for 100 TB/day arrival
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def src(): DataFrame = normalizeTs(s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
@@ -591,6 +599,7 @@ object RelationalQueries {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy(col("click_id"), col("purchase_id"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
     // Gap sessionization through the streaming custom-state path
