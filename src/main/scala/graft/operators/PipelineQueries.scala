@@ -328,6 +328,13 @@ object PipelineQueries {
     }),
 
     // Vocabulary statistics: token explode → frequency → top terms.
+    // Unigram-LM perplexity proxy (CCNet-style): per-doc mean -ln p(token)
+    // under a Laplace-smoothed unigram model of the corpus itself.
+    "text_unigram_nll" -> ((s, dir) => {
+      TextAnalysis.unigramNll(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_vocab_topk" -> ((s, dir) => {
       docs(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -938,6 +945,22 @@ object PipelineQueries {
         |SELECT doc_id, CAST(pack_shard AS INTEGER) AS pack_shard,
         |  CAST(start_off // 2048 AS BIGINT) AS pack_bin
         |FROM off ORDER BY doc_id""".stripMargin,
+
+    "text_unigram_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |model AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+        |               CAST(count(*) AS DOUBLE) AS vocab FROM model)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(sum(CAST(tf AS DOUBLE) * -ln((CAST(cnt AS DOUBLE) + 1.0) / (total + 1.0 * vocab)))
+        |        / CAST(sum(tf) AS DOUBLE), 6) AS avg_nll
+        |FROM tf JOIN model USING (term), tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "text_vocab_topk" ->
       """SELECT token, count(*) AS freq FROM (

@@ -192,6 +192,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("score"), col("rank"))
   }
 
+  // --- Unigram-LM perplexity proxy -----------------------------------------
+
+  /**
+   * Per-document negative log-likelihood under a Laplace-smoothed unigram
+   * model of the corpus itself — the CCNet-style perplexity-proxy quality
+   * signal (docs whose token distribution diverges from the corpus score
+   * high; boilerplate and gibberish separate from body text without any
+   * external LM).
+   *
+   * `avg_nll = Σ_t tf(d,t) · −ln((cnt(t)+α)/(total+α·|V|)) / Σ_t tf(d,t)`
+   *
+   * Shape at scale: one explode, two hash aggregations (map-side partial
+   * aggregation collapses token-level to term-level before both
+   * shuffles), a single-row broadcast of the corpus totals, one
+   * term-keyed equi-join, one doc-level aggregation — all linear in
+   * token count; the model side is vocabulary-sized.
+   */
+  def unigramNll(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val totals = model.agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab"))
+    tf.join(model, Seq("term")).crossJoin(broadcast(totals))
+      .withColumn("nll_term",
+        col("tf").cast("double") * (lit(0.0) - log(
+          (col("cnt").cast("double") + lit(alpha))
+            / (col("total").cast("double") + lit(alpha) * col("vocab").cast("double")))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("nll_term")) / sum(col("tf")).cast("double"), 6).as("avg_nll"))
+  }
+
   /** Attach the full stats bundle to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
