@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Dedup, Embeddings, Multimodal, Packing, Sampling, TextAnalysis}
+import graft.pipeline.{Ann, Clustering, Dedup, Embeddings, Multimodal, Packing, Sampling, TextAnalysis}
 
 /**
  * LLM-data-pipeline operator coverage (dedup / text analysis / similarity
@@ -268,6 +268,20 @@ object PipelineQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // Distributed k-means (Lloyd's, k=8, 2 iterations): assignment is a
+    // codegen'd argmin over broadcast centroids; the update step is a
+    // custom partial-aggregating vector-sum Aggregator (k rows shuffle,
+    // k×(dim+1) numbers to the driver per iteration). Centroid means are
+    // snapped to 6 decimals so results are bit-stable across runs and
+    // reproducible by the oracle's UNROLLED SQL Lloyd's (two assignment/
+    // update rounds as CTEs, same snap rule).
+    "cluster_kmeans" -> ((s, dir) => {
+      val (_, assigned) = Clustering.kMeans(
+        s, emb(s, dir), "vec_id", "embedding", k = 8, iterations = 2)
+      assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Matryoshka (MRL) coarse search: top-k by dot product of the
     // renormed 16-dim prefixes (= cosine on the truncation), with the
     // full-dim cosine carried alongside — the cheap-representation /
@@ -526,6 +540,34 @@ object PipelineQueries {
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
   private def normL(src: String) =
     s"sqrt(list_sum(list_transform($src, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** Squared L2 between two lists, double accumulation in index order —
+    * identical to the L2SquaredDistance kernel. */
+  private def l2L(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+
+  /** One unrolled Lloyd's round: assignment CTE `aN` under centroids
+    * `cIn`, then snapped-mean centroids CTE `cOut` (empty clusters keep
+    * their previous centroid). Mirrors Clustering.kMeans exactly:
+    * argmin tie-breaks to the lower cluster id; means snap via
+    * round(x, 6) then FLOAT cast. */
+  private def lloydRound(aN: String, cIn: String, mN: String, cOut: String) =
+    s"""$aN AS (
+       |  SELECT vec_id, embedding, c FROM (
+       |    SELECT e.vec_id, e.embedding, $cIn.c,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${l2L("e.embedding", s"$cIn.cent")}, $cIn.c) AS rn
+       |    FROM embeddings e CROSS JOIN $cIn) x WHERE rn = 1),
+       |$mN AS (
+       |  SELECT c, gs.i, round(avg(CAST(embedding[gs.i] AS DOUBLE)), 6) AS mv
+       |  FROM $aN CROSS JOIN generate_series(1, 64) gs(i)
+       |  GROUP BY c, gs.i),
+       |$cOut AS (
+       |  SELECT $cIn.c, COALESCE(m.cent, $cIn.cent) AS cent
+       |  FROM $cIn LEFT JOIN (
+       |    SELECT c, list(CAST(mv AS FLOAT) ORDER BY i) AS cent FROM $mN GROUP BY c) m
+       |  ON $cIn.c = m.c)""".stripMargin
 
   /** DuckDB mirror of Embeddings.matryoshka(_, 16): slice the first 16
     * dims, divide by the slice norm, cast back to FLOAT element-wise
@@ -896,6 +938,21 @@ object PipelineQueries {
          |  FROM scored) x
          |WHERE rnk <= 10
          |ORDER BY queryId, rnk""".stripMargin,
+
+    "cluster_kmeans" ->
+      s"""WITH c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+         |    embedding AS cent
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) seed),
+         |${lloydRound("a0", "c0", "m1", "c1")},
+         |${lloydRound("a1", "c1", "m2", "c2")},
+         |a2 AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT e.vec_id, c2.c,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY ${l2L("e.embedding", "c2.cent")}, c2.c) AS rn
+         |    FROM embeddings e CROSS JOIN c2) x WHERE rn = 1)
+         |SELECT vec_id, c AS cluster FROM a2 ORDER BY vec_id""".stripMargin,
 
     "embed_matryoshka_topk" ->
       s"""WITH q AS (

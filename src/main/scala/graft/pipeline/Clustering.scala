@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Ann.IvfModel
+
+/**
+ * Distributed Lloyd's k-means over an embedding column — corpus
+ * clustering as a first-class pipeline operator (topic bucketing,
+ * dedup-block seeding, mixture analysis).
+ *
+ * Scale design (the 100 TB story):
+ *  - ASSIGNMENT is a codegen'd argmin over broadcast centroids
+ *    ([[Ann.clusterOf]]) — one scan pass, no shuffle;
+ *  - the UPDATE step aggregates per-cluster element-wise sums with a
+ *    custom [[Aggregator]] (map-side partial aggregation: each task
+ *    contributes one k×dim partial, the shuffle carries k rows — never
+ *    a dim-exploded shuffle and never a full-cluster mapGroups);
+ *  - only k×(dim+1) numbers reach the driver per iteration.
+ *
+ * Determinism: initial centroids are the k lowest-`idCol` rows;
+ * per-iteration centroid means are SNAPPED to `snapDecimals` decimals
+ * (half-away-from-zero, then float-cast). Double partial-sum merge order
+ * varies run to run at ~1e-14 relative error; the 1e-6 snap absorbs it,
+ * making results bit-stable across runs AND reproducible in the DuckDB
+ * oracle's unrolled-SQL Lloyd's (same snap rule = `round(x, 6)`).
+ */
+object Clustering {
+
+  final case class KMeansModel(k: Int, dim: Int, centroids: Array[Float]) {
+    def ivf: IvfModel = IvfModel(k, dim, centroids)
+  }
+
+  /** One-pass (sum, count) per cluster with map-side partial aggregation. */
+  private class VecSumAggregator(dim: Int)
+      extends Aggregator[Seq[Float], (Array[Double], Long), (Seq[Double], Long)] {
+    override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { b._1(i) += v(i).toDouble; i += 1 }
+      (b._1, b._2 + 1L)
+    }
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    override def finish(r: (Array[Double], Long)): (Seq[Double], Long) =
+      (r._1.toIndexedSeq, r._2)
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      Encoders.kryo[(Array[Double], Long)]
+    override def outputEncoder: Encoder[(Seq[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Double], Long)]()
+  }
+
+  /** DuckDB-`round`-compatible snap: half away from zero at `d` decimals,
+    * then to nearest float. */
+  private def snap(x: Double, d: Int): Float = {
+    val s = math.pow(10, d)
+    (math.signum(x) * math.floor(math.abs(x) * s + 0.5) / s).toFloat
+  }
+
+  /**
+   * Run `iterations` Lloyd's rounds; returns the model and the FINAL
+   * assignment `(idCol, cluster)` under the last centroids.
+   * Empty clusters keep their previous centroid.
+   */
+  def kMeans(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iterations: Int,
+      snapDecimals: Int = 6): (KMeansModel, DataFrame) = {
+    import spark.implicits._
+    val init = df.orderBy(col(idCol)).limit(k)
+      .select(col(embCol).cast("array<float>")).as[Array[Float]].collect()
+    require(init.length == k, s"need at least k=$k rows to seed k-means")
+    val dim = init.head.length
+    var centroids: Array[Float] = init.flatten.toArray
+
+    val agg = new VecSumAggregator(dim).toColumn.name("stats")
+    var it = 0
+    while (it < iterations) {
+      val model = IvfModel(k, dim, centroids)
+      val stats = df
+        .select(Ann.clusterOf(col(embCol), model).as("cluster"),
+          col(embCol).cast("array<float>").as("v"))
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg)
+        .collect()
+        .toMap
+      val next = new Array[Float](k * dim)
+      var c = 0
+      while (c < k) {
+        stats.get(c) match {
+          case Some((sum, n)) if n > 0 =>
+            var i = 0
+            while (i < dim) { next(c * dim + i) = snap(sum(i) / n, snapDecimals); i += 1 }
+          case _ => // empty cluster: keep the previous centroid
+            System.arraycopy(centroids, c * dim, next, c * dim, dim)
+        }
+        c += 1
+      }
+      centroids = next
+      it += 1
+    }
+
+    val model = KMeansModel(k, dim, centroids)
+    val assigned = df.select(col(idCol),
+      Ann.clusterOf(col(embCol), model.ivf).as("cluster"))
+    (model, assigned)
+  }
+}
