@@ -268,6 +268,22 @@ object PipelineQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // IVF ANN with the DISTRIBUTED k-means trainer (no driver-side
+    // training sample — the 100 TB trainer): full-probe config is
+    // value-exact regardless of centroids, so the gate shares the
+    // brute-force oracle while exercising the whole-corpus trainer +
+    // probe path end-to-end.
+    "ann_ivf_distributed" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val model = Ann.trainIvfDistributed(s, e, "embedding", "vec_id", nlist = 8)
+      val index = Ann.buildIndex(e, "embedding", model)
+      val qs = e.filter(col("vec_id") >= 15 && col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+      Ann.searchIvf(s, index, "vec_id", "embedding", qs, model, k = 10, nprobe = 8)
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
     // Distributed k-means (Lloyd's, k=8, 2 iterations): assignment is a
     // codegen'd argmin over broadcast centroids; the update step is a
     // custom partial-aggregating vector-sum Aggregator (k rows shuffle,
@@ -925,6 +941,24 @@ object PipelineQueries {
       s"""WITH q AS (
          |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
          |  WHERE vec_id >= 5 AND vec_id < 10),
+         |scored AS (
+         |  SELECT q.queryId, e.vec_id AS neighbor_id,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cosine
+         |  FROM embeddings e, q)
+         |SELECT queryId, neighbor_id, rnk AS "rank", cosine FROM (
+         |  SELECT queryId, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY queryId
+         |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
+
+    "ann_ivf_distributed" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
+         |  WHERE vec_id >= 15 AND vec_id < 20),
          |scored AS (
          |  SELECT q.queryId, e.vec_id AS neighbor_id,
          |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0

@@ -99,6 +99,22 @@ object Ann {
       .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Train the coarse quantizer with DISTRIBUTED k-means
+    * ([[Clustering.kMeans]]) instead of a driver-side sample: the whole
+    * corpus participates (full scan per iteration, k×(dim+1) numbers to
+    * the driver) — the trainer that still works when even a training
+    * sample is too big to collect. */
+  def trainIvfDistributed(
+      spark: SparkSession,
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      nlist: Int,
+      iterations: Int = 3): IvfModel = {
+    val (model, _) = Clustering.kMeans(spark, df, idCol, embCol, nlist, iterations)
+    model.ivf
+  }
+
   /** IVF-PQ model: IVF coarse quantizer + a PQ codebook for the ADC scan.
     * PQ trains on raw vectors with L2 (the reference has no metric switch
     * here — SURVEY.md §7.4 item 5); k ≤ 256 so codes are one byte per
