@@ -110,5 +110,8 @@ object BenchAnchors {
     "rel_q15_top_supplier" -> 0.63,
     "rel_q19_disjunctive_revenue" -> 0.41,
     "rel_q22_idle_customers" -> 0.52,
+    "text_unigram_nll" -> 0.84,
+    "cluster_kmeans" -> 0.60,
+    "ann_ivf_distributed" -> 1.27,
   )
 }
