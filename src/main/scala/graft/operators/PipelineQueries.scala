@@ -101,6 +101,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental exact dedup: a delta batch (re-submissions of every 5th
+    // doc + genuinely-new variants of every 7th) deduped against the
+    // accepted base corpus WITHOUT re-deduplicating the base — one window
+    // pass over the delta + a fingerprint anti join (the daily-increment
+    // shape at 100 TB: the base side is a fingerprint projection, never a
+    // re-shuffle of the corpus).
+    "dedup_incremental" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val delta = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" graftnew")).as("text"),
+            col("lang"), col("source"), col("n_chars")))
+      Dedup.incrementalExactSurvivors(base, delta, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Repeated n-gram spans (exact-substring dedup signal, Lee et al.
     // 2022): maximal runs of consecutive 3-grams shared with ≥1 other
     // doc, as (span_start, span_len) per doc — span granularity so the
@@ -909,6 +929,26 @@ object PipelineQueries {
          |  FROM scored) x
          |WHERE rnk <= 10
          |ORDER BY queryId, rnk""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH delta AS (
+        |  SELECT doc_id + 200000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text || ' graftnew' AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |basefp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |dfp AS (
+        |  SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM delta),
+        |surv AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS mi FROM dfp) x
+        |  WHERE doc_id = mi)
+        |SELECT doc_id, lang, source, n_chars FROM surv
+        |WHERE fp NOT IN (SELECT fp FROM basefp)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_spans" ->
       """WITH corpus AS (

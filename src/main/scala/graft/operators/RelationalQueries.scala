@@ -236,6 +236,19 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Manual skew-salted join (SkewJoin.saltedInnerJoin): lineitem salted
+    // into 8 buckets, orders replicated 8x, join on (key, salt) — result
+    // identical to the plain join (the oracle IS the plain join), so the
+    // gate pins that the skew recipe is a pure physical rewrite.
+    "rel_salted_join" -> ((s, dir) => {
+      SkewJoin.saltedInnerJoin(
+          t(s, dir, "lineitem"), t(s, dir, "orders"), "l_orderkey", "o_orderkey", salt = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(volC4(col("l_extendedprice"), col("l_discount"))) / lit(10000.0)).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Window: top-3 parts by retail price per brand (rank + tie-break).
     "rel_window_topk_parts" -> ((s, dir) => {
       val w = Window.partitionBy(col("p_brand"))
@@ -822,6 +835,15 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "rel_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "rel_window_topk_parts" ->
       """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (

@@ -62,6 +62,36 @@ object Dedup {
       .drop("__graft_fp", "__graft_min_id")
   }
 
+  /**
+   * Incremental exact dedup: the survivor rows of a DELTA batch against
+   * an already-deduplicated BASE corpus — the daily-increment shape (a
+   * new crawl lands against petabytes of accepted corpus; re-running
+   * global dedup is wasted work).
+   *
+   * Survivors = delta rows whose normalized-content fingerprint (a) does
+   * not exist in base and (b) is the smallest-id holder within the delta.
+   * Shape: one window pass over the delta (the exactDedupSurvivors
+   * recipe) + one fingerprint-keyed LEFT ANTI join against base — the
+   * base side is never re-shuffled beyond its fingerprint projection,
+   * and at scale the fingerprint set can be a bucketed/stored table.
+   */
+  def incrementalExactSurvivors(
+      base: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val baseFp = base.select(
+      TextAnalysis.contentFingerprint(col(textCol)).as("__graft_fp")).distinct()
+    val w = Window.partitionBy(col("__graft_fp"))
+    delta
+      .withColumn("__graft_fp", coalesce(TextAnalysis.contentFingerprint(col(textCol)),
+        concat(lit("__graft_null_"), col(idCol).cast("string"))))
+      .withColumn("__graft_min_id", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__graft_min_id"))
+      .join(baseFp, Seq("__graft_fp"), "left_anti")
+      .drop("__graft_fp", "__graft_min_id")
+  }
+
   // --- MinHash + LSH -------------------------------------------------------
 
   /** Large Mersenne prime for the affine MinHash permutations. */

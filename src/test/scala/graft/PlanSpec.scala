@@ -151,6 +151,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("< 24.0"))
   }
 
+  test("salted join: salt reaches the shuffle keys and the result equals the plain join") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val salted = graft.operators.SkewJoin.saltedInnerJoin(l, o, "l_orderkey", "o_orderkey", 8)
+      val p = salted.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_salt"), "salt column must partition the exchange")
+      val a = salted.select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val b = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(a.toSeq == b.toSeq, "salted join must be a pure physical rewrite")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed join: neither side shuffles — the layout carries the partitioning") {
     // force the merge-join path (broadcast would hide the property under test)
     val s = spark
