@@ -236,6 +236,30 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // TPC-H Q21-style: the double-correlated-subquery shape — suppliers
+    // whose RETURNED lineitem sits on a multi-supplier order where no
+    // OTHER supplier had a return. EXISTS → left-semi join, NOT EXISTS →
+    // left-anti join, both on (orderkey, suppkey≠) — Catalyst keeps both
+    // as hash joins on l_orderkey with the inequality as residual.
+    "rel_q21_blame_supplier" -> ((s, dir) => {
+      val l1 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+      val l3 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"))
+      l1.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(l2, col("l_orderkey") === col("l2_orderkey")
+          && col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+        .join(l3, col("l_orderkey") === col("l3_orderkey")
+          && col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
     // Manual skew-salted join (SkewJoin.saltedInnerJoin): lineitem salted
     // into 8 buckets, orders replicated 8x, join on (key, salt) — result
     // identical to the plain join (the oracle IS the plain join), so the
@@ -615,6 +639,58 @@ object RelationalQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // Stream-stream LEFT OUTER interval join: unmatched clicks must emit
+    // a null-purchase row — but only once the global watermark passes
+    // click_ts + interval, which a finite drain never reaches for the
+    // stream's tail. The established sentinel pattern fixes it: each side
+    // explodes a far-future twin (distinct negative user ids so sentinels
+    // never join anything), the watermark jumps past every real event,
+    // and the AvailableNow no-data batch flushes all outer state. The
+    // drained set then equals the batch left interval join (shared
+    // oracle); sentinel clicks are dropped by the click_id >= 0 filter.
+    "stream_outer_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        def src(): DataFrame = normalizeTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val clicks = src().filter(col("event_type") === "click")
+          .select(explode(array(
+            struct(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id")),
+            struct(lit(-9998L).as("user_id"),
+              (col("ts") + expr("INTERVAL 10 HOURS")).as("click_ts"),
+              lit(-1L).as("click_id")))).as("r"))
+          .select(col("r.*"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = src().filter(col("event_type") === "purchase")
+          .select(explode(array(
+            struct(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id")),
+            struct(lit(-9999L).as("p_user_id"),
+              (col("ts") + expr("INTERVAL 10 HOURS")).as("purchase_ts"),
+              lit(-1L).as("purchase_id")))).as("r"))
+          .select(col("r.*"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(purchases,
+            col("user_id") === col("p_user_id")
+              && col("purchase_ts") >= col("click_ts")
+              && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+            "leftOuter")
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("delay_us"))
+        val name = s"stream_ojoin_${streamRunId.incrementAndGet()}"
+        Option(lastOuterJoinView.getAndSet(name))
+          .foreach(prev => s.catalog.dropTempView(prev))
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).filter(col("click_id") >= 0)
+          .orderBy(col("click_id"), col("purchase_id"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // Gap sessionization through the streaming custom-state path
     // (Streaming.sessionizeStream, §2.10/§2.12), driver-oracled against
     // the SAME DuckDB recipe as the batch rel_sessionize. Append-mode
@@ -681,6 +757,7 @@ object RelationalQueries {
   private val lastSessView = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastSlideView = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastJoinView = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastOuterJoinView = new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** Shared by `rel_sessionize` (batch windows) and `stream_sessionize`
     * (custom streaming state): one ground truth, two execution paths. */
@@ -835,6 +912,20 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "rel_q21_blame_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
 
     "rel_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
@@ -1058,6 +1149,15 @@ object RelationalQueries {
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM wins GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+
+    "stream_outer_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS delay_us
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |WHERE a.event_type = 'click'
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "stream_interval_join" ->
       """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
