@@ -288,6 +288,25 @@ object PipelineQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // FILTERED ANN: a query-time metadata predicate (label = 2) applied to
+    // the SHARED IVF index before candidate ranking — pre-filter
+    // semantics (exact recall within the filtered subset; no
+    // post-filter-starves-top-k failure mode). The predicate composes
+    // into the index scan, so Catalyst pushes it to parquet when the
+    // index is materialized. Full-probe config = value-exact vs the
+    // filtered brute-force oracle.
+    "ann_ivf_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val model = Ann.trainIvf(s, e, "embedding", "vec_id", nlist = 16)
+      val index = Ann.buildIndex(e, "embedding", model)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+      Ann.searchIvf(s, index.filter(col("label") === 2), "vec_id", "embedding",
+          qs, model, k = 10, nprobe = 16)
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
     // IVF ANN with the DISTRIBUTED k-means trainer (no driver-side
     // training sample — the 100 TB trainer): full-probe config is
     // value-exact regardless of centroids, so the gate shares the
@@ -987,6 +1006,23 @@ object PipelineQueries {
          |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
          |    END AS cosine
          |  FROM embeddings e, q)
+         |SELECT queryId, neighbor_id, rnk AS "rank", cosine FROM (
+         |  SELECT queryId, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY queryId
+         |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
+
+    "ann_ivf_filtered" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.queryId, e.vec_id AS neighbor_id,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cosine
+         |  FROM embeddings e, q WHERE e.label = 2)
          |SELECT queryId, neighbor_id, rnk AS "rank", cosine FROM (
          |  SELECT queryId, neighbor_id, cosine,
          |    row_number() OVER (PARTITION BY queryId

@@ -298,6 +298,20 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Statistical aggregates (corr / covar / stddev / variance): the
+    // co-moment family with partial aggregation; rounded because moment
+    // merges are float-order-sensitive at ~1e-12.
+    "rel_stats_aggregates" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("stddev_price"),
+          round(var_pop(col("l_quantity")), 6).as("varp_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Distinct aggregation (shuffle-dedup + agg).
     "rel_agg_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
@@ -912,6 +926,16 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "rel_stats_aggregates" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        |  round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+        |  round(var_pop(l_quantity), 6) AS varp_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "rel_q21_blame_supplier" ->
       """SELECT s_name, count(*) AS numwait
