@@ -298,6 +298,62 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Manual bloom-filter pre-join (runtime-filter technique as a
+    // first-class op): the filtered build side's keys aggregate into one
+    // bloom blob, broadcast onto the probe side, which drops rows that
+    // cannot match BEFORE the exact join. False positives are removed by
+    // the join, so the result IS the plain filtered join (the oracle) —
+    // the bloom pass only cuts probe-side shuffle volume.
+    "rel_bloom_prejoin" -> ((s, dir) => {
+      import graft.functions.bloom
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      // the blob must reach might_contain as a CONSTANT (Spark's own
+      // runtime filters materialize the built filter the same way); it is
+      // bounded by numBits — 100 KB here — regardless of build-side rows
+      val blob = o.agg(bloom.bloom_filter_agg(col("o_orderkey"), 100000L, 800000L).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      t(s, dir, "lineitem")
+        .filter(bloom.might_contain(lit(blob), col("l_orderkey")))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(volC4(col("l_extendedprice"), col("l_discount"))) / lit(10000.0)).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // RANGE window frame: per-customer trailing-30-day spend — the
+    // value-based frame (all rows within the interval, not a row count).
+    "rel_window_range_frame" -> ((s, dir) => {
+      val day = datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders").filter(col("o_custkey") <= 50)
+        .withColumn("day", day.cast("long"))
+        .withColumn("spend_30d",
+          (sum(cents(col("o_totalprice"))).over(w) / lit(100.0)))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"), col("spend_30d"))
+        .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+    }),
+
+    // Higher-order array functions (transform/filter/aggregate/zip_with/
+    // slice/array_max) over the embedding lists — the lambda surface,
+    // mirrored in DuckDB list lambdas.
+    "rel_array_functions" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 100)
+      val emb = col("embedding")
+      e.select(
+          col("vec_id"),
+          round(aggregate(emb, lit(0.0d), (a, x) => a + x.cast("double")), 6).as("sum_e"),
+          round(array_max(emb).cast("double"), 6).as("max_e"),
+          size(filter(emb, x => x > 0.0f)).cast("long").as("n_pos"),
+          round(aggregate(zip_with(emb, reverse(emb),
+            (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0d), (a, x) => a + x), 6).as("dot_rev"),
+          round(aggregate(slice(emb, 1, 4), lit(0.0d), (a, x) => a + x.cast("double")), 6)
+            .as("head4_sum"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Statistical aggregates (corr / covar / stddev / variance): the
     // co-moment family with partial aggregation; rounded because moment
     // merges are float-order-sensitive at ~1e-12.
@@ -926,6 +982,37 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "rel_bloom_prejoin" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "rel_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) / 100.0 AS spend_30d
+        |FROM orders WHERE o_custkey <= 50
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+
+    "rel_array_functions" ->
+      """SELECT vec_id,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS sum_e,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_e,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  round(list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS dot_rev,
+        |  round(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), 6) AS head4_sum
+        |FROM embeddings WHERE vec_id < 100
+        |ORDER BY vec_id""".stripMargin,
 
     "rel_stats_aggregates" ->
       """SELECT l_returnflag,
