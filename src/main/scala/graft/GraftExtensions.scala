@@ -63,7 +63,12 @@ object GraftExtensions {
     ("simhash64", "simhash64(text) - 64-bit SimHash of the token stream",
       es => { arity("simhash64", es, 1); SimHash64Expr(es(0)) }),
     ("repetition_stats", "repetition_stats(text) - STRUCT(dup_line_ratio, top_bigram_ratio)",
-      es => { arity("repetition_stats", es, 1); RepetitionStatsExpr(es(0)) })
+      es => { arity("repetition_stats", es, 1); RepetitionStatsExpr(es(0)) }),
+    ("pq_encode", "pq_encode(vec, centroids, m) - PQ code bytes (argmin per subspace)",
+      es => { arity("pq_encode", es, 3); PqEncode(es(0), es(1), es(2)) }),
+    ("shingle_hashes_pos", "shingle_hashes_pos(text, k) - word-k-gram hashes in token order",
+      es => { arity("shingle_hashes_pos", es, 2)
+        ShingleHashesPosExpr(es(0), intArg(es(1), "shingle_hashes_pos", "k")) })
   )
 
   /** Injection path for `spark.sql.extensions` / `withExtensions`. */

@@ -45,6 +45,25 @@ class FunctionsSqlSpec extends AnyFunSuite {
     assert(row._5 == 0.0)
   }
 
+  test("pq_encode and shingle_hashes_pos are callable from SQL and match the DSL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, typedlit}
+    // m=2, k=2, subDim=1: centroids (0,[0]) (0,[10]) / (1,[0]) (1,[10])
+    val cents = Seq(0.0f, 10.0f, 0.0f, 10.0f)
+    val df = Seq((Array(9.0f, 1.0f), "a b c d")).toDF("v", "t")
+    df.createOrReplaceTempView("graft_fn_sql_p")
+    val viaSql = spark.sql(
+      "SELECT pq_encode(v, array(0.0F, 10.0F, 0.0F, 10.0F), 2) AS code, " +
+        "shingle_hashes_pos(t, 2) AS sh FROM graft_fn_sql_p")
+      .as[(Array[Byte], Array[Long])].head()
+    val viaDsl = df.select(
+      graft.functions.vector.pq_encode(col("v"), typedlit(cents), lit(2)),
+      graft.functions.text.shingle_hashes_pos(col("t"), 2))
+      .as[(Array[Byte], Array[Long])].head()
+    assert(viaSql._1.toSeq == viaDsl._1.toSeq && viaSql._1.toSeq == Seq[Byte](1, 0))
+    assert(viaSql._2.toSeq == viaDsl._2.toSeq && viaSql._2.length == 3)
+  }
+
   test("non-literal sketch parameters are rejected with a clear error") {
     import spark.implicits._
     Seq(("a b c", 3)).toDF("t", "k").createOrReplaceTempView("graft_fn_sql_e")
