@@ -123,5 +123,8 @@ object BenchAnchors {
     "stream_outer_join" -> 3.61,
     "rel_stats_aggregates" -> 0.37,
     "ann_ivf_filtered" -> 0.61,
+    "rel_bloom_prejoin" -> 0.77,
+    "rel_window_range_frame" -> 0.18,
+    "rel_array_functions" -> 0.18,
   )
 }
