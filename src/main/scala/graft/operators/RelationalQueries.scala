@@ -298,6 +298,30 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Ordered funnel conversion (signup → click ≤24h → purchase ≤24h):
+    // each stage is a min-timestamp aggregation joined to the previous
+    // stage's cohort — the standard events-analytics funnel as three
+    // linear stage joins (no per-user sequence collection, so a user's
+    // full history never has to fit in one task).
+    "rel_funnel_conversion" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").as("e")
+        .join(s1, Seq("user_id"))
+        .filter(col("e.ts") > col("t1")
+          && col("e.ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("e.ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").as("e")
+        .join(s2, Seq("user_id"))
+        .filter(col("e.ts") > col("t2")
+          && col("e.ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("e.ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+    }),
+
     // Manual bloom-filter pre-join (runtime-filter technique as a
     // first-class op): the filtered build side's keys aggregate into one
     // bloom blob, broadcast onto the probe side, which drops rows that
@@ -982,6 +1006,21 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "rel_funnel_conversion" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |c2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s.t1
+        |    AND e.ts <= s.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c2 ON e.user_id = c2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c2.t2
+        |    AND e.ts <= c2.t2 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s) AS n_signup,
+        |       (SELECT count(*) FROM c2) AS n_click_after,
+        |       (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin,
 
     "rel_bloom_prejoin" ->
       """SELECT o_orderstatus, count(*) AS n_items,
