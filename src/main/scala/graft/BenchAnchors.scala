@@ -126,5 +126,6 @@ object BenchAnchors {
     "rel_bloom_prejoin" -> 0.77,
     "rel_window_range_frame" -> 0.18,
     "rel_array_functions" -> 0.18,
+    "rel_funnel_conversion" -> 0.64,
   )
 }
