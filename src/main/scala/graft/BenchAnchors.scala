@@ -99,6 +99,15 @@ object BenchAnchors {
     "stream_sliding_windows" -> 1.30,
     "pipeline_leakage_safe_split" -> 0.37,
     "text_bpe_regex_count" -> 0.11,
+    // round-7 fourth wave, anchored from isolated warm runs (2 reps):
+    // the graph queries are honest big-shuffle workloads (1M-edge
+    // 3-round PageRank; 30M-wedge triangle join) — anchored at their
+    // measured medians, not padded
+    "graph_pagerank" -> 5.3,
+    "graph_triangles" -> 7.5,
+    "text_chunk_windows" -> 1.1,
+    "text_bpe_pair_counts" -> 1.6,
+    "text_bpe_learn_merges" -> 6.6,
     // round-7 late additions (max of 3 isolated quiet-box reps at sf0.1,
     // 2026-08-13; stream_interval_join anchored at its 8-state-partition
     // config — see the gate's sizing comment)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Clustering, Dedup, Embeddings, Multimodal, Packing, Sampling, TextAnalysis}
+import graft.pipeline.{Ann, Bpe, Chunker, Clustering, Dedup, Embeddings, Multimodal, Packing, Sampling, TextAnalysis}
 
 /**
  * LLM-data-pipeline operator coverage (dedup / text analysis / similarity
@@ -588,6 +588,48 @@ object PipelineQueries {
           round(col("centroid_value"), 6).as("centroid_r"), col("n_members"))
         .filter(col("dim_idx") % 8 === 0)
         .orderBy(col("label"), col("dim_idx"))
+    }),
+
+    // Context-window chunking: overlapping 64-token windows every 48
+    // tokens — the pre-training/RAG shaping step. Shuffle-free (scan →
+    // tokenize → generate → slice); exact string oracle.
+    "text_chunk_windows" -> ((s, dir) => {
+      Chunker.chunkTokens(
+          docs(s, dir).select(col("doc_id"), col("text")),
+          "text", width = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // BPE merge-candidate counting: adjacent character pairs inside
+    // GPT-2-style pretokens, corpus-weighted — the distributed inner
+    // step of tokenizer training (one explode + one shuffle on the pair
+    // key), value-oracled; the full iterative trainer is
+    // `text_bpe_learn_merges` below.
+    "text_bpe_pair_counts" -> ((s, dir) => {
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(explode(regexp_extract_all(col("text"),
+          lit(TextAnalysis.BpeTokenPattern), lit(0))).as("tok"))
+        .filter(!col("tok").rlike("^\\s+$") && length(col("tok")) >= 2)
+        .select(col("tok"),
+          explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+        .select(col("tok").substr(col("i"), lit(1)).as("pair_left"),
+          col("tok").substr(col("i") + 1, lit(1)).as("pair_right"))
+        .groupBy(col("pair_left"), col("pair_right"))
+        .agg(count(lit(1)).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair_left"), col("pair_right"))
+        .limit(30)
+    }),
+
+    // Sennrich-style BPE vocabulary learning (20 merges, deterministic
+    // tie-break) on the pretoken frequency table. Not SQL-expressible
+    // (iterative re-segmentation) → rows-only driver check; semantics
+    // pinned by BpeSpec's hand-computed classic fixture.
+    "text_bpe_learn_merges" -> ((s, dir) => {
+      val merges = Bpe.learnMerges(
+        s, docs(s, dir).filter(col("doc_id") % 5 === 0), "text", numMerges = 20)
+      Bpe.mergeTable(s, merges).orderBy(col("rank"))
     })
   )
 
@@ -1325,6 +1367,39 @@ object PipelineQueries {
         |  round(avg(v), 6) AS centroid_r, count(*) AS n_members
         |FROM dims WHERE idx % 8 = 0
         |GROUP BY label, idx
-        |ORDER BY label, dim_idx""".stripMargin
+        |ORDER BY label, dim_idx""".stripMargin,
+
+    // DuckDB list slices are 1-based INCLUSIVE: toks[s+1 : s+64] ==
+    // Spark slice(toks, s+1, 64); generate_series(0, -1, 48) is empty,
+    // matching the n>0 filter.
+    "text_chunk_windows" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |t2 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+        |st AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, n - 1, 48)) AS s FROM t2)
+        |SELECT doc_id, s // 48 AS chunk_id,
+        |  CAST(len(toks[s + 1 : s + 64]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
+        |FROM st
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_bpe_pair_counts" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |ftok AS (SELECT tok FROM tok
+        |  WHERE NOT regexp_matches(tok, '^\s+$') AND len(tok) >= 2),
+        |idx AS (SELECT tok, unnest(generate_series(1, len(tok) - 1)) AS i FROM ftok)
+        |SELECT substr(tok, i, 1) AS pair_left,
+        |  substr(tok, i + 1, 1) AS pair_right,
+        |  CAST(count(*) AS BIGINT) AS pair_count
+        |FROM idx
+        |GROUP BY 1, 2
+        |ORDER BY pair_count DESC, pair_left, pair_right
+        |LIMIT 30""".stripMargin
   )
 }

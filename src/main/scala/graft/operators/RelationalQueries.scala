@@ -841,6 +841,47 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("total_price"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Fixed-point PageRank (3 rounds) over the customer↔supplier
+    // fulfillment graph (distinct (custkey, suppkey) pairs via
+    // orders⋈lineitem, symmetrized; node ids disjoint by parity).
+    // Integer mass units make ranks bit-exact across engines — the
+    // iterative-join workload (Pregel step as relational algebra) with a
+    // value oracle, not just a rows check. See GraphAlgos for the
+    // per-iteration shuffle/lineage story.
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      // no pre-distinct: symmetrize ends in the one distinct that matters
+      graft.pipeline.GraphAlgos
+        .pageRankFixedPoint(graft.pipeline.GraphAlgos.symmetrize(edges), iterations = 3)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").cast("long").as("node_key"),
+          col("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("node_type"), col("node_key"))
+        .limit(100)
+    }),
+
+    // Triangle participation counts over the co-purchase graph (parts
+    // sharing an order). Id-canonical orientation enumerates each
+    // triangle once; the wedge→close join is the scale-canonical
+    // formulation (degree-ordering is the skew upgrade, GraphAlgos doc).
+    "graph_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      graft.pipeline.GraphAlgos.triangleCounts(edges)
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("part_key"), col("n_triangles"))
     })
   )
 
@@ -1323,6 +1364,57 @@ object RelationalQueries {
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "graph_pagerank" ->
+      s"""WITH edges0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM edges0
+         |  UNION SELECT dst AS src, src AS dst FROM edges0),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |p AS (SELECT 1000000000000 // count(*) AS r0,
+         |  (15 * (1000000000000 // count(*))) // 100 AS base FROM nodes),
+         |r0 AS (SELECT node, (SELECT r0 FROM p) AS rank_fp FROM nodes),
+         |${pagerankRound("r0", "r1")},
+         |${pagerankRound("r1", "r2")},
+         |${pagerankRound("r2", "r3")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS node_key, rank_fp
+         |FROM r3
+         |ORDER BY rank_fp DESC, node_type, node_key
+         |LIMIT 100""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        |t AS (SELECT w.a, w.b, w.c FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b),
+        |n AS (SELECT a AS node FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t)
+        |SELECT node AS part_key, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM n GROUP BY 1
+        |ORDER BY n_triangles DESC, part_key
+        |LIMIT 20""".stripMargin
   )
+
+  /** One fixed-point PageRank round as a CTE: mirror of
+    * `GraphAlgos.pageRankFixedPoint`'s iteration, floor divisions and
+    * all (sums of BIGINT are HUGEINT in DuckDB — cast back). */
+  private def pagerankRound(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT n.node,
+       |    (SELECT base FROM p) + coalesce(CAST(s.in_c AS BIGINT), 0) AS rank_fp
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst, sum((85 * r.rank_fp) // (100 * d.deg)) AS in_c
+       |    FROM edges e
+       |    JOIN $prev r ON e.src = r.node
+       |    JOIN deg d ON e.src = d.src
+       |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
 }

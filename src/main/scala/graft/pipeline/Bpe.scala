@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SparkShims
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Byte-pair-encoding vocabulary learning over a document corpus —
+ * the tokenizer-training half of the pipeline (the counting half is
+ * `TextAnalysis.bpeRegexTokenCount` / the `text_bpe_pair_counts` query).
+ *
+ * Classic Sennrich-style BPE, trained on the PRETOKEN FREQUENCY TABLE,
+ * not the raw corpus: the first aggregation collapses 100 TB of text to
+ * the distinct-pretoken vocabulary (bounded by language statistics —
+ * tens of millions of rows at web scale, kilobytes here), and every
+ * merge iteration after that touches only the vocab table. Per
+ * iteration: one distributed pair-count (flatMap + groupBy-sum, one
+ * shuffle over ≤|vocab|·maxlen rows), one driver-side argmax of a
+ * single row, one distributed merge application (narrow map). Iteration
+ * state is localCheckpoint'ed per round so the plan stays O(1) deep —
+ * same recipe as the other driver-loop operators
+ * (Dedup.resolveClusters, GraphAlgos.pageRankFixedPoint).
+ *
+ * Determinism: best pair = max count, ties broken lexicographically on
+ * (left, right); merge application is leftmost-greedy non-overlapping.
+ * Training stops early when no pair occurs twice.
+ */
+object Bpe {
+
+  /** Leftmost-greedy non-overlapping application of one merge. */
+  def applyMerge(
+      syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Pretoken frequency table: GPT-2-style pretokenizer segments
+    * (whitespace runs dropped) with corpus occurrence counts. */
+  def pretokenVocab(
+      spark: SparkSession, df: DataFrame, textCol: String): Dataset[(Seq[String], Long)] = {
+    import spark.implicits._
+    df.filter(col(textCol).isNotNull)
+      .select(explode(regexp_extract_all(
+        col(textCol), lit(TextAnalysis.BpeTokenPattern), lit(0))).as("tok"))
+      .filter(!col("tok").rlike("^\\s+$"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("w"))
+      .as[(String, Long)]
+      .map { case (t, w) => (t.map(_.toString).toSeq, w) }
+  }
+
+  /**
+   * Learn up to `numMerges` merges; returns them in application order.
+   * `minCount` (default 2) is the classic stop condition: a pair seen
+   * once cannot compress anything.
+   */
+  def learnMerges(
+      spark: SparkSession,
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minCount: Long = 2L): Seq[(String, String)] = {
+    import spark.implicits._
+    // localCheckpoint, NOT persist: each round's vocab must become a
+    // LogicalRDD leaf. With persist, round n's plan still chains n typed
+    // maps — unpersisting round n-1 invalidates round n's cache
+    // (cascading), so every action recompiles and recomputes the whole
+    // chain: observed exponential per-round cost and a codegen OOM by
+    // round ~17 on a 60-row vocab.
+    var vocab = pretokenVocab(spark, df, textCol).localCheckpoint()
+    val merges = ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val best = vocab
+        .flatMap { case (syms, w) =>
+          syms.iterator.sliding(2).withPartial(false)
+            .map(p => (p.head, p(1), w))
+        }
+        .toDF("l", "r", "w")
+        .groupBy(col("l"), col("r")).agg(sum(col("w")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      best.headOption.filter(_._3 >= minCount) match {
+        case Some((l, r, _)) =>
+          merges += ((l, r))
+          val next = vocab
+            .map { case (syms, w) => (applyMerge(syms, l, r), w) }
+            .localCheckpoint() // eager; plan becomes a LogicalRDD leaf
+          SparkShims.unpersistCheckpoint(vocab.toDF())
+          vocab = next
+        case None => done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Merge table as a DataFrame: (rank, merge_left, merge_right) in
+    * learn order — the registry surface for `text_bpe_learn_merges`.
+    * (`left`/`right` are reserved words in both engines.) */
+  def mergeTable(spark: SparkSession, merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "merge_left", "merge_right")
+  }
+}

@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SparkShims
+
+/**
+ * Distributed graph analytics over edge DataFrames — the two classic
+ * iterative/join-shaped workloads a training-data pipeline runs over
+ * derived graphs (user-item bipartite graphs, co-occurrence graphs,
+ * near-dup similarity graphs; cf. the connected-components resolver in
+ * [[Dedup.resolveClusters]]).
+ *
+ * Everything here is EXACT INTEGER arithmetic. PageRank uses fixed-point
+ * mass units (a configurable power-of-ten total) with floor division, so
+ * results are bit-identical across engines and partitionings — no
+ * float-sum order sensitivity, which is what lets the DuckDB oracle
+ * reproduce ranks exactly (the same rule the money queries use:
+ * scale to integer, don't round).
+ *
+ * Scale notes (100 TB / 1000 executors):
+ *  - each PageRank iteration is one equi-join of ranks onto edge sources
+ *    plus one shuffle on the destination key — the canonical Pregel step
+ *    expressed relationally. Pre-partitioning `edges` by `src` and
+ *    reusing that layout across iterations removes the per-round edge
+ *    shuffle (bucketing; see Bucketing.writeBucketed); ranks are
+ *    per-node and co-partition with the join key.
+ *  - iteration state is localCheckpoint'ed per round, so plan depth and
+ *    lineage stay O(1) (same recipe as [[Dedup.resolveClusters]]'s
+ *    pointer-jumping loop).
+ *  - triangle counting enumerates each triangle once via id-canonical
+ *    orientation (a<b<c). On skewed degree distributions the standard
+ *    upgrade is degree-ordered orientation (orient every edge toward the
+ *    higher-(degree,id) endpoint), which bounds wedge fan-out by
+ *    O(sqrt(|E|)) per node; id-ordering keeps the oracle trivially
+ *    expressible and is identical in the uniform-degree test data.
+ */
+object GraphAlgos {
+
+  /** Undirected view of a directed edge list: both orientations,
+    * distinct. One explode pass over the (possibly expensive) input and
+    * ONE distinct — not union-of-two-scans + distinct. */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+        struct(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+        struct(col("dst").cast("long").as("src"), col("src").cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+
+  /**
+   * Fixed-point PageRank: `iterations` rounds of
+   *   r'(v) = base + Σ_{(u,v)∈E} (alphaNum · r(u)) div (alphaDen · deg(u))
+   * with base = ((alphaDen−alphaNum) · (tot div N)) div alphaDen and
+   * r₀(v) = tot div N. All divisions are floor divisions on longs —
+   * deterministic, exact, overflow-safe for tot ≤ 1e12 (alphaNum·r ≤
+   * 8.5e13 « Long.Max). Mass lost to flooring is the deliberate price of
+   * exactness; ranks remain a strict monotone transform of real-valued
+   * PageRank on these graphs.
+   *
+   * `edges` is taken as directed (symmetrize first for undirected
+   * semantics); dangling nodes (no out-edges) contribute nothing, nodes
+   * with no in-edges settle at `base`.
+   */
+  def pageRankFixedPoint(
+      edges: DataFrame,
+      iterations: Int,
+      tot: Long = 1000000000000L,
+      alphaNum: Long = 85L,
+      alphaDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, "at least one iteration")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // disjoint column names per join side — these all derive from the
+    // same scan, and same-name df("col") conditions trip Spark's
+    // ambiguous-self-join detection
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("deg_node"), col("deg"))
+    // static relations, read once per job not once per iteration
+    e.persist(); nodes.persist(); deg.persist()
+    val n = nodes.count() // one tiny job; N is also the r0 denominator
+    val r0 = tot / n
+    val base = ((alphaDen - alphaNum) * r0) / alphaDen
+
+    // localCheckpoint each round (NOT persist/unpersist): the iteration
+    // state must become a LogicalRDD leaf, or every round's plan chains
+    // all previous rounds and unpersisting round n-1 cascades into round
+    // n's cache — the full chain then recomputes from the source scan
+    // each iteration (see Bpe.learnMerges for the pathological case).
+    var ranks = nodes.withColumn("rank_fp", lit(r0)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val next = pageRankStep(e, nodes, deg, ranks, base, alphaNum, alphaDen)
+        .localCheckpoint()
+      SparkShims.unpersistCheckpoint(ranks) // release the superseded round
+      ranks = next
+    }
+    e.unpersist(); nodes.unpersist(); deg.unpersist()
+    ranks
+  }
+
+  /** One PageRank round, lazy — split out so the per-iteration physical
+    * plan stays pinnable in GraphAlgosSpec (the checkpoint in the loop
+    * reduces the public query's plan to a LogicalRDD scan). */
+  private[pipeline] def pageRankStep(
+      e: DataFrame, nodes: DataFrame, deg: DataFrame, ranks: DataFrame,
+      base: Long, alphaNum: Long, alphaDen: Long): DataFrame = {
+    val contrib = ranks.join(deg, col("node") === col("deg_node"))
+      .select(col("node").as("c_src"),
+        expr(s"($alphaNum * rank_fp) div ($alphaDen * deg)").as("c"))
+    val inSum = e.join(contrib, col("src") === col("c_src"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
+      .select(col("dst").as("in_node"), col("in_c"))
+    nodes.join(inSum, col("node") === col("in_node"), "left")
+      .select(col("node"),
+        (lit(base) + coalesce(col("in_c"), lit(0L))).as("rank_fp"))
+  }
+
+  /**
+   * Per-node triangle participation counts. `edges` must be the
+   * id-canonical undirected edge set: distinct rows with a < b. Each
+   * triangle a<b<c is enumerated exactly once (wedge a−b−c joined back
+   * against the (a,c) closing edge) and credited to all three corners.
+   */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // the edge set feeds all three legs of the wedge→close join —
+    // persist it, or a derived (join+distinct) input is computed thrice
+    val e = edges.select(col("a").cast("long"), col("b").cast("long")).persist()
+    val counts = triangleJoin(e)
+      .localCheckpoint() // materialize (≤ |V| rows) before releasing e
+    e.unpersist()
+    counts
+  }
+
+  /** The wedge→close join, lazy (see [[pageRankStep]] for why). */
+  private[pipeline] def triangleJoin(e: DataFrame): DataFrame = {
+    // disjoint names per self-join leg (see pageRankFixedPoint note)
+    val eBC = e.select(col("a").as("b"), col("b").as("c"))
+    val eAC = e.select(col("a").as("cl_a"), col("b").as("cl_c"))
+    val wedges = e.join(eBC, "b").select(col("a"), col("b"), col("c"))
+    val tris = wedges.join(eAC,
+      col("a") === col("cl_a") && col("c") === col("cl_c"))
+      .select(col("a"), col("b"), col("c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -151,6 +151,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("< 24.0"))
   }
 
+  test("q21: correlated EXISTS/NOT EXISTS run as hash semi/anti joins, never nested-loop") {
+    val p = plan("rel_q21_blame_supplier")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"inequality residual must not force a nested loop:\n$p")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+  }
+
+  test("bloom pre-join: the probe filter sits at the lineitem scan stage") {
+    // might_contain must apply BEFORE the join (that is the whole point —
+    // cut probe-side shuffle volume)
+    val p = plan("rel_bloom_prejoin")
+    val filterLine = p.linesIterator.find(_.contains("might_contain"))
+    assert(filterLine.isDefined, s"bloom probe filter missing from plan:\n$p")
+    val joinIdx = p.linesIterator.indexWhere(l =>
+      l.contains("Join") && l.contains("o_orderkey"))
+    val bloomIdx = p.linesIterator.indexWhere(_.contains("might_contain"))
+    assert(bloomIdx > joinIdx, "bloom filter must be below (after) the join node in the tree")
+  }
+
+  test("chunking is shuffle-free: tokenize→generate→slice, one exchange for the sort") {
+    val p = plan("text_chunk_windows")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1, p)
+    // column pruning: only doc_id+text read from the documents scan
+    assert(!p.contains("n_chars"))
+  }
+
+  test("bpe pair counts prune the documents scan to the text column") {
+    val p = plan("text_bpe_pair_counts")
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+  }
+
   test("salted join: salt reaches the shuffle keys and the result equals the plain join") {
     import org.apache.spark.sql.functions.col
     val s = spark

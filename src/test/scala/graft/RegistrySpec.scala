@@ -5,8 +5,16 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Registry integrity: the correctness gate's structural invariants. */
 class RegistrySpec extends AnyFunSuite {
 
+  /** Queries DECLARED rows-only: not SQL-expressible, so the driver
+    * records the weaker rows>0 check; each must carry a ScalaTest
+    * value-oracle instead (BpeSpec's hand-computed fixture). Keep this
+    * list justified — the default is a DuckDB oracle. */
+  private val declaredRowsOnly = Set(
+    "text_bpe_learn_merges" // iterative re-segmentation; BpeSpec fixture
+  )
+
   test("every registered query carries a DuckDB oracle (0 no_oracle, both ways)") {
-    val q = SparkEntry.queries.keySet
+    val q = SparkEntry.queries.keySet -- declaredRowsOnly
     val o = SparkEntry.oracleSql.keySet
     assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
     assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).toSeq.sorted}")

@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("applyMerge is leftmost-greedy and non-overlapping") {
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
+    assert(Bpe.applyMerge(Seq("x"), "a", "b") === Seq("x"))
+    assert(Bpe.applyMerge(Nil, "a", "b") === Nil)
+  }
+
+  test("learnMerges reproduces the classic Sennrich fixture, hand-computed") {
+    // Corpus realized so the pretoken table is exactly
+    // low×5, lower×2, newest×6, widest×3.
+    // Hand-computed pair counts, round 1: (e,s)=9 ties (s,t)=9 →
+    // lexicographic tie-break picks (e,s); round 2: (es,t)=9 wins;
+    // round 3: (l,o)=7 ties (o,w)=7 → (l,o).
+    val docLines =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = docLines.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+
+    val merges = Bpe.learnMerges(spark, df, "text", numMerges = 3)
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("l", "o")))
+  }
+
+  test("learnMerges stops early when no pair repeats") {
+    val df = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    // pairs (a,b) and (c,d) each occur once < minCount=2 → no merges
+    assert(Bpe.learnMerges(spark, df, "text", numMerges = 5) === Nil)
+  }
+
+  test("pretokenVocab drops whitespace runs and weights by frequency") {
+    val df = Seq((1L, "the the  the"), (2L, "cat")).toDF("doc_id", "text")
+    val v = Bpe.pretokenVocab(spark, df, "text").collect().toMap
+    // ` ?\p{L}+` absorbs a SINGLE leading space; before a multi-space
+    // run `\s+` wins greedily, so the next token starts bare (the
+    // documented RE2-subset divergence from upstream's lookahead).
+    assert(v(Seq("t", "h", "e")) === 2L)       // doc start + after "  "
+    assert(v(Seq(" ", "t", "h", "e")) === 1L)  // the single-space continuation
+    assert(v(Seq("c", "a", "t")) === 1L)
+    assert(v.keys.forall(_.forall(s => !s.matches("^\\s+$") || s == " ")))
+  }
+}

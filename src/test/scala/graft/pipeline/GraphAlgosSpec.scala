@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraphAlgosSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("symmetrize yields both orientations, distinct") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val sym = GraphAlgos.symmetrize(e).as[(Long, Long)].collect().toSet
+    assert(sym === Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("fixed-point PageRank matches a hand-rolled reference on a small graph") {
+    // 4-node undirected path 0-1-2-3 plus chord 1-3: degrees 1,3,2,2.
+    val undirected = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = GraphAlgos.symmetrize(undirected.toDF("src", "dst"))
+    val got = GraphAlgos.pageRankFixedPoint(edges, iterations = 3, tot = 1000000L)
+      .as[(Long, Long)].collect().toMap
+
+    // Same fixed-point recurrence on the driver.
+    val adj = (undirected ++ undirected.map(_.swap)).groupMap(_._1)(_._2)
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val n = adj.size
+    val r0 = 1000000L / n
+    val base = (15L * r0) / 100L
+    var r = adj.keys.map(_ -> r0).toMap
+    for (_ <- 1 to 3) {
+      val contrib = r.map { case (u, ru) => u -> (85L * ru) / (100L * deg(u)) }
+      r = adj.keys.map { v =>
+        // iterator, not .keys.map: a Set would dedup equal contributions
+        v -> (base + adj.iterator.filter(_._2.contains(v))
+          .map(kv => contrib(kv._1)).sum)
+      }.toMap
+    }
+    assert(got === r)
+    // the high-degree node must rank first
+    assert(got.maxBy(_._2)._1 === 1L)
+  }
+
+  test("PageRank mass is conserved up to floor-division loss") {
+    val edges = GraphAlgos.symmetrize(
+      Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")) // 3-cycle, deg 2 each
+    val ranks = GraphAlgos.pageRankFixedPoint(edges, iterations = 2, tot = 999999L)
+      .as[(Long, Long)].collect()
+    val tot = ranks.map(_._2).sum
+    // total ≤ tot, and within the per-node flooring slack of it
+    assert(tot <= 999999L && tot > 999999L - 3 * 100)
+    // symmetric graph → identical ranks
+    assert(ranks.map(_._2).distinct.length === 1)
+  }
+
+  test("per-iteration plans are hash joins — never nested-loop or cartesian") {
+    // the public queries checkpoint each round (plan collapses to a
+    // LogicalRDD scan), so pin the lazy step builders directly
+    val e = GraphAlgos.symmetrize(Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"))
+      .select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("deg_node"), col("deg"))
+    val ranks = nodes.withColumn("rank_fp", lit(1000L))
+    val stepPlan = GraphAlgos.pageRankStep(e, nodes, deg, ranks, 10L, 85L, 100L)
+      .queryExecution.executedPlan.toString
+    assert(!stepPlan.contains("BroadcastNestedLoopJoin") &&
+      !stepPlan.contains("CartesianProduct"), stepPlan)
+
+    val triPlan = GraphAlgos.triangleJoin(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!triPlan.contains("BroadcastNestedLoopJoin") &&
+      !triPlan.contains("CartesianProduct"), triPlan)
+  }
+
+  test("triangleCounts: K4 has 4 triangles, every node in 3; square has none") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = GraphAlgos.triangleCounts(k4.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    assert(GraphAlgos.triangleCounts(square.toDF("a", "b")).count() === 0L)
+  }
+}
