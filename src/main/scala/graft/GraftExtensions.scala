@@ -68,7 +68,9 @@ object GraftExtensions {
       es => { arity("pq_encode", es, 3); PqEncode(es(0), es(1), es(2)) }),
     ("shingle_hashes_pos", "shingle_hashes_pos(text, k) - word-k-gram hashes in token order",
       es => { arity("shingle_hashes_pos", es, 2)
-        ShingleHashesPosExpr(es(0), intArg(es(1), "shingle_hashes_pos", "k")) })
+        ShingleHashesPosExpr(es(0), intArg(es(1), "shingle_hashes_pos", "k")) }),
+    ("argmin_l2", "argmin_l2(vec, centroids) - index of the nearest centroid row (flat matrix)",
+      es => { arity("argmin_l2", es, 2); ArgminL2(es(0), es(1)) })
   )
 
   /** Injection path for `spark.sql.extensions` / `withExtensions`. */

@@ -263,13 +263,26 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
 
+  /** The codebook is almost always a literal (typedlit of the trained
+    * centroids). Flatten it to a primitive float[] ONCE: ArrayData
+    * .getFloat on a 200k-element GenericArrayData literal boxes per
+    * access — at dim 768 / m 16 / k 256 that is 2e5 boxed reads PER ROW
+    * in the build scan's hot loop. */
+  @transient private lazy val foldedCents: Array[Float] =
+    if (second.foldable) {
+      val ad = second.eval(null)
+      if (ad == null) null else ad.asInstanceOf[ArrayData].toFloatArray()
+    } else null
+
   override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
     val emb = a.asInstanceOf[ArrayData]
-    val cents = b.asInstanceOf[ArrayData]
+    val cents =
+      if (foldedCents != null) foldedCents
+      else b.asInstanceOf[ArrayData].toFloatArray()
     val m = c.asInstanceOf[Int]
     val dim = emb.numElements()
     val subDim = dim / m
-    val k = if (m * subDim == 0) 0 else cents.numElements() / (m * subDim)
+    val k = if (m * subDim == 0) 0 else cents.length / (m * subDim)
     val out = new Array[Byte](m)
     var s = 0
     while (s < m) {
@@ -282,7 +295,7 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
         var acc = 0.0
         var i = 0
         while (i < subDim) {
-          val d = emb.getFloat(off + i).toDouble - cents.getFloat(cOff + i).toDouble
+          val d = emb.getFloat(off + i).toDouble - cents(cOff + i).toDouble
           acc += d * d
           i += 1
         }
@@ -299,6 +312,7 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
     nullSafeCodeGen(ctx, ev, (a, b, c) => {
       val subDim = ctx.freshName("subDim")
       val k = ctx.freshName("k")
+      val cents = ctx.freshName("cents")
       val out = ctx.freshName("out")
       val s = ctx.freshName("s")
       val cc = ctx.freshName("cc")
@@ -309,9 +323,18 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
       val d = ctx.freshName("d")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
+      // foldable codebook → one shared primitive array; otherwise one
+      // unboxing copy per row (still beats per-access boxing in the
+      // O(m*k*subDim) loop)
+      val centsInit =
+        if (second.foldable && foldedCents != null)
+          s"float[] $cents = ${ctx.addReferenceObj("pqCents", foldedCents, "float[]")};"
+        else
+          s"float[] $cents = $b.toFloatArray();"
       s"""
+         |$centsInit
          |int $subDim = $c == 0 ? 0 : $a.numElements() / $c;
-         |int $k = ($c * $subDim) == 0 ? 0 : $b.numElements() / ($c * $subDim);
+         |int $k = ($c * $subDim) == 0 ? 0 : $cents.length / ($c * $subDim);
          |byte[] $out = new byte[$c];
          |for (int $s = 0; $s < $c; $s++) {
          |  int $off = $s * $subDim;
@@ -321,7 +344,7 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
          |    int $cOff = ($s * $k + $cc) * $subDim;
          |    double $acc = 0.0;
          |    for (int $i = 0; $i < $subDim; $i++) {
-         |      double $d = (double) $a.getFloat($off + $i) - (double) $b.getFloat($cOff + $i);
+         |      double $d = (double) $a.getFloat($off + $i) - (double) $cents[$cOff + $i];
          |      $acc += $d * $d;
          |    }
          |    if ($acc < $bestD) { $bestD = $acc; $best = $cc; }
@@ -334,6 +357,100 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
 
   override protected def withNewChildrenInternal(
       f: Expression, sE: Expression, t: Expression): Expression = copy(f, sE, t)
+}
+
+/**
+ * argmin over a FLATTENED centroid matrix: the index c ∈ [0, k) whose
+ * row minimizes squared L2 against `left` (k = centroids.length / dim;
+ * ties break toward the lower index, matching `least()` on (d, c)
+ * structs and Pq.encode).
+ *
+ * This is the cluster-assignment kernel for IVF builds. It exists
+ * because composing it from built-ins — least(struct(l2_squared(emb,
+ * cent_c), c) for every c) — inlines nlist independent distance kernels
+ * into one generated method: at nlist=64 / dim=768 that method blows
+ * past HotSpot's JIT size limits and runs interpreted (~100× slower;
+ * observed 29 min for a 50k-row build). One compact loop stays
+ * JIT-friendly at any (nlist, dim). A foldable centroid argument is
+ * flattened to a primitive float[] once and shared via a codegen
+ * reference — no per-row boxing on the literal.
+ */
+case class ArgminL2(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[SparkShims.AbstractType] =
+    SparkShims.abstractTypes(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "argmin_l2"
+
+  @transient private lazy val foldedCents: Array[Float] =
+    if (right.foldable) {
+      val ad = right.eval(null)
+      if (ad == null) null else ad.asInstanceOf[ArrayData].toFloatArray()
+    } else null
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cents =
+      if (foldedCents != null) foldedCents
+      else b.asInstanceOf[ArrayData].toFloatArray()
+    val dim = vec.numElements()
+    val k = if (dim == 0) 0 else cents.length / dim
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        val d = vec.getFloat(i).toDouble - cents(off + i).toDouble
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cents = ctx.freshName("cents")
+      val dim = ctx.freshName("dim")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val centsInit =
+        if (right.foldable && foldedCents != null)
+          s"float[] $cents = ${ctx.addReferenceObj("ivfCents", foldedCents, "float[]")};"
+        else
+          s"float[] $cents = $b.toFloatArray();"
+      s"""
+         |$centsInit
+         |int $dim = $a.numElements();
+         |int $k = $dim == 0 ? 0 : $cents.length / $dim;
+         |int $best = 0;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  int $off = $c * $dim;
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $d = (double) $a.getFloat($i) - (double) $cents[$off + $i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
 }
 
 /**
@@ -414,5 +531,7 @@ object vector {
     col(PqAdcDistance(expr(lut), expr(code)))
   def pq_encode(emb: Column, centroids: Column, m: Column): Column =
     col(PqEncode(expr(emb), expr(centroids), expr(m)))
+  def argmin_l2(emb: Column, centroids: Column): Column =
+    col(ArgminL2(expr(emb), expr(centroids)))
   def int8_quant_stats(a: Column): Column = col(Int8QuantStatsExpr(expr(a)))
 }

@@ -55,16 +55,14 @@ object Ann {
     IvfModel(nlist, dim, cb.centroids)
   }
 
-  /** Cluster-assignment column: argmin squared-L2 over the centroids —
-    * an unrolled codegen'd expression (nlist is small by design). */
-  def clusterOf(emb: Column, model: IvfModel): Column = {
-    val scored = (0 until model.nlist).map { c =>
-      struct(
-        vector.l2_squared(emb, typedlit(model.centroid(c).toSeq)).as("d"),
-        lit(c).as("c"))
-    }
-    least(scored: _*).getField("c")
-  }
+  /** Cluster-assignment column: argmin squared-L2 over the centroids in
+    * ONE compact codegen'd kernel ([[graft.functions.ArgminL2]]). The
+    * earlier least(struct(l2_squared…)) unrolling inlined nlist distance
+    * kernels into one generated method — past HotSpot's JIT limits at
+    * production shape (nlist 64 × dim 768 ran interpreted, ~100×). Same
+    * result incl. tie-break (lower cluster id). */
+  def clusterOf(emb: Column, model: IvfModel): Column =
+    vector.argmin_l2(emb, typedlit(model.centroids.toSeq))
 
   /** Materialize the IVF index: input rows + their cluster id, repartitioned
     * by cluster so probes are partition-local. */

@@ -64,6 +64,31 @@ class FunctionsSqlSpec extends AnyFunSuite {
     assert(viaSql._2.toSeq == viaDsl._2.toSeq && viaSql._2.length == 3)
   }
 
+  test("argmin_l2 matches the unrolled least(struct) form incl. tie-break, SQL == DSL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, least, lit, struct, typedlit}
+    // 4 centroids of dim 2; vec (5,5) ties centroids 1 and 2 exactly →
+    // lower index must win
+    val cents = Seq(0.0f, 0.0f, 4.0f, 4.0f, 6.0f, 6.0f, 100.0f, 100.0f)
+    val df = Seq(
+      (Array(5.0f, 5.0f), 1),   // tie between c1 (d=2) and c2 (d=2)
+      (Array(0.1f, -0.1f), 0),
+      (Array(99.0f, 101.0f), 3)).toDF("v", "want")
+    df.createOrReplaceTempView("graft_fn_sql_am")
+    val viaSql = spark.sql(
+      "SELECT argmin_l2(v, array(0.0F,0.0F,4.0F,4.0F,6.0F,6.0F,100.0F,100.0F)) " +
+        "AS c, want FROM graft_fn_sql_am").as[(Int, Int)].collect()
+    assert(viaSql.forall { case (got, want) => got == want }, viaSql.toSeq)
+    val unrolled = (0 until 4).map { c =>
+      struct(graft.functions.vector.l2_squared(col("v"),
+        typedlit(cents.slice(c * 2, c * 2 + 2))).as("d"), lit(c).as("c"))
+    }
+    val both = df.select(
+      graft.functions.vector.argmin_l2(col("v"), typedlit(cents)).as("fast"),
+      least(unrolled: _*).getField("c").as("slow")).as[(Int, Int)].collect()
+    assert(both.forall { case (f, s) => f == s }, both.toSeq)
+  }
+
   test("non-literal sketch parameters are rejected with a clear error") {
     import spark.implicits._
     Seq(("a b c", 3)).toDF("t", "k").createOrReplaceTempView("graft_fn_sql_e")
