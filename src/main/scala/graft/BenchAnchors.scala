@@ -108,6 +108,8 @@ object BenchAnchors {
     "text_chunk_windows" -> 1.1,
     "text_bpe_pair_counts" -> 1.6,
     "text_bpe_learn_merges" -> 6.6,
+    "ann_maxsim_multivector" -> 0.75,
+    "rel_zorder_layout" -> 0.35,
     // round-7 late additions (max of 3 isolated quiet-box reps at sf0.1,
     // 2026-08-13; stream_interval_join anchored at its 8-state-partition
     // config — see the gate's sizing comment)

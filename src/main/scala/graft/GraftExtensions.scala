@@ -70,7 +70,9 @@ object GraftExtensions {
       es => { arity("shingle_hashes_pos", es, 2)
         ShingleHashesPosExpr(es(0), intArg(es(1), "shingle_hashes_pos", "k")) }),
     ("argmin_l2", "argmin_l2(vec, centroids) - index of the nearest centroid row (flat matrix)",
-      es => { arity("argmin_l2", es, 2); ArgminL2(es(0), es(1)) })
+      es => { arity("argmin_l2", es, 2); ArgminL2(es(0), es(1)) }),
+    ("zorder2", "zorder2(x, y) - Morton interleave of the low 16 bits of two ints",
+      es => { arity("zorder2", es, 2); ZOrder2(es(0), es(1)) })
   )
 
   /** Injection path for `spark.sql.extensions` / `withExtensions`. */

@@ -630,6 +630,34 @@ object PipelineQueries {
       val merges = Bpe.learnMerges(
         s, docs(s, dir).filter(col("doc_id") % 5 === 0), "text", numMerges = 20)
       Bpe.mergeTable(s, merges).orderBy(col("rank"))
+    }),
+
+    // ColBERT-style multi-vector late interaction: documents and queries
+    // are BAGS of vectors (4 consecutive embeddings per pseudo-doc);
+    // score(q, d) = Σ_{qv∈q} max_{dv∈d} cos(qv, dv). The maxsim shape at
+    // 100 TB: the token-level score scan broadcasts the (small) query
+    // bag, the per-query-vector max and the per-doc sum are one partial
+    // agg each — no corpus shuffle beyond the two bounded aggregations.
+    "ann_maxsim_multivector" -> ((s, dir) => {
+      import graft.functions.vector
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding"), expr("vec_id div 4").as("doc_id"))
+      val q = e.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_doc"), col("vec_id").as("q_vec"),
+          col("embedding").as("qv"))
+      val perQvec = e.crossJoin(broadcast(q))
+        .withColumn("cos", vector.cosine_sim(col("embedding"), col("qv")))
+        .groupBy(col("q_doc"), col("q_vec"), col("doc_id"))
+        .agg(max(col("cos")).as("best"))
+      val w = Window.partitionBy(col("q_doc"))
+        .orderBy(col("maxsim").desc, col("doc_id"))
+      perQvec.groupBy(col("q_doc"), col("doc_id"))
+        .agg(round(sum(col("best")), 6).as("maxsim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("q_doc"), col("doc_id"), col("rank"), col("maxsim"))
+        .orderBy(col("q_doc"), col("rank"))
     })
   )
 
@@ -1385,6 +1413,34 @@ object PipelineQueries {
         |  array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
         |FROM st
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "ann_maxsim_multivector" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, vec_id // 4 AS doc_id FROM embeddings),
+         |q AS (
+         |  SELECT doc_id AS q_doc, vec_id AS q_vec, embedding AS qv
+         |  FROM e WHERE doc_id < 3),
+         |scored AS (
+         |  SELECT q.q_doc, q.q_vec, e.doc_id,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")}
+         |              / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cos
+         |  FROM e, q),
+         |pm AS (
+         |  SELECT q_doc, q_vec, doc_id, max(cos) AS best
+         |  FROM scored GROUP BY 1, 2, 3),
+         |ms AS (
+         |  SELECT q_doc, doc_id, round(sum(best), 6) AS maxsim
+         |  FROM pm GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q_doc, doc_id, maxsim,
+         |    row_number() OVER (PARTITION BY q_doc
+         |                       ORDER BY maxsim DESC, doc_id) AS rnk
+         |  FROM ms)
+         |SELECT q_doc, doc_id, rnk AS "rank", maxsim
+         |FROM ranked WHERE rnk <= 10
+         |ORDER BY q_doc, rnk""".stripMargin,
 
     "text_bpe_pair_counts" ->
       """WITH tok AS (

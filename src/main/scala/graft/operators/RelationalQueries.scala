@@ -882,6 +882,29 @@ object RelationalQueries {
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(20)
         .select(col("node").as("part_key"), col("n_triangles"))
+    }),
+
+    // Z-order (Morton) layout audit over orders on (custkey, order day):
+    // each 2^18-wide z-range fixes the high bits of BOTH dimensions, so
+    // per-bucket spans stay ≤512 on either axis while the global spans
+    // are the full domain — exactly the file-level min/max tightness
+    // that makes parquet row-group skipping work for predicates on
+    // EITHER column after a z-ordered write
+    // (repartitionByRange(zval) + sortWithinPartitions; ZOrder2 doc).
+    // The z-value is pure bit arithmetic — bit-exact in the oracle.
+    "rel_zorder_layout" -> ((s, dir) => {
+      import graft.functions.layout
+      t(s, dir, "orders")
+        .withColumn("d", datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")))
+        .withColumn("zval", layout.zorder2(
+          (col("o_custkey") % 65536).cast("int"), (col("d") % 65536).cast("int")))
+        .withColumn("zbucket", expr("zval div 262144"))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          (max(col("o_custkey")) - min(col("o_custkey"))).as("custkey_span"),
+          (max(col("d")) - min(col("d"))).cast("long").as("day_span"))
+        .orderBy(col("zbucket"))
     })
   )
 
@@ -1401,8 +1424,31 @@ object RelationalQueries {
         |SELECT node AS part_key, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1
         |ORDER BY n_triangles DESC, part_key
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "rel_zorder_layout" ->
+      s"""WITH base AS (
+         |  SELECT o_custkey,
+         |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d
+         |  FROM orders),
+         |z AS (
+         |  SELECT o_custkey, d,
+         |    ${zorderSql("(o_custkey % 65536)", "(d % 65536)")} AS zval
+         |  FROM base)
+         |SELECT zval // 262144 AS zbucket, count(*) AS n_orders,
+         |  CAST(max(o_custkey) - min(o_custkey) AS BIGINT) AS custkey_span,
+         |  CAST(max(d) - min(d) AS BIGINT) AS day_span
+         |FROM z GROUP BY 1
+         |ORDER BY zbucket""".stripMargin
   )
+
+  /** Unrolled 16-bit Morton interleave — the SQL mirror of
+    * `graft.functions.ZOrder2` (`x`/`y` must be parenthesized
+    * expressions). */
+  private def zorderSql(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
 
   /** One fixed-point PageRank round as a CTE: mirror of
     * `GraphAlgos.pageRankFixedPoint`'s iteration, floor divisions and
