@@ -29,6 +29,22 @@ import scala.collection.mutable.ArrayBuffer
  */
 object Bpe {
 
+  /** Codepoint-aware character split: `String.map(_.toString)` would cut
+    * UTF-16 surrogate pairs into lone-surrogate "symbols" that collide
+    * under UTF-8 re-encoding — any emoji / supplementary-plane char
+    * would learn mojibake merges that never match real text. */
+  private[pipeline] def splitCodepoints(t: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += t.substring(i, i + n)
+      i += n
+    }
+    out.toSeq
+  }
+
   /** Leftmost-greedy non-overlapping application of one merge. */
   def applyMerge(
       syms: Seq[String], l: String, r: String): Seq[String] = {
@@ -53,7 +69,7 @@ object Bpe {
       .filter(!col("tok").rlike("^\\s+$"))
       .groupBy(col("tok")).agg(count(lit(1)).as("w"))
       .as[(String, Long)]
-      .map { case (t, w) => (t.map(_.toString).toSeq, w) }
+      .map { case (t, w) => (splitCodepoints(t), w) }
   }
 
   /**

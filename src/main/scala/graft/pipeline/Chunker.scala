@@ -38,6 +38,8 @@ object Chunker {
       width: Int,
       stride: Int): DataFrame = {
     require(width >= 1 && stride >= 1, "width and stride must be positive")
+    require(stride <= width,
+      s"stride ($stride) > width ($width) would leave tokens covered by no chunk")
     df.filter(col(textCol).isNotNull)
       .withColumn("__toks", toks(col(textCol)))
       .withColumn("__n", size(col("__toks")))

@@ -80,6 +80,7 @@ object GraphAlgos {
     // static relations, read once per job not once per iteration
     e.persist(); nodes.persist(); deg.persist()
     val n = nodes.count() // one tiny job; N is also the r0 denominator
+    require(n > 0, "pageRankFixedPoint on an empty edge set (no nodes)")
     val r0 = tot / n
     val base = ((alphaDen - alphaNum) * r0) / alphaDen
 

@@ -163,11 +163,11 @@ class PlanSpec extends AnyFunSuite {
     // might_contain must apply BEFORE the join (that is the whole point —
     // cut probe-side shuffle volume)
     val p = plan("rel_bloom_prejoin")
-    val filterLine = p.linesIterator.find(_.contains("might_contain"))
-    assert(filterLine.isDefined, s"bloom probe filter missing from plan:\n$p")
     val joinIdx = p.linesIterator.indexWhere(l =>
       l.contains("Join") && l.contains("o_orderkey"))
     val bloomIdx = p.linesIterator.indexWhere(_.contains("might_contain"))
+    assert(bloomIdx >= 0, s"bloom probe filter missing from plan:\n$p")
+    assert(joinIdx >= 0, s"join-on-o_orderkey line missing from plan:\n$p")
     assert(bloomIdx > joinIdx, "bloom filter must be below (after) the join node in the tree")
   }
 

@@ -38,6 +38,16 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learnMerges(spark, df, "text", numMerges = 5) === Nil)
   }
 
+  test("symbols are codepoints, not UTF-16 units: surrogate pairs stay whole") {
+    assert(Bpe.splitCodepoints("a😀b") === Seq("a", "😀", "b"))
+    assert(Bpe.splitCodepoints("") === Nil)
+    val df = Seq((1L, "😀x 😀x")).toDF("doc_id", "text")
+    val v = Bpe.pretokenVocab(spark, df, "text").collect().toMap
+    // the emoji is one symbol in every pretoken — never a lone surrogate
+    assert(v.keys.forall(_.forall(s =>
+      !Character.isSurrogate(s.charAt(0)) || s.length == 2)))
+  }
+
   test("pretokenVocab drops whitespace runs and weights by frequency") {
     val df = Seq((1L, "the the  the"), (2L, "cat")).toDF("doc_id", "text")
     val v = Bpe.pretokenVocab(spark, df, "text").collect().toMap
