@@ -135,6 +135,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // CCNet-style segment-level dedup: 4-word segments kept only at their
+    // first corpus occurrence, documents reassembled from what survives.
+    // Planted full copies (every 7th doc) must come back emptied
+    // (n_kept = 0, clean_text = ''); incidental cross-doc segment
+    // collisions are deduped identically on both engines. One content-
+    // keyed window shuffle + one doc-keyed agg — no pair join.
+    "dedup_segments" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.segmentDedup(corpus, "doc_id", "text", width = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash-LSH near-dup pairs with exact-Jaccard verification: LSH only
     // BLOCKS (banded equi-join, linear); every emitted pair carries the
     // exact shingle Jaccard — equal to the all-pairs Jaccard join whenever
@@ -334,6 +348,31 @@ object PipelineQueries {
       val (_, assigned) = Clustering.kMeans(
         s, emb(s, dir), "vec_id", "embedding", k = 8, iterations = 2)
       assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): k-means the embedding space with the
+    // distributed trainer, deduplicate within clusters only. Corpus =
+    // bounded base ∪ perturbed near-copies (vec_id+100000, cosine ≈
+    // 0.9999 with their source) ∪ bit-exact copies (vec_id+200000 —
+    // exercises the identical-embedding collapse guard cross-engine).
+    // The oracle replays the same 2-round snapped Lloyd's (unrolled
+    // CTEs) + the smaller-id-similar EXISTS, so cluster boundaries and
+    // the tau comparison match bit-for-bit. The base cap keeps the gate
+    // cheap; scale comes from k growing with the corpus (bounded
+    // clusters), not from this config.
+    "dedup_semantic" -> ((s, dir) => {
+      val base = emb(s, dir).filter(col("vec_id") < 2000)
+        .select("vec_id", "embedding")
+      val perturbed = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), (v, i) =>
+            v + when(i === 0, 0.01f).otherwise(0.0f)).as("embedding"))
+      val exact = base.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(perturbed).unionByName(exact)
+      Dedup.semanticDedup(s, corpus, "vec_id", "embedding",
+        k = 8, iterations = 2, tau = 0.4)
         .orderBy(col("vec_id"))
     }),
 
@@ -632,6 +671,18 @@ object PipelineQueries {
       Bpe.mergeTable(s, merges).orderBy(col("rank"))
     }),
 
+    // BPE ENCODING with the frozen trained vocabulary (Bpe.ReferenceMerges
+    // — the table text_bpe_learn_merges learns live): the apply side of
+    // the tokenizer loop. Pure per-row compute over one scan, no shuffle;
+    // toks_head value-checks token BOUNDARIES, not just counts. The
+    // oracle replays the same ranked merges as chained leftmost-greedy
+    // replaces over chr(31)-joined symbols — bit-identical semantics to
+    // Bpe.applyMerge.
+    "text_bpe_encode" -> ((s, dir) => {
+      Bpe.encodeDocs(s, docs(s, dir), "doc_id", "text", Bpe.ReferenceMerges)
+        .orderBy(col("doc_id"))
+    }),
+
     // ColBERT-style multi-vector late interaction: documents and queries
     // are BAGS of vectors (4 consecutive embeddings per pseudo-doc);
     // score(q, d) = Σ_{qv∈q} max_{dv∈d} cos(qv, dv). The maxsim shape at
@@ -677,13 +728,14 @@ object PipelineQueries {
     * their previous centroid). Mirrors Clustering.kMeans exactly:
     * argmin tie-breaks to the lower cluster id; means snap via
     * round(x, 6) then FLOAT cast. */
-  private def lloydRound(aN: String, cIn: String, mN: String, cOut: String) =
+  private def lloydRound(aN: String, cIn: String, mN: String, cOut: String,
+      tbl: String = "embeddings") =
     s"""$aN AS (
        |  SELECT vec_id, embedding, c FROM (
        |    SELECT e.vec_id, e.embedding, $cIn.c,
        |      row_number() OVER (PARTITION BY e.vec_id
        |                         ORDER BY ${l2L("e.embedding", s"$cIn.cent")}, $cIn.c) AS rn
-       |    FROM embeddings e CROSS JOIN $cIn) x WHERE rn = 1),
+       |    FROM $tbl e CROSS JOIN $cIn) x WHERE rn = 1),
        |$mN AS (
        |  SELECT c, gs.i, round(avg(CAST(embedding[gs.i] AS DOUBLE)), 6) AS mv
        |  FROM $aN CROSS JOIN generate_series(1, 64) gs(i)
@@ -837,6 +889,34 @@ object PipelineQueries {
         |FROM fp f JOIN grp g USING (fingerprint)
         |WHERE g.group_size > 1
         |ORDER BY f.doc_id""".stripMargin,
+
+    // Segment explode mirrors Spark exactly: ceil(n_words/4) segments per
+    // doc (the last one partial), first-occurrence rank ordered by
+    // (doc_id, seg_idx); string_agg FILTER re-joins survivors in document
+    // order (coalesced to '' for fully-deduped planted copies).
+    "dedup_segments" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |segs AS (
+        |  SELECT doc_id, i - 1 AS seg_idx,
+        |    array_to_string(w[(i - 1) * 4 + 1 : (i - 1) * 4 + 4], ' ') AS seg
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, (len(w) - 1) // 4 + 1)) AS i
+        |        FROM words)),
+        |ranked AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs)
+        |SELECT doc_id,
+        |  count(*) AS n_segments,
+        |  count(*) FILTER (rn = 1) AS n_kept,
+        |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (rn = 1), '') AS clean_text
+        |FROM ranked GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_cosine_exact" ->
       """SELECT id_a, id_b, cosine FROM (
@@ -1133,6 +1213,54 @@ object PipelineQueries {
          |                         ORDER BY ${l2L("e.embedding", "c2.cent")}, c2.c) AS rn
          |    FROM embeddings e CROSS JOIN c2) x WHERE rn = 1)
          |SELECT vec_id, c AS cluster FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // Same 2-round unrolled Lloyd's as cluster_kmeans, over the planted
+    // corpus; rep = min id per (cluster, identical embedding); a rep is
+    // dup when a smaller-id rep in its cluster passes tau, a member when
+    // its group's SELF-cosine passes tau (or its rep is dup) — exactly
+    // Dedup.semanticDedup's guard semantics.
+    "dedup_semantic" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(embedding, (v, i) ->
+         |      CASE WHEN i = 1 THEN CAST(v + CAST(0.01 AS FLOAT) AS FLOAT) ELSE v END) AS embedding
+         |  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 2000
+         |  UNION ALL
+         |  SELECT vec_id + 200000 AS vec_id, embedding
+         |  FROM embeddings WHERE vec_id % 13 = 0 AND vec_id < 2000),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+         |    embedding AS cent
+         |  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8) seed),
+         |${lloydRound("a0", "c0", "m1", "c1", "corpus")},
+         |${lloydRound("a1", "c1", "m2", "c2", "corpus")},
+         |asg AS (
+         |  SELECT vec_id, embedding, c FROM (
+         |    SELECT e.vec_id, e.embedding, c2.c,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY ${l2L("e.embedding", "c2.cent")}, c2.c) AS rn
+         |    FROM corpus e CROSS JOIN c2) x WHERE rn = 1),
+         |rep AS (
+         |  SELECT c, embedding, min(vec_id) AS rid FROM asg GROUP BY c, embedding),
+         |dup_reps AS (
+         |  SELECT DISTINCT a.rid FROM rep a JOIN rep b ON a.c = b.c AND b.rid < a.rid
+         |  WHERE CASE WHEN ${normL("a.embedding")} = 0 OR ${normL("b.embedding")} = 0 THEN 0.0
+         |             ELSE ${dotL("a.embedding", "b.embedding")}
+         |                  / (${normL("a.embedding")} * ${normL("b.embedding")})
+         |        END >= 0.4)
+         |SELECT g.vec_id, g.c AS cluster,
+         |  ((g.vec_id <> r.rid AND
+         |    CASE WHEN ${normL("g.embedding")} = 0 THEN 0.0
+         |         ELSE ${dotL("g.embedding", "g.embedding")}
+         |              / (${normL("g.embedding")} * ${normL("g.embedding")})
+         |    END >= 0.4)
+         |   OR dr.rid IS NOT NULL) AS is_dup
+         |FROM asg g
+         |JOIN rep r ON r.c = g.c AND r.embedding = g.embedding
+         |LEFT JOIN dup_reps dr ON dr.rid = r.rid
+         |ORDER BY g.vec_id""".stripMargin,
 
     "embed_matryoshka_topk" ->
       s"""WITH q AS (
@@ -1456,6 +1584,56 @@ object PipelineQueries {
         |FROM idx
         |GROUP BY 1, 2
         |ORDER BY pair_count DESC, pair_left, pair_right
-        |LIMIT 30""".stripMargin
+        |LIMIT 30""".stripMargin,
+
+    // Merge application as SQL: each symbol is wrapped ␟sym␟ and
+    // adjacent symbols join with ␟␟, so a symbol is SELF-DELIMITING —
+    // merge (l, r) is replace('␟l␟␟r␟' -> '␟lr␟'), which can only fire
+    // on whole symbols (l a suffix / r a prefix of a longer symbol has
+    // no ␟ on the inner side, so it can't false-match the way plain
+    // 'l␟r' does). DuckDB replace is leftmost-greedy non-overlapping
+    // and resumes AFTER the replacement — the consumed trailing ␟ of
+    // one match is never the leading ␟ of the next, and an adjacent
+    // pair is still seen because each symbol carries its own wrapper
+    // ([a,b,a,b] -> [ab,ab]; [a,a,a] -> [aa,a]) — exactly
+    // Bpe.applyMerge's scan. The chain is GENERATED from
+    // Bpe.ReferenceMerges (see bpeEncChain), so Spark and oracle can
+    // never disagree on the vocabulary.
+    "text_bpe_encode" ->
+      ("""WITH pre AS (
+        |  SELECT doc_id, i, l[i] AS tok FROM (
+        |    SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM (
+        |      SELECT doc_id, regexp_extract_all(text,
+        |        '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+') AS l
+        |      FROM documents WHERE text IS NOT NULL))),
+        |enc AS (
+        |  SELECT doc_id, i,
+        |    string_split(trim(""".stripMargin + bpeEncChain +
+        """, chr(31)), chr(31) || chr(31)) AS toks
+        |  FROM pre WHERE NOT regexp_matches(tok, '^\s+$')),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+        |    flatten(list(toks ORDER BY i)) AS all_toks
+        |  FROM enc GROUP BY doc_id)
+        |SELECT doc_id, n_pretokens,
+        |  CAST(len(all_toks) AS BIGINT) AS n_tokens,
+        |  array_to_string(all_toks[1:8], '|') AS toks_head
+        |FROM agg ORDER BY doc_id""".stripMargin)
   )
+
+  private def sqlQuote(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** The DuckDB merge-application chain, generated from the SAME frozen
+    * merge table the Spark side applies (Bpe.ReferenceMerges). Symbols
+    * are individually ␟-wrapped (adjacent symbols join with ␟␟) so a
+    * merge pattern only matches whole symbols — see the
+    * `text_bpe_encode` oracle comment. */
+  private lazy val bpeEncChain: String = {
+    val wrapped =
+      "chr(31) || array_to_string(string_split(tok, ''), chr(31) || chr(31)) || chr(31)"
+    Bpe.ReferenceMerges.foldLeft(wrapped) { case (acc, (l, r)) =>
+      s"replace($acc, chr(31) || ${sqlQuote(l)} || chr(31) || chr(31) || ${sqlQuote(r)} || chr(31), " +
+        s"chr(31) || ${sqlQuote(l + r)} || chr(31))"
+    }
+  }
 }

@@ -119,6 +119,61 @@ object Bpe {
     merges.toSeq
   }
 
+  /** The frozen merge vocabulary for the encode surface: exactly what
+    * [[learnMerges]] produces on the sf0.01 corpus sample
+    * (doc_id % 5 = 0, 20 merges) — pinned the way a real pipeline ships
+    * a trained tokenizer. Training runs ONCE and is value-gated live by
+    * `text_bpe_learn_merges` (+ BpeSpec's hand-computed fixture);
+    * encoding then applies the frozen table at any corpus scale, so the
+    * encode gate is scale-factor-independent and costs no iterative
+    * jobs. If training semantics ever drift, the learn gate fails —
+    * this table is provenance, not a second oracle. */
+  val ReferenceMerges: Seq[(String, String)] = Seq(
+    (" ", "s"), ("e", "r"), ("o", "w"), ("o", "r"), ("i", "n"),
+    (" ", "c"), ("m", "er"), ("s", "t"), (" ", "b"), ("l", "u"),
+    (" ", "t"), ("a", "r"), ("p", "ar"), (" ", "a"), ("a", "t"),
+    (" ", "f"), (" ", "v"), ("o", "mer"), ("st", "omer"), ("u", "stomer"))
+
+  /** Apply a ranked merge list to one symbol sequence — each merge is one
+    * leftmost-greedy non-overlapping pass, the train-time update rule. */
+  def applyMerges(
+      syms: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(syms) { case (s, (l, r)) => applyMerge(s, l, r) }
+
+  /**
+   * Encode documents with a trained merge list: GPT-2-style pretokens
+   * (whitespace runs dropped, leading space kept — identical to
+   * [[pretokenVocab]]), each re-segmented by the ranked merges.
+   *
+   * Shape: pretokenization stays the same codegen'd `regexp_extract_all`
+   * as training; the merge fold is a typed map carrying the (tiny) merge
+   * table on the closure — pure per-row compute, NO shuffle, so encoding
+   * a 100 TB corpus is one embarrassingly-parallel scan.
+   *
+   * Output: `doc_id, n_pretokens, n_tokens, toks_head` (first 8 tokens
+   * '|'-joined — the value check that token BOUNDARIES match, not just
+   * counts).
+   */
+  def encodeDocs(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        filter(
+          regexp_extract_all(col(textCol), lit(TextAnalysis.BpeTokenPattern), lit(0)),
+          t => !t.rlike("^\\s+$")).as("pretoks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, pretoks) =>
+        val toks = pretoks.flatMap(t => applyMerges(splitCodepoints(t), merges))
+        (id, pretoks.size.toLong, toks.size.toLong, toks.take(8).mkString("|"))
+      }
+      .toDF("doc_id", "n_pretokens", "n_tokens", "toks_head")
+  }
+
   /** Merge table as a DataFrame: (rank, merge_left, merge_right) in
     * learn order — the registry surface for `text_bpe_learn_merges`.
     * (`left`/`right` are reserved words in both engines.) */

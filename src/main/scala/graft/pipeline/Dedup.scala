@@ -2,7 +2,7 @@ package graft.pipeline
 
 import scala.util.Random
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.SparkShims
@@ -90,6 +90,52 @@ object Dedup {
       .filter(col(idCol) === col("__graft_min_id"))
       .join(baseFp, Seq("__graft_fp"), "left_anti")
       .drop("__graft_fp", "__graft_min_id")
+  }
+
+  /**
+   * CCNet-style segment-level dedup: split every document into
+   * consecutive `width`-word segments, keep each distinct segment ONLY at
+   * its first corpus occurrence (smallest doc id, then smallest position
+   * within that doc), and reassemble what survives. This is the
+   * "discard duplicated lines across shards" step of CCNet / C4 corpus
+   * cleaning (the reference cleans whole documents; boilerplate —
+   * headers, navigation, license blocks — repeats at sub-document
+   * granularity and survives document-level dedup).
+   *
+   * Output per input row: `doc_id, n_segments, n_kept, clean_text`
+   * (kept segments re-joined in document order; `""` when every segment
+   * of the doc was seen earlier).
+   *
+   * Shape: one scan → segment explode → ONE shuffle keyed on the segment
+   * content (window `row_number`, exactly the [[exactDedupSurvivors]]
+   * recipe one level down) → one doc-keyed aggregation. No self-join, no
+   * candidate pairs. At 100 TB the window key stays the content string
+   * for collision-safety; partial aggregation bounds the doc-side state,
+   * and a degenerate corpus (one segment repeated everywhere) costs one
+   * hot window partition that only ranks ids — it never goes quadratic.
+   */
+  def segmentDedup(
+      df: DataFrame, idCol: String, textCol: String, width: Int): DataFrame = {
+    require(width >= 1, s"segment width must be positive, got $width")
+    val segs = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(__w) - 1) div $width), " +
+          s"i -> concat_ws(' ', slice(__w, i * $width + 1, $width)))"))
+        .as(Seq("seg_idx", "seg")))
+    val firstSeen = Window.partitionBy(col("seg"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    segs
+      .withColumn("__kept", row_number().over(firstSeen) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        count(when(col("__kept"), lit(1))).as("n_kept"),
+        array_sort(collect_list(
+          when(col("__kept"), struct(col("seg_idx"), col("seg"))))).as("__ks"))
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        concat_ws(" ", expr("transform(__ks, s -> s.seg)")).as("clean_text"))
   }
 
   // --- MinHash + LSH -------------------------------------------------------
@@ -445,6 +491,74 @@ object Dedup {
       .select(col("doc_id").as("rep"), col("gsize"), col("cosine"))
     expandMemberPairs(repPairs, "cosine", memberOf, groupSelf)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("cosine"))
+  }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): k-means-cluster the
+   * embedding space, then deduplicate ONLY within clusters — a document
+   * is a semantic duplicate when some smaller-id document in the same
+   * cluster has cosine ≥ `tau`. Clustering turns the corpus-quadratic
+   * pair problem into per-cluster work: k grows with corpus size, so
+   * cluster populations (and the per-cluster pair cost) stay bounded —
+   * that is the paper's scale argument and the 100 TB story here.
+   *
+   * Shape: one distributed k-means fit ([[Clustering.kMeans]] — no
+   * driver-side training sample), one codegen'd argmin assignment pass,
+   * then the pair check as an equi-join keyed on the cluster id, never a
+   * corpus cross join. The hot-bucket guard collapses bit-identical
+   * embeddings to their min-id representative BEFORE the pair join
+   * (identical vectors always share a cluster and always exceed any
+   * tau ≤ cos(v,v), so non-representatives are duplicates by
+   * construction and a flood of identical vectors costs one
+   * representative, not a quadratic bucket) — provably the same output
+   * as the unguarded join because similarity depends only on the vector
+   * value: if any smaller-id member w is similar to rep r, then w's own
+   * rep (id ≤ w's) carries the same vector and is similar too.
+   *
+   * Output: one row per input — `(vec_id, cluster, is_dup)`.
+   */
+  def semanticDedup(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iterations: Int,
+      tau: Double): DataFrame = {
+    val (model, _) = Clustering.kMeans(spark, df, idCol, embCol, k, iterations)
+    val asg = df.select(col(idCol).cast("long").as("vec_id"),
+      col(embCol).cast("array<float>").as("emb"),
+      Ann.clusterOf(col(embCol), model.ivf).as("cluster"))
+    // identical-embedding collapse (window-tagged like the LSH variant:
+    // one exchange on the group key serves rep-election and membership)
+    val w = Window.partitionBy("cluster", "emb")
+    val tagged = asg
+      .withColumn("rep", min("vec_id").over(w))
+    val reps = tagged.filter(col("vec_id") === col("rep"))
+      .select(col("cluster"), col("rep"), col("emb"))
+    // a representative is a duplicate iff a SMALLER-id representative in
+    // its cluster is cosine-similar — equi-join on cluster, quadratic
+    // only within a cluster (the SemDeDup contract)
+    val dupReps = reps.as("a")
+      .join(reps.select(col("cluster"), col("rep").as("rep_b"),
+        col("emb").as("emb_b")).as("b"), Seq("cluster"))
+      .filter(col("rep_b") < col("rep"))
+      .filter(vector.cosine_sim(col("emb"), col("emb_b")) >= tau)
+      .select(col("rep")).distinct()
+      .withColumn("rep_dup", lit(true))
+    // a non-representative is a duplicate of its rep only if the group's
+    // SELF-cosine passes tau, by the same expression the pair path uses
+    // (cosine_sim(e,e) is not exactly 1.0 in floating point, and a
+    // zero-vector group has self-cosine 0.0) — mirrors the LSH variant's
+    // groupSelf guard, keeping the output identical to the unguarded join
+    tagged
+      .join(dupReps, Seq("rep"), "left")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        ((col("vec_id") =!= col("rep") &&
+          vector.cosine_sim(col("emb"), col("emb")) >= tau) ||
+          coalesce(col("rep_dup"), lit(false)))
+          .as("is_dup"))
   }
 
   /**

@@ -37,6 +37,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1)
   }
 
+  test("segment dedup is join-free: one content-keyed window shuffle, no pair join") {
+    // CCNet segment dedup must never materialize candidate PAIRS — the
+    // first-occurrence rank is a window over the segment key, then one
+    // doc-keyed re-aggregation; a join here would be the quadratic shape
+    val p = plan("dedup_segments")
+    assert(!p.contains("Join"), s"segment dedup grew a join:\n$p")
+    assert(p.contains("Window"), "first-occurrence rank must be a window pass")
+  }
+
+  test("semantic dedup pair check is an equi-join on cluster, never a cross join") {
+    // SemDeDup's scale contract: pair work is bounded per cluster — the
+    // rep-vs-rep similarity check must shuffle on the cluster key, not
+    // build a corpus cross product
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"semantic dedup grew a cross join:\n$p")
+  }
+
   test("sealed KNN rerank joins candidates via shuffle hash, not broadcast") {
     // the candidate set is O(queries × segments × k·oversample) — at 100×
     // segment count it no longer fits a broadcast; the rerank must hash-

@@ -48,6 +48,21 @@ class BpeSpec extends AnyFunSuite {
       !Character.isSurrogate(s.charAt(0)) || s.length == 2)))
   }
 
+  test("encodeDocs applies ranked merges leftmost-greedy; boundaries surface in toks_head") {
+    // merges: (l,o) then (lo,w): "low lower" → pretokens "low", " lower"
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    assert(Bpe.applyMerges("lower".map(_.toString), merges) ===
+      Seq("low", "e", "r"))
+    val df = Seq((7L, "low lower")).toDF("doc_id", "text")
+    val got = Bpe.encodeDocs(spark, df, "doc_id", "text", merges)
+      .as[(Long, Long, Long, String)].head()
+    // " lower" keeps its leading space: " ", "low", "e", "r"
+    assert(got === ((7L, 2L, 5L, "low| |low|e|r")))
+    // overlapping self-merge is non-overlapping greedy: aaa -> aa, a
+    assert(Bpe.applyMerges(Seq("a", "a", "a"), Seq(("a", "a"))) ===
+      Seq("aa", "a"))
+  }
+
   test("pretokenVocab drops whitespace runs and weights by frequency") {
     val df = Seq((1L, "the the  the"), (2L, "cat")).toDF("doc_id", "text")
     val v = Bpe.pretokenVocab(spark, df, "text").collect().toMap

@@ -210,6 +210,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("segment dedup: first occurrence survives, copies empty out, partial tail segment kept") {
+    val df = Seq(
+      (1L, "a b c d e f g"),     // segs: "a b c d", "e f g" (partial tail)
+      (2L, "a b c d x y z w"),   // first seg duplicates doc 1's → dropped
+      (3L, "a b c d e f g")      // exact copy of doc 1 → fully emptied
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(df, "doc_id", "text", width = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, "a b c d e f g"),
+      (2L, 2L, 1L, "x y z w"),
+      (3L, 2L, 0L, "")))
+    // within one doc, a repeated segment is also deduped (position order)
+    val self = Seq((9L, "p q r s p q r s")).toDF("doc_id", "text")
+    val g2 = Dedup.segmentDedup(self, "doc_id", "text", width = 4)
+      .as[(Long, Long, Long, String)].head()
+    assert(g2 === ((9L, 2L, 1L, "p q r s")))
+  }
+
+  test("semantic dedup: within-cluster smaller-id rule, identical collapse, zero-vector guard") {
+    // iterations = 0: assignment under the seed centroids ([1,0] and
+    // [0,1], the first two rows by id) — hand-computable geometry
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),      // cluster 0 seed, rep, no smaller → kept
+      (1L, Array(0f, 1f)),      // cluster 1 seed, rep → kept
+      (2L, Array(0.99f, 0.01f)), // cluster 0, cos≈0.99995 with id 0 → dup
+      (3L, Array(0f, 1f)),      // identical to id 1 → non-rep → dup
+      (4L, Array(0f, -1f)),     // cluster 0 (dist² 2 vs 4), cos ≤ 0 → kept
+      (5L, Array(0f, 0f)),      // zero vector, tie → cluster 0, kept
+      (6L, Array(0f, 0f))       // identical zero: self-cos 0 < tau → KEPT
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(spark, vecs, "vec_id", "embedding",
+        k = 2, iterations = 0, tau = 0.95)
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (0L, 0L, false), (1L, 1L, false), (2L, 0L, true), (3L, 1L, true),
+      (4L, 0L, false), (5L, 0L, false), (6L, 0L, false)))
+  }
+
   test("exact dedup groups identical normalized texts") {
     val d = docs.select("doc_id", "text")
     val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
