@@ -138,5 +138,8 @@ object BenchAnchors {
     "rel_window_range_frame" -> 0.18,
     "rel_array_functions" -> 0.18,
     "rel_funnel_conversion" -> 0.64,
+    "dedup_segments" -> 0.75,
+    "text_bpe_encode" -> 1.44,
+    "dedup_semantic" -> 1.40,
   )
 }
