@@ -25,9 +25,9 @@ object BenchAnchors {
     "dedup_minhash" -> 1.679,
     "dedup_simhash" -> 1.299,
     "multimodal_decode" -> 0.222,
-    "multimodal_frames" -> 0.212,
-    "pipeline_decontaminate" -> 0.716,
-    "pipeline_embed_quantize" -> 0.205,
+    "multimodal_frames" -> 0.47,
+    "pipeline_decontaminate" -> 0.83,
+    "pipeline_embed_quantize" -> 0.30,
     "pipeline_mixture_rebalance" -> 0.256,
     "pipeline_pack_sequences" -> 0.203,
     "pipeline_split_assignment" -> 0.263,
@@ -104,7 +104,7 @@ object BenchAnchors {
     // 3-round PageRank; 30M-wedge triangle join) — anchored at their
     // measured medians, not padded
     "graph_pagerank" -> 5.3,
-    "graph_triangles" -> 7.5,
+    "graph_triangles" -> 8.77,
     "text_chunk_windows" -> 1.1,
     "text_bpe_pair_counts" -> 1.6,
     "text_bpe_learn_merges" -> 6.6,

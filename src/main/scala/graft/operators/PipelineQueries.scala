@@ -478,6 +478,30 @@ object PipelineQueries {
         .orderBy(col("source"), col("sample_rank"))
     }),
 
+    // Deterministic weighted sampling without replacement (Efraimidis-
+    // Spirakis A-ES, RNG replaced by the multiplicative hash): heavier
+    // (longer) docs proportionally likelier; the global top-k by key
+    // plans as TakeOrderedAndProject (PlanSpec-pinned) — each partition
+    // keeps k, no full sort shuffle. Keys are rounded to 9 decimals with
+    // an id tie-break so the cut never rides a pow() ulp difference.
+    "pipeline_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(docs(s, dir), "doc_id", "n_chars", k = 200)
+        .orderBy(col("samp_key").desc, col("doc_id"))
+    }),
+
+    // Per-source quality-quantile filter: drop the worst 20% of each
+    // source by the composite quality score. The threshold (k-th largest
+    // score, k = ceil(4n/5) in pure integer arithmetic) is computed on
+    // the (source, rounded-score) BIN table — exact quantile with no
+    // raw-row sort anywhere; score ties at the cut all survive. The
+    // oracle reads the same k-th largest score off ranked raw rows —
+    // identical by construction.
+    "text_quality_filter" -> ((s, dir) => {
+      TextAnalysis.qualityThresholdFilter(docs(s, dir), "doc_id", "text",
+          "source", keepNum = 4, keepDen = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scan + redaction over a corpus with deterministically planted
     // PII (the raw synthetic corpus is PII-free, so both engines derive
     // the same augmented text from doc_id before scanning). Counts per
@@ -627,6 +651,20 @@ object PipelineQueries {
           round(col("centroid_value"), 6).as("centroid_r"), col("n_members"))
         .filter(col("dim_idx") % 8 === 0)
         .orderBy(col("label"), col("dim_idx"))
+    }),
+
+    // Nearest-centroid (Rocchio) classification: one centroid per label
+    // (6-dp snapped means, the k-means convention), prediction via the
+    // same codegen'd argmin kernel as IVF assignment — one scan, no join
+    // at predict time; the tiny label×dim table is the only driver
+    // materialization. correct = does the embedding space round-trip the
+    // label.
+    "embed_centroid_classify" -> ((s, dir) => {
+      Embeddings.nearestCentroidClassify(s, emb(s, dir),
+          "vec_id", "embedding", "label")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("predicted_label"), col("correct"))
+        .orderBy(col("vec_id"))
     }),
 
     // Context-window chunking: overlapping 64-token windows every 48
@@ -1370,6 +1408,40 @@ object PipelineQueries {
         |WHERE rnk <= 20
         |ORDER BY source, sample_rank""".stripMargin,
 
+    "pipeline_weighted_sample" ->
+      """SELECT doc_id, n_chars, samp_key FROM (
+        |  SELECT doc_id, n_chars,
+        |    round(pow((((doc_id % 2147483647) * 2654435761) % 1000000 + 1) / 1000000.0,
+        |          1.0 / n_chars), 9) AS samp_key
+        |  FROM documents) x
+        |ORDER BY samp_key DESC, doc_id
+        |LIMIT 200""".stripMargin,
+
+    // k-th largest score per source read off ranked raw rows; Spark's
+    // bin-table threshold ("largest score whose >=-count reaches k") is
+    // the same value by construction. k = ceil(4n/5) as (4n+4)//5 —
+    // integer arithmetic, no float ceil.
+    "text_quality_filter" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text,
+         |    $qualityRawColsSql
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source, $qualityFormulaSql AS quality_score FROM base),
+         |r AS (
+         |  SELECT doc_id, source, quality_score,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY quality_score DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM q),
+         |t AS (
+         |  SELECT source, quality_score AS q_threshold
+         |  FROM r WHERE rn = (4 * n + 4) // 5)
+         |SELECT r.doc_id, r.source, r.quality_score, t.q_threshold,
+         |  (r.quality_score >= t.q_threshold) AS kept
+         |FROM r JOIN t USING (source)
+         |ORDER BY r.doc_id""".stripMargin,
+
     "text_pii_scan" ->
       """WITH planted AS (
         |  SELECT doc_id, concat(text,
@@ -1524,6 +1596,28 @@ object PipelineQueries {
         |FROM dims WHERE idx % 8 = 0
         |GROUP BY label, idx
         |ORDER BY label, dim_idx""".stripMargin,
+
+    // Label centroids snapped exactly like lloydRound's mN/cOut
+    // (round(avg,6) cast FLOAT, list in dim order); argmin replayed as
+    // the same row_number-over-L2 pattern with the LABEL as the
+    // tie-break — ArgminL2 keeps the first (lowest-index) centroid on an
+    // exact distance tie, and Spark's centroid order is labels ascending.
+    "embed_centroid_classify" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(label AS BIGINT) AS label, gs.i AS i,
+         |    CAST(round(avg(CAST(embedding[gs.i] AS DOUBLE)), 6) AS FLOAT) AS cv
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) gs(i)
+         |  GROUP BY label, gs.i),
+         |c AS (SELECT label, list(cv ORDER BY i) AS cent FROM cent GROUP BY label),
+         |asg AS (
+         |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         |    c.label AS predicted_label,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |                       ORDER BY ${l2L("e.embedding", "c.cent")}, c.label) AS rn
+         |  FROM embeddings e CROSS JOIN c)
+         |SELECT vec_id, label, predicted_label,
+         |  (label = predicted_label) AS correct
+         |FROM asg WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // DuckDB list slices are 1-based INCLUSIVE: toks[s+1 : s+64] ==
     // Spark slice(toks, s+1, 64); generate_series(0, -1, 48) is empty,

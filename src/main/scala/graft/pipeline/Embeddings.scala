@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -55,4 +55,45 @@ object Embeddings {
     * rerank). Composed built-ins only: slice + the normalize lambda stay
     * inside whole-stage codegen. */
   def matryoshka(vec: Column, d: Int): Column = l2Normalize(slice(vec, 1, d))
+
+  /**
+   * Nearest-centroid (Rocchio) classification: fit one centroid per
+   * label from the labeled rows, then assign EVERY row to its nearest
+   * centroid by squared L2 — the cheap embedding-space domain/topic
+   * tagger (and the standard semi-supervised propagation step: fit on
+   * the labeled slice, predict the rest).
+   *
+   * Shape at scale: centroid fit is [[groupCentroids]] (partial-agg,
+   * label-level shuffle only); the tiny (labels × dim) table collects to
+   * the driver — bounded by label count, exactly the IVF-trainer
+   * contract — and prediction is the same codegen'd [[Ann.clusterOf]]
+   * argmin pass the IVF index uses: one scan, no shuffle, no join.
+   * Centroid means snap to 6 decimals (the k-means convention) so
+   * assignments are reproducible bit-for-bit by an unrolled SQL oracle.
+   *
+   * @return (idCol, labelCol, predicted_label, correct)
+   */
+  def nearestCentroidClassify(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    import spark.implicits._
+    val cent = groupCentroids(df.filter(col(labelCol).isNotNull), labelCol, vecCol)
+      .select(col(labelCol).cast("long").as("label"), col("dim_idx"),
+        round(col("centroid_value"), 6).cast("float").as("cv"))
+      .as[(Long, Int, Float)].collect()
+    val labels = cent.map(_._1).distinct.sorted
+    val dim = cent.map(_._2).max + 1
+    val flat = new Array[Float](labels.length * dim)
+    val labelIdx = labels.zipWithIndex.toMap
+    cent.foreach { case (l, d, v) => flat(labelIdx(l) * dim + d) = v }
+    val model = Ann.IvfModel(labels.length, dim, flat)
+    val predIdx = Ann.clusterOf(col(vecCol), model)
+    val labelLit = typedlit(labels)
+    df.select(col(idCol), col(labelCol),
+        element_at(labelLit, predIdx + 1).as("predicted_label"))
+      .withColumn("correct", col(labelCol) === col("predicted_label"))
+  }
 }

@@ -85,4 +85,35 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
+
+  /**
+   * Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+   * Spirakis 2006, "Weighted random sampling with a reservoir"): each row
+   * draws key = u^(1/w) from a hash-derived uniform u and is kept iff its
+   * key ranks in the global top k — exactly the A-ES scheme with the RNG
+   * replaced by the [[hashBucket]] multiplicative hash, so the sample is
+   * a pure function of (id, weight) and reproducible across engines,
+   * runs, and partitionings.
+   *
+   * Shape: one narrow pass computes the key; the top-k is
+   * `orderBy(...).limit(k)` — Spark plans TakeOrderedAndProject (each
+   * partition keeps k, driver merges), linear in data size with no full
+   * sort shuffle, which is the 100 TB plan. Keys are rounded to 9
+   * decimals with an id tie-break so ranking never depends on the last
+   * ulp of `pow` across engines.
+   *
+   * @param weightCol positive integral or double weight (heavier rows
+   *                  proportionally more likely to be sampled)
+   * @return (idCol, weightCol, samp_key) — the k sampled rows
+   */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    // u in (0, 1]: bucket 0..999999 shifted to (1..1000000)/1000000
+    val u = (hashBucket(col(idCol), 1000000) + 1).cast("double") / 1000000.0
+    df.select(col(idCol), col(weightCol),
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9).as("samp_key"))
+      .orderBy(col("samp_key").desc, col(idCol))
+      .limit(k)
+  }
 }

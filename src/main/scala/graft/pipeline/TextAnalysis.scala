@@ -160,6 +160,63 @@ object TextAnalysis {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  // --- quality-quantile filtering ------------------------------------------
+
+  /**
+   * Per-source quality-quantile filter: keep every document whose
+   * [[qualityScore]] clears its source's keep-fraction quantile — the
+   * "drop the worst X% of each corpus slice" step of quality-driven data
+   * curation. The keep fraction is the RATIONAL keepNum/keepDen (integer
+   * arithmetic end to end: `k = ceil(keepNum·n / keepDen)` — a float
+   * fraction like 0.8 is not exactly representable and `ceil(0.8·5)`
+   * rounds differently across engines).
+   *
+   * Per source with n docs, the threshold is the k-th largest score and
+   * every doc scoring ≥ it is kept (score ties at the cut all survive —
+   * threshold semantics, no arbitrary tie slicing).
+   *
+   * Shape at scale: scores are rounded to 6 decimals, so the exact
+   * quantile runs on the (source, score) BIN table — one partial-agg
+   * groupBy (≤ 10⁶+1 bins per source regardless of corpus size), a
+   * window over bins (never raw rows) for the running count, and a
+   * broadcast of the per-source thresholds back onto the corpus. No
+   * full-partition sort of raw documents anywhere — this is what makes
+   * the exact quantile 100 TB-safe where a naive percent_rank window
+   * (one task per source) is not.
+   *
+   * @return one row per input doc: (doc_id, source, quality_score,
+   *         q_threshold, kept)
+   */
+  def qualityThresholdFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      keepNum: Int,
+      keepDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepNum > 0 && keepDen > 0 && keepNum <= keepDen,
+      s"keep fraction must be in (0,1]: got $keepNum/$keepDen")
+    val scored = df.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"), qualityScore(col(textCol)).as("quality_score"))
+    val bins = scored.groupBy(col("source"), col("quality_score"))
+      .agg(count(lit(1)).as("n_bin"))
+    val wCum = Window.partitionBy("source").orderBy(col("quality_score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("source")
+    // cum >= ceil(keepNum·n/keepDen) ⇔ cum·keepDen >= keepNum·n — pure
+    // integer comparison, no division (double ceil-div loses exactness
+    // past 2^53 rows·num)
+    val thr = bins
+      .withColumn("cum", sum("n_bin").over(wCum))
+      .withColumn("n", sum("n_bin").over(wTot))
+      .filter(col("cum") * keepDen >= col("n") * keepNum)
+      .groupBy("source").agg(max("quality_score").as("q_threshold"))
+    scored.join(broadcast(thr), Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("q_threshold"), (col("quality_score") >= col("q_threshold")).as("kept"))
+  }
+
   // --- TF-IDF keyword extraction -------------------------------------------
 
   /**

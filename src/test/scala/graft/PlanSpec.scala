@@ -46,6 +46,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), "first-occurrence rank must be a window pass")
   }
 
+  test("weighted sample top-k plans as TakeOrdered, not a global sort") {
+    // the A-ES top-k must be per-partition k + driver merge — a full
+    // orderBy shuffle of the corpus would be the 100 TB failure mode
+    val p = plan("pipeline_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
   test("semantic dedup pair check is an equi-join on cluster, never a cross join") {
     // SemDeDup's scale contract: pair work is bounded per cluster — the
     // rep-vs-rep similarity check must shuffle on the cluster key, not

@@ -250,6 +250,64 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 0L, false), (5L, 0L, false), (6L, 0L, false)))
   }
 
+  test("weighted sample: k rows, deterministic under repartition, ES key formula") {
+    val d = docs.select(col("doc_id"), col("n_chars"))
+    val got = Sampling.weightedSample(d, "doc_id", "n_chars", k = 50)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.size === 50)
+    // pure function of (id, weight): a different partitioning yields the
+    // exact same sample
+    val got2 = Sampling.weightedSample(d.repartition(7), "doc_id", "n_chars", k = 50)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === got2)
+    // the key is round(u^(1/w), 9) with u from the multiplicative hash
+    got.foreach { case (id, w, key) =>
+      val u = ((id % 2147483647L) * 2654435761L % 1000000L + 1).toDouble / 1000000.0
+      val expect = BigDecimal(math.pow(u, 1.0 / w))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(key === expect, s"key mismatch for id=$id w=$w")
+    }
+  }
+
+  test("quality filter: threshold is the k-th largest per source, ties all survive") {
+    val got = TextAnalysis.qualityThresholdFilter(
+        docs, "doc_id", "text", "source", keepNum = 4, keepDen = 5)
+      .as[(Long, String, Double, Double, Boolean)].collect().toSeq
+    assert(got.size === docs.count())
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val n = rows.size
+      val k = (4 * n + 4) / 5
+      val kth = rows.map(_._3).sorted(Ordering[Double].reverse).apply(k - 1)
+      assert(rows.forall(_._4 === kth))             // threshold = k-th largest
+      rows.foreach(r => assert(r._5 === (r._3 >= kth)))
+      assert(rows.count(_._5) >= k)                 // at least ceil(4n/5) kept
+    }
+    // degenerate: every score identical → threshold == the score, all kept
+    val same = Seq((1L, "same text", "s"), (2L, "same text", "s"),
+      (3L, "same text", "s")).toDF("doc_id", "text", "source")
+    val g2 = TextAnalysis.qualityThresholdFilter(same, "doc_id", "text", "source", 1, 2)
+      .as[(Long, String, Double, Double, Boolean)].collect().toSeq
+    assert(g2.forall(_._5) && g2.size === 3)
+  }
+
+  test("nearest-centroid classify: fit on labels, mislabeled point crosses back") {
+    val rows = Seq(
+      (1L, Array(1f, 0f), 10),
+      (2L, Array(0.9f, 0.1f), 10),
+      (3L, Array(0f, 1f), 20),
+      (4L, Array(0.1f, 0.9f), 20),
+      (5L, Array(0.8f, 0.2f), 10),
+      (6L, Array(0.7f, 0.3f), 20)  // labeled 20, sits in label-10 territory
+    ).toDF("vec_id", "embedding", "label")
+    val got = Embeddings.nearestCentroidClassify(spark, rows,
+        "vec_id", "embedding", "label")
+      .orderBy("vec_id")
+      .select(col("vec_id"), col("predicted_label"), col("correct"))
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq((1L, 10L, true), (2L, 10L, true), (3L, 20L, true),
+      (4L, 20L, true), (5L, 10L, true), (6L, 10L, false)))
+  }
+
   test("exact dedup groups identical normalized texts") {
     val d = docs.select("doc_id", "text")
     val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
