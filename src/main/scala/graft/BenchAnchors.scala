@@ -141,5 +141,8 @@ object BenchAnchors {
     "dedup_segments" -> 0.75,
     "text_bpe_encode" -> 1.44,
     "dedup_semantic" -> 1.40,
+    "pipeline_weighted_sample" -> 0.29,
+    "text_quality_filter" -> 1.06,
+    "embed_centroid_classify" -> 0.58,
   )
 }
