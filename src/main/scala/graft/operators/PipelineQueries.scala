@@ -121,6 +121,39 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental NEAR-dup: a delta batch of verbatim copies (% 7, die
+    // to base), one-token mutations (% 13, die to base at J ≈ 1),
+    // REVERSED texts (% 11 and % 17 — novel full-length docs; reversal
+    // is a bijection on the shingle space, so their Jaccard structure
+    // exactly mirrors the base corpus, which has no borderline pairs —
+    // an earlier 40-char-truncation design died here: the tiny synthetic
+    // vocabulary made truncations collide at J ∈ [0.5, 0.8), where
+    // banded detection is probabilistic), and reversed+mutated (% 19,
+    // dies to a SMALLER-ID reversed sibling at % 209 / % 323 — the
+    // within-delta rule made output-visible). Every pair the banding
+    // must detect sits at J ≈ 1 (collision prob ≈ 1); the % 187 overlap
+    // exercises the exact collapse (identical reversed texts). The
+    // oracle replays the full pairwise exact-Jaccard rule.
+    "dedup_incremental_minhash" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val delta = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            reverse(col("text")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" graftmutation")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            reverse(col("text")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(reverse(col("text")), lit(" graftmutation")).as("text")))
+      Dedup.incrementalNearDupSurvivors(d, delta, "doc_id", "text", threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Repeated n-gram spans (exact-substring dedup signal, Lee et al.
     // 2022): maximal runs of consecutive 3-grams shared with ≥1 other
     // doc, as (span_start, span_len) per doc — span granularity so the
@@ -1155,6 +1188,65 @@ object PipelineQueries {
         |  WHERE doc_id = mi)
         |SELECT doc_id, lang, source, n_chars FROM surv
         |WHERE fp NOT IN (SELECT fp FROM basefp)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Exact pairwise replay of the incremental rule: shingles per table
+    // (same tokenize → distinct-trigram pattern as jaccardPairsBody, with
+    // the <3-token whole-text fallback), reject any delta doc with a
+    // base partner OR a smaller-id delta partner at exact Jaccard ≥ 0.5.
+    // Engine joins on 64-bit shingle hashes, oracle on the strings —
+    // the minhash-gate equivalence.
+    "dedup_incremental_minhash" ->
+      """WITH delta AS (
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, reverse(text) AS text
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text || ' graftmutation' AS text
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, reverse(text) AS text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, reverse(text) || ' graftmutation' AS text
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |shb AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |        FROM documents)),
+        |shd AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |        FROM delta)),
+        |szb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
+        |szd AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+        |rejb AS (
+        |  SELECT DISTINCT p.doc_id FROM (
+        |    SELECT d.doc_id, b.doc_id AS bid, count(*) AS c
+        |    FROM shd d JOIN shb b ON d.s = b.s GROUP BY 1, 2) p
+        |  JOIN szd ON szd.doc_id = p.doc_id
+        |  JOIN szb ON szb.doc_id = p.bid
+        |  WHERE p.c * 1.0 / (szd.n + szb.n - p.c) >= 0.5),
+        |rejd AS (
+        |  SELECT DISTINCT p.doc_id FROM (
+        |    SELECT a.doc_id, b.doc_id AS smaller, count(*) AS c
+        |    FROM shd a JOIN shd b ON a.s = b.s AND b.doc_id < a.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN szd sa ON sa.doc_id = p.doc_id
+        |  JOIN szd sb ON sb.doc_id = p.smaller
+        |  WHERE p.c * 1.0 / (sa.n + sb.n - p.c) >= 0.5)
+        |SELECT doc_id, text FROM delta
+        |WHERE doc_id NOT IN (SELECT doc_id FROM rejb)
+        |  AND doc_id NOT IN (SELECT doc_id FROM rejd)
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_spans" ->

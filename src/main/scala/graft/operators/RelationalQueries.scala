@@ -868,9 +868,9 @@ object RelationalQueries {
     }),
 
     // Triangle participation counts over the co-purchase graph (parts
-    // sharing an order). Id-canonical orientation enumerates each
-    // triangle once; the wedge→close join is the scale-canonical
-    // formulation (degree-ordering is the skew upgrade, GraphAlgos doc).
+    // sharing an order). Degree-ordered orientation (Chiba–Nishizeki
+    // forward algorithm) bounds per-vertex wedge volume by arboricity —
+    // survives hub skew an id-only orientation cannot.
     "graph_triangles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       val edges = li.as("x").join(li.as("y"),

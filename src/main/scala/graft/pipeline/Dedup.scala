@@ -93,6 +93,103 @@ object Dedup {
   }
 
   /**
+   * Incremental NEAR-dup dedup: the survivors of a delta batch against an
+   * accepted base corpus, at MinHash-LSH granularity — the near-dup
+   * counterpart of [[incrementalExactSurvivors]] (a new crawl rarely
+   * duplicates the base verbatim; it duplicates it with boilerplate
+   * drift, which only shingle Jaccard catches).
+   *
+   * A delta doc is REJECTED when (a) some base doc is Jaccard-similar at
+   * ≥ `threshold`, or (b) some SMALLER-ID delta doc is — the same
+   * deterministic pairwise rule as [[semanticDedup]], no transitive
+   * chains. Candidates come from the banded signature equi-join in both
+   * legs (delta×base and delta×delta), never a cross join; every
+   * candidate is verified with the exact shingle Jaccard, so LSH only
+   * narrows. Content-identical delta docs collapse to their min-id
+   * representative before banding (the standard hot-bucket guard; a
+   * member is then rejected exactly when its self-Jaccard passes the
+   * threshold or its representative is rejected — identical shingle sets
+   * have identical similarity sets).
+   *
+   * At scale the base side's signatures are computed once and stored
+   * (they are pure functions of content); the nightly job then pays one
+   * banded join of delta against the signature table plus the bounded
+   * delta-internal join.
+   *
+   * @return the surviving delta rows (original columns)
+   */
+  def incrementalNearDupSurvivors(
+      base: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def bandsOf(sigs: DataFrame): DataFrame = sigs.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+        .as(Seq("band", "bandHash")))
+
+    val w = Window.partitionBy("__graft_sh")
+    val tagged = delta
+      .withColumn("__graft_sh", shingleHashes(col(textCol), shingleK))
+      .withColumn("__graft_rep", min(col(idCol)).over(w))
+    val repRows = tagged.filter(col(idCol) === col("__graft_rep"))
+    val deltaSigs = repRows.select(col(idCol).as("doc_id"),
+        col("__graft_sh").as("shingles"))
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+    // one row per distinct base CONTENT (min id as representative) — the
+    // precomputable signature table
+    val baseSigs = base
+      .select(col(idCol).as("doc_id"), shingleHashes(col(textCol), shingleK).as("shingles"))
+      .groupBy(col("shingles")).agg(min(col("doc_id")).as("doc_id"))
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+
+    val bandedDelta = bandsOf(deltaSigs)
+    val bandedBase = bandsOf(baseSigs)
+    val deltaSh = deltaSigs.select(col("doc_id"), col("shingles"))
+    val baseSh = baseSigs.select(col("doc_id").as("base_id"), col("shingles").as("sh_b"))
+
+    val rejBase = bandedDelta
+      .join(bandedBase.select(col("band"), col("bandHash"), col("doc_id").as("base_id")),
+        Seq("band", "bandHash"))
+      .select("doc_id", "base_id").distinct()
+      .join(deltaSh, Seq("doc_id"))
+      .join(baseSh, Seq("base_id"))
+      .filter(jaccardOf(col("shingles"), col("sh_b")) >= threshold)
+      .select("doc_id").distinct()
+    val rejDelta = bandedDelta.select(col("band"), col("bandHash"), col("doc_id").as("doc_a"))
+      .join(bandedDelta.select(col("band"), col("bandHash"), col("doc_id").as("doc_b")),
+        Seq("band", "bandHash"))
+      .filter(col("doc_b") < col("doc_a"))
+      .select("doc_a", "doc_b").distinct()
+      .join(deltaSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(deltaSh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .filter(jaccardOf(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+    val rejectedReps = rejBase.unionByName(rejDelta).distinct()
+      .withColumn("__graft_rej", lit(true))
+
+    // member fate: self-similar (identical nonempty shingles ⇒ Jaccard
+    // 1.0 ≥ t) ⇒ rejected against its smaller-id rep; otherwise it shares
+    // its rep's fate (identical shingle sets ⇒ identical similarities)
+    tagged
+      .join(rejectedReps.withColumnRenamed("doc_id", "__graft_rep"),
+        Seq("__graft_rep"), "left")
+      .filter(!coalesce(col("__graft_rej"), lit(false)) &&
+        (col(idCol) === col("__graft_rep") ||
+          !(jaccardOf(col("__graft_sh"), col("__graft_sh")) >= threshold)))
+      .drop("__graft_sh", "__graft_rep", "__graft_rej")
+  }
+
+  /**
    * CCNet-style segment-level dedup: split every document into
    * consecutive `width`-word segments, keep each distinct segment ONLY at
    * its first corpus occurrence (smallest doc id, then smallest position

@@ -85,4 +85,22 @@ class GraphAlgosSpec extends AnyFunSuite {
     val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
     assert(GraphAlgos.triangleCounts(square.toDF("a", "b")).count() === 0L)
   }
+
+  test("degree orientation: a hub star generates ZERO wedges; attached triangle still found") {
+    // K1,40: id-orientation at hub 0 would enumerate C(40,2)=780 wedges
+    // for zero triangles; degree orientation points every edge INTO the
+    // hub (leaf deg 1 < hub deg 40), so out-degrees are all ≤ 1
+    val star = (1L to 40L).map(i => (0L, i))
+    val o = GraphAlgos.orientByDegree(star.toDF("a", "b"))
+    val wedges = o.select(col("src"), col("dst").as("x"), col("dd").as("dx"))
+      .join(o.select(col("src"), col("dst").as("y"), col("dd").as("dy")), "src")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    assert(wedges.count() === 0L)
+    // star + one disjoint triangle: exactly that triangle, star clean
+    val withTri = star ++ Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val got = GraphAlgos.triangleCounts(withTri.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(100L -> 1L, 101L -> 1L, 102L -> 1L))
+  }
 }

@@ -250,6 +250,26 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 0L, false), (5L, 0L, false), (6L, 0L, false)))
   }
 
+  test("incremental near-dup: base copies and near-copies die, fresh and truncated survive") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // verbatim → rejected (base)
+      (102L, "completely different fresh content words here"),            // survivor
+      (103L, "completely different fresh content words here"),            // identical to 102 → rejected
+      // one token appended to base doc 1: J = 8/9 → rejected (base)
+      (104L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (105L, "completely different fresh content words here"),            // identical to 102 → rejected
+      (106L, "unrelated corpus material nothing shared")                  // survivor
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDupSurvivors(base, delta, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(102L, 106L))
+  }
+
   test("weighted sample: k rows, deterministic under repartition, ES key formula") {
     val d = docs.select(col("doc_id"), col("n_chars"))
     val got = Sampling.weightedSample(d, "doc_id", "n_chars", k = 50)
