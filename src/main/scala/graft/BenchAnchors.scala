@@ -147,5 +147,6 @@ object BenchAnchors {
     "pipeline_weighted_sample" -> 0.29,
     "text_quality_filter" -> 1.06,
     "embed_centroid_classify" -> 0.58,
+    "dedup_incremental_minhash" -> 2.28,
   )
 }
