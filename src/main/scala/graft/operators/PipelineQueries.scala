@@ -522,6 +522,23 @@ object PipelineQueries {
         .orderBy(col("samp_key").desc, col("doc_id"))
     }),
 
+    // Bigram-interpolated NLL (one order up from text_unigram_nll): the
+    // KenLM-shaped fluency proxy — λ·p(v|u) + (1−λ)·p(v), add-1
+    // smoothing, model fit on the corpus itself. Bigrams from one array
+    // pass, term-keyed count joins, no window.
+    "text_bigram_nll" -> ((s, dir) => {
+      TextAnalysis.bigramNll(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary coverage / OOV rate under the frozen top-1000 frequency
+    // vocabulary ((freq DESC, token) cut — deterministic in both
+    // engines): the tokenizer-coverage analysis.
+    "text_oov_rate" -> ((s, dir) => {
+      TextAnalysis.oovStats(docs(s, dir), "doc_id", "text", vocabSize = 1000)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-source quality-quantile filter: drop the worst 20% of each
     // source by the composite quality score. The threshold (k-th largest
     // score, k = ceil(4n/5) in pure integer arithmetic) is computed on
@@ -1454,6 +1471,51 @@ object PipelineQueries {
         |  round(sum(CAST(tf AS DOUBLE) * -ln((CAST(cnt AS DOUBLE) + 1.0) / (total + 1.0 * vocab)))
         |        / CAST(sum(tf) AS DOUBLE), 6) AS avg_nll
         |FROM tf JOIN model USING (term), tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_nll" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS l
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, l[i] AS u, l[i+1] AS v
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        |        FROM tk WHERE len(l) >= 2)),
+        |tf2 AS (SELECT doc_id, u, v, count(*) AS tf2 FROM big GROUP BY 1, 2, 3),
+        |big2 AS (SELECT u, v, sum(tf2) AS cuv FROM tf2 GROUP BY u, v),
+        |uni AS (
+        |  SELECT term, count(*) AS c1 FROM (
+        |    SELECT unnest(l) AS term FROM tk) GROUP BY term),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total,
+        |               CAST(count(*) AS DOUBLE) AS vocab FROM uni)
+        |SELECT doc_id, CAST(sum(tf2) AS BIGINT) AS n_bigrams,
+        |  round(sum(CAST(tf2 AS DOUBLE) * -ln(
+        |      0.75 * (CAST(cuv AS DOUBLE) + 1.0) / (CAST(cu.c1 AS DOUBLE) + 1.0 * vocab)
+        |    + 0.25 * (CAST(cv.c1 AS DOUBLE) + 1.0) / (total + 1.0 * vocab)))
+        |    / CAST(sum(tf2) AS DOUBLE), 6) AS avg_nll
+        |FROM tf2
+        |JOIN big2 USING (u, v)
+        |JOIN uni cu ON cu.term = tf2.u
+        |JOIN uni cv ON cv.term = tf2.v, tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, row_number() OVER (
+        |      ORDER BY count(*) DESC, term) AS rn
+        |    FROM tok GROUP BY term) WHERE rn <= 1000)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (v.term IS NULL) AS BIGINT) AS n_oov,
+        |  round(count(*) FILTER (v.term IS NULL) * 1.0 / count(*), 6) AS oov_ratio
+        |FROM tok LEFT JOIN vocab v ON v.term = tok.term
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 

@@ -285,6 +285,93 @@ object TextAnalysis {
         round(sum(col("nll_term")) / sum(col("tf")).cast("double"), 6).as("avg_nll"))
   }
 
+  /**
+   * Bigram-interpolated negative log-likelihood (the KenLM-shaped
+   * perplexity proxy one order up from [[unigramNll]]): per bigram
+   * position, p = λ·p₂(v|u) + (1−λ)·p₁(v) with add-α smoothing
+   * (p₂ = (C(u,v)+α)/(C(u)+α·V), p₁ = (C(v)+α)/(N+α·V)), model fit on
+   * the corpus itself. Lower avg_nll ⇒ more predictable text; the
+   * spread between unigram and bigram NLL is the classic fluency
+   * signal.
+   *
+   * Shape at scale: bigrams come from one array pass (no window, no
+   * self-join); counts are two partial-agg groupBys keyed on terms; the
+   * per-doc scoring joins are term-keyed equi-joins plus one broadcast
+   * of the 1-row totals. Everything is linear in token count. Docs with
+   * < 2 tokens have no bigram positions and drop out (both engines
+   * agree by construction).
+   *
+   * @return (doc_id, n_bigrams, avg_nll) — avg_nll rounded to 6
+   */
+  def bigramNll(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 1.0,
+      lambda: Double = 0.75): DataFrame = {
+    val toks = tokens(col(textCol))
+    // sequence(1, n-1) DESCENDS for n < 2 — guard short docs explicitly
+    val big = df.select(col(idCol).as("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "if(size(tk) >= 2, " +
+          "transform(sequence(1, size(tk) - 1), " +
+          "  i -> struct(tk[i - 1] AS u, tk[i] AS v)), " +
+          "cast(array() as array<struct<u:string,v:string>>))")).as("uv"))
+      .select(col("doc_id"), col("uv.u").as("u"), col("uv.v").as("v"))
+    val tf2 = big.groupBy(col("doc_id"), col("u"), col("v"))
+      .agg(count(lit(1)).as("tf2"))
+    val big2 = tf2.groupBy(col("u"), col("v")).agg(sum(col("tf2")).as("cuv"))
+    val tok = df.select(explode(toks).as("term"))
+    val uni = tok.groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).as("total"), count(lit(1)).as("vocab"))
+    val p2 = (col("cuv").cast("double") + lit(alpha)) /
+      (col("cu").cast("double") + lit(alpha) * col("vocab").cast("double"))
+    val p1 = (col("cv").cast("double") + lit(alpha)) /
+      (col("total").cast("double") + lit(alpha) * col("vocab").cast("double"))
+    tf2
+      .join(big2, Seq("u", "v"))
+      .join(uni.select(col("term").as("u"), col("c1").as("cu")), Seq("u"))
+      .join(uni.select(col("term").as("v"), col("c1").as("cv")), Seq("v"))
+      .crossJoin(broadcast(totals))
+      .withColumn("nll",
+        col("tf2").cast("double") *
+          (lit(0.0) - log(lit(lambda) * p2 + lit(1.0 - lambda) * p1)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf2")).as("n_bigrams"),
+        round(sum(col("nll")) / sum(col("tf2")).cast("double"), 6).as("avg_nll"))
+  }
+
+  /**
+   * Vocabulary coverage / OOV-rate under a frozen top-`vocabSize`
+   * frequency vocabulary (tokenizer-coverage analysis: how much of each
+   * document a top-V word list explains). The vocabulary cut is
+   * deterministic — (freq DESC, token ASC) with the tie broken
+   * lexicographically — so both engines freeze the identical list.
+   *
+   * Shape: one corpus-level frequency agg, a top-V TakeOrdered (per-
+   * partition V + driver merge, no global sort), then one broadcast
+   * membership join and a per-doc agg — linear, one scan of the corpus
+   * per side.
+   *
+   * @return (doc_id, n_tokens, n_oov, oov_ratio) per doc with ≥ 1 token
+   */
+  def oovStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(true).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
   /** Attach the full stats bundle to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

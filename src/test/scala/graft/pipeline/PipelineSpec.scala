@@ -250,6 +250,34 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 0L, false), (5L, 0L, false), (6L, 0L, false)))
   }
 
+  test("bigram NLL: hand-computed two-doc model; repeated text scores lower") {
+    // corpus: "a b a b" + "a b c" → unigrams a:3 b:3 c:1 (N=7, V=3);
+    // bigrams: (a,b):3 (b,a):1 (b,c):1
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNll(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    def p(cuv: Double, cu: Double, cv: Double) =
+      0.75 * (cuv + 1) / (cu + 3.0) + 0.25 * (cv + 1) / (7 + 3.0)
+    val d1 = -(2 * math.log(p(3, 3, 3)) + math.log(p(1, 3, 3))) / 3
+    val d2 = -(math.log(p(3, 3, 3)) + math.log(p(1, 3, 1))) / 2
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq((1L, 3L, r6(d1)), (2L, 2L, r6(d2))))
+    assert(got(0)._3 < got(1)._3) // the repetitive doc is more predictable
+    // single-token and empty docs contribute no bigram rows
+    val short = Seq((1L, "only"), (2L, "  ")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramNll(short, "doc_id", "text").count() === 0L)
+  }
+
+  test("oov stats: frequency-cut vocabulary with lexicographic tie-break") {
+    // freq: common:3; rare/tie1/tie2: 1 each → V=2 keeps common + rare
+    // (ties broken lexicographically: rare < tie1 < tie2)
+    val df = Seq((1L, "common common rare"), (2L, "common tie1 tie2"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.oovStats(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 3L, 0L, 0.0), (2L, 3L, 2L, 0.666667)))
+  }
+
   test("incremental near-dup: base copies and near-copies die, fresh and truncated survive") {
     val base = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
