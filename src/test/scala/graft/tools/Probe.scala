@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Bench-anchor adjudication driver (test scope — never ships in the
+  * production jar). Runs one registered query for `reps` warm
+  * repetitions on an isolated session and prints each rep plus the
+  * median — the `BenchAnchors` protocol recorded in BASELINE.md.
+  *
+  * Usage: sbt "Test/runMain graft.tools.Probe <query> [sfDir] [reps]"
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("probe").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    // warmup (session machinery + one cold pass of the query itself)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.sparkContext.setJobDescription(s"warmup $name")
+    try graft.SparkEntry.queries(name)(spark, dir).count()
+    catch { case e: Throwable => println(s"[probe] warmup failed: $e") }
+    val times = (1 to reps).map { i =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name rep $i: $t%.3f s ($n rows)")
+      t
+    }.sorted
+    println(f"[probe] $name MEDIAN: ${times(times.length / 2)}%.3f s over $reps warm reps")
+    spark.stop()
+  }
+}
