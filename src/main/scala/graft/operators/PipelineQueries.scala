@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Bpe, Chunker, Clustering, Dedup, Embeddings, Multimodal, Packing, Sampling, TextAnalysis}
+import graft.pipeline.{Ann, Bpe, Chunker, Clustering, Dedup, Embeddings, Multimodal, Packing, Retrieval, Sampling, TextAnalysis}
 
 /**
  * LLM-data-pipeline operator coverage (dedup / text analysis / similarity
@@ -31,6 +31,15 @@ object PipelineQueries {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Fixed BM25 gate queries — term lists mirrored verbatim in the
+    * oracle VALUES lists of `text_bm25_topk` / `ann_hybrid_rrf`. */
+  private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "window", "agg"),
+    1 -> Seq("vector", "join", "fast"),
+    2 -> Seq("customer", "query", "table"),
+    3 -> Seq("stream", "batch", "merge"),
+    4 -> Seq("hash", "sort", "filter"))
 
   /** documents ∪ exact copies of every 10th doc (ids shifted by 100000). */
   private def corpusExact(s: SparkSession, dir: String): DataFrame = {
@@ -539,6 +548,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sparse lexical retrieval: inverted-index postings + Okapi BM25
+    // (k1=1.2, b=0.75, Lucene idf), top-10 per query. Scores are rounded
+    // to 6 decimals BEFORE ranking so the (score DESC, doc_id) order is
+    // engine-reproducible. The query term lists are mirrored verbatim in
+    // the oracle's VALUES list.
+    "text_bm25_topk" -> ((s, dir) => {
+      Retrieval.bm25TopK(docs(s, dir), "doc_id", "text", bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion (c=60) of the BM25
+    // lexical ranking over documents and the brute-force cosine dense
+    // ranking over embeddings (doc_id ≡ vec_id in the synthetic corpus),
+    // both at depth 50, fused to top-10. With two rankers the fused
+    // score is a ≤2-term sum — bit-identical in either engine.
+    "ann_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = Retrieval.bm25TopK(docs(s, dir), "doc_id", "text", bm25Queries, k = 50)
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val dense = e.crossJoin(broadcast(qs))
+        .withColumn("cos", graft.functions.vector.cosine_sim(col("embedding"), col("qv")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 50)
+        .select(col("query_id").cast("int").as("query_id"),
+          col("vec_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex.select(col("query_id"), col("doc_id"), col("rank")), dense),
+          k = 10)
+        // the oracle's UNION promotes query_id to BIGINT — match it
+        .withColumn("query_id", col("query_id").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Per-source quality-quantile filter: drop the worst 20% of each
     // source by the composite quality score. The threshold (k-th largest
     // score, k = ceil(4n/5) in pure integer arithmetic) is computed on
@@ -880,6 +925,48 @@ object PipelineQueries {
     s"""WITH $jaccardPairsBody
        |SELECT doc_a, doc_b, jaccard FROM jpairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** BM25 gate query terms — the VALUES mirror of `bm25Queries`. */
+  private val bm25ValuesSql =
+    "(0,'spark'),(0,'window'),(0,'agg'),(1,'vector'),(1,'join'),(1,'fast')," +
+      "(2,'customer'),(2,'query'),(2,'table'),(3,'stream'),(3,'batch'),(3,'merge')," +
+      "(4,'hash'),(4,'sort'),(4,'filter')"
+
+  /** BM25 CTE chain shared by `text_bm25_topk` / `ann_hybrid_rrf` —
+    * mirrors Retrieval.bm25TopK term by term: postings → doc lengths →
+    * document frequencies → corpus stats (avgdl as exact-long-sum /
+    * count, not avg()) → rounded per-(query, doc) score → lexical rank.
+    * All literals forced to DOUBLE so DuckDB never routes through
+    * DECIMAL arithmetic. */
+  private val bm25Body =
+    s"""tkb AS (
+       |  SELECT doc_id, ${"list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)"} AS l
+       |  FROM documents),
+       |tfb AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(l) AS term FROM tkb) GROUP BY 1, 2),
+       |dlb AS (SELECT doc_id, sum(tf) AS dl FROM tfb GROUP BY 1),
+       |dfb AS (SELECT term, count(*) AS df FROM tfb GROUP BY 1),
+       |stb AS (
+       |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dlb),
+       |qb(query_id, term) AS (VALUES $bm25ValuesSql),
+       |bm25 AS (
+       |  SELECT qb.query_id, tfb.doc_id,
+       |    round(sum(
+       |      ln(1 + (CAST(stb.n AS DOUBLE) - dfb.df + 0.5) / (CAST(dfb.df AS DOUBLE) + 0.5))
+       |      * (CAST(tfb.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)
+       |         / (CAST(tfb.tf AS DOUBLE)
+       |            + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+       |              + CAST(0.75 AS DOUBLE) * CAST(dlb.dl AS DOUBLE) / stb.avgdl)))), 6) AS score
+       |  FROM qb
+       |  JOIN tfb USING (term)
+       |  JOIN dfb USING (term)
+       |  JOIN dlb USING (doc_id), stb
+       |  GROUP BY 1, 2),
+       |lexrank AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+       |  FROM bm25)""".stripMargin
 
   // punct class inside a SQL single-quoted literal ('' = ')
   private val punctSql = """[.,!?;:''"()\-]"""
@@ -1518,6 +1605,42 @@ object PipelineQueries {
         |FROM tok LEFT JOIN vocab v ON v.term = tok.term
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "text_bm25_topk" ->
+      s"""WITH $bm25Body
+         |SELECT query_id, doc_id, rnk AS "rank", score FROM lexrank
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_hybrid_rrf" ->
+      s"""WITH $bm25Body,
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |dsc AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cosine
+         |  FROM embeddings e, q),
+         |drank AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+         |  FROM dsc),
+         |u AS (
+         |  SELECT query_id, doc_id, rnk FROM lexrank WHERE rnk <= 50
+         |  UNION ALL
+         |  SELECT query_id, doc_id, rnk FROM drank WHERE rnk <= 50),
+         |f AS (
+         |  SELECT query_id, doc_id,
+         |    round(sum(CAST(1.0 AS DOUBLE) / (60 + rnk)), 6) AS rrf_score
+         |  FROM u GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rnk AS "rank", rrf_score FROM (
+         |  SELECT query_id, doc_id, rrf_score,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY rrf_score DESC, doc_id) AS rnk
+         |  FROM f) x
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
 
     "text_vocab_topk" ->
       """SELECT token, count(*) AS freq FROM (

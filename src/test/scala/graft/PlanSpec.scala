@@ -251,4 +251,16 @@ class PlanSpec extends AnyFunSuite {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("bm25: query terms and per-term stats broadcast; corpus never cross-joins") {
+    val p = plan("text_bm25_topk")
+    // the inverted-index property: the corpus-sized postings table joins
+    // the (tiny) query-term list and its df slice via broadcast — scoring
+    // cost tracks matched postings, never vocabulary or corpus size
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), s"bm25 must not cross-join:\n$p")
+    // the 1-row corpus-stats side rides a broadcast nested loop, which is
+    // the only non-hash join allowed in this plan
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+  }
 }

@@ -278,6 +278,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Seq((1L, 3L, 0L, 0.0), (2L, 3L, 2L, 0.666667)))
   }
 
+  test("bm25: hand-computed three-doc model; tf saturation and idf weighting") {
+    // corpus: d1 "cat dog", d2 "cat cat fish", d3 "bird"
+    // N=3, dl = 2/3/1, avgdl = 2.0; df: cat=2 dog=1 fish=1 bird=1
+    val df = Seq((1L, "cat dog"), (2L, "cat cat fish"), (3L, "bird")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(df, "doc_id", "text", Seq(0 -> Seq("cat")), k = 10)
+      .orderBy("rank").as[(Int, Long, Long, Double)].collect().toSeq
+    def bm25(tf: Double, dfT: Double, dl: Double) =
+      math.log(1 + (3 - dfT + 0.5) / (dfT + 0.5)) *
+        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // d2 (tf=2) outscores d1 (tf=1); d3 has no matching term
+    assert(got === Seq(
+      (0, 2L, 1L, r6(bm25(2, 2, 3))),
+      (0, 1L, 2L, r6(bm25(1, 2, 2)))))
+    // a rarer term (df=1) outweighs a commoner one (df=2) at equal tf/dl
+    val got2 = Retrieval.bm25TopK(df, "doc_id", "text",
+        Seq(0 -> Seq("dog"), 1 -> Seq("cat")), k = 1)
+      .orderBy("query_id").as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got2.map(_._2) === Seq(1L, 2L))
+    assert(got2(0)._4 > r6(bm25(1, 2, 2))) // idf(dog) > idf(cat) at same shape
+  }
+
+  test("rrf fusion: consensus docs beat single-list docs; c damps rank gaps") {
+    val lex = Seq((0, 10L, 1L), (0, 11L, 2L), (0, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((0, 11L, 1L), (0, 13L, 2L), (0, 10L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+      .orderBy("rank").as[(Int, Long, Long, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 11: 1/62+1/61 > 10: 1/61+1/63 > 13: 1/62 > 12: 1/63
+    assert(got.map(_._2) === Seq(11L, 10L, 13L, 12L))
+    assert(got(0)._4 === r6(1.0 / 62 + 1.0 / 61))
+    assert(got(1)._4 === r6(1.0 / 61 + 1.0 / 63))
+    assert(got(2)._4 === r6(1.0 / 62))
+  }
+
   test("incremental near-dup: base copies and near-copies die, fresh and truncated survive") {
     val base = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
