@@ -147,6 +147,11 @@ object BenchAnchors {
     "pipeline_weighted_sample" -> 0.29,
     "text_quality_filter" -> 1.06,
     "embed_centroid_classify" -> 0.58,
+    // round-7 additions, isolated warm medians (3 reps, quiet box)
+    "text_bigram_nll" -> 1.404,
+    "text_oov_rate" -> 0.530,
+    "text_bm25_topk" -> 1.400,
+    "ann_hybrid_rrf" -> 2.562,
     "dedup_incremental_minhash" -> 2.28,
   )
 }

@@ -72,7 +72,10 @@ object GraftExtensions {
     ("argmin_l2", "argmin_l2(vec, centroids) - index of the nearest centroid row (flat matrix)",
       es => { arity("argmin_l2", es, 2); ArgminL2(es(0), es(1)) }),
     ("zorder2", "zorder2(x, y) - Morton interleave of the low 16 bits of two ints",
-      es => { arity("zorder2", es, 2); ZOrder2(es(0), es(1)) })
+      es => { arity("zorder2", es, 2); ZOrder2(es(0), es(1)) }),
+    ("sign_project",
+      "sign_project(vec, signs) - dense ±1-matrix projection (row-major signs), 6-dp snapped",
+      es => { arity("sign_project", es, 2); SignProject(es(0), es(1)) })
   )
 
   /** Injection path for `spark.sql.extensions` / `withExtensions`. */

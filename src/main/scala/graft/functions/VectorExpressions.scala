@@ -454,6 +454,93 @@ case class ArgminL2(left: Expression, right: Expression)
 }
 
 /**
+ * Dense sign-matrix projection in ONE compact kernel: `vec` (dIn floats)
+ * × a plan-time ±1 matrix (`signs`, row-major dOut×dIn doubles) →
+ * dOut-dim double array, each component snapped to 6 decimals
+ * (HALF_UP, the k-means convention) so projected values reproduce
+ * bit-for-bit in a SQL oracle. An unrolled per-component `Column` sum at
+ * dOut×dIn = 2048 terms blows Janino's method limit and drops the whole
+ * stage to interpreted mode — this loop stays inside whole-stage
+ * codegen at any dimension (same motivation as [[ArgminL2]]).
+ */
+case class SignProject(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[SparkShims.AbstractType] =
+    SparkShims.abstractTypes(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sign_project"
+
+  @transient private lazy val foldedSigns: Array[Double] =
+    if (right.foldable) {
+      val ad = right.eval(null)
+      if (ad == null) null else ad.asInstanceOf[ArrayData].toDoubleArray()
+    } else null
+
+  private def project(vec: ArrayData, signs: Array[Double]): Any = {
+    val dIn = vec.numElements()
+    val dOut = if (dIn == 0) 0 else signs.length / dIn
+    val out = new Array[Double](dOut)
+    var i = 0
+    while (i < dOut) {
+      val off = i * dIn
+      var acc = 0.0
+      var j = 0
+      while (j < dIn) {
+        acc += signs(off + j) * vec.getFloat(j).toDouble
+        j += 1
+      }
+      out(i) = java.math.BigDecimal.valueOf(acc)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val signs =
+      if (foldedSigns != null) foldedSigns
+      else b.asInstanceOf[ArrayData].toDoubleArray()
+    project(a.asInstanceOf[ArrayData], signs)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val signs = ctx.freshName("signs")
+      val dIn = ctx.freshName("dIn")
+      val dOut = ctx.freshName("dOut")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val signsInit =
+        if (right.foldable && foldedSigns != null)
+          s"double[] $signs = ${ctx.addReferenceObj("projSigns", foldedSigns, "double[]")};"
+        else
+          s"double[] $signs = $b.toDoubleArray();"
+      s"""
+         |$signsInit
+         |int $dIn = $a.numElements();
+         |int $dOut = $dIn == 0 ? 0 : $signs.length / $dIn;
+         |double[] $out = new double[$dOut];
+         |for (int $i = 0; $i < $dOut; $i++) {
+         |  int $off = $i * $dIn;
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $dIn; $j++) {
+         |    $acc += $signs[$off + $j] * (double) $a.getFloat($j);
+         |  }
+         |  $out[$i] = java.math.BigDecimal.valueOf($acc)
+         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/**
  * Symmetric per-vector int8 quantization stats in ONE pass:
  * STRUCT(scale, codes_sum, codes_l1, max_abs_err, mse).
  *
@@ -534,4 +621,6 @@ object vector {
   def argmin_l2(emb: Column, centroids: Column): Column =
     col(ArgminL2(expr(emb), expr(centroids)))
   def int8_quant_stats(a: Column): Column = col(Int8QuantStatsExpr(expr(a)))
+  def sign_project(vec: Column, signs: Column): Column =
+    col(SignProject(expr(vec), expr(signs)))
 }

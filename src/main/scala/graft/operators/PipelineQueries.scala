@@ -584,6 +584,27 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Sign random projection (Achlioptas/JL) 64 → 32 dims: the
+    // model-free coarse representation — top-10 by cosine in the
+    // projected space. Components snap to 6 decimals and the md5-derived
+    // matrix is reproducible in both engines, so ranks compare exactly;
+    // the distortion bound (the JL guarantee) is pinned in PipelineSpec.
+    "embed_random_projection" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val proj = emb(s, dir)
+        .withColumn("p", Embeddings.signRandomProject(col("embedding"), 32, 64))
+      val qs = proj.filter(col("vec_id") >= 15 && col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("p").as("qp"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos16").desc, col("vec_id"))
+      proj.crossJoin(broadcast(qs))
+        .withColumn("cos16", Embeddings.cosineRounded(col("p"), col("qp")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("cos16"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Per-source quality-quantile filter: drop the worst 20% of each
     // source by the composite quality score. The threshold (k-th largest
     // score, k = ceil(4n/5) in pure integer arithmetic) is computed on
@@ -1641,6 +1662,38 @@ object PipelineQueries {
          |  FROM f) x
          |WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
+
+    "embed_random_projection" -> {
+      val dotD = "list_sum(list_transform(list_zip(pr.p, q.qp), z -> z[1] * z[2]))"
+      def normD(src: String) = s"sqrt(list_sum(list_transform($src, x -> x * x)))"
+      s"""WITH mat AS (
+         |  SELECT i, j,
+         |    CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)
+         |              IN ('0','1','2','3','4','5','6','7')
+         |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn
+         |  FROM generate_series(0, 31) g1(i), generate_series(0, 63) g2(j)),
+         |ex AS (
+         |  SELECT vec_id, j - 1 AS j, CAST(embedding[j] AS DOUBLE) AS x
+         |  FROM embeddings, generate_series(1, 64) g(j)),
+         |pc AS (
+         |  SELECT vec_id, i, round(sum(sgn * x), 6) AS v
+         |  FROM ex JOIN mat USING (j) GROUP BY 1, 2),
+         |pr AS (SELECT vec_id, list(v ORDER BY i) AS p FROM pc GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, p AS qp FROM pr WHERE vec_id >= 15 AND vec_id < 20),
+         |sc AS (
+         |  SELECT q.query_id, pr.vec_id AS neighbor_id,
+         |    CASE WHEN ${normD("pr.p")} = 0 OR ${normD("q.qp")} = 0 THEN 0.0
+         |         ELSE round($dotD / (${normD("pr.p")} * ${normD("q.qp")}), 6)
+         |    END AS cos16
+         |  FROM pr, q)
+         |SELECT query_id, neighbor_id, rnk AS "rank", cos16 FROM (
+         |  SELECT query_id, neighbor_id, cos16,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos16 DESC, neighbor_id) AS rnk
+         |  FROM sc) x
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin
+    },
 
     "text_vocab_topk" ->
       """SELECT token, count(*) AS freq FROM (

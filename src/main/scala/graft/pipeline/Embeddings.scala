@@ -56,6 +56,54 @@ object Embeddings {
     * inside whole-stage codegen. */
   def matryoshka(vec: Column, d: Int): Column = l2Normalize(slice(vec, 1, d))
 
+  /** The ±1 entry of the deterministic sign-projection matrix at (i, j):
+    * the first hex nibble of `md5("i_j")`. A multiplicative-hash bit
+    * here is a trap — over consecutive indices its top bit is a
+    * quasi-periodic (three-distance) sequence, so matrix ROWS come out
+    * correlated and the projection collapses (measured: cosine corr
+    * 0.25 vs 0.63 with md5 signs). md5 gives iid signs and both engines
+    * have it. */
+  private[pipeline] def projSign(i: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+
+  /**
+   * Deterministic sign random projection (Achlioptas 2003 / JL lemma):
+   * project `dIn`-dim float vectors to `dOut` dims with a ±1 matrix
+   * derived from [[projSign]] — the cheap distance-preserving sketch for
+   * coarse search, clustering pre-passes, and bandwidth-bound scans
+   * (dOut = dIn/4 reads 4x less in the scoring loop; rerank on the full
+   * vector restores exactness, the same contract as [[matryoshka]] but
+   * model-free).
+   *
+   * The matrix is tiny and known at PLAN time, so it ships as a folded
+   * literal into the compact [[graft.functions.SignProject]] kernel —
+   * one whole-stage-codegen loop per row, no shuffle, no UDF, no
+   * interpreted lambda (an unrolled per-component sum chain at 2048
+   * terms breaks Janino and drops the stage to interpreted mode).
+   * Components snap to 6 decimals so both engines rank on bit-identical
+   * values.
+   *
+   * @return `array<double>` column of length `dOut`
+   */
+  def signRandomProject(vec: Column, dOut: Int, dIn: Int): Column = {
+    val flat = Array.tabulate(dOut * dIn)(k => projSign(k / dIn, k % dIn))
+    graft.functions.vector.sign_project(vec, typedlit(flat))
+  }
+
+  /** Cosine between two double-array columns via in-order fold sums
+    * (zero norm → 0.0, the K6 convention), rounded to 6 decimals —
+    * engine-reproducible on snapped inputs. */
+  def cosineRounded(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    def nrm(v: Column) =
+      sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+    round(when(nrm(a) === 0.0 || nrm(b) === 0.0, 0.0)
+      .otherwise(dot / (nrm(a) * nrm(b))), 6)
+  }
+
   /**
    * Nearest-centroid (Rocchio) classification: fit one centroid per
    * label from the labeled rows, then assign EVERY row to its nearest

@@ -315,6 +315,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2)._4 === r6(1.0 / 62))
   }
 
+  test("sign projection: kernel matches a scalar replay; JL distortion bounded") {
+    // kernel parity against a scalar replay of the same md5 sign matrix
+    val v = Array(1.5f, -2.0f, 0.25f, 3.0f)
+    val df = Seq(Tuple1(v)).toDF("vec")
+      .select(Embeddings.signRandomProject(col("vec"), 3, 4).as("p"))
+    val got = df.as[Seq[Double]].collect().head
+    val want = (0 until 3).map { i =>
+      val acc = (0 until 4).map(j => Embeddings.projSign(i, j) * v(j)).sum
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got === want)
+
+    // the JL guarantee on real data: projected cosine tracks exact cosine
+    // (64 -> 32 dims) — bounded mean distortion, positive correlation
+    val proj = embeddings
+      .withColumn("p", Embeddings.signRandomProject(col("embedding"), 32, 64))
+    val qs = proj.filter(col("vec_id") >= 15 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("p").as("qp"), col("embedding").as("qv"))
+    val pairs = proj.crossJoin(qs)
+      .select(
+        Embeddings.cosineRounded(col("p"), col("qp")).as("cp"),
+        Embeddings.cosineRounded(
+          transform(col("embedding"), _.cast("double")),
+          transform(col("qv"), _.cast("double"))).as("ce"))
+    val (meanErr, corrPE) = pairs
+      .agg(avg(abs(col("cp") - col("ce"))), corr(col("cp"), col("ce")))
+      .as[(Double, Double)].collect().head
+    assert(meanErr <= 0.2, s"mean |Δcos| $meanErr")
+    assert(corrPE >= 0.45, s"corr $corrPE")
+  }
+
   test("incremental near-dup: base copies and near-copies die, fresh and truncated survive") {
     val base = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
