@@ -75,7 +75,10 @@ object GraftExtensions {
       es => { arity("zorder2", es, 2); ZOrder2(es(0), es(1)) }),
     ("sign_project",
       "sign_project(vec, signs) - dense ±1-matrix projection (row-major signs), 6-dp snapped",
-      es => { arity("sign_project", es, 2); SignProject(es(0), es(1)) })
+      es => { arity("sign_project", es, 2); SignProject(es(0), es(1)) }),
+    ("cosine_sim_i8",
+      "cosine_sim_i8(codes, q) - cosine between int8 SQ codes and a float query",
+      es => { arity("cosine_sim_i8", es, 2); CosineSimilarityI8(es(0), es(1)) })
   )
 
   /** Injection path for `spark.sql.extensions` / `withExtensions`. */

@@ -454,6 +454,68 @@ case class ArgminL2(left: Expression, right: Expression)
 }
 
 /**
+ * Cosine between an int8-quantized code array and a full-precision float
+ * query — the SQ8 approximate-scan kernel. Symmetric per-vector
+ * quantization (`round(x·127/maxAbs)`) preserves direction up to the
+ * rounding grid and the positive scale drops out of cosine, so scanning
+ * the 1-byte codes against the raw query needs NO dequantization pass —
+ * a 4x narrower scan than float32 with the same loop shape as
+ * [[CosineSimilarity]].
+ */
+case class CosineSimilarityI8(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[SparkShims.AbstractType] =
+    SparkShims.abstractTypes(ArrayType(ByteType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim_i8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getByte(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getByte($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/**
  * Dense sign-matrix projection in ONE compact kernel: `vec` (dIn floats)
  * × a plan-time ±1 matrix (`signs`, row-major dOut×dIn doubles) →
  * dOut-dim double array, each component snapped to 6 decimals
@@ -623,4 +685,6 @@ object vector {
   def int8_quant_stats(a: Column): Column = col(Int8QuantStatsExpr(expr(a)))
   def sign_project(vec: Column, signs: Column): Column =
     col(SignProject(expr(vec), expr(signs)))
+  def cosine_sim_i8(codes: Column, q: Column): Column =
+    col(CosineSimilarityI8(expr(codes), expr(q)))
 }

@@ -363,6 +363,21 @@ object PipelineQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // SQ8 scalar-quantized ANN: int8 codes ranked by the codegen'd
+    // byte×float cosine kernel (4x narrower scan), exact rerank of the
+    // shortlist. Gate config reranks everything — value-equal to brute
+    // force, so the dense-cosine oracle verifies the whole quantize +
+    // approx-scan + rerank machinery; the bounded-shortlist recall is
+    // pinned in PipelineSpec.
+    "ann_sq8_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+      Ann.searchSq8(s, e, "vec_id", "embedding", qs, k = 10, shortlist = Int.MaxValue)
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
     // IVF ANN with the DISTRIBUTED k-means trainer (no driver-side
     // training sample — the 100 TB trainer): full-probe config is
     // value-exact regardless of centroids, so the gate shares the
@@ -1277,6 +1292,24 @@ object PipelineQueries {
          |  WHERE a.vec_id < b.vec_id) p
          |WHERE cosine >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_sq8_cosine" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
+         |  WHERE vec_id >= 20 AND vec_id < 25),
+         |scored AS (
+         |  SELECT q.queryId, e.vec_id AS neighbor_id,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cosine
+         |  FROM embeddings e, q)
+         |SELECT queryId, neighbor_id, rnk AS "rank", cosine FROM (
+         |  SELECT queryId, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY queryId
+         |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
 
     "ann_ivf_cosine" ->
       s"""WITH q AS (

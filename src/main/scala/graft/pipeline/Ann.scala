@@ -203,6 +203,53 @@ object Ann {
       .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Symmetric per-vector int8 (SQ8) quantization: `codes[j] =
+    * round(x[j]·127/maxAbs)` with `maxAbs = max|x[j]|` (all-zero vectors
+    * quantize to all-zero codes). One byte per dim — a 4x narrower scan
+    * representation than float32 — and the positive per-vector scale
+    * cancels inside cosine, so search never dequantizes. Composed from
+    * native array functions; stays in whole-stage codegen. */
+  def quantizeSq8(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(maxAbs === 0.0, transform(vec, _ => lit(0).cast("byte")))
+      .otherwise(transform(vec,
+        x => round(x.cast("double") * 127.0 / maxAbs).cast("byte")))
+  }
+
+  /**
+   * SQ8 scan + exact rerank: rank everything by [[quantizeSq8]]-code
+   * cosine (the codegen'd [[graft.functions.CosineSimilarityI8]] kernel
+   * reads 1 B/dim), keep `shortlist` per query, rerank the shortlist
+   * with exact float cosine. At `shortlist >= corpus` the result is
+   * value-equal to [[searchBrute]] (the oracled gate config); the
+   * bounded-shortlist recall is pinned in PipelineSpec.
+   */
+  def searchSq8(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      shortlist: Int): DataFrame = {
+    import spark.implicits._
+    val q = queries.toDF("queryId", "qv")
+    val codes = df.select(col(idCol), quantizeSq8(col(embCol)).as("sq8"))
+    val aw = Window.partitionBy(col("queryId")).orderBy(col("approx").desc, col(idCol))
+    val short = codes.crossJoin(broadcast(q))
+      .withColumn("approx", vector.cosine_sim_i8(col("sq8"), col("qv")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= shortlist)
+      .select(col("queryId"), col(idCol))
+    val w = Window.partitionBy(col("queryId")).orderBy(col("cosine").desc, col(idCol))
+    short.join(df.select(col(idCol), col(embCol)), Seq(idCol))
+      .join(broadcast(q), Seq("queryId"))
+      .withColumn("cosine", vector.cosine_sim(col(embCol), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Exact brute-force cosine top-k — the baseline/oracle. */
   def searchBrute(
       spark: SparkSession,

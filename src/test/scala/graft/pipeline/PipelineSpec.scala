@@ -346,6 +346,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(corrPE >= 0.45, s"corr $corrPE")
   }
 
+  test("sq8: codes match a scalar replay; bounded shortlist keeps high recall") {
+    // scalar replay of round(x*127/maxAbs) incl. negative-half rounding
+    // (HALF_UP = away from zero) and the all-zero convention
+    val v = Array(0.5f, -1.0f, 0.25f, -0.125f)
+    val got = Seq(Tuple1(v), Tuple1(Array(0f, 0f, 0f, 0f))).toDF("vec")
+      .select(Ann.quantizeSq8(col("vec")).as("c")).as[Seq[Byte]].collect()
+    def replay(x: Array[Float]) = {
+      val m = x.map(e => math.abs(e.toDouble)).max
+      if (m == 0) x.map(_ => 0.toByte).toSeq
+      else x.map(e => BigDecimal(e.toDouble * 127.0 / m)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toByte).toSeq
+    }
+    assert(got(0) === replay(v))
+    assert(got(1) === Seq[Byte](0, 0, 0, 0))
+
+    // recall@10 of the bounded-shortlist regime vs exact brute force
+    import scala.jdk.CollectionConverters._
+    val e = embeddings
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+    val approx = Ann.searchSq8(spark, e, "vec_id", "embedding", qs, k = 10, shortlist = 20)
+      .select("queryId", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Ann.searchBrute(spark, e, "vec_id", "embedding", qs, k = 10)
+      .select("queryId", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"sq8 recall@10 (shortlist 20) = $recall")
+  }
+
   test("incremental near-dup: base copies and near-copies die, fresh and truncated survive") {
     val base = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
