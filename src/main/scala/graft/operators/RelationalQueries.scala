@@ -689,6 +689,36 @@ object RelationalQueries {
       s.table(name).orderBy(col("win_start"), col("event_type"))
     }),
 
+    // Stream-static enrichment: the streaming side joins a STATIC
+    // dimension (customer, broadcast — re-read per micro-batch, no
+    // stream state at all) before a windowed aggregate. This is the
+    // standard enrich-then-aggregate deployment shape: at 100 TB/day the
+    // dimension stays executor-resident while only the fact stream
+    // scales, and the join adds zero state-store pressure (unlike the
+    // stream-stream joins below). Complete-mode drain equals the batch
+    // join + group-by, which DuckDB verifies.
+    "stream_static_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .filter(col("event_type") === "purchase")
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val agg = stream.join(broadcast(dim), Seq("user_id"))
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      val name = s"stream_enrich_${streamRunId.incrementAndGet()}"
+      Option(lastEnrichView.getAndSet(name))
+        .foreach(prev => s.catalog.dropTempView(prev))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("hour_ts"), col("c_mktsegment"))
+    }),
+
     // Stream-stream event-time interval join: clicks joined to purchases
     // by the same user within [0, 30 min], both sides watermarked — the
     // state-bounded streaming join (watermark + interval bound let Spark
@@ -916,6 +946,7 @@ object RelationalQueries {
   private val lastSlideView = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastJoinView = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastOuterJoinView = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastEnrichView = new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** Shared by `rel_sessionize` (batch windows) and `stream_sessionize`
     * (custom streaming state): one ground truth, two execution paths. */
@@ -1338,6 +1369,16 @@ object RelationalQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_ts, event_type""".stripMargin,
+
+    "stream_static_enrich" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |  c_mktsegment,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY 1, 2
+        |ORDER BY hour_ts, c_mktsegment""".stripMargin,
 
     "stream_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
