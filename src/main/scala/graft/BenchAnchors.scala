@@ -152,6 +152,9 @@ object BenchAnchors {
     "text_oov_rate" -> 0.530,
     "text_bm25_topk" -> 1.400,
     "ann_hybrid_rrf" -> 2.562,
+    "embed_random_projection" -> 0.905,
+    "ann_sq8_cosine" -> 1.111,
+    "stream_static_enrich" -> 2.175,
     "dedup_incremental_minhash" -> 2.28,
   )
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Bpe, Chunker, Clustering, Dedup, Embeddings, Multimodal, Packing, Retrieval, Sampling, TextAnalysis}
+import graft.pipeline.{Ann, Bpe, Chunker, Clustering, Dedup, Embeddings, Multimodal, Packing, Retrieval, Sampling, Snapshot, TextAnalysis}
 
 /**
  * LLM-data-pipeline operator coverage (dedup / text analysis / similarity
@@ -361,6 +361,41 @@ object PipelineQueries {
       Ann.searchIvf(s, index.filter(col("label") === 2), "vec_id", "embedding",
           qs, model, k = 10, nprobe = 16)
         .orderBy(col("queryId"), col("rank"))
+    }),
+
+    // Hard-negative mining for contrastive training: per anchor, the 5
+    // nearest DIFFERENT-label vectors (pre-filter semantics — the label
+    // predicate narrows before ranking, so top-k never starves).
+    "embed_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val anchors = e.filter(col("vec_id") >= 25 && col("vec_id") < 30)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("qv"),
+          col("label").as("anchor_label"))
+      Embeddings.hardNegatives(e, "vec_id", "embedding", "label", anchors, k = 5)
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
+
+    // CDC snapshot compaction (lakehouse MERGE): base snapshot + a
+    // changelog of upserts/deletes folds in ONE window pass — latest
+    // version wins, deletes tombstone, a later upsert resurrects. The
+    // planted log overlaps deliberately: %91 keys see update-then-delete
+    // (delete wins), %273 keys delete-then-update (resurrected at v3).
+    "pipeline_snapshot_merge" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val up1 = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          col("source"), lit(1L).as("version"), lit("U").as("op"))
+      val del = d.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), lit("").as("text"), col("source"),
+          lit(2L).as("version"), lit("D").as("op"))
+      val up2 = d.filter(col("doc_id") % 21 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v3")).as("text"),
+          col("source"), lit(3L).as("version"), lit("U").as("op"))
+      Snapshot.merge(d, up1.unionByName(del).unionByName(up2),
+          "doc_id", "version", "op")
+        .select(col("doc_id"), col("version"),
+          length(col("text")).cast("long").as("text_len"), col("source"))
+        .orderBy(col("doc_id"))
     }),
 
     // SQ8 scalar-quantized ANN: int8 codes ranked by the codegen'd
@@ -1292,6 +1327,41 @@ object PipelineQueries {
          |  WHERE a.vec_id < b.vec_id) p
          |WHERE cosine >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "embed_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS anchor_id, embedding AS qv, label AS alabel
+         |  FROM embeddings WHERE vec_id >= 25 AND vec_id < 30),
+         |scored AS (
+         |  SELECT q.anchor_id, e.vec_id AS negative_id, e.label AS negative_label,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cosine
+         |  FROM embeddings e, q WHERE e.label <> q.alabel)
+         |SELECT anchor_id, negative_id, negative_label, rnk AS "rank", cosine FROM (
+         |  SELECT anchor_id, negative_id, negative_label, cosine,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |                       ORDER BY cosine DESC, negative_id) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 5
+         |ORDER BY anchor_id, rnk""".stripMargin,
+
+    "pipeline_snapshot_merge" ->
+      """WITH log AS (
+        |  SELECT doc_id, text, source, CAST(0 AS BIGINT) AS version, 'U' AS op FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v2', source, 1, 'U' FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, '', source, 2, 'D' FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v3', source, 3, 'U' FROM documents WHERE doc_id % 21 = 0),
+        |rn AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY version DESC, op ASC) AS rn
+        |  FROM log)
+        |SELECT doc_id, version, CAST(len(text) AS BIGINT) AS text_len, source
+        |FROM rn WHERE rn = 1 AND op = 'U'
+        |ORDER BY doc_id""".stripMargin,
 
     "ann_sq8_cosine" ->
       s"""WITH q AS (

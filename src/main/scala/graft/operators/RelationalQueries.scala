@@ -914,6 +914,25 @@ object RelationalQueries {
         .select(col("node").as("part_key"), col("n_triangles"))
     }),
 
+    // Blocked fuzzy (edit-distance) join — the entity-resolution
+    // primitive: typo'd part names (3rd char dropped) matched back to
+    // the canonical list via a prefix-block EQUI-join with in-block
+    // Levenshtein verification — a hash join whose candidate volume the
+    // block key bounds, never a cartesian product (the same
+    // blocking-vs-verify split as the LSH dedup paths).
+    "rel_fuzzy_join" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+      val typos = t(s, dir, "part").filter(col("p_partkey") % 5 === 0)
+        .select(concat(substring(col("p_name"), 1, 2),
+          expr("substring(p_name, 4)")).as("q_name"))
+        .distinct()
+      graft.pipeline.FuzzyJoin
+        .blockedJoin(typos, names, "q_name", "p_name", maxDist = 1, prefixLen = 2)
+        .select(col("q_name"), col("p_name"),
+          col("edit_dist").cast("long").as("edit_dist"))
+        .orderBy(col("q_name"), col("p_name"))
+    }),
+
     // Z-order (Morton) layout audit over orders on (custkey, order day):
     // each 2^18-wide z-range fixes the high bits of BOTH dimensions, so
     // per-bucket spans stay ≤512 on either axis while the global spans
@@ -1480,7 +1499,20 @@ object RelationalQueries {
          |  CAST(max(o_custkey) - min(o_custkey) AS BIGINT) AS custkey_span,
          |  CAST(max(d) - min(d) AS BIGINT) AS day_span
          |FROM z GROUP BY 1
-         |ORDER BY zbucket""".stripMargin
+         |ORDER BY zbucket""".stripMargin,
+
+    "rel_fuzzy_join" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |typos AS (
+        |  SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 4) AS q_name
+        |  FROM part WHERE p_partkey % 5 = 0)
+        |SELECT q_name, p_name,
+        |  CAST(levenshtein(q_name, p_name) AS BIGINT) AS edit_dist
+        |FROM typos t JOIN names n
+        |  ON substr(t.q_name, 1, 2) = substr(n.p_name, 1, 2)
+        | AND abs(len(t.q_name) - len(n.p_name)) <= 1
+        |WHERE levenshtein(t.q_name, n.p_name) <= 1
+        |ORDER BY q_name, p_name""".stripMargin
   )
 
   /** Unrolled 16-bit Morton interleave — the SQL mirror of

@@ -105,6 +105,40 @@ object Embeddings {
   }
 
   /**
+   * Hard-negative mining for contrastive training: for each anchor, the
+   * `k` nearest vectors carrying a DIFFERENT label — the highest-loss
+   * negatives an in-batch sampler misses. Pre-filter semantics (the
+   * label predicate narrows the corpus BEFORE ranking), so top-k never
+   * starves.
+   *
+   * Shape at scale: anchors broadcast, one codegen'd cosine scan over
+   * the corpus, per-anchor bounded top-k — identical cost to a brute
+   * KNN batch; swap the scan for the IVF/SQ8 index when the corpus
+   * outgrows it.
+   *
+   * @return (anchor_id, negative_id, negative_label, rank, cosine)
+   */
+  def hardNegatives(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      anchors: DataFrame, // (anchor_id, qv, anchor_label)
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    df.crossJoin(broadcast(anchors))
+      .filter(col(labelCol) =!= col("anchor_label"))
+      .withColumn("cosine",
+        graft.functions.vector.cosine_sim(col(vecCol), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col(idCol).as("negative_id"),
+        col(labelCol).as("negative_label"), col("rank"), col("cosine"))
+  }
+
+  /**
    * Nearest-centroid (Rocchio) classification: fit one centroid per
    * label from the labeled rows, then assign EVERY row to its nearest
    * centroid by squared L2 — the cheap embedding-space domain/topic

@@ -130,13 +130,17 @@ object GraphAlgos {
    * corner, and credited to all three.
    */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a").cast("long"), col("b").cast("long"))
-    // the oriented set feeds all three legs of the wedge→close join —
+    // the input edge set is typically the expensive part (a fact-table
+    // self-join + distinct); orientation consumes it twice (degree agg,
+    // then the degree join) — persist it or that work runs twice
+    val e = edges.select(col("a").cast("long"), col("b").cast("long")).persist()
+    // the oriented set feeds all three legs of the intersection join —
     // persist it, or the degree join is computed thrice
     val o = orientByDegree(e).persist()
     val counts = wedgeClose(o)
-      .localCheckpoint() // materialize (≤ |V| rows) before releasing o
+      .localCheckpoint() // materialize (≤ |V| rows) before releasing e/o
     o.unpersist()
+    e.unpersist()
     counts
   }
 
@@ -156,22 +160,32 @@ object GraphAlgos {
         when(fwd, col("db")).otherwise(col("da")).as("dd"))
   }
 
-  /** The wedge→close join over a degree-oriented edge set, lazy (see
-    * [[pageRankStep]] for why). A triangle's three corners orient
-    * p→q, p→r, q→r (p the (deg,id)-minimum): the wedge (p; q, r) with q
-    * before r is closed by the oriented q→r edge — once, ever. */
+  /** Triangle enumeration over a degree-oriented edge set, in
+    * ADJACENCY-INTERSECTION form: a triangle's corners orient u→v, u→w,
+    * v→w (u the (deg,id)-minimum), so the oriented edge (u, v) anchors
+    * exactly the triangles {u, v, w} with `w ∈ N⁺(u) ∩ N⁺(v)` — each
+    * found once, ever. The naive wedge→close alternative shuffles every
+    * wedge (Σ C(out, 2) rows — ~35M on the sf0.1 co-purchase graph, 3×
+    * slower measured); here the only wide rows are |E| edges carrying
+    * two adjacency arrays, and `array_intersect` does the per-edge work
+    * in one codegen'd pass. Out-degree (and so array width) is bounded
+    * by O(√m) — the degree-orientation guarantee that makes the
+    * collect_list safe on a skewed 100 TB graph. */
   private[pipeline] def wedgeClose(o: DataFrame): DataFrame = {
-    // disjoint names per self-join leg (see pageRankFixedPoint note)
-    val o1 = o.select(col("src"), col("dst").as("x"), col("dd").as("dx"))
-    val o2 = o.select(col("src"), col("dst").as("y"), col("dd").as("dy"))
-    val close = o.select(col("src").as("x"), col("dst").as("y"))
-    val wedges = o1.join(o2, "src")
-      .filter(col("dx") < col("dy") ||
-        (col("dx") === col("dy") && col("x") < col("y")))
-    val tris = wedges.join(close, Seq("x", "y"))
-      .select(col("src"), col("x"), col("y"))
-    tris.select(explode(array(col("src"), col("x"), col("y"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    // dst-side inner join doubles as pruning: a sink dst has no
+    // out-neighbors and its edges can anchor no triangle
+    val tris = o.select(col("src"), col("dst"))
+      .join(adj.select(col("src"), col("nbrs").as("un")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("vn")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        array_intersect(col("un"), col("vn")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val credits = tris
+      .select(col("src").as("node"), size(col("ws")).cast("long").as("c"))
+      .unionByName(tris.select(col("dst").as("node"), size(col("ws")).cast("long").as("c")))
+      .unionByName(tris.select(explode(col("ws")).as("node"), lit(1L).as("c")))
+    credits.groupBy(col("node")).agg(sum(col("c")).as("n_triangles"))
   }
 
   /** The wedge→close join from a raw id-canonical edge set (compat entry

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * CDC snapshot compaction (the lakehouse MERGE a continuously-refreshed
+ * corpus needs): fold a changelog of keyed upserts and deletes into the
+ * next snapshot — exactly-once per key, latest version wins, deletes
+ * tombstone.
+ *
+ * Shape at scale: ONE window pass keyed on the merge key (single
+ * shuffle, map-side partial none needed — row_number prunes to one row
+ * per key before anything wide). No join: base rows enter the same
+ * stream as changelog rows at version floor, so base-vs-delta is just
+ * another version comparison. At 100 TB the shuffle is the unavoidable
+ * cost of keyed dedup; everything else is narrow.
+ */
+object Snapshot {
+
+  /** Merge a base snapshot with a changelog.
+    *
+    * @param base      current snapshot (all rows implicitly version
+    *                  `baseVersion`, operation upsert)
+    * @param changelog (key, version, op, payload...) — op `U` upserts the
+    *                  payload, `D` deletes the key; versions must be
+    *                  unique per key (the CDC log contract); ties broken
+    *                  toward delete for safety
+    * @param keyCol    merge key column name (shared by both inputs)
+    * @param verCol    changelog version column
+    * @param opCol     changelog operation column (`U` / `D`)
+    * @return the next snapshot: payload columns of the winning upsert
+    *         per surviving key, plus the winning version as `verCol`
+    */
+  def merge(
+      base: DataFrame,
+      changelog: DataFrame,
+      keyCol: String,
+      verCol: String,
+      opCol: String,
+      baseVersion: Long = 0L): DataFrame = {
+    val baseAsLog = base
+      .withColumn(verCol, lit(baseVersion))
+      .withColumn(opCol, lit("U"))
+    val unioned = baseAsLog.unionByName(changelog.select(baseAsLog.columns.map(col): _*))
+    // delete-first tie-break: at equal versions a D outranks a U ("D" < "U")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(verCol).desc, col(opCol).asc)
+    unioned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) === "U")
+      .drop("__rn", opCol)
+  }
+}

@@ -374,6 +374,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"sq8 recall@10 (shortlist 20) = $recall")
   }
 
+  test("snapshot merge: latest wins, deletes tombstone, later upsert resurrects, new keys insert") {
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "v")
+    val log = Seq(
+      (1L, "one'", 1L, "U"),   // plain update
+      (2L, "", 1L, "D"),       // delete
+      (3L, "", 1L, "D"), (3L, "three'", 2L, "U"), // delete then resurrect
+      (4L, "four", 1L, "U"),   // insert (no base row)
+      (5L, "", 1L, "D"))       // delete of a key that never existed
+      .toDF("k", "v", "version", "op")
+    val got = Snapshot.merge(base, log, "k", "version", "op")
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "one'", 1L), (3L, "three'", 2L), (4L, "four", 1L)))
+    // same-version tie breaks toward delete (the safety convention)
+    val tie = Seq((1L, "x", 1L, "U"), (1L, "", 1L, "D")).toDF("k", "v", "version", "op")
+    assert(Snapshot.merge(base.filter(col("k") === 1), tie, "k", "version", "op").count() === 0L)
+  }
+
+  test("fuzzy join: in-block edits match, prefix edits escape, distance cap holds") {
+    val canon = Seq("small ring", "red widget").toDF("name")
+    val dirty = Seq(
+      "smll ring",   // 3rd char dropped -> dist 1, same prefix: matches
+      "xed widget",  // first char edited -> escapes the 2-char block
+      "sm ring")     // dist 3 from "small ring": inside block, over cap
+      .toDF("q")
+    val got = FuzzyJoin.blockedJoin(dirty, canon, "q", "name", maxDist = 1, prefixLen = 2)
+      .select("q", "name", "edit_dist").as[(String, String, Int)].collect().toSeq
+    assert(got === Seq(("smll ring", "small ring", 1)))
+  }
+
+  test("hard negatives: same-label vectors are excluded even when nearest") {
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // anchor
+      (1L, Array(0.99f, 0.1f), 0),  // nearest overall — same label, excluded
+      (2L, Array(0.9f, 0.3f), 1),   // nearest other-label
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(-1.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val anchors = rows.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("qv"),
+        col("label").as("anchor_label"))
+    val got = Embeddings.hardNegatives(rows, "vec_id", "embedding", "label", anchors, k = 2)
+      .select("negative_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 1L), (3L, 2L)))
+  }
+
   test("incremental near-dup: base copies and near-copies die, fresh and truncated survive") {
     val base = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
