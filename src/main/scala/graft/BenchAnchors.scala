@@ -155,6 +155,9 @@ object BenchAnchors {
     "embed_random_projection" -> 0.905,
     "ann_sq8_cosine" -> 1.111,
     "stream_static_enrich" -> 2.175,
+    "embed_hard_negatives" -> 0.634,
+    "pipeline_snapshot_merge" -> 0.781,
+    "rel_fuzzy_join" -> 0.711,
     "dedup_incremental_minhash" -> 2.28,
   )
 }

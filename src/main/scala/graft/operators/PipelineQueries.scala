@@ -363,6 +363,17 @@ object PipelineQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // Budget-constrained selection: the best docs whose token counts fit
+    // a global 8000-token budget, greedy in (quality DESC, doc_id) order
+    // with prefix semantics — exact, via score-bin token cumsums + a
+    // per-bin window; the corpus is never globally sorted. The budget
+    // bites at sf0.01 and above (and trivially keeps everything at
+    // sf0.001, which the oracle reproduces too).
+    "pipeline_token_budget" -> ((s, dir) => {
+      Sampling.tokenBudgetSelect(docs(s, dir), "doc_id", "text", budgetTokens = 8000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Hard-negative mining for contrastive training: per anchor, the 5
     // nearest DIFFERENT-label vectors (pre-filter semantics — the label
     // predicate narrows before ranking, so top-k never starves).
@@ -1327,6 +1338,22 @@ object PipelineQueries {
          |  WHERE a.vec_id < b.vec_id) p
          |WHERE cosine >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "pipeline_token_budget" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    $qualityRawColsSql
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, $qualityFormulaSql AS quality_score, n_tokens FROM base),
+         |c AS (
+         |  SELECT doc_id, quality_score, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, quality_score, n_tokens, cum_tokens,
+         |  (cum_tokens <= 8000) AS kept
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "embed_hard_negatives" ->
       s"""WITH q AS (

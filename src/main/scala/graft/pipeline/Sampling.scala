@@ -116,4 +116,46 @@ object Sampling {
       .orderBy(col("samp_key").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Budget-constrained corpus selection — "the best data that fits the
+   * compute budget", the selection every pretraining run makes: admit
+   * docs in (quality DESC, doc_id ASC) order while the running TOKEN
+   * total stays within `budgetTokens` (prefix semantics: the first doc
+   * that would overflow stops admission, as do all after it).
+   *
+   * Exact greedy WITHOUT a global data sort: per-(6-dp quality score)
+   * BINS carry the token mass of all strictly-better bins (the bin
+   * table is tiny — bounded by distinct rounded scores — so its
+   * single-partition cumsum window is a non-issue), broadcast back, and
+   * the per-doc running sum windows only WITHIN each score bin
+   * (partitioned, scale-safe). One scan, no corpus-wide sort.
+   *
+   * @return one row per input doc:
+   *         (doc_id, quality_score, n_tokens, cum_tokens, kept)
+   */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val scored = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.qualityScore(col(textCol)).as("quality_score"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val bins = scored.groupBy(col("quality_score"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+    val wBin = Window.orderBy(col("quality_score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binPrev = bins.withColumn("prev_tokens",
+      coalesce(sum(col("bin_tokens")).over(wBin), lit(0L)))
+    val wDoc = Window.partitionBy(col("quality_score")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .join(broadcast(binPrev.select(col("quality_score"), col("prev_tokens"))),
+        Seq("quality_score"))
+      .withColumn("cum_tokens", col("prev_tokens") + sum(col("n_tokens")).over(wDoc))
+      .withColumn("kept", col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+        col("cum_tokens"), col("kept"))
+  }
 }

@@ -374,6 +374,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"sq8 recall@10 (shortlist 20) = $recall")
   }
 
+  test("token budget select: matches a driver-side greedy replay; prefix stop holds") {
+    val budget = 800L
+    val got = Sampling.tokenBudgetSelect(docs, "doc_id", "text", budget)
+      .as[(Long, Double, Long, Long, Boolean)].collect()
+      .sortBy(_._1)
+    // replay: sort by (score desc, id), running token sum, prefix cut
+    var cum = 0L
+    val replay = got.sortBy(r => (-r._2, r._1)).map { r =>
+      cum += r._3
+      (r._1, cum, cum <= budget)
+    }.map(r => r._1 -> (r._2, r._3)).toMap
+    got.foreach { case (id, _, _, cumGot, keptGot) =>
+      assert((cumGot, keptGot) === replay(id), s"doc $id")
+    }
+    // the budget genuinely bites: some kept, some dropped
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
   test("snapshot merge: latest wins, deletes tombstone, later upsert resurrects, new keys insert") {
     val base = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "v")
     val log = Seq(
