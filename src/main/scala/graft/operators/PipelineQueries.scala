@@ -830,6 +830,28 @@ object PipelineQueries {
         .orderBy(col("label"), col("dim_idx"))
     }),
 
+    // Embedding drift monitor: per-label centroid shift between two
+    // batch halves (vec_id parity split — SF-invariant), as the L2
+    // distance between 6-dp-snapped per-half centroids. The production
+    // check for "did this batch's embedding distribution move" —
+    // per-half centroids are partial-agg label-level shuffles, the
+    // drift join touches label×dim rows only.
+    "embed_drift" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def half(parity: Int, cCol: String, nCol: String) =
+        Embeddings.groupCentroids(e.filter(col("vec_id") % 2 === parity),
+            "label", "embedding")
+          .select(col("label"), col("dim_idx"),
+            round(col("centroid_value"), 6).as(cCol),
+            col("n_members").as(nCol))
+      half(0, "ca", "n_a").join(half(1, "cb", "n_b"), Seq("label", "dim_idx"))
+        .groupBy(col("label"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          round(sqrt(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))), 6)
+            .as("drift_l2"))
+        .orderBy(col("label"))
+    }),
+
     // Nearest-centroid (Rocchio) classification: one centroid per label
     // (6-dp snapped means, the k-means convention), prediction via the
     // same codegen'd argmin kernel as IVF assignment — one scan, no join
@@ -2044,6 +2066,24 @@ object PipelineQueries {
          |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |WHERE e.vec_id % 50 = 0
          |ORDER BY e.vec_id""".stripMargin,
+
+    "embed_drift" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label, u.idx AS idx, CAST(u.v AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(embedding) AS v,
+        |                    generate_subscripts(embedding, 1) AS idx) u),
+        |a AS (
+        |  SELECT label, idx, round(avg(v), 6) AS ca, count(*) AS n_a
+        |  FROM dims WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |b AS (
+        |  SELECT label, idx, round(avg(v), 6) AS cb, count(*) AS n_b
+        |  FROM dims WHERE vec_id % 2 = 1 GROUP BY 1, 2)
+        |SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+        |  round(sqrt(sum((ca - cb) * (ca - cb))), 6) AS drift_l2
+        |FROM a JOIN b USING (label, idx)
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
 
     "embed_label_centroids" ->
       """WITH dims AS (
