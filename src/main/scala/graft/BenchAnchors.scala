@@ -142,7 +142,9 @@ object BenchAnchors {
     "rel_array_functions" -> 0.18,
     "rel_funnel_conversion" -> 0.64,
     "dedup_segments" -> 0.75,
-    "text_bpe_encode" -> 1.44,
+    // refreshed round 7 from an isolated warm median (was 1.44; the op
+    // is unchanged — quiet-box medians moved with ambient load)
+    "text_bpe_encode" -> 2.05,
     "dedup_semantic" -> 1.40,
     "pipeline_weighted_sample" -> 0.29,
     "text_quality_filter" -> 1.06,
@@ -158,6 +160,8 @@ object BenchAnchors {
     "embed_hard_negatives" -> 0.634,
     "pipeline_snapshot_merge" -> 0.781,
     "rel_fuzzy_join" -> 0.711,
+    "pipeline_token_budget" -> 1.718,
+    "embed_drift" -> 1.102,
     "dedup_incremental_minhash" -> 2.28,
   )
 }
