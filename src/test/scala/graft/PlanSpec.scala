@@ -252,6 +252,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy join: the block key makes a hash join — no nested loop, no cartesian") {
+    val p = plan("rel_fuzzy_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fuzzy join must stay an equi-join on the block key:\n$p")
+  }
+
+  test("snapshot merge folds the changelog in one window pass — no join anywhere") {
+    val p = plan("pipeline_snapshot_merge")
+    assert(!p.contains("Join"), s"merge must be a union + window, not a join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("token budget: no corpus-wide sort; the doc window is score-partitioned") {
+    val p = plan("pipeline_token_budget")
+    // the only acceptable global window runs over the tiny bin table;
+    // the per-doc running sum must be hash-partitioned by score
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val sorts = "(?m)^.*Sort .*$".r.findAllIn(p).size
+    assert(p.contains("hashpartitioning(quality_score"),
+      s"per-doc cumsum must partition by score bin (sorts seen: $sorts):\n$p")
+  }
+
   test("bm25: query terms and per-term stats broadcast; corpus never cross-joins") {
     val p = plan("text_bm25_topk")
     // the inverted-index property: the corpus-sized postings table joins
