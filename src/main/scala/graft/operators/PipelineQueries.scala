@@ -363,6 +363,14 @@ object PipelineQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // Cross-source contamination matrix: pairwise shingle Jaccard
+    // between the 20 corpus sources — the mirrored-feed / benchmark-
+    // leak audit. Per-shingle fan-out is bounded by C(sources, 2).
+    "dedup_source_overlap" -> ((s, dir) => {
+      Dedup.sourceOverlap(docs(s, dir), "text", "source")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Budget-constrained selection: the best docs whose token counts fit
     // a global 8000-token budget, greedy in (quality DESC, doc_id) order
     // with prefix semantics — exact, via score-bin token cumsums + a
@@ -1360,6 +1368,30 @@ object PipelineQueries {
          |  WHERE a.vec_id < b.vec_id) p
          |WHERE cosine >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, s FROM (
+        |    SELECT source, unnest(
+        |      CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |           ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS s
+        |    FROM toks)),
+        |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.source = inter.source_a
+        |JOIN sizes nb ON nb.source = inter.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "pipeline_token_budget" ->
       s"""WITH base AS (

@@ -252,6 +252,47 @@ object Dedup {
   def shingleHashes(textCol: Column, k: Int = 3): Column =
     text.shingle_hashes(textCol, k)
 
+  /**
+   * Cross-source contamination matrix: pairwise shingle-set Jaccard
+   * between corpus SOURCES — the audit that finds mirrored/ingested-
+   * twice feeds before any doc-level dedup runs, and the standard check
+   * that a benchmark-adjacent source hasn't leaked into a training
+   * feed.
+   *
+   * Shape at scale: one shingle pass per doc (the native expression),
+   * one distinct to source-level shingle sets, then a shingle-keyed
+   * equi-join whose per-key fan-out is bounded by C(#sources, 2) — a
+   * universal shingle costs 190 pairs at 20 sources, never a corpus-
+   * sized blow-up. Engine joins on 64-bit hashes; the oracle replays on
+   * the raw strings (the minhash-gate equivalence).
+   *
+   * @return (source_a, source_b, n_shared, jaccard) for every source
+   *         pair sharing ≥1 shingle, source_a < source_b
+   */
+  def sourceOverlap(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(sourceCol).as("source"),
+        explode(shingleHashes(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))),
+        Seq("source_b"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("na") + col("nb") - col("n_shared")).cast("double"), 6))
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("jaccard"))
+  }
+
   /** MinHash signature: for each permutation i, min over shingles of
     * (a_i·h + b_i) mod p — a native expression
     * (graft.functions.MinHashSignatureExpr). */
