@@ -374,6 +374,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"sq8 recall@10 (shortlist 20) = $recall")
   }
 
+  test("source overlap: hand-computed jaccard; disjoint sources emit no pair") {
+    val df = Seq(
+      (1L, "a b c d", "s1"),       // shingles: {abc, bcd}
+      (2L, "a b c e", "s2"),       // shingles: {abc, bce} — shares abc with s1
+      (3L, "x y z w", "s3"))       // disjoint
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(df, "text", "source")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(("s1", "s2", 1L, 0.333333))) // 1 / (2 + 2 - 1)
+  }
+
   test("token budget select: matches a driver-side greedy replay; prefix stop holds") {
     val budget = 800L
     val got = Sampling.tokenBudgetSelect(docs, "doc_id", "text", budget)
