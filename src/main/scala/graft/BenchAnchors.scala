@@ -162,6 +162,8 @@ object BenchAnchors {
     "rel_fuzzy_join" -> 0.711,
     "pipeline_token_budget" -> 1.718,
     "embed_drift" -> 1.102,
+    "dedup_source_overlap" -> 1.638,
+    "stream_vec_ingest" -> 3.348,
     "dedup_incremental_minhash" -> 2.28,
   )
 }

@@ -179,6 +179,58 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // The reference's ONLINE-INSERT workflow (add/addAll against a live
+    // index) through Structured Streaming: micro-batches land via
+    // foreachBatch → SegmentedIndex.addAll, and gids CONTINUE across
+    // batches from the manifest high-water mark — the invariant that
+    // makes streaming ingest equal batch ingest. The embeddings table is
+    // pre-split into 4 consecutive vec_id ranges (one file per
+    // micro-batch, maxFilesPerTrigger=1, mtime/path ordered), so the
+    // drained index's (vec_id → gid, segId, vecId) mapping must equal
+    // the batch assignment — the gate shares vec_ingest_assignment's
+    // oracle verbatim.
+    "stream_vec_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val dim = e.select(size(col("embedding"))).first().getInt(0)
+      val n = e.count()
+      val root = java.nio.file.Files.createTempDirectory("graft-stream-ingest").toString
+      tempStores.synchronized { tempStores += root }
+      val filesDir = s"$root/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(filesDir))
+      val bounds = (0 to 4).map(i => n * i / 4)
+      (0 until 4).foreach { b =>
+        val stage = s"$root/stage$b"
+        e.filter(col("vec_id") >= bounds(b) && col("vec_id") < bounds(b + 1))
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$filesDir/batch$b.parquet"))
+      }
+      val st = new IndexStore(s"$root/index")
+      st.createOrOpen(IndexMeta("stream_ingest", dimension = dim, maxSegmentSize = Cap,
+        pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
+        oversample = 4), System.currentTimeMillis())
+      val idx = new SegmentedIndex(s, st)
+      val q = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(filesDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // ANSI mode forbids numeric→binary casts; hex/unhex round-trips
+          idx.addAll(batch.withColumn("payload",
+            unhex(lpad(hex(col("vec_id")), 16, "0"))),
+            "embedding", "vec_id", Some("payload"))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      st.readVectors(s)
+        .select(expr("cast(conv(hex(payload), 16, 10) as bigint)").as("vec_id"),
+          col("gid"), col("segId"), col("vecId"))
+        .orderBy(col("vec_id"))
+    }),
+
     // A4: segment counters with a synthetic tombstone predicate.
     "vec_segment_counters" -> ((s, dir) => {
       emb(s, dir)
@@ -502,14 +554,22 @@ object VectorQueries {
   private def normLambda(src: String) =
     s"sqrt(list_sum(list_transform($src, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+  /** Shared by the batch and streaming ingest gates: the order
+    * invariant (i-th vector by vec_id → gid i → (i/cap, i%cap)) is the
+    * same ground truth for both execution paths. */
+  private val ingestAssignmentSql =
+    s"""SELECT vec_id,
+       |  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS gid,
+       |  CAST((row_number() OVER (ORDER BY vec_id) - 1) // $Cap AS INTEGER) AS segId,
+       |  CAST((row_number() OVER (ORDER BY vec_id) - 1) % $Cap AS INTEGER) AS vecId
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "vec_ingest_assignment" ->
-      s"""SELECT vec_id,
-         |  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS gid,
-         |  CAST((row_number() OVER (ORDER BY vec_id) - 1) // $Cap AS INTEGER) AS segId,
-         |  CAST((row_number() OVER (ORDER BY vec_id) - 1) % $Cap AS INTEGER) AS vecId
-         |FROM embeddings
-         |ORDER BY vec_id""".stripMargin,
+    "vec_ingest_assignment" -> ingestAssignmentSql,
+
+    // streaming ingest must land exactly where batch ingest does
+    "stream_vec_ingest" -> ingestAssignmentSql,
 
     "vec_segment_counters" ->
       s"""SELECT CAST(vec_id // $Cap AS INTEGER) AS segId,
