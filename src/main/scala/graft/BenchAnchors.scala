@@ -164,6 +164,7 @@ object BenchAnchors {
     "embed_drift" -> 1.102,
     "dedup_source_overlap" -> 1.638,
     "stream_vec_ingest" -> 3.348,
+    "embed_pca_power" -> 1.612,
     "dedup_incremental_minhash" -> 2.28,
   )
 }

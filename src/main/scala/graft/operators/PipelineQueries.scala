@@ -838,6 +838,16 @@ object PipelineQueries {
         .orderBy(col("label"), col("dim_idx"))
     }),
 
+    // Dominant PCA component by matrix-free power iteration (3 rounds,
+    // snapped iterates): the embedding-structure probe — no covariance
+    // matrix materialized, two partial-agg shuffles per round, only the
+    // dim-sized w vector ever reaches the driver. The oracle unrolls
+    // the rounds as CTEs (the lloydRound recipe).
+    "embed_pca_power" -> ((s, dir) => {
+      Embeddings.pcaPowerIteration(s, emb(s, dir), "vec_id", "embedding")
+        .orderBy(col("dim_idx"))
+    }),
+
     // Embedding drift monitor: per-label centroid shift between two
     // batch halves (vec_id parity split — SF-invariant), as the L2
     // distance between 6-dp-snapped per-half centroids. The production
@@ -2098,6 +2108,41 @@ object PipelineQueries {
          |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |WHERE e.vec_id % 50 = 0
          |ORDER BY e.vec_id""".stripMargin,
+
+    "embed_pca_power" -> {
+      def round(n: Int) =
+        s"""s$n AS (
+           |  SELECT vec_id, sum(cv * v) AS s
+           |  FROM c JOIN v${n - 1} USING (j) GROUP BY vec_id),
+           |w$n AS (
+           |  SELECT j, sum(cv * s) AS w
+           |  FROM c JOIN s$n USING (vec_id) GROUP BY j),
+           |n$n AS (SELECT sqrt(sum(w * w)) AS nrm FROM w$n),
+           |v$n AS (SELECT j, round(w / nrm, 6) AS v FROM w$n, n$n)""".stripMargin
+      s"""WITH ex AS (
+         |  SELECT vec_id, u.idx - 1 AS j, CAST(u.v AS DOUBLE) AS x
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(embedding) AS v,
+         |                    generate_subscripts(embedding, 1) AS idx) u),
+         |mn AS (SELECT j, round(avg(x), 6) AS m FROM ex GROUP BY j),
+         |c AS (SELECT vec_id, ex.j, x - m AS cv FROM ex JOIN mn ON mn.j = ex.j),
+         |v0 AS (SELECT DISTINCT j,
+         |  CASE WHEN j = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS v
+         |  FROM ex),
+         |${round(1)},
+         |${round(2)},
+         |s3 AS (
+         |  SELECT vec_id, sum(cv * v) AS s
+         |  FROM c JOIN v2 USING (j) GROUP BY vec_id),
+         |w3 AS (
+         |  SELECT j, sum(cv * s) AS w
+         |  FROM c JOIN s3 USING (vec_id) GROUP BY j),
+         |n3 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w3)
+         |SELECT CAST(j AS INTEGER) AS dim_idx, round(w / nrm, 6) AS loading,
+         |  round(nrm, 4) AS lambda
+         |FROM w3, n3
+         |ORDER BY dim_idx""".stripMargin
+    },
 
     "embed_drift" ->
       """WITH dims AS (

@@ -105,6 +105,57 @@ object Embeddings {
   }
 
   /**
+   * Dominant principal component by POWER ITERATION, matrix-free — the
+   * embedding-space drift/structure probe (top PCA loading + spectral
+   * norm) computed as pure relational algebra: no covariance matrix is
+   * ever materialized. Per round, `s_i = cᵢ·v` (one row-level agg) and
+   * `w_j = Σᵢ s_i·c_ij` (one dim-level agg) — two partial-agg shuffles
+   * over the exploded (row, dim, value) table, with only the dim-sized
+   * `w` vector collected per round (the bounded-driver IVF-trainer
+   * contract). Per-dim means and each normalized iterate snap to 6
+   * decimals (the k-means convention), so an unrolled SQL oracle
+   * replays the rounds bit-for-bit.
+   *
+   * @return (dim_idx, loading, lambda): the unit top eigenvector of the
+   *         centered Gram matrix and its eigenvalue estimate ‖w‖
+   */
+  def pcaPowerIteration(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iterations: Int = 3): DataFrame = {
+    import spark.implicits._
+    val dims = df.select(col(idCol).as("vid"),
+        posexplode(col(vecCol)).as(Seq("j", "x")))
+      .select(col("vid"), col("j"), col("x").cast("double").as("x"))
+    val means = dims.groupBy(col("j")).agg(round(avg(col("x")), 6).as("m"))
+    val c = dims.join(broadcast(means), Seq("j"))
+      .select(col("vid"), col("j"), (col("x") - col("m")).as("cv"))
+      .persist()
+    val dim = c.agg(max(col("j"))).first().getInt(0) + 1
+    var v = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
+    var lambda = 0.0
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 to iterations).foreach { _ =>
+      val vDf = v.zipWithIndex.map { case (vj, j) => (j, vj) }.toSeq.toDF("j", "vj")
+      val s = c.join(broadcast(vDf), Seq("j"))
+        .groupBy(col("vid")).agg(sum(col("cv") * col("vj")).as("s"))
+      val w = new Array[Double](dim)
+      c.join(s, Seq("vid")).groupBy(col("j"))
+        .agg(sum(col("cv") * col("s")).as("w"))
+        .collect().foreach(r => w(r.getInt(0)) = r.getDouble(1))
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(x => r6(x / lambda))
+    }
+    c.unpersist()
+    val lam = BigDecimal(lambda).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    v.zipWithIndex.map { case (l, j) => (j, l, lam) }.toSeq
+      .toDF("dim_idx", "loading", "lambda")
+  }
+
+  /**
    * Hard-negative mining for contrastive training: for each anchor, the
    * `k` nearest vectors carrying a DIFFERENT label — the highest-loss
    * negatives an in-batch sampler misses. Pre-filter semantics (the

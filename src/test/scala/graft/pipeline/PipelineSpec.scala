@@ -374,6 +374,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"sq8 recall@10 (shortlist 20) = $recall")
   }
 
+  test("pca power iteration: finds the planted dominant axis; matches a scalar replay") {
+    // anisotropic cloud: variance 18 along (1,1)/√2, variance 2 along (1,-1)/√2
+    val pts = Seq((0L, Array(3f, 3f)), (1L, Array(-3f, -3f)),
+      (2L, Array(1f, -1f)), (3L, Array(-1f, 1f)))
+    val got = Embeddings.pcaPowerIteration(spark, pts.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .orderBy("dim_idx").as[(Int, Double, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // scalar replay with the same snapping
+    val c = pts.map(_._2.map(_.toDouble)) // means are 0
+    var v = Array(1.0, 0.0); var lam = 0.0
+    (1 to 3).foreach { _ =>
+      val s = c.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      val w = Array(0, 1).map(j => c.zip(s).map { case (row, si) => row(j) * si }.sum)
+      lam = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(x => r6(x / lam))
+    }
+    val lamR = BigDecimal(lam).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq((0, v(0), lamR), (1, v(1), lamR)))
+    // the planted dominant axis is (1,1)/√2 with Gram eigenvalue 36;
+    // after 3 rounds the residual is O((λ2/λ1)^3) = (4/36)^3 ≈ 1.4e-3
+    assert(math.abs(got(0)._2 - 0.707107) < 2e-3 && math.abs(got(1)._2 - 0.707107) < 2e-3)
+    assert(math.abs(got(0)._3 - 36.0) < 0.2)
+  }
+
   test("source overlap: hand-computed jaccard; disjoint sources emit no pair") {
     val df = Seq(
       (1L, "a b c d", "s1"),       // shingles: {abc, bcd}
