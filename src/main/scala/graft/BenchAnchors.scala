@@ -165,6 +165,7 @@ object BenchAnchors {
     "dedup_source_overlap" -> 1.638,
     "stream_vec_ingest" -> 3.348,
     "embed_pca_power" -> 1.612,
+    "vec_knn_federated" -> 2.774,
     "dedup_incremental_minhash" -> 2.28,
   )
 }

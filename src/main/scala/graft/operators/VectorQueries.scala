@@ -421,6 +421,37 @@ object VectorQueries {
       sealedGateQuery(s, store, e)
     }),
 
+    // T3 cross-INDEX federation at query time: two independent sealed
+    // indexes (vec_id ranges [0,300) and [300,600)), one query batch
+    // against both, global top-k merged by (distance, id) — correct
+    // because the global top-k is contained in the union of per-index
+    // top-ks. gids are index-local; the gate maps them back to original
+    // ids via each index's range offset. Recall-1.0 knobs per index, so
+    // the merge must equal brute-force over the union (the oracle).
+    "vec_knn_federated" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val storeA = memoizedStore("fed_a", s, dir) {
+        buildVariant("fed_a", s, e.filter(col("vec_id") < 300))(_.sealPending())
+      }
+      val storeB = memoizedStore("fed_b", s, dir) {
+        buildVariant("fed_b", s,
+          e.filter(col("vec_id") >= 300 && col("vec_id") < 600))(_.sealPending())
+      }
+      val queries = e.filter(col("vec_id") >= 30 && col("vec_id") < 35)
+        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+      def part(store: IndexStore, offset: Long) =
+        Search.query(s, store, queries, 10)
+          .select(col("queryId"), (col("gid") + offset).as("neighbor_id"), col("distance"))
+      val w = Window.partitionBy(col("queryId"))
+        .orderBy(col("distance"), col("neighbor_id"))
+      part(storeA, 0L).unionByName(part(storeB, 300L))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .orderBy(col("queryId"), col("rank"))
+        .select(col("queryId"), col("neighbor_id"), col("rank"), col("distance"))
+    }),
+
     // F2/M4: COMPACTING segments stay fully searchable — the reference
     // keeps compaction sources serving results until the single-commit
     // swap (MaintenanceService.java:248-417). Seal, then flip two
@@ -691,6 +722,22 @@ object VectorQueries {
     "vec_knn_sealed" -> sealedKnnOracle,
 
     "vec_knn_sealed_beam" -> sealedKnnOracle,
+
+    // federated merge over [0,600) must equal brute force over the union
+    "vec_knn_federated" ->
+      s"""WITH g AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600),
+         |q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
+         |  WHERE vec_id >= 30 AND vec_id < 35)
+         |SELECT queryId, vec_id AS neighbor_id, rnk AS "rank", dist AS distance FROM (
+         |  SELECT q.queryId, g.vec_id,
+         |    sqrt(${l2sqL("g.embedding", "q.qv")}) AS dist,
+         |    row_number() OVER (PARTITION BY q.queryId
+         |                       ORDER BY ${l2sqL("g.embedding", "q.qv")}, g.vec_id) AS rnk
+         |  FROM g, q) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
 
     // same exact-KNN oracle as alpha1: COMPACTING state changes segment
     // lifecycle bookkeeping, never visibility — sources serve until the
