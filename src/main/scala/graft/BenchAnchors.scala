@@ -166,6 +166,7 @@ object BenchAnchors {
     "stream_vec_ingest" -> 3.348,
     "embed_pca_power" -> 1.612,
     "vec_knn_federated" -> 2.774,
+    "rel_retention_cohorts" -> 0.793,
     "dedup_incremental_minhash" -> 2.28,
   )
 }

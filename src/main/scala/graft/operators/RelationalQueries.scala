@@ -303,6 +303,29 @@ object RelationalQueries {
     // stage's cohort — the standard events-analytics funnel as three
     // linear stage joins (no per-user sequence collection, so a user's
     // full history never has to fit in one task).
+    // Retention cohorts — the other classic events query next to the
+    // funnel: users grouped by first-seen day, per-day-offset active
+    // fraction over the first week. Two partial-agg shuffles (first-day,
+    // distinct activity) + a user-keyed join; cohort sizes broadcast.
+    "rel_retention_cohorts" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("ts").cast("date").as("d"))
+      val firstDay = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      val act = ev.distinct()
+      val counts = act.join(firstDay, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val sizes = counts.filter(col("day_offset") === 0)
+        .select(col("cohort_day"), col("n_active").as("cohort_size"))
+      counts.join(broadcast(sizes), Seq("cohort_day"))
+        .withColumn("retention",
+          round(col("n_active").cast("double") / col("cohort_size"), 6))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_active"), col("cohort_size"), col("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     "rel_funnel_conversion" -> ((s, dir) => {
       val ev = events(s, dir)
       val s1 = ev.filter(col("event_type") === "signup")
@@ -1120,6 +1143,25 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "rel_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |fd AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, d FROM ev),
+        |j AS (
+        |  SELECT act.user_id, fd.cohort_day,
+        |    datediff('day', fd.cohort_day, act.d) AS day_offset
+        |  FROM act JOIN fd USING (user_id)
+        |  WHERE datediff('day', fd.cohort_day, act.d) <= 7),
+        |c AS (
+        |  SELECT cohort_day, day_offset, count(DISTINCT user_id) AS n_active
+        |  FROM j GROUP BY 1, 2),
+        |sz AS (SELECT cohort_day, n_active AS cohort_size FROM c WHERE day_offset = 0)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(day_offset AS INTEGER) AS day_offset, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM c JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "rel_funnel_conversion" ->
       """WITH s AS (
