@@ -630,22 +630,20 @@ object PipelineQueries {
     // Hybrid retrieval: reciprocal-rank fusion (c=60) of the BM25
     // lexical ranking over documents and the brute-force cosine dense
     // ranking over embeddings (doc_id ≡ vec_id in the synthetic corpus),
-    // both at depth 50, fused to top-10. With two rankers the fused
-    // score is a ≤2-term sum — bit-identical in either engine.
+    // both at depth 50, fused to top-10. BOTH legs rank on 6-dp-snapped
+    // scores (searchBrute's snapDecimals) — fused RANKS are consumed
+    // downstream, so rank assignment itself must be engine-
+    // reproducible. With two rankers the fused score is a ≤2-term sum —
+    // bit-identical in either engine.
     "ann_hybrid_rrf" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
       val lex = Retrieval.bm25TopK(docs(s, dir), "doc_id", "text", bm25Queries, k = 50)
       val e = emb(s, dir)
       val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      val dense = e.crossJoin(broadcast(qs))
-        .withColumn("cos", graft.functions.vector.cosine_sim(col("embedding"), col("qv")))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 50)
-        .select(col("query_id").cast("int").as("query_id"),
-          col("vec_id").as("doc_id"), col("rank"))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+      val dense = Ann.searchBrute(s, e, "vec_id", "embedding", qs, k = 50, snapDecimals = 6)
+        .select(col("queryId").cast("int").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(Seq(lex.select(col("query_id"), col("doc_id"), col("rank")), dense),
           k = 10)
         // the oracle's UNION promotes query_id to BIGINT — match it
@@ -1833,9 +1831,9 @@ object PipelineQueries {
          |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |dsc AS (
          |  SELECT q.query_id, e.vec_id AS doc_id,
-         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |    round(CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
          |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
-         |    END AS cosine
+         |    END, 6) AS cosine
          |  FROM embeddings e, q),
          |drank AS (
          |  SELECT query_id, doc_id,

@@ -298,11 +298,6 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
-    // Ordered funnel conversion (signup → click ≤24h → purchase ≤24h):
-    // each stage is a min-timestamp aggregation joined to the previous
-    // stage's cohort — the standard events-analytics funnel as three
-    // linear stage joins (no per-user sequence collection, so a user's
-    // full history never has to fit in one task).
     // Retention cohorts — the other classic events query next to the
     // funnel: users grouped by first-seen day, per-day-offset active
     // fraction over the first week. Two partial-agg shuffles (first-day,
@@ -326,6 +321,11 @@ object RelationalQueries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Ordered funnel conversion (signup → click ≤24h → purchase ≤24h):
+    // each stage is a min-timestamp aggregation joined to the previous
+    // stage's cohort — the standard events-analytics funnel as three
+    // linear stage joins (no per-user sequence collection, so a user's
+    // full history never has to fit in one task).
     "rel_funnel_conversion" -> ((s, dir) => {
       val ev = events(s, dir)
       val s1 = ev.filter(col("event_type") === "signup")

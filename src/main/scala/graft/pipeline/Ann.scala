@@ -250,19 +250,31 @@ object Ann {
       .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Exact brute-force cosine top-k — the baseline/oracle. */
+  /** Exact brute-force cosine top-k — the baseline/oracle.
+    *
+    * @param snapDecimals when ≥ 0, round the cosine to this many
+    *        decimals BEFORE ranking — use when the RANKS themselves are
+    *        consumed downstream (e.g. rank fusion): near-tied unrounded
+    *        doubles can order differently across engines, and a snapped
+    *        score plus the id tie-break makes the rank assignment
+    *        engine-reproducible. Default keeps raw scores (the
+    *        value-oracled top-k gates compare score values, where the
+    *        raw double is the ground truth). */
   def searchBrute(
       spark: SparkSession,
       df: DataFrame,
       idCol: String,
       embCol: String,
       queries: Seq[(Long, Array[Float])],
-      k: Int): DataFrame = {
+      k: Int,
+      snapDecimals: Int = -1): DataFrame = {
     import spark.implicits._
     val q = queries.toDF("queryId", "qv")
+    val raw = vector.cosine_sim(col(embCol), col("qv"))
+    val cos = if (snapDecimals >= 0) round(raw, snapDecimals) else raw
     val w = Window.partitionBy(col("queryId")).orderBy(col("cosine").desc, col(idCol))
     df.crossJoin(broadcast(q))
-      .withColumn("cosine", vector.cosine_sim(col(embCol), col("qv")))
+      .withColumn("cosine", cos)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))

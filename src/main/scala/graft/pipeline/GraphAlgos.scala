@@ -135,8 +135,9 @@ object GraphAlgos {
     // then the degree join) — persist it or that work runs twice
     val e = edges.select(col("a").cast("long"), col("b").cast("long")).persist()
     // the oriented set feeds all three legs of the intersection join —
-    // persist it, or the degree join is computed thrice
-    val o = orientByDegree(e).persist()
+    // persist it (src/dst only; the order key `dd` has no consumer on
+    // this path), or the degree join is computed thrice
+    val o = orientByDegree(e).select(col("src"), col("dst")).persist()
     val counts = wedgeClose(o)
       .localCheckpoint() // materialize (≤ |V| rows) before releasing e/o
     o.unpersist()
@@ -145,8 +146,10 @@ object GraphAlgos {
   }
 
   /** Orient each undirected edge from its (degree, id)-smaller to its
-    * (degree, id)-larger endpoint; carries the dst's order key
-    * (`dd`, `dst`) for the wedge ordering. */
+    * (degree, id)-larger endpoint. Also emits the dst's degree (`dd`) —
+    * the order key a wedge-ORDERING consumer needs (the hub-star wedge
+    * property in GraphAlgosSpec builds on it); the intersection-form
+    * [[wedgeClose]] reads only (src, dst). */
   private[pipeline] def orientByDegree(e: DataFrame): DataFrame = {
     val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))

@@ -284,8 +284,9 @@ class PlanSpec extends AnyFunSuite {
     // cost tracks matched postings, never vocabulary or corpus size
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"), s"bm25 must not cross-join:\n$p")
-    // the 1-row corpus-stats side rides a broadcast nested loop, which is
-    // the only non-hash join allowed in this plan
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+    // the 1-row corpus-stats side rides a broadcast nested loop; every
+    // OTHER join must stay a hash join — no sort-merge fallback
+    assert(!p.contains("SortMergeJoin"),
+      s"bm25 joins must broadcast, not sort-merge:\n$p")
   }
 }

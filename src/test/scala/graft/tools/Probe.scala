@@ -36,7 +36,12 @@ object Probe {
       println(f"[probe] $name rep $i: $t%.3f s ($n rows)")
       t
     }.sorted
-    println(f"[probe] $name MEDIAN: ${times(times.length / 2)}%.3f s over $reps warm reps")
+    // true median: average the two central elements for even rep counts
+    // (upper-middle alone biases anchors high)
+    val median =
+      if (times.length % 2 == 1) times(times.length / 2)
+      else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+    println(f"[probe] $name MEDIAN: $median%.3f s over $reps warm reps")
     spark.stop()
   }
 }
