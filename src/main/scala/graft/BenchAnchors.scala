@@ -167,6 +167,7 @@ object BenchAnchors {
     "embed_pca_power" -> 1.612,
     "vec_knn_federated" -> 2.774,
     "rel_retention_cohorts" -> 0.793,
+    "pipeline_mixture_temperature" -> 0.683,
     "dedup_incremental_minhash" -> 2.28,
   )
 }

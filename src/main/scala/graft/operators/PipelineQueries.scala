@@ -535,6 +535,21 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // Temperature-scaled (T=2) mixture sampling on a deliberately skewed
+    // corpus (src0/src1 full, every other source thinned to ~1/3): the
+    // smallest source keeps rate 1e6 ppm, larger ones downsample by
+    // sqrt(n_min/n_s) — the XLM-R/mT5 balancing recipe with the
+    // deterministic ppm-hash keep decision.
+    "pipeline_mixture_temperature" -> ((s, dir) => {
+      val corpus = docs(s, dir)
+        .filter(col("source").isin("src0", "src1") || col("doc_id") % 3 === 0)
+      Sampling.temperatureMixture(corpus, "doc_id", "source")
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("rate_ppm")).as("rate_ppm"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // Sequence packing: shard-partitioned token-budget pack assignment
     // (the LLM context-window packing step) — deterministic prefix-sum
     // bucketing, value-checked against the same window math in SQL.
@@ -1743,6 +1758,23 @@ object PipelineQueries {
         |  (CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.5
         |               WHEN 'src2' THEN 0.0 ELSE 0.8 END) * 1000000
         |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "pipeline_mixture_temperature" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE source IN ('src0', 'src1') OR doc_id % 3 = 0),
+        |cnt AS (SELECT source, count(*) AS n_docs FROM corpus GROUP BY source),
+        |mn AS (SELECT min(n_docs) AS n_min FROM cnt),
+        |r AS (
+        |  SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_docs) * 1000000) AS BIGINT) AS rate_ppm
+        |  FROM cnt, mn)
+        |SELECT source, n_docs, rate_ppm,
+        |  CAST(sum(CASE WHEN ((doc_id % 2147483647) * 2654435761) % 1000000 < rate_ppm
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM corpus JOIN r USING (source)
+        |GROUP BY source, n_docs, rate_ppm
         |ORDER BY source""".stripMargin,
 
     "pipeline_pack_sequences" ->

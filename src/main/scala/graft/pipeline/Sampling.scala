@@ -118,6 +118,42 @@ object Sampling {
   }
 
   /**
+   * Temperature-scaled mixture sampling — the multilingual/multi-source
+   * balancing recipe (XLM-R, mT5): target shares `p_s ∝ n_s^(1/T)`
+   * flatten the source distribution. Sampling without replacement, the
+   * most-underrepresented source anchors at keep-rate 1 and every other
+   * source downsamples by `rate_s = (n_min/n_s)^(1-1/T)`; rates floor
+   * to ppm and the per-row keep decision is the usual deterministic
+   * [[hashBucket]] filter (reproducible across engines/runs/cluster
+   * sizes). At T=2 the exponent evaluates via `sqrt`, which IEEE
+   * defines correctly-rounded — bit-identical in any engine (general
+   * `pow` is only ~1-ulp and could flip a ppm floor at a boundary).
+   *
+   * Shape: one count agg + a broadcast of the tiny per-source rate
+   * table back onto the corpus — a single narrow filter pass at scale.
+   *
+   * @return input rows + (n_docs, rate_ppm, kept) for each row's source
+   */
+  def temperatureMixture(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      temperature: Double = 2.0): DataFrame = {
+    require(temperature >= 1.0, "temperature must be >= 1")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val minDf = counts.agg(min(col("n_docs")).as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_docs").cast("double")
+    val rate =
+      if (temperature == 2.0) sqrt(ratio)
+      else pow(ratio, 1.0 - 1.0 / temperature)
+    val rated = counts.crossJoin(broadcast(minDf))
+      .withColumn("rate_ppm", floor(rate * 1000000.0).cast("long"))
+      .select(col(sourceCol), col("n_docs"), col("rate_ppm"))
+    df.join(broadcast(rated), Seq(sourceCol))
+      .withColumn("kept", hashBucket(col(idCol), 1000000) < col("rate_ppm"))
+  }
+
+  /**
    * Budget-constrained corpus selection — "the best data that fits the
    * compute budget", the selection every pretraining run makes: admit
    * docs in (quality DESC, doc_id ASC) order while the running TOKEN
