@@ -535,6 +535,36 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // Per-source data cards — the dataset-datasheet aggregate a corpus
+    // audit publishes: doc/token counts, mean quality, dominant language
+    // and language entropy per source, in ONE grouped pass over the
+    // per-doc signals (all partial-agg shuffles at source cardinality).
+    "pipeline_data_cards" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perDoc = docs(s, dir).select(col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val base = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          round(avg(col("q")), 6).as("mean_quality"))
+      val langs = perDoc.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val wTop = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("lang"))
+      val top = langs.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      val ent = langs
+        .join(base.select(col("source"), col("n_docs")), Seq("source"))
+        .withColumn("p", col("n").cast("double") / col("n_docs"))
+        .groupBy(col("source"))
+        .agg(round(-sum(col("p") * log(col("p"))), 6).as("lang_entropy"))
+      base.join(top, Seq("source")).join(ent, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("mean_quality"), col("top_lang"), col("lang_entropy"))
+        .orderBy(col("source"))
+    }),
+
     // Temperature-scaled (T=2) mixture sampling on a deliberately skewed
     // corpus (src0/src1 full, every other source thinned to ~1/3): the
     // smallest source keeps rate 1e6 ppm, larger ones downsample by
@@ -1759,6 +1789,34 @@ object PipelineQueries {
         |               WHEN 'src2' THEN 0.0 ELSE 0.8 END) * 1000000
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "pipeline_data_cards" ->
+      s"""WITH perdoc AS (
+         |  SELECT source, lang,
+         |    $qualityRawColsSql
+         |  FROM documents),
+         |q AS (
+         |  SELECT source, lang, n_tokens, $qualityFormulaSql AS qv FROM perdoc),
+         |base AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    round(avg(qv), 6) AS mean_quality
+         |  FROM q GROUP BY source),
+         |langs AS (SELECT source, lang, count(*) AS n FROM q GROUP BY 1, 2),
+         |top AS (
+         |  SELECT source, lang AS top_lang FROM (
+         |    SELECT source, lang,
+         |      row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+         |    FROM langs) WHERE rn = 1),
+         |ent AS (
+         |  SELECT l.source,
+         |    round(-sum((CAST(n AS DOUBLE) / n_docs) * ln(CAST(n AS DOUBLE) / n_docs)), 6)
+         |      AS lang_entropy
+         |  FROM langs l JOIN base b ON b.source = l.source
+         |  GROUP BY l.source)
+         |SELECT source, n_docs, n_tokens, mean_quality, top_lang, lang_entropy
+         |FROM base JOIN top USING (source) JOIN ent USING (source)
+         |ORDER BY source""".stripMargin,
 
     "pipeline_mixture_temperature" ->
       """WITH corpus AS (
