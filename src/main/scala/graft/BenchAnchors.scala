@@ -168,6 +168,7 @@ object BenchAnchors {
     "vec_knn_federated" -> 2.774,
     "rel_retention_cohorts" -> 0.793,
     "pipeline_mixture_temperature" -> 0.683,
+    "pipeline_data_cards" -> 0.966,
     "dedup_incremental_minhash" -> 2.28,
   )
 }
