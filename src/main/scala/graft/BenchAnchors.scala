@@ -169,6 +169,7 @@ object BenchAnchors {
     "rel_retention_cohorts" -> 0.793,
     "pipeline_mixture_temperature" -> 0.683,
     "pipeline_data_cards" -> 0.966,
+    "vec_pack_roundtrip" -> 0.729,
     "dedup_incremental_minhash" -> 2.28,
   )
 }

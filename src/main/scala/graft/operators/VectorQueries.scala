@@ -305,6 +305,29 @@ object VectorQueries {
     }),
 
     // K5/K6 as aggregates: norm statistics over the corpus.
+    // K7 wire-format interop: ARRAY<FLOAT> → packed little-endian
+    // float32 BINARY (the reference's FloatPacker layout) through a real
+    // parquet write/read → back to ARRAY<FLOAT>. The gate emits a
+    // per-vector bit-exactness flag against the original plus dim/norm;
+    // any lossy byte would flip roundtrip_exact and hash-mismatch the
+    // oracle's constant-true column.
+    "vec_pack_roundtrip" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-pack").toString
+      tempStores.synchronized { tempStores += root }
+      e.select(col("vec_id"),
+          graft.sources.VectorSources.packEmbedding(col("embedding")).as("packed"))
+        .write.mode("overwrite").parquet(s"$root/packed")
+      val back = s.read.parquet(s"$root/packed")
+        .select(col("vec_id"),
+          graft.sources.VectorSources.unpackEmbedding(col("packed")).as("emb2"))
+      e.join(back, Seq("vec_id"))
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          round(vector.vec_norm(col("embedding")), 6).as("l2_norm"),
+          (col("embedding") === col("emb2")).as("roundtrip_exact"))
+        .orderBy(col("vec_id"))
+    }),
+
     "vec_norm_stats" -> ((s, dir) => {
       emb(s, dir)
         .withColumn("nrm", vector.vec_norm(col("embedding")))
@@ -840,6 +863,13 @@ object VectorQueries {
          |  FROM live g, q) x
          |WHERE rnk <= 10
          |ORDER BY queryId, rnk""".stripMargin,
+
+    "vec_pack_roundtrip" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+         |  round(${normLambda("embedding")}, 6) AS l2_norm,
+         |  true AS roundtrip_exact
+         |FROM embeddings
+         |ORDER BY vec_id""".stripMargin,
 
     "vec_norm_stats" ->
       s"""SELECT count(*) AS n,
