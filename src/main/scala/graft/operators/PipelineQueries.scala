@@ -558,7 +558,9 @@ object PipelineQueries {
         .join(base.select(col("source"), col("n_docs")), Seq("source"))
         .withColumn("p", col("n").cast("double") / col("n_docs"))
         .groupBy(col("source"))
-        .agg(round(-sum(col("p") * log(col("p"))), 6).as("lang_entropy"))
+        // + 0.0 normalizes the monolingual case: -sum(1·ln 1) is -0.0,
+        // and engines disagree on whether round() keeps the sign of zero
+        .agg(round(-sum(col("p") * log(col("p"))) + lit(0.0), 6).as("lang_entropy"))
       base.join(top, Seq("source")).join(ent, Seq("source"))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("mean_quality"), col("top_lang"), col("lang_entropy"))
@@ -1810,7 +1812,7 @@ object PipelineQueries {
          |    FROM langs) WHERE rn = 1),
          |ent AS (
          |  SELECT l.source,
-         |    round(-sum((CAST(n AS DOUBLE) / n_docs) * ln(CAST(n AS DOUBLE) / n_docs)), 6)
+         |    round(-sum((CAST(n AS DOUBLE) / n_docs) * ln(CAST(n AS DOUBLE) / n_docs)) + 0.0, 6)
          |      AS lang_entropy
          |  FROM langs l JOIN base b ON b.source = l.source
          |  GROUP BY l.source)

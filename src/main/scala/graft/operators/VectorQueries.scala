@@ -310,7 +310,11 @@ object VectorQueries {
     // parquet write/read → back to ARRAY<FLOAT>. The gate emits a
     // per-vector bit-exactness flag against the original plus dim/norm;
     // any lossy byte would flip roundtrip_exact and hash-mismatch the
-    // oracle's constant-true column.
+    // oracle's constant-true column. The roundtrip alone can't detect a
+    // self-consistent wrong layout (e.g. big-endian both ways) — the LE
+    // byte pattern itself is pinned in DistancesSpec
+    // ("pack(1.0f) == 00 00 80 3F"); together they gate byte
+    // compatibility with the reference's records.
     "vec_pack_roundtrip" -> ((s, dir) => {
       val e = emb(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft-pack").toString
