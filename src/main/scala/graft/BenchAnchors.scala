@@ -170,6 +170,7 @@ object BenchAnchors {
     "pipeline_mixture_temperature" -> 0.683,
     "pipeline_data_cards" -> 0.966,
     "vec_pack_roundtrip" -> 0.729,
+    "vec_range_search" -> 0.475,
     "dedup_incremental_minhash" -> 2.28,
   )
 }

@@ -305,6 +305,23 @@ object VectorQueries {
     }),
 
     // K5/K6 as aggregates: norm statistics over the corpus.
+    // Radius (range) search: ALL neighbors within L2 distance 1.22 of
+    // each query — the ε-neighborhood query every vector store offers
+    // next to top-k (unbounded result set, no rank). Brute path with
+    // the codegen'd kernel; the kernel's in-order double accumulation
+    // is bit-identical to the oracle's lambda, so the radius boundary
+    // decides identically in both engines.
+    "vec_range_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") >= 35 && col("vec_id") < 40)
+        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+      e.crossJoin(broadcast(qs))
+        .withColumn("dist", vector.l2_distance(col("embedding"), col("qv")))
+        .filter(col("dist") <= 1.22)
+        .select(col("queryId"), col("vec_id").as("neighbor_id"), col("dist"))
+        .orderBy(col("queryId"), col("neighbor_id"))
+    }),
+
     // K7 wire-format interop: ARRAY<FLOAT> → packed little-endian
     // float32 BINARY (the reference's FloatPacker layout) through a real
     // parquet write/read → back to ARRAY<FLOAT>. The gate emits a
@@ -867,6 +884,16 @@ object VectorQueries {
          |  FROM live g, q) x
          |WHERE rnk <= 10
          |ORDER BY queryId, rnk""".stripMargin,
+
+    "vec_range_search" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
+         |  WHERE vec_id >= 35 AND vec_id < 40)
+         |SELECT q.queryId, e.vec_id AS neighbor_id,
+         |  sqrt(${l2sqL("e.embedding", "q.qv")}) AS dist
+         |FROM embeddings e, q
+         |WHERE sqrt(${l2sqL("e.embedding", "q.qv")}) <= 1.22
+         |ORDER BY q.queryId, e.vec_id""".stripMargin,
 
     "vec_pack_roundtrip" ->
       s"""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
