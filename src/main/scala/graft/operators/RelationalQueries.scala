@@ -27,12 +27,22 @@ object RelationalQueries {
     * `spark.sql.legacy.parquet.nanosAsLong` it arrives as LONG nanos —
     * convert to a micros timestamp (integer division, no double precision
     * loss; DuckDB truncates ns→µs identically). */
-  /** ns→µs timestamp normalization shared by the batch and streaming
-    * events readers — ONE place owns the conversion rule. */
+  /** Timestamp normalization shared by the batch and streaming events
+    * readers — ONE place owns the conversion rule. Handles every physical
+    * type the driver has generated events.parquet with: TIMESTAMP(NANOS)
+    * (arrives as LONG under nanosAsLong; integer-divide to µs) and
+    * TIMESTAMP_NTZ µs (cast to session-TZ TIMESTAMP — the session is
+    * pinned UTC so wall-clock values are unchanged; watermarks reject
+    * NTZ event-time columns, so the cast is load-bearing for every
+    * streaming gate). */
   private def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   private def events(s: SparkSession, dir: String): DataFrame =
     normalizeTs(t(s, dir, "events"))
@@ -977,6 +987,145 @@ object RelationalQueries {
           (max(col("o_custkey")) - min(col("o_custkey"))).as("custkey_span"),
           (max(col("d")) - min(col("d"))).cast("long").as("day_span"))
         .orderBy(col("zbucket"))
+    }),
+
+    // ---- TPC-H q2/q9/q11/q12/q16/q20-shaped (completes the 22-query
+    // relational suite). The test schema has no partsupp table, so the
+    // five queries that consult it are documented adaptations: DISTINCT
+    // (l_partkey, l_suppkey) from lineitem IS the part↔supplier relation,
+    // and min(cents(l_extendedprice)) per pair is the supply-cost proxy
+    // (no division — exact integer money per the BASELINE.md rule). The
+    // distinguishing plan shape of each original is preserved.
+
+    // Q2's correlated-min subquery: per part, the EUROPE supplier(s)
+    // matching the partition-wide minimum cost. ps is a shuffled agg on
+    // (partkey, suppkey); part + supplier sides broadcast; the correlated
+    // min is a window over p_partkey (no self-join).
+    "rel_q2_min_cost_supplier" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(cents(col("l_extendedprice"))).as("supply_cost_c"))
+      val p = t(s, dir, "part")
+        .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+      val eligible = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val w = Window.partitionBy(col("p_partkey"))
+      ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eligible), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("min_cost_c", min(col("supply_cost_c")).over(w))
+        .filter(col("supply_cost_c") === col("min_cost_c"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          (col("supply_cost_c") / lit(100.0)).as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q9's profit rollup: 5-way join grouped by (supplier nation, order
+    // year); cost side is the retail-price proxy. All in 1e-4-dollar
+    // integer units until the final division.
+    "rel_q9_product_profit" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").like("%red%"))
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .withColumn("amount_c4",
+          volC4(col("l_extendedprice"), col("l_discount"))
+            - cents(col("p_retailprice")) * lit(100L) * col("l_quantity").cast("long"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg((sum(col("amount_c4")) / lit(10000.0)).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // Q11's HAVING-above-scalar-subquery: per-part shipped value from one
+    // nation's suppliers, kept only where it exceeds 2x the mean per-part
+    // share of that nation's total — the threshold compare stays in
+    // integers (value_c * n_parts > 2 * total_c; a fixed fraction would
+    // degenerate to 0 or all rows as the part table scales), no float
+    // fraction.
+    "rel_q11_important_stock" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_12")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), cents(col("l_extendedprice")).as("v_c"))
+      val total = li.agg(sum(col("v_c")).as("total_c"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      li.groupBy(col("l_partkey"))
+        .agg(sum(col("v_c")).as("value_c"))
+        .crossJoin(broadcast(total))
+        .filter(col("value_c") * col("n_parts") > col("total_c") * 2)
+        .select(col("l_partkey"), (col("value_c") / lit(100.0)).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // Q12's CASE-bucketed lateness count: orders joined to late lineitems
+    // (no commit/receipt dates in this schema — late = shipped >90 days
+    // after the order date), priority classes pivoted by conditional sum.
+    "rel_q12_late_lines" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Q16's distinct-supplier census: the pair relation deduped first
+    // (shuffle on the pair), negative-balance suppliers anti-joined out
+    // (the complaints proxy), then count(DISTINCT suppkey) per part
+    // attribute bucket.
+    "rel_q16_supplier_counts" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excluded = t(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
+        .select(col("s_suppkey"))
+      val p = t(s, dir, "part").filter(
+        col("p_brand") =!= "Brand#45" && col("p_type") =!= "MEDIUM"
+          && col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 49))
+      pairs.join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // Q20's semi-join chain: suppliers from one nation having an outsized
+    // share (>3%) of any PROMO part's 1997 volume. The share test is a
+    // window over the pair aggregate (integer quantities), and the
+    // supplier list is a LEFT SEMI join — no duplicate-row blowup.
+    "rel_q20_excess_suppliers" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      val pairQty = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("pair_qty"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val qualifying = pairQty
+        .withColumn("part_qty", sum(col("pair_qty")).over(w))
+        .filter(col("pair_qty") * 100 > col("part_qty") * 3)
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
     })
   )
 
@@ -1554,7 +1703,100 @@ object RelationalQueries {
         |  ON substr(t.q_name, 1, 2) = substr(n.p_name, 1, 2)
         | AND abs(len(t.q_name) - len(n.p_name)) <= 1
         |WHERE levenshtein(t.q_name, n.p_name) <= 1
-        |ORDER BY q_name, p_name""".stripMargin
+        |ORDER BY q_name, p_name""".stripMargin,
+
+    "rel_q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice*100) AS BIGINT)) AS supply_cost_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |eligible AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |j AS (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost_c,
+        |    min(supply_cost_c) OVER (PARTITION BY p_partkey) AS min_cost_c
+        |  FROM ps
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN eligible ON l_suppkey = s_suppkey
+        |  WHERE p_size <= 10 AND p_type = 'STANDARD')
+        |SELECT s_acctbal, s_name, n_name, p_partkey,
+        |  supply_cost_c / 100.0 AS supply_cost
+        |FROM j WHERE supply_cost_c = min_cost_c
+        |ORDER BY s_acctbal DESC, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "rel_q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |             * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |           - CAST(round(p_retailprice*100) AS BIGINT) * 100
+        |             * CAST(l_quantity AS BIGINT)) AS BIGINT) / 10000.0 AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "rel_q11_important_stock" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(round(l_extendedprice*100) AS BIGINT) AS v_c
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_12')
+        |SELECT l_partkey, CAST(sum(v_c) AS BIGINT) / 100.0 AS value
+        |FROM li
+        |GROUP BY l_partkey
+        |HAVING sum(v_c) * (SELECT count(DISTINCT l_partkey) FROM li)
+        |     > 2 * (SELECT sum(v_c) FROM li)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "rel_q12_late_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "rel_q16_supplier_counts" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "rel_q20_excess_suppliers" ->
+      """WITH pair_qty AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS pair_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |shares AS (
+        |  SELECT l_suppkey, pair_qty,
+        |    sum(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        |  FROM pair_qty)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND EXISTS (SELECT 1 FROM shares
+        |              WHERE l_suppkey = s_suppkey AND pair_qty * 100 > part_qty * 3)
+        |ORDER BY s_name""".stripMargin
   )
 
   /** Unrolled 16-bit Morton interleave — the SQL mirror of
