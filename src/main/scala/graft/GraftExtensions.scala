@@ -62,6 +62,8 @@ object GraftExtensions {
           intArg(es(2), "gram_sketch", "n")) }),
     ("simhash64", "simhash64(text) - 64-bit SimHash of the token stream",
       es => { arity("simhash64", es, 1); SimHash64Expr(es(0)) }),
+    ("md5_lower64", "md5_lower64(s) - low 64 bits of md5 as signed LONG (= DuckDB md5_number_lower)",
+      es => { arity("md5_lower64", es, 1); Md5Lower64Expr(es(0)) }),
     ("repetition_stats", "repetition_stats(text) - STRUCT(dup_line_ratio, top_bigram_ratio)",
       es => { arity("repetition_stats", es, 1); RepetitionStatsExpr(es(0)) }),
     ("pq_encode", "pq_encode(vec, centroids, m) - PQ code bytes (argmin per subspace)",

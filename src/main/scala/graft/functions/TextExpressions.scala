@@ -75,6 +75,21 @@ private object TextKernels {
   }
 }
 
+/** Low 64 bits of md5 as a signed LONG — the scalar form of the token
+  * hash every sketch in this codebase shares with DuckDB's
+  * `md5_number_lower` (byte order matches TextKernels.md5Lower64), so
+  * sketch structures built from it (count-min cells, HLL registers) are
+  * recomputable hash-for-hash in oracle SQL. */
+case class Md5Lower64Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_lower64"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.md5Lower64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** ARRAY<BIGINT> of distinct hashed word-`k`-grams of a text column. */
 case class ShingleHashesExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -256,6 +271,8 @@ object text {
     SparkShims.column(MinHashSignatureExpr(SparkShims.expression(c), params))
   def simhash64(c: Column): Column =
     SparkShims.column(SimHash64Expr(SparkShims.expression(c)))
+  def md5_lower64(c: Column): Column =
+    SparkShims.column(Md5Lower64Expr(SparkShims.expression(c)))
   def repetition_stats(c: Column): Column =
     SparkShims.column(RepetitionStatsExpr(SparkShims.expression(c)))
 }

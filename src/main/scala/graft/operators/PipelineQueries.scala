@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Bpe, Chunker, Clustering, Dedup, Embeddings, Multimodal, Packing, Retrieval, Sampling, Snapshot, TextAnalysis}
+import graft.pipeline.{Ann, Bpe, Chunker, Clustering, Dedup, Embeddings, Multimodal, Packing, Retrieval, Sampling, Sketches, Snapshot, TextAnalysis}
 
 /**
  * LLM-data-pipeline operator coverage (dedup / text analysis / similarity
@@ -1009,7 +1009,26 @@ object PipelineQueries {
         .filter(col("rank") <= 10)
         .select(col("q_doc"), col("doc_id"), col("rank"), col("maxsim"))
         .orderBy(col("q_doc"), col("rank"))
-    })
+    }),
+
+    // Count-min sketch heavy hitters: the 4x1024-cell sketch built from
+    // the distinct-token counts, probed at the exact top-20 — cms_n >=
+    // exact_n pins the one-sided error, and every cell is md5-derived so
+    // the oracle rebuilds the sketch hash-for-hash.
+    "text_cms_heavy_hitters" -> ((s, dir) =>
+      Sketches.cmsHeavyHitters(docs(s, dir))),
+
+    // HyperLogLog vocabulary cardinality: 256 registers, integer harmonic
+    // sum at scale 2^50 (no float-sum order sensitivity), raw estimate
+    // only (libm ln correction deliberately out — not cross-engine
+    // reproducible). exact_distinct rides along to show the sketch error.
+    "text_hll_distinct" -> ((s, dir) =>
+      Sketches.hllVocabulary(docs(s, dir))),
+
+    // PMI collocations: top-25 word bigrams by pointwise mutual
+    // information (support >= 5), snapped to 6 dp before ranking.
+    "text_pmi_bigrams" -> ((s, dir) =>
+      TextAnalysis.pmiBigrams(docs(s, dir), "text", k = 25))
   )
 
   private def dotL(a: String, b: String) =
@@ -2379,7 +2398,77 @@ object PipelineQueries {
         |SELECT doc_id, n_pretokens,
         |  CAST(len(all_toks) AS BIGINT) AS n_tokens,
         |  array_to_string(all_toks[1:8], '|') AS toks_head
-        |FROM agg ORDER BY doc_id""".stripMargin)
+        |FROM agg ORDER BY doc_id""".stripMargin),
+
+    "text_cms_heavy_hitters" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |exact AS (SELECT token, count(*) AS exact_n FROM words GROUP BY 1),
+        |cells AS (
+        |  SELECT token, exact_n, j,
+        |    CAST((md5_number_lower(CAST(j AS VARCHAR) || '#' || token) >> 1) % 1024
+        |      AS BIGINT) AS bucket
+        |  FROM exact, (SELECT unnest([0, 1, 2, 3]) AS j)),
+        |sketch AS (
+        |  SELECT j, bucket, CAST(sum(exact_n) AS BIGINT) AS cell_n
+        |  FROM cells GROUP BY 1, 2),
+        |top AS (SELECT token, exact_n FROM exact ORDER BY exact_n DESC, token LIMIT 20)
+        |SELECT c.token, max(c.exact_n) AS exact_n, min(s.cell_n) AS cms_n
+        |FROM cells c JOIN top t ON c.token = t.token
+        |JOIN sketch s ON c.j = s.j AND c.bucket = s.bucket
+        |GROUP BY c.token
+        |ORDER BY exact_n DESC, c.token""".stripMargin,
+
+    "text_hll_distinct" ->
+      """WITH words AS (
+        |  SELECT DISTINCT unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT CAST(md5_number_lower(token) & 255 AS BIGINT) AS reg,
+        |    CAST(md5_number_lower(token) >> 8 AS BIGINT) AS rest
+        |  FROM words),
+        |regs AS (
+        |  SELECT reg,
+        |    max(CASE WHEN rest = 0 THEN 57
+        |             ELSE 57 - len(bin(rest)) END) AS m_j
+        |  FROM hashed GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(CASE WHEN m_j <= 50 THEN (CAST(1 AS BIGINT) << (50 - m_j))
+        |                       ELSE 0 END) AS BIGINT)
+        |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 50) AS sum_fp,
+        |    CAST(256 - count(*) AS BIGINT) AS n_zero_registers
+        |  FROM regs)
+        |SELECT (SELECT count(*) FROM words) AS exact_distinct,
+        |  n_zero_registers,
+        |  round(0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+        |        * (CAST(1 AS BIGINT) << 50) / sum_fp, 4) AS hll_estimate,
+        |  round(256.0 * ln(256.0 / CAST(n_zero_registers AS DOUBLE)), 4) AS lc_estimate
+        |FROM s""".stripMargin,
+
+    "text_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0) AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> struct_pack(w1 := t[CAST(i AS INTEGER)],
+        |                     w2 := t[CAST(i AS INTEGER) + 1]))) AS b
+        |  FROM toks WHERE len(t) >= 2),
+        |pairs AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |u1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+        |u2 AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY 1),
+        |n AS (SELECT count(*) AS n_bi FROM pairs)
+        |SELECT w1 || ' ' || w2 AS bigram, c12,
+        |  round(ln(CAST(c12 * n_bi AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)), 6) AS pmi
+        |FROM c12 JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN n
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, bigram
+        |LIMIT 25""".stripMargin
   )
 
   private def sqlQuote(v: String): String = "'" + v.replace("'", "''") + "'"

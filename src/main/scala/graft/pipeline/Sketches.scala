@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+
+/** Distributed frequency / cardinality sketches over the document corpus —
+  * the streaming-friendly summaries a 100 TB pipeline keeps instead of
+  * exact tables (heavy-hitter monitoring, cross-shard distinct counts).
+  *
+  * Both sketches hash with md5_lower64 (= DuckDB `md5_number_lower`), so
+  * every cell / register — and therefore the final estimates — are
+  * recomputable in oracle SQL hash-for-hash. Scale shape: the only
+  * full-data pass is the token count aggregation (map-side combined);
+  * everything after operates on the distinct-token table, and the sketch
+  * itself is d·w cells / m registers regardless of corpus size, which is
+  * the entire point — mergeable across shards by cell-wise add / max.
+  */
+object Sketches {
+
+  /** Count-min sketch of token frequencies plus its estimate for the
+    * exact top-`k` tokens: (token, exact_n, cms_n), cms_n >= exact_n by
+    * construction (one-sided error). Row `j` of the sketch hashes token
+    * `t` to bucket md5_lower64(j # t) >>> 1 mod `w`; a cell is the sum of
+    * the counts landing on it.
+    *
+    * The sketch build aggregates (d rows x w buckets) cells from the
+    * distinct-token counts — two shuffles total (token counts, then
+    * cells), both map-side combined; the top-k probe re-derives its d
+    * buckets and joins the broadcast sketch. */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String = "text",
+      d: Int = 4, w: Int = 1024, k: Int = 20): DataFrame = {
+    val exact = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+    val cells = exact
+      .select(col("token"), col("exact_n"),
+        explode(array((0 until d).map(lit): _*)).as("j"))
+      .withColumn("bucket", bucketOf(col("j"), col("token"), w))
+    val sketch = cells.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("exact_n")).as("cell_n"))
+    val top = exact
+      .orderBy(col("exact_n").desc, col("token")).limit(k)
+      .select(col("token"), col("exact_n"),
+        explode(array((0 until d).map(lit): _*)).as("j"))
+      .withColumn("bucket", bucketOf(col("j"), col("token"), w))
+    top.join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(col("token"))
+      .agg(max(col("exact_n")).as("exact_n"), min(col("cell_n")).as("cms_n"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
+  /** Sketch-row `j`'s bucket for a token: 63-bit nonnegative hash mod w. */
+  private def bucketOf(j: Column, token: Column, w: Int): Column =
+    shiftrightunsigned(
+      text.md5_lower64(concat(j.cast("string"), lit("#"), token)), 1) % w
+
+  /** HyperLogLog over the corpus vocabulary: m = 256 registers (b = 8).
+    * Register index = low 8 hash bits; rho = leading-zero rank of the
+    * remaining 56 bits (position of the first 1 from the top, 57 when
+    * all-zero). Returns ONE row:
+    * (exact_distinct, n_zero_registers, hll_estimate).
+    *
+    * The harmonic sum stays in integers: sum_j 2^-M_j is computed as
+    * sum_j 2^(50-M_j) at fixed scale 2^50 with floor shifts — identical
+    * in both engines, no float-sum order sensitivity (M_j > 50 never
+    * occurs with 56-bit hashes at any real vocabulary size, and the CASE
+    * floor matches the oracle exactly anyway). Unseen registers
+    * contribute 2^50 each via the (m - observed) closed form, so no
+    * 0..255 scaffold table is needed. The raw E = alpha_m m^2 / sum
+    * estimate is one double expression with a fixed parenthesization —
+    * bit-identical across engines; the small-range ln correction is
+    * deliberately omitted (libm ln is not cross-engine reproducible). */
+  def hllVocabulary(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val h = text.md5_lower64(col("token"))
+    val regs = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .withColumn("reg", h.bitwiseAND(lit(255L)))
+      .withColumn("rest", shiftrightunsigned(h, 8))
+      // bin() drops leading zeros, so a 56-bit field with bit-length L
+      // has 56-L leading zeros -> rank 57-L; all-zero rest -> 57.
+      .withColumn("rho",
+        when(col("rest") === 0L, lit(57L))
+          .otherwise(lit(57L) - length(bin(col("rest")))))
+      .groupBy(col("reg")).agg(max(col("rho")).as("m_j"))
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(256.0) * lit(256.0)
+    val exact = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .agg(countDistinct(col("token")).as("exact_distinct"))
+    regs
+      .agg(
+        sum(when(col("m_j") <= 50L,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m_j AS INT))"))
+          .otherwise(lit(0L))).as("seen_sum"),
+        count(lit(1)).as("n_seen"))
+      .select(
+        (col("seen_sum") + (lit(256L) - col("n_seen")) * expr("shiftleft(CAST(1 AS BIGINT), 50)"))
+          .as("sum_fp"),
+        (lit(256L) - col("n_seen")).as("n_zero_registers"))
+      .crossJoin(exact)
+      .select(
+        col("exact_distinct"),
+        col("n_zero_registers"),
+        round(alphaM2 * expr("shiftleft(CAST(1 AS BIGINT), 50)") / col("sum_fp"), 4)
+          .as("hll_estimate"),
+        // the HLL++ small-range path: linear counting on empty registers
+        // (this is the estimate a production HLL would return at this
+        // cardinality; one libm ln, 4-dp snapped like the raw estimate)
+        round(lit(256.0) * log(lit(256.0) / col("n_zero_registers").cast("double")), 4)
+          .as("lc_estimate"))
+  }
+}

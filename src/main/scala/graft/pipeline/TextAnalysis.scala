@@ -249,6 +249,50 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("score"), col("rank"))
   }
 
+  // --- PMI collocations ----------------------------------------------------
+
+  /**
+   * Top-`k` word bigrams by pointwise mutual information
+   * (`ln(c12·N / (c1·c2))`, counts over the whole corpus, support
+   * `c12 >= minCount`) — the classic collocation / multi-word-expression
+   * detector. Returns (bigram, c12, pmi) ordered by pmi desc.
+   *
+   * Shape at scale: bigrams come from one per-row lambda over the token
+   * array (no self-join of the token table on position), then two
+   * term-keyed hash aggregations and a broadcast of the unigram counts
+   * onto the bigram table keyed by each side. The unigram table is
+   * vocabulary-sized; if a corpus's vocabulary outgrows broadcast range,
+   * both joins degrade gracefully to shuffled hash joins on the term key.
+   * pmi rounds to 6 dp (single libm ln; see the TF-IDF note).
+   */
+  def pmiBigrams(df: DataFrame, textCol: String, k: Int,
+      minCount: Long = 5L): DataFrame = {
+    // size >= 2 guard: Spark's sequence(1, 0) DESCENDS (it would emit
+    // [1, 0] and element_at(t, 0) throws), it does not return empty.
+    val toks = df.select(tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = toks
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // slot marginals: c1 = times w opens a bigram, c2 = times w closes one
+    // (sum_w2 c12(w1,.) = c1(w1) exactly), the standard collocation PMI.
+    val uni1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val uni2 = bi.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val n = bi.agg(count(lit(1)).as("n_bi"))
+    c12.filter(col("c12") >= minCount)
+      .join(broadcast(uni1), Seq("w1"))
+      .join(broadcast(uni2), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"), col("c12"),
+        round(log((col("c12") * col("n_bi")).cast("double")
+          / (col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
   // --- Unigram-LM perplexity proxy -----------------------------------------
 
   /**

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Invariant gates for the count-min / HLL sketches and PMI collocations
+  * (the DuckDB gate pins them value-for-value; these pin the structural
+  * properties that make the sketches correct sketches). */
+class SketchesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("CMS: estimate is one-sided (cms_n >= exact_n) and exact when buckets dwarf vocabulary") {
+    val out = Sketches.cmsHeavyHitters(docs).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (exact, cms) = (r.getAs[Long]("exact_n"), r.getAs[Long]("cms_n"))
+      assert(cms >= exact, s"${r.getAs[String]("token")}: cms $cms < exact $exact")
+    }
+    // exact top-1 must dominate the list (ordering is by exact count)
+    val counts = out.map(_.getAs[Long]("exact_n"))
+    assert(counts.sameElements(counts.sortBy(-_)))
+  }
+
+  test("CMS: a forced collision inflates the colliding token only upward") {
+    // two tokens in one doc each; a third token duplicated heavily. A
+    // 2-bucket sketch forces collisions; every estimate still bounds
+    // its exact count from above.
+    val tiny = Seq.tabulate(40)(i => (i.toLong, if (i < 30) "aaa" else s"tok$i"))
+      .toDF("doc_id", "text")
+    val out = Sketches.cmsHeavyHitters(tiny, d = 2, w = 2, k = 12).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("cms_n") >= r.getAs[Long]("exact_n"))
+    }
+    val a = out.find(_.getAs[String]("token") == "aaa").get
+    assert(a.getAs[Long]("exact_n") == 30L)
+  }
+
+  test("HLL: registers reproduce the scalar kernel; estimates within sketch error") {
+    val row = Sketches.hllVocabulary(docs).collect().head
+    val exact = row.getAs[Long]("exact_distinct")
+    val zeros = row.getAs[Long]("n_zero_registers")
+    // recompute the zero-register count from the scalar kernel
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .distinct().as[String].collect()
+    // independent md5Lower64 reimplementation (little-endian last 8 bytes)
+    def md5Lower64(s: String): Long = {
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (15 to 8 by -1).foldLeft(0L)((h, i) => (h << 8) | (b(i) & 0xffL))
+    }
+    val seen = toks.map(t => md5Lower64(t) & 255L).toSet
+    assert(zeros == 256L - seen.size)
+    // linear counting is the right estimator at this cardinality: ±15%
+    val lc = row.getAs[Double]("lc_estimate")
+    assert(math.abs(lc - exact) <= math.max(4.0, 0.15 * exact),
+      s"lc $lc vs exact $exact")
+  }
+
+  test("PMI: hand-computed two-bigram fixture") {
+    // corpus: "a b" x4, "a c" x1  ->  bigrams: (a,b)=4, (a,c)=1, N=5
+    // c1(a)=5, c2(b)=4, c2(c)=1
+    // pmi(a b) = ln(4*5 / (5*4)) = 0; needs support>=minCount
+    val df = (Seq.fill(4)("a b") ++ Seq("a c")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiBigrams(df, "text", k = 5, minCount = 1L).collect()
+    val m = out.map(r => r.getAs[String]("bigram") ->
+      (r.getAs[Long]("c12"), r.getAs[Double]("pmi"))).toMap
+    assert(m("a b") == ((4L, 0.0)))
+    assert(m("a c") == ((1L, 0.0))) // ln(1*5/(5*1)) = 0 too
+    assert(out.length == 2)
+  }
+
+  test("PMI: single-token docs are dropped, not exploded into bad indexes") {
+    val df = Seq((1L, "solo"), (2L, "x y x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiBigrams(df, "text", k = 10, minCount = 1L).collect()
+    // bigrams: (x,y)=2, (y,x)=1; no row from the single-token doc
+    assert(out.map(_.getAs[String]("bigram")).toSet == Set("x y", "y x"))
+  }
+}
