@@ -104,10 +104,12 @@ object BenchAnchors {
     // 3-round PageRank; 30M-wedge triangle join) — anchored at their
     // measured medians, not padded
     "graph_pagerank" -> 5.3,
-    // re-anchored for degree-ordered orientation (isolated median 10.95):
-    // ~25% over the id-ordered 8.76 on this uniform graph — the price of
-    // the arboricity bound that survives hub skew (deliberate trade)
-    "graph_triangles" -> 10.95,
+    // re-anchored 2026-08-13 on the round-7 REGENERATED testdata (20k
+    // parts, 1.2M-edge co-purchase graph — denser than the old data's;
+    // the old-data anchor was 10.95 and the old kernel measured 22.7 s
+    // on the new graph). Median with the sorted-merge intersect kernel
+    // + size-aware adjacency broadcast (GraphAlgos.wedgeClose).
+    "graph_triangles" -> 9.923,
     "text_chunk_windows" -> 1.1,
     "text_bpe_pair_counts" -> 1.6,
     "text_bpe_learn_merges" -> 6.6,
@@ -172,5 +174,15 @@ object BenchAnchors {
     "vec_pack_roundtrip" -> 0.729,
     "vec_range_search" -> 0.475,
     "dedup_incremental_minhash" -> 2.28,
+    // round-7 second-wave additions (isolated warm medians, quiet box)
+    "rel_q2_min_cost_supplier" -> 1.873,
+    "rel_q9_product_profit" -> 1.275,
+    "rel_q11_important_stock" -> 1.254,
+    "rel_q12_late_lines" -> 1.069,
+    "rel_q16_supplier_counts" -> 1.538,
+    "rel_q20_excess_suppliers" -> 1.242,
+    "text_cms_heavy_hitters" -> 1.213,
+    "text_hll_distinct" -> 0.601,
+    "text_pmi_bigrams" -> 1.06,
   )
 }
