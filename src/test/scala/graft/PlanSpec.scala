@@ -289,4 +289,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"bm25 joins must broadcast, not sort-merge:\n$p")
   }
+
+  test("q2: part and supplier dims broadcast; correlated min is a window, not a self-join") {
+    val p = plan("rel_q2_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"))
+    // exactly one Window node computes the per-part min — the q2
+    // correlated subquery must not re-aggregate via a second join of ps
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) +
+      p.linesIterator.count(_.trim.contains("+- Window")) >= 1)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q16: pair dedup happens before the part join; excluded suppliers anti-join") {
+    val p = plan("rel_q16_supplier_counts")
+    assert(p.contains("BroadcastHashJoin"), s"part/exclusion sides must broadcast:\n$p")
+    // the census reads exactly two lineitem columns
+    assert(p.contains("ReadSchema: struct<l_orderkey") === false)
+    assert(!p.contains("l_extendedprice"))
+  }
+
+  test("CMS: sketch and top-k probe join via broadcast — the corpus never re-shuffles") {
+    val p = plan("text_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), s"sketch probe must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("HLL: register build is one token-keyed aggregation chain — no join of the corpus") {
+    val p = plan("text_hll_distinct")
+    // the only join is the final 1-row x 1-row estimate crossJoin
+    assert(!p.contains("SortMergeJoin"), s"hll must not sort-merge-join:\n$p")
+  }
+
 }

@@ -103,4 +103,18 @@ class GraphAlgosSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(100L -> 1L, 101L -> 1L, 102L -> 1L))
   }
+
+  test("close plan: merge-walk kernel present; adjacency broadcasts under the edge bound") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val o = GraphAlgos.orientByDegree(
+      edges.select(col("a").cast("long"), col("b").cast("long")))
+      .select(col("src"), col("dst"))
+    val pb = GraphAlgos.wedgeClose(o, broadcastAdj = true)
+      .queryExecution.executedPlan.toString
+    assert(pb.contains("sorted_intersect"), s"close must use the merge-walk kernel:\n$pb")
+    assert(pb.contains("BroadcastHashJoin"), s"adjacency must broadcast when under the bound:\n$pb")
+    // (no negative pin for broadcastAdj = false: Catalyst may still
+    // choose broadcast from its own statistics at fixture scale —
+    // the flag only adds the hint, it never forbids the optimizer)
+  }
 }
