@@ -184,5 +184,6 @@ object BenchAnchors {
     "text_cms_heavy_hitters" -> 1.213,
     "text_hll_distinct" -> 0.601,
     "text_pmi_bigrams" -> 1.06,
+    "text_hll_by_source" -> 0.912,
   )
 }

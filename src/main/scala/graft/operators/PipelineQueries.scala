@@ -1028,7 +1028,14 @@ object PipelineQueries {
     // PMI collocations: top-25 word bigrams by pointwise mutual
     // information (support >= 5), snapped to 6 dp before ranking.
     "text_pmi_bigrams" -> ((s, dir) =>
-      TextAnalysis.pmiBigrams(docs(s, dir), "text", k = 25))
+      TextAnalysis.pmiBigrams(docs(s, dir), "text", k = 25)),
+
+    // HLL mergeability — the sketch's scale story: per-source registers
+    // merged by element-wise max; the __merged__ row's registers (and
+    // so its estimate) equal the whole-corpus sketch (SketchesSpec pins
+    // that equality; the oracle recomputes all rows register-for-register).
+    "text_hll_by_source" -> ((s, dir) =>
+      Sketches.hllBySource(docs(s, dir)))
   )
 
   private def dotL(a: String, b: String) =
@@ -2468,7 +2475,40 @@ object PipelineQueries {
         |FROM c12 JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN n
         |WHERE c12 >= 5
         |ORDER BY pmi DESC, bigram
-        |LIMIT 25""".stripMargin
+        |LIMIT 25""".stripMargin,
+
+    "text_hll_by_source" ->
+      """WITH words AS (
+        |  SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT source, CAST(md5_number_lower(token) & 255 AS BIGINT) AS reg,
+        |    CAST(md5_number_lower(token) >> 8 AS BIGINT) AS rest
+        |  FROM words),
+        |regsrc AS (
+        |  SELECT source, reg,
+        |    max(CASE WHEN rest = 0 THEN 57 ELSE 57 - len(bin(rest)) END) AS m_j
+        |  FROM hashed GROUP BY 1, 2),
+        |allregs AS (
+        |  SELECT source, reg, m_j FROM regsrc
+        |  UNION ALL
+        |  SELECT '__merged__' AS source, reg, max(m_j) AS m_j
+        |  FROM regsrc GROUP BY reg),
+        |s AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN m_j <= 50 THEN (CAST(1 AS BIGINT) << (50 - m_j))
+        |                  ELSE 0 END) AS BIGINT)
+        |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 50) AS sum_fp,
+        |    CAST(256 - count(*) AS BIGINT) AS n_zero_registers
+        |  FROM allregs GROUP BY 1)
+        |SELECT source, n_zero_registers,
+        |  round(0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+        |        * (CAST(1 AS BIGINT) << 50) / sum_fp, 4) AS hll_estimate,
+        |  CASE WHEN n_zero_registers > 0
+        |       THEN round(256.0 * ln(256.0 / CAST(n_zero_registers AS DOUBLE)), 4)
+        |  END AS lc_estimate
+        |FROM s ORDER BY source""".stripMargin
   )
 
   private def sqlQuote(v: String): String = "'" + v.replace("'", "''") + "'"

@@ -107,8 +107,68 @@ object Sketches {
           .as("hll_estimate"),
         // the HLL++ small-range path: linear counting on empty registers
         // (this is the estimate a production HLL would return at this
-        // cardinality; one libm ln, 4-dp snapped like the raw estimate)
-        round(lit(256.0) * log(lit(256.0) / col("n_zero_registers").cast("double")), 4)
+        // cardinality; one libm ln, 4-dp snapped like the raw estimate;
+        // NULL when no register is empty — LC is then inapplicable)
+        when(col("n_zero_registers") > 0L,
+          round(lit(256.0) * log(lit(256.0) / col("n_zero_registers").cast("double")), 4))
           .as("lc_estimate"))
   }
+
+  /** The property that makes HLL the 100 TB distinct-counter: shards
+    * sketch locally, the coordinator merges by element-wise register
+    * max, and the merged sketch IS the whole-corpus sketch. One row per
+    * source plus a `__merged__` row; the gate's oracle additionally pins
+    * merged == whole-corpus register-for-register (`merged_exact`
+    * carries the corpus-wide exact distinct for the union row).
+    *
+    * Shape: one token pass → per-(source, register) max (map-side
+    * combined), then a 256-row-per-source table drives everything —
+    * the merge itself never touches the corpus again. */
+  def hllBySource(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val h = text.md5_lower64(col("token"))
+    val perSrc = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .withColumn("reg", h.bitwiseAND(lit(255L)))
+      .withColumn("rest", shiftrightunsigned(h, 8))
+      .withColumn("rho",
+        when(col("rest") === 0L, lit(57L))
+          .otherwise(lit(57L) - length(bin(col("rest")))))
+      .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("m_j"))
+    // register-max merge — the only cross-shard traffic is 256 longs/shard
+    val merged = perSrc.groupBy(col("reg"))
+      .agg(max(col("m_j")).as("m_j"))
+      .withColumn("source", lit("__merged__"))
+    estimateFromRegisters(perSrc.unionByName(merged))
+      .orderBy(col("source"))
+  }
+
+  /** alpha_256 · m² — fixed parenthesization shared by every estimate. */
+  private def alphaM2: Column =
+    lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(256.0) * lit(256.0)
+
+  /** (source, n_zero_registers, hll_estimate, lc_estimate) from a
+    * (source, reg, m_j) register table — same integer harmonic sum and
+    * fixed-parenthesization estimate as [[hllVocabulary]]. */
+  private def estimateFromRegisters(regs: DataFrame): DataFrame =
+    regs.groupBy(col("source"))
+      .agg(
+        sum(when(col("m_j") <= 50L,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m_j AS INT))"))
+          .otherwise(lit(0L))).as("seen_sum"),
+        count(lit(1)).as("n_seen"))
+      .select(
+        col("source"),
+        (col("seen_sum") + (lit(256L) - col("n_seen")) * expr("shiftleft(CAST(1 AS BIGINT), 50)"))
+          .as("sum_fp"),
+        (lit(256L) - col("n_seen")).as("n_zero_registers"))
+      .select(
+        col("source"),
+        col("n_zero_registers"),
+        round(alphaM2 * expr("shiftleft(CAST(1 AS BIGINT), 50)") / col("sum_fp"), 4)
+          .as("hll_estimate"),
+        when(col("n_zero_registers") > 0L,
+          round(lit(256.0) * log(lit(256.0) / col("n_zero_registers").cast("double")), 4))
+          .as("lc_estimate"))
 }

@@ -77,6 +77,16 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.length == 2)
   }
 
+  test("HLL merge: the __merged__ row equals the whole-corpus sketch") {
+    val whole = Sketches.hllVocabulary(docs).collect().head
+    val merged = Sketches.hllBySource(docs).collect()
+      .find(_.getAs[String]("source") == "__merged__").get
+    assert(merged.getAs[Long]("n_zero_registers") ==
+      whole.getAs[Long]("n_zero_registers"))
+    assert(merged.getAs[Double]("hll_estimate") ==
+      whole.getAs[Double]("hll_estimate"))
+  }
+
   test("PMI: single-token docs are dropped, not exploded into bad indexes") {
     val df = Seq((1L, "solo"), (2L, "x y x y")).toDF("doc_id", "text")
     val out = TextAnalysis.pmiBigrams(df, "text", k = 10, minCount = 1L).collect()
