@@ -182,7 +182,7 @@ object BenchAnchors {
     "rel_q16_supplier_counts" -> 1.538,
     "rel_q20_excess_suppliers" -> 1.242,
     "text_cms_heavy_hitters" -> 1.213,
-    "text_hll_distinct" -> 0.601,
+    "text_hll_distinct" -> 0.494,
     "text_pmi_bigrams" -> 1.06,
     "text_hll_by_source" -> 0.912,
   )

@@ -1019,9 +1019,10 @@ object PipelineQueries {
       Sketches.cmsHeavyHitters(docs(s, dir))),
 
     // HyperLogLog vocabulary cardinality: 256 registers, integer harmonic
-    // sum at scale 2^50 (no float-sum order sensitivity), raw estimate
-    // only (libm ln correction deliberately out — not cross-engine
-    // reproducible). exact_distinct rides along to show the sketch error.
+    // sum at scale 2^50 (no float-sum order sensitivity). The raw
+    // estimate stays libm-free; the linear-counting small-range estimate
+    // is its own guarded column (NULL when no register is empty), and
+    // exact_distinct rides along to show the sketch error.
     "text_hll_distinct" -> ((s, dir) =>
       Sketches.hllVocabulary(docs(s, dir))),
 
@@ -2452,7 +2453,9 @@ object PipelineQueries {
         |  n_zero_registers,
         |  round(0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
         |        * (CAST(1 AS BIGINT) << 50) / sum_fp, 4) AS hll_estimate,
-        |  round(256.0 * ln(256.0 / CAST(n_zero_registers AS DOUBLE)), 4) AS lc_estimate
+        |  CASE WHEN n_zero_registers > 0
+        |       THEN round(256.0 * ln(256.0 / CAST(n_zero_registers AS DOUBLE)), 4)
+        |  END AS lc_estimate
         |FROM s""".stripMargin,
 
     "text_pmi_bigrams" ->
@@ -2471,7 +2474,7 @@ object PipelineQueries {
         |u2 AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY 1),
         |n AS (SELECT count(*) AS n_bi FROM pairs)
         |SELECT w1 || ' ' || w2 AS bigram, c12,
-        |  round(ln(CAST(c12 * n_bi AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)), 6) AS pmi
+        |  round(ln(CAST(c12 * n_bi AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)), 6) + 0.0 AS pmi
         |FROM c12 JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN n
         |WHERE c12 >= 5
         |ORDER BY pmi DESC, bigram

@@ -60,7 +60,7 @@ object Sketches {
     * Register index = low 8 hash bits; rho = leading-zero rank of the
     * remaining 56 bits (position of the first 1 from the top, 57 when
     * all-zero). Returns ONE row:
-    * (exact_distinct, n_zero_registers, hll_estimate).
+    * (exact_distinct, n_zero_registers, hll_estimate, lc_estimate).
     *
     * The harmonic sum stays in integers: sum_j 2^-M_j is computed as
     * sum_j 2^(50-M_j) at fixed scale 2^50 with floor shifts — identical
@@ -70,105 +70,94 @@ object Sketches {
     * contribute 2^50 each via the (m - observed) closed form, so no
     * 0..255 scaffold table is needed. The raw E = alpha_m m^2 / sum
     * estimate is one double expression with a fixed parenthesization —
-    * bit-identical across engines; the small-range ln correction is
-    * deliberately omitted (libm ln is not cross-engine reproducible). */
+    * bit-identical across engines. The ln-based small-range correction
+    * is NOT folded into hll_estimate; linear counting rides along as its
+    * own 4-dp-snapped `lc_estimate` column (NULL once no register is
+    * empty) so the raw-estimate column stays libm-free.
+    *
+    * One corpus pass: the distinct-token aggregation feeds BOTH the
+    * register maxima and (as the per-register token tally summed back
+    * up) the exact distinct count. */
   def hllVocabulary(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val h = text.md5_lower64(col("token"))
-    val regs = docs
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .withColumn("reg", h.bitwiseAND(lit(255L)))
-      .withColumn("rest", shiftrightunsigned(h, 8))
-      // bin() drops leading zeros, so a 56-bit field with bit-length L
-      // has 56-L leading zeros -> rank 57-L; all-zero rest -> 57.
-      .withColumn("rho",
-        when(col("rest") === 0L, lit(57L))
-          .otherwise(lit(57L) - length(bin(col("rest")))))
-      .groupBy(col("reg")).agg(max(col("rho")).as("m_j"))
-    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-      lit(256.0) * lit(256.0)
-    val exact = docs
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .agg(countDistinct(col("token")).as("exact_distinct"))
+    val regs = withRegRho(
+      docs.select(explode(TextAnalysis.tokens(col(textCol))).as("token")).distinct())
+      .groupBy(col("reg"))
+      .agg(max(col("rho")).as("m_j"), count(lit(1)).as("n_tok"))
     regs
-      .agg(
-        sum(when(col("m_j") <= 50L,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m_j AS INT))"))
-          .otherwise(lit(0L))).as("seen_sum"),
-        count(lit(1)).as("n_seen"))
-      .select(
-        (col("seen_sum") + (lit(256L) - col("n_seen")) * expr("shiftleft(CAST(1 AS BIGINT), 50)"))
-          .as("sum_fp"),
-        (lit(256L) - col("n_seen")).as("n_zero_registers"))
-      .crossJoin(exact)
-      .select(
-        col("exact_distinct"),
-        col("n_zero_registers"),
-        round(alphaM2 * expr("shiftleft(CAST(1 AS BIGINT), 50)") / col("sum_fp"), 4)
-          .as("hll_estimate"),
-        // the HLL++ small-range path: linear counting on empty registers
-        // (this is the estimate a production HLL would return at this
-        // cardinality; one libm ln, 4-dp snapped like the raw estimate;
-        // NULL when no register is empty — LC is then inapplicable)
-        when(col("n_zero_registers") > 0L,
-          round(lit(256.0) * log(lit(256.0) / col("n_zero_registers").cast("double")), 4))
-          .as("lc_estimate"))
+      .agg(seenSum, nSeen, sum(col("n_tok")).as("exact_distinct"))
+      .select(col("exact_distinct"), sumFp, nZero)
+      .select(col("exact_distinct"), col("n_zero_registers"),
+        hllEstimate, lcEstimate)
   }
 
   /** The property that makes HLL the 100 TB distinct-counter: shards
     * sketch locally, the coordinator merges by element-wise register
     * max, and the merged sketch IS the whole-corpus sketch. One row per
-    * source plus a `__merged__` row; the gate's oracle additionally pins
-    * merged == whole-corpus register-for-register (`merged_exact`
-    * carries the corpus-wide exact distinct for the union row).
+    * source plus a `__merged__` row; SketchesSpec pins merged ==
+    * whole-corpus and the gate's oracle recomputes every row
+    * register-for-register.
     *
     * Shape: one token pass → per-(source, register) max (map-side
     * combined), then a 256-row-per-source table drives everything —
     * the merge itself never touches the corpus again. */
   def hllBySource(docs: DataFrame, textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
-    val h = text.md5_lower64(col("token"))
-    val perSrc = docs
-      .select(col(sourceCol).as("source"),
-        explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .withColumn("reg", h.bitwiseAND(lit(255L)))
-      .withColumn("rest", shiftrightunsigned(h, 8))
-      .withColumn("rho",
-        when(col("rest") === 0L, lit(57L))
-          .otherwise(lit(57L) - length(bin(col("rest")))))
+    val perSrc = withRegRho(
+      docs.select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token")))
       .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("m_j"))
     // register-max merge — the only cross-shard traffic is 256 longs/shard
     val merged = perSrc.groupBy(col("reg"))
       .agg(max(col("m_j")).as("m_j"))
       .withColumn("source", lit("__merged__"))
-    estimateFromRegisters(perSrc.unionByName(merged))
+    perSrc.unionByName(merged)
+      .groupBy(col("source"))
+      .agg(seenSum, nSeen)
+      .select(col("source"), sumFp, nZero)
+      .select(col("source"), col("n_zero_registers"), hllEstimate, lcEstimate)
       .orderBy(col("source"))
   }
+
+  // --- the one copy of the HLL estimator (both gates compile from these,
+  // --- so the cross-engine-parity-critical formula cannot drift) --------
+
+  /** reg = low 8 hash bits; rho = first-1 rank of the upper 56 (57 when
+    * all-zero). bin() drops leading zeros, so a 56-bit field with
+    * bit-length L has 56-L leading zeros -> rank 57-L. */
+  private def withRegRho(tokens: DataFrame): DataFrame = {
+    val h = text.md5_lower64(col("token"))
+    tokens
+      .withColumn("reg", h.bitwiseAND(lit(255L)))
+      .withColumn("rest", shiftrightunsigned(h, 8))
+      .withColumn("rho",
+        when(col("rest") === 0L, lit(57L))
+          .otherwise(lit(57L) - length(bin(col("rest")))))
+  }
+
+  private def pow2_50: Column = expr("shiftleft(CAST(1 AS BIGINT), 50)")
+
+  /** Integer harmonic-sum pieces over a (reg, m_j) group. */
+  private def seenSum: Column =
+    sum(when(col("m_j") <= 50L,
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m_j AS INT))"))
+      .otherwise(lit(0L))).as("seen_sum")
+  private def nSeen: Column = count(lit(1)).as("n_seen")
+  private def sumFp: Column =
+    (col("seen_sum") + (lit(256L) - col("n_seen")) * pow2_50).as("sum_fp")
+  private def nZero: Column = (lit(256L) - col("n_seen")).as("n_zero_registers")
 
   /** alpha_256 · m² — fixed parenthesization shared by every estimate. */
   private def alphaM2: Column =
     lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(256.0) * lit(256.0)
 
-  /** (source, n_zero_registers, hll_estimate, lc_estimate) from a
-    * (source, reg, m_j) register table — same integer harmonic sum and
-    * fixed-parenthesization estimate as [[hllVocabulary]]. */
-  private def estimateFromRegisters(regs: DataFrame): DataFrame =
-    regs.groupBy(col("source"))
-      .agg(
-        sum(when(col("m_j") <= 50L,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m_j AS INT))"))
-          .otherwise(lit(0L))).as("seen_sum"),
-        count(lit(1)).as("n_seen"))
-      .select(
-        col("source"),
-        (col("seen_sum") + (lit(256L) - col("n_seen")) * expr("shiftleft(CAST(1 AS BIGINT), 50)"))
-          .as("sum_fp"),
-        (lit(256L) - col("n_seen")).as("n_zero_registers"))
-      .select(
-        col("source"),
-        col("n_zero_registers"),
-        round(alphaM2 * expr("shiftleft(CAST(1 AS BIGINT), 50)") / col("sum_fp"), 4)
-          .as("hll_estimate"),
-        when(col("n_zero_registers") > 0L,
-          round(lit(256.0) * log(lit(256.0) / col("n_zero_registers").cast("double")), 4))
-          .as("lc_estimate"))
+  private def hllEstimate: Column =
+    round(alphaM2 * pow2_50 / col("sum_fp"), 4).as("hll_estimate")
+
+  /** The HLL++ small-range path: linear counting on empty registers (the
+    * estimate a production HLL returns at low cardinality; one libm ln,
+    * 4-dp snapped; NULL when no register is empty — LC inapplicable). */
+  private def lcEstimate: Column =
+    when(col("n_zero_registers") > 0L,
+      round(lit(256.0) * log(lit(256.0) / col("n_zero_registers").cast("double")), 4))
+      .as("lc_estimate")
 }

@@ -286,9 +286,11 @@ object TextAnalysis {
       .join(broadcast(uni1), Seq("w1"))
       .join(broadcast(uni2), Seq("w2"))
       .crossJoin(broadcast(n))
+      // + 0.0 normalizes -0.0 (a near-1 ratio's ln rounds to ±0
+      // differently across engines without it — the sign-of-zero rule)
       .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"), col("c12"),
-        round(log((col("c12") * col("n_bi")).cast("double")
-          / (col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+        (round(log((col("c12") * col("n_bi")).cast("double")
+          / (col("c1") * col("c2")).cast("double")), 6) + lit(0.0)).as("pmi"))
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(k)
   }

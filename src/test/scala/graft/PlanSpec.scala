@@ -295,8 +295,7 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
     // exactly one Window node computes the per-part min — the q2
     // correlated subquery must not re-aggregate via a second join of ps
-    assert(p.linesIterator.count(_.trim.startsWith("Window")) +
-      p.linesIterator.count(_.trim.contains("+- Window")) >= 1)
+    assert(p.linesIterator.count(_.contains("Window [")) === 1, p)
     assert(!p.contains("CartesianProduct"))
   }
 
