@@ -89,9 +89,17 @@ object GraphAlgos {
     // all previous rounds and unpersisting round n-1 cascades into round
     // n's cache — the full chain then recomputes from the source scan
     // each iteration (see Bpe.learnMerges for the pathological case).
+    // n is already on the driver — use it to size the per-round join
+    // strategy: under the bound the rank/degree/contribution tables
+    // (O(|V|) rows of 2 longs) broadcast and the EDGE SET NEVER
+    // SHUFFLES in any round (only the map-side-combined dst aggregation
+    // moves data); past it every join stays partitioned for
+    // billion-node graphs.
+    val bcastRanks = n <= BroadcastRankMaxNodes
     var ranks = nodes.withColumn("rank_fp", lit(r0)).localCheckpoint()
     for (_ <- 1 to iterations) {
-      val next = pageRankStep(e, nodes, deg, ranks, base, alphaNum, alphaDen)
+      val next = pageRankStep(e, nodes, deg, ranks, base, alphaNum, alphaDen,
+          broadcastRanks = bcastRanks)
         .localCheckpoint()
       SparkShims.unpersistCheckpoint(ranks) // release the superseded round
       ranks = next
@@ -100,19 +108,26 @@ object GraphAlgos {
     ranks
   }
 
+  /** Node-count bound for broadcasting the per-round rank-side tables
+    * (~16 bytes/node -> ~64 MB at the bound). */
+  val BroadcastRankMaxNodes: Long = 4L * 1000 * 1000
+
   /** One PageRank round, lazy — split out so the per-iteration physical
     * plan stays pinnable in GraphAlgosSpec (the checkpoint in the loop
     * reduces the public query's plan to a LogicalRDD scan). */
   private[pipeline] def pageRankStep(
       e: DataFrame, nodes: DataFrame, deg: DataFrame, ranks: DataFrame,
-      base: Long, alphaNum: Long, alphaDen: Long): DataFrame = {
-    val contrib = ranks.join(deg, col("node") === col("deg_node"))
+      base: Long, alphaNum: Long, alphaDen: Long,
+      broadcastRanks: Boolean = false): DataFrame = {
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (broadcastRanks) broadcast(df) else df
+    val contrib = ranks.join(maybeBcast(deg), col("node") === col("deg_node"))
       .select(col("node").as("c_src"),
         expr(s"($alphaNum * rank_fp) div ($alphaDen * deg)").as("c"))
-    val inSum = e.join(contrib, col("src") === col("c_src"))
+    val inSum = e.join(maybeBcast(contrib), col("src") === col("c_src"))
       .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
       .select(col("dst").as("in_node"), col("in_c"))
-    nodes.join(inSum, col("node") === col("in_node"), "left")
+    nodes.join(maybeBcast(inSum), col("node") === col("in_node"), "left")
       .select(col("node"),
         (lit(base) + coalesce(col("in_c"), lit(0L))).as("rank_fp"))
   }
