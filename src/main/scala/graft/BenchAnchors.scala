@@ -185,5 +185,6 @@ object BenchAnchors {
     "text_hll_distinct" -> 0.494,
     "text_pmi_bigrams" -> 1.06,
     "text_hll_by_source" -> 0.912,
+    "pipeline_schema_evolution" -> 0.798,
   )
 }

@@ -1031,6 +1031,33 @@ object PipelineQueries {
     "text_pmi_bigrams" -> ((s, dir) =>
       TextAnalysis.pmiBigrams(docs(s, dir), "text", k = 25)),
 
+    // Schema evolution across corpus generations: gen 1 (doc_id, text
+    // only) and gen 2 (adds lang/source/n_chars) written as partitions
+    // of one corpus root, read back via footer-level mergeSchema with
+    // coalesce defaults (lang 'und', source 'legacy', n_chars from the
+    // text itself) — the long-lived-corpus recipe. The oracle replays
+    // the default rule per branch on the ORIGINAL table, so the gate
+    // proves read-side union + defaulting is lossless. Overwrite mode
+    // keeps the double fresh-session run idempotent.
+    "pipeline_schema_evolution" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_schemaevo_${dir.hashCode & 0x7fffffff}").getAbsolutePath
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/gen=1")
+      d.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$root/gen=2")
+      graft.sources.SchemaEvolution.readEvolved(s, root, Map(
+          "lang" -> lit("und"),
+          "source" -> lit("legacy"),
+          "n_chars" -> length(col("text")).cast("long")))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // HLL mergeability — the sketch's scale story: per-source registers
     // merged by element-wise max; the __merged__ row's registers (and
     // so its estimate) equal the whole-corpus sketch (SketchesSpec pins
@@ -2479,6 +2506,16 @@ object PipelineQueries {
         |WHERE c12 >= 5
         |ORDER BY pmi DESC, bigram
         |LIMIT 25""".stripMargin,
+
+    "pipeline_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'legacy' ELSE source END AS source,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'und' ELSE lang END AS lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN len(text) ELSE n_chars END)
+        |    AS BIGINT) AS n_chars_total
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY source, lang""".stripMargin,
 
     "text_hll_by_source" ->
       """WITH words AS (
