@@ -89,4 +89,17 @@ object KernelProps extends Properties("graft-kernels") {
         .nullSafeEval(UTF8String.fromString(ts.mkString(" ")))
       sim(toks) == sim(new Random(seed).shuffle(toks))
     }
+
+  property("sorted_intersect == set intersection on sorted distinct inputs") =
+    forAll(Gen.listOf(Gen.choose(-1000L, 1000L)), Gen.listOf(Gen.choose(-1000L, 1000L))) {
+      (xs, ys) =>
+        import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+        val a = xs.distinct.sorted.toArray
+        val b = ys.distinct.sorted.toArray
+        val got = graft.functions.SortedIntersectExpr(null, null)
+          .nullSafeEval(new GenericArrayData(a), new GenericArrayData(b))
+          .asInstanceOf[ArrayData].toLongArray()
+        val want = a.toSet.intersect(b.toSet).toArray.sorted
+        got.sameElements(want)
+    }
 }

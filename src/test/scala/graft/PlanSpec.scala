@@ -307,6 +307,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_extendedprice"))
   }
 
+  test("q9: part filter and all dims broadcast — one lineitem-orders shuffle at most") {
+    val p = plan("rel_q9_product_profit")
+    assert(p.contains("BroadcastHashJoin"))
+    // the p_name LIKE filter must reach the part scan, not sit above a join
+    assert(p.contains("PushedFilters") && p.contains("p_name"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q20: the qualifying-supplier probe is a LEFT SEMI join — no duplicate-row blowup") {
+    val p = plan("rel_q20_excess_suppliers")
+    assert(p.contains("LeftSemi"), s"supplier probe must be a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("CMS: sketch and top-k probe join via broadcast — the corpus never re-shuffles") {
     val p = plan("text_cms_heavy_hitters")
     assert(p.contains("BroadcastHashJoin"), s"sketch probe must broadcast:\n$p")

@@ -77,6 +77,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.length == 2)
   }
 
+  test("CMS mergeability: shard sketches summed cell-wise equal the whole-corpus sketch") {
+    // the CMS counterpart of the HLL merge property: cells ADD across
+    // shards. Build the global sketch and two shard sketches by hand
+    // from exact token counts and compare cell-for-cell.
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] = {
+      def md5Lower64(s: String): Long = {
+        val b = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        (15 to 8 by -1).foldLeft(0L)((h, i) => (h << 8) | (b(i) & 0xffL))
+      }
+      df.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy("t").count().as[(String, Long)].collect()
+        .flatMap { case (t, n) =>
+          (0 until 4).map(j => (j, (md5Lower64(s"$j#$t") >>> 1) % 1024) -> n)
+        }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    }
+    val whole = cells(docs)
+    val shardA = cells(docs.filter(col("doc_id") % 2 === 0))
+    val shardB = cells(docs.filter(col("doc_id") % 2 =!= 0))
+    val merged = (shardA.keySet ++ shardB.keySet).map(k =>
+      k -> (shardA.getOrElse(k, 0L) + shardB.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
   test("HLL merge: the __merged__ row equals the whole-corpus sketch") {
     val whole = Sketches.hllVocabulary(docs).collect().head
     val merged = Sketches.hllBySource(docs).collect()
