@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.SparkShims
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -16,8 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * step. The merge walk is O(|a|+|b|) over primitive longs with no
   * per-row allocation beyond the (usually tiny) result.
   *
-  * Caller contract: both inputs ascending-sorted with distinct
-  * elements (GraphAlgos sorts the adjacency lists once at build). */
+  * Caller contract: both inputs ascending-sorted (GraphAlgos sorts the
+  * adjacency lists once at build). Duplicate input elements are
+  * tolerated — the walk emits each matched value once, preserving
+  * array_intersect's set semantics (a non-distinct edge set must not
+  * silently inflate triangle counts). */
 case class SortedIntersectExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -32,9 +36,13 @@ case class SortedIntersectExpr(left: Expression, right: Expression)
       val x = xs(i); val y = ys(j)
       if (x < y) i += 1
       else if (x > y) j += 1
-      else { out(n) = x; n += 1; i += 1; j += 1 }
+      else {
+        if (n == 0 || out(n - 1) != x) { out(n) = x; n += 1 }
+        i += 1; j += 1
+      }
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+    // primitive-backed result — GenericArrayData would box every long
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
   }
 
   override protected def withNewChildrenInternal(

@@ -2508,10 +2508,13 @@ object PipelineQueries {
         |LIMIT 25""".stripMargin,
 
     "pipeline_schema_evolution" ->
-      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'legacy' ELSE source END AS source,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'und' ELSE lang END AS lang,
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'legacy'
+        |       ELSE coalesce(source, 'legacy') END AS source,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'und'
+        |       ELSE coalesce(lang, 'und') END AS lang,
         |  count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN len(text) ELSE n_chars END)
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN len(text)
+        |           ELSE coalesce(n_chars, len(text)) END)
         |    AS BIGINT) AS n_chars_total
         |FROM documents
         |GROUP BY 1, 2

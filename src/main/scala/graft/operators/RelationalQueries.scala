@@ -1038,7 +1038,7 @@ object RelationalQueries {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .withColumn("amount_c4",
           volC4(col("l_extendedprice"), col("l_discount"))
-            - cents(col("p_retailprice")) * lit(100L) * col("l_quantity").cast("long"))
+            - cents(col("p_retailprice")) * lit(100L) * floor(col("l_quantity")))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
         .agg((sum(col("amount_c4")) / lit(10000.0)).as("profit"))
         .orderBy(col("nation"), col("o_year").desc)
@@ -1058,10 +1058,13 @@ object RelationalQueries {
       val li = t(s, dir, "lineitem")
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey"), cents(col("l_extendedprice")).as("v_c"))
-      val total = li.agg(sum(col("v_c")).as("total_c"),
-        countDistinct(col("l_partkey")).as("n_parts"))
-      li.groupBy(col("l_partkey"))
-        .agg(sum(col("v_c")).as("value_c"))
+      // one scan: the totals derive from the persisted per-part aggregate
+      // (sum of group sums == grand total; group count == distinct parts)
+      val grouped = li.groupBy(col("l_partkey"))
+        .agg(sum(col("v_c")).as("value_c")).persist()
+      val total = grouped.agg(sum(col("value_c")).as("total_c"),
+        count(lit(1)).as("n_parts"))
+      grouped
         .crossJoin(broadcast(total))
         .filter(col("value_c") * col("n_parts") > col("total_c") * 2)
         .select(col("l_partkey"), (col("value_c") / lit(100.0)).as("value"))
@@ -1114,7 +1117,7 @@ object RelationalQueries {
         .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(col("l_quantity").cast("long")).as("pair_qty"))
+        .agg(sum(floor(col("l_quantity"))).as("pair_qty"))
       val w = Window.partitionBy(col("l_partkey"))
       val qualifying = pairQty
         .withColumn("part_qty", sum(col("pair_qty")).over(w))
@@ -1734,7 +1737,7 @@ object RelationalQueries {
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
         |             * (100 - CAST(round(l_discount*100) AS BIGINT))
         |           - CAST(round(p_retailprice*100) AS BIGINT) * 100
-        |             * CAST(l_quantity AS BIGINT)) AS BIGINT) / 10000.0 AS profit
+        |             * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) / 10000.0 AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1781,7 +1784,7 @@ object RelationalQueries {
 
     "rel_q20_excess_suppliers" ->
       """WITH pair_qty AS (
-        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS pair_qty
+        |  SELECT l_partkey, l_suppkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS pair_qty
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE p_type = 'PROMO'
         |    AND l_shipdate >= TIMESTAMP '1997-01-01'

@@ -276,12 +276,15 @@ object TextAnalysis {
         "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
         .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // ONE corpus pass: the bigram-count table is persisted (bounded by
+    // the bigram vocabulary, not the corpus) and the slot marginals +
+    // total derive from it — c1(w1) = sum_w2 c12(w1,.) exactly, so the
+    // tokenize/explode lineage never re-executes for uni1/uni2/n.
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    // slot marginals: c1 = times w opens a bigram, c2 = times w closes one
-    // (sum_w2 c12(w1,.) = c1(w1) exactly), the standard collocation PMI.
-    val uni1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val uni2 = bi.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
-    val n = bi.agg(count(lit(1)).as("n_bi"))
+      .persist()
+    val uni1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val uni2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = c12.agg(sum(col("c12")).as("n_bi"))
     c12.filter(col("c12") >= minCount)
       .join(broadcast(uni1), Seq("w1"))
       .join(broadcast(uni2), Seq("w2"))

@@ -90,12 +90,14 @@ object KernelProps extends Properties("graft-kernels") {
       sim(toks) == sim(new Random(seed).shuffle(toks))
     }
 
-  property("sorted_intersect == set intersection on sorted distinct inputs") =
+  property("sorted_intersect == set intersection on sorted inputs, duplicates tolerated") =
     forAll(Gen.listOf(Gen.choose(-1000L, 1000L)), Gen.listOf(Gen.choose(-1000L, 1000L))) {
       (xs, ys) =>
         import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-        val a = xs.distinct.sorted.toArray
-        val b = ys.distinct.sorted.toArray
+        // sorted but NOT deduped — the kernel must keep set semantics
+        // (emit each matched value once) even with duplicate entries
+        val a = xs.sorted.toArray
+        val b = ys.sorted.toArray
         val got = graft.functions.SortedIntersectExpr(null, null)
           .nullSafeEval(new GenericArrayData(a), new GenericArrayData(b))
           .asInstanceOf[ArrayData].toLongArray()

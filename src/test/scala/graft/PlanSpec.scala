@@ -310,8 +310,9 @@ class PlanSpec extends AnyFunSuite {
   test("q9: part filter and all dims broadcast — one lineitem-orders shuffle at most") {
     val p = plan("rel_q9_product_profit")
     assert(p.contains("BroadcastHashJoin"))
-    // the p_name LIKE filter must reach the part scan, not sit above a join
-    assert(p.contains("PushedFilters") && p.contains("p_name"))
+    // the p_name LIKE filter must reach the part scan, not sit above a
+    // join — assert the concrete pushed filter, not its mere mention
+    assert(p.contains("StringContains(p_name,red)"), s"LIKE must push to the scan:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -329,8 +330,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("HLL: register build is one token-keyed aggregation chain — no join of the corpus") {
     val p = plan("text_hll_distinct")
-    // the only join is the final 1-row x 1-row estimate crossJoin
-    assert(!p.contains("SortMergeJoin"), s"hll must not sort-merge-join:\n$p")
+    // since the one-pass refactor there is no join at all: one distinct,
+    // one register aggregation, one final global aggregation
+    assert(!p.contains("Join"), s"hll must be join-free:\n$p")
   }
 
 }

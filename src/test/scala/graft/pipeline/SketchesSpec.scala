@@ -16,6 +16,15 @@ class SketchesSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
   private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** Independent md5Lower64 reimplementation (little-endian last 8
+    * bytes) — deliberately NOT TextKernels, so the specs cross-check
+    * the kernel rather than restate it. */
+  private def md5Lower64(s: String): Long = {
+    val b = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    (15 to 8 by -1).foldLeft(0L)((h, i) => (h << 8) | (b(i) & 0xffL))
+  }
+
   test("CMS: estimate is one-sided (cms_n >= exact_n) and exact when buckets dwarf vocabulary") {
     val out = Sketches.cmsHeavyHitters(docs).collect()
     assert(out.length == 20)
@@ -49,12 +58,6 @@ class SketchesSpec extends AnyFunSuite {
     // recompute the zero-register count from the scalar kernel
     val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
       .distinct().as[String].collect()
-    // independent md5Lower64 reimplementation (little-endian last 8 bytes)
-    def md5Lower64(s: String): Long = {
-      val b = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      (15 to 8 by -1).foldLeft(0L)((h, i) => (h << 8) | (b(i) & 0xffL))
-    }
     val seen = toks.map(t => md5Lower64(t) & 255L).toSet
     assert(zeros == 256L - seen.size)
     // linear counting is the right estimator at this cardinality: ±15%
@@ -82,11 +85,6 @@ class SketchesSpec extends AnyFunSuite {
     // shards. Build the global sketch and two shard sketches by hand
     // from exact token counts and compare cell-for-cell.
     def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] = {
-      def md5Lower64(s: String): Long = {
-        val b = java.security.MessageDigest.getInstance("MD5")
-          .digest(s.getBytes("UTF-8"))
-        (15 to 8 by -1).foldLeft(0L)((h, i) => (h << 8) | (b(i) & 0xffL))
-      }
       df.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
         .groupBy("t").count().as[(String, Long)].collect()
         .flatMap { case (t, n) =>
