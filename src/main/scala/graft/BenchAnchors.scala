@@ -177,13 +177,13 @@ object BenchAnchors {
     // round-7 second-wave additions (isolated warm medians, quiet box)
     "rel_q2_min_cost_supplier" -> 1.873,
     "rel_q9_product_profit" -> 1.275,
-    "rel_q11_important_stock" -> 1.254,
+    "rel_q11_important_stock" -> 0.592,
     "rel_q12_late_lines" -> 1.069,
     "rel_q16_supplier_counts" -> 1.538,
     "rel_q20_excess_suppliers" -> 1.242,
     "text_cms_heavy_hitters" -> 1.213,
     "text_hll_distinct" -> 0.494,
-    "text_pmi_bigrams" -> 1.06,
+    "text_pmi_bigrams" -> 0.682,
     "text_hll_by_source" -> 0.912,
     "pipeline_schema_evolution" -> 0.798,
   )
