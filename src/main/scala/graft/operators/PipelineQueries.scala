@@ -1041,9 +1041,13 @@ object PipelineQueries {
     // keeps the double fresh-session run idempotent.
     "pipeline_schema_evolution" -> ((s, dir) => {
       val d = docs(s, dir)
+      // key the temp root on the sanitized dir PATH (not its hashCode:
+      // a 31-bit hash lets two data dirs collide and silently share the
+      // same gen=1/gen=2 tree)
+      val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val root = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        s"graft_schemaevo_${dir.hashCode & 0x7fffffff}").getAbsolutePath
+        s"graft_schemaevo_$dirKey").getAbsolutePath
       d.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
         .write.mode("overwrite").parquet(s"$root/gen=1")
       d.filter(col("doc_id") % 2 === 1)

@@ -1064,11 +1064,16 @@ object RelationalQueries {
         .agg(sum(col("v_c")).as("value_c")).persist()
       val total = grouped.agg(sum(col("value_c")).as("total_c"),
         count(lit(1)).as("n_parts"))
-      grouped
+      val out = grouped
         .crossJoin(broadcast(total))
         .filter(col("value_c") * col("n_parts") > col("total_c") * 2)
         .select(col("l_partkey"), (col("value_c") / lit(100.0)).as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
+        // materialize the filtered result, then release the per-part
+        // cache so it doesn't outlive the call (triangleCounts pattern)
+        .localCheckpoint()
+      grouped.unpersist()
+      out
     }),
 
     // Q12's CASE-bucketed lateness count: orders joined to late lineitems
@@ -1778,7 +1783,8 @@ object RelationalQueries {
         |FROM pairs JOIN part ON l_partkey = p_partkey
         |WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
         |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 49)
-        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |    WHERE s_suppkey = l_suppkey AND s_acctbal < 0.0)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 

@@ -84,7 +84,11 @@ object Sketches {
       .groupBy(col("reg"))
       .agg(max(col("rho")).as("m_j"), count(lit(1)).as("n_tok"))
     regs
-      .agg(seenSum, nSeen, sum(col("n_tok")).as("exact_distinct"))
+      // coalesce: on an empty corpus the global agg's sum is NULL but the
+      // oracle's scalar `count(*) FROM words` is 0 (sum_fp/hll_estimate
+      // stay NULL on both sides — only this column needs the floor)
+      .agg(seenSum, nSeen,
+        coalesce(sum(col("n_tok")), lit(0L)).as("exact_distinct"))
       .select(col("exact_distinct"), sumFp, nZero)
       .select(col("exact_distinct"), col("n_zero_registers"),
         hllEstimate, lcEstimate)

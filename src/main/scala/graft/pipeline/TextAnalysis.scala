@@ -285,7 +285,7 @@ object TextAnalysis {
     val uni1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val uni2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
     val n = c12.agg(sum(col("c12")).as("n_bi"))
-    c12.filter(col("c12") >= minCount)
+    val out = c12.filter(col("c12") >= minCount)
       .join(broadcast(uni1), Seq("w1"))
       .join(broadcast(uni2), Seq("w2"))
       .crossJoin(broadcast(n))
@@ -296,6 +296,12 @@ object TextAnalysis {
           / (col("c1") * col("c2")).cast("double")), 6) + lit(0.0)).as("pmi"))
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(k)
+      // materialize the ≤ k result rows, then release the bigram cache —
+      // otherwise the cached partitions outlive the call for the whole
+      // session (the triangleCounts pattern)
+      .localCheckpoint()
+    c12.unpersist()
+    out
   }
 
   // --- Unigram-LM perplexity proxy -----------------------------------------
