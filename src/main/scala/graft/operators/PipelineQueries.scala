@@ -621,6 +621,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal REAL decode: deterministic quadrant images encoded via
+    // the JDK's actual PNG/BMP codecs, decoded back through javax.imageio
+    // (format sniffed from the bytes), exact integer channel sums out.
+    // The oracle recomputes every sum from the quadrant closed form — if
+    // the codec round-trip dropped or moved a single pixel, the BIGINTs
+    // diverge.
+    "multimodal_decode_real" -> ((s, dir) => {
+      val blobs = Multimodal.withEncodedImages(s, docs(s, dir), "doc_id")
+      Multimodal.decodeImageStats(blobs).toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling (video rows fan out one row per frame).
     "multimodal_frames" -> ((s, dir) => {
       val blobs = Multimodal.withSyntheticMedia(s, docs(s, dir), "doc_id")
@@ -2063,6 +2075,28 @@ object PipelineQueries {
         |  CAST(CASE WHEN mediaType = 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels,
         |  CAST(77 AS BIGINT) AS n_bytes
         |FROM scaled ORDER BY doc_id""".stripMargin,
+
+    "multimodal_decode_real" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 48 + 8 AS INTEGER) AS w,
+        |    CAST(doc_id % 32 + 8 AS INTEGER) AS h
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, w, h,
+        |    w // 2 AS wl, w - w // 2 AS wr,
+        |    h // 2 AS ht, h - h // 2 AS hb
+        |  FROM m)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  w AS width, h AS height, CAST(3 AS INTEGER) AS channels,
+        |  CAST(wl*ht*((doc_id*3+7) % 256) + wr*ht*((doc_id*3+38) % 256)
+        |     + wl*hb*((doc_id*3+69) % 256) + wr*hb*((doc_id*3+100) % 256) AS BIGINT) AS sum_r,
+        |  CAST(wl*ht*((doc_id*5+7) % 256) + wr*ht*((doc_id*5+38) % 256)
+        |     + wl*hb*((doc_id*5+69) % 256) + wr*hb*((doc_id*5+100) % 256) AS BIGINT) AS sum_g,
+        |  CAST(wl*ht*((doc_id*7+7) % 256) + wr*ht*((doc_id*7+38) % 256)
+        |     + wl*hb*((doc_id*7+69) % 256) + wr*hb*((doc_id*7+100) % 256) AS BIGINT) AS sum_b
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(f * 5000 AS BIGINT) AS ts_ms

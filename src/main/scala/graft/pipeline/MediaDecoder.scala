@@ -40,11 +40,76 @@ trait MediaDecoder extends Serializable {
 }
 
 /**
+ * REAL image decoder over the JDK's built-in `javax.imageio` codecs
+ * (PNG / BMP / JPEG / GIF — everything registered offline in a stock
+ * JRE). Decodes the payload bytes into actual pixels and derives the
+ * 16-dim feature vector from them:
+ *
+ *   f0..f2   global mean R, G, B (÷255)
+ *   f3       global mean luminance (299·R + 587·G + 114·B)/1000 ÷255
+ *   f4..f15  2×2-grid (TL,TR,BL,BR) × (R,G,B) quadrant means (÷255)
+ *
+ * All accumulation is integer (exact); only the final per-cell division
+ * is floating point, so retried tasks reproduce bit-identical rows.
+ * `ImageIO.setUseCache(false)` keeps decode purely in-memory — no
+ * temp-file IO inside executor tasks.
+ */
+object ImageIoDecoder extends MediaDecoder {
+
+  override def decodeOne(b: MediaBlob): DecodedMedia = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.data))
+    require(img != null, s"undecodable media payload for doc ${b.doc_id}")
+    val w = img.getWidth
+    val h = img.getHeight
+    val channels = img.getColorModel.getNumComponents
+    val wl = w / 2
+    val ht = h / 2
+    // [quadrant 0..3][channel r,g,b] integer sums + per-quadrant counts
+    val sums = Array.ofDim[Long](4, 3)
+    val counts = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val q = (if (y < ht) 0 else 2) + (if (x < wl) 0 else 1)
+        val p = img.getRGB(x, y)
+        sums(q)(0) += (p >> 16) & 0xff
+        sums(q)(1) += (p >> 8) & 0xff
+        sums(q)(2) += p & 0xff
+        counts(q) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val gr = sums(0)(0) + sums(1)(0) + sums(2)(0) + sums(3)(0)
+    val gg = sums(0)(1) + sums(1)(1) + sums(2)(1) + sums(3)(1)
+    val gb = sums(0)(2) + sums(1)(2) + sums(2)(2) + sums(3)(2)
+    val features = new Array[Float](16)
+    features(0) = (gr.toDouble / n / 255.0).toFloat
+    features(1) = (gg.toDouble / n / 255.0).toFloat
+    features(2) = (gb.toDouble / n / 255.0).toFloat
+    features(3) = (((299L * gr + 587L * gg + 114L * gb).toDouble / 1000.0) / n / 255.0).toFloat
+    var q = 0
+    while (q < 4) {
+      var ch = 0
+      while (ch < 3) {
+        features(4 + q * 3 + ch) =
+          if (counts(q) == 0L) 0.0f
+          else (sums(q)(ch).toDouble / counts(q) / 255.0).toFloat
+        ch += 1
+      }
+      q += 1
+    }
+    DecodedMedia(b.doc_id, b.mediaType, w, h, channels, b.data.length.toLong, features)
+  }
+}
+
+/**
  * Default decoder: a deterministic STUB over the synthetic GRMM blob
- * format ([[Multimodal.synthesizeBlob]]) — media codecs are not
- * available in this environment. Parses the 13-byte header and derives
- * a 16-dim feature vector from the first payload bytes; stands in for a
- * real image/audio decode with the same signature and batch shape.
+ * format ([[Multimodal.synthesizeBlob]]) — kept for the fully
+ * closed-form gate; real images go through [[ImageIoDecoder]].
  */
 object SyntheticHeaderDecoder extends MediaDecoder {
 

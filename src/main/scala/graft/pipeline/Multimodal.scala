@@ -69,6 +69,103 @@ object Multimodal {
     }
   }
 
+  /** Exact decoded-image statistics row: integer channel sums, so the
+    * correctness oracle compares BIGINTs with zero float-rounding risk. */
+  final case class ImageStats(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** Deterministic quadrant-fill image for `docId`, encoded through a
+    * REAL `javax.imageio` codec (PNG for even ids, BMP for odd — both
+    * ship in a stock JRE, no external codecs). Quadrant q (0=TL, 1=TR,
+    * 2=BL, 3=BR) of channel ch (0=R,1=G,2=B) is the solid value
+    * `(docId·(3+2·ch) + 31·q + 7) mod 256`, so the decoded per-channel
+    * pixel sums have an exact integer closed form:
+    * `Σ_q area(q)·v(q,ch)` with `area` from the floor-half quadrant
+    * split — which is precisely what the gate oracle recomputes. */
+  def encodeQuadrantImage(docId: Long): MediaBlob = {
+    val w = (docId % 48 + 8).toInt
+    val h = (docId % 32 + 8).toInt
+    val fmt = if (docId % 2 == 0) "png" else "bmp"
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val wl = w / 2
+    val ht = h / 2
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val q = (if (y < ht) 0 else 2) + (if (x < wl) 0 else 1)
+        val r = ((docId * 3 + 31 * q + 7) % 256).toInt
+        val g = ((docId * 5 + 31 * q + 7) % 256).toInt
+        val b = ((docId * 7 + 31 * q + 7) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no ImageIO writer for $fmt")
+    MediaBlob(docId, s"image/$fmt", bos.toByteArray, MediaMeta(w, h, 3, 0L))
+  }
+
+  /** Attach REAL encoded image payloads (PNG/BMP bytes from the JDK
+    * codecs) to a documents-like DataFrame — the counterpart of
+    * [[withSyntheticMedia]] for the real-decode path. */
+  def withEncodedImages(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map(encodeQuadrantImage)
+  }
+
+  /** REAL decode of image payloads to exact integer channel statistics:
+    * each blob's bytes go through `javax.imageio` (format detected from
+    * the byte stream, not trusted from metadata), pixels summed per
+    * channel in integers. mapPartitions keeps codec setup per task and
+    * the output row width bounded — no pixel buffers cross a shuffle. */
+  def decodeImageStats(blobs: Dataset[MediaBlob]): Dataset[ImageStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { blob =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(blob.data))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no ImageIO reader for doc ${blob.doc_id}")
+        val reader = readers.next()
+        val fmt = reader.getFormatName.toLowerCase
+        reader.setInput(iis)
+        val img = reader.read(0)
+        reader.dispose()
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getColorModel.getNumComponents
+        var sr = 0L
+        var sg = 0L
+        var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(blob.doc_id, fmt, w, h, channels, sr, sg, sb)
+      }
+    }
+  }
+
   /**
    * Decode stage — mapPartitions with explicit batching (the Scala shape
    * of `mapInPandas`): pull `batchSize` blobs, decode each via the

@@ -710,6 +710,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: ImageIoDecoder decodes REAL PNG/BMP bytes — sums, dims and features exact") {
+    // codec round-trip: encode through the JDK writers, decode through
+    // the JDK readers, compare against the quadrant closed form
+    val ids = Seq(0L, 1L, 7L, 48L, 95L, 255L, 256L)
+    val blobs = Multimodal.withEncodedImages(
+      spark, ids.toDF("doc_id"), "doc_id")
+    val stats = Multimodal.decodeImageStats(blobs).collect().sortBy(_.doc_id)
+    assert(stats.map(_.doc_id).toSeq == ids.sorted)
+    stats.foreach { st =>
+      val id = st.doc_id
+      val w = (id % 48 + 8).toInt
+      val h = (id % 32 + 8).toInt
+      assert(st.format == (if (id % 2 == 0) "png" else "bmp"), st.toString)
+      assert(st.width == w && st.height == h && st.channels == 3, st.toString)
+      val wl = w / 2; val wr = w - wl; val ht = h / 2; val hb = h - ht
+      def expSum(mult: Long): Long =
+        wl.toLong * ht * ((id * mult + 7) % 256) + wr.toLong * ht * ((id * mult + 38) % 256) +
+          wl.toLong * hb * ((id * mult + 69) % 256) + wr.toLong * hb * ((id * mult + 100) % 256)
+      assert(st.sum_r == expSum(3), s"R mismatch: $st")
+      assert(st.sum_g == expSum(5), s"G mismatch: $st")
+      assert(st.sum_b == expSum(7), s"B mismatch: $st")
+    }
+    // the MediaDecoder seam: decodeOne on real bytes yields real pixel
+    // features — quadrant means equal the solid fill values exactly
+    val blob = Multimodal.encodeQuadrantImage(10L)
+    val d = ImageIoDecoder.decodeOne(blob)
+    assert(d.width == 18 && d.height == 18 && d.channels == 3)
+    // quadrant 0 (TL) solid values for id=10: r=(30+7)%256=37, g=57, b=77
+    assert(math.abs(d.features(4) - 37f / 255f) < 1e-6f, d.features.mkString(","))
+    assert(math.abs(d.features(5) - 57f / 255f) < 1e-6f)
+    assert(math.abs(d.features(6) - 77f / 255f) < 1e-6f)
+    // global mean R = avg over 4 equal quadrants of (37,68,99,130) = 83.5
+    assert(math.abs(d.features(0) - 83.5f / 255f) < 1e-6f, d.features(0).toString)
+  }
+
   test("multimodal: a custom MediaDecoder drops into every operator unchanged") {
     // a "codec" that reports fixed dimensions and a constant feature —
     // if the operators delegate correctly, its outputs flow through the
