@@ -2423,6 +2423,8 @@ object PipelineQueries {
          |FROM ranked WHERE rnk <= 10
          |ORDER BY q_doc, rnk""".stripMargin,
 
+    "text_bpe_learn_merges" -> bpeLearnOracle,
+
     "text_bpe_pair_counts" ->
       """WITH tok AS (
         |  SELECT unnest(regexp_extract_all(text,
@@ -2600,11 +2602,53 @@ object PipelineQueries {
     * merge pattern only matches whole symbols — see the
     * `text_bpe_encode` oracle comment. */
   private lazy val bpeEncChain: String = {
-    val wrapped =
-      "chr(31) || array_to_string(string_split(tok, ''), chr(31) || chr(31)) || chr(31)"
-    Bpe.ReferenceMerges.foldLeft(wrapped) { case (acc, (l, r)) =>
+    Bpe.ReferenceMerges.foldLeft(bpeWrappedBase) { case (acc, (l, r)) =>
       s"replace($acc, chr(31) || ${sqlQuote(l)} || chr(31) || chr(31) || ${sqlQuote(r)} || chr(31), " +
         s"chr(31) || ${sqlQuote(l + r)} || chr(31))"
     }
+  }
+
+  /** A pretoken as ␟-wrapped codepoint symbols (see bpeEncChain).
+    * `def`, not `val`: both chain builders run during object
+    * initialization (the oracles Map forces them), before a later-
+    * declared val would be assigned. */
+  private def bpeWrappedBase: String =
+    "chr(31) || array_to_string(string_split(tok, ''), chr(31) || chr(31)) || chr(31)"
+
+  /** Unrolled-round value oracle for the BPE TRAINER
+    * (`text_bpe_learn_merges`): round k re-segments the live pretoken
+    * stream with frozen merges 0..k-1 — the same self-delimiting replace
+    * chain as the encode oracle — and re-derives the argmax pair
+    * (count desc, then (l, r) lexicographic, support >= 2) FROM THE
+    * DATA. If the live trainer's merge k differs from the data argmax
+    * given its own prefix, that round's row diverges and the gate
+    * fails — so the frozen table is provenance, while every learned
+    * rank is independently re-derived by DuckDB. (If the driver
+    * regenerates the corpus such that training drifts, this gate fails
+    * loudly and ReferenceMerges must be re-frozen — same contract as
+    * the encode gate.) */
+  private lazy val bpeLearnOracle: String = {
+    def chain(k: Int): String =
+      Bpe.ReferenceMerges.take(k).foldLeft(bpeWrappedBase) { case (acc, (l, r)) =>
+        s"replace($acc, chr(31) || ${sqlQuote(l)} || chr(31) || chr(31) || ${sqlQuote(r)} || chr(31), " +
+          s"chr(31) || ${sqlQuote(l + r)} || chr(31))"
+      }
+    val rounds = Bpe.ReferenceMerges.indices.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS "rank", l AS merge_left, r AS merge_right FROM (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, count(*) AS n
+         |  FROM (SELECT string_split(trim(${chain(k)}, chr(31)), chr(31) || chr(31)) AS syms
+         |        FROM pre),
+         |    LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |  ORDER BY n DESC, l, r LIMIT 1) q$k""".stripMargin
+    }
+    s"""WITH pre AS (
+       |  SELECT tok FROM (
+       |    SELECT unnest(regexp_extract_all(text,
+       |      '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS tok
+       |    FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0)
+       |  WHERE NOT regexp_matches(tok, '^\\s+$$'))
+       |${rounds.mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY "rank"""".stripMargin
   }
 }
