@@ -75,14 +75,57 @@ object Bpe {
   /**
    * Learn up to `numMerges` merges; returns them in application order.
    * `minCount` (default 2) is the classic stop condition: a pair seen
-   * once cannot compress anything.
+   * once cannot compress anything. Delegates to
+   * [[learnMergesWithStats]] (batched rounds, sequential-identical
+   * output).
    */
   def learnMerges(
       spark: SparkSession,
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      minCount: Long = 2L): Seq[(String, String)] = {
+      minCount: Long = 2L,
+      batchN: Int = 8): Seq[(String, String)] =
+    learnMergesWithStats(spark, df, textCol, numMerges, minCount, batchN)._1
+
+  /**
+   * Batched trainer: each round runs ONE pair-count job, collects a
+   * bounded top slice, and accepts up to `batchN` merges from it —
+   * cutting the number of sequential Spark jobs (the driver-paced
+   * bottleneck of a 50k-merge production vocabulary) by ~batchN× while
+   * producing BIT-IDENTICAL output to the one-merge-per-round trainer.
+   *
+   * Why the batch is sequential-exact (each guard is load-bearing):
+   *  - Accepted pairs are a PREFIX of the (count desc, l, r) sort order,
+   *    pairwise symbol-disjoint (left, right, and concatenation all
+   *    unused): applying earlier accepted merges cannot change a later
+   *    accepted pair's count or instances.
+   *  - The walk STOPS at the first overlapping candidate (never skips):
+   *    so every pair sharing a symbol with the accepted set sorts after
+   *    the stop point, bounding its count — and therefore the count of
+   *    every pair the applied merges can create or boost — by
+   *    `nextCount`, the first non-accepted candidate's count.
+   *  - Accepted merges are then truncated to counts STRICTLY greater
+   *    than `nextCount`: no competitor can beat OR TIE an accepted pair
+   *    when its sequential turn comes, so the argmax chain is preserved
+   *    tie-break for tie-break. (If truncation empties the batch, the
+   *    head alone is kept — the round argmax is always exact.)
+   *  - A candidate whose concatenation equals a PREVIOUSLY merged
+   *    symbol string also stops the walk: its merge would feed
+   *    instances into pre-existing pair types (x, l+r) that our
+   *    count-bound argument does not otherwise cover.
+   *
+   * Returns (merges, rounds) so callers/specs can observe the ~batchN×
+   * round reduction. batchN = 1 degenerates to the classic trainer.
+   */
+  def learnMergesWithStats(
+      spark: SparkSession,
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minCount: Long = 2L,
+      batchN: Int = 8): (Seq[(String, String)], Int) = {
+    require(batchN >= 1, s"batchN must be >= 1, got $batchN")
     import spark.implicits._
     // localCheckpoint, NOT persist: each round's vocab must become a
     // LogicalRDD leaf. With persist, round n's plan still chains n typed
@@ -92,9 +135,16 @@ object Bpe {
     // round ~17 on a 60-row vocab.
     var vocab = pretokenVocab(spark, df, textCol).localCheckpoint()
     val merges = ArrayBuffer.empty[(String, String)]
+    val mergedSymbols = scala.collection.mutable.Set.empty[String]
+    var rounds = 0
     var done = false
     while (merges.length < numMerges && !done) {
-      val best = vocab
+      rounds += 1
+      // bounded driver collect: a few hundred (string, string, long)
+      // rows regardless of corpus size — the batch decision needs the
+      // sorted head of the pair table, never the table
+      val fetch = math.max(batchN * 8, 64)
+      val top = vocab
         .flatMap { case (syms, w) =>
           syms.iterator.sliding(2).withPartial(false)
             .map(p => (p.head, p(1), w))
@@ -102,21 +152,46 @@ object Bpe {
         .toDF("l", "r", "w")
         .groupBy(col("l"), col("r")).agg(sum(col("w")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(fetch)
         .as[(String, String, Long)]
         .collect()
-      best.headOption.filter(_._3 >= minCount) match {
-        case Some((l, r, _)) =>
-          merges += ((l, r))
-          val next = vocab
-            .map { case (syms, w) => (applyMerge(syms, l, r), w) }
-            .localCheckpoint() // eager; plan becomes a LogicalRDD leaf
-          SparkShims.unpersistCheckpoint(vocab.toDF())
-          vocab = next
-        case None => done = true
+      val maxTake = math.min(batchN, numMerges - merges.length)
+      val accepted = ArrayBuffer.empty[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      var nextCount = -1L // count of the first NON-accepted candidate
+      var i = 0
+      while (nextCount < 0L && i < top.length) {
+        val (l, r, n) = top(i)
+        if (n < minCount) nextCount = 0L // below support: not a live competitor
+        else if (accepted.length >= maxTake) nextCount = n
+        else if (used(l) || used(r) || used(l + r) || mergedSymbols(l + r))
+          nextCount = n
+        else {
+          accepted += ((l, r, n))
+          used += l; used += r; used += (l + r)
+        }
+        i += 1
+      }
+      if (nextCount < 0L)
+        // ran off the fetched slice: if it was full, unseen pairs are
+        // bounded by the last row's count; if short, the table is
+        // exhausted and nothing below support competes
+        nextCount = if (top.length >= fetch) top.last._3 else 0L
+      var keep = accepted.takeWhile(_._3 > nextCount).toSeq
+      if (keep.isEmpty && accepted.nonEmpty) keep = Seq(accepted.head)
+      if (keep.isEmpty) done = true
+      else {
+        val ms = keep.map(t => (t._1, t._2))
+        merges ++= ms
+        mergedSymbols ++= ms.map { case (l, r) => l + r }
+        val next = vocab
+          .map { case (syms, w) => (applyMerges(syms, ms), w) }
+          .localCheckpoint() // eager; plan becomes a LogicalRDD leaf
+        SparkShims.unpersistCheckpoint(vocab.toDF())
+        vocab = next
       }
     }
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 
   /** The frozen merge vocabulary for the encode surface: exactly what

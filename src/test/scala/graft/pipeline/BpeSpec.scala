@@ -38,6 +38,52 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learnMerges(spark, df, "text", numMerges = 5) === Nil)
   }
 
+  test("batched trainer is bit-identical to one-merge-per-round and cuts rounds ~batchN×") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+    val (sequential, seqRounds) =
+      Bpe.learnMergesWithStats(spark, docs, "text", numMerges = 24, batchN = 1)
+    val (batched, batRounds) =
+      Bpe.learnMergesWithStats(spark, docs, "text", numMerges = 24, batchN = 8)
+    assert(batched === sequential,
+      s"batched trainer diverged:\n  seq=$sequential\n  bat=$batched")
+    assert(seqRounds === 24)
+    // Zipfian pair tables share hot symbols (top pairs overlap on " ",
+    // "e", …), so the exactness guards cap the realized batch width —
+    // expect a solid-but-not-N× round reduction on real text (measured:
+    // 24 -> 17 here; 20 -> 11 and ~5x wall-clock on the sf0.01 gate
+    // corpus). The full ~N× mechanism is pinned by the disjoint-pairs
+    // test below.
+    assert(batRounds <= seqRounds * 3 / 4,
+      s"expected fewer rounds, got $batRounds vs $seqRounds")
+  }
+
+  test("batched trainer reaches full batch width when top pairs are symbol-disjoint") {
+    // 8 two-letter words over disjoint alphabets with strictly
+    // decreasing frequencies: every top pair is disjoint from the
+    // others and counts never tie, so ONE round learns all 8 merges
+    val words = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    val rows = words.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(100 - i)(w)
+    }.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val df = rows.toDF("doc_id", "text")
+    val (merges, rounds) =
+      Bpe.learnMergesWithStats(spark, df, "text", numMerges = 8, batchN = 8)
+    assert(merges === words.map(w => (w.substring(0, 1), w.substring(1))))
+    assert(rounds === 1, s"disjoint distinct-count pairs must batch fully, got $rounds rounds")
+  }
+
+  test("batched trainer: hot overlapping pairs stop the batch, never reorder it") {
+    // every candidate shares a symbol with the top pair — each round can
+    // accept only the argmax, so batching must degrade to sequential
+    // (aaaa: round1 (a,a)->aa,aa; round2 (aa,aa)) — the overlap guard,
+    // not the batch width, must decide
+    val df = Seq.tabulate(4)(i => (i.toLong, "aaaa")).toDF("doc_id", "text")
+    val (merges, _) =
+      Bpe.learnMergesWithStats(spark, df, "text", numMerges = 2, batchN = 8)
+    assert(merges === Seq(("a", "a"), ("aa", "aa")))
+  }
+
   test("symbols are codepoints, not UTF-16 units: surrogate pairs stay whole") {
     assert(Bpe.splitCodepoints("a😀b") === Seq("a", "😀", "b"))
     assert(Bpe.splitCodepoints("") === Nil)
