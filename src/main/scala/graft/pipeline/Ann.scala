@@ -36,8 +36,37 @@ object Ann {
         .take(math.min(nprobe, nlist))
   }
 
-  /** Train the coarse quantizer on a deterministic sample (k-means via the
-    * PQ trainer with a single subspace; seed fixed). */
+  /** Sampled-path budget: the largest training collect the default
+    * trainers will put on the driver (~64 MB of float payload — a 100k
+    * sample at dim 768 would be ~300 MB, which is how driver OOMs
+    * start). */
+  private val SampleBudgetBytes = 64L << 20
+
+  /** At and above this dimensionality the default trainers dispatch to
+    * the DISTRIBUTED k-means ([[trainIvfDistributed]]): production
+    * embedding dims (256/768/1024+) shouldn't sample-collect at all —
+    * the whole corpus participates and only k×(dim+1) numbers reach the
+    * driver per iteration. Below it (and under `forceSampled`) the
+    * classic bounded-sample Lloyd's runs, capped to the byte budget. */
+  val DistributedDimThreshold = 256
+
+  /** Embedding dimensionality probe: one 1-row job, no payload. */
+  private def peekDim(df: DataFrame, embCol: String): Int = {
+    val r = df.select(size(col(embCol)).cast("int")).limit(1).collect()
+    require(r.nonEmpty, "cannot train on an empty dataset")
+    r(0).getInt(0)
+  }
+
+  /** `sampleSize` capped so the driver collect stays within budget. */
+  private def cappedSample(sampleSize: Int, dim: Int, floor: Int): Int =
+    math.max(floor, math.min(sampleSize, (SampleBudgetBytes / (4L * dim)).toInt))
+
+  /** Train the coarse quantizer. Default dispatch: dim >=
+    * [[DistributedDimThreshold]] trains with distributed k-means (no
+    * driver sample at all); below it, deterministic-sample Lloyd's via
+    * the PQ trainer with a single subspace (seed fixed), sample capped
+    * to the driver byte budget. `forceSampled = true` pins the sampled
+    * path regardless of dim (parity/debug). */
   def trainIvf(
       spark: SparkSession,
       df: DataFrame,
@@ -45,14 +74,20 @@ object Ann {
       idCol: String,
       nlist: Int,
       sampleSize: Int = 100000,
-      seed: Long = Pq.DefaultSeed): IvfModel = {
+      seed: Long = Pq.DefaultSeed,
+      forceSampled: Boolean = false): IvfModel = {
     import spark.implicits._
-    val sample = df.orderBy(col(idCol)).limit(sampleSize)
-      .select(col(embCol).cast("array<float>")).as[Array[Float]].collect()
-    require(sample.nonEmpty, "cannot train IVF on an empty dataset")
-    val dim = sample.head.length
-    val cb = Pq.train(sample.toIndexedSeq, dim, m = 1, k = nlist, seed = seed)
-    IvfModel(nlist, dim, cb.centroids)
+    val dim = peekDim(df, embCol)
+    if (!forceSampled && dim >= DistributedDimThreshold) {
+      trainIvfDistributed(spark, df, embCol, idCol, nlist)
+    } else {
+      val n = cappedSample(sampleSize, dim, floor = nlist)
+      val sample = df.orderBy(col(idCol)).limit(n)
+        .select(col(embCol).cast("array<float>")).as[Array[Float]].collect()
+      require(sample.nonEmpty, "cannot train IVF on an empty dataset")
+      val cb = Pq.train(sample.toIndexedSeq, dim, m = 1, k = nlist, seed = seed)
+      IvfModel(nlist, dim, cb.centroids)
+    }
   }
 
   /** Cluster-assignment column: argmin squared-L2 over the centroids in
@@ -119,7 +154,14 @@ object Ann {
     * subspace. */
   final case class IvfPqModel(ivf: IvfModel, codebook: Pq.Codebook)
 
-  /** Train coarse quantizer + PQ codebook on one deterministic sample. */
+  /** Train coarse quantizer + PQ codebook. Default dispatch mirrors
+    * [[trainIvf]]: at dim >= [[DistributedDimThreshold]] the COARSE
+    * centroids come from distributed k-means (the expensive, accuracy-
+    * critical half — they decide what a probe scans); the PQ codebook
+    * still trains on a deterministic sample, but capped to the driver
+    * byte budget (~22k rows at dim 768 ≈ 64 MB — subspace k-means
+    * saturates far below that). `forceSampled = true` pins the classic
+    * single-sample path. */
   def trainIvfPq(
       spark: SparkSession,
       df: DataFrame,
@@ -129,16 +171,25 @@ object Ann {
       pqM: Int,
       pqK: Int,
       sampleSize: Int = 100000,
-      seed: Long = Pq.DefaultSeed): IvfPqModel = {
+      seed: Long = Pq.DefaultSeed,
+      forceSampled: Boolean = false): IvfPqModel = {
     import spark.implicits._
     require(pqK <= 256, s"pqK=$pqK does not fit a one-byte code")
-    val sample = df.orderBy(col(idCol)).limit(sampleSize)
+    val dim = peekDim(df, embCol)
+    val n = cappedSample(sampleSize, dim, floor = math.max(nlist, pqK))
+    lazy val sample = df.orderBy(col(idCol)).limit(n)
       .select(col(embCol).cast("array<float>")).as[Array[Float]].collect()
-    require(sample.nonEmpty, "cannot train IVF-PQ on an empty dataset")
-    val dim = sample.head.length
-    val ivfCb = Pq.train(sample.toIndexedSeq, dim, m = 1, k = nlist, seed = seed)
-    val pqCb = Pq.train(sample.toIndexedSeq, dim, m = pqM, k = pqK, seed = seed)
-    IvfPqModel(IvfModel(nlist, dim, ivfCb.centroids), pqCb)
+    if (!forceSampled && dim >= DistributedDimThreshold) {
+      val ivf = trainIvfDistributed(spark, df, embCol, idCol, nlist)
+      require(sample.nonEmpty, "cannot train IVF-PQ on an empty dataset")
+      val pqCb = Pq.train(sample.toIndexedSeq, dim, m = pqM, k = pqK, seed = seed)
+      IvfPqModel(ivf, pqCb)
+    } else {
+      require(sample.nonEmpty, "cannot train IVF-PQ on an empty dataset")
+      val ivfCb = Pq.train(sample.toIndexedSeq, dim, m = 1, k = nlist, seed = seed)
+      val pqCb = Pq.train(sample.toIndexedSeq, dim, m = pqM, k = pqK, seed = seed)
+      IvfPqModel(IvfModel(nlist, dim, ivfCb.centroids), pqCb)
+    }
   }
 
   /** Materialize the IVF-PQ index: cluster id + one-byte-per-subspace PQ

@@ -96,21 +96,54 @@ object GraphAlgos {
     // moves data); past it every join stays partitioned for
     // billion-node graphs.
     val bcastRanks = n <= BroadcastRankMaxNodes
+    // Partitioned regime (the billion-node path): shape the edge set
+    // ONCE — hash-partitioned AND sorted by src, materialized as a
+    // checkpoint whose LogicalRDD carries both properties — so every
+    // round's rank⋈edge sort-merge join reuses the layout with NO
+    // exchange and NO sort on the edge leg (the in-memory equivalent of
+    // Bucketing.writeBucketed; GraphAlgosSpec pins the plan). The rank
+    // side is O(|V|) and re-shuffles to co-partition each round — that
+    // per-round cost is node-sized, never edge-sized.
+    val eJ =
+      if (bcastRanks) e
+      else {
+        val shaped = shapeEdges(e)
+        nodes.count(); deg.count() // materialize before releasing their source
+        e.unpersist()
+        shaped
+      }
     var ranks = nodes.withColumn("rank_fp", lit(r0)).localCheckpoint()
     for (_ <- 1 to iterations) {
-      val next = pageRankStep(e, nodes, deg, ranks, base, alphaNum, alphaDen,
+      val next = pageRankStep(eJ, nodes, deg, ranks, base, alphaNum, alphaDen,
           broadcastRanks = bcastRanks)
         .localCheckpoint()
       SparkShims.unpersistCheckpoint(ranks) // release the superseded round
       ranks = next
     }
-    e.unpersist(); nodes.unpersist(); deg.unpersist()
+    if (bcastRanks) e.unpersist() else SparkShims.unpersistCheckpoint(eJ)
+    nodes.unpersist(); deg.unpersist()
     ranks
   }
 
   /** Node-count bound for broadcasting the per-round rank-side tables
     * (~16 bytes/node -> ~64 MB at the bound). */
   val BroadcastRankMaxNodes: Long = 4L * 1000 * 1000
+
+  /** Edge layout for the partitioned regime: hash-partitioned and
+    * sorted by `src`, materialized as an eager checkpoint whose
+    * LogicalRDD CARRIES both properties — every later src-keyed
+    * sort-merge join reuses the layout with no exchange and no sort on
+    * this side. AQE must be off for the one shaping action: an adaptive
+    * plan reports UnknownPartitioning to the checkpoint, which would
+    * silently reintroduce the per-round edge shuffle this exists to
+    * remove (the spec pins the plan, so a regression is loud). */
+  private[pipeline] def shapeEdges(e: DataFrame): DataFrame = {
+    val sess = e.sparkSession
+    val prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try e.repartition(col("src")).sortWithinPartitions(col("src")).localCheckpoint()
+    finally sess.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 
   /** One PageRank round, lazy — split out so the per-iteration physical
     * plan stays pinnable in GraphAlgosSpec (the checkpoint in the loop

@@ -76,6 +76,55 @@ class GraphAlgosSpec extends AnyFunSuite {
       !triPlan.contains("CartesianProduct"), triPlan)
   }
 
+  test("partitioned regime: pre-shaped edges join with NO exchange and NO sort on the edge leg") {
+    import org.apache.spark.sql.execution.{RDDScanExec, SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.{FilterExec, ProjectExec}
+    // the EDGE LEG proper: a narrow-op path (project/filter/sort) down
+    // to the edge scan — exchanges above joins/aggregations that merely
+    // CONTAIN the scan (the legitimate node-sized dst shuffle) don't
+    // count
+    def isEdgeLeg(p: SparkPlan): Boolean = p match {
+      case r: RDDScanExec => r.output.map(_.name) == Seq("src", "dst")
+      case pr: ProjectExec => isEdgeLeg(pr.child)
+      case f: FilterExec => isEdgeLeg(f.child)
+      case s: SortExec => isEdgeLeg(s.child)
+      case _ => false
+    }
+    def edgeLegOffenders(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case x: ShuffleExchangeExec if isEdgeLeg(x.child) => x
+        case s: SortExec if isEdgeLeg(s.child) => s
+      }
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = GraphAlgos.symmetrize(Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"))
+      val nodes = e.select(col("src").as("node")).distinct()
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("deg_node"), col("deg"))
+      val ranks = nodes.withColumn("rank_fp", lit(1000L))
+      // the production shaping: hash-partitioned + sorted by src, layout
+      // carried through the checkpoint — rounds >= 1 must reuse it
+      val shaped = GraphAlgos.shapeEdges(e)
+      val step = GraphAlgos.pageRankStep(shaped, nodes, deg, ranks, 10L, 85L, 100L)
+      assert(edgeLegOffenders(step).isEmpty,
+        s"edge leg re-exchanged or re-sorted:\n${step.queryExecution.executedPlan}")
+      // negative control: an UNSHAPED checkpoint of the same edges must
+      // show the per-round exchange this layout eliminates
+      val unshaped = e.localCheckpoint()
+      val ctrl = GraphAlgos.pageRankStep(unshaped, nodes, deg, ranks, 10L, 85L, 100L)
+      assert(edgeLegOffenders(ctrl).nonEmpty,
+        "control lost its exchange — the pin no longer distinguishes the layouts")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("triangleCounts: K4 has 4 triangles, every node in 3; square has none") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     val got = GraphAlgos.triangleCounts(k4.toDF("a", "b"))

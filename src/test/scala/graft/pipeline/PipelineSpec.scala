@@ -580,6 +580,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("ANN trainer dispatch: dim >= 256 defaults to distributed k-means; forceSampled pins the classic path") {
+    // widen the dim-64 embeddings to dim 256 to cross the threshold
+    val wide = embeddings.select(col("vec_id"),
+      flatten(array(Seq.fill(4)(col("embedding")): _*)).as("embedding"))
+    val dflt = Ann.trainIvf(spark, wide, "embedding", "vec_id", nlist = 4)
+    val dist = Ann.trainIvfDistributed(spark, wide, "embedding", "vec_id", nlist = 4)
+    assert(dflt.dim == 256 && dflt.centroids.sameElements(dist.centroids),
+      "default trainer at dim >= 256 must be the distributed k-means")
+    val pinned = Ann.trainIvf(spark, wide, "embedding", "vec_id", nlist = 4,
+      forceSampled = true)
+    assert(pinned.dim == 256 && pinned.nlist == 4)
+    // below the threshold nothing changes: the dim-64 default path is
+    // still the deterministic-sample trainer
+    val narrow = Ann.trainIvf(spark, embeddings, "embedding", "vec_id", nlist = 4)
+    val narrowPinned = Ann.trainIvf(spark, embeddings, "embedding", "vec_id",
+      nlist = 4, forceSampled = true)
+    assert(narrow.centroids.sameElements(narrowPinned.centroids))
+  }
+
   test("IVF ANN recall@10 ≥ 0.8 vs brute force (nlist=16, nprobe=8)") {
     val model = Ann.trainIvf(spark, embeddings, "embedding", "vec_id", nlist = 16)
     val index = Ann.buildIndex(embeddings, "embedding", model)
