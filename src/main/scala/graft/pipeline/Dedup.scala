@@ -348,11 +348,7 @@ object Dedup {
     // dedupe candidate pairs on ids BEFORE touching the shingle arrays —
     // distinct over (id, id) longs is cheap; distinct over 2×~50-element
     // arrays is not
-    val candidates = banded.select(col("band"), col("bandHash"), col("doc_id").as("doc_a"))
-      .join(banded.select(col("band"), col("bandHash"), col("doc_id").as("doc_b")),
-        Seq("band", "bandHash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val candidates = bandCandidates(banded)
 
     val shOnly = sigs.select(col("doc_id"), col("shingles"))
     val repPairs = candidates
@@ -367,6 +363,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id").as("rep"), col("gsize"), col("jaccard"))
     expandMemberPairs(repPairs, "jaccard", memberOf, groupSelf)
+  }
+
+  /** Per-band bucket cap before salting: a bucket this size or smaller
+    * joins as a single hash-build; larger ones split into
+    * ceil(size/cap) salt slices. */
+  val HotBandBucketCap: Int = 1024
+
+  /** Candidate pairs from banded signatures, SKEW-SAFE: the hot-bucket
+    * guard upstream collapses *identical* shingle sets, but a crafted
+    * corpus of near-identical-but-distinct docs can still land one
+    * (band, bandHash) bucket with O(n²) pairs — inherent to LSH (every
+    * bucket pair IS a candidate), so the fix is balance, not pruning.
+    * Buckets over `cap` split into ceil(size/cap) salt slices: the
+    * probe side keeps one slice per doc (id-hash), the other side
+    * replicates per slice, and the join key gains `salt` — each
+    * straggler bucket becomes nsalt bounded tasks. The emitted pair set
+    * is IDENTICAL to the unsalted self-join (pair (a,b) meets exactly
+    * in a's slice; DedupSpec pins equality and the planted-hot-band
+    * shape). Bucket sizes come from a map-side-combined aggregation and
+    * only the few oversized buckets broadcast back. */
+  private[pipeline] def bandCandidates(
+      banded: DataFrame, cap: Int = HotBandBucketCap): DataFrame = {
+    require(cap >= 1, s"bucket cap must be >= 1, got $cap")
+    val hotSizes = banded.groupBy(col("band"), col("bandHash"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > cap)
+    val sized = banded.join(broadcast(hotSizes), Seq("band", "bandHash"), "left")
+      .withColumn("nsalt",
+        coalesce(ceil(col("bsize").cast("double") / cap).cast("int"), lit(1)))
+    val a = sized.select(col("band"), col("bandHash"), col("nsalt"),
+        col("doc_id").as("doc_a"))
+      .withColumn("salt", pmod(xxhash64(col("doc_a")), col("nsalt")).cast("int"))
+      .drop("nsalt")
+    val b = sized.select(col("band"), col("bandHash"), col("nsalt"),
+        col("doc_id").as("doc_b"))
+      .withColumn("salt", explode(sequence(lit(0), col("nsalt") - 1)))
+      .drop("nsalt")
+    a.join(b, Seq("band", "bandHash", "salt"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
   }
 
   /** |∩|/|∪| at full double precision: integer set sizes divide exactly the

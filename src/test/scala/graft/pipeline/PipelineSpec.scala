@@ -123,6 +123,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.count() == n.toLong * (n - 1) / 2)
   }
 
+  test("salted band candidates emit EXACTLY the unsalted pair set, hot buckets sliced") {
+    // small corpus, aggressive cap: every bucket over 2 docs salts
+    val banded = corpusNear.select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 3).as("shingles"))
+      .withColumn("sig", Dedup.minHashSignature(col("shingles"), 64))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          b => xxhash64(concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4))), b)))
+          .as(Seq("band", "bandHash")))
+    val salted = Dedup.bandCandidates(banded, cap = 2)
+      .as[(Long, Long)].collect().toSet
+    val unsalted = Dedup.bandCandidates(banded, cap = Int.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(salted == unsalted, s"salting changed the pair set: " +
+      s"only-salted=${salted.diff(unsalted).take(3)} only-unsalted=${unsalted.diff(salted).take(3)}")
+    assert(salted.nonEmpty)
+  }
+
+  test("planted hot band: 2k NEAR-identical-but-distinct docs keep the band join balanced") {
+    // every doc shares a long common prefix (which owns all 64 minhash
+    // minima, so ALL bands collide across all docs — the adversarial
+    // case the identical-content guard can't collapse) plus a unique
+    // tail that keeps exact jaccard BELOW threshold: the verify stage
+    // must reject all ~2M candidate pairs, and the salted join must
+    // grind through them in bounded slices rather than one straggler
+    // bucket
+    val n = 2000
+    val common = (0 until 40).map(i => s"common$i").mkString(" ")
+    val planted = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit(common + " tail"),
+        col("id"), lit(" mid"), col("id"), lit(" end"), col("id")).as("text"))
+    val out = Dedup.minHashNearDuplicates(planted, "doc_id", "text",
+      threshold = 0.98)
+    assert(out.count() == 0L,
+      "near-identical-but-distinct docs must be rejected by exact verification")
+  }
+
   test("hot-bucket guard: simhash flood collapses on the sketch value") {
     val n = 3000
     val flood = spark.range(n).select(col("id").as("doc_id"),
