@@ -40,11 +40,24 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val gateResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // production-shape row (dim-768 seal+query, generated corpus — not in
+    // SparkEntry.queries because it is scale-factor-independent and has
+    // no SQL-expressible oracle; recall is checked inline and a failure
+    // surfaces as a visible error + its timing)
+    val heavyResult = {
+      val t0 = System.nanoTime()
+      try HeavyBench.run(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] vec_heavy_seal_query FAILED: ${e.getMessage}")
+      }
+      "vec_heavy_seal_query" -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = gateResults :+ heavyResult
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

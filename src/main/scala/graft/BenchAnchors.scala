@@ -26,6 +26,12 @@ object BenchAnchors {
     "dedup_simhash" -> 1.299,
     "multimodal_decode" -> 0.222,
     "multimodal_frames" -> 0.47,
+    // round-8 additions: real-codec decode gate (isolated warm median
+    // 1.005 s at sf0.1) and the production-shape dim-768 seal+query row
+    // (warm in-JVM reps 14.3-24.8 s cold-first; SF-independent
+    // generated corpus)
+    "multimodal_decode_real" -> 1.0,
+    "vec_heavy_seal_query" -> 16.0,
     "pipeline_decontaminate" -> 0.83,
     "pipeline_embed_quantize" -> 0.30,
     "pipeline_mixture_rebalance" -> 0.256,

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 import graft.functions.vector
-import graft.index.HeavyRecallData
+import graft.index.ManifoldData
 
 /**
  * IVF-PQ at production shape (dim 768, 50k vectors, nlist 64,
@@ -39,11 +39,11 @@ class HeavyAnnSpec extends AnyFunSuite {
     val numQueries = 100
 
     val data = spark.range(n)
-      .map(id => (id, HeavyRecallData.unitVectorFor(id)))
+      .map(id => (id, ManifoldData.unitVectorFor(id)))
       .toDF("vec_id", "embedding")
       .cache()
     val qs = (0L until numQueries.toLong)
-      .map(q => (q, HeavyRecallData.unitQueryFor(q)))
+      .map(q => (q, ManifoldData.unitQueryFor(q)))
 
     val t0 = System.nanoTime()
     val model = Ann.trainIvfPq(spark, data, "embedding", "vec_id",
