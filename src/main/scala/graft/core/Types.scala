@@ -44,7 +44,32 @@ final case class IndexMeta(
   require(pqK > 0 && pqK <= 256, "pqK must be in (0,256] (codes are 1 byte/subspace)")
   require(GraphBuildMode.all.contains(graphBuildMode),
     s"graphBuildMode=$graphBuildMode not in ${GraphBuildMode.all}")
+  require(maxSegmentSize > 0, "maxSegmentSize must be positive")
+  // One segment seals in ONE task (that is what makes seal
+  // embarrassingly parallel across segments), so the segment cap is a
+  // per-task MEMORY bound, not a tuning suggestion: the build holds the
+  // raw vectors (4·dim B), the adjacency under construction
+  // (4·graphDegree B), PQ codes (pqM B) and ~64 B of bookkeeping per
+  // row. The reference's fixed 100k default sits ~6x inside this bound
+  // at its own production shape (dim 768: ~341 MB). Deployments wanting
+  // bigger segments should split instead — more segments seal in
+  // parallel and probe independently; a partitioned Vamana build (one
+  // graph spanning executors) is the documented alternative if a
+  // single-segment graph past this bound is ever truly required
+  // (PAPERS.md: DiskANN sharding literature).
+  require(maxSegmentSize.toLong * segmentBuildRowBytes <= IndexMeta.SegmentBuildBudgetBytes,
+    s"maxSegmentSize=$maxSegmentSize needs ~${maxSegmentSize.toLong * segmentBuildRowBytes >> 20} MB " +
+      s"of per-task seal memory (dim=$dimension, degree=$graphDegree, pqM=$pqM) — " +
+      s"over the ${IndexMeta.SegmentBuildBudgetBytes >> 30} GB task budget; " +
+      "split into more (parallel) segments instead")
   def metricEnum: Metric = Metric.parse(metric)
+  private def segmentBuildRowBytes: Long = 4L * dimension + 4L * graphDegree + pqM + 64L
+}
+
+object IndexMeta {
+  /** Per-task sealed-build memory budget bounding `maxSegmentSize`
+    * (see the validation rationale in the case class). */
+  val SegmentBuildBudgetBytes: Long = 2L << 30
 }
 
 /** Segment graph construction strategy (reference exercises all three

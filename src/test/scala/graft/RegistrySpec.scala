@@ -6,12 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   /** Queries DECLARED rows-only: not SQL-expressible, so the driver
-    * records the weaker rows>0 check; each must carry a ScalaTest
-    * value-oracle instead (BpeSpec's hand-computed fixture). Keep this
-    * list justified — the default is a DuckDB oracle. */
-  private val declaredRowsOnly = Set(
-    "text_bpe_learn_merges" // iterative re-segmentation; BpeSpec fixture
-  )
+    * records the weaker rows>0 check. EMPTY since round 8 — even the
+    * iterative BPE trainer has a DuckDB oracle now (unrolled-round
+    * argmax re-derivation); keep any future addition justified, the
+    * default is a DuckDB value oracle. */
+  private val declaredRowsOnly = Set.empty[String]
 
   test("every registered query carries a DuckDB oracle (0 no_oracle, both ways)") {
     val q = SparkEntry.queries.keySet -- declaredRowsOnly

@@ -75,6 +75,22 @@ class SegmentedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("maxSegmentSize is a per-task memory bound: oversized configs are rejected at construction") {
+    // reference production shape (dim 768 / degree 64 / pqM 16): 100k
+    // rows ≈ 341 MB of seal-task memory — well inside the 2 GB budget
+    IndexMeta("ok", dimension = 768, maxSegmentSize = 100000)
+    // the same shape at 1M rows needs ~3.2 GB in ONE seal task — the
+    // validation names the memory and the fix (more, parallel segments)
+    val e = intercept[IllegalArgumentException] {
+      IndexMeta("big", dimension = 768, maxSegmentSize = 1000000)
+    }
+    assert(e.getMessage.contains("per-task seal memory") &&
+      e.getMessage.contains("split into more"), e.getMessage)
+    // low dims admit proportionally larger segments (the bound scales
+    // with row bytes, it is not a blanket row cap)
+    IndexMeta("low", dimension = 8, maxSegmentSize = 1000000, pqM = 2, pqK = 16)
+  }
+
   test("config mismatch on reopen throws (every knob; reference tests 7 variants)") {
     val dir = Files.createTempDirectory("graft-idx").toString
     val store = new IndexStore(dir)
