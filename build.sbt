@@ -28,7 +28,18 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Panama SIMD kernels (graft.simd.SimdKernels) — compile against and
+// expose the incubator module; the kernels stay OPT-IN at runtime
+// (-Dgraft.simd=1) and probe availability, so a JVM without the module
+// just falls back to the scalar path.
+javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
+// javac first: scalac then reads SimdKernels from its classfile (plain
+// float[] signatures) instead of parsing the .java source, which made
+// zinc's in-JVM pipeline try to define the incubator classes in an
+// unnamed module and fail the clean build.
+compileOrder := CompileOrder.JavaThenScala
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -14,11 +14,28 @@ package graft.core
  * auto-vectorizes these loops; at 100 TB scale these kernels run inside
  * whole-stage-codegen'd expressions (graft.functions.VectorExpressions) or
  * tight mapPartitions loops — never as interpreted row-by-row UDF calls.
+ *
+ * SIMD: `-Dgraft.simd=1` routes l2Squared/l2SquaredRange/dot/norm
+ * through the Panama kernels ([[graft.simd.SimdKernels]], float-lane FMA
+ * accumulation — the reference's Distances.java:48-64 lanes). OPT-IN
+ * because float accumulation is recall-equivalent but not bit-identical
+ * to this scalar double path, and the correctness oracles hash bits;
+ * unavailable modules degrade to scalar via the probe.
  */
 object Distances {
 
+  /** True when the operator explicitly opted in (-Dgraft.simd=1) AND the
+    * incubator module actually loads in this JVM. Decided once at class
+    * load — the branch is a constant to the JIT. */
+  val simdEnabled: Boolean =
+    sys.props.get("graft.simd").contains("1") && {
+      try graft.simd.SimdKernels.l2Squared(Array(0f), Array(0f)) == 0.0
+      catch { case _: Throwable => false }
+    }
+
   /** Squared Euclidean distance (reference: Distances.java:48-64). */
   def l2Squared(a: Array[Float], b: Array[Float]): Double = {
+    if (simdEnabled) return graft.simd.SimdKernels.l2Squared(a, b)
     var acc = 0.0
     var i = 0
     val n = a.length
@@ -34,6 +51,7 @@ object Distances {
     * (reference: Distances.java:77-94). Compares a(aOff..aOff+len) with
     * b(bOff..bOff+len). */
   def l2SquaredRange(a: Array[Float], aOff: Int, b: Array[Float], bOff: Int, len: Int): Double = {
+    if (simdEnabled) return graft.simd.SimdKernels.l2SquaredRange(a, aOff, b, bOff, len)
     var acc = 0.0
     var i = 0
     while (i < len) {
@@ -49,6 +67,7 @@ object Distances {
 
   /** Dot product (reference: Distances.java:103-118). */
   def dot(a: Array[Float], b: Array[Float]): Double = {
+    if (simdEnabled) return graft.simd.SimdKernels.dot(a, b)
     var acc = 0.0
     var i = 0
     val n = a.length
@@ -61,6 +80,7 @@ object Distances {
 
   /** L2 norm (reference: Distances.java:126-140). */
   def norm(a: Array[Float]): Double = {
+    if (simdEnabled) return graft.simd.SimdKernels.norm(a)
     var acc = 0.0
     var i = 0
     val n = a.length
