@@ -980,6 +980,9 @@ object PipelineQueries {
     "text_bpe_learn_merges" -> ((s, dir) => {
       val merges = Bpe.learnMerges(
         s, docs(s, dir).filter(col("doc_id") % 5 === 0), "text", numMerges = 20)
+      // publish for the oracle generator: DuckDB re-derives each rank's
+      // argmax from the data given THESE merges as the replay prefix
+      lastLearnedMerges.set(merges)
       Bpe.mergeTable(s, merges).orderBy(col("rank"))
     }),
 
@@ -1231,7 +1234,10 @@ object PipelineQueries {
       |      + (1.0 - least(draw * 5.0, 1.0)) * 0.2
       |      + least(swraw * 4.0, 1.0) * 0.2, 6)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** `def`, not `val`: the BPE-trainer oracle is generated from the
+    * merges the gate LAST LEARNED (see [[bpeLearnOracle]]), so the map
+    * must be rebuilt when dumped after the queries run. */
+  def oracles: Map[String, String] = Map(
     "text_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, text,
@@ -2615,25 +2621,34 @@ object PipelineQueries {
   private def bpeWrappedBase: String =
     "chr(31) || array_to_string(string_split(tok, ''), chr(31) || chr(31)) || chr(31)"
 
+  /** The merges the learn gate most recently produced — the replay
+    * hypothesis for [[bpeLearnOracle]]. Seeded with the frozen table so
+    * a dump without a prior gate run still emits a valid oracle. */
+  private val lastLearnedMerges =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, String)]](
+      Bpe.ReferenceMerges)
+
   /** Unrolled-round value oracle for the BPE TRAINER
     * (`text_bpe_learn_merges`): round k re-segments the live pretoken
-    * stream with frozen merges 0..k-1 — the same self-delimiting replace
-    * chain as the encode oracle — and re-derives the argmax pair
-    * (count desc, then (l, r) lexicographic, support >= 2) FROM THE
-    * DATA. If the live trainer's merge k differs from the data argmax
-    * given its own prefix, that round's row diverges and the gate
-    * fails — so the frozen table is provenance, while every learned
-    * rank is independently re-derived by DuckDB. (If the driver
-    * regenerates the corpus such that training drifts, this gate fails
-    * loudly and ReferenceMerges must be re-frozen — same contract as
-    * the encode gate.) */
-  private lazy val bpeLearnOracle: String = {
+    * stream with the GATE'S OWN merges 0..k-1 — the same
+    * self-delimiting replace chain as the encode oracle — and
+    * re-derives the argmax pair (count desc, then (l, r) lexicographic,
+    * support >= 2) FROM THE DATA. The claimed sequence is only the
+    * replay prefix, never the checked value: DuckDB recomputes every
+    * rank's argmax, so the gate passes iff each merge k IS the data
+    * argmax given merges 0..k-1 — the inductive characterization of the
+    * unique deterministic BPE sequence. (Echoing Spark's output as the
+    * prefix is what makes the oracle scale-factor-independent: a wrong
+    * merge anywhere breaks its own round's argmax check.) Generated at
+    * dump time — `oracles` is a def — after the gate has run. */
+  private def bpeLearnOracle: String = {
+    val learned = lastLearnedMerges.get
     def chain(k: Int): String =
-      Bpe.ReferenceMerges.take(k).foldLeft(bpeWrappedBase) { case (acc, (l, r)) =>
+      learned.take(k).foldLeft(bpeWrappedBase) { case (acc, (l, r)) =>
         s"replace($acc, chr(31) || ${sqlQuote(l)} || chr(31) || chr(31) || ${sqlQuote(r)} || chr(31), " +
           s"chr(31) || ${sqlQuote(l + r)} || chr(31))"
       }
-    val rounds = Bpe.ReferenceMerges.indices.map { k =>
+    val rounds = learned.indices.map { k =>
       s"""SELECT CAST($k AS BIGINT) AS "rank", l AS merge_left, r AS merge_right FROM (
          |  SELECT syms[i] AS l, syms[i + 1] AS r, count(*) AS n
          |  FROM (SELECT string_split(trim(${chain(k)}, chr(31)), chr(31) || chr(31)) AS syms
