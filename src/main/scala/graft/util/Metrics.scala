@@ -164,3 +164,48 @@ object EngineMetrics {
     }
   }
 }
+
+/**
+ * File exporter for [[EngineMetrics]] — the offline stand-in for the
+ * reference's OpenTelemetry push (util/Metrics.java:20-45): one JSON
+ * line per snapshot, counters and log2-bucketed histograms with
+ * p50/p90/p99 upper-edge percentiles, appended to a local file an OTel
+ * collector tails with its `filelog` receiver (the standard zero-SDK
+ * export path). No exporter dependency, no egress — the signal, not the
+ * plumbing, matches upstream.
+ */
+object MetricsExport {
+
+  /** One self-contained JSON line for the session's current totals. */
+  def snapshotJson(em: EngineMetrics, atMs: Long): String = {
+    def hist(name: String, counts: Array[Long]): String = {
+      val nonZero = counts.zipWithIndex.collect {
+        case (c, i) if c > 0L => s""""$i":$c"""
+      }
+      s""""$name":{"type":"histogram","log2_buckets":{${nonZero.mkString(",")}},""" +
+        s""""count":${HistogramAccumulator.total(counts)},""" +
+        s""""p50":${HistogramAccumulator.percentile(counts, 0.50)},""" +
+        s""""p90":${HistogramAccumulator.percentile(counts, 0.90)},""" +
+        s""""p99":${HistogramAccumulator.percentile(counts, 0.99)}}"""
+    }
+    def counter(name: String, v: Long): String =
+      s""""$name":{"type":"counter","value":$v}"""
+    val fields = Seq(
+      counter("graft.query.adcScanNanos", em.adcScanNanos.value),
+      counter("graft.query.graphTraversalNanos", em.graphTraversalNanos.value),
+      counter("graft.query.sealedCandidates", em.sealedCandidates.value),
+      counter("graft.query.sealedSegmentsSearched", em.sealedSegmentsSearched.value),
+      hist("graft.query.adcScanHist", em.adcScanHist.value),
+      hist("graft.query.graphTraversalHist", em.graphTraversalHist.value),
+      hist("graft.query.candidatesHist", em.candidatesHist.value))
+    s"""{"ts_ms":$atMs,"metrics":{${fields.mkString(",")}}}"""
+  }
+
+  /** Append a snapshot line (creates the file and parents if needed). */
+  def appendTo(path: String, em: EngineMetrics, atMs: Long): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, snapshotJson(em, atMs) + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+}

@@ -72,6 +72,30 @@ class MetricsSpec extends AnyFunSuite {
     assert(em.graphTraversalPercentileNanos(0.99) >=
       em.graphTraversalPercentileNanos(0.5))
     assert(em.candidatesPercentile(1.0) >= em.candidatesPercentile(0.5))
+
+    // file exporter: one parseable JSON line per snapshot, counters and
+    // histograms present with monotone percentile fields; append extends
+    val outFile = Files.createTempDirectory("graft-metrics-out")
+      .resolve("metrics.jsonl").toString
+    MetricsExport.appendTo(outFile, em, atMs = 1234L)
+    MetricsExport.appendTo(outFile, em, atMs = 5678L)
+    val lines = Files.readAllLines(java.nio.file.Paths.get(outFile))
+    assert(lines.size == 2)
+    // minimal structural parse with the JDK only: Spark's JacksonUtils
+    // is internal, so pin the shape with substring checks + a Spark-SQL
+    // JSON parse of the first line
+    val parsed = spark.read.json(
+      spark.createDataset(Seq(lines.get(0)))(org.apache.spark.sql.Encoders.STRING))
+    val row = parsed.selectExpr("ts_ms",
+      "metrics.`graft.query.adcScanNanos`.value",
+      "metrics.`graft.query.adcScanHist`.count",
+      "metrics.`graft.query.adcScanHist`.p50",
+      "metrics.`graft.query.adcScanHist`.p99").head()
+    assert(row.getLong(0) == 1234L)
+    assert(row.getLong(1) == em.adcScanNanos.value)
+    assert(row.getLong(2) == HistogramAccumulator.total(em.adcScanHist.value))
+    assert(row.getLong(3) > 0L && row.getLong(4) >= row.getLong(3))
+    assert(lines.get(1).startsWith("""{"ts_ms":5678,"""))
   }
 
   test("histogram percentile extraction: known distribution, bounded state") {
