@@ -38,6 +38,8 @@ javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
 // zinc's in-JVM pipeline try to define the incubator classes in an
 // unnamed module and fail the clean build.
 compileOrder := CompileOrder.JavaThenScala
+// forward the SIMD opt-in to forked JVMs: `sbt -Dgraft.simd=1 ...`
+javaOptions ++= sys.props.get("graft.simd").map(v => s"-Dgraft.simd=$v").toSeq
 javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
