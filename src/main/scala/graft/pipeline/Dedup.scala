@@ -497,11 +497,15 @@ object Dedup {
     val banded = sh.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL))).as(Seq("band", "bandVal")))
-    val left = banded.select(col("band"), col("bandVal"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bandVal"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val repPairs = left.join(right, Seq("band", "bandVal"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+    // skew-safe candidate generation (shared with MinHash-LSH): crafted
+    // near-identical-but-distinct sketches pile one (band, value) bucket;
+    // bandCandidates salt-slices oversized buckets with the pair set
+    // provably unchanged, and the 8-byte sketches re-join afterwards
+    val candidates = bandCandidates(
+      banded.select(col("band"), col("bandVal").as("bandHash"), col("doc_id")))
+    val repPairs = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
@@ -647,11 +651,10 @@ object Dedup {
     // embedding arrays — distinct over two longs is cheap; shuffling and
     // hash-comparing 2×dim float arrays per candidate is not (mirrors the
     // MinHash candidate pattern above)
-    val candidates = sk.select(col("table"), col("bucket"), col("doc_id").as("doc_a"))
-      .join(sk.select(col("table"), col("bucket"), col("doc_id").as("doc_b")),
-        Seq("table", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // skew-safe (bandCandidates salt-slices oversized buckets; pair set
+    // identical to the plain self-join)
+    val candidates = bandCandidates(
+      sk.select(col("table").as("band"), col("bucket").as("bandHash"), col("doc_id")))
     val embOnly = reps.select(col("doc_id"), col("emb"))
     val repPairs = candidates
       .join(embOnly.select(col("doc_id").as("doc_a"), col("emb").as("emb_a")), Seq("doc_a"))
