@@ -1068,12 +1068,13 @@ object RelationalQueries {
         .crossJoin(broadcast(total))
         .filter(col("value_c") * col("n_parts") > col("total_c") * 2)
         .select(col("l_partkey"), (col("value_c") / lit(100.0)).as("value"))
-        .orderBy(col("value").desc, col("l_partkey"))
-        // materialize the filtered result, then release the per-part
-        // cache so it doesn't outlive the call (triangleCounts pattern)
+        // checkpoint BEFORE the presentation sort (post-sort plans
+        // materialize through a single-partition shuffle); the eager
+        // materialization is what lets the per-part cache release
+        // without a session-lifetime leak (triangleCounts pattern)
         .localCheckpoint()
       grouped.unpersist()
-      out
+      out.orderBy(col("value").desc, col("l_partkey"))
     }),
 
     // Q12's CASE-bucketed lateness count: orders joined to late lineitems
