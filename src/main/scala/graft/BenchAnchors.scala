@@ -21,7 +21,7 @@ object BenchAnchors {
     // ~0.4 s at sf0.1, the deliberate price of hot-band skew-safety
     // (round 7 anchor 1.29 priced the round-6 identical-content guard)
     "dedup_cosine_lsh" -> 1.68,
-    "dedup_exact" -> 2.267,
+    "dedup_exact" -> 1.0, // tightened round 8 (isolated median)
     "dedup_minhash" -> 1.679,
     "dedup_simhash" -> 1.299,
     "multimodal_decode" -> 0.222,
@@ -50,8 +50,11 @@ object BenchAnchors {
     "rel_q1_pricing_summary" -> 0.309,
     "rel_q3_shipping_priority" -> 0.666,
     "rel_q4_order_priority" -> 0.728,
-    "rel_q5_region_volume" -> 2.845,
-    "rel_range_join" -> 1.1,
+    // tightened round 8 from isolated warm medians: these anchors were
+    // taken on older/denser data or pre-optimization code and sat >2x
+    // above current medians, masking real regressions
+    "rel_q5_region_volume" -> 1.05,
+    "rel_range_join" -> 0.54,
     "rel_rollup_flags" -> 1.295,
     "rel_scalar_functions" -> 0.48,
     "rel_sessionize" -> 0.619,
@@ -116,9 +119,12 @@ object BenchAnchors {
     // on the new graph). Median with the sorted-merge intersect kernel
     // + size-aware adjacency broadcast (GraphAlgos.wedgeClose).
     "graph_triangles" -> 9.923,
-    "text_chunk_windows" -> 1.1,
+    "text_chunk_windows" -> 0.57,
     "text_bpe_pair_counts" -> 1.6,
-    "text_bpe_learn_merges" -> 6.6,
+    // tightened round 8: the batched trainer (11 rounds, not 20) probes
+    // at 2.73 s isolated — the old 6.6 anchor would let a 5x regression
+    // of the batching pass silently
+    "text_bpe_learn_merges" -> 2.73,
     "ann_maxsim_multivector" -> 0.75,
     "rel_zorder_layout" -> 0.35,
     // round-7 late additions (max of 3 isolated quiet-box reps at sf0.1,
