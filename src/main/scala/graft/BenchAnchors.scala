@@ -203,5 +203,13 @@ object BenchAnchors {
     "text_pmi_bigrams" -> 1.07,
     "text_hll_by_source" -> 0.912,
     "pipeline_schema_evolution" -> 0.798,
+    // round-8 continuation additions (isolated warm medians, this box)
+    "text_classifier_score" -> 0.315,
+    "pipeline_shuffle_shards" -> 0.44,
+    "ann_ivf_append" -> 1.305,
+    "rel_decay_engagement" -> 0.524,
+    "pipeline_corpus_diff" -> 0.665,
+    "text_length_histogram" -> 0.655,
+    "pipeline_padding_stats" -> 0.584,
   )
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Bpe, Chunker, Clustering, Dedup, Embeddings, Multimodal, Packing, Retrieval, Sampling, Sketches, Snapshot, TextAnalysis}
+import graft.pipeline.{Ann, Bpe, Chunker, Classifier, Clustering, Decay, Dedup, Embeddings, Multimodal, Packing, Retrieval, Sampling, Sketches, Snapshot, TextAnalysis}
 
 /**
  * LLM-data-pipeline operator coverage (dedup / text analysis / similarity
@@ -56,7 +56,8 @@ object PipelineQueries {
         concat(col("text"), lit(" graftmutation")).as("text")))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // Text statistics + quality scoring — one codegen'd pass.
     "text_stats" -> ((s, dir) => {
       TextAnalysis.withTextStats(docs(s, dir), "text")
@@ -837,9 +838,12 @@ object PipelineQueries {
     // the parquet-path oracle.
     "pipeline_jsonl_roundtrip" -> ((s, dir) => {
       val src = docs(s, dir)
+      // key the temp root on the sanitized dir PATH (not its hashCode:
+      // 31-bit hashes of distinct dirs can collide and silently share
+      // the same export tree — same fix as pipeline_schema_evolution)
       val path = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        s"graft_jsonl_${dir.hashCode & 0x7fffffff}").getAbsolutePath
+        s"graft_jsonl_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}").getAbsolutePath
       graft.sources.TextInterchange.writeJsonl(src.repartition(4), path)
       graft.sources.TextInterchange.readJsonl(s, path, src.schema)
         .groupBy(col("source"))
@@ -1083,6 +1087,102 @@ object PipelineQueries {
     // that equality; the oracle recomputes all rows register-for-register).
     "text_hll_by_source" -> ((s, dir) =>
       Sketches.hllBySource(docs(s, dir)))
+  ) ++ roundEightQueries
+
+  // --- round-8 widening: classifier / shuffle / incremental IVF /
+  //     time-decay / snapshot diff -------------------------------------
+
+  private def roundEightQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Linear hashed-bag-of-words quality classifier (FineWeb-Edu-style
+    // model inference as one codegen'd map stage): per-class integer
+    // weight sums + argmax class. Everything is exact integers (the
+    // shared 1000·n_tokens denominator cancels in argmax), and both the
+    // md5 feature buckets and the md5-derived weight table are rebuilt
+    // hash-for-hash by the oracle.
+    "text_classifier_score" -> ((s, dir) => {
+      Classifier.scoreDocs(docs(s, dir), "text", buckets = 64, classes = 3,
+          seed = "graftclf")
+        .select(col("doc_id"), col("n_tokens"),
+          element_at(col("class_sums"), 1).as("s0"),
+          element_at(col("class_sums"), 2).as("s1"),
+          element_at(col("class_sums"), 3).as("s2"),
+          col("pred_class"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic corpus shuffle: md5 order key + shard assignment as
+    // a NARROW projection (the global-permutation exchange is priced
+    // only when materializing, via Sampling.writeOrder). Gate checks the
+    // full key population per shard: counts, a modular checksum, and
+    // the key range — any divergence in any key lands in the checksum.
+    "pipeline_shuffle_shards" -> ((s, dir) => {
+      Sampling.deterministicShuffle(docs(s, dir), "doc_id", "graftshuf", 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(pmod(col("shuffle_key"), lit(1000003L))).as("checksum"),
+          min(col("shuffle_key")).as("min_key"),
+          max(col("shuffle_key")).as("max_key"))
+        .orderBy(col("shard"))
+    }),
+
+    // Incremental IVF ingest: the coarse quantizer is trained on the
+    // BASE corpus only and FROZEN; the delta batch (every 10th vector)
+    // is assigned and appended without touching the base index — the
+    // nightly-ingest path. Full-probe config makes the post-append
+    // search value-exact vs brute force over the union, so a stale or
+    // misassigned appended row would break the oracle.
+    "ann_ivf_append" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      val delta = e.filter(col("vec_id") % 10 === 0)
+      val model = Ann.trainIvf(s, base, "embedding", "vec_id", nlist = 16)
+      val index = Ann.appendToIndex(
+        Ann.buildIndex(base, "embedding", model), delta, "embedding", model)
+      val qs = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+      Ann.searchIvf(s, index, "vec_id", "embedding", qs, model, k = 10, nprobe = 16)
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
+    // Mergeable length-distribution sketch: geometric (bit-length) bins
+    // of per-doc token counts, per source + a bin-wise-sum __merged__
+    // row, with exact bin-resolution p50/p90/p99 upper bounds from the
+    // ≤64-cell table — "p99 doc length per source" with no global sort.
+    // The bin edge is integer-exact on both engines (length(bin(v)),
+    // not floor(log2) on doubles).
+    "text_length_histogram" -> ((s, dir) =>
+      Sketches.lengthHistogramBySource(docs(s, dir))),
+
+    // Padding-efficiency audit for length-bucketed batching: exact
+    // per-bucket token/slot totals under clamp-to-last-boundary
+    // semantics; the waste ratio is one IEEE division of exact sums.
+    "pipeline_padding_stats" -> ((s, dir) => {
+      val withTok = docs(s, dir)
+        .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      Packing.paddingStats(withTok, "n_tok", Seq(16L, 32L, 64L, 128L, 256L))
+    }),
+
+    // Corpus snapshot diff: generation 2 drops every 13th doc, rewrites
+    // every 7th (survivors only), and adds fresh ids — the diff
+    // classifies every key from thin (key, fingerprint) projections and
+    // the gate folds it to exact per-status counts + an id checksum.
+    "pipeline_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fp = TextAnalysis.contentFingerprint(col("text"))
+      val base = d.select(col("doc_id"), fp.as("fp"))
+      val nextGen = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+        .select(col("doc_id"), fp.as("fp"))
+      Snapshot.diff(base, nextGen, "doc_id", "fp")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("status"))
+    })
   )
 
   private def dotL(a: String, b: String) =
@@ -2597,7 +2697,131 @@ object PipelineQueries {
         |  CASE WHEN n_zero_registers > 0
         |       THEN round(256.0 * ln(256.0 / CAST(n_zero_registers AS DOUBLE)), 4)
         |  END AS lc_estimate
-        |FROM s ORDER BY source""".stripMargin
+        |FROM s ORDER BY source""".stripMargin,
+
+    // Full model replication: md5 feature buckets AND the md5-derived
+    // weight table rebuilt hash-for-hash; empty docs (no token rows)
+    // come back via the LEFT JOIN with zero sums and pred 0 (the
+    // smallest-class tie-break), exactly like the engine's fold over an
+    // empty bucket array.
+    "text_classifier_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS t
+        |  FROM documents),
+        |bt AS (
+        |  SELECT doc_id, CAST((md5_number_lower(t) >> 1) % 64 AS BIGINT) AS b FROM toks),
+        |ws AS (
+        |  SELECT doc_id,
+        |    sum(CAST((md5_number_lower('graftclf:' || CAST(b AS VARCHAR) || ':' || CAST(c.c AS VARCHAR)) >> 1) % 2001 AS BIGINT) - 1000)
+        |      FILTER (WHERE c.c = 0) AS s0,
+        |    sum(CAST((md5_number_lower('graftclf:' || CAST(b AS VARCHAR) || ':' || CAST(c.c AS VARCHAR)) >> 1) % 2001 AS BIGINT) - 1000)
+        |      FILTER (WHERE c.c = 1) AS s1,
+        |    sum(CAST((md5_number_lower('graftclf:' || CAST(b AS VARCHAR) || ':' || CAST(c.c AS VARCHAR)) >> 1) % 2001 AS BIGINT) - 1000)
+        |      FILTER (WHERE c.c = 2) AS s2
+        |  FROM bt, (SELECT unnest([0, 1, 2]) AS c) c
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(trim(d.text)), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(ws.s0, 0) AS BIGINT) AS s0,
+        |  CAST(coalesce(ws.s1, 0) AS BIGINT) AS s1,
+        |  CAST(coalesce(ws.s2, 0) AS BIGINT) AS s2,
+        |  CAST(CASE WHEN coalesce(ws.s0, 0) >= coalesce(ws.s1, 0)
+        |             AND coalesce(ws.s0, 0) >= coalesce(ws.s2, 0) THEN 0
+        |            WHEN coalesce(ws.s1, 0) >= coalesce(ws.s2, 0) THEN 1
+        |            ELSE 2 END AS INTEGER) AS pred_class
+        |FROM documents d LEFT JOIN ws ON ws.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "pipeline_shuffle_shards" ->
+      """WITH k AS (
+        |  SELECT CAST(md5_number_lower('graftshuf:' || CAST(doc_id AS VARCHAR)) >> 1 AS BIGINT) AS key
+        |  FROM documents)
+        |SELECT CAST(key % 8 AS INTEGER) AS shard, count(*) AS n_docs,
+        |  CAST(sum(key % 1000003) AS BIGINT) AS checksum,
+        |  min(key) AS min_key, max(key) AS max_key
+        |FROM k GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // Post-append search at nprobe = nlist must equal brute-force cosine
+    // top-k over base ∪ delta = the WHOLE embeddings table — a stale
+    // index (missing delta) or a misassigned appended row breaks this.
+    "ann_ivf_append" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
+         |  WHERE vec_id >= 10 AND vec_id < 15),
+         |scored AS (
+         |  SELECT q.queryId, e.vec_id AS neighbor_id,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cosine
+         |  FROM embeddings e, q)
+         |SELECT queryId, neighbor_id, rnk AS "rank", cosine FROM (
+         |  SELECT queryId, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY queryId
+         |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
+
+    "text_length_histogram" ->
+      """WITH perdoc AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |binned AS (
+        |  SELECT source, CASE WHEN n_tok <= 0 THEN 0 ELSE length(bin(n_tok)) END AS b FROM perdoc
+        |  UNION ALL
+        |  SELECT '__merged__' AS source, CASE WHEN n_tok <= 0 THEN 0 ELSE length(bin(n_tok)) END AS b FROM perdoc),
+        |cells AS (SELECT source, b, count(*) AS n FROM binned GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, b, n,
+        |    sum(n) OVER (PARTITION BY source ORDER BY b) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS total
+        |  FROM cells)
+        |SELECT source, CAST(max(total) AS BIGINT) AS n_docs,
+        |  CAST(min(CASE WHEN cum * 100 >= total * 50 THEN (CAST(1 AS BIGINT) << b) - 1 END) AS BIGINT) AS p50_ub,
+        |  CAST(min(CASE WHEN cum * 100 >= total * 90 THEN (CAST(1 AS BIGINT) << b) - 1 END) AS BIGINT) AS p90_ub,
+        |  CAST(min(CASE WHEN cum * 100 >= total * 99 THEN (CAST(1 AS BIGINT) << b) - 1 END) AS BIGINT) AS p99_ub
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_padding_stats" ->
+      """WITH perdoc AS (
+        |  SELECT least(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS BIGINT), 256) AS len
+        |  FROM documents),
+        |b AS (
+        |  SELECT len,
+        |    CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
+        |         WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128
+        |         ELSE 256 END AS bucket
+        |  FROM perdoc)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_seqs,
+        |  CAST(sum(len) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) * bucket AS BIGINT) AS n_slots,
+        |  1.0 - CAST(sum(len) AS BIGINT) / CAST(count(*) * bucket AS DOUBLE) AS waste_ratio
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "pipeline_corpus_diff" ->
+      """WITH base AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |nextgen AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(
+        |      CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |d AS (
+        |  SELECT coalesce(b.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN b.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN b.fp = n.fp THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM base b FULL OUTER JOIN nextgen n ON b.doc_id = n.doc_id)
+        |SELECT status, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM d GROUP BY status
+        |ORDER BY status""".stripMargin
   )
 
   private def sqlQuote(v: String): String = "'" + v.replace("'", "''") + "'"

@@ -331,6 +331,21 @@ object RelationalQueries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Recency-weighted engagement: step-wise half-life decay in exact
+    // integer arithmetic (cents × power-of-two weights summed in
+    // decimal — graft.pipeline.Decay), reference date = the corpus max
+    // event date attached via a broadcast 1-row aggregate. The float
+    // score is one terminal IEEE division of exact integers —
+    // engine-independent.
+    "rel_decay_engagement" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val ref = ev.agg(max(to_date(col("ts"))).as("__ref"))
+      graft.pipeline.Decay.timeDecayedSum(ev.crossJoin(broadcast(ref)),
+          Seq("event_type"), "ts", "value", col("__ref"),
+          halfLifeDays = 7, maxUnits = 8)
+        .orderBy(col("event_type"))
+    }),
+
     // Ordered funnel conversion (signup → click ≤24h → purchase ≤24h):
     // each stage is a min-timestamp aggregation joined to the previous
     // stage's cohort — the standard events-analytics funnel as three
@@ -1301,6 +1316,24 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // Exact integer decay replay: same cents rounding, same floored
+    // half-life units, same power-of-two weights; DuckDB's HUGEINT sum
+    // is cast back to BIGINT and the score derived by the same single
+    // division of exact integers.
+    "rel_decay_engagement" ->
+      """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events),
+        |base AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    least(8, greatest(0,
+        |      CAST(floor(date_diff('day', CAST(ts AS DATE), r) / 7.0) AS INTEGER))) AS u
+        |  FROM events, ref)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(cents * (CAST(1 AS BIGINT) << (8 - u))) AS BIGINT) AS decayed_scaled,
+        |  CAST(sum(cents * (CAST(1 AS BIGINT) << (8 - u))) AS BIGINT) / (100.0 * 256.0) AS decayed_score
+        |FROM base GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "rel_retention_cohorts" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -105,6 +105,18 @@ object Ann {
     df.withColumn("cluster", clusterOf(col(embCol), model))
       .repartition(col("cluster"))
 
+  /** Incremental index maintenance: assign ONLY the delta batch under the
+    * FROZEN coarse quantizer and append it to the existing index — the
+    * nightly-ingest path. The base index is untouched (no retrain, no
+    * re-shuffle of the corpus); the append job is linear in the delta,
+    * and because both legs share the same cluster partitioning, probe
+    * equi-joins stay partition-local. Centroid drift is a monitoring
+    * concern ([[graft.pipeline.Embeddings]] drift ops), not a per-batch
+    * rebuild. */
+  def appendToIndex(
+      index: DataFrame, delta: DataFrame, embCol: String, model: IvfModel): DataFrame =
+    index.unionByName(buildIndex(delta, embCol, model))
+
   /**
    * IVF query: each (query, probe-cluster) pair equi-joins the index on
    * `cluster`, exact distance on the narrowed set, per-query top-k.

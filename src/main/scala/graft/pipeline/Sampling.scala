@@ -194,4 +194,38 @@ object Sampling {
       .select(col("doc_id"), col("quality_score"), col("n_tokens"),
         col("cum_tokens"), col("kept"))
   }
+
+  /** 63-bit deterministic shuffle key of an id: md5 of "seed:id", which
+    * DuckDB recomputes verbatim as `md5_number_lower(...) >> 1`. Uniform,
+    * so range-partitioning on it is balanced by construction. */
+  def shuffleKey(id: Column, seed: String): Column =
+    shiftrightunsigned(
+      graft.functions.text.md5_lower64(concat(lit(seed + ":"), id.cast("string"))),
+      1)
+
+  /**
+   * Deterministic corpus shuffle + shard assignment: the training-data
+   * "global random order" that must be reproducible across runs and
+   * cluster sizes. The order key is a pure md5 function of the row id
+   * (no RNG state, no zipWithIndex barrier); `shard` is `key % nShards`.
+   *
+   * This projection is NARROW — no shuffle at all. To materialize shards
+   * in shuffled order at scale, follow with [[writeOrder]]: ONE
+   * range-exchange on the uniform key (balanced by construction — no
+   * sampling skew, since the key is a 63-bit hash) + an in-partition
+   * sort, which is the minimum any global permutation costs.
+   */
+  def deterministicShuffle(
+      df: DataFrame, idCol: String, seed: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)).cast("int"))
+  }
+
+  /** Globally-ordered shuffled layout: range-partition by the shuffle key
+    * and sort within partitions — ready for a partitioned parquet write
+    * whose file order IS the (deterministic) training order. */
+  def writeOrder(shuffled: DataFrame, numPartitions: Int): DataFrame =
+    shuffled.repartitionByRange(numPartitions, col("shuffle_key"))
+      .sortWithinPartitions(col("shuffle_key"))
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.text
@@ -164,4 +165,58 @@ object Sketches {
     when(col("n_zero_registers") > 0L,
       round(lit(256.0) * log(lit(256.0) / col("n_zero_registers").cast("double")), 4))
       .as("lc_estimate")
+
+  // --- mergeable length histogram ----------------------------------------
+
+  /** Geometric bin of a positive integer: its BIT LENGTH, computed as
+    * `length(bin(v))` — both engines render the same minimal binary
+    * string, so the bin edge is integer-exact (a floor(log2(v)) on
+    * doubles can land on the wrong side of the edge at exact powers of
+    * two). v <= 0 → bin 0. */
+  def bitLengthBin(v: Column): Column =
+    when(v <= 0L, lit(0)).otherwise(length(bin(v.cast("long"))))
+
+  /**
+   * Mergeable per-source length-distribution sketch: geometric
+   * (bit-length) bins of the per-doc token count, per source plus a
+   * `__merged__` row that is the bin-wise SUM of the per-source sketches
+   * (SketchesSpec pins merged == whole-corpus). From the fixed ≤64-bin
+   * table it derives exact bin-resolution quantiles: `pXX_ub` =
+   * 2^bin − 1, the upper token bound of the first bin where the
+   * cumulative count reaches XX% (ceil rank semantics).
+   *
+   * The 100 TB shape: one token-count pass (map-side combined into at
+   * most sources×64 cells), then everything — merge, quantiles, the data
+   * card — runs on the cell table. This is the corpus-scale answer to
+   * "what is p99 doc length per source" without any global sort.
+   */
+  def lengthHistogramBySource(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val perSrc = docs
+      .select(col(sourceCol).as("source"),
+        bitLengthBin(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n"))
+    val merged = perSrc.groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"))
+      .withColumn("source", lit("__merged__"))
+    val cells = perSrc.unionByName(merged)
+    val w = Window.partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    // bin upper bound 2^bin − 1 via a literal power table (bins ≤ 63;
+    // Column-typed shift counts aren't in the functions API)
+    val powers = typedlit((0 to 63).map(k => (1L << k) - 1L))
+    val qual = cells
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("ub", element_at(powers, col("bin") + 1))
+    // ceil-rank: the first bin whose cumulative count covers pct% of
+    // docs (cum·100 >= pct·total in exact integers)
+    def pctUb(pct: Int): Column =
+      min(when(col("cum") * 100 >= col("total") * pct, col("ub"))).as(s"p${pct}_ub")
+    qual.groupBy(col("source"))
+      .agg(max(col("total")).as("n_docs"),
+        pctUb(50), pctUb(90), pctUb(99))
+      .orderBy(col("source"))
+  }
 }

@@ -52,4 +52,31 @@ object Snapshot {
       .filter(col("__rn") === 1 && col(opCol) === "U")
       .drop("__rn", opCol)
   }
+
+  /**
+   * Corpus snapshot diff: classify every key across two generations as
+   * `added` / `removed` / `changed` / `unchanged` by comparing content
+   * fingerprints — the audit step between corpus refreshes (how much
+   * churn did the new crawl introduce? what must be re-embedded?).
+   *
+   * Scale shape: both sides project to (key, fingerprint) BEFORE the
+   * full-outer equi-join, so the shuffle moves two thin columns, never
+   * document bytes; downstream re-processing joins back on the key for
+   * just the `added`/`changed` slice.
+   */
+  def diff(
+      base: DataFrame,
+      next: DataFrame,
+      keyCol: String,
+      fpCol: String): DataFrame = {
+    val a = base.select(col(keyCol), col(fpCol).as("__fp_base"))
+    val b = next.select(col(keyCol), col(fpCol).as("__fp_next"))
+    a.join(b, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("__fp_base").isNull, lit("added"))
+          .when(col("__fp_next").isNull, lit("removed"))
+          .when(col("__fp_base") === col("__fp_next"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col(keyCol), col("status"))
+  }
 }

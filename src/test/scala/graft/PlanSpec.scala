@@ -340,4 +340,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"hll must be join-free:\n$p")
   }
 
+  test("classifier scoring is one narrow map stage: no join, no shuffle before the sort") {
+    import org.apache.spark.sql.functions.col
+    // the raw scoring projection (pre-gate, no ORDER BY) must be
+    // exchange-free: tokenize → bucket → weight fold is a single scan
+    val p = graft.pipeline.Classifier.scoreDocs(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", 64, 3, "graftclf")
+      .select(col("doc_id"), col("pred_class"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"classifier must stay narrow:\n$p")
+  }
+
+  test("deterministic shuffle assignment is narrow; writeOrder adds exactly one range exchange") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val assign = graft.pipeline.Sampling.deterministicShuffle(d, "doc_id", "s", 8)
+      .select(col("doc_id"), col("shard"))
+      .queryExecution.executedPlan.toString
+    assert(!assign.contains("Exchange"), s"assignment must be narrow:\n$assign")
+    val ordered = graft.pipeline.Sampling.writeOrder(
+        graft.pipeline.Sampling.deterministicShuffle(d, "doc_id", "s", 8), 4)
+      .queryExecution.executedPlan.toString
+    assert(ordered.linesIterator.count(_.contains("Exchange rangepartitioning")) == 1,
+      s"writeOrder = one range exchange:\n$ordered")
+  }
+
+  test("snapshot diff shuffles thin projections only — document text never reaches the join") {
+    val p = plan("pipeline_corpus_diff")
+    // the full-outer join runs on (doc_id, fp) pairs: the text column
+    // must be consumed by the fingerprint projection below the exchange
+    val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
+    assert(joinLine.nonEmpty, s"expected a sort-merge full-outer join:\n$p")
+    assert(!joinLine.contains("text"), s"join keys must be thin:\n$joinLine")
+  }
+
 }
