@@ -211,5 +211,6 @@ object BenchAnchors {
     "pipeline_corpus_diff" -> 0.665,
     "text_length_histogram" -> 0.655,
     "pipeline_padding_stats" -> 0.584,
+    "multimodal_audio_wav" -> 0.331,
   )
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Bpe, Chunker, Classifier, Clustering, Decay, Dedup, Embeddings, Multimodal, Packing, Retrieval, Sampling, Sketches, Snapshot, TextAnalysis}
+import graft.pipeline.{Ann, Audio, Bpe, Chunker, Classifier, Clustering, Decay, Dedup, Embeddings, Multimodal, Packing, Retrieval, Sampling, Sketches, Snapshot, TextAnalysis}
 
 /**
  * LLM-data-pipeline operator coverage (dedup / text analysis / similarity
@@ -1143,6 +1143,15 @@ object PipelineQueries {
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
       Ann.searchIvf(s, index, "vec_id", "embedding", qs, model, k = 10, nprobe = 16)
         .orderBy(col("queryId"), col("rank"))
+    }),
+
+    // REAL audio decode: RIFF/WAVE PCM-16 payloads (standards-compliant
+    // bytes, junk LIST chunks planted every 3rd doc to force a true
+    // chunk walk) parsed back to exact integer signal stats; the oracle
+    // replays the closed-form generator per sample in SQL.
+    "multimodal_audio_wav" -> ((s, dir) => {
+      val blobs = Audio.withWavAudio(s, docs(s, dir).filter(col("doc_id") < 200), "doc_id")
+      Audio.decodeStats(blobs).toDF().orderBy(col("doc_id"))
     }),
 
     // Mergeable length-distribution sketch: geometric (bit-length) bins
@@ -2762,6 +2771,27 @@ object PipelineQueries {
          |  FROM scored) x
          |WHERE rnk <= 10
          |ORDER BY queryId, rnk""".stripMargin,
+
+    // Per-sample replay of the synthetic signal: the decoded stats must
+    // equal the generator's closed form, which only holds if the chunk
+    // walk, PCM-16 LE frame decode, and integer accumulators are right.
+    "multimodal_audio_wav" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |s0 AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(256 + doc_id % 64 AS BIGINT) - 1)) AS i
+        |  FROM ids),
+        |s AS (SELECT doc_id, ((doc_id * 31 + i * 17) % 2001) - 1000 AS v FROM s0)
+        |SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS n_channels,
+        |  CAST(16 AS INTEGER) AS bits_per_sample,
+        |  CAST(256 + doc_id % 64 AS BIGINT) AS n_frames,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(v)) AS BIGINT) AS max_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |FROM s GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "text_length_histogram" ->
       """WITH perdoc AS (

@@ -179,6 +179,45 @@ class RoundEightOpsSpec extends AnyFunSuite {
       (128L, 2L, 228L, 256L, 1.0 - 228.0 / 256.0)))
   }
 
+  // --- WAV/PCM audio decode ------------------------------------------------
+
+  test("wav decode: round-trip stats match direct computation; junk chunk is walked") {
+    // doc 6 gets the planted LIST chunk (6 % 3 == 0) — must parse anyway
+    for (id <- Seq(5L, 6L)) {
+      val blob = Audio.synthBlob(id)
+      val got = Audio.decodeWavStats(id, blob.data)
+      val n = (256 + id % 64).toInt
+      val samples = (0 until n).map(i => ((id * 31 + i.toLong * 17) % 2001) - 1000)
+      assert(got.n_frames == n.toLong)
+      assert(got.sample_rate == 8000 + (id % 8).toInt * 1000)
+      assert(got.n_channels == 1 && got.bits_per_sample == 16)
+      assert(got.sum_abs == samples.map(math.abs).sum)
+      assert(got.max_abs == samples.map(math.abs).max)
+      assert(got.sum_sq == samples.map(s => s * s).sum)
+    }
+  }
+
+  test("wav decode: stereo frames count once per frame, channels interleave into the sums") {
+    // hand-built 2-channel PCM-16 WAV: frames (L,R) = (100,-200), (300,-400)
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(8)
+    Seq(100, -200, 300, -400).foreach(s => bb.putShort(s.toShort))
+    val got = Audio.decodeWavStats(1L, bb.array())
+    assert(got.n_channels == 2 && got.n_frames == 2L)
+    assert(got.sum_abs == 1000L && got.max_abs == 400L)
+    assert(got.sum_sq == 100L * 100 + 200L * 200 + 300L * 300 + 400L * 400)
+  }
+
+  test("wav decode: non-RIFF and non-PCM payloads are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Audio.decodeWavStats(1L, "nonsense-bytes-here".getBytes("US-ASCII"))
+    }
+  }
+
   // --- Snapshot diff -------------------------------------------------------
 
   test("snapshot diff: added / removed / changed / unchanged classification") {
