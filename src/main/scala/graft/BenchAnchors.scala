@@ -212,5 +212,6 @@ object BenchAnchors {
     "text_length_histogram" -> 0.655,
     "pipeline_padding_stats" -> 0.584,
     "multimodal_audio_wav" -> 0.331,
+    "multimodal_resize_real" -> 0.362,
   )
 }

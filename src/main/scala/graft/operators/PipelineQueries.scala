@@ -1145,6 +1145,16 @@ object PipelineQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // REAL pixel resize: decode the real PNG/BMP payloads and
+    // downsample with integer nearest-neighbor — no floats anywhere, so
+    // the oracle replays the resampled channel sums per destination
+    // pixel from the quadrant closed form.
+    "multimodal_resize_real" -> ((s, dir) => {
+      val blobs = Multimodal.withEncodedImages(
+        s, docs(s, dir).filter(col("doc_id") < 150), "doc_id")
+      Multimodal.decodeResizeStats(blobs, maxDim = 16).toDF().orderBy(col("doc_id"))
+    }),
+
     // REAL audio decode: RIFF/WAVE PCM-16 payloads (standards-compliant
     // bytes, junk LIST chunks planted every 3rd doc to force a true
     // chunk walk) parsed back to exact integer signal stats; the oracle
@@ -2771,6 +2781,41 @@ object PipelineQueries {
          |  FROM scored) x
          |WHERE rnk <= 10
          |ORDER BY queryId, rnk""".stripMargin,
+
+    // Destination-pixel replay of the integer nearest-neighbor resample:
+    // src pixel (x·w)//dw, (y·h)//dh → quadrant → closed-form channel
+    // value; sums must match the engine's post-resize accumulation
+    // exactly (they only can if decode AND the resample mapping agree).
+    "multimodal_resize_real" ->
+      """WITH dims0 AS (
+        |  SELECT doc_id, doc_id % 48 + 8 AS w, doc_id % 32 + 8 AS h
+        |  FROM documents WHERE doc_id < 150),
+        |dims AS (
+        |  SELECT doc_id, w, h,
+        |    CASE WHEN greatest(w, h) <= 16 THEN w
+        |         ELSE greatest(1, (w * 16) // greatest(w, h)) END AS dw,
+        |    CASE WHEN greatest(w, h) <= 16 THEN h
+        |         ELSE greatest(1, (h * 16) // greatest(w, h)) END AS dh,
+        |    w // 2 AS wl, h // 2 AS ht
+        |  FROM dims0),
+        |xs AS (SELECT doc_id, unnest(generate_series(0, dw - 1)) AS x FROM dims),
+        |ys AS (SELECT doc_id, unnest(generate_series(0, dh - 1)) AS y FROM dims),
+        |px AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN (y.y * d.h) // d.dh < d.ht THEN 0 ELSE 2 END
+        |      + CASE WHEN (x.x * d.w) // d.dw < d.wl THEN 0 ELSE 1 END AS q
+        |  FROM dims d
+        |  JOIN xs x ON x.doc_id = d.doc_id
+        |  JOIN ys y ON y.doc_id = d.doc_id)
+        |SELECT p.doc_id,
+        |  CAST(d.w AS INTEGER) AS src_w, CAST(d.h AS INTEGER) AS src_h,
+        |  CAST(d.dw AS INTEGER) AS dst_w, CAST(d.dh AS INTEGER) AS dst_h,
+        |  CAST(sum((p.doc_id * 3 + 31 * p.q + 7) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((p.doc_id * 5 + 31 * p.q + 7) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((p.doc_id * 7 + 31 * p.q + 7) % 256) AS BIGINT) AS sum_b
+        |FROM px p JOIN dims d ON d.doc_id = p.doc_id
+        |GROUP BY p.doc_id, d.w, d.h, d.dw, d.dh
+        |ORDER BY p.doc_id""".stripMargin,
 
     // Per-sample replay of the synthetic signal: the decoded stats must
     // equal the generator's closed form, which only holds if the chunk

@@ -194,6 +194,59 @@ object Multimodal {
     decoded.map(d => decoder.resizeOne(d, maxDim))
   }
 
+  final case class ResizedStats(
+      doc_id: Long,
+      src_w: Int,
+      src_h: Int,
+      dst_w: Int,
+      dst_h: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** REAL pixel resize: decode through `javax.imageio`, downsample with
+    * INTEGER nearest-neighbor (dst dims `(side·maxDim) div max(w,h)`,
+    * source pixel `(x·srcW) div dstW` — no floating point anywhere, so
+    * the resampled channel sums are engine-exact and the gate oracle
+    * replays them per destination pixel). Aspect ratio preserved;
+    * images already within `maxDim` pass through unscaled. Pixel
+    * buffers live and die inside the task — only fixed-width stats rows
+    * cross the shuffle. */
+  def decodeResizeStats(blobs: Dataset[MediaBlob], maxDim: Int): Dataset[ResizedStats] = {
+    import blobs.sparkSession.implicits._
+    require(maxDim > 0, "maxDim must be positive")
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { blob =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.data))
+        require(img != null, s"undecodable media payload for doc ${blob.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val side = math.max(w, h)
+        val (dw, dh) =
+          if (side <= maxDim) (w, h)
+          else (math.max(1, w * maxDim / side), math.max(1, h * maxDim / side))
+        var sr = 0L
+        var sg = 0L
+        var sb = 0L
+        var y = 0
+        while (y < dh) {
+          val srcY = y * h / dh
+          var x = 0
+          while (x < dw) {
+            val p = img.getRGB(x * w / dw, srcY)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ResizedStats(blob.doc_id, w, h, dw, dh, sr, sg, sb)
+      }
+    }
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame
     * (flatMap fan-out, bounded by the kernel's frame cap). */
   def sampleFrames(

@@ -179,6 +179,40 @@ class RoundEightOpsSpec extends AnyFunSuite {
       (128L, 2L, 228L, 256L, 1.0 - 228.0 / 256.0)))
   }
 
+  // --- Real pixel resize ---------------------------------------------------
+
+  test("pixel resize: integer NN mapping matches a driver-side replay; small images pass through") {
+    val ids = Seq(3L, 10L, 40L)
+    val blobs = Multimodal.withEncodedImages(spark, ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.decodeResizeStats(blobs, maxDim = 16)
+      .collect().map(r => r.doc_id -> r).toMap
+    for (id <- ids) {
+      val w = (id % 48 + 8).toInt
+      val h = (id % 32 + 8).toInt
+      val side = math.max(w, h)
+      val (dw, dh) =
+        if (side <= 16) (w, h)
+        else (math.max(1, w * 16 / side), math.max(1, h * 16 / side))
+      // driver-side replay of the quadrant closed form over dst pixels
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until dh; x <- 0 until dw) {
+        val sx = x * w / dw
+        val sy = y * h / dh
+        val q = (if (sy < h / 2) 0 else 2) + (if (sx < w / 2) 0 else 1)
+        er += (id * 3 + 31 * q + 7) % 256
+        eg += (id * 5 + 31 * q + 7) % 256
+        eb += (id * 7 + 31 * q + 7) % 256
+      }
+      val r = got(id)
+      assert((r.dst_w, r.dst_h) == ((dw, dh)), s"doc $id dims")
+      assert((r.sum_r, r.sum_g, r.sum_b) == ((er, eg, eb)), s"doc $id sums")
+      // aspect is preserved within integer truncation: dst <= 16 always
+      assert(r.dst_w <= 16 && r.dst_h <= 16)
+    }
+    // doc 3: 11x11 already fits maxDim 16 → byte-identical pass-through dims
+    assert(got(3L).dst_w == 11 && got(3L).dst_h == 11)
+  }
+
   // --- WAV/PCM audio decode ------------------------------------------------
 
   test("wav decode: round-trip stats match direct computation; junk chunk is walked") {
