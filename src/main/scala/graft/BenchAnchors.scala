@@ -216,5 +216,6 @@ object BenchAnchors {
     "multimodal_audio_wav" -> 0.331,
     "multimodal_resize_real" -> 0.362,
     "stream_decay_engagement" -> 1.671,
+    "rel_hilbert_layout" -> 0.399,
   )
 }

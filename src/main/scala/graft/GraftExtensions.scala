@@ -75,6 +75,8 @@ object GraftExtensions {
       es => { arity("argmin_l2", es, 2); ArgminL2(es(0), es(1)) }),
     ("zorder2", "zorder2(x, y) - Morton interleave of the low 16 bits of two ints",
       es => { arity("zorder2", es, 2); ZOrder2(es(0), es(1)) }),
+    ("hilbert2", "hilbert2(x, y) - order-16 Hilbert-curve position of a 16-bit 2-D point",
+      es => { arity("hilbert2", es, 2); Hilbert2(es(0), es(1)) }),
     ("sign_project",
       "sign_project(vec, signs) - dense ±1-matrix projection (row-major signs), 6-dp snapped",
       es => { arity("sign_project", es, 2); SignProject(es(0), es(1)) }),

@@ -59,8 +59,72 @@ case class ZOrder2(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** Hilbert-curve index of a 16-bit 2-D point (the classic xy→d walk,
+  * public-domain algorithm as on the Hilbert-curve literature): a
+  * 32-bit position on the order-16 curve as LONG. Hilbert keeps every
+  * curve-contiguous range a CONNECTED 2-D region (Morton has octave
+  * jumps), so equal-size buckets of the sort key have tighter per-file
+  * min/max boxes — strictly better row-group skipping at the same
+  * layout cost. Callers reduce dimensions mod 2^16 first, as with
+  * [[ZOrder2]]. */
+case class Hilbert2(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[SparkShims.AbstractType] =
+    SparkShims.abstractTypes(IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    var x = a.asInstanceOf[Int] & 0xffff
+    var y = b.asInstanceOf[Int] & 0xffff
+    var d = 0L
+    var s = 1 << 15
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val rx = ctx.freshName("rx")
+      val ry = ctx.freshName("ry")
+      val t = ctx.freshName("t")
+      s"""
+         |int $x = $a & 0xffff; int $y = $b & 0xffff;
+         |long $d = 0L;
+         |for (int $s = 1 << 15; $s > 0; $s >>= 1) {
+         |  int $rx = (($x & $s) > 0) ? 1 : 0;
+         |  int $ry = (($y & $s) > 0) ? 1 : 0;
+         |  $d += (long) $s * $s * ((3 * $rx) ^ $ry);
+         |  if ($ry == 0) {
+         |    if ($rx == 1) { $x = $s - 1 - $x; $y = $s - 1 - $y; }
+         |    int $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** Column-API entry points for the layout kernels. */
 object layout {
   def zorder2(x: Column, y: Column): Column =
     SparkShims.column(ZOrder2(SparkShims.expression(x), SparkShims.expression(y)))
+  def hilbert2(x: Column, y: Column): Column =
+    SparkShims.column(Hilbert2(SparkShims.expression(x), SparkShims.expression(y)))
 }

@@ -1029,6 +1029,28 @@ object RelationalQueries {
         .orderBy(col("zbucket"))
     }),
 
+    // Hilbert-curve layout — same audit as rel_zorder_layout but on the
+    // order-16 Hilbert position: curve-contiguous buckets are CONNECTED
+    // 2-D regions (Morton buckets have octave jumps), so the same-size
+    // bucket carries tighter per-file min/max boxes for row-group
+    // skipping. The oracle replays the full 16-level xy→d walk as 16
+    // chained integer CTE stages — any divergence in any rotation/flip
+    // breaks every bucket.
+    "rel_hilbert_layout" -> ((s, dir) => {
+      import graft.functions.layout
+      t(s, dir, "orders")
+        .withColumn("d", datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")))
+        .withColumn("hval", layout.hilbert2(
+          (col("o_custkey") % 65536).cast("int"), (col("d") % 65536).cast("int")))
+        .withColumn("hbucket", expr("hval div 262144"))
+        .groupBy(col("hbucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          (max(col("o_custkey")) - min(col("o_custkey"))).as("custkey_span"),
+          (max(col("d")) - min(col("d"))).cast("long").as("day_span"))
+        .orderBy(col("hbucket"))
+    }),
+
     // ---- TPC-H q2/q9/q11/q12/q16/q20-shaped (completes the 22-query
     // relational suite). The test schema has no partsupp table, so the
     // five queries that consult it are documented adaptations: DISTINCT
@@ -1766,6 +1788,24 @@ object RelationalQueries {
          |FROM z GROUP BY 1
          |ORDER BY zbucket""".stripMargin,
 
+    "rel_hilbert_layout" ->
+      s"""WITH base AS (
+         |  SELECT o_custkey,
+         |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d
+         |  FROM orders),
+         |hbase AS (
+         |  SELECT o_custkey, d,
+         |    CAST(o_custkey % 65536 AS BIGINT) AS hx,
+         |    CAST(d % 65536 AS BIGINT) AS hy,
+         |    CAST(0 AS BIGINT) AS hd
+         |  FROM base),
+         |${hilbertStagesSql("o_custkey, d")}
+         |SELECT hd // 262144 AS hbucket, count(*) AS n_orders,
+         |  CAST(max(o_custkey) - min(o_custkey) AS BIGINT) AS custkey_span,
+         |  CAST(max(d) - min(d) AS BIGINT) AS day_span
+         |FROM h15 GROUP BY 1
+         |ORDER BY hbucket""".stripMargin,
+
     "rel_fuzzy_join" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
         |typos AS (
@@ -1881,6 +1921,22 @@ object RelationalQueries {
     (0 until 16).map(i =>
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
+
+  /** The 16-level Hilbert xy→d walk as chained CTE stages over columns
+    * (hx, hy, hd): each stage adds the quadrant contribution s²·((3rx)^ry)
+    * and applies the flip+swap rotation — a literal SQL transliteration
+    * of `functions.Hilbert2`'s loop body, one CTE per level. */
+  private def hilbertStagesSql(keep: String): String =
+    (0 until 16).map { i =>
+      val s = 1 << (15 - i)
+      val prev = if (i == 0) "hbase" else s"h${i - 1}"
+      s"""h$i AS (
+         |  SELECT $keep,
+         |    CASE WHEN (hy & $s) = 0 THEN (CASE WHEN (hx & $s) > 0 THEN $s - 1 - hy ELSE hy END) ELSE hx END AS hx,
+         |    CASE WHEN (hy & $s) = 0 THEN (CASE WHEN (hx & $s) > 0 THEN $s - 1 - hx ELSE hx END) ELSE hy END AS hy,
+         |    hd + CAST($s AS BIGINT) * $s * (CASE WHEN (hx & $s) > 0 THEN (CASE WHEN (hy & $s) > 0 THEN 2 ELSE 3 END) ELSE (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) END) AS hd
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
 
   /** One fixed-point PageRank round as a CTE: mirror of
     * `GraphAlgos.pageRankFixedPoint`'s iteration, floor divisions and
