@@ -217,5 +217,6 @@ object BenchAnchors {
     "multimodal_resize_real" -> 0.362,
     "stream_decay_engagement" -> 1.671,
     "rel_hilbert_layout" -> 0.399,
+    "text_wordpiece_encode" -> 1.023,
   )
 }

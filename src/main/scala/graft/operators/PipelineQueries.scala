@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Audio, Bpe, Chunker, Classifier, Clustering, Decay, Dedup, Embeddings, Multimodal, Packing, Retrieval, Sampling, Sketches, Snapshot, TextAnalysis}
+import graft.pipeline.{Ann, Audio, Bpe, Chunker, Classifier, Clustering, Decay, Dedup, Embeddings, Multimodal, Packing, Retrieval, Sampling, Sketches, Snapshot, TextAnalysis, Wordpiece}
 
 /**
  * LLM-data-pipeline operator coverage (dedup / text analysis / similarity
@@ -1143,6 +1143,23 @@ object PipelineQueries {
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
       Ann.searchIvf(s, index, "vec_id", "embedding", qs, model, k = 10, nprobe = 16)
         .orderBy(col("queryId"), col("rank"))
+    }),
+
+    // WordPiece-style subword tokenizer (the second tokenizer family
+    // next to BPE): frequency-built piece vocabulary over a bounded
+    // corpus slice + greedy longest-match-first encoding of every
+    // distinct word. Pure strings/integers end to end, so the oracle
+    // rebuilds the vocabulary substring-count-for-substring-count and
+    // replays the greedy walk as a recursive CTE.
+    "text_wordpiece_encode" -> ((s, dir) => {
+      val corpus = docs(s, dir).filter(col("doc_id") < 40)
+      val vocab = Wordpiece.buildVocab(corpus, "text", maxPieceLen = 4, topV = 400)
+        .collect().map(_.getString(0)).toSeq
+      val words = corpus
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word")).distinct()
+      Wordpiece.encodeWords(words, "word", vocab, maxPieceLen = 4)
+        .select(col("word"), col("n_pieces"), col("pieces_str"))
+        .orderBy(col("word"))
     }),
 
     // REAL pixel resize: decode the real PNG/BMP payloads and
@@ -2781,6 +2798,51 @@ object PipelineQueries {
          |  FROM scored) x
          |WHERE rnk <= 10
          |ORDER BY queryId, rnk""".stripMargin,
+
+    // Vocabulary rebuilt count-for-count (weighted substring explode,
+    // same (occ DESC, piece ASC) top-V tie-break), then the greedy
+    // longest-match walk replayed as a recursive CTE whose step picks
+    // the longest vocab piece prefixing the remaining suffix (the
+    // NOT EXISTS guard IS the longest-match rule).
+    "text_wordpiece_encode" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT text FROM documents WHERE doc_id < 40),
+        |toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS word
+        |  FROM corpus),
+        |wcount AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+        |s0 AS (SELECT word, n, unnest(generate_series(1, len(word))) AS p FROM wcount),
+        |s1 AS (SELECT word, n, p, unnest(generate_series(1, 4)) AS l FROM s0),
+        |s2 AS (
+        |  SELECT substr(word, CAST(p AS INTEGER), CAST(l AS INTEGER)) AS piece, l AS plen, n
+        |  FROM s1 WHERE p + l - 1 <= len(word)),
+        |counts AS (SELECT piece, plen, sum(n) AS occ FROM s2 GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT DISTINCT piece FROM (
+        |    SELECT piece FROM counts WHERE plen = 1
+        |    UNION ALL
+        |    SELECT piece FROM (
+        |      SELECT piece, row_number() OVER (ORDER BY occ DESC, piece) AS rk
+        |      FROM counts WHERE plen >= 2) WHERE rk <= 400)),
+        |words AS (SELECT DISTINCT word FROM toks),
+        |rec AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS acc,
+        |    CAST(0 AS BIGINT) AS n_tok
+        |  FROM words
+        |  UNION ALL
+        |  SELECT r.word, r.pos + len(v.piece),
+        |    CASE WHEN r.acc = '' THEN v.piece ELSE r.acc || '|' || v.piece END,
+        |    r.n_tok + 1
+        |  FROM rec r JOIN vocab v
+        |    ON r.pos <= len(r.word)
+        |   AND substr(r.word, CAST(r.pos AS INTEGER), CAST(len(v.piece) AS INTEGER)) = v.piece
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM vocab v2
+        |    WHERE len(v2.piece) > len(v.piece)
+        |      AND substr(r.word, CAST(r.pos AS INTEGER), CAST(len(v2.piece) AS INTEGER)) = v2.piece))
+        |SELECT word, n_tok AS n_pieces, acc AS pieces_str
+        |FROM rec WHERE pos = len(word) + 1
+        |ORDER BY word""".stripMargin,
 
     // Destination-pixel replay of the integer nearest-neighbor resample:
     // src pixel (x·w)//dw, (y·h)//dh → quadrant → closed-form channel
