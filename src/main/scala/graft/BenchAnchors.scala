@@ -218,5 +218,6 @@ object BenchAnchors {
     "stream_decay_engagement" -> 1.671,
     "rel_hilbert_layout" -> 0.399,
     "text_wordpiece_encode" -> 1.023,
+    "text_unigram_viterbi" -> 0.774,
   )
 }

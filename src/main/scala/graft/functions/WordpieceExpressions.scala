@@ -47,3 +47,61 @@ case class GreedyPiecesExpr(child: Expression, vocab: Seq[String], maxPieceLen: 
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** ARRAY<STRING> minimal-cost segmentation of a word under literal
+  * integer piece costs — unigram-LM/SentencePiece-style Viterbi with
+  * exact arithmetic: dynamic program over positions minimizing the
+  * composite (Σ cost, piece count, rendered string) lexicographically.
+  * The string component only breaks exact (cost, n) ties, where both
+  * renderings have equal length, so prefix-optimality holds and the DP
+  * is globally optimal AND fully deterministic — which is what lets a
+  * SQL oracle replay it stage for stage. */
+case class ViterbiPiecesExpr(child: Expression, vocab: Seq[(String, Long)], maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val costOf: java.util.HashMap[String, Long] = {
+    val m = new java.util.HashMap[String, Long](vocab.size * 2)
+    vocab.foreach { case (p, c) => m.put(p, c) }
+    m
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "viterbi_pieces"
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    val n = word.length
+    // dp(i) = best (cost, pieces, rendered) for the length-i prefix
+    val dp = new Array[(Long, List[String], String)](n + 1)
+    dp(0) = (0L, Nil, "")
+    var i = 1
+    while (i <= n) {
+      var best: (Long, List[String], String) = null
+      var l = 1
+      while (l <= math.min(maxPieceLen, i)) {
+        val prev = dp(i - l)
+        if (prev != null) {
+          val piece = word.substring(i - l, i)
+          val c = costOf.get(piece)
+          if (costOf.containsKey(piece)) {
+            val cand = (prev._1 + c, piece :: prev._2,
+              if (prev._3.isEmpty) piece else prev._3 + "|" + piece)
+            if (best == null ||
+                cand._1 < best._1 ||
+                (cand._1 == best._1 && (cand._2.length < best._2.length ||
+                  (cand._2.length == best._2.length && cand._3.compareTo(best._3) < 0))))
+              best = cand
+          }
+        }
+        l += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    require(dp(n) != null,
+      s"viterbi_pieces: '$word' not segmentable under the vocabulary")
+    new GenericArrayData(dp(n)._2.reverse.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1162,6 +1162,23 @@ object PipelineQueries {
         .orderBy(col("word"))
     }),
 
+    // Unigram-LM-style Viterbi segmentation (tokenizer family no. 3):
+    // minimal-cost segmentation under integer piece costs (frequency
+    // rank — the exact-arithmetic stand-in for -log p), deterministic
+    // composite tie-break (cost, n, rendering). The oracle replays the
+    // DP stage-for-stage as unrolled CTEs.
+    "text_unigram_viterbi" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = docs(s, dir).filter(col("doc_id") < 40)
+      val vocab = Wordpiece.buildVocabWithCosts(corpus, "text", maxPieceLen = 4, topV = 400)
+        .as[(String, Long)].collect().toSeq
+      val words = corpus
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word")).distinct()
+      Wordpiece.encodeWordsViterbi(words, "word", vocab, maxPieceLen = 4)
+        .select(col("word"), col("total_cost"), col("n_pieces"), col("pieces_str"))
+        .orderBy(col("word"))
+    }),
+
     // REAL pixel resize: decode the real PNG/BMP payloads and
     // downsample with integer nearest-neighbor — no floats anywhere, so
     // the oracle replays the resampled channel sums per destination
@@ -1220,6 +1237,26 @@ object PipelineQueries {
         .orderBy(col("status"))
     })
   )
+
+  /** Unrolled Viterbi DP stages for `text_unigram_viterbi`: stage `i`
+    * extends every settled prefix ending at `i - len(piece)` with a
+    * vocab piece ending at `i`, then keeps the composite-minimal
+    * (cost, n, rendering) row per word — a literal transliteration of
+    * `functions.ViterbiPiecesExpr`'s loop, one CTE triple per position. */
+  private def viterbiStagesSql(maxLen: Int): String =
+    (1 to maxLen).map { i =>
+      s"""cand_$i AS (
+         |  SELECT d.word, d.cost + v.cost AS cost, d.n + 1 AS n,
+         |    CASE WHEN d.str = '' THEN v.piece ELSE d.str || '|' || v.piece END AS str
+         |  FROM dpall_${i - 1} d JOIN vocab v
+         |    ON d.pos = $i - len(v.piece)
+         |   AND substr(d.word, CAST(d.pos + 1 AS INTEGER), CAST(len(v.piece) AS INTEGER)) = v.piece),
+         |dp_$i AS (
+         |  SELECT word, CAST($i AS BIGINT) AS pos, cost, n, str FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word ORDER BY cost, n, str) AS rk
+         |    FROM cand_$i) WHERE rk = 1),
+         |dpall_$i AS MATERIALIZED (SELECT * FROM dpall_${i - 1} UNION ALL SELECT * FROM dp_$i)""".stripMargin
+    }.mkString(",\n")
 
   private def dotL(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -2798,6 +2835,42 @@ object PipelineQueries {
          |  FROM scored) x
          |WHERE rnk <= 10
          |ORDER BY queryId, rnk""".stripMargin,
+
+    // The DP replayed stage-for-stage: same vocabulary-with-costs
+    // derivation as the engine (chars ∪ top-V multi, cost = rank under
+    // (occ DESC, piece ASC) over the union), then 16 unrolled Viterbi
+    // positions with the composite (cost, n, rendering) argmin per word.
+    "text_unigram_viterbi" ->
+      s"""WITH corpus AS (
+         |  SELECT text FROM documents WHERE doc_id < 40),
+         |toks AS (
+         |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS word
+         |  FROM corpus),
+         |wcount AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+         |s0 AS (SELECT word, n, unnest(generate_series(1, len(word))) AS p FROM wcount),
+         |s1 AS (SELECT word, n, p, unnest(generate_series(1, 4)) AS l FROM s0),
+         |s2 AS (
+         |  SELECT substr(word, CAST(p AS INTEGER), CAST(l AS INTEGER)) AS piece, l AS plen, n
+         |  FROM s1 WHERE p + l - 1 <= len(word)),
+         |counts AS (SELECT piece, plen, sum(n) AS occ FROM s2 GROUP BY 1, 2),
+         |kept AS (
+         |  SELECT piece, occ FROM counts WHERE plen = 1
+         |  UNION ALL
+         |  SELECT piece, occ FROM (
+         |    SELECT piece, occ, row_number() OVER (ORDER BY occ DESC, piece) AS rk
+         |    FROM counts WHERE plen >= 2) WHERE rk <= 400),
+         |vocab AS (
+         |  SELECT piece, CAST(row_number() OVER (ORDER BY occ DESC, piece) AS BIGINT) AS cost
+         |  FROM kept),
+         |words AS (SELECT DISTINCT word FROM toks),
+         |dpall_0 AS (
+         |  SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cost,
+         |    CAST(0 AS BIGINT) AS n, CAST('' AS VARCHAR) AS str
+         |  FROM words),
+         |${viterbiStagesSql(16)}
+         |SELECT word, cost AS total_cost, n AS n_pieces, str AS pieces_str
+         |FROM dpall_16 WHERE pos = len(word)
+         |ORDER BY word""".stripMargin,
 
     // Vocabulary rebuilt count-for-count (weighted substring explode,
     // same (occ DESC, piece ASC) top-V tie-break), then the greedy

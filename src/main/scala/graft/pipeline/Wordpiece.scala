@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GreedyPiecesExpr
+import graft.functions.{GreedyPiecesExpr, ViterbiPiecesExpr}
 import org.apache.spark.sql.graft.SparkShims
 
 /**
@@ -57,6 +57,36 @@ object Wordpiece {
     chars.unionByName(multi).distinct()
   }
 
+  /** [[buildVocab]] plus an integer COST per piece: its rank under
+    * (occurrence DESC, piece ASC) across the whole trimmed vocabulary —
+    * the exact-arithmetic stand-in for a unigram-LM negative log-prob
+    * (frequent pieces are cheap). Feeds the Viterbi segmenter. */
+  def buildVocabWithCosts(
+      docs: DataFrame,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      topV: Int = 400): DataFrame = {
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val subs = words
+      .select(col("word"), col("n"), explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .select(col("word"), col("n"), col("pos"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("plen"))
+      .filter(col("pos") + col("plen") - 1 <= length(col("word")))
+      .select(expr("substring(word, pos, plen)").as("piece"), col("n"), col("plen"))
+    val counts = subs.groupBy(col("piece"), col("plen"))
+      .agg(sum(col("n")).as("occ"))
+    val wMulti = Window.orderBy(col("occ").desc, col("piece"))
+    val kept = counts.filter(col("plen") === 1)
+      .unionByName(counts.filter(col("plen") >= 2)
+        .withColumn("rk", row_number().over(wMulti)).filter(col("rk") <= topV)
+        .drop("rk"))
+    val wAll = Window.orderBy(col("occ").desc, col("piece"))
+    kept.withColumn("cost", row_number().over(wAll).cast("long"))
+      .select(col("piece"), col("cost"))
+  }
+
   /** Greedy longest-match pieces of a single word under a literal
     * vocabulary (collected once — the vocabulary IS small by
     * construction; ship it in the expression, not a join). */
@@ -74,4 +104,26 @@ object Wordpiece {
       .withColumn("pieces", greedyPieces(col(wordCol), vocab, maxPieceLen))
       .withColumn("n_pieces", size(col("pieces")).cast("long"))
       .withColumn("pieces_str", array_join(col("pieces"), "|"))
+
+  /** Minimal-cost (unigram-LM-style Viterbi) pieces of a single word
+    * under literal (piece, cost) pairs. */
+  def viterbiPieces(word: Column, vocab: Seq[(String, Long)], maxPieceLen: Int): Column =
+    SparkShims.column(ViterbiPiecesExpr(SparkShims.expression(word), vocab, maxPieceLen))
+
+  /** Viterbi-encode the distinct words of a corpus: pieces plus the
+    * exact total cost (literal-map lookup, no join). */
+  def encodeWordsViterbi(
+      words: DataFrame,
+      wordCol: String,
+      vocab: Seq[(String, Long)],
+      maxPieceLen: Int = 4): DataFrame = {
+    val costMap = typedlit(vocab.toMap)
+    words
+      .withColumn("pieces", viterbiPieces(col(wordCol), vocab, maxPieceLen))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+      .withColumn("total_cost",
+        aggregate(transform(col("pieces"), p => element_at(costMap, p)),
+          lit(0L), (acc, c) => acc + c))
+      .withColumn("pieces_str", array_join(col("pieces"), "|"))
+  }
 }
