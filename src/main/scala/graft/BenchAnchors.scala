@@ -219,5 +219,6 @@ object BenchAnchors {
     "rel_hilbert_layout" -> 0.399,
     "text_wordpiece_encode" -> 1.023,
     "text_unigram_viterbi" -> 0.774,
+    "graph_ppr" -> 3.678,
   )
 }

@@ -970,6 +970,28 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // Personalized PageRank (3 rounds) from a 5-customer seed set over
+    // the same fulfillment graph — "similar to these" relevance by graph
+    // proximity. Teleport restricted to the seeds (integer floor
+    // division, bit-exact); non-seed nodes hold only propagated mass.
+    "graph_ppr" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.pipeline.GraphAlgos
+        .personalizedPageRank(graft.pipeline.GraphAlgos.symmetrize(edges),
+          sources = Seq(2L, 4L, 6L, 8L, 10L), iterations = 3)
+        .filter(col("rank_fp") > 0)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").cast("long").as("node_key"),
+          col("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("node_type"), col("node_key"))
+        .limit(100)
+    }),
+
     // Triangle participation counts over the co-purchase graph (parts
     // sharing an order). Degree-ordered orientation (Chiba–Nishizeki
     // forward algorithm) bounds per-vertex wedge volume by arboricity —
@@ -1736,6 +1758,31 @@ object RelationalQueries {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
+    "graph_ppr" ->
+      s"""WITH edges0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM edges0
+         |  UNION SELECT dst AS src, src AS dst FROM edges0),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |p AS (SELECT 1000000000000 // 5 AS r0v,
+         |  (15 * (1000000000000 // 5)) // 100 AS tele),
+         |r0 AS (
+         |  SELECT node,
+         |    CASE WHEN node IN (2, 4, 6, 8, 10) THEN (SELECT r0v FROM p) ELSE 0 END AS rank_fp
+         |  FROM nodes),
+         |${pprRound("r0", "r1", "2, 4, 6, 8, 10")},
+         |${pprRound("r1", "r2", "2, 4, 6, 8, 10")},
+         |${pprRound("r2", "r3", "2, 4, 6, 8, 10")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS node_key, rank_fp
+         |FROM r3 WHERE rank_fp > 0
+         |ORDER BY rank_fp DESC, node_type, node_key
+         |LIMIT 100""".stripMargin,
+
     "graph_pagerank" ->
       s"""WITH edges0 AS (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -1945,6 +1992,20 @@ object RelationalQueries {
     s"""$out AS (
        |  SELECT n.node,
        |    (SELECT base FROM p) + coalesce(CAST(s.in_c AS BIGINT), 0) AS rank_fp
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst, sum((85 * r.rank_fp) // (100 * d.deg)) AS in_c
+       |    FROM edges e
+       |    JOIN $prev r ON e.src = r.node
+       |    JOIN deg d ON e.src = d.src
+       |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
+
+  /** [[pagerankRound]] with the teleport restricted to the seed set —
+    * mirror of `GraphAlgos.personalizedPageRank`'s step. */
+  private def pprRound(prev: String, out: String, seeds: String): String =
+    s"""$out AS (
+       |  SELECT n.node,
+       |    (CASE WHEN n.node IN ($seeds) THEN (SELECT tele FROM p) ELSE 0 END)
+       |      + coalesce(CAST(s.in_c AS BIGINT), 0) AS rank_fp
        |  FROM nodes n LEFT JOIN (
        |    SELECT e.dst, sum((85 * r.rank_fp) // (100 * d.deg)) AS in_c
        |    FROM edges e

@@ -151,6 +151,14 @@ object GraphAlgos {
   private[pipeline] def pageRankStep(
       e: DataFrame, nodes: DataFrame, deg: DataFrame, ranks: DataFrame,
       base: Long, alphaNum: Long, alphaDen: Long,
+      broadcastRanks: Boolean = false): DataFrame =
+    pageRankStepBase(e, nodes, deg, ranks, lit(base), alphaNum, alphaDen, broadcastRanks)
+
+  /** The step with a per-NODE teleport column (constant for classic
+    * PageRank, source-restricted for the personalized variant). */
+  private[pipeline] def pageRankStepBase(
+      e: DataFrame, nodes: DataFrame, deg: DataFrame, ranks: DataFrame,
+      baseCol: org.apache.spark.sql.Column, alphaNum: Long, alphaDen: Long,
       broadcastRanks: Boolean = false): DataFrame = {
     def maybeBcast(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df
@@ -162,7 +170,59 @@ object GraphAlgos {
       .select(col("dst").as("in_node"), col("in_c"))
     nodes.join(maybeBcast(inSum), col("node") === col("in_node"), "left")
       .select(col("node"),
-        (lit(base) + coalesce(col("in_c"), lit(0L))).as("rank_fp"))
+        (baseCol + coalesce(col("in_c"), lit(0L))).as("rank_fp"))
+  }
+
+  /**
+   * Personalized PageRank (integer fixed-point): teleport mass restricted
+   * to `sources` — the "similar to these" relevance primitive (seed
+   * expansion, related-item graphs). Same scale machinery as
+   * [[pageRankFixedPoint]]: localCheckpoint'ed rounds, size-aware
+   * rank-side broadcast with the exchange-free shaped-edge fallback;
+   * the per-node teleport is a literal IN over the (small) seed set, so
+   * the only new cost vs classic PageRank is a codegen'd CASE.
+   */
+  def personalizedPageRank(
+      edges: DataFrame,
+      sources: Seq[Long],
+      iterations: Int,
+      tot: Long = 1000000000000L,
+      alphaNum: Long = 85L,
+      alphaDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, "at least one iteration")
+    require(sources.nonEmpty, "personalized PageRank needs a non-empty seed set")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("deg_node"), col("deg"))
+    e.persist(); nodes.persist(); deg.persist()
+    val n = nodes.count()
+    require(n > 0, "personalizedPageRank on an empty edge set (no nodes)")
+    val r0v = tot / sources.size
+    val tele = ((alphaDen - alphaNum) * r0v) / alphaDen
+    def seeded(thenC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(col("node").isInCollection(sources), thenC).otherwise(lit(0L))
+    val bcastRanks = n <= BroadcastRankMaxNodes
+    val eJ =
+      if (bcastRanks) e
+      else {
+        val shaped = shapeEdges(e)
+        nodes.count(); deg.count()
+        e.unpersist()
+        shaped
+      }
+    var ranks = nodes.withColumn("rank_fp", seeded(lit(r0v))).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val next = pageRankStepBase(eJ, nodes, deg, ranks, seeded(lit(tele)),
+          alphaNum, alphaDen, broadcastRanks = bcastRanks)
+        .localCheckpoint()
+      SparkShims.unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    if (bcastRanks) e.unpersist() else SparkShims.unpersistCheckpoint(eJ)
+    nodes.unpersist(); deg.unpersist()
+    ranks
   }
 
   /**
