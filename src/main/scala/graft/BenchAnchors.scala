@@ -220,5 +220,11 @@ object BenchAnchors {
     "text_wordpiece_encode" -> 1.023,
     "text_unigram_viterbi" -> 0.774,
     "graph_ppr" -> 3.678,
+    // round-8 continuation additions (isolated warm medians, this box):
+    // kcore is co-purchase-graph-build-bound like graph_triangles
+    "graph_kcore" -> 7.449,
+    "graph_lpa" -> 4.519,
+    "graph_hits" -> 4.772,
+    "ann_hamming_cosine" -> 0.676,
   )
 }

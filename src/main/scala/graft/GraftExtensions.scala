@@ -82,7 +82,13 @@ object GraftExtensions {
       es => { arity("sign_project", es, 2); SignProject(es(0), es(1)) }),
     ("cosine_sim_i8",
       "cosine_sim_i8(codes, q) - cosine between int8 SQ codes and a float query",
-      es => { arity("cosine_sim_i8", es, 2); CosineSimilarityI8(es(0), es(1)) })
+      es => { arity("cosine_sim_i8", es, 2); CosineSimilarityI8(es(0), es(1)) }),
+    ("binarize_sign",
+      "binarize_sign(vec) - sign bits of a float vector packed 32/word into ARRAY<LONG>",
+      es => { arity("binarize_sign", es, 1); BinarizeSign(es(0)) }),
+    ("hamming_dist",
+      "hamming_dist(a, b) - popcount Hamming distance between packed-word code arrays",
+      es => { arity("hamming_dist", es, 2); HammingDistance(es(0), es(1)) })
   )
 
   /** Injection path for `spark.sql.extensions` / `withExtensions`. */

@@ -665,6 +665,120 @@ case class Int8QuantStatsExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/**
+ * Sign binarization of a float vector into packed 32-bit words (stored as
+ * LONGs): bit = 1 iff the component is > 0, MSB-first within each word
+ * (`acc = acc·2 + bit`, so word w covers components [32w, 32w+32) and a
+ * short tail packs into the low bits). 32 bits per word — not 64 — keeps
+ * every word non-negative and exactly representable in any engine's
+ * signed BIGINT, so a SQL oracle can rebuild codes with pure integer
+ * arithmetic (the FloatPacker cross-engine discipline). 128x narrower
+ * than the float vector — the binary-sketch first pass of a
+ * two-stage Hamming ANN (Charikar 2002 sign-random-projection family;
+ * here the identity projection of already-trained embeddings).
+ */
+case class BinarizeSign(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[SparkShims.AbstractType] =
+    SparkShims.abstractTypes(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "binarize_sign"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val words = (n + 31) / 32
+    val out = new Array[Long](words)
+    var w = 0
+    while (w < words) {
+      var acc = 0L
+      var j = w * 32
+      val end = math.min(j + 32, n)
+      while (j < end) {
+        acc = acc * 2 + (if (x.getFloat(j) > 0f) 1L else 0L)
+        j += 1
+      }
+      out(w) = acc
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val words = ctx.freshName("words")
+      val out = ctx.freshName("out")
+      val w = ctx.freshName("w")
+      val j = ctx.freshName("j")
+      val end = ctx.freshName("end")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |int $words = ($n + 31) / 32;
+         |long[] $out = new long[$words];
+         |for (int $w = 0; $w < $words; $w++) {
+         |  long $acc = 0L;
+         |  int $end = java.lang.Math.min($w * 32 + 32, $n);
+         |  for (int $j = $w * 32; $j < $end; $j++) {
+         |    $acc = $acc * 2L + ($a.getFloat($j) > 0f ? 1L : 0L);
+         |  }
+         |  $out[$w] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/**
+ * Hamming distance between two packed-word code arrays ([[BinarizeSign]]
+ * output): Σ popcount(aᵢ XOR bᵢ) — one `Long.bitCount` per word (a
+ * hardware POPCNT in the JIT), so the approximate scan of a dim-768
+ * vector reads 24 longs instead of 768 floats and does 24 xor+popcnt
+ * instead of 768 multiply-adds. Plain integer arithmetic — bit-exact
+ * everywhere.
+ */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[SparkShims.AbstractType] =
+    SparkShims.abstractTypes(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** Column-API entry points for the native expressions. */
 object vector {
   private def col(e: Expression): Column = SparkShims.column(e)
@@ -687,4 +801,7 @@ object vector {
     col(SignProject(expr(vec), expr(signs)))
   def cosine_sim_i8(codes: Column, q: Column): Column =
     col(CosineSimilarityI8(expr(codes), expr(q)))
+  def binarize_sign(vec: Column): Column = col(BinarizeSign(expr(vec)))
+  def hamming_dist(a: Column, b: Column): Column =
+    col(HammingDistance(expr(a), expr(b)))
 }

@@ -433,6 +433,22 @@ object PipelineQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // Binary sign-Hamming ANN: packed sign-bit codes (32 components per
+    // stored long, 128x narrower than float32) ranked by the codegen'd
+    // popcount Hamming kernel, exact rerank of the shortlist. Gate
+    // config reranks everything — value-equal to brute force, so the
+    // dense-cosine oracle verifies the binarize + popcount-scan + rerank
+    // machinery end-to-end; the bounded-shortlist recall and the
+    // code-packing parity are pinned in PipelineSpec.
+    "ann_hamming_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") >= 30 && col("vec_id") < 35)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+      Ann.searchHamming(s, e, "vec_id", "embedding", qs, k = 10, shortlist = Int.MaxValue)
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
     // IVF ANN with the DISTRIBUTED k-means trainer (no driver-side
     // training sample — the 100 TB trainer): full-probe config is
     // value-exact regardless of centroids, so the gate shares the
@@ -1752,6 +1768,24 @@ object PipelineQueries {
       s"""WITH q AS (
          |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
          |  WHERE vec_id >= 20 AND vec_id < 25),
+         |scored AS (
+         |  SELECT q.queryId, e.vec_id AS neighbor_id,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cosine
+         |  FROM embeddings e, q)
+         |SELECT queryId, neighbor_id, rnk AS "rank", cosine FROM (
+         |  SELECT queryId, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY queryId
+         |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
+
+    "ann_hamming_cosine" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
+         |  WHERE vec_id >= 30 AND vec_id < 35),
          |scored AS (
          |  SELECT q.queryId, e.vec_id AS neighbor_id,
          |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0

@@ -58,6 +58,7 @@ object RelationalQueries {
   private def volC4(price: Column, disc: Column): Column =
     cents(price) * (lit(100L) - cents(disc))
 
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: grouped aggregation with derived
     // measures; map-side partial agg + single shuffle on the group keys.
@@ -992,6 +993,68 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // k-core peeling (4 synchronous rounds) over the co-purchase graph
+    // — the degeneracy primitive behind graph sparsification and
+    // influential-node selection. The threshold is DATA-RELATIVE (the
+    // degree at ascending-rank position ceil(5%·|V|), exact bin-cumsum
+    // rule — an absolute k peels everything or nothing as degrees scale
+    // with SF; this one cascades over multiple rounds to a non-empty
+    // core at every gate SF). Fixed unrolled rounds keep the peel
+    // closed-form for the oracle (the PageRank discipline); engine
+    // state per round is the node-sized survivor set — the static edge
+    // set is never re-materialized.
+    "graph_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      // no pre-distinct: symmetrize ends in the one distinct that matters
+      val e0 = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.pipeline.GraphAlgos.kCorePeelAtPercentile(
+          graft.pipeline.GraphAlgos.symmetrize(e0), pct = 0.05, rounds = 4)
+        .select(col("node").cast("long").as("part_key"), col("core_deg"))
+        .orderBy(col("part_key"))
+    }),
+
+    // HITS hubs/authorities (2 exact-integer rounds) on the DIRECTED
+    // customer→supplier fulfillment graph: suppliers are pure
+    // authorities, customers pure hubs — round 1 is degree, round 2
+    // weighs neighbors by their round-1 scores. Unnormalized integer
+    // recurrence = bit-exact oracle replay (the reals-and-L2 variant is
+    // float-order-sensitive; the ranking is the same).
+    "graph_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.pipeline.GraphAlgos.hitsFixedRounds(edges, rounds = 2)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").cast("long").as("node_key"),
+          col("hub"), col("auth"))
+        .orderBy(col("node_type"), col("node_key"))
+    }),
+
+    // Synchronous label propagation (3 rounds, min-label tie-break) over
+    // the same graph — deterministic community detection as iterated
+    // join + two-level argmax aggregation (struct-max, windowless).
+    "graph_lpa" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.pipeline.GraphAlgos.labelPropagation(
+          graft.pipeline.GraphAlgos.symmetrize(edges), rounds = 3)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").cast("long").as("node_key"),
+          col("label"))
+        .orderBy(col("node_type"), col("node_key"))
+    }),
+
     // Triangle participation counts over the co-purchase graph (parts
     // sharing an order). Degree-ordered orientation (Chiba–Nishizeki
     // forward algorithm) bounds per-vertex wedge volume by arboricity —
@@ -1783,6 +1846,67 @@ object RelationalQueries {
          |ORDER BY rank_fp DESC, node_type, node_key
          |LIMIT 100""".stripMargin,
 
+    "graph_kcore" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM lineitem x JOIN lineitem y
+         |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM e0
+         |  UNION SELECT b AS src, a AS dst FROM e0),
+         |degs AS (SELECT src, count(*) AS c FROM edges GROUP BY src),
+         |kv AS (
+         |  SELECT min(c) AS k FROM (
+         |    SELECT c, sum(m) OVER (ORDER BY c
+         |                           ROWS UNBOUNDED PRECEDING) AS cum
+         |    FROM (SELECT c, count(*) AS m FROM degs GROUP BY c))
+         |  WHERE cum >= ceil(0.05 * (SELECT count(*) FROM degs))),
+         |a0 AS (SELECT src AS node FROM degs),
+         |${kcoreRound("a0", "a1")},
+         |${kcoreRound("a1", "a2")},
+         |${kcoreRound("a2", "a3")},
+         |${kcoreRound("a3", "a4")}
+         |SELECT node AS part_key, core_deg
+         |FROM (
+         |  SELECT e.src AS node, count(*) AS core_deg FROM edges e
+         |  JOIN a4 s ON e.src = s.node
+         |  JOIN a4 d ON e.dst = d.node
+         |  GROUP BY e.src)
+         |ORDER BY part_key""".stripMargin,
+
+    "graph_hits" ->
+      s"""WITH edges AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |s0 AS (SELECT node, CAST(1 AS BIGINT) AS hub,
+         |       CAST(1 AS BIGINT) AS auth FROM nodes),
+         |${hitsRound("s0", "a1", "s1")},
+         |${hitsRound("s1", "a2", "s2")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS node_key, hub, auth
+         |FROM s2
+         |ORDER BY node_type, node_key""".stripMargin,
+
+    "graph_lpa" ->
+      s"""WITH edges0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM edges0
+         |  UNION SELECT dst AS src, src AS dst FROM edges0),
+         |l0 AS (SELECT src AS node, src AS label FROM edges
+         |       UNION SELECT dst, dst FROM edges),
+         |${lpaRound("l0", "l1")},
+         |${lpaRound("l1", "l2")},
+         |${lpaRound("l2", "l3")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS node_key, label
+         |FROM l3
+         |ORDER BY node_type, node_key""".stripMargin,
+
     "graph_pagerank" ->
       s"""WITH edges0 AS (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -1988,6 +2112,47 @@ object RelationalQueries {
   /** One fixed-point PageRank round as a CTE: mirror of
     * `GraphAlgos.pageRankFixedPoint`'s iteration, floor divisions and
     * all (sums of BIGINT are HUGEINT in DuckDB — cast back). */
+  /** One k-core peel round: survivors of `prev` whose degree among
+    * `prev`-surviving edges is ≥ the data-relative threshold in CTE
+    * `kv` — mirror of `GraphAlgos.kCorePeelAtPercentile`. */
+  private def kcoreRound(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT e.src AS node FROM edges e
+       |  JOIN $prev s ON e.src = s.node
+       |  JOIN $prev d ON e.dst = d.node
+       |  GROUP BY e.src HAVING count(*) >= (SELECT k FROM kv))""".stripMargin
+
+  /** One HITS round as two chained CTEs: `$outA` refreshes auth from
+    * `$prev`'s hubs, `$outS` refreshes hubs from the NEW auth —
+    * mirror of `GraphAlgos.hitsFixedRounds`' classic update order. */
+  private def hitsRound(prev: String, outA: String, outS: String): String =
+    s"""$outA AS (
+       |  SELECT n.node, n.hub, coalesce(CAST(x.a AS BIGINT), 0) AS auth
+       |  FROM $prev n LEFT JOIN (
+       |    SELECT e.dst, sum(h.hub) AS a FROM edges e
+       |    JOIN $prev h ON e.src = h.node GROUP BY e.dst) x
+       |  ON n.node = x.dst),
+       |$outS AS (
+       |  SELECT n.node, coalesce(CAST(y.h AS BIGINT), 0) AS hub, n.auth
+       |  FROM $outA n LEFT JOIN (
+       |    SELECT e.src, sum(a.auth) AS h FROM edges e
+       |    JOIN $outA a ON e.dst = a.node GROUP BY e.src) y
+       |  ON n.node = y.src)""".stripMargin
+
+  /** One synchronous label-propagation round: most frequent in-neighbor
+    * label, ties to the smallest label — row_number replay of
+    * `GraphAlgos.labelPropagation`'s struct-max argmax. */
+  private def lpaRound(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT node, label FROM (
+       |    SELECT c.dst AS node, c.label,
+       |      row_number() OVER (PARTITION BY c.dst
+       |                         ORDER BY c.cnt DESC, c.label ASC) AS rn
+       |    FROM (SELECT e.dst, l.label, count(*) AS cnt
+       |          FROM edges e JOIN $prev l ON e.src = l.node
+       |          GROUP BY e.dst, l.label) c) x
+       |  WHERE rn = 1)""".stripMargin
+
   private def pagerankRound(prev: String, out: String): String =
     s"""$out AS (
        |  SELECT n.node,

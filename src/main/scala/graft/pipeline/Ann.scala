@@ -313,6 +313,47 @@ object Ann {
       .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /**
+   * Binary (sign-bit) Hamming scan + exact rerank — the third
+   * quantization tier next to PQ (product) and SQ8 (scalar): codes are
+   * [[graft.functions.BinarizeSign]] packed sign words (32 components
+   * per stored long — 128x narrower than float32), the approximate scan
+   * ranks by the codegen'd popcount [[graft.functions.HammingDistance]]
+   * (Hamming ASC, id tie-break), and the `shortlist` per query is
+   * reranked with exact float cosine. Sign-Hamming estimates angular
+   * distance (Charikar 2002: P[sign mismatch] = θ/π per dimension), so
+   * the shortlist recall tracks cosine ordering; at `shortlist >=
+   * corpus` the result is value-equal to [[searchBrute]] — the oracled
+   * gate config, same discipline as [[searchSq8]], with the bounded
+   * shortlist recall pinned in the spec.
+   */
+  def searchHamming(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      shortlist: Int): DataFrame = {
+    import spark.implicits._
+    val q = queries.toDF("queryId", "qv")
+      .select(col("queryId"), col("qv"), vector.binarize_sign(col("qv")).as("qcode"))
+    val codes = df.select(col(idCol), vector.binarize_sign(col(embCol)).as("code"))
+    val aw = Window.partitionBy(col("queryId")).orderBy(col("hamming").asc, col(idCol))
+    val short = codes.crossJoin(broadcast(q.select(col("queryId"), col("qcode"))))
+      .withColumn("hamming", vector.hamming_dist(col("code"), col("qcode")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= shortlist)
+      .select(col("queryId"), col(idCol))
+    val w = Window.partitionBy(col("queryId")).orderBy(col("cosine").desc, col(idCol))
+    short.join(df.select(col(idCol), col(embCol)), Seq(idCol))
+      .join(broadcast(q.select(col("queryId"), col("qv"))), Seq("queryId"))
+      .withColumn("cosine", vector.cosine_sim(col(embCol), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Exact brute-force cosine top-k — the baseline/oracle.
     *
     * @param snapDecimals when ≥ 0, round the cosine to this many

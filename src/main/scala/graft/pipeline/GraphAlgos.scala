@@ -324,4 +324,217 @@ object GraphAlgos {
     * for plan pins): degree-orient, then [[wedgeClose]]. */
   private[pipeline] def triangleJoin(e: DataFrame): DataFrame =
     wedgeClose(orientByDegree(e))
+
+  /**
+   * k-core peeling: `rounds` synchronous rounds of "drop every node whose
+   * degree among surviving nodes is < k", over a symmetrized edge set
+   * (same input contract as [[pageRankFixedPoint]]). With `rounds` large
+   * enough to reach the fixpoint this is exactly the k-core; a fixed
+   * round count keeps the result closed-form for the value oracle (the
+   * PageRank unrolled-rounds discipline — both engines run the same N
+   * rounds whether or not the peel has converged).
+   *
+   * Returns surviving `(node, core_deg)` — degree within the surviving
+   * subgraph after the last round.
+   *
+   * Scale shape: per-round state is the NODE-sized survivor set (two
+   * longs/row, localCheckpoint'ed — O(1) lineage); the edge set is
+   * persisted once and NEVER materialized per round — each round
+   * re-derives surviving degrees by two semi-joins of the static edges
+   * against the survivor set (broadcast under the
+   * [[BroadcastRankMaxNodes]] bound, partitioned hash past it, exactly
+   * the PageRank regime switch). Degree counting is a map-side-combined
+   * groupBy. Checkpointing the shrinking edge set instead would write
+   * O(|E|) per round — node-sized state is what survives a 100 TB graph.
+   */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    e.persist()
+    val out = kCorePeelOn(e, k, rounds)
+    e.unpersist()
+    out
+  }
+
+  /** The peel loop over an ALREADY-persisted, long-cast edge set —
+    * shared by [[kCorePeel]] and [[kCorePeelAtPercentile]] so the
+    * percentile path never caches the same edges twice. */
+  private def kCorePeelOn(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "at least one peel round")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count() // prices the broadcast decision; materializes e
+    val bcast = n <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+
+    def survivingDeg(alive: DataFrame): DataFrame =
+      e.join(maybeBcast(alive.select(col("node").as("src"))), Seq("src"), "left_semi")
+        .join(maybeBcast(alive.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+
+    var alive = nodes.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = survivingDeg(alive)
+        .filter(col("core_deg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint()
+      SparkShims.unpersistCheckpoint(alive)
+      alive = next
+    }
+    val out = survivingDeg(alive)
+      .select(col("src").as("node"), col("core_deg"))
+      .localCheckpoint() // materialize (≤ |V| rows) before releasing e
+    SparkShims.unpersistCheckpoint(alive)
+    out
+  }
+
+  /**
+   * [[kCorePeel]] with a DATA-RELATIVE threshold: k = the degree value
+   * at ascending-rank position ceil(pct·|V|) of the initial degree
+   * sequence — "peel away the sparsest pct of the graph and whatever
+   * that drags down". An absolute k goes stale as a graph grows (every
+   * degree scales with data volume; a fixed threshold peels everything
+   * or nothing); the rank rule keeps the peel biting at any scale and
+   * is still exact-integer-deterministic.
+   *
+   * The k-th-smallest is computed from degree-VALUE bin cumsums (group
+   * degrees by value, running sum over the ≤max-degree distinct values,
+   * first bin whose cumulative count reaches the position) — no global
+   * sort of |V| rows, no TakeOrdered collect; the only window runs over
+   * the tiny value-histogram (the token-budget selection pattern).
+   */
+  def kCorePeelAtPercentile(edges: DataFrame, pct: Double, rounds: Int): DataFrame = {
+    require(pct > 0.0 && pct < 1.0, "pct must be in (0, 1)")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    e.persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+    val n = deg.count() // materializes e for the peel below
+    require(n > 0, "kCorePeelAtPercentile on an empty edge set")
+    val pos = math.max(1L, math.ceil(pct * n).toLong)
+    val hist = deg.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val cum = hist.withColumn("cum",
+      sum(col("m")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c")).rowsBetween(Long.MinValue, 0)))
+    val k = cum.filter(col("cum") >= pos)
+      .agg(min(col("c"))).head().getLong(0)
+    val out = kCorePeelOn(e, k.toInt, rounds)
+    e.unpersist()
+    out
+  }
+
+  /**
+   * HITS hubs-and-authorities (Kleinberg 1999), `rounds` rounds of the
+   * EXACT INTEGER recurrence on a DIRECTED edge set:
+   *   auth'(v) = Σ_{(u,v)∈E} hub(u)   (then, with the new auth)
+   *   hub'(u)  = Σ_{(u,v)∈E} auth'(v)
+   * from hub₀ = 1. No per-round normalization — the reals-and-L2 version
+   * is float-order-sensitive; the unnormalized integer iterate is the
+   * same ranking (scores scale by a per-round constant on convergence)
+   * and lets the oracle replay rounds bit-exactly. Magnitudes grow as
+   * ≤ d_max^(2·rounds), so the caller keeps `rounds` small (the
+   * require below enforces the Long-overflow bound d_max^(2r) ≤ 2^62 —
+   * at the gate's 2 rounds that allows d_max ~ 46k; ranking needs few
+   * rounds, convergence-grade scores want the normalized float variant,
+   * deliberately out of scope).
+   *
+   * Scale shape per round: two src/dst-keyed equi-joins of node-sized
+   * score tables onto the static edges with map-side-combined sums —
+   * the PageRank regime (broadcast under [[BroadcastRankMaxNodes]],
+   * partitioned past it), localCheckpoint'ed per round.
+   */
+  def hitsFixedRounds(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one HITS round")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    e.persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    nodes.persist()
+    val n = nodes.count()
+    require(n > 0, "hitsFixedRounds on an empty edge set")
+    val dMax = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .unionByName(e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+        .select(col("dst").as("src"), col("d")))
+      .agg(max(col("d"))).head().getLong(0)
+    require(2 * rounds * math.log(dMax.toDouble.max(2.0)) <= 62 * math.log(2.0),
+      s"d_max=$dMax^(2*$rounds) would overflow Long — fewer rounds or the normalized variant")
+    val bcast = n <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+
+    var scores = nodes.select(col("node"), lit(1L).as("hub"), lit(1L).as("auth"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val auth = e.join(maybeBcast(scores.select(col("node").as("src"), col("hub"))), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("a"))
+        .select(col("dst").as("a_node"), col("a"))
+      // authorities this round feed hubs the same round (classic order)
+      val withAuth = scores.join(maybeBcast(auth), col("node") === col("a_node"), "left")
+        .select(col("node"), col("hub"), coalesce(col("a"), lit(0L)).as("auth"))
+        .localCheckpoint()
+      val hub = e.join(maybeBcast(withAuth.select(col("node").as("dst"), col("auth"))), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("h"))
+        .select(col("src").as("h_node"), col("h"))
+      val next = withAuth.join(maybeBcast(hub), col("node") === col("h_node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"), col("auth"))
+        .localCheckpoint()
+      SparkShims.unpersistCheckpoint(scores)
+      SparkShims.unpersistCheckpoint(withAuth)
+      scores = next
+    }
+    nodes.unpersist()
+    e.unpersist()
+    scores
+  }
+
+  /**
+   * Synchronous label propagation (`rounds` rounds) — the linear-time
+   * community-detection primitive (Raghavan et al. 2007) over a
+   * symmetrized edge set. l₀(v) = v; each round every node adopts the
+   * most frequent label among its in-neighbors, ties broken toward the
+   * SMALLEST label — fully deterministic, so the DuckDB oracle replays
+   * the rounds as unrolled CTEs bit-for-bit (the async/random-order
+   * variants of LPA are not oracle-able; synchronous-deterministic is
+   * the distributed-engine formulation anyway).
+   *
+   * Scale shape per round: one src-keyed equi-join of the node-sized
+   * label table onto the static edges (label side broadcast under
+   * [[BroadcastRankMaxNodes]], partitioned past it), then a two-level
+   * map-side-combinable aggregation — count by (dst, label), then
+   * argmax via `max(struct(cnt, -label))` (NO window over the joined
+   * edge volume: a row_number window would sort every (node, label)
+   * group through a single-partition-per-key exchange; the struct-max
+   * is a partial-aggregating one-pass argmax with the identical
+   * (cnt DESC, label ASC) tie-break). Label state localCheckpoints
+   * per round — O(1) lineage, node-sized writes.
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one propagation round")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    e.persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    val bcast = n <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    nodes.persist()
+
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val voted = e.join(
+          maybeBcast(labels.select(col("node").as("src"), col("label"))), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("v_node"), (-col("m.nl")).as("v_label"))
+      // left join + coalesce: on a symmetrized graph every node is a dst,
+      // but the API accepts directed inputs where sinks keep their label
+      val next = labels.join(maybeBcast(voted), col("node") === col("v_node"), "left")
+        .select(col("node"), coalesce(col("v_label"), col("label")).as("label"))
+        .localCheckpoint()
+      SparkShims.unpersistCheckpoint(labels)
+      labels = next
+    }
+    nodes.unpersist()
+    e.unpersist()
+    labels
+  }
 }

@@ -45,6 +45,30 @@ class FunctionsSqlSpec extends AnyFunSuite {
     assert(row._5 == 0.0)
   }
 
+  test("binarize_sign and hamming_dist are callable from SQL and match the DSL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Array(1.0f, -1.0f, 0.0f, 2.0f), Array(1.0f, 1.0f, -1.0f, -2.0f)))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("graft_fn_sql_h")
+    val viaSql = spark.sql(
+      """SELECT binarize_sign(a) AS ca,
+        |  hamming_dist(binarize_sign(a), binarize_sign(b)) AS hd
+        |FROM graft_fn_sql_h""".stripMargin)
+      .as[(Seq[Long], Long)].head()
+    val viaDsl = df.select(
+      graft.functions.vector.binarize_sign(col("a")),
+      graft.functions.vector.hamming_dist(
+        graft.functions.vector.binarize_sign(col("a")),
+        graft.functions.vector.binarize_sign(col("b"))))
+      .as[(Seq[Long], Long)].head()
+    assert(viaSql == viaDsl)
+    // a -> bits 1,0,0,1 (strict positivity: 0.0f -> 0) = 0b1001 = 9
+    assert(viaSql._1 === Seq(9L))
+    // b -> bits 1,1,0,0 = 12; 9 xor 12 = 0b0101 -> 2 differing bits
+    assert(viaSql._2 === 2L)
+  }
+
   test("pq_encode and shingle_hashes_pos are callable from SQL and match the DSL") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, typedlit}

@@ -166,4 +166,72 @@ class GraphAlgosSpec extends AnyFunSuite {
     // choose broadcast from its own statistics at fixture scale —
     // the flag only adds the hint, it never forbids the optimizer)
   }
+
+  test("k-core peel: pendant tail cascades off, the clique core survives with exact degrees") {
+    // K4 clique {0,1,2,3} + pendant path 0-4-5: k=3 drops 5 (deg 1),
+    // then 4 (deg 2, then 1), never the clique (deg ≥ 3 throughout)
+    val undirected = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (0L, 4L), (4L, 5L))
+    val edges = GraphAlgos.symmetrize(undirected.toDF("src", "dst"))
+    val got = GraphAlgos.kCorePeel(edges, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // extra rounds past the fixpoint change nothing (idempotent tail)
+    val more = GraphAlgos.kCorePeel(edges, k = 3, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(more === got)
+    // k above the max degree empties the graph
+    assert(GraphAlgos.kCorePeel(edges, k = 10, rounds = 2).count() === 0L)
+  }
+
+  test("k-core percentile threshold: bin-cumsum k-th-smallest matches the sorted position") {
+    // degrees: node 0 -> 4, node 1..3 -> 3, 4 -> 2, 5 -> 1 (prev fixture)
+    // ascending degree sequence (1,2,3,3,3,4): pos=ceil(0.5*6)=3 -> k=3
+    val undirected = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (0L, 4L), (4L, 5L))
+    val edges = GraphAlgos.symmetrize(undirected.toDF("src", "dst"))
+    val got = GraphAlgos.kCorePeelAtPercentile(edges, pct = 0.5, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === GraphAlgos.kCorePeel(edges, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap)
+  }
+
+  test("HITS: two integer rounds match the hand replay on a directed bipartite graph") {
+    // 1→10, 2→10, 2→11, 3→11: pure hubs {1,2,3}, pure authorities {10,11}
+    // round 1: auth(10)=auth(11)=2; hub = (2, 4, 2)
+    // round 2: auth(10)=auth(11)=6; hub = (6, 12, 6) — node 2 pulls ahead
+    // only once neighbors are weighted (degree alone ties it at 2x1)
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)).toDF("src", "dst")
+    val got = GraphAlgos.hitsFixedRounds(e, rounds = 2)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got === Map(
+      1L -> ((6L, 0L)), 2L -> ((12L, 0L)), 3L -> ((6L, 0L)),
+      10L -> ((0L, 6L)), 11L -> ((0L, 6L))))
+  }
+
+  test("label propagation: components converge to their min label; ties break to smallest") {
+    // two disjoint triangles: sync rounds -> everyone adopts the
+    // component minimum within 3 rounds (round 1 puts the min on two
+    // nodes, round 2 spreads it, round 3 is stable)
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = GraphAlgos.symmetrize(tri.toDF("src", "dst"))
+    val got = GraphAlgos.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // determinism: same input, same labels
+    val again = GraphAlgos.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again === got)
+    // directed fixture: tie-breaks go to the smallest label, and
+    // sink nodes (no in-edges) keep their own label via the coalesce
+    val directed = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (2L, 101L), (3L, 101L)).toDF("src", "dst")
+    val one = GraphAlgos.labelPropagation(directed, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(100L) === 1L) // in-labels {1,2,3} all cnt=1 -> min
+    assert(one(101L) === 2L) // in-labels {2,3} tie -> min = 2
+    assert(one(1L) === 1L && one(2L) === 2L && one(3L) === 3L) // sinks hold
+  }
 }

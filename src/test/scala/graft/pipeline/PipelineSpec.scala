@@ -411,6 +411,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"sq8 recall@10 (shortlist 20) = $recall")
   }
 
+  test("hamming: packed sign words match a scalar replay; bounded shortlist keeps high recall") {
+    import graft.functions.vector
+    // packing replay: 32 components per word, MSB-first, bit = (x > 0)
+    // — incl. the strict-positivity of 0.0 and a 3-component tail word
+    val v = Array(1.0f, -2.0f, 0.0f, 0.5f) ++ Array.fill(30)(-1.0f) ++ Array(3.0f)
+    val got = Seq(Tuple1(v)).toDF("vec")
+      .select(vector.binarize_sign(col("vec")).as("c")).as[Seq[Long]].collect().head
+    def replay(x: Array[Float]): Seq[Long] =
+      x.grouped(32).map(_.foldLeft(0L)((acc, e) => acc * 2 + (if (e > 0f) 1L else 0L))).toSeq
+    assert(got === replay(v))
+    assert(got.length === 2) // 35 components -> 2 words
+
+    // kernel parity: hamming_dist == driver popcount over the replay
+    val a = Array(1.0f, -1.0f, 1.0f, -1.0f)
+    val b = Array(1.0f, 1.0f, -1.0f, -1.0f)
+    val hd = Seq((a, b)).toDF("a", "b")
+      .select(vector.hamming_dist(
+        vector.binarize_sign(col("a")), vector.binarize_sign(col("b"))))
+      .as[Long].collect().head
+    assert(hd === 2L)
+
+    // recall@10 of the bounded-shortlist regime vs exact brute force
+    val e = embeddings
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+    // dim-64 -> 64 sign bits: a coarse sketch (SQ8 keeps 8 bits/dim,
+    // this keeps 1), so the candidate set must be wider for the same
+    // recall — the 1-vs-8-bit budget trade the tiers exist to offer
+    val approx = Ann.searchHamming(spark, e, "vec_id", "embedding", qs, k = 10, shortlist = 100)
+      .select("queryId", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Ann.searchBrute(spark, e, "vec_id", "embedding", qs, k = 10)
+      .select("queryId", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"hamming recall@10 (shortlist 100) = $recall")
+  }
+
   test("pca power iteration: finds the planted dominant axis; matches a scalar replay") {
     // anisotropic cloud: variance 18 along (1,1)/√2, variance 2 along (1,-1)/√2
     val pts = Seq((0L, Array(3f, 3f)), (1L, Array(-3f, -3f)),
