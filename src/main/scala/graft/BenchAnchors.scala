@@ -226,5 +226,6 @@ object BenchAnchors {
     "graph_lpa" -> 4.519,
     "graph_hits" -> 4.772,
     "ann_hamming_cosine" -> 0.676,
+    "ann_ivfpq_residual" -> 1.269,
   )
 }

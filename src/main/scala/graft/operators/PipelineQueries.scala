@@ -333,6 +333,25 @@ object PipelineQueries {
     // brute force and DuckDB-oracled; the pruned/approximate behavior
     // (recall ≥ 0.8 at nprobe=8/rerank=10×k, codes-only ADC scan) is
     // pinned by PipelineSpec.
+    // RESIDUAL IVF-PQ (IVFADC proper, Jégou et al. 2011): PQ codebook
+    // trained on x − centroid(cluster(x)), per-(query, probe) residual
+    // LUTs. Full-probe + rerank-all config is value-exact vs the dense
+    // cosine oracle, exercising the residual trainer, the zip_with
+    // residual encode and the per-probe LUT path end-to-end; bounded
+    // rerank recall (and its raw-PQ comparison) pinned in PipelineSpec.
+    "ann_ivfpq_residual" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val model = Ann.trainIvfPqResidual(s, e, "embedding", "vec_id",
+        nlist = 16, pqM = 8, pqK = 16)
+      val index = Ann.buildIndexPqResidual(e, "embedding", model)
+      val qs = e.filter(col("vec_id") >= 35 && col("vec_id") < 40)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+      Ann.searchIvfPqResidual(s, index, "vec_id", "embedding", qs, model,
+          k = 10, nprobe = 16, rerank = Int.MaxValue)
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
     "ann_ivfpq_cosine" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
@@ -1768,6 +1787,24 @@ object PipelineQueries {
       s"""WITH q AS (
          |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
          |  WHERE vec_id >= 20 AND vec_id < 25),
+         |scored AS (
+         |  SELECT q.queryId, e.vec_id AS neighbor_id,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cosine
+         |  FROM embeddings e, q)
+         |SELECT queryId, neighbor_id, rnk AS "rank", cosine FROM (
+         |  SELECT queryId, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY queryId
+         |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
+
+    "ann_ivfpq_residual" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
+         |  WHERE vec_id >= 35 AND vec_id < 40),
          |scored AS (
          |  SELECT q.queryId, e.vec_id AS neighbor_id,
          |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0

@@ -266,6 +266,118 @@ object Ann {
       .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /**
+   * RESIDUAL IVF-PQ training — the FAISS-canonical IVFADC formulation
+   * (Jégou et al. 2011): the PQ codebook is trained on RESIDUALS
+   * `x − centroid(cluster(x))` instead of raw vectors. Residuals are
+   * centered near zero with far less variance than the raw corpus, so
+   * the same pqM×pqK code budget spends itself on the part of the
+   * vector the coarse quantizer did NOT explain — tighter cells, lower
+   * ADC error at equal bytes. Coarse training dispatches exactly like
+   * [[trainIvfPq]] (distributed at dim ≥ [[DistributedDimThreshold]]);
+   * the residual computation for the PQ sample is driver-side over the
+   * same bounded deterministic sample.
+   */
+  def trainIvfPqResidual(
+      spark: SparkSession,
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      nlist: Int,
+      pqM: Int,
+      pqK: Int,
+      sampleSize: Int = 100000,
+      seed: Long = Pq.DefaultSeed,
+      forceSampled: Boolean = false): IvfPqModel = {
+    import spark.implicits._
+    require(pqK <= 256, s"pqK=$pqK does not fit a one-byte code")
+    val dim = peekDim(df, embCol)
+    val n = cappedSample(sampleSize, dim, floor = math.max(nlist, pqK))
+    val sample = df.orderBy(col(idCol)).limit(n)
+      .select(col(embCol).cast("array<float>")).as[Array[Float]].collect()
+    require(sample.nonEmpty, "cannot train residual IVF-PQ on an empty dataset")
+    val ivf =
+      if (!forceSampled && dim >= DistributedDimThreshold)
+        trainIvfDistributed(spark, df, embCol, idCol, nlist)
+      else IvfModel(nlist, dim, Pq.train(sample.toIndexedSeq, dim, m = 1, k = nlist, seed = seed).centroids)
+    val residuals = sample.map { x =>
+      val c = ivf.centroid(nearestCentroid(x, ivf))
+      Array.tabulate(x.length)(i => x(i) - c(i))
+    }
+    IvfPqModel(ivf, Pq.train(residuals.toIndexedSeq, dim, m = pqM, k = pqK, seed = seed))
+  }
+
+  /** Driver-side argmin cluster — same squared-L2 + lowest-id tie-break
+    * as the codegen'd [[clusterOf]] kernel. */
+  private def nearestCentroid(x: Array[Float], ivf: IvfModel): Int =
+    (0 until ivf.nlist).minBy(c =>
+      Distances.l2SquaredRange(x, 0, ivf.centroids, c * ivf.dim, ivf.dim))
+
+  /** Residual column `emb − centroid(cluster)`: zip_with over the
+    * broadcast per-cluster centroid rows — float subtraction, the same
+    * IEEE op the driver-side trainer applies, so codes replay exactly. */
+  private def residualCol(emb: Column, cluster: Column, ivf: IvfModel): Column = {
+    val rows: Seq[Seq[Float]] = (0 until ivf.nlist).map(c => ivf.centroid(c).toSeq)
+    zip_with(emb, element_at(typedlit(rows), cluster + lit(1)),
+      (a, b) => a - b).cast("array<float>")
+  }
+
+  /** [[buildIndexPq]] with residual encoding: cluster id from the raw
+    * vector, PQ code from `x − centroid(cluster)` — both codegen'd in
+    * the same scan pass; cluster-partitioned like every index build. */
+  def buildIndexPqResidual(df: DataFrame, embCol: String, model: IvfPqModel): DataFrame = {
+    val cl = clusterOf(col(embCol), model.ivf)
+    df.withColumn("cluster", cl)
+      .withColumn("pq_code",
+        vector.pq_encode(residualCol(col(embCol), col("cluster"), model.ivf),
+          typedlit(model.codebook.centroids.toSeq), lit(model.codebook.m)))
+      .repartition(col("cluster"))
+  }
+
+  /**
+   * IVFADC query over a residual index: the LUT for a probed cluster is
+   * built from the QUERY residual `q − centroid(c)` — one LUT per
+   * (query, probe) pair instead of per query (nprobe·m·k doubles on the
+   * driver, still broadcast-sized). Within a probed cluster
+   * `‖r_x − r_q‖ = ‖x − q‖` (both drop the same centroid), so residual
+   * ADC approximates the true distance rather than the raw-code
+   * distance — the precision the residual codebook buys. Scan and
+   * rerank shapes are identical to [[searchIvfPq]].
+   */
+  def searchIvfPqResidual(
+      spark: SparkSession,
+      index: DataFrame,
+      idCol: String,
+      embCol: String,
+      queries: Seq[(Long, Array[Float])],
+      model: IvfPqModel,
+      k: Int,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, q) =>
+      model.ivf.probes(q, nprobe).map { c =>
+        val cent = model.ivf.centroid(c)
+        val rq = Array.tabulate(q.length)(i => q(i) - cent(i))
+        (qid, c, q, Pq.buildLut(model.codebook, rq))
+      }
+    }.toDF("queryId", "cluster", "qv", "lut")
+    val adcW = Window.partitionBy(col("queryId")).orderBy(col("adc"), col(idCol))
+    val shortlist = index.select(col("cluster"), col(idCol), col("pq_code"))
+      .join(broadcast(probeRows), Seq("cluster"))
+      .withColumn("adc", vector.pq_adc_distance(col("lut"), col("pq_code")))
+      .withColumn("adc_rank", row_number().over(adcW))
+      .filter(col("adc_rank") <= rerank)
+      .select(col("queryId"), col(idCol), col("qv"))
+    val w = Window.partitionBy(col("queryId")).orderBy(col("cosine").desc, col(idCol))
+    index.select(col(idCol), col(embCol))
+      .join(broadcast(shortlist), Seq(idCol))
+      .withColumn("cosine", vector.cosine_sim(col(embCol), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Symmetric per-vector int8 (SQ8) quantization: `codes[j] =
     * round(x[j]·127/maxAbs)` with `maxAbs = max|x[j]|` (all-zero vectors
     * quantize to all-zero codes). One byte per dim — a 4x narrower scan

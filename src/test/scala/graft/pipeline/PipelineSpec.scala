@@ -738,6 +738,72 @@ class PipelineSpec extends AnyFunSuite {
     qs.foreach { case (qid, _) => assert(full(qid) == brute(qid), s"query $qid") }
   }
 
+  test("residual IVF-PQ: codes replay the driver residual encode; ADC beats raw PQ; exact at full config") {
+    val qs = embeddings.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+    val brute = Ann.searchBrute(spark, embeddings, "vec_id", "embedding", qs, k = 10)
+      .select("queryId", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(got: Map[Long, Set[Long]]): Double =
+      qs.map { case (qid, _) =>
+        got.getOrElse(qid, Set.empty).intersect(brute(qid)).size
+      }.sum.toDouble / (qs.size * 10)
+
+    val rm = Ann.trainIvfPqResidual(spark, embeddings, "embedding", "vec_id",
+      nlist = 16, pqM = 8, pqK = 64)
+    val rIndex = Ann.buildIndexPqResidual(embeddings, "embedding", rm)
+
+    // code parity: zip_with residual + pq_encode column == driver-side
+    // residual + JVM Pq.encode, byte-for-byte (same IEEE float subtract)
+    val viaCol = rIndex.select(col("vec_id"), col("cluster"), col("pq_code"))
+      .as[(Long, Int, Array[Byte])].collect()
+    val embMap = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    viaCol.foreach { case (id, cl, code) =>
+      val x = embMap(id)
+      val c = rm.ivf.centroid(cl)
+      val r = Array.tabulate(x.length)(i => x(i) - c(i))
+      assert(java.util.Arrays.equals(code, graft.index.Pq.encode(rm.codebook, r)), s"vec $id")
+    }
+
+    // ADC precision: with NO exact rerank (rerank = k), the residual
+    // codes' top-10 should recover more of the true top-10 than raw-PQ
+    // codes at the identical byte budget — the property residual
+    // encoding exists for
+    val raw = Ann.trainIvfPq(spark, embeddings, "embedding", "vec_id",
+      nlist = 16, pqM = 8, pqK = 64)
+    val rawAdc = recallOf(
+      Ann.searchIvfPq(spark, Ann.buildIndexPq(embeddings, "embedding", raw),
+          "vec_id", "embedding", qs, raw, k = 10, nprobe = 16, rerank = 10)
+        .select("queryId", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    val resAdc = recallOf(
+      Ann.searchIvfPqResidual(spark, rIndex, "vec_id", "embedding", qs, rm,
+          k = 10, nprobe = 16, rerank = 10)
+        .select("queryId", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    assert(resAdc >= rawAdc,
+      s"residual ADC recall $resAdc should be >= raw-PQ ADC recall $rawAdc")
+    // pure ADC with zero rerank margin is the hardest config (8 dims per
+    // subspace at dim 64) — the floor just pins "codes carry signal"
+    // (residual measured 0.46 on this corpus, raw-PQ at or below it);
+    // a 10x-k rerank margin must recover high recall (0.88 at 5x)
+    assert(resAdc >= 0.35, s"residual pure-ADC recall@10 = $resAdc")
+    val resRerank = recallOf(
+      Ann.searchIvfPqResidual(spark, rIndex, "vec_id", "embedding", qs, rm,
+          k = 10, nprobe = 16, rerank = 100)
+        .select("queryId", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    assert(resRerank >= 0.9, s"residual recall@10 at rerank=100 = $resRerank")
+
+    // gate config (nprobe=nlist, exhaustive rerank) must equal brute force
+    val full = Ann.searchIvfPqResidual(spark, rIndex, "vec_id", "embedding", qs, rm,
+        k = 10, nprobe = 16, rerank = Int.MaxValue)
+      .select("queryId", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qs.foreach { case (qid, _) => assert(full(qid) == brute(qid), s"query $qid") }
+  }
+
   test("pq_encode column matches the JVM Pq.encode kernel byte-for-byte") {
     val model = Ann.trainIvfPq(spark, embeddings, "embedding", "vec_id",
       nlist = 4, pqM = 8, pqK = 16)
