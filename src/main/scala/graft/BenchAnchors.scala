@@ -227,5 +227,6 @@ object BenchAnchors {
     "graph_hits" -> 4.772,
     "ann_hamming_cosine" -> 0.676,
     "ann_ivfpq_residual" -> 1.269,
+    "pipeline_cdc_chunks" -> 0.54,
   )
 }

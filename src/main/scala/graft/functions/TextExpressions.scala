@@ -260,7 +260,55 @@ case class RepetitionStatsExpr(child: Expression)
 }
 
 /** Column-API entry points. */
+/**
+ * Content-defined chunk spans of a text's RAW whitespace tokens (no
+ * lowercasing — the [[graft.pipeline.Chunker]] tokenization, unlike the
+ * sketch kernels above): one struct (s, e) of inclusive token positions
+ * per chunk, where a boundary falls AFTER token t iff
+ * `(md5Lower64(t) >>> 1) mod avg == 0`. A single pass — tokenize once,
+ * one md5 per token — where the composed `filter`/`concat`/`element_at`
+ * Column formulation re-evaluated the md5 scan per consumer AND dropped
+ * the whole projection to interpreted mode (higher-order functions are
+ * CodegenFallback; measured ~9 s vs ~1 s at sf0.1). A trailing-gate
+ * empty final span is dropped inside the kernel, so positions stay
+ * contiguous and `posexplode` ordinals are the chunk index.
+ */
+case class CdcSpansExpr(child: Expression, avg: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(avg >= 2, "avg must be >= 2")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("s", IntegerType, nullable = false),
+      StructField("e", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cdc_spans"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    if (n == 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var s = 0
+      var i = 0
+      while (i < n) {
+        if ((TextKernels.md5Lower64(toks(i)) >>> 1) % avg == 0) {
+          out += org.apache.spark.sql.catalyst.InternalRow(s, i)
+          s = i + 1
+        }
+        i += 1
+      }
+      if (s <= n - 1) out += org.apache.spark.sql.catalyst.InternalRow(s, n - 1)
+      new GenericArrayData(out.toArray)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object text {
+  def cdc_spans(c: Column, avg: Int): Column =
+    SparkShims.column(CdcSpansExpr(SparkShims.expression(c), avg))
   def shingle_hashes(c: Column, k: Int): Column =
     SparkShims.column(ShingleHashesExpr(SparkShims.expression(c), k))
   def shingle_hashes_pos(c: Column, k: Int): Column =

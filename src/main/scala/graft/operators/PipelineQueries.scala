@@ -992,6 +992,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // Content-defined chunking: boundary after token t iff
+    // (md5_lower64(t) >>> 1) mod 16 == 0 — hash-gated cuts (the
+    // token-level gear/Rabin CDC), so chunk fingerprints survive
+    // document edits (ChunkerSpec pins prepend-stability vs the
+    // fixed-window collapse). Shuffle-free scan→gate→generate chain;
+    // oracle rebuilds boundaries hash-for-hash via md5_number_lower.
+    "pipeline_cdc_chunks" -> ((s, dir) => {
+      Chunker.cdcChunks(docs(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", avgTokens = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // BPE merge-candidate counting: adjacent character pairs inside
     // GPT-2-style pretokens, corpus-weighted — the distributed inner
     // step of tokenizer training (one explode + one shuffle on the pair
@@ -2631,6 +2643,29 @@ object PipelineQueries {
     // DuckDB list slices are 1-based INCLUSIVE: toks[s+1 : s+64] ==
     // Spark slice(toks, s+1, 64); generate_series(0, -1, 48) is empty,
     // matching the n>0 filter.
+    "pipeline_cdc_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |t2 AS (SELECT doc_id, tk, len(tk) AS n FROM tok WHERE len(tk) > 0),
+        |b AS (SELECT doc_id, tk, n,
+        |    list_filter(generate_series(0, n - 1),
+        |      i -> CAST(md5_number_lower(tk[i + 1]) >> 1 AS BIGINT) % 16 = 0) AS bpos
+        |  FROM t2),
+        |se AS (SELECT doc_id, tk,
+        |    list_concat([0], list_transform(bpos, p -> p + 1)) AS starts,
+        |    list_concat(bpos, [n - 1]) AS ends
+        |  FROM b),
+        |ix AS (SELECT doc_id, tk, starts, ends,
+        |    unnest(generate_series(1, len(starts))) AS i FROM se)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+        |  CAST(starts[i] AS BIGINT) AS start_tok,
+        |  CAST(ends[i] - starts[i] + 1 AS BIGINT) AS n_toks,
+        |  md5(array_to_string(tk[starts[i] + 1 : ends[i] + 1], ' ')) AS chunk_fp
+        |FROM ix WHERE starts[i] <= ends[i]
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "text_chunk_windows" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -32,6 +32,57 @@ object Chunker {
    * `n_chunk_tokens`, and the re-joined `chunk_text`. Documents with
    * null or whitespace-only text produce no rows.
    */
+  /**
+   * Content-defined chunking (CDC) at token granularity — the
+   * dedup-stable segmentation (the token-level analog of gear/Rabin
+   * byte CDC used by dedup stores and sub-document near-dup pipelines):
+   * a chunk boundary falls AFTER token t iff
+   * `(md5_lower64(t) >>> 1) mod avgTokens == 0` — a hash gate on the
+   * token's CONTENT, nothing positional. Expected chunk length is
+   * `avgTokens`; every boundary decision is local to one token, so an
+   * edit or insertion perturbs only the chunk it lands in (and at most
+   * its neighbor if the edited token was itself a gate) while every
+   * other chunk keeps its fingerprint — unlike fixed-width windows,
+   * where one prepended token re-keys every downstream chunk (the
+   * property pinned by ChunkerSpec's prepend test, and what makes
+   * chunk-fingerprint dedup across document revisions work).
+   *
+   * Same scale shape as [[chunkTokens]]: tokenize, per-token hash gate,
+   * boundary-position arrays, one explode — a scan→project→generate
+   * chain with ZERO exchange. A document with no gate tokens is one
+   * chunk; a trailing gate token would produce an empty final chunk,
+   * which is dropped (start > end), keeping `chunk_idx` contiguous.
+   *
+   * Output: idCol, chunk_idx, start_tok, n_toks, chunk_fp (md5 hex of
+   * the space-rejoined chunk — the cross-revision dedup key).
+   */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      avgTokens: Int): DataFrame = {
+    require(avgTokens >= 2, "avgTokens must be >= 2 (1 would cut after every token)")
+    import graft.functions.text
+    // spans come from ONE kernel pass (graft.functions.CdcSpansExpr —
+    // a composed filter/concat Column formulation re-ran the per-token
+    // md5 scan once per consumer); posexplode ordinals are the chunk
+    // index because the kernel keeps spans contiguous. The Generate
+    // node is a projection barrier, so __toks is computed once below it
+    // and sliced by attribute above it.
+    df.filter(col(textCol).isNotNull)
+      .withColumn("__toks", toks(col(textCol)))
+      .select(Seq(col(idCol), col("__toks")) :+
+        posexplode(text.cdc_spans(col(textCol), avgTokens)).as(Seq("chunk_idx", "__sp")): _*)
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__sp.s").cast("long").as("start_tok"),
+        (col("__sp.e") - col("__sp.s") + 1).cast("long").as("n_toks"),
+        md5(array_join(
+          slice(col("__toks"), col("__sp.s") + 1, col("__sp.e") - col("__sp.s") + 1),
+          " ").cast("binary")).as("chunk_fp"))
+  }
+
   def chunkTokens(
       df: DataFrame,
       textCol: String,
