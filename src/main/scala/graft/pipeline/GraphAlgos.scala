@@ -365,27 +365,35 @@ object GraphAlgos {
       .union(e.select(col("dst").as("node"))).distinct()
     val n = nodes.count() // prices the broadcast decision; materializes e
     val bcast = n <= BroadcastRankMaxNodes
-    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
-
-    def survivingDeg(alive: DataFrame): DataFrame =
-      e.join(maybeBcast(alive.select(col("node").as("src"))), Seq("src"), "left_semi")
-        .join(maybeBcast(alive.select(col("node").as("dst"))), Seq("dst"), "left_semi")
-        .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
 
     var alive = nodes.localCheckpoint()
     for (_ <- 1 to rounds) {
-      val next = survivingDeg(alive)
+      val next = survivingDegStep(e, alive, bcast)
         .filter(col("core_deg") >= k)
         .select(col("src").as("node"))
         .localCheckpoint()
       SparkShims.unpersistCheckpoint(alive)
       alive = next
     }
-    val out = survivingDeg(alive)
+    val out = survivingDegStep(e, alive, bcast)
       .select(col("src").as("node"), col("core_deg"))
       .localCheckpoint() // materialize (≤ |V| rows) before releasing e
     SparkShims.unpersistCheckpoint(alive)
     out
+  }
+
+  /** One peel round's degree computation, lazy — split out so the
+    * per-round physical plan stays pinnable in GraphAlgosSpec (the
+    * public query's checkpoints collapse it to a LogicalRDD scan):
+    * two node-sized semi-joins against the static edges, then a
+    * map-side-combined degree count. */
+  private[pipeline] def survivingDegStep(
+      e: DataFrame, alive: DataFrame, broadcastAlive: Boolean): DataFrame = {
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (broadcastAlive) broadcast(df) else df
+    e.join(maybeBcast(alive.select(col("node").as("src"))), Seq("src"), "left_semi")
+      .join(maybeBcast(alive.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
   }
 
   /**
@@ -458,24 +466,13 @@ object GraphAlgos {
     require(2 * rounds * math.log(dMax.toDouble.max(2.0)) <= 62 * math.log(2.0),
       s"d_max=$dMax^(2*$rounds) would overflow Long — fewer rounds or the normalized variant")
     val bcast = n <= BroadcastRankMaxNodes
-    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
 
     var scores = nodes.select(col("node"), lit(1L).as("hub"), lit(1L).as("auth"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val auth = e.join(maybeBcast(scores.select(col("node").as("src"), col("hub"))), Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("hub")).as("a"))
-        .select(col("dst").as("a_node"), col("a"))
       // authorities this round feed hubs the same round (classic order)
-      val withAuth = scores.join(maybeBcast(auth), col("node") === col("a_node"), "left")
-        .select(col("node"), col("hub"), coalesce(col("a"), lit(0L)).as("auth"))
-        .localCheckpoint()
-      val hub = e.join(maybeBcast(withAuth.select(col("node").as("dst"), col("auth"))), Seq("dst"))
-        .groupBy(col("src")).agg(sum(col("auth")).as("h"))
-        .select(col("src").as("h_node"), col("h"))
-      val next = withAuth.join(maybeBcast(hub), col("node") === col("h_node"), "left")
-        .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"), col("auth"))
-        .localCheckpoint()
+      val withAuth = hitsAuthStep(e, scores, bcast).localCheckpoint()
+      val next = hitsHubStep(e, withAuth, bcast).localCheckpoint()
       SparkShims.unpersistCheckpoint(scores)
       SparkShims.unpersistCheckpoint(withAuth)
       scores = next
@@ -483,6 +480,30 @@ object GraphAlgos {
     nodes.unpersist()
     e.unpersist()
     scores
+  }
+
+  /** HITS auth half-round, lazy (pinnable in GraphAlgosSpec). */
+  private[pipeline] def hitsAuthStep(
+      e: DataFrame, scores: DataFrame, broadcastScores: Boolean): DataFrame = {
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (broadcastScores) broadcast(df) else df
+    val auth = e.join(maybeBcast(scores.select(col("node").as("src"), col("hub"))), Seq("src"))
+      .groupBy(col("dst")).agg(sum(col("hub")).as("a"))
+      .select(col("dst").as("a_node"), col("a"))
+    scores.join(maybeBcast(auth), col("node") === col("a_node"), "left")
+      .select(col("node"), col("hub"), coalesce(col("a"), lit(0L)).as("auth"))
+  }
+
+  /** HITS hub half-round over the refreshed auth scores, lazy. */
+  private[pipeline] def hitsHubStep(
+      e: DataFrame, withAuth: DataFrame, broadcastScores: Boolean): DataFrame = {
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (broadcastScores) broadcast(df) else df
+    val hub = e.join(maybeBcast(withAuth.select(col("node").as("dst"), col("auth"))), Seq("dst"))
+      .groupBy(col("src")).agg(sum(col("auth")).as("h"))
+      .select(col("src").as("h_node"), col("h"))
+    withAuth.join(maybeBcast(hub), col("node") === col("h_node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"), col("auth"))
   }
 
   /**
@@ -514,27 +535,34 @@ object GraphAlgos {
       .union(e.select(col("dst").as("node"))).distinct()
     val n = nodes.count()
     val bcast = n <= BroadcastRankMaxNodes
-    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     nodes.persist()
 
     var labels = nodes.withColumn("label", col("node")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val voted = e.join(
-          maybeBcast(labels.select(col("node").as("src"), col("label"))), Seq("src"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("dst").as("v_node"), (-col("m.nl")).as("v_label"))
-      // left join + coalesce: on a symmetrized graph every node is a dst,
-      // but the API accepts directed inputs where sinks keep their label
-      val next = labels.join(maybeBcast(voted), col("node") === col("v_node"), "left")
-        .select(col("node"), coalesce(col("v_label"), col("label")).as("label"))
-        .localCheckpoint()
+      val next = lpaStep(e, labels, bcast).localCheckpoint()
       SparkShims.unpersistCheckpoint(labels)
       labels = next
     }
     nodes.unpersist()
     e.unpersist()
     labels
+  }
+
+  /** One label-propagation round, lazy (pinnable in GraphAlgosSpec):
+    * node-sized label join onto static edges, two-level argmax. */
+  private[pipeline] def lpaStep(
+      e: DataFrame, labels: DataFrame, broadcastLabels: Boolean): DataFrame = {
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
+    val voted = e.join(
+        maybeBcast(labels.select(col("node").as("src"), col("label"))), Seq("src"))
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("dst"))
+      .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+      .select(col("dst").as("v_node"), (-col("m.nl")).as("v_label"))
+    // left join + coalesce: on a symmetrized graph every node is a dst,
+    // but the API accepts directed inputs where sinks keep their label
+    labels.join(maybeBcast(voted), col("node") === col("v_node"), "left")
+      .select(col("node"), coalesce(col("v_label"), col("label")).as("label"))
   }
 }

@@ -76,6 +76,38 @@ class GraphAlgosSpec extends AnyFunSuite {
       !triPlan.contains("CartesianProduct"), triPlan)
   }
 
+  test("k-core / LPA / HITS step plans: node-sized side broadcasts under the bound, no cartesian") {
+    val e = GraphAlgos.symmetrize(Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"))
+      .select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node")).distinct()
+
+    val peel = GraphAlgos.survivingDegStep(e, nodes, broadcastAlive = true)
+      .queryExecution.executedPlan.toString
+    // both endpoint filters must be broadcast SEMI joins — the edge leg
+    // never shuffles for an alive-set filter
+    assert(peel.contains("BroadcastHashJoin") && peel.contains("LeftSemi"), peel)
+    assert(!peel.contains("BroadcastNestedLoopJoin") &&
+      !peel.contains("CartesianProduct"), peel)
+
+    val labels = nodes.withColumn("label", col("node"))
+    val lpa = GraphAlgos.lpaStep(e, labels, broadcastLabels = true)
+      .queryExecution.executedPlan.toString
+    assert(lpa.contains("BroadcastHashJoin"), lpa)
+    // the argmax must be the two-level aggregation, not a window sort
+    assert(!lpa.contains("Window"), s"LPA argmax must not be a window:\n$lpa")
+    assert(!lpa.contains("BroadcastNestedLoopJoin") &&
+      !lpa.contains("CartesianProduct"), lpa)
+
+    val scores = nodes.select(col("node"), lit(1L).as("hub"), lit(1L).as("auth"))
+    val hits = GraphAlgos.hitsAuthStep(e, scores, broadcastScores = true)
+      .queryExecution.executedPlan.toString +
+      GraphAlgos.hitsHubStep(e, scores, broadcastScores = true)
+        .queryExecution.executedPlan.toString
+    assert(hits.contains("BroadcastHashJoin"), hits)
+    assert(!hits.contains("BroadcastNestedLoopJoin") &&
+      !hits.contains("CartesianProduct"), hits)
+  }
+
   test("partitioned regime: pre-shaped edges join with NO exchange and NO sort on the edge leg") {
     import org.apache.spark.sql.execution.{RDDScanExec, SortExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
