@@ -228,5 +228,6 @@ object BenchAnchors {
     "ann_hamming_cosine" -> 0.676,
     "ann_ivfpq_residual" -> 1.269,
     "pipeline_cdc_chunks" -> 0.54,
+    "dedup_cdc_chunks" -> 1.905,
   )
 }

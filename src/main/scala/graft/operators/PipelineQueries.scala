@@ -203,6 +203,17 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Chunk-level near-dup: CDC chunk fingerprints equi-joined on fp
+    // with the boilerplate frequency cap (fp in > 50 docs never enters
+    // the self-join); containment = shared / smaller doc's chunks. The
+    // revision corpus (base + appended-token copies) keeps every chunk
+    // but the edited tail — the case whole-doc fingerprints miss.
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      Dedup.cdcChunkNearDuplicates(corpusNear(s, dir), "doc_id", "text",
+          avgTokens = 8, threshold = 0.5, maxDocsPerChunk = 50)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // SimHash near-dup pairs (Hamming ≤ 3): the token hash is md5Lower64 =
     // DuckDB's md5_number_lower, so the oracle recomputes the ENTIRE
     // fingerprint (per-token bit votes → sign bits → pair Hamming) in SQL
@@ -2643,6 +2654,47 @@ object PipelineQueries {
     // DuckDB list slices are 1-based INCLUSIVE: toks[s+1 : s+64] ==
     // Spark slice(toks, s+1, 64); generate_series(0, -1, 48) is empty,
     // matching the n>0 filter.
+    "dedup_cdc_chunks" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftmutation' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM corpus WHERE text IS NOT NULL),
+        |t2 AS (SELECT doc_id, tk, len(tk) AS n FROM tok WHERE len(tk) > 0),
+        |b AS (SELECT doc_id, tk, n,
+        |    list_filter(generate_series(0, n - 1),
+        |      i -> CAST(md5_number_lower(tk[i + 1]) >> 1 AS BIGINT) % 8 = 0) AS bpos
+        |  FROM t2),
+        |se AS (SELECT doc_id, tk,
+        |    list_concat([0], list_transform(bpos, p -> p + 1)) AS starts,
+        |    list_concat(bpos, [n - 1]) AS ends
+        |  FROM b),
+        |ix AS (SELECT doc_id, tk, starts, ends,
+        |    unnest(generate_series(1, len(starts))) AS i FROM se),
+        |ch AS (SELECT DISTINCT doc_id AS doc,
+        |    md5(array_to_string(tk[starts[i] + 1 : ends[i] + 1], ' ')) AS fp
+        |  FROM ix WHERE starts[i] <= ends[i]),
+        |counts AS (SELECT doc, count(*) AS n_chunks FROM ch GROUP BY doc),
+        |kept AS (SELECT * FROM ch
+        |  WHERE fp IN (SELECT fp FROM ch GROUP BY fp HAVING count(*) <= 50)),
+        |pairs AS (
+        |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared_chunks
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc < b.doc
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared_chunks,
+        |  CAST(shared_chunks AS DOUBLE)
+        |    / CAST(least(ca.n_chunks, cb.n_chunks) AS DOUBLE) AS containment
+        |FROM pairs
+        |JOIN counts ca ON doc_a = ca.doc
+        |JOIN counts cb ON doc_b = cb.doc
+        |WHERE CAST(shared_chunks AS DOUBLE)
+        |    / CAST(least(ca.n_chunks, cb.n_chunks) AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "pipeline_cdc_chunks" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -780,4 +780,56 @@ object Dedup {
       .filter(col("span_len") >= minSpanTokens)
       .select(col("doc_id"), col("span_start"), col("span_len"))
   }
+
+  /**
+   * Chunk-level near-dup pairs via CONTENT-DEFINED chunk fingerprints
+   * ([[Chunker.cdcChunks]]): docs sharing ≥ `threshold` CONTAINMENT
+   * (shared distinct chunk fps ÷ the smaller doc's chunk count — the
+   * subset-revision-sensitive score) are near-duplicates. This is the
+   * sub-document revision detector: because CDC boundaries are
+   * content-local, a doc and its edited revision share every chunk the
+   * edit didn't touch, so containment stays high where a fixed-window
+   * fingerprint would collapse to zero.
+   *
+   * Scale shape: candidate generation is an equi-join on chunk_fp —
+   * never all-pairs — with the standard boilerplate guard: fps present
+   * in more than `maxDocsPerChunk` docs (license headers, templates)
+   * are dropped BEFORE the self-join, bounding any fp's pair fan-out at
+   * `maxDocsPerChunk²` (they stay in the containment DENOMINATOR — a
+   * doc that is all boilerplate scores low, it doesn't explode the
+   * join). Same discipline as the LSH hot-bucket guard.
+   */
+  def cdcChunkNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      avgTokens: Int = 8,
+      threshold: Double = 0.5,
+      maxDocsPerChunk: Int = 50): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(maxDocsPerChunk >= 2, "maxDocsPerChunk must allow at least one pair")
+    val ch = Chunker.cdcChunks(df, idCol, textCol, avgTokens)
+      .select(col(idCol).as("doc"), col("chunk_fp")).distinct()
+    ch.persist()
+    val counts = ch.groupBy(col("doc")).agg(count(lit(1)).as("n_chunks"))
+    val kept = ch.join(
+      ch.groupBy(col("chunk_fp")).agg(count(lit(1)).as("fp_docs"))
+        .filter(col("fp_docs") <= maxDocsPerChunk).select("chunk_fp"),
+      Seq("chunk_fp"), "left_semi")
+    val pairs = kept.select(col("chunk_fp"), col("doc").as("doc_a"))
+      .join(kept.select(col("chunk_fp"), col("doc").as("doc_b")), Seq("chunk_fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+    val out = pairs
+      .join(counts.select(col("doc").as("doc_a"), col("n_chunks").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc").as("doc_b"), col("n_chunks").as("nb")), Seq("doc_b"))
+      .withColumn("containment",
+        col("shared_chunks").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared_chunks"), col("containment"))
+      .localCheckpoint() // materialize (pair-sized) before releasing ch
+    ch.unpersist()
+    out
+  }
 }

@@ -447,6 +447,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"hamming recall@10 (shortlist 100) = $recall")
   }
 
+  test("CDC chunk near-dup: catches the appended revision; boilerplate cap blocks hot-fp pairs") {
+    val rnd = new scala.util.Random(13)
+    def doc(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(100000)}").mkString(" ")
+    val t1 = doc(150)
+    val t2 = doc(150)
+    val corpus = Seq((1L, t1), (2L, t2), (101L, t1 + " appendededit"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.cdcChunkNearDuplicates(corpus, "doc_id", "text",
+        avgTokens = 8, threshold = 0.5, maxDocsPerChunk = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 101L)), s"revision pair missing: $pairs")
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 101L)),
+      s"unrelated docs must not pair: $pairs")
+
+    // boilerplate guard: 60 docs share an identical header chunk but
+    // have unrelated bodies — with the cap at 50 the hot fp never
+    // enters the self-join and no pair forms; raising the cap above 60
+    // readmits it (the fan-out the cap exists to bound)
+    val header = doc(40)
+    val boiler = (1 to 60).map(i => (i.toLong, header + " " + doc(100))).toDF("doc_id", "text")
+    val capped = Dedup.cdcChunkNearDuplicates(boiler, "doc_id", "text",
+      avgTokens = 8, threshold = 0.15, maxDocsPerChunk = 50).count()
+    val uncapped = Dedup.cdcChunkNearDuplicates(boiler, "doc_id", "text",
+      avgTokens = 8, threshold = 0.15, maxDocsPerChunk = 100).count()
+    assert(capped === 0L, s"capped run must produce no boilerplate pairs, got $capped")
+    assert(uncapped > 0L, "without the cap the shared header must pair docs")
+  }
+
   test("pca power iteration: finds the planted dominant axis; matches a scalar replay") {
     // anisotropic cloud: variance 18 along (1,1)/√2, variance 2 along (1,-1)/√2
     val pts = Seq((0L, Array(3f, 3f)), (1L, Array(-3f, -3f)),
