@@ -229,5 +229,6 @@ object BenchAnchors {
     "ann_ivfpq_residual" -> 1.269,
     "pipeline_cdc_chunks" -> 0.54,
     "dedup_cdc_chunks" -> 1.905,
+    "graph_bfs_khop" -> 4.226,
   )
 }

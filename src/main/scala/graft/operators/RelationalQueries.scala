@@ -1016,6 +1016,26 @@ object RelationalQueries {
         .orderBy(col("part_key"))
     }),
 
+    // Multi-source BFS (3 hops) from a 5-customer seed set over the
+    // symmetrized fulfillment graph — exact hop distance to the nearest
+    // seed, the k-hop-neighborhood primitive. Integer min-relaxation,
+    // unreached nodes emit no row; bit-exact unrolled-round oracle.
+    "graph_bfs_khop" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.pipeline.GraphAlgos.multiSourceDistances(
+          graft.pipeline.GraphAlgos.symmetrize(edges),
+          sources = Seq(2L, 4L, 6L, 8L, 10L), rounds = 3)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").cast("long").as("node_key"),
+          col("dist"))
+        .orderBy(col("node_type"), col("node_key"))
+    }),
+
     // HITS hubs/authorities (2 exact-integer rounds) on the DIRECTED
     // customer→supplier fulfillment graph: suppliers are pure
     // authorities, customers pure hubs — round 1 is degree, round 2
@@ -1874,6 +1894,25 @@ object RelationalQueries {
          |  GROUP BY e.src)
          |ORDER BY part_key""".stripMargin,
 
+    "graph_bfs_khop" ->
+      s"""WITH edges0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM edges0
+         |  UNION SELECT dst AS src, src AS dst FROM edges0),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+         |       WHERE node IN (2, 4, 6, 8, 10)),
+         |${bfsRound("d0", "d1")},
+         |${bfsRound("d1", "d2")},
+         |${bfsRound("d2", "d3")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS node_key, dist
+         |FROM d3
+         |ORDER BY node_type, node_key""".stripMargin,
+
     "graph_hits" ->
       s"""WITH edges AS (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -2121,6 +2160,16 @@ object RelationalQueries {
        |  JOIN $prev s ON e.src = s.node
        |  JOIN $prev d ON e.dst = d.node
        |  GROUP BY e.src HAVING count(*) >= (SELECT k FROM kv))""".stripMargin
+
+  /** One BFS min-relaxation round — mirror of `GraphAlgos.bfsStep`. */
+  private def bfsRound(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT node, min(dist) AS dist FROM (
+       |    SELECT node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT e.dst AS node, d.dist + 1 AS dist
+       |    FROM edges e JOIN $prev d ON e.src = d.node) x
+       |  GROUP BY node)""".stripMargin
 
   /** One HITS round as two chained CTEs: `$outA` refreshes auth from
     * `$prev`'s hubs, `$outS` refreshes hubs from the NEW auth —

@@ -482,6 +482,64 @@ object GraphAlgos {
     scores
   }
 
+  /**
+   * Multi-source BFS: exact hop distance from the nearest of `sources`
+   * for every node reached within `rounds` hops — the k-hop
+   * neighborhood / seed-expansion primitive (the bounded-round sibling
+   * of [[Dedup.resolveClusters]]' run-to-fixpoint pointer jumping).
+   * dist₀ = 0 at the seeds; each round relaxes
+   * `dist'(v) = min(dist(v), 1 + min_{(u,v)∈E} dist(u))` — pure integer
+   * mins, bit-exact, replayed by the oracle as unrolled rounds.
+   * Unreached nodes carry no row (no sentinel ∞ to disagree on).
+   *
+   * Scale shape per round: the node-sized frontier table equi-joins the
+   * static edges on src (broadcast under [[BroadcastRankMaxNodes]],
+   * partitioned past it), min-aggregated map-side; state
+   * localCheckpoints per round — O(1) lineage. A round's join input is
+   * the full reached set, not just the new frontier — at bounded
+   * `rounds` the simplicity wins over frontier-delta bookkeeping (the
+   * delta optimization matters for diameter-length traversals, not
+   * k-hop neighborhoods).
+   */
+  def multiSourceDistances(
+      edges: DataFrame,
+      sources: Seq[Long],
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one BFS round")
+    require(sources.nonEmpty, "multiSourceDistances needs a non-empty seed set")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    e.persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "multiSourceDistances on an empty edge set")
+    val bcast = n <= BroadcastRankMaxNodes
+
+    var dist = nodes.filter(col("node").isInCollection(sources))
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = bfsStep(e, dist, bcast).localCheckpoint()
+      SparkShims.unpersistCheckpoint(dist)
+      dist = next
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** One BFS relaxation round, lazy (pinnable in GraphAlgosSpec):
+    * reached-set join onto static edges, then a min-merge with the
+    * current distances via a full outer union-aggregate (windowless). */
+  private[pipeline] def bfsStep(
+      e: DataFrame, dist: DataFrame, broadcastDist: Boolean): DataFrame = {
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (broadcastDist) broadcast(df) else df
+    val relaxed = e.join(
+        maybeBcast(dist.select(col("node").as("src"), col("dist"))), Seq("src"))
+      .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+    dist.unionByName(relaxed)
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+  }
+
   /** HITS auth half-round, lazy (pinnable in GraphAlgosSpec). */
   private[pipeline] def hitsAuthStep(
       e: DataFrame, scores: DataFrame, broadcastScores: Boolean): DataFrame = {

@@ -241,6 +241,20 @@ class GraphAlgosSpec extends AnyFunSuite {
       10L -> ((0L, 6L)), 11L -> ((0L, 6L))))
   }
 
+  test("multi-source BFS: nearest-seed hop distances, bounded reach, disconnected stay absent") {
+    // path 0-1-2-3-4-5 plus disconnected pair 100-101; seeds {0, 5}
+    val e = GraphAlgos.symmetrize(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (100L, 101L)).toDF("src", "dst"))
+    val got = GraphAlgos.multiSourceDistances(e, sources = Seq(0L, 5L), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // nearest seed wins: node 2 is 2 from seed 0 (3 from seed 5); 3 is 2 from 5
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    // bounded rounds bound the reach: one round from seed 0 alone
+    val one = GraphAlgos.multiSourceDistances(e, sources = Seq(0L), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one === Map(0L -> 0L, 1L -> 1L))
+  }
+
   test("label propagation: components converge to their min label; ties break to smallest") {
     // two disjoint triangles: sync rounds -> everyone adopts the
     // component minimum within 3 rounds (round 1 puts the min on two
