@@ -230,5 +230,6 @@ object BenchAnchors {
     "pipeline_cdc_chunks" -> 0.54,
     "dedup_cdc_chunks" -> 1.905,
     "graph_bfs_khop" -> 4.226,
+    "graph_link_predict" -> 2.089,
   )
 }

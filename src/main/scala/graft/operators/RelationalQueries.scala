@@ -1092,6 +1092,27 @@ object RelationalQueries {
         .select(col("node").as("part_key"), col("n_triangles"))
     }),
 
+    // Jaccard link prediction on the decile co-purchase subgraph
+    // (parts ending in 0 sharing an order): top-100 NON-adjacent part
+    // pairs by common-neighbor Jaccard — the related-items / missing-
+    // edge primitive. All-scalar plan (wedge counts + degree join, no
+    // adjacency arrays); the hub cap bounds wedge fan-out (documented
+    // lower-bound semantics, replayed identically by the oracle).
+    "graph_link_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      graft.pipeline.GraphAlgos.jaccardLinkPredictions(edges,
+          maxCenterDegree = 500, minShared = 2, topK = 100)
+        .select(col("u").as("part_u"), col("v").as("part_v"),
+          col("shared"), col("jaccard"))
+    }),
+
     // Blocked fuzzy (edit-distance) join — the entity-resolution
     // primitive: typo'd part names (3rd char dropped) matched back to
     // the canonical list via a prefix-block EQUI-join with in-block
@@ -1893,6 +1914,32 @@ object RelationalQueries {
          |  JOIN a4 d ON e.dst = d.node
          |  GROUP BY e.src)
          |ORDER BY part_key""".stripMargin,
+
+    "graph_link_predict" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM lineitem x JOIN lineitem y
+         |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         |  WHERE x.l_partkey % 10 = 0 AND y.l_partkey % 10 = 0),
+         |sym AS (SELECT a AS src, b AS dst FROM e0
+         |        UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+         |adj AS (SELECT s.src, s.dst FROM sym s
+         |        JOIN deg ON s.src = deg.src AND deg.d <= 500),
+         |sh AS (SELECT x.dst AS u, y.dst AS v, count(*) AS shared
+         |       FROM adj x JOIN adj y ON x.src = y.src AND x.dst < y.dst
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ne AS (SELECT sh.u, sh.v, sh.shared FROM sh
+         |       LEFT JOIN e0 ON sh.u = e0.a AND sh.v = e0.b
+         |       WHERE e0.a IS NULL)
+         |SELECT ne.u AS part_u, ne.v AS part_v, ne.shared,
+         |  CAST(ne.shared AS DOUBLE)
+         |    / CAST(du.d + dv.d - ne.shared AS DOUBLE) AS jaccard
+         |FROM ne
+         |JOIN deg du ON ne.u = du.src
+         |JOIN deg dv ON ne.v = dv.src
+         |ORDER BY jaccard DESC, part_u, part_v
+         |LIMIT 100""".stripMargin,
 
     "graph_bfs_khop" ->
       s"""WITH edges0 AS (

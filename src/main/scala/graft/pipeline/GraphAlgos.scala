@@ -526,6 +526,69 @@ object GraphAlgos {
     dist
   }
 
+  /**
+   * Jaccard link prediction: score NON-adjacent node pairs by
+   * `|N(u) ∩ N(v)| / |N(u) ∪ N(v)|` over candidate pairs that share at
+   * least `minShared` common neighbors — the related-items / missing-
+   * edge primitive. Runs entirely on scalars: shared counts come from
+   * the wedge self-join (no adjacency arrays), union sizes from
+   * `deg(u) + deg(v) − shared`, so nothing wide ever shuffles.
+   *
+   * Scale: wedge volume through a center of degree d is C(d, 2) —
+   * quadratic in hub degree — so centers with degree >
+   * `maxCenterDegree` are EXCLUDED from candidate generation (the cap
+   * bounds the join at cap²/2 rows per center). That makes `shared` a
+   * documented LOWER bound on true common-neighbor counts (hub-only
+   * co-neighbors drop out — at a hub of degree 10⁶ they are also the
+   * least informative); degrees in the denominator stay exact and
+   * full. The oracle replays the same cap, so parity is exact.
+   *
+   * `edges` is the id-canonical undirected edge set (distinct, a < b —
+   * the [[triangleCounts]] contract).
+   */
+  def jaccardLinkPredictions(
+      edges: DataFrame,
+      maxCenterDegree: Int,
+      minShared: Int,
+      topK: Int): DataFrame = {
+    require(maxCenterDegree >= 2, "a center below degree 2 anchors no wedge")
+    require(minShared >= 1 && topK >= 1, "minShared and topK must be positive")
+    val sym = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    sym.persist()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    deg.persist()
+    val n = deg.count() // materialize both (deg scan materializes sym)
+    val bcast = n <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val centers = deg.filter(col("d") <= maxCenterDegree)
+      .select(col("src"))
+    val adj = sym.join(maybeBcast(centers), Seq("src"), "left_semi")
+    val shared = adj.select(col("src"), col("dst").as("u"))
+      .join(adj.select(col("src"), col("dst").as("v")), Seq("src"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    val nonEdges = shared.join(
+      edges.select(col("a").cast("long").as("u"), col("b").cast("long").as("v")),
+      Seq("u", "v"), "left_anti")
+    val out = nonEdges
+      .join(deg.select(col("src").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("src").as("v"), col("d").as("dv")), Seq("v"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("du") + col("dv") - col("shared")).cast("double"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(topK)
+      .select(col("u"), col("v"), col("shared"), col("jaccard"))
+      .localCheckpoint() // topK rows; release the cached graph below
+    deg.unpersist()
+    sym.unpersist()
+    out
+  }
+
   /** One BFS relaxation round, lazy (pinnable in GraphAlgosSpec):
     * reached-set join onto static edges, then a min-merge with the
     * current distances via a full outer union-aggregate (windowless). */

@@ -241,6 +241,26 @@ class GraphAlgosSpec extends AnyFunSuite {
       10L -> ((0L, 6L)), 11L -> ((0L, 6L))))
   }
 
+  test("link prediction: cycle diagonals score 1.0; the hub cap removes hub-only candidates") {
+    // 4-cycle 1-2-3-4: the two diagonals (1,3) and (2,4) share both
+    // neighbors -> jaccard 2/(2+2-2) = 1.0; no other candidates
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val got = GraphAlgos.jaccardLinkPredictions(cycle,
+        maxCenterDegree = 10, minShared = 2, topK = 10)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+
+    // star 0-{1..5} + edge (1,2): leaf pairs are candidates only via
+    // the hub; capping the hub's degree out removes them all
+    val star = ((1L to 5L).map(i => (0L, i)) :+ (1L, 2L)).toDF("a", "b")
+    val uncapped = GraphAlgos.jaccardLinkPredictions(star,
+      maxCenterDegree = 10, minShared = 1, topK = 100).count()
+    val capped = GraphAlgos.jaccardLinkPredictions(star,
+      maxCenterDegree = 3, minShared = 1, topK = 100).count()
+    assert(uncapped > 0L)
+    assert(capped === 0L, "hub-only candidates must vanish under the degree cap")
+  }
+
   test("multi-source BFS: nearest-seed hop distances, bounded reach, disconnected stay absent") {
     // path 0-1-2-3-4-5 plus disconnected pair 100-101; seeds {0, 5}
     val e = GraphAlgos.symmetrize(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
