@@ -231,5 +231,6 @@ object BenchAnchors {
     "dedup_cdc_chunks" -> 1.905,
     "graph_bfs_khop" -> 4.226,
     "graph_link_predict" -> 2.089,
+    "graph_link_ra" -> 2.102,
   )
 }

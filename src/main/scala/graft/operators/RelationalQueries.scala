@@ -1113,6 +1113,25 @@ object RelationalQueries {
           col("shared"), col("jaccard"))
     }),
 
+    // Resource-allocation link prediction on the same decile subgraph:
+    // RA(u,v) = Σ 1/deg(w) over shared neighbors, in exact integer
+    // fixed-point (scale div deg — order-free sums, bit-exact) where
+    // Adamic-Adar's Σ 1/ln(d) would be float-sum-order-sensitive.
+    "graph_link_ra" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      graft.pipeline.GraphAlgos.resourceAllocationLinkPredictions(edges,
+          maxCenterDegree = 500, minShared = 2, topK = 100)
+        .select(col("u").as("part_u"), col("v").as("part_v"),
+          col("shared"), col("ra_fp"))
+    }),
+
     // Blocked fuzzy (edit-distance) join — the entity-resolution
     // primitive: typo'd part names (3rd char dropped) matched back to
     // the canonical list via a prefix-block EQUI-join with in-block
@@ -1939,6 +1958,27 @@ object RelationalQueries {
          |JOIN deg du ON ne.u = du.src
          |JOIN deg dv ON ne.v = dv.src
          |ORDER BY jaccard DESC, part_u, part_v
+         |LIMIT 100""".stripMargin,
+
+    "graph_link_ra" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM lineitem x JOIN lineitem y
+         |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         |  WHERE x.l_partkey % 10 = 0 AND y.l_partkey % 10 = 0),
+         |sym AS (SELECT a AS src, b AS dst FROM e0
+         |        UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+         |adjd AS (SELECT s.src, s.dst, deg.d FROM sym s
+         |         JOIN deg ON s.src = deg.src AND deg.d <= 500),
+         |sh AS (SELECT x.dst AS u, y.dst AS v, count(*) AS shared,
+         |         CAST(sum(1000000000000 // x.d) AS BIGINT) AS ra_fp
+         |       FROM adjd x JOIN adjd y ON x.src = y.src AND x.dst < y.dst
+         |       GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT sh.u AS part_u, sh.v AS part_v, sh.shared, sh.ra_fp FROM sh
+         |LEFT JOIN e0 ON sh.u = e0.a AND sh.v = e0.b
+         |WHERE e0.a IS NULL
+         |ORDER BY ra_fp DESC, part_u, part_v
          |LIMIT 100""".stripMargin,
 
     "graph_bfs_khop" ->

@@ -589,6 +589,59 @@ object GraphAlgos {
     out
   }
 
+  /**
+   * Resource-allocation link prediction (Zhou et al. 2009):
+   * `RA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w)` — like Adamic-Adar but
+   * degree-reciprocal, and here in EXACT INTEGER fixed-point:
+   * each shared neighbor contributes `scale div deg(w)` (floor
+   * division), so the per-pair score is an order-free integer sum —
+   * bit-exact across engines and partitionings, where a float
+   * Σ 1/ln(d) (Adamic-Adar's form) would be sum-order-sensitive and
+   * un-oracle-able. Same capped-wedge candidate machinery and
+   * lower-bound semantics as [[jaccardLinkPredictions]]; the wedge
+   * rows additionally carry the center's degree, everything else is
+   * identical scalars.
+   */
+  def resourceAllocationLinkPredictions(
+      edges: DataFrame,
+      maxCenterDegree: Int,
+      minShared: Int,
+      topK: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(maxCenterDegree >= 2, "a center below degree 2 anchors no wedge")
+    require(minShared >= 1 && topK >= 1, "minShared and topK must be positive")
+    val sym = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    sym.persist()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    deg.persist()
+    val n = deg.count()
+    val bcast = n <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // wedge legs carry the CENTER degree (the RA denominator)
+    val adjD = sym.join(maybeBcast(deg.filter(col("d") <= maxCenterDegree)), Seq("src"))
+    val pairs = adjD.select(col("src"), col("dst").as("u"), col("d"))
+      .join(adjD.select(col("src"), col("dst").as("v")), Seq("src"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("shared"),
+        sum(expr(s"$scale div d")).as("ra_fp"))
+      .filter(col("shared") >= minShared)
+    val out = pairs.join(
+        edges.select(col("a").cast("long").as("u"), col("b").cast("long").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("ra_fp").desc, col("u"), col("v"))
+      .limit(topK)
+      .select(col("u"), col("v"), col("shared"), col("ra_fp"))
+      .localCheckpoint()
+    deg.unpersist()
+    sym.unpersist()
+    out
+  }
+
   /** One BFS relaxation round, lazy (pinnable in GraphAlgosSpec):
     * reached-set join onto static edges, then a min-merge with the
     * current distances via a full outer union-aggregate (windowless). */

@@ -261,6 +261,24 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(capped === 0L, "hub-only candidates must vanish under the degree cap")
   }
 
+  test("resource-allocation link score: integer fixed-point matches the hand replay") {
+    // 4-cycle 1-2-3-4 plus chord center 5 adjacent to 1 and 3:
+    // pair (1,3) shares {2, 4, 5} with degrees 2, 2, 2 -> ra = 3·(s/2);
+    // pair (2,4) shares {1, 3} (deg 3 each) -> ra = 2·(s/3)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L), (3L, 5L))
+      .toDF("a", "b")
+    val s = 1000000000000L
+    val got = GraphAlgos.resourceAllocationLinkPredictions(e,
+        maxCenterDegree = 10, minShared = 1, topK = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((1L, 3L)) === ((3L, 3 * (s / 2))))
+    assert(got((2L, 4L)) === ((2L, 2 * (s / 3))))
+    // degree-reciprocal weighting ranks (1,3) above (2,4) — count alone
+    // would too here, but the fixed-point values pin the 1/deg math
+    assert(got((1L, 3L))._2 > got((2L, 4L))._2)
+  }
+
   test("multi-source BFS: nearest-seed hop distances, bounded reach, disconnected stay absent") {
     // path 0-1-2-3-4-5 plus disconnected pair 100-101; seeds {0, 5}
     val e = GraphAlgos.symmetrize(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
