@@ -232,5 +232,6 @@ object BenchAnchors {
     "graph_bfs_khop" -> 4.226,
     "graph_link_predict" -> 2.089,
     "graph_link_ra" -> 2.102,
+    "multimodal_frames_real" -> 2.347,
   )
 }

@@ -681,6 +681,16 @@ object PipelineQueries {
     }),
 
     // Multimodal frame sampling (video rows fan out one row per frame).
+    // REAL frame extraction: multi-frame animated GIFs (the JDK codec's
+    // writeToSequence / getNumImages-read path), per-frame exact integer
+    // channel sums vs the solid-color closed form — the video modality's
+    // real-decode gate next to the image (PNG/BMP) and audio (WAV) ones.
+    "multimodal_frames_real" -> ((s, dir) => {
+      val blobs = Multimodal.withEncodedGifs(s, docs(s, dir), "doc_id")
+      Multimodal.decodeFrameStats(blobs).toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     "multimodal_frames" -> ((s, dir) => {
       val blobs = Multimodal.withSyntheticMedia(s, docs(s, dir), "doc_id")
       Multimodal.sampleFrames(blobs, everyMs = 5000)
@@ -2348,6 +2358,22 @@ object PipelineQueries {
         |  CAST(CASE WHEN mediaType = 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels,
         |  CAST(77 AS BIGINT) AS n_bytes
         |FROM scaled ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames_real" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+        |    CAST(doc_id % 16 + 8 AS INTEGER) AS h,
+        |    CAST(doc_id % 4 + 2 AS INTEGER) AS n
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h,
+        |    unnest(generate_series(0, n - 1)) AS fi FROM m)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  w AS width, h AS height,
+        |  CAST(w * h * ((doc_id * 3 + 11 * fi + 5) % 256) AS BIGINT) AS sum_r,
+        |  CAST(w * h * ((doc_id * 5 + 11 * fi + 5) % 256) AS BIGINT) AS sum_g,
+        |  CAST(w * h * ((doc_id * 7 + 11 * fi + 5) % 256) AS BIGINT) AS sum_b
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "multimodal_decode_real" ->
       """WITH m AS (

@@ -247,6 +247,105 @@ object Multimodal {
     }
   }
 
+  /** One decoded frame's exact integer statistics. */
+  final case class FrameStats(
+      doc_id: Long,
+      frame_idx: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** Deterministic multi-frame ANIMATED GIF for `docId`, encoded through
+    * the REAL JDK GIF codec (`writeToSequence` — ships in a stock JRE):
+    * `docId % 4 + 2` solid-color frames, frame f's channel value
+    * `(docId·(3+2·ch) + 11·f + 5) mod 256`. Solid frames palettize
+    * losslessly (one color table entry), so decoded per-frame channel
+    * sums have the exact closed form `w·h·v(f,ch)` — what the frames
+    * gate oracle recomputes. */
+  def encodeAnimatedGif(docId: Long): MediaBlob = {
+    val w = (docId % 24 + 8).toInt
+    val h = (docId % 16 + 8).toInt
+    val n = (docId % 4 + 2).toInt
+    javax.imageio.ImageIO.setUseCache(false)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < n) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val r = ((docId * 3 + 11 * f + 5) % 256).toInt
+      val g = ((docId * 5 + 11 * f + 5) % 256).toInt
+      val b = ((docId * 7 + 11 * f + 5) % 256).toInt
+      val gfx = img.createGraphics()
+      gfx.setColor(new java.awt.Color(r, g, b))
+      gfx.fillRect(0, 0, w, h)
+      gfx.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    MediaBlob(docId, "video/gif", bos.toByteArray,
+      MediaMeta(w, h, 3, durationMs = n * 100L))
+  }
+
+  /** Attach REAL animated-GIF payloads to a documents-like DataFrame —
+    * the multi-frame counterpart of [[withEncodedImages]]. */
+  def withEncodedGifs(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map(encodeAnimatedGif)
+  }
+
+  /** REAL frame extraction: every frame of a multi-frame payload goes
+    * through the JDK GIF reader (`getNumImages(true)` + per-index
+    * `read`) and reduces to exact integer channel sums — the video
+    * frame-sampling path with actual decoded pixels (the synthetic
+    * [[sampleFrames]] stays for the codec-free gate). Frame pixel
+    * buffers live and die inside the task; only fixed-width stats rows
+    * cross the shuffle, and the fan-out is one row per frame. */
+  def decodeFrameStats(blobs: Dataset[MediaBlob]): Dataset[FrameStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap { blob =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob.data))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no ImageIO reader for doc ${blob.doc_id}")
+      val reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      val out = (0 until n).map { f =>
+        val img = reader.read(f)
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L
+        var sg = 0L
+        var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        FrameStats(blob.doc_id, f.toLong, w, h, sr, sg, sb)
+      }
+      reader.dispose()
+      out
+    }
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame
     * (flatMap fan-out, bounded by the kernel's frame cap). */
   def sampleFrames(

@@ -931,6 +931,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(d.features(0) - 83.5f / 255f) < 1e-6f, d.features(0).toString)
   }
 
+  test("multimodal: animated-GIF frames round-trip the REAL JDK codec frame-for-frame") {
+    val ids = Seq(0L, 1L, 3L, 23L, 100L, 255L)
+    val blobs = Multimodal.withEncodedGifs(spark, ids.toDF("doc_id"), "doc_id")
+    // real container bytes: GIF89a magic on the wire
+    blobs.collect().foreach { b =>
+      assert(new String(b.data.take(6), "US-ASCII").startsWith("GIF8"), b.doc_id.toString)
+    }
+    val frames = Multimodal.decodeFrameStats(blobs).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    ids.foreach { id =>
+      val fs = frames(id)
+      val w = (id % 24 + 8).toInt
+      val h = (id % 16 + 8).toInt
+      assert(fs.length == (id % 4 + 2).toInt, s"frame count for doc $id")
+      fs.zipWithIndex.foreach { case (st, f) =>
+        assert(st.frame_idx == f && st.width == w && st.height == h, st.toString)
+        assert(st.sum_r == w.toLong * h * ((id * 3 + 11 * f + 5) % 256), s"R: $st")
+        assert(st.sum_g == w.toLong * h * ((id * 5 + 11 * f + 5) % 256), s"G: $st")
+        assert(st.sum_b == w.toLong * h * ((id * 7 + 11 * f + 5) % 256), s"B: $st")
+      }
+    }
+  }
+
   test("multimodal: a custom MediaDecoder drops into every operator unchanged") {
     // a "codec" that reports fixed dimensions and a constant feature —
     // if the operators delegate correctly, its outputs flow through the
