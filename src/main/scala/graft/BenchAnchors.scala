@@ -233,5 +233,6 @@ object BenchAnchors {
     "graph_link_predict" -> 2.089,
     "graph_link_ra" -> 2.102,
     "multimodal_frames_real" -> 2.347,
+    "ann_pcapq_cosine" -> 1.303,
   )
 }

@@ -363,6 +363,26 @@ object PipelineQueries {
         .orderBy(col("queryId"), col("rank"))
     }),
 
+    // PCA-rotated IVF-PQ ("OPQ-lite"): coarse + PQ quantizers trained
+    // and scanned in the covariance eigenbasis (deterministic Jacobi on
+    // the bounded sample), exact rerank on ORIGINAL embeddings — so the
+    // rerank-all gate is value-exact vs the dense oracle while
+    // exercising rotation train/apply, rotated assignment/encode and
+    // the rotated-query LUT path. Anisotropic-recall-gain + kernel
+    // parity pinned in PipelineSpec.
+    "ann_pcapq_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val model = Ann.trainPcaPq(s, e, "embedding", "vec_id",
+        nlist = 16, pqM = 8, pqK = 16)
+      val index = Ann.buildIndexPcaPq(e, "embedding", model)
+      val qs = e.filter(col("vec_id") >= 40 && col("vec_id") < 45)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toSeq
+      Ann.searchPcaPq(s, index, "vec_id", "embedding", qs, model,
+          k = 10, nprobe = 16, rerank = Int.MaxValue)
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
     "ann_ivfpq_cosine" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
@@ -1820,6 +1840,24 @@ object PipelineQueries {
       s"""WITH q AS (
          |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
          |  WHERE vec_id >= 20 AND vec_id < 25),
+         |scored AS (
+         |  SELECT q.queryId, e.vec_id AS neighbor_id,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cosine
+         |  FROM embeddings e, q)
+         |SELECT queryId, neighbor_id, rnk AS "rank", cosine FROM (
+         |  SELECT queryId, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY queryId
+         |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
+
+    "ann_pcapq_cosine" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
+         |  WHERE vec_id >= 40 AND vec_id < 45),
          |scored AS (
          |  SELECT q.queryId, e.vec_id AS neighbor_id,
          |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0

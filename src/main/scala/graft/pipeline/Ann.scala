@@ -378,6 +378,102 @@ object Ann {
       .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** IVF-PQ model plus the PCA rotation applied before both coarse
+    * assignment and PQ encoding. */
+  final case class PcaPqModel(rotation: Rotation.RotationModel, inner: IvfPqModel)
+
+  /**
+   * PCA-rotated IVF-PQ ("OPQ-lite", Ge et al. 2013's R fixed to the
+   * PCA basis): rotate into the covariance eigenbasis, then train
+   * coarse + PQ quantizers in the rotated space. Rotation preserves L2
+   * exactly (up to the 6-dp kernel snap), so the geometry the
+   * quantizers see is the same — but subspaces now split decorrelated
+   * axes, which is where PQ loses the most on anisotropic embeddings.
+   * Trains on the bounded deterministic sample (rotation + both
+   * codebooks — the rotated corpus never materializes).
+   */
+  def trainPcaPq(
+      spark: SparkSession,
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      nlist: Int,
+      pqM: Int,
+      pqK: Int,
+      sampleSize: Int = 100000,
+      seed: Long = Pq.DefaultSeed): PcaPqModel = {
+    import spark.implicits._
+    require(pqK <= 256, s"pqK=$pqK does not fit a one-byte code")
+    val dim = peekDim(df, embCol)
+    val n = cappedSample(sampleSize, dim, floor = math.max(nlist, pqK))
+    val sample = df.orderBy(col(idCol)).limit(n)
+      .select(col(embCol).cast("array<float>")).as[Array[Float]].collect()
+    require(sample.length >= 2, "cannot train PCA-PQ on fewer than 2 rows")
+    val rot = Rotation.trainPca(sample.toIndexedSeq, dim)
+    val rotated = sample.map(rot.rotate).toIndexedSeq
+    val ivfCb = Pq.train(rotated, dim, m = 1, k = nlist, seed = seed)
+    val pqCb = Pq.train(rotated, dim, m = pqM, k = pqK, seed = seed)
+    PcaPqModel(rot, IvfPqModel(IvfModel(nlist, dim, ivfCb.centroids), pqCb))
+  }
+
+  /** Rotated-embedding column: the [[graft.functions.SignProject]]
+    * dense-projection kernel with the rotation matrix as the projection
+    * (same accumulate order + 6-dp snap as the driver-side
+    * [[Rotation.RotationModel.rotate]]), cast back to float. */
+  private def rotatedCol(emb: Column, rot: Rotation.RotationModel): Column =
+    vector.sign_project(emb, typedlit(rot.matrix.toSeq)).cast("array<float>")
+
+  /** Materialize the PCA-rotated IVF-PQ index: cluster + code computed
+    * from the ROTATED embedding in one scan pass; the original
+    * embedding column rides along for the exact rerank. */
+  def buildIndexPcaPq(df: DataFrame, embCol: String, model: PcaPqModel): DataFrame = {
+    val rotated = rotatedCol(col(embCol), model.rotation)
+    df.withColumn("__rot", rotated)
+      .withColumn("cluster", clusterOf(col("__rot"), model.inner.ivf))
+      .withColumn("pq_code",
+        vector.pq_encode(col("__rot"), typedlit(model.inner.codebook.centroids.toSeq),
+          lit(model.inner.codebook.m)))
+      .drop("__rot")
+      .repartition(col("cluster"))
+  }
+
+  /** [[searchIvfPq]] over a PCA-rotated index: queries rotate
+    * driver-side (bit-identical kernel replay), the ADC scan runs in
+    * rotated space, and the exact rerank scores ORIGINAL embeddings —
+    * so rerank-all configs are value-equal to brute force and share
+    * the dense-cosine oracle. */
+  def searchPcaPq(
+      spark: SparkSession,
+      index: DataFrame,
+      idCol: String,
+      embCol: String,
+      queries: Seq[(Long, Array[Float])],
+      model: PcaPqModel,
+      k: Int,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, q) =>
+      val rq = model.rotation.rotate(q)
+      val lut = Pq.buildLut(model.inner.codebook, rq)
+      model.inner.ivf.probes(rq, nprobe).map(c => (qid, c, q, lut))
+    }.toDF("queryId", "cluster", "qv", "lut")
+    val adcW = Window.partitionBy(col("queryId")).orderBy(col("adc"), col(idCol))
+    val shortlist = index.select(col("cluster"), col(idCol), col("pq_code"))
+      .join(broadcast(probeRows), Seq("cluster"))
+      .withColumn("adc", vector.pq_adc_distance(col("lut"), col("pq_code")))
+      .withColumn("adc_rank", row_number().over(adcW))
+      .filter(col("adc_rank") <= rerank)
+      .select(col("queryId"), col(idCol), col("qv"))
+    val w = Window.partitionBy(col("queryId")).orderBy(col("cosine").desc, col(idCol))
+    index.select(col(idCol), col(embCol))
+      .join(broadcast(shortlist), Seq(idCol))
+      .withColumn("cosine", vector.cosine_sim(col(embCol), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Symmetric per-vector int8 (SQ8) quantization: `codes[j] =
     * round(x[j]·127/maxAbs)` with `maxAbs = max|x[j]|` (all-zero vectors
     * quantize to all-zero codes). One byte per dim — a 4x narrower scan

@@ -832,6 +832,70 @@ class PipelineSpec extends AnyFunSuite {
     qs.foreach { case (qid, _) => assert(full(qid) == brute(qid), s"query $qid") }
   }
 
+  test("PCA-PQ: rotation is orthonormal + decorrelating; kernel matches driver; ADC gains on anisotropic data") {
+    // planted anisotropic cloud (dim 8): a shared latent factor drives
+    // every dimension with different gains + small noise — raw dims are
+    // strongly correlated, exactly the regime PQ loses code budget in
+    val dim = 8
+    val rnd = new scala.util.Random(17)
+    val gains = Array(4.0, 3.5, 3.0, 2.5, -2.0, 1.5, 1.0, 0.5)
+    val data = (0 until 600).map { i =>
+      val u = rnd.nextDouble() * 2 - 1
+      Array.tabulate(dim)(j => (gains(j) * u + 0.3 * (rnd.nextDouble() * 2 - 1)).toFloat)
+    }
+    val rot = Rotation.trainPca(data, dim)
+
+    // orthonormal: R·Rᵀ == I (exact doubles, before any snap)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(k => rot.matrix(i * dim + k) * rot.matrix(j * dim + k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RRt[$i][$j] = $dot")
+    }
+    // decorrelating: rotated covariance is (near-)diagonal, with the
+    // dominant axis carrying most of the variance
+    val rotated = data.map(rot.rotate)
+    val cov = Rotation.covariance(rotated.toIndexedSeq, dim)
+    val diag = (0 until dim).map(d => cov(d * dim + d))
+    val offMax = (for (i <- 0 until dim; j <- 0 until dim if i != j)
+      yield math.abs(cov(i * dim + j))).max
+    assert(offMax < 0.05 * diag.max, s"off-diag $offMax vs top variance ${diag.max}")
+    assert(diag.head > 0.9 * diag.sum, "dominant axis must absorb the latent factor")
+
+    // executor column kernel == driver rotate, bit for bit
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val model = Ann.trainPcaPq(spark, df, "embedding", "vec_id", nlist = 4, pqM = 4, pqK = 16)
+    import org.apache.spark.sql.functions.typedlit
+    val viaCol = df.select(col("vec_id"),
+        graft.functions.vector.sign_project(col("embedding"),
+          typedlit(model.rotation.matrix.toSeq)).cast("array<float>").as("r"))
+      .as[(Long, Array[Float])].collect().toMap
+    data.zipWithIndex.foreach { case (v, i) =>
+      assert(viaCol(i.toLong).toSeq == model.rotation.rotate(v).toSeq, s"vec $i")
+    }
+
+    // the point of the rotation: pure-ADC recall (rerank = k) beats the
+    // unrotated IVF-PQ at the identical (nlist, m, k) byte budget
+    val qs = (0 until 15).map(i => (i.toLong, data(i)))
+    val brute = Ann.searchBrute(spark, df, "vec_id", "embedding", qs, k = 10)
+      .select("queryId", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(got: Map[Long, Set[Long]]): Double =
+      qs.map { case (qid, _) => got.getOrElse(qid, Set.empty).intersect(brute(qid)).size }
+        .sum.toDouble / (qs.size * 10)
+    val raw = Ann.trainIvfPq(spark, df, "embedding", "vec_id", nlist = 4, pqM = 4, pqK = 16)
+    val rawAdc = recallOf(
+      Ann.searchIvfPq(spark, Ann.buildIndexPq(df, "embedding", raw), "vec_id", "embedding",
+          qs, raw, k = 10, nprobe = 4, rerank = 10)
+        .select("queryId", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    val pcaAdc = recallOf(
+      Ann.searchPcaPq(spark, Ann.buildIndexPcaPq(df, "embedding", model), "vec_id", "embedding",
+          qs, model, k = 10, nprobe = 4, rerank = 10)
+        .select("queryId", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    assert(pcaAdc >= rawAdc,
+      s"PCA-rotated ADC recall $pcaAdc must be >= raw $rawAdc on anisotropic data")
+  }
+
   test("pq_encode column matches the JVM Pq.encode kernel byte-for-byte") {
     val model = Ann.trainIvfPq(spark, embeddings, "embedding", "vec_id",
       nlist = 4, pqM = 8, pqK = 16)
