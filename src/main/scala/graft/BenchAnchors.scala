@@ -234,5 +234,6 @@ object BenchAnchors {
     "graph_link_ra" -> 2.102,
     "multimodal_frames_real" -> 2.347,
     "ann_pcapq_cosine" -> 1.303,
+    "stream_cms_merge" -> 4.772,
   )
 }

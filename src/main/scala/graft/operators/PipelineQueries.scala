@@ -1125,6 +1125,49 @@ object PipelineQueries {
     "text_cms_heavy_hitters" -> ((s, dir) =>
       Sketches.cmsHeavyHitters(docs(s, dir))),
 
+    // STREAMING sketch maintenance: the corpus arrives as 4 microbatches
+    // (maxFilesPerTrigger=1); each foreachBatch appends its own
+    // token-count and CMS-cell PARTIALS (idempotent parquet appends —
+    // the batch never reprocesses history), and the finish merges
+    // partial sketches by CELL-WISE ADDITION. Same answer as the batch
+    // sketch — the mergeability that makes sketches the streaming
+    // statistic — so the gate shares the batch oracle verbatim.
+    "stream_cms_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val src = docs(s, dir).select(col("doc_id"), col("text"))
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_scms_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val filesDir = new java.io.File(root, "in")
+      java.nio.file.Files.createDirectories(filesDir.toPath)
+      val n = src.agg(max(col("doc_id"))).head().getLong(0) + 1
+      (0 until 4).foreach { b =>
+        val stage = new java.io.File(root, s"stage$b")
+        src.filter(col("doc_id") >= n * b / 4 && col("doc_id") < n * (b + 1) / 4)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(filesDir, s"batch$b.parquet").toPath)
+      }
+      val tokDir = new java.io.File(root, "tok").toString
+      val cellDir = new java.io.File(root, "cells").toString
+      val q = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val tp = Sketches.cmsTokenPartials(batch, "text")
+          tp.persist()
+          tp.write.mode("append").parquet(tokDir)
+          Sketches.cmsCellPartials(tp).write.mode("append").parquet(cellDir)
+          tp.unpersist()
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Sketches.cmsFinish(s.read.parquet(tokDir), s.read.parquet(cellDir))
+    }),
+
     // HyperLogLog vocabulary cardinality: 256 registers, integer harmonic
     // sum at scale 2^50 (no float-sum order sensitivity). The raw
     // estimate stays libm-free; the linear-counting small-range estimate
@@ -1473,6 +1516,30 @@ object PipelineQueries {
   private val punctSql = """[.,!?;:''"()\-]"""
   private val toksSql =
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)"""
+
+  /** CMS heavy-hitter replay — shared verbatim by the batch gate and
+    * the streaming partial-merge gate (cell-wise addition of per-batch
+    * sketches is associative, so both produce this exact table). */
+  private val cmsOracleSql =
+    """WITH words AS (
+      |  SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS token
+      |  FROM documents),
+      |exact AS (SELECT token, count(*) AS exact_n FROM words GROUP BY 1),
+      |cells AS (
+      |  SELECT token, exact_n, j,
+      |    CAST((md5_number_lower(CAST(j AS VARCHAR) || '#' || token) >> 1) % 1024
+      |      AS BIGINT) AS bucket
+      |  FROM exact, (SELECT unnest([0, 1, 2, 3]) AS j)),
+      |sketch AS (
+      |  SELECT j, bucket, CAST(sum(exact_n) AS BIGINT) AS cell_n
+      |  FROM cells GROUP BY 1, 2),
+      |top AS (SELECT token, exact_n FROM exact ORDER BY exact_n DESC, token LIMIT 20)
+      |SELECT c.token, max(c.exact_n) AS exact_n, min(s.cell_n) AS cms_n
+      |FROM cells c JOIN top t ON c.token = t.token
+      |JOIN sketch s ON c.j = s.j AND c.bucket = s.bucket
+      |GROUP BY c.token
+      |ORDER BY exact_n DESC, c.token""".stripMargin
   private val swListSql =
     "['the','a','an','of','and','to','in','is','it','that','for','on','with','as','this','are','be','or']"
 
@@ -2876,26 +2943,9 @@ object PipelineQueries {
         |  array_to_string(all_toks[1:8], '|') AS toks_head
         |FROM agg ORDER BY doc_id""".stripMargin),
 
-    "text_cms_heavy_hitters" ->
-      """WITH words AS (
-        |  SELECT unnest(list_filter(
-        |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS token
-        |  FROM documents),
-        |exact AS (SELECT token, count(*) AS exact_n FROM words GROUP BY 1),
-        |cells AS (
-        |  SELECT token, exact_n, j,
-        |    CAST((md5_number_lower(CAST(j AS VARCHAR) || '#' || token) >> 1) % 1024
-        |      AS BIGINT) AS bucket
-        |  FROM exact, (SELECT unnest([0, 1, 2, 3]) AS j)),
-        |sketch AS (
-        |  SELECT j, bucket, CAST(sum(exact_n) AS BIGINT) AS cell_n
-        |  FROM cells GROUP BY 1, 2),
-        |top AS (SELECT token, exact_n FROM exact ORDER BY exact_n DESC, token LIMIT 20)
-        |SELECT c.token, max(c.exact_n) AS exact_n, min(s.cell_n) AS cms_n
-        |FROM cells c JOIN top t ON c.token = t.token
-        |JOIN sketch s ON c.j = s.j AND c.bucket = s.bucket
-        |GROUP BY c.token
-        |ORDER BY exact_n DESC, c.token""".stripMargin,
+    "text_cms_heavy_hitters" -> cmsOracleSql,
+
+    "stream_cms_merge" -> cmsOracleSql,
 
     "text_hll_distinct" ->
       """WITH words AS (

@@ -32,15 +32,38 @@ object Sketches {
     * buckets and joins the broadcast sketch. */
   def cmsHeavyHitters(docs: DataFrame, textCol: String = "text",
       d: Int = 4, w: Int = 1024, k: Int = 20): DataFrame = {
-    val exact = docs
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val tp = cmsTokenPartials(docs, textCol)
+    cmsFinish(tp, cmsCellPartials(tp, d, w), d, w, k)
+  }
+
+  /** Per-slice token-count partial — additive across slices (the merge
+    * is a groupBy-sum), so an incremental/streaming pipeline appends
+    * one of these per batch and never reprocesses history. */
+  def cmsTokenPartials(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
-    val cells = exact
-      .select(col("token"), col("exact_n"),
+
+  /** Per-slice CMS cell partial — the sketch's defining property is
+    * that these merge by CELL-WISE ADDITION (SketchesSpec pins cell
+    * additivity; the streaming gate merges per-batch sketches this
+    * way). d·w rows regardless of slice size. */
+  def cmsCellPartials(tokenCounts: DataFrame, d: Int = 4, w: Int = 1024): DataFrame =
+    tokenCounts.select(col("token"), col("exact_n"),
         explode(array((0 until d).map(lit): _*)).as("j"))
       .withColumn("bucket", bucketOf(col("j"), col("token"), w))
-    val sketch = cells.groupBy(col("j"), col("bucket"))
+      .groupBy(col("j"), col("bucket"))
       .agg(sum(col("exact_n")).as("cell_n"))
+
+  /** Finish from (possibly multi-slice) partials: merge token counts
+    * and cells by sum, probe the exact top-`k` against the merged
+    * sketch. With single-slice partials this is exactly the one-shot
+    * [[cmsHeavyHitters]] plan. */
+  def cmsFinish(tokenPartials: DataFrame, cellPartials: DataFrame,
+      d: Int = 4, w: Int = 1024, k: Int = 20): DataFrame = {
+    val exact = tokenPartials.groupBy(col("token"))
+      .agg(sum(col("exact_n")).as("exact_n"))
+    val sketch = cellPartials.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("cell_n")).as("cell_n"))
     val top = exact
       .orderBy(col("exact_n").desc, col("token")).limit(k)
       .select(col("token"), col("exact_n"),

@@ -100,6 +100,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("CMS partial-merge API: cmsFinish over sliced partials equals the one-shot sketch") {
+    // the operator-level counterpart of the cell-additivity property:
+    // partials from arbitrary disjoint slices, merged by cmsFinish,
+    // reproduce cmsHeavyHitters row-for-row (what the streaming
+    // foreachBatch gate relies on)
+    val slices = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+    val tokParts = slices.map(Sketches.cmsTokenPartials(_)).reduce(_ unionByName _)
+    val cellParts = slices.map(s => Sketches.cmsCellPartials(Sketches.cmsTokenPartials(s)))
+      .reduce(_ unionByName _)
+    val merged = Sketches.cmsFinish(tokParts, cellParts)
+      .as[(String, Long, Long)].collect().toSeq
+    val oneShot = Sketches.cmsHeavyHitters(docs)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(merged === oneShot)
+  }
+
   test("HLL merge: the __merged__ row equals the whole-corpus sketch") {
     val whole = Sketches.hllVocabulary(docs).collect().head
     val merged = Sketches.hllBySource(docs).collect()
