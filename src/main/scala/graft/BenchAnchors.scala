@@ -235,5 +235,6 @@ object BenchAnchors {
     "multimodal_frames_real" -> 2.347,
     "ann_pcapq_cosine" -> 1.303,
     "stream_cms_merge" -> 4.772,
+    "graph_pagerank_weighted" -> 5.051,
   )
 }

@@ -971,6 +971,28 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // EDGE-WEIGHTED PageRank (3 rounds): mass flows proportionally to
+    // the fulfillment intensity (lineitem count per customer-supplier
+    // pair) instead of uniformly per neighbor — the strength-aware
+    // ranking. Per-edge integer flooring, bit-exact oracle.
+    "graph_pagerank_weighted" -> ((s, dir) => {
+      val raw = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .agg(count(lit(1)).as("w"))
+      val sym = raw.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(raw.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      graft.pipeline.GraphAlgos.pageRankWeighted(sym, iterations = 3)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").cast("long").as("node_key"),
+          col("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("node_type"), col("node_key"))
+        .limit(100)
+    }),
+
     // Personalized PageRank (3 rounds) from a 5-customer seed set over
     // the same fulfillment graph — "similar to these" relevance by graph
     // proximity. Teleport restricted to the seeds (integer floor
@@ -1881,6 +1903,29 @@ object RelationalQueries {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
+    "graph_pagerank_weighted" ->
+      s"""WITH we AS (
+         |  SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b, count(*) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT a AS src, b AS dst, w FROM we
+         |  UNION ALL SELECT b AS src, a AS dst, w FROM we),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+         |p AS (SELECT 1000000000000 // count(*) AS r0,
+         |  (15 * (1000000000000 // count(*))) // 100 AS base FROM nodes),
+         |r0 AS (SELECT node, (SELECT r0 FROM p) AS rank_fp FROM nodes),
+         |${wpagerankRound("r0", "r1")},
+         |${wpagerankRound("r1", "r2")},
+         |${wpagerankRound("r2", "r3")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS node_key, rank_fp
+         |FROM r3
+         |ORDER BY rank_fp DESC, node_type, node_key
+         |LIMIT 100""".stripMargin,
+
     "graph_ppr" ->
       s"""WITH edges0 AS (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -2247,6 +2292,19 @@ object RelationalQueries {
        |  JOIN $prev s ON e.src = s.node
        |  JOIN $prev d ON e.dst = d.node
        |  GROUP BY e.src HAVING count(*) >= (SELECT k FROM kv))""".stripMargin
+
+  /** One WEIGHTED PageRank round — mirror of
+    * `GraphAlgos.pageRankWeighted`'s per-edge floor division. */
+  private def wpagerankRound(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT n.node,
+       |    (SELECT base FROM p) + coalesce(CAST(s.in_c AS BIGINT), 0) AS rank_fp
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst, sum((85 * r.rank_fp * e.w) // (100 * o.ow)) AS in_c
+       |    FROM edges e
+       |    JOIN $prev r ON e.src = r.node
+       |    JOIN ow o ON e.src = o.src
+       |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
 
   /** One BFS min-relaxation round — mirror of `GraphAlgos.bfsStep`. */
   private def bfsRound(prev: String, out: String): String =

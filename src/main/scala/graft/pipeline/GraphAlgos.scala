@@ -129,6 +129,67 @@ object GraphAlgos {
     * (~16 bytes/node -> ~64 MB at the bound). */
   val BroadcastRankMaxNodes: Long = 4L * 1000 * 1000
 
+  /**
+   * EDGE-WEIGHTED fixed-point PageRank: mass flows proportionally to
+   * integer edge weights (co-occurrence counts, interaction strength) —
+   *   r'(v) = base + Σ_{(u,v,w)∈E} (alphaNum · r(u) · w) div (alphaDen · W(u))
+   * with `W(u) = Σ out-weights`. Per-EDGE floor division (the unweighted
+   * variant divides per-edge too — weights just scale the numerator);
+   * everything stays exact integers, bit-reproducible, oracle-replayable.
+   * Overflow bound: alphaNum·r·w ≤ 85·tot·w_max — safe for
+   * w_max ≤ ~10⁵ at the default tot (the require enforces it).
+   *
+   * Same scale machinery as [[pageRankFixedPoint]]: static persisted
+   * edges, node-sized localCheckpoint'ed state, size-aware broadcast of
+   * the rank-side tables. (The shaped-edge exchange-free regime applies
+   * above the node bound exactly as in the unweighted variant; weighted
+   * graphs small enough to broadcast skip it.)
+   */
+  def pageRankWeighted(
+      edges: DataFrame,
+      iterations: Int,
+      tot: Long = 1000000000000L,
+      alphaNum: Long = 85L,
+      alphaDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, "at least one iteration")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long"))
+    e.persist()
+    val wMax = e.agg(max(col("w"))).head().getLong(0)
+    require(wMax >= 1, "edge weights must be positive")
+    require(wMax <= Long.MaxValue / (alphaNum * tot),
+      s"w_max=$wMax overflows alphaNum*tot*w — rescale weights or shrink tot")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .select(col("src").as("w_node"), col("ow"))
+    nodes.persist(); outW.persist()
+    val n = nodes.count()
+    require(n > 0, "pageRankWeighted on an empty edge set")
+    val r0 = tot / n
+    val base = ((alphaDen - alphaNum) * r0) / alphaDen
+    val bcast = n <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+
+    var ranks = nodes.withColumn("rank_fp", lit(r0)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val rw = ranks.join(maybeBcast(outW), col("node") === col("w_node"))
+        .select(col("node").as("r_src"), col("rank_fp"), col("ow"))
+      val inSum = e.join(maybeBcast(rw), col("src") === col("r_src"))
+        .select(col("dst"),
+          expr(s"($alphaNum * rank_fp * w) div ($alphaDen * ow)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
+        .select(col("dst").as("in_node"), col("in_c"))
+      val next = nodes.join(maybeBcast(inSum), col("node") === col("in_node"), "left")
+        .select(col("node"), (lit(base) + coalesce(col("in_c"), lit(0L))).as("rank_fp"))
+        .localCheckpoint()
+      SparkShims.unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    nodes.unpersist(); outW.unpersist(); e.unpersist()
+    ranks
+  }
+
   /** Edge layout for the partitioned regime: hash-partitioned and
     * sorted by `src`, materialized as an eager checkpoint whose
     * LogicalRDD CARRIES both properties — every later src-keyed

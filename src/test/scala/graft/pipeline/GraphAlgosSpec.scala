@@ -261,6 +261,35 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(capped === 0L, "hub-only candidates must vanish under the degree cap")
   }
 
+  test("weighted PageRank: mass follows edge weights; driver replay matches bit-for-bit") {
+    // star: center 0 — weight 9 to node 1, weight 1 to node 2
+    // (symmetrized). Unweighted PR ranks 1 and 2 equally; weighted
+    // sends 9x the mass toward 1.
+    val edges = Seq((0L, 1L, 9L), (1L, 0L, 9L), (0L, 2L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val tot = 1000000L
+    val got = GraphAlgos.pageRankWeighted(edges, iterations = 2, tot = tot)
+      .as[(Long, Long)].collect().toMap
+
+    // same recurrence on the driver
+    val adj = Map(0L -> Seq((1L, 9L), (2L, 1L)), 1L -> Seq((0L, 9L)), 2L -> Seq((0L, 1L)))
+    val ow = adj.view.mapValues(_.map(_._2).sum).toMap
+    val r0 = tot / 3
+    val base = (15L * r0) / 100L
+    var r = Map(0L -> r0, 1L -> r0, 2L -> r0)
+    for (_ <- 1 to 2) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      adj.foreach { case (u, outs) =>
+        outs.foreach { case (v, w) =>
+          in(v) += (85L * r(u) * w) / (100L * ow(u))
+        }
+      }
+      r = r.keys.map(v => v -> (base + in(v))).toMap
+    }
+    assert(got === r)
+    assert(got(1L) > got(2L), "the heavy edge must attract more mass")
+  }
+
   test("resource-allocation link score: integer fixed-point matches the hand replay") {
     // 4-cycle 1-2-3-4 plus chord center 5 adjacent to 1 and 3:
     // pair (1,3) shares {2, 4, 5} with degrees 2, 2, 2 -> ra = 3·(s/2);
