@@ -236,5 +236,6 @@ object BenchAnchors {
     "ann_pcapq_cosine" -> 1.303,
     "stream_cms_merge" -> 4.772,
     "graph_pagerank_weighted" -> 5.051,
+    "rel_gapfill_resample" -> 0.40,
   )
 }

@@ -971,6 +971,39 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // Time-series gap-fill resampling: each user's event stream lands on
+    // a dense hourly grid from their first to last event hour; hours
+    // with no event carry the LAST observed value forward (last_value
+    // IGNORE NULLS — the standard sensor/metric regularization before
+    // windowed feature extraction). The carried value is selected, never
+    // recomputed, so doubles pass through bit-exact; the last-per-hour
+    // pick is (ts, event_id)-deterministic. Per-user grids explode from
+    // min/max aggregates — no driver loop, no cross join.
+    "rel_gapfill_resample" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("user_id") <= 20)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      val lastPerHour = ev
+        .withColumn("h", date_trunc("hour", col("ts")))
+        .groupBy(col("user_id"), col("h"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("h"), col("m.value").as("obs_value"),
+          col("n_events"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(lastPerHour, Seq("user_id", "h"), "left")
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          last(col("obs_value"), ignoreNulls = true).over(w).as("filled_value"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy(col("user_id"), col("hour_ts"))
+    }),
+
     // EDGE-WEIGHTED PageRank (3 rounds): mass flows proportionally to
     // the fulfillment intensity (lineitem count per customer-supplier
     // pair) instead of uniformly per neighbor — the strength-aware
@@ -1902,6 +1935,32 @@ object RelationalQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "rel_gapfill_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, value, event_id FROM events WHERE user_id <= 20),
+        |lp AS (
+        |  SELECT user_id, h, value AS obs_value, n_events FROM (
+        |    SELECT user_id, date_trunc('hour', ts) AS h, value,
+        |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn,
+        |      count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+        |        AS n_events
+        |    FROM ev) x WHERE rn = 1),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |          date_trunc('hour', max(ts)) AS h1 FROM ev GROUP BY 1)),
+        |j AS (SELECT g.user_id, g.h, lp.obs_value,
+        |        coalesce(lp.n_events, 0) AS n_events
+        |      FROM g LEFT JOIN lp ON g.user_id = lp.user_id AND g.h = lp.h)
+        |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |  last_value(obs_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING)
+        |    AS filled_value,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM j
+        |ORDER BY user_id, hour_ts""".stripMargin,
 
     "graph_pagerank_weighted" ->
       s"""WITH we AS (
