@@ -237,5 +237,6 @@ object BenchAnchors {
     "stream_cms_merge" -> 4.772,
     "graph_pagerank_weighted" -> 5.051,
     "rel_gapfill_resample" -> 0.40,
+    "rel_partitioned_scan" -> 0.866,
   )
 }

@@ -971,6 +971,31 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // Hive-partitioned layout + partition-pruned scan: orders written
+    // partitionBy(o_orderpriority), read back with a two-priority
+    // filter — the scan touches ONLY those directories (PlanSpec pins
+    // PartitionFilters on the executed plan; this gate pins the values
+    // through the partitioned write→read round trip). The directory-
+    // per-value layout is THE first-order scan lever at 100 TB: a
+    // filter on the partition column prunes files before any IO.
+    "rel_partitioned_scan" -> ((s, dir) => {
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_part_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.partitionBy("o_orderpriority").parquet(root.toString)
+      s.read.parquet(root.toString)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          count_distinct(col("o_custkey")).as("n_customers"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Time-series gap-fill resampling: each user's event stream lands on
     // a dense hourly grid from their first to last event hour; hours
     // with no event carry the LAST observed value forward (last_value
@@ -1935,6 +1960,17 @@ object RelationalQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "rel_partitioned_scan" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "rel_gapfill_resample" ->
       """WITH ev AS (

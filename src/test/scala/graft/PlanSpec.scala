@@ -366,6 +366,19 @@ class PlanSpec extends AnyFunSuite {
       s"writeOrder = one range exchange:\n$ordered")
   }
 
+  test("partitioned scan: the priority filter prunes DIRECTORIES, not rows") {
+    val p = plan("rel_partitioned_scan")
+    // the filter must appear as a PartitionFilters entry on the scan —
+    // pruning happens at file listing, before any IO — and must NOT
+    // degrade into a post-scan row filter on the partition column
+    val scanLine = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("o_orderpriority"))
+    assert(scanLine.nonEmpty,
+      s"expected the priority predicate in PartitionFilters:\n$p")
+    assert(p.contains("o_orderpriority#") || p.contains("o_orderpriority IN"),
+      s"partition filter must reference the partition column:\n$p")
+  }
+
   test("snapshot diff shuffles thin projections only — document text never reaches the join") {
     val p = plan("pipeline_corpus_diff")
     // the full-outer join runs on (doc_id, fp) pairs: the text column
