@@ -238,5 +238,6 @@ object BenchAnchors {
     "graph_pagerank_weighted" -> 5.051,
     "rel_gapfill_resample" -> 0.40,
     "rel_partitioned_scan" -> 0.866,
+    "graph_semantic_communities" -> 8.365,
   )
 }

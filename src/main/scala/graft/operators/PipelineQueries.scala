@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.{Ann, Audio, Bpe, Chunker, Classifier, Clustering, Decay, Dedup, Embeddings, Multimodal, Packing, Retrieval, Sampling, Sketches, Snapshot, TextAnalysis, Wordpiece}
@@ -466,6 +467,29 @@ object PipelineQueries {
         .select(col("doc_id"), col("version"),
           length(col("text")).cast("long").as("text_len"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // COMPOSITE flagship: semantic communities — the embedding space's
+    // exact k-NN graph (bounded corpus; the IVF/LSH paths are the
+    // production route for the graph BUILD, this gate's point is the
+    // cross-family composition) feeds synchronous label propagation:
+    // embeddings → 5-NN cosine graph → symmetrize → 3 LPA rounds. The
+    // oracle replays the whole chain — pairwise cosine, windowed top-5,
+    // symmetrize, and every propagation round — in SQL.
+    "graph_semantic_communities" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 1000)
+      val v = e.select(col("vec_id").as("src"), col("embedding").as("se"))
+      val u = e.select(col("vec_id").as("dst"), col("embedding").as("de"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+      val knn = v.join(broadcast(u), col("src") =!= col("dst"))
+        .withColumn("cosine", graft.functions.vector.cosine_sim(col("se"), col("de")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("src"), col("dst"))
+      graft.pipeline.GraphAlgos
+        .labelPropagation(graft.pipeline.GraphAlgos.symmetrize(knn), rounds = 3)
+        .select(col("node").as("vec_id"), col("label").as("community"))
+        .orderBy(col("vec_id"))
     }),
 
     // SQ8 scalar-quantized ANN: int8 codes ranked by the codegen'd
@@ -1394,6 +1418,20 @@ object PipelineQueries {
   private def normL(src: String) =
     s"sqrt(list_sum(list_transform($src, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+  /** One synchronous label-propagation round over CTE `edges` — mirror
+    * of `GraphAlgos.labelPropagation` (most frequent in-neighbor label,
+    * smallest-label tie-break; see the RelationalQueries twin). */
+  private def lpaRoundSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT node, label FROM (
+       |    SELECT c.dst AS node, c.label,
+       |      row_number() OVER (PARTITION BY c.dst
+       |                         ORDER BY c.cnt DESC, c.label ASC) AS rn
+       |    FROM (SELECT e.dst, l.label, count(*) AS cnt
+       |          FROM edges e JOIN $prev l ON e.src = l.node
+       |          GROUP BY e.dst, l.label) c) x
+       |  WHERE rn = 1)""".stripMargin
+
   /** Squared L2 between two lists, double accumulation in index order —
     * identical to the L2SquaredDistance kernel. */
   private def l2L(a: String, b: String) =
@@ -1920,6 +1958,32 @@ object PipelineQueries {
          |  FROM scored) x
          |WHERE rnk <= 10
          |ORDER BY queryId, rnk""".stripMargin,
+
+    "graph_semantic_communities" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+         |pairs AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    CASE WHEN ${normL("a.embedding")} = 0 OR ${normL("b.embedding")} = 0 THEN 0.0
+         |         ELSE ${dotL("a.embedding", "b.embedding")}
+         |              / (${normL("a.embedding")} * ${normL("b.embedding")})
+         |    END AS cosine
+         |  FROM base a JOIN base b ON a.vec_id <> b.vec_id),
+         |knn AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src
+         |                         ORDER BY cosine DESC, dst) AS rn
+         |    FROM pairs) x WHERE rn <= 5),
+         |edges AS (SELECT src, dst FROM knn
+         |          UNION SELECT dst AS src, src AS dst FROM knn),
+         |l0 AS (SELECT src AS node, src AS label FROM edges
+         |       UNION SELECT dst, dst FROM edges),
+         |${lpaRoundSql("l0", "l1")},
+         |${lpaRoundSql("l1", "l2")},
+         |${lpaRoundSql("l2", "l3")}
+         |SELECT node AS vec_id, label AS community
+         |FROM l3 ORDER BY vec_id""".stripMargin,
 
     "ann_pcapq_cosine" ->
       s"""WITH q AS (
