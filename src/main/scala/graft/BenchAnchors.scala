@@ -239,5 +239,6 @@ object BenchAnchors {
     "rel_gapfill_resample" -> 0.40,
     "rel_partitioned_scan" -> 0.866,
     "graph_semantic_communities" -> 8.365,
+    "rel_gapfill_lerp" -> 0.556,
   )
 }

@@ -1029,6 +1029,51 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("hour_ts"))
     }),
 
+    // Gap-fill, INTERPOLATING variant: missing hours take the linear
+    // blend of the surrounding observations —
+    // pv + (nv − pv) · (h − ph)/(nh − ph) — instead of carrying the
+    // last value. The fraction is a double division of exact epoch
+    // deltas and the blend a fixed-shape IEEE expression, identical in
+    // both engines; the grid starts and ends at observed hours, so
+    // every row has both neighbors (observed hours blend with
+    // themselves at fraction 0 — exact pass-through).
+    "rel_gapfill_lerp" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("user_id") <= 20)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      val lastPerHour = ev
+        .withColumn("h", date_trunc("hour", col("ts")))
+        .groupBy(col("user_id"), col("h"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("h"), col("m.value").as("obs_value"),
+          col("n_events"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val hs = unix_timestamp(col("h"))
+      val obsH = when(col("obs_value").isNotNull, hs)
+      grid.join(lastPerHour, Seq("user_id", "h"), "left")
+        .withColumn("hs", hs)
+        .withColumn("pv", last(col("obs_value"), ignoreNulls = true).over(wb))
+        .withColumn("ph", last(obsH, ignoreNulls = true).over(wb))
+        .withColumn("nv", first(col("obs_value"), ignoreNulls = true).over(wf))
+        .withColumn("nh", first(obsH, ignoreNulls = true).over(wf))
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          when(col("ph") === col("nh"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("hs") - col("ph")).cast("double") /
+                (col("nh") - col("ph")).cast("double"))).as("lerp_value"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy(col("user_id"), col("hour_ts"))
+    }),
+
     // EDGE-WEIGHTED PageRank (3 rounds): mass flows proportionally to
     // the fulfillment intensity (lineitem count per customer-supplier
     // pair) instead of uniformly per neighbor — the strength-aware
@@ -1996,6 +2041,47 @@ object RelationalQueries {
         |    AS filled_value,
         |  CAST(n_events AS BIGINT) AS n_events
         |FROM j
+        |ORDER BY user_id, hour_ts""".stripMargin,
+
+    "rel_gapfill_lerp" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, value, event_id FROM events WHERE user_id <= 20),
+        |lp AS (
+        |  SELECT user_id, h, value AS obs_value, n_events FROM (
+        |    SELECT user_id, date_trunc('hour', ts) AS h, value,
+        |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn,
+        |      count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+        |        AS n_events
+        |    FROM ev) x WHERE rn = 1),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |          date_trunc('hour', max(ts)) AS h1 FROM ev GROUP BY 1)),
+        |j AS (SELECT g.user_id, g.h, CAST(epoch(g.h) AS BIGINT) AS hs,
+        |        lp.obs_value, coalesce(lp.n_events, 0) AS n_events
+        |      FROM g LEFT JOIN lp ON g.user_id = lp.user_id AND g.h = lp.h),
+        |wnd AS (
+        |  SELECT user_id, h, hs, n_events,
+        |    last_value(obs_value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS pv,
+        |    last_value(CASE WHEN obs_value IS NOT NULL THEN hs END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY h
+        |            ROWS UNBOUNDED PRECEDING) AS ph,
+        |    first_value(obs_value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN obs_value IS NOT NULL THEN hs END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY h
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |  CASE WHEN ph = nh THEN pv
+        |       ELSE pv + (nv - pv)
+        |            * (CAST(hs - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+        |  END AS lerp_value,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM wnd
         |ORDER BY user_id, hour_ts""".stripMargin,
 
     "graph_pagerank_weighted" ->
