@@ -739,6 +739,14 @@ case class BinarizeSign(child: Expression)
  * vector reads 24 longs instead of 768 floats and does 24 xor+popcnt
  * instead of 768 multiply-adds. Plain integer arithmetic — bit-exact
  * everywhere.
+ *
+ * Mismatched code lengths compare the SHARED PREFIX (min length) — the
+ * convention of every distance kernel in this file. Note the
+ * consequence for dirty data: a short (malformed) code's distances are
+ * understated, which can float it into bounded-shortlist candidate
+ * sets; corpora with heterogeneous dims should validate
+ * `size(embedding)` upstream (the index path's F3 dimension check does
+ * exactly that), as no kernel here will throw for them.
  */
 case class HammingDistance(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

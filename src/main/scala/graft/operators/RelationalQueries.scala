@@ -1003,26 +1003,14 @@ object RelationalQueries {
     // windowed feature extraction). The carried value is selected, never
     // recomputed, so doubles pass through bit-exact; the last-per-hour
     // pick is (ts, event_id)-deterministic. Per-user grids explode from
-    // min/max aggregates — no driver loop, no cross join.
+    // min/max aggregates — no driver loop, no cross join. Grid + pick
+    // semantics shared with the lerp variant via gapFillBase — the twin
+    // oracles assume the two gates never diverge upstream.
     "rel_gapfill_resample" -> ((s, dir) => {
-      val ev = events(s, dir).filter(col("user_id") <= 20)
-        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
-      val lastPerHour = ev
-        .withColumn("h", date_trunc("hour", col("ts")))
-        .groupBy(col("user_id"), col("h"))
-        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"),
-          count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("h"), col("m.value").as("obs_value"),
-          col("n_events"))
-      val grid = ev.groupBy(col("user_id"))
-        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-          date_trunc("hour", max(col("ts"))).as("h1"))
-        .select(col("user_id"),
-          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val base = gapFillBase(s, dir)
       val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(lastPerHour, Seq("user_id", "h"), "left")
-        .select(col("user_id"),
+      base.select(col("user_id"),
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
           last(col("obs_value"), ignoreNulls = true).over(w).as("filled_value"),
           coalesce(col("n_events"), lit(0L)).as("n_events"))
@@ -1038,27 +1026,13 @@ object RelationalQueries {
     // every row has both neighbors (observed hours blend with
     // themselves at fraction 0 — exact pass-through).
     "rel_gapfill_lerp" -> ((s, dir) => {
-      val ev = events(s, dir).filter(col("user_id") <= 20)
-        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
-      val lastPerHour = ev
-        .withColumn("h", date_trunc("hour", col("ts")))
-        .groupBy(col("user_id"), col("h"))
-        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"),
-          count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("h"), col("m.value").as("obs_value"),
-          col("n_events"))
-      val grid = ev.groupBy(col("user_id"))
-        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-          date_trunc("hour", max(col("ts"))).as("h1"))
-        .select(col("user_id"),
-          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
       val wb = Window.partitionBy(col("user_id")).orderBy(col("h"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wf = Window.partitionBy(col("user_id")).orderBy(col("h"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val hs = unix_timestamp(col("h"))
       val obsH = when(col("obs_value").isNotNull, hs)
-      grid.join(lastPerHour, Seq("user_id", "h"), "left")
+      gapFillBase(s, dir)
         .withColumn("hs", hs)
         .withColumn("pv", last(col("obs_value"), ignoreNulls = true).over(wb))
         .withColumn("ph", last(obsH, ignoreNulls = true).over(wb))
@@ -2473,6 +2447,29 @@ object RelationalQueries {
        |  JOIN $prev s ON e.src = s.node
        |  JOIN $prev d ON e.dst = d.node
        |  GROUP BY e.src HAVING count(*) >= (SELECT k FROM kv))""".stripMargin
+
+  /** Shared front of the two gap-fill gates: the per-user hourly grid
+    * left-joined with the (ts, event_id)-deterministic last-per-hour
+    * observation — columns (user_id, h, obs_value, n_events). Both
+    * gates' oracles replay exactly this construction; keeping it in one
+    * place is what keeps the twins from diverging upstream. */
+  private def gapFillBase(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("user_id") <= 20)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val lastPerHour = ev
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .groupBy(col("user_id"), col("h"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("h"), col("m.value").as("obs_value"),
+        col("n_events"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    grid.join(lastPerHour, Seq("user_id", "h"), "left")
+  }
 
   /** One WEIGHTED PageRank round — mirror of
     * `GraphAlgos.pageRankWeighted`'s per-edge floor division. */

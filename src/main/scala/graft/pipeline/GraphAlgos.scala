@@ -155,8 +155,13 @@ object GraphAlgos {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long"))
     e.persist()
-    val wMax = e.agg(max(col("w"))).head().getLong(0)
-    require(wMax >= 1, "edge weights must be positive")
+    val wRow = e.agg(min(col("w")), max(col("w"))).head()
+    val (wMin, wMax) = (wRow.getLong(0), wRow.getLong(1))
+    // min too, not just max: a zero/negative weight passes a max-only
+    // guard but makes some node's out-weight sum ≤ 0 — the per-edge
+    // division then yields NULL (silently dropped from the sum) or
+    // sign-flipped mass, corrupting ranks with no error anywhere
+    require(wMin >= 1, s"edge weights must be positive (found $wMin)")
     require(wMax <= Long.MaxValue / (alphaNum * tot),
       s"w_max=$wMax overflows alphaNum*tot*w — rescale weights or shrink tot")
     val nodes = e.select(col("src").as("node"))
@@ -607,11 +612,21 @@ object GraphAlgos {
    * `edges` is the id-canonical undirected edge set (distinct, a < b —
    * the [[triangleCounts]] contract).
    */
-  def jaccardLinkPredictions(
-      edges: DataFrame,
-      maxCenterDegree: Int,
-      minShared: Int,
-      topK: Int): DataFrame = {
+  /** Shared candidate machinery of the link-prediction scorers: the
+    * symmetrized (persisted) view, the (persisted) degree table, the
+    * size-aware broadcast decision, and the hub-capped wedge legs.
+    * Both scorers MUST stay on this one implementation — their twin
+    * oracles assume identical cap/orientation semantics. Caller
+    * releases via [[LinkCtx.release]] after materializing its output. */
+  private final case class LinkCtx(
+      sym: DataFrame, deg: DataFrame, adj: DataFrame,
+      maybeBcast: DataFrame => DataFrame) {
+    def release(): Unit = { deg.unpersist(); sym.unpersist() }
+  }
+
+  private def linkContext(
+      edges: DataFrame, maxCenterDegree: Int, minShared: Int, topK: Int,
+      carryCenterDegree: Boolean): LinkCtx = {
     require(maxCenterDegree >= 2, "a center below degree 2 anchors no wedge")
     require(minShared >= 1 && topK >= 1, "minShared and topK must be positive")
     val sym = edges.select(col("a").cast("long"), col("b").cast("long"))
@@ -624,29 +639,45 @@ object GraphAlgos {
     deg.persist()
     val n = deg.count() // materialize both (deg scan materializes sym)
     val bcast = n <= BroadcastRankMaxNodes
-    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
-    val centers = deg.filter(col("d") <= maxCenterDegree)
-      .select(col("src"))
-    val adj = sym.join(maybeBcast(centers), Seq("src"), "left_semi")
-    val shared = adj.select(col("src"), col("dst").as("u"))
-      .join(adj.select(col("src"), col("dst").as("v")), Seq("src"))
+    val maybeBcast: DataFrame => DataFrame =
+      df => if (bcast) broadcast(df) else df
+    val capped = deg.filter(col("d") <= maxCenterDegree)
+    val adj =
+      if (carryCenterDegree) sym.join(maybeBcast(capped), Seq("src"))
+      else sym.join(maybeBcast(capped.select(col("src"))), Seq("src"), "left_semi")
+    LinkCtx(sym, deg, adj, maybeBcast)
+  }
+
+  /** Non-adjacent filter + deterministic top-K tail shared by the
+    * scorers; `scoreCol` orders descending with (u, v) tie-break. */
+  private def linkTail(
+      edges: DataFrame, pairs: DataFrame, scoreCol: String, topK: Int): DataFrame =
+    pairs.join(
+        edges.select(col("a").cast("long").as("u"), col("b").cast("long").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col(scoreCol).desc, col("u"), col("v"))
+      .limit(topK)
+
+  def jaccardLinkPredictions(
+      edges: DataFrame,
+      maxCenterDegree: Int,
+      minShared: Int,
+      topK: Int): DataFrame = {
+    val ctx = linkContext(edges, maxCenterDegree, minShared, topK,
+      carryCenterDegree = false)
+    val shared = ctx.adj.select(col("src"), col("dst").as("u"))
+      .join(ctx.adj.select(col("src"), col("dst").as("v")), Seq("src"))
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-    val nonEdges = shared.join(
-      edges.select(col("a").cast("long").as("u"), col("b").cast("long").as("v")),
-      Seq("u", "v"), "left_anti")
-    val out = nonEdges
-      .join(deg.select(col("src").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("src").as("v"), col("d").as("dv")), Seq("v"))
+      .join(ctx.deg.select(col("src").as("u"), col("d").as("du")), Seq("u"))
+      .join(ctx.deg.select(col("src").as("v"), col("d").as("dv")), Seq("v"))
       .withColumn("jaccard", col("shared").cast("double") /
         (col("du") + col("dv") - col("shared")).cast("double"))
-      .orderBy(col("jaccard").desc, col("u"), col("v"))
-      .limit(topK)
+    val out = linkTail(edges, shared, "jaccard", topK)
       .select(col("u"), col("v"), col("shared"), col("jaccard"))
       .localCheckpoint() // topK rows; release the cached graph below
-    deg.unpersist()
-    sym.unpersist()
+    ctx.release()
     out
   }
 
@@ -669,37 +700,20 @@ object GraphAlgos {
       minShared: Int,
       topK: Int,
       scale: Long = 1000000000000L): DataFrame = {
-    require(maxCenterDegree >= 2, "a center below degree 2 anchors no wedge")
-    require(minShared >= 1 && topK >= 1, "minShared and topK must be positive")
-    val sym = edges.select(col("a").cast("long"), col("b").cast("long"))
-      .select(explode(array(
-          struct(col("a").as("src"), col("b").as("dst")),
-          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    sym.persist()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    deg.persist()
-    val n = deg.count()
-    val bcast = n <= BroadcastRankMaxNodes
-    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     // wedge legs carry the CENTER degree (the RA denominator)
-    val adjD = sym.join(maybeBcast(deg.filter(col("d") <= maxCenterDegree)), Seq("src"))
-    val pairs = adjD.select(col("src"), col("dst").as("u"), col("d"))
-      .join(adjD.select(col("src"), col("dst").as("v")), Seq("src"))
+    val ctx = linkContext(edges, maxCenterDegree, minShared, topK,
+      carryCenterDegree = true)
+    val pairs = ctx.adj.select(col("src"), col("dst").as("u"), col("d"))
+      .join(ctx.adj.select(col("src"), col("dst").as("v")), Seq("src"))
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("shared"),
         sum(expr(s"$scale div d")).as("ra_fp"))
       .filter(col("shared") >= minShared)
-    val out = pairs.join(
-        edges.select(col("a").cast("long").as("u"), col("b").cast("long").as("v")),
-        Seq("u", "v"), "left_anti")
-      .orderBy(col("ra_fp").desc, col("u"), col("v"))
-      .limit(topK)
+    val out = linkTail(edges, pairs, "ra_fp", topK)
       .select(col("u"), col("v"), col("shared"), col("ra_fp"))
       .localCheckpoint()
-    deg.unpersist()
-    sym.unpersist()
+    ctx.release()
     out
   }
 

@@ -288,6 +288,14 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
     assert(got === r)
     assert(got(1L) > got(2L), "the heavy edge must attract more mass")
+    // non-positive weights must be rejected loudly — a zero weight
+    // would make some out-weight sum 0 and the per-edge division NULL,
+    // silently dropping that node's entire outbound mass
+    val bad = Seq((0L, 1L, 1L), (1L, 0L, 0L)).toDF("src", "dst", "w")
+    val err = intercept[IllegalArgumentException] {
+      GraphAlgos.pageRankWeighted(bad, iterations = 1)
+    }
+    assert(err.getMessage.contains("positive"))
   }
 
   test("resource-allocation link score: integer fixed-point matches the hand replay") {
