@@ -240,5 +240,6 @@ object BenchAnchors {
     "rel_partitioned_scan" -> 0.866,
     "graph_semantic_communities" -> 8.365,
     "rel_gapfill_lerp" -> 0.556,
+    "text_llr_bigrams" -> 1.239,
   )
 }

@@ -1205,6 +1205,14 @@ object PipelineQueries {
     "text_pmi_bigrams" -> ((s, dir) =>
       TextAnalysis.pmiBigrams(docs(s, dir), "text", k = 25)),
 
+    // Dunning log-likelihood-ratio collocations: the evidence-mass
+    // scorer beside PMI (which over-rewards rare pairs). 2x2 table of
+    // exact integer counts; the xlogx chain is one fixed
+    // left-associated fold replayed term-for-term in SQL, rounded at
+    // 4 dp — five orders above cross-libm ulp wiggle.
+    "text_llr_bigrams" -> ((s, dir) =>
+      TextAnalysis.llrBigrams(docs(s, dir), "text", k = 25)),
+
     // Schema evolution across corpus generations: gen 1 (doc_id, text
     // only) and gen 2 (adds lang/source/n_chars) written as partitions
     // of one corpus root, read back via footer-level mergeSchema with
@@ -1417,6 +1425,11 @@ object PipelineQueries {
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
   private def normL(src: String) =
     s"sqrt(list_sum(list_transform($src, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** Entropy-convention x·ln(x) with xlogx(0) = 0 — mirror of
+    * `TextAnalysis.llrBigrams`' column helper. */
+  private def xlogxSql(x: String): String =
+    s"(CASE WHEN ($x) <= 0 THEN 0.0 ELSE CAST($x AS DOUBLE) * ln(CAST($x AS DOUBLE)) END)"
 
   /** One synchronous label-propagation round over CTE `edges` — mirror
     * of `GraphAlgos.labelPropagation` (most frequent in-neighbor label,
@@ -3039,6 +3052,36 @@ object PipelineQueries {
         |       THEN round(256.0 * ln(256.0 / CAST(n_zero_registers AS DOUBLE)), 4)
         |  END AS lc_estimate
         |FROM s""".stripMargin,
+
+    "text_llr_bigrams" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    t -> len(t) > 0) AS t
+         |  FROM documents),
+         |bi AS (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> struct_pack(w1 := t[CAST(i AS INTEGER)],
+         |                     w2 := t[CAST(i AS INTEGER) + 1]))) AS b
+         |  FROM toks WHERE len(t) >= 2),
+         |pairs AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bi),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+         |u1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+         |u2 AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY 1),
+         |n AS (SELECT count(*) AS n_bi FROM pairs)
+         |SELECT w1 || ' ' || w2 AS bigram, c12,
+         |  round(2.0 * (${xlogxSql("c12")}
+         |    + ${xlogxSql("c1 - c12")}
+         |    + ${xlogxSql("c2 - c12")}
+         |    + ${xlogxSql("n_bi - c1 - c2 + c12")}
+         |    - ${xlogxSql("c1")}
+         |    - ${xlogxSql("n_bi - c1")}
+         |    - ${xlogxSql("c2")}
+         |    - ${xlogxSql("n_bi - c2")}
+         |    + ${xlogxSql("n_bi")}), 4) + 0.0 AS llr
+         |FROM c12 JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN n
+         |WHERE c12 >= 5
+         |ORDER BY llr DESC, bigram
+         |LIMIT 25""".stripMargin,
 
     "text_pmi_bigrams" ->
       """WITH toks AS (

@@ -265,6 +265,60 @@ object TextAnalysis {
    * both joins degrade gracefully to shuffled hash joins on the term key.
    * pmi rounds to 6 dp (single libm ln; see the TF-IDF note).
    */
+  /**
+   * Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+   * scale-robust sibling of [[pmiBigrams]]: PMI over-rewards rare pairs
+   * (one co-occurrence of two hapaxes maxes it out), while LLR weighs
+   * the evidence MASS, ranking frequent-and-associated pairs first —
+   * the scorer real collocation pipelines use at corpus scale.
+   *
+   * LLR = 2·(Σ xlogx(k_ij) − Σ xlogx(rowsums) − Σ xlogx(colsums)
+   *          + xlogx(N)) over the 2×2 contingency table
+   * (k11 = c12, k12 = c1−c12, k21 = c2−c12, k22 = N−c1−c2+c12).
+   * Every k is an exact integer; the ln terms are written in ONE fixed
+   * left-associated chain (identical fold order in Spark and SQL) and
+   * the final score rounds to 4 dp — libm ulp wiggle across engines is
+   * ~1e-10 on these magnitudes, five orders below the rounding grid
+   * (the PMI single-ln convention, widened to a fixed-order sum).
+   * Same one-pass plan shape as PMI: bigram counts persisted, marginals
+   * derived from them, checkpoint before the presentation sort.
+   */
+  def llrBigrams(df: DataFrame, textCol: String, k: Int,
+      minCount: Long = 5L): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = toks
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist()
+    val uni1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val uni2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = c12.agg(sum(col("c12")).as("n_bi"))
+    // xlogx(0) = 0 (the entropy convention) — k12/k21/k22 can be 0
+    def xlogx(c: Column): Column =
+      when(c <= 0L, lit(0.0)).otherwise(c.cast("double") * log(c.cast("double")))
+    val k11 = col("c12")
+    val k12 = col("c1") - col("c12")
+    val k21 = col("c2") - col("c12")
+    val k22 = col("n_bi") - col("c1") - col("c2") + col("c12")
+    val llr = (lit(2.0) * (xlogx(k11) + xlogx(k12) + xlogx(k21) + xlogx(k22)
+      - xlogx(col("c1")) - xlogx(col("n_bi") - col("c1"))
+      - xlogx(col("c2")) - xlogx(col("n_bi") - col("c2"))
+      + xlogx(col("n_bi"))))
+    val out = c12.filter(col("c12") >= minCount)
+      .join(broadcast(uni1), Seq("w1"))
+      .join(broadcast(uni2), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"), col("c12"),
+        (round(llr, 4) + lit(0.0)).as("llr"))
+      .localCheckpoint()
+    c12.unpersist()
+    out.orderBy(col("llr").desc, col("bigram")).limit(k)
+  }
+
   def pmiBigrams(df: DataFrame, textCol: String, k: Int,
       minCount: Long = 5L): DataFrame = {
     // size >= 2 guard: Spark's sequence(1, 0) DESCENDS (it would emit

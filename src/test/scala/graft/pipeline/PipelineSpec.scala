@@ -411,6 +411,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"sq8 recall@10 (shortlist 20) = $recall")
   }
 
+  test("LLR collocations: driver replay of the 2x2 table; evidence mass outranks rarity") {
+    // two PERFECTLY associated pairs of different evidence mass
+    // ("alpha beta" x20 vs "gamma delta" x6; each word appears only in
+    // its pair) + 18 one-off filler bigrams that only widen N
+    val lines = List.fill(20)("alpha beta") ++ List.fill(6)("gamma delta") ++
+      (0 until 18).map(i => s"f$i g$i").toList
+    val df = lines.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = TextAnalysis.llrBigrams(df, "text", k = 10, minCount = 5L)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    def xlogx(x: Long): Double = if (x <= 0) 0.0 else x.toDouble * math.log(x.toDouble)
+    // every line is one bigram: N = 44
+    def llr(c12: Long, c1: Long, c2: Long, n: Long): Double = {
+      val raw = 2.0 * (xlogx(c12) + xlogx(c1 - c12) + xlogx(c2 - c12) +
+        xlogx(n - c1 - c2 + c12) - xlogx(c1) - xlogx(n - c1) -
+        xlogx(c2) - xlogx(n - c2) + xlogx(n))
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    }
+    assert(got("alpha beta") === ((20L, llr(20, 20, 20, 44))))
+    assert(got("gamma delta") === ((6L, llr(6, 6, 6, 44))))
+    // the evidence-mass property: at EQUAL (perfect) association the
+    // heavier pair carries more LLR — where PMI scores the rarer pair
+    // HIGHER (ln(N/c1): ln(44/6) > ln(44/20)), the over-rewarding of
+    // rarity LLR exists to fix
+    assert(got("alpha beta")._2 > got("gamma delta")._2)
+  }
+
   test("hamming: packed sign words match a scalar replay; bounded shortlist keeps high recall") {
     import graft.functions.vector
     // packing replay: 32 components per word, MSB-first, bit = (x > 0)
