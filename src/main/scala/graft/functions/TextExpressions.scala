@@ -282,17 +282,19 @@ case class CdcSpansExpr(child: Expression, avg: Int)
       StructField("e", IntegerType, nullable = false))), containsNull = false)
   override def prettyName: String = "cdc_spans"
 
+  // Child is the PRE-SPLIT token array (array<string>), not the raw
+  // text: the caller's one whitespace split feeds both this kernel and
+  // the chunk_fp slicing, so the regex split runs exactly once per row.
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString
-      .split("\\s+").filter(_.nonEmpty)
-    val n = toks.length
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
     if (n == 0) new GenericArrayData(Array.empty[Any])
     else {
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       var s = 0
       var i = 0
       while (i < n) {
-        if ((TextKernels.md5Lower64(toks(i)) >>> 1) % avg == 0) {
+        if ((TextKernels.md5Lower64(arr.getUTF8String(i).toString) >>> 1) % avg == 0) {
           out += org.apache.spark.sql.catalyst.InternalRow(s, i)
           s = i + 1
         }

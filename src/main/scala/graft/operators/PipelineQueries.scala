@@ -1150,11 +1150,12 @@ object PipelineQueries {
       Sketches.cmsHeavyHitters(docs(s, dir))),
 
     // STREAMING sketch maintenance: the corpus arrives as 4 microbatches
-    // (maxFilesPerTrigger=1); each foreachBatch appends its own
-    // token-count and CMS-cell PARTIALS (idempotent parquet appends —
-    // the batch never reprocesses history), and the finish merges
-    // partial sketches by CELL-WISE ADDITION. Same answer as the batch
-    // sketch — the mergeability that makes sketches the streaming
+    // (maxFilesPerTrigger=1); each foreachBatch OVERWRITES its own
+    // deterministic per-batchId partial directory (blind appends would
+    // be at-least-once — a replayed batch double-counts; overwrite of
+    // the batch-keyed path makes the replay idempotent), and the finish
+    // merges partial sketches by CELL-WISE ADDITION. Same answer as the
+    // batch sketch — the mergeability that makes sketches the streaming
     // statistic — so the gate shares the batch oracle verbatim.
     "stream_cms_merge" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
@@ -1179,17 +1180,20 @@ object PipelineQueries {
       val q = s.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val tp = Sketches.cmsTokenPartials(batch, "text")
           tp.persist()
-          tp.write.mode("append").parquet(tokDir)
-          Sketches.cmsCellPartials(tp).write.mode("append").parquet(cellDir)
+          tp.write.mode("overwrite").parquet(s"$tokDir/b$batchId")
+          Sketches.cmsCellPartials(tp)
+            .write.mode("overwrite").parquet(s"$cellDir/b$batchId")
           tp.unpersist()
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      Sketches.cmsFinish(s.read.parquet(tokDir), s.read.parquet(cellDir))
+      Sketches.cmsFinish(
+        s.read.option("recursiveFileLookup", "true").parquet(tokDir),
+        s.read.option("recursiveFileLookup", "true").parquet(cellDir))
     }),
 
     // HyperLogLog vocabulary cardinality: 256 registers, integer harmonic

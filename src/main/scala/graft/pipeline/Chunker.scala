@@ -65,14 +65,16 @@ object Chunker {
     import graft.functions.text
     // spans come from ONE kernel pass (graft.functions.CdcSpansExpr —
     // a composed filter/concat Column formulation re-ran the per-token
-    // md5 scan once per consumer); posexplode ordinals are the chunk
-    // index because the kernel keeps spans contiguous. The Generate
-    // node is a projection barrier, so __toks is computed once below it
-    // and sliced by attribute above it.
+    // md5 scan once per consumer); the kernel consumes the pre-split
+    // __toks array, so the whitespace regex split also runs once per
+    // row and feeds both the gate scan and the chunk_fp slicing.
+    // posexplode ordinals are the chunk index because the kernel keeps
+    // spans contiguous. The Generate node is a projection barrier, so
+    // __toks is computed once below it and sliced by attribute above it.
     df.filter(col(textCol).isNotNull)
       .withColumn("__toks", toks(col(textCol)))
       .select(Seq(col(idCol), col("__toks")) :+
-        posexplode(text.cdc_spans(col(textCol), avgTokens)).as(Seq("chunk_idx", "__sp")): _*)
+        posexplode(text.cdc_spans(col("__toks"), avgTokens)).as(Seq("chunk_idx", "__sp")): _*)
       .select(
         col(idCol),
         col("chunk_idx").cast("long").as("chunk_idx"),

@@ -162,6 +162,10 @@ object GraphAlgos {
     // division then yields NULL (silently dropped from the sum) or
     // sign-flipped mass, corrupting ranks with no error anywhere
     require(wMin >= 1, s"edge weights must be positive (found $wMin)")
+    // guard the guard: alphaNum*tot can itself overflow Long for
+    // caller-supplied tot >= ~1.1e17, silently weakening the bound check
+    require(alphaNum <= Long.MaxValue / tot,
+      s"alphaNum=$alphaNum * tot=$tot overflows Long — shrink tot")
     require(wMax <= Long.MaxValue / (alphaNum * tot),
       s"w_max=$wMax overflows alphaNum*tot*w — rescale weights or shrink tot")
     val nodes = e.select(col("src").as("node"))

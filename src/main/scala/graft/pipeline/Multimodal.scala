@@ -315,34 +315,38 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(blob.data))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      require(readers.hasNext, s"no ImageIO reader for doc ${blob.doc_id}")
-      val reader = readers.next()
-      reader.setInput(iis)
-      val n = reader.getNumImages(true)
-      val out = (0 until n).map { f =>
-        val img = reader.read(f)
-        val w = img.getWidth
-        val h = img.getHeight
-        var sr = 0L
-        var sg = 0L
-        var sb = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            sr += (p >> 16) & 0xff
-            sg += (p >> 8) & 0xff
-            sb += p & 0xff
-            x += 1
+      // iis is Closeable — try/finally so the reject path and a failed
+      // read release it too (heap-backed here, but the contract stands)
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no ImageIO reader for doc ${blob.doc_id}")
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val n = reader.getNumImages(true)
+          (0 until n).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L
+            var sg = 0L
+            var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff
+                sg += (p >> 8) & 0xff
+                sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            FrameStats(blob.doc_id, f.toLong, w, h, sr, sg, sb)
           }
-          y += 1
-        }
-        FrameStats(blob.doc_id, f.toLong, w, h, sr, sg, sb)
-      }
-      reader.dispose()
-      out
+        } finally reader.dispose()
+      } finally iis.close()
     }
   }
 

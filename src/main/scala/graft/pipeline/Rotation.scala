@@ -114,10 +114,12 @@ object Rotation {
             val app = a(p * dim + p)
             val aqq = a(q * dim + q)
             val theta = (aqq - app) / (2.0 * apq)
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
-              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
-              case x => x
-            }
+            // explicit theta==0 branch: matching the quotient against
+            // 0.0 also caught -0.0 / underflow, where the negative-theta
+            // fallback 1/(theta+sqrt(..)) cancels catastrophically
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             // rotate rows/cols p and q of a

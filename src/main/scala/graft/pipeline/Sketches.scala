@@ -242,4 +242,65 @@ object Sketches {
         pctUb(50), pctUb(90), pctUb(99))
       .orderBy(col("source"))
   }
+
+  // --- HDR quantile sketch (sub-bucketed geometric histogram) ------------
+
+  /** 2^k power table — Column-typed shift counts aren't in the functions
+    * API, so shifts by a computed count go through element_at. */
+  private val pow2 = typedlit((0 to 62).map(k => 1L << k))
+
+  /** Bucket LOWER BOUND of a positive integer under an HDR-histogram
+    * binning with `subBits` sub-bucket bits: the value with all bits
+    * below `bitlen(v)-1-subBits` cleared (`v - v % 2^shift`). Buckets
+    * are exact below 2^(subBits+1) and have relative width 2^-subBits
+    * above, so any quantile read off the histogram carries a guaranteed
+    * relative error <= 2^-subBits — the HdrHistogram/DDSketch bound,
+    * from integer bit arithmetic only (no libm, bit-exact across
+    * engines: the bin edge of a floor(log) on doubles can land on the
+    * wrong side at exact powers). The lower bound alone identifies the
+    * bucket: shift is recoverable from bitlen(blo). */
+  def hdrBucketLo(v: Column, subBits: Int): Column = {
+    val shift = greatest(length(bin(v.cast("long"))) - 1 - subBits, lit(0))
+    v - v % element_at(pow2, shift + 1)
+  }
+
+  /** Per-slice histogram partial: (blo, n) cells, at most ~63·2^subBits
+    * rows regardless of slice size. Additive across slices — the merge
+    * is a groupBy-sum (SketchesSpec pins sharded == direct), which is
+    * what makes this the quantile summary a 100 TB pipeline keeps per
+    * shard/day and folds on read instead of ever sorting raw values. */
+  def hdrCells(values: DataFrame, valueCol: String, subBits: Int): DataFrame =
+    values.select(hdrBucketLo(col(valueCol), subBits).as("blo"))
+      .groupBy(col("blo")).agg(count(lit(1)).as("n"))
+
+  /** Quantile finish over (possibly multi-slice) cells: per-mille ranks
+    * with ceil semantics (`cum·1000 >= q‰·total` in exact integers),
+    * answering each q with the first covering bucket's [est_lo, est_ub].
+    * The only sort is the window over the fixed-size cell table; the
+    * quantile probe is a crossJoin against the broadcast q-list. */
+  def hdrQuantiles(cells: DataFrame, subBits: Int,
+      quantilesPerMille: Seq[Int]): DataFrame = {
+    require(quantilesPerMille.nonEmpty &&
+      quantilesPerMille.forall(q => q >= 1 && q <= 1000),
+      "quantiles are per-mille ranks in [1, 1000]")
+    val merged = cells.groupBy(col("blo")).agg(sum(col("n")).as("n"))
+    val wCum = Window.orderBy(col("blo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = merged.agg(sum(col("n")).as("total"))
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val qdf = quantilesPerMille.toDF("q_pm")
+    val ubShift =
+      greatest(length(bin(col("est_lo"))) - 1 - subBits, lit(0))
+    merged.withColumn("cum", sum(col("n")).over(wCum))
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(qdf))
+      .filter(col("cum") * 1000 >= col("q_pm") * col("total"))
+      .groupBy(col("q_pm"))
+      .agg(min(col("blo")).as("est_lo"), max(col("total")).as("n_total"))
+      .withColumn("est_ub",
+        col("est_lo") + element_at(pow2, ubShift + 1) - 1)
+      .select(col("q_pm"), col("est_lo"), col("est_ub"), col("n_total"))
+      .orderBy(col("q_pm"))
+  }
 }
