@@ -463,6 +463,24 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // HDR-histogram quantile SKETCH over price cents: per-shard
+    // (returnflag) histogram partials folded by groupBy-sum, then
+    // per-mille quantiles read off the fixed-size cell table — relative
+    // error <= 2^-5, pure integer bit arithmetic (no libm bin edges),
+    // and the raw 6M-row column is never sorted. This is the mergeable
+    // quantile summary a 100 TB pipeline keeps per shard/day where
+    // rel_percentiles' exact percentile_cont needs the full sort.
+    "rel_hdr_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(cents(col("l_extendedprice")).as("v"))
+      val shards = (0 until 3).map { sh =>
+        graft.pipeline.Sketches.hdrCells(
+          li.filter(col("v") % 3 === sh), "v", subBits = 5)
+      }.reduce(_ unionByName _)
+      graft.pipeline.Sketches.hdrQuantiles(shards, subBits = 5,
+        quantilesPerMille = Seq(10, 250, 500, 750, 900, 990, 999))
+    }),
+
     // Set ops over derived sets (every base key set in the test data is
     // dense, so EXCEPT of raw keys would be trivially empty).
     "rel_setop_except" -> ((s, dir) => {
@@ -1812,6 +1830,34 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY l_returnflag""".stripMargin,
+
+    // HDR sketch replay: same bit-exact binning (bin() string length =
+    // integer bitlen in both engines), same ceil-rank per-mille probe
+    "rel_hdr_quantiles" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT v - v % (CAST(1 AS BIGINT)
+        |      << GREATEST(length(bin(v)) - 1 - 5, 0)) AS blo,
+        |    count(*) AS n
+        |  FROM v GROUP BY 1),
+        |cum AS (
+        |  SELECT blo, sum(n) OVER (ORDER BY blo) AS cum,
+        |    CAST(sum(n) OVER () AS BIGINT) AS total
+        |  FROM cells),
+        |q(q_pm) AS (VALUES (10), (250), (500), (750), (900), (990), (999)),
+        |hit AS (
+        |  SELECT q_pm, min(blo) AS est_lo, max(total) AS n_total
+        |  FROM cum CROSS JOIN q
+        |  WHERE cum * 1000 >= q_pm * total
+        |  GROUP BY 1)
+        |SELECT q_pm, est_lo,
+        |  est_lo + (CAST(1 AS BIGINT)
+        |    << GREATEST(length(bin(est_lo)) - 1 - 5, 0)) - 1 AS est_ub,
+        |  n_total
+        |FROM hit
+        |ORDER BY q_pm""".stripMargin,
 
     "rel_sessionize" -> sessionizeOracle,
 

@@ -135,4 +135,42 @@ class SketchesSpec extends AnyFunSuite {
     // bigrams: (x,y)=2, (y,x)=1; no row from the single-token doc
     assert(out.map(_.getAs[String]("bigram")).toSet == Set("x y", "y x"))
   }
+
+  test("HDR quantiles: sharded partials merge to the direct sketch; bounds bracket the exact quantile") {
+    val rnd = new scala.util.Random(7)
+    // wide-dynamic-range positives: exp-ish spread over ~6 decades
+    val vals = (1 to 5000).map(_ => math.max(1L,
+      math.round(math.exp(rnd.nextDouble() * 14))))
+    val df = vals.toDF("v")
+    val qs = Seq(10, 250, 500, 750, 900, 990, 999)
+    val direct = Sketches.hdrQuantiles(
+      Sketches.hdrCells(df, "v", subBits = 5), subBits = 5, qs).collect()
+    val sharded = Sketches.hdrQuantiles(
+      (0 until 4).map(sh => Sketches.hdrCells(
+        df.filter(col("v") % 4 === sh), "v", subBits = 5))
+        .reduce(_ unionByName _), subBits = 5, qs).collect()
+    assert(direct.map(_.toSeq).toSeq == sharded.map(_.toSeq).toSeq)
+    val sorted = vals.sorted
+    direct.foreach { r =>
+      val qpm = r.getAs[Int]("q_pm")
+      val rank = (qpm.toLong * vals.size + 999) / 1000 // ceil
+      val exact = sorted((rank - 1).toInt)
+      val (lo, ub) = (r.getAs[Long]("est_lo"), r.getAs[Long]("est_ub"))
+      assert(lo <= exact && exact <= ub, s"q=$qpm: [$lo,$ub] misses $exact")
+      // HDR bound: bucket width <= 2^-5 relative
+      assert(ub - lo + 1 <= math.max(1L, lo >> 5) * 2,
+        s"q=$qpm: bucket [$lo,$ub] wider than the 2^-5 relative bound")
+    }
+  }
+
+  test("HDR quantiles: exact (width-1 buckets) below 2^(subBits+1)") {
+    val df = (1L to 63L).toDF("v")
+    val out = Sketches.hdrQuantiles(
+      Sketches.hdrCells(df, "v", subBits = 5), subBits = 5,
+      Seq(500, 1000)).collect()
+    // n=63: p500 ceil-rank 32 -> exactly 32; p1000 -> 63
+    assert(out.map(r => (r.getAs[Int]("q_pm"),
+      r.getAs[Long]("est_lo"), r.getAs[Long]("est_ub"))).toSeq ==
+      Seq((500, 32L, 32L), (1000, 63L, 63L)))
+  }
 }
