@@ -989,6 +989,17 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // TextRank keywords: the cross-family composite in the other
+    // direction from graph_semantic_communities — text to word graph to
+    // PageRank centrality. Window-2 co-occurrence over content words
+    // (zero-shuffle generate chain), vocabulary dictionary-encoded to
+    // dense long ids before the rank rounds. Whole chain (tokenize,
+    // pair fan-out, symmetrize, 3 integer-PR rounds, rank join-back)
+    // is SQL-replayed value-for-value.
+    "text_textrank_keywords" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.textRankKeywords(
+        s.read.parquet(s"$dir/documents.parquet"), "text", k = 40)),
+
     // Hive-partitioned layout + partition-pruned scan: orders written
     // partitionBy(o_orderpriority), read back with a two-priority
     // filter — the scan touches ONLY those directories (PlanSpec pins
@@ -2300,6 +2311,48 @@ object RelationalQueries {
          |FROM r3
          |ORDER BY rank_fp DESC, node_type, node_key
          |LIMIT 100""".stripMargin,
+
+    // TextRank: same tokenizer as the PMI oracle plus the content-word
+    // filter; out-of-range list probes are NULL in DuckDB (mirrors
+    // try_element_at); dictionary ids replayed via the same
+    // row_number-over-sorted-vocab; rank rounds are pagerankRound verbatim
+    "text_textrank_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    t -> regexp_matches(t, '^[a-z]{3,}$$') AND t NOT IN
+         |      ('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'it',
+         |       'that', 'for', 'on', 'with', 'as', 'this', 'are', 'be', 'or'))
+         |    AS t
+         |  FROM documents),
+         |pr0 AS (
+         |  SELECT unnest(list_concat(
+         |    list_transform(range(1, len(t)), i ->
+         |      struct_pack(w1 := t[CAST(i AS INTEGER)],
+         |                  w2 := t[CAST(i AS INTEGER) + 1])),
+         |    list_transform(range(1, len(t)), i ->
+         |      struct_pack(w1 := t[CAST(i AS INTEGER)],
+         |                  w2 := t[CAST(i AS INTEGER) + 2])))) AS b
+         |  FROM toks WHERE len(t) >= 2),
+         |wp AS (SELECT b.w1 AS wa, b.w2 AS wb FROM pr0
+         |  WHERE b.w2 IS NOT NULL AND b.w1 <> b.w2),
+         |we AS (SELECT wa, wb FROM wp UNION SELECT wb AS wa, wa AS wb FROM wp),
+         |vocab AS (SELECT wa AS word, row_number() OVER (ORDER BY wa) AS node
+         |  FROM (SELECT DISTINCT wa FROM we)),
+         |edges AS (SELECT v1.node AS src, v2.node AS dst
+         |  FROM we JOIN vocab v1 ON we.wa = v1.word
+         |  JOIN vocab v2 ON we.wb = v2.word),
+         |nodes AS (SELECT node FROM vocab),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |p AS (SELECT 1000000000000 // count(*) AS r0,
+         |  (15 * (1000000000000 // count(*))) // 100 AS base FROM nodes),
+         |r0 AS (SELECT node, (SELECT r0 FROM p) AS rank_fp FROM nodes),
+         |${pagerankRound("r0", "r1")},
+         |${pagerankRound("r1", "r2")},
+         |${pagerankRound("r2", "r3")}
+         |SELECT v.word, r.rank_fp
+         |FROM r3 r JOIN vocab v USING (node)
+         |ORDER BY rank_fp DESC, word
+         |LIMIT 40""".stripMargin,
 
     "graph_triangles" ->
       """WITH e AS (

@@ -496,4 +496,59 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", contentFingerprint(t))
   }
+
+  /**
+   * TextRank keyword extraction (Mihalcea & Tarau 2004): content words
+   * (lowercase alphabetic, ≥ 3 chars, non-stopword) are nodes; an
+   * undirected unweighted edge links words co-occurring within a window
+   * of 2 in the filtered token sequence; 3 rounds of the integer
+   * fixed-point PageRank rank the vocabulary and the top `k` words are
+   * the corpus keywords — the graph-centrality keyword scorer beside
+   * the frequency-centric TF-IDF.
+   *
+   * Scale shape: the pair fan-out is a zero-shuffle
+   * scan→project→generate chain (the filtered token array materializes
+   * once under the Generate barrier — same CollapseProject trap and
+   * defense as `Chunker.cdcChunks`; the distance-2 probe uses
+   * `try_element_at`, not `t[i+1]`, which would throw under ANSI at the
+   * sequence tail). The vocabulary is dictionary-encoded to dense long
+   * ids (row_number over the distinct-word table — a vocab-sized
+   * dimension sort, broadcast back onto the pair stream) so the
+   * per-round PageRank joins shuffle longs, not strings; the rank
+   * machinery is [[GraphAlgos.pageRankFixedPoint]] unchanged.
+   */
+  def textRankKeywords(docs: DataFrame, textCol: String = "text",
+      k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sw = typedlit(stopwordsEn)
+    val content = filter(tokens(col(textCol)),
+      t => t.rlike("^[a-z]{3,}$") && !array_contains(sw, t))
+    val base = docs.select(content.as("t")).filter(size(col("t")) >= 2)
+    val gen = expr(
+      """concat(
+        |  transform(sequence(1, size(t) - 1),
+        |    i -> struct(t[i-1] AS w1, t[i] AS w2)),
+        |  transform(sequence(1, size(t) - 1),
+        |    i -> struct(t[i-1] AS w1, try_element_at(t, i + 2) AS w2)))
+        |""".stripMargin)
+    val pairs = base.select(explode(gen).as("b"))
+      .filter(col("b.w2").isNotNull && col("b.w1") =!= col("b.w2"))
+      .select(col("b.w1").as("wa"), col("b.w2").as("wb"))
+    val vocab = pairs.select(col("wa").as("word"))
+      .union(pairs.select(col("wb").as("word"))).distinct()
+      .withColumn("node",
+        row_number().over(Window.orderBy(col("word"))).cast("long"))
+    val va = vocab.select(col("word").as("__wa"), col("node").as("src"))
+    val vb = vocab.select(col("word").as("__wb"), col("node").as("dst"))
+    val e = pairs
+      .join(broadcast(va), col("wa") === col("__wa"))
+      .join(broadcast(vb), col("wb") === col("__wb"))
+      .select(col("src"), col("dst"))
+    GraphAlgos.pageRankFixedPoint(GraphAlgos.symmetrize(e), iterations = 3)
+      .join(broadcast(vocab.select(col("word"), col("node").as("__n"))),
+        col("node") === col("__n"))
+      .select(col("word"), col("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("word"))
+      .limit(k)
+  }
 }

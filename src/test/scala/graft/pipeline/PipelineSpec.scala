@@ -1242,4 +1242,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(z(1L).toSeq == Seq(0.0f, 0.0f))
     assert(math.abs(z(2L)(0) - 0.6f) < 1e-6 && math.abs(z(2L)(1) - 0.8f) < 1e-6)
   }
+
+  test("textrank: hub word outranks leaves; stopwords/short/self-pairs excluded") {
+    val docs = Seq(
+      (1L, "the spark engine drives spark jobs"),
+      (2L, "engine tuning and engine care"),
+      (3L, "ml ml ml"), // <3-char tokens: no nodes
+      (4L, "spark spark") // self-pairs only: no edges
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.textRankKeywords(docs, "text", k = 10).collect()
+    val words = out.map(_.getAs[String]("word")).toSeq
+    // doc1 content words: spark engine drives spark jobs
+    // doc2: engine tuning engine care ('and' is a stopword)
+    assert(!words.exists(w => Set("the", "and", "ml").contains(w)))
+    // 'engine' and 'spark' both touch 3+ distinct neighbors across the
+    // window-2 graph; leaves like 'care' have fewer — a hub must lead
+    val rank = out.map(r =>
+      r.getAs[String]("word") -> r.getAs[Long]("rank_fp")).toMap
+    assert(rank.keySet.contains("engine") && rank.keySet.contains("spark"))
+    assert(rank("engine") > rank("care"), s"hub vs leaf: $rank")
+    assert(rank("spark") > rank("care"), s"hub vs leaf: $rank")
+    // ranks are exact integers summing over a closed mass system: every
+    // node got the same r0, so total mass stays within N*base drift
+    assert(out.forall(_.getAs[Long]("rank_fp") > 0L))
+  }
 }
