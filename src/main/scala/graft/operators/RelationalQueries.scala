@@ -1025,6 +1025,53 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ORC round trip: the other columnar format a lakehouse ingests —
+    // write orders as ORC, read it back with a pushed-down status
+    // filter (PlanSpec pins PushedFilters on the ORC scan), aggregate.
+    // Values must survive the parquet→ORC→DataFrame hop bit-for-bit;
+    // the oracle replays the aggregation on the ORIGINAL parquet.
+    "rel_orc_roundtrip" -> ((s, dir) => {
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_orc_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .repartition(4)
+        .write.orc(root.toString)
+      s.read.orc(root.toString)
+        .filter(col("o_orderstatus") =!= "P")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          count_distinct(col("o_custkey")).as("n_customers"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // CSV round trip: header + explicit read schema (inference would
+    // re-derive types from strings — a silent drift source), ISO date
+    // formatting for the timestamp column. Doubles survive because
+    // Spark writes shortest-round-trip decimal strings. The interchange
+    // format for everything that isn't a lakehouse.
+    "rel_csv_roundtrip" -> ((s, dir) => {
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_csv_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+      src.repartition(4).write.option("header", "true").csv(root.toString)
+      s.read.option("header", "true").schema(src.schema).csv(root.toString)
+        .groupBy(substring(col("o_date"), 1, 4).as("order_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          max(col("o_date")).as("last_date"))
+        .orderBy(col("order_year"))
+    }),
+
     // Time-series gap-fill resampling: each user's event stream lands on
     // a dense hourly grid from their first to last event hour; hours
     // with no event carry the LAST observed value forward (last_value
@@ -2047,6 +2094,33 @@ object RelationalQueries {
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY 1
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // format round trips: the oracle aggregates the ORIGINAL parquet —
+    // a pass proves the ORC/CSV hop was lossless
+    "rel_orc_roundtrip" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM orders
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY 1
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_csv_roundtrip" ->
+      """WITH src AS (
+        |  SELECT o_totalprice,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date
+        |  FROM orders)
+        |SELECT substr(o_date, 1, 4) AS order_year,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  max(o_date) AS last_date
+        |FROM src
+        |GROUP BY 1
+        |ORDER BY order_year""".stripMargin,
 
     "rel_gapfill_resample" ->
       """WITH ev AS (

@@ -379,6 +379,17 @@ class PlanSpec extends AnyFunSuite {
       s"partition filter must reference the partition column:\n$p")
   }
 
+  test("ORC round trip: the status filter pushes down to the ORC scan") {
+    val p = plan("rel_orc_roundtrip")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("Scan orc") || l.contains("FileScan orc"))
+      .getOrElse("")
+    assert(scanLine.nonEmpty, s"expected an ORC scan:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("o_orderstatus"),
+      s"status predicate must reach the ORC reader's PushedFilters:\n$p")
+  }
+
   test("snapshot diff shuffles thin projections only — document text never reaches the join") {
     val p = plan("pipeline_corpus_diff")
     // the full-outer join runs on (doc_id, fp) pairs: the text column
