@@ -673,6 +673,16 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // SFT chat-template rendering: (instruction, response) derived from
+    // each document (split at the first token boundary past the char
+    // midpoint), rendered into the tagged chat string with the
+    // ASSISTANT SPAN the loss mask needs.
+    // Pure narrow concat + length arithmetic — no shuffle; the exact
+    // rendered string is pinned by md5, the span by length arithmetic
+    // replayed in SQL.
+    "pipeline_chat_format" -> ((s, dir) =>
+      graft.pipeline.SftFormat.renderChat(docs(s, dir)).orderBy(col("doc_id"))),
+
     // Sequence packing: shard-partitioned token-budget pack assignment
     // (the LLM context-window packing step) — deterministic prefix-sum
     // bucketing, value-checked against the same window math in SQL.
@@ -2375,6 +2385,43 @@ object PipelineQueries {
         |FROM corpus JOIN r USING (source)
         |GROUP BY source, n_docs, rate_ppm
         |ORDER BY source""".stripMargin,
+
+    "pipeline_chat_format" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, len(text) // 2 AS mid FROM documents),
+        |spx AS (
+        |  SELECT doc_id, text, mid,
+        |    strpos(substr(text, mid + 1, GREATEST(len(text) - mid, 0)), ' ')
+        |      AS sp
+        |  FROM base),
+        |posx AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN sp > 0 THEN mid + sp ELSE 0 END AS pos
+        |  FROM spx),
+        |split AS (
+        |  SELECT doc_id,
+        |    trim(substr(text, 1, GREATEST(pos - 1, 0))) AS prompt,
+        |    trim(substr(text, pos + 1, GREATEST(len(text) - pos, 0))) AS resp
+        |  FROM posx WHERE pos > 0),
+        |ok AS (
+        |  SELECT * FROM split WHERE len(prompt) > 0 AND len(resp) > 0),
+        |r AS (
+        |  SELECT doc_id, prompt, resp,
+        |    '<|system|>' || chr(10) || 'You are a helpful data assistant.'
+        |      || chr(10) || '<|user|>' || chr(10) || prompt || chr(10)
+        |      || '<|assistant|>' || chr(10) AS head
+        |  FROM ok)
+        |SELECT doc_id,
+        |  md5(head || resp || '<|end|>') AS rendered_md5,
+        |  CAST(len(head || resp || '<|end|>') AS BIGINT) AS n_rendered_chars,
+        |  CAST(len(head) + 1 AS BIGINT) AS a_start,
+        |  CAST(len(resp) AS BIGINT) AS a_len,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(prompt), '\s+'),
+        |    t -> len(t) > 0)) AS BIGINT) AS n_prompt_toks,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(resp), '\s+'),
+        |    t -> len(t) > 0)) AS BIGINT) AS n_resp_toks
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
 
     "pipeline_pack_sequences" ->
       """WITH base AS (

@@ -1243,6 +1243,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(z(2L)(0) - 0.6f) < 1e-6 && math.abs(z(2L)(1) - 0.8f) < 1e-6)
   }
 
+  test("chat format: assistant span extracts exactly the response; unsplittable docs drop") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "  spaced   out  doc here "),
+      (3L, "unsplittable_single_token"),
+      (4L, "x y")).toDF("doc_id", "text")
+    val out = SftFormat.renderChat(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 3 has no space past the midpoint of one long token; doc 4
+    // splits at the midpoint space into ("x", "y")
+    assert(out.keySet == Set(1L, 2L, 4L))
+    // replay the render driver-side and check the span lands on resp
+    def replay(text: String): (String, String) = {
+      val mid = text.length / 2
+      val sp = text.substring(mid).indexOf(' ')
+      val pos = mid + sp + 1 // 1-based
+      (text.substring(0, pos - 1).trim,
+        text.substring(pos).trim)
+    }
+    Seq(1L -> "alpha beta gamma delta", 2L -> "  spaced   out  doc here ",
+        4L -> "x y").foreach { case (id, text) =>
+      val (prompt, resp) = replay(text)
+      val rendered = SftFormat.SystemTag + SftFormat.SystemPrompt +
+        SftFormat.UserTag + prompt + "\n" + SftFormat.AssistantTag +
+        resp + SftFormat.EndTag
+      val r = out(id)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("rendered_md5") == md5, s"doc $id render drifted")
+      assert(r.getAs[Long]("n_rendered_chars") == rendered.length)
+      val (st, ln) = (r.getAs[Long]("a_start").toInt, r.getAs[Long]("a_len").toInt)
+      assert(rendered.substring(st - 1, st - 1 + ln) == resp,
+        s"doc $id: span [$st,+$ln] is not the response")
+      assert(r.getAs[Long]("n_resp_toks") ==
+        resp.split("\\s+").count(_.nonEmpty))
+    }
+  }
+
   test("textrank: hub word outranks leaves; stopwords/short/self-pairs excluded") {
     val docs = Seq(
       (1L, "the spark engine drives spark jobs"),
