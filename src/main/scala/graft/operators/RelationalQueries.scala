@@ -1049,6 +1049,38 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Small-file compaction: 64-way fragmented write (the historical-
+    // write-pattern failure mode) rewritten to ceil(bytes/target)
+    // right-sized files; runtime asserts pin the file-count contract
+    // (after == computed target < before), the oracle pins content
+    // equality with the source — compaction must move bytes, not rows.
+    "rel_file_compaction" -> ((s, dir) => {
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_compact_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val frag = new java.io.File(root, "frag").toString
+      val comp = new java.io.File(root, "compacted").toString
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .repartition(64)
+        .write.parquet(frag)
+      val nBefore = graft.sources.Compaction.dataFileCount(s, frag)
+      val target = graft.sources.Compaction.compact(s, frag, comp, 1L << 20)
+      val nAfter = graft.sources.Compaction.dataFileCount(s, comp)
+      require(nAfter == target,
+        s"compaction wrote $nAfter files, sized for $target")
+      require(nAfter < nBefore,
+        s"compaction must shrink the file count ($nBefore -> $nAfter)")
+      graft.sources.Compaction.read(s, comp)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          count_distinct(col("o_custkey")).as("n_customers"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // CSV round trip: header + explicit read schema (inference would
     // re-derive types from strings — a silent drift source), ISO date
     // formatting for the timestamp column. Doubles survive because
@@ -2105,6 +2137,16 @@ object RelationalQueries {
         |  count(DISTINCT o_custkey) AS n_customers
         |FROM orders
         |WHERE o_orderstatus <> 'P'
+        |GROUP BY 1
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_file_compaction" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM orders
         |GROUP BY 1
         |ORDER BY o_orderpriority""".stripMargin,
 
