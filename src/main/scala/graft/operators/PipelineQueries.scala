@@ -779,6 +779,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated Kneser–Ney bigram NLL: the KenLM-class smoothing the
+    // add-α model approximates badly on Zipfian text (CCNet-style LM
+    // quality scoring) — absolute discount + distinct-continuation
+    // backoff, context counts from the bigram-type table. Same
+    // one-array-pass / term-keyed-join shape as text_bigram_nll.
+    "text_kn_nll" -> ((s, dir) => {
+      TextAnalysis.knBigramNll(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Vocabulary coverage / OOV rate under the frozen top-1000 frequency
     // vocabulary ((freq DESC, token) cut — deterministic in both
     // engines): the tokenizer-coverage analysis.
@@ -2477,6 +2487,37 @@ object PipelineQueries {
         |JOIN big2 USING (u, v)
         |JOIN uni cu ON cu.term = tf2.u
         |JOIN uni cv ON cv.term = tf2.v, tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // KN: probability expression mirrors the Spark association order
+    // exactly — (max(cuv−d,0) + (d·N₁₊(u)·(N₁₊ᵇ(v)/N₁₊(··)))) / c(u,·)
+    "text_kn_nll" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS l
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, l[i] AS u, l[i+1] AS v
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        |        FROM tk WHERE len(l) >= 2)),
+        |tf2 AS (SELECT doc_id, u, v, count(*) AS tf2 FROM big GROUP BY 1, 2, 3),
+        |big2 AS (SELECT u, v, sum(tf2) AS cuv FROM tf2 GROUP BY u, v),
+        |ctx AS (SELECT u, CAST(sum(cuv) AS BIGINT) AS cu,
+        |               count(*) AS n1p_u FROM big2 GROUP BY u),
+        |cont AS (SELECT v, count(*) AS n1pb_v FROM big2 GROUP BY v),
+        |tot AS (SELECT count(*) AS n1p_all FROM big2)
+        |SELECT doc_id, CAST(sum(tf2) AS BIGINT) AS n_bigrams,
+        |  round(sum(CAST(tf2 AS DOUBLE) * -ln(
+        |      (GREATEST(CAST(cuv AS DOUBLE) - 0.75, 0.0)
+        |        + 0.75 * CAST(n1p_u AS DOUBLE)
+        |          * (CAST(n1pb_v AS DOUBLE) / CAST(n1p_all AS DOUBLE)))
+        |      / CAST(cu AS DOUBLE)))
+        |    / CAST(sum(tf2) AS DOUBLE), 6) AS avg_nll
+        |FROM tf2
+        |JOIN big2 USING (u, v)
+        |JOIN ctx USING (u)
+        |JOIN cont USING (v), tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 

@@ -453,6 +453,66 @@ object TextAnalysis {
   }
 
   /**
+   * Interpolated Kneser–Ney bigram NLL — the smoothing the add-α model
+   * in [[bigramNll]] approximates badly on Zipfian text (KenLM-class
+   * perplexity scoring à la CCNet's quality filter, one discount `d`
+   * instead of pseudo-counts):
+   *
+   *   P(v|u) = (max(c(u,v) − d, 0) + d · N₁₊(u,·) · Pcont(v)) / c(u,·)
+   *   Pcont(v) = N₁₊(·,v) / N₁₊(·,·)
+   *
+   * where c(u,·) is the CONTEXT count (Σ_v c(u,v) — not the unigram
+   * count: the last token of a doc is never a context) and the N₁₊ are
+   * distinct-continuation counts. Model fit on the corpus itself, so
+   * every scored bigram has c(u,v) ≥ 1 and the probability is well-
+   * defined with no OOV path.
+   *
+   * Scale shape mirrors [[bigramNll]]: one array pass for bigrams, the
+   * model is three aggs OVER THE BIGRAM-TYPE TABLE (context sums,
+   * forward/backward distinct-continuation counts — all map-side
+   * combined), scoring is term-keyed equi-joins plus one broadcast
+   * 1-row total. The sum is per-(doc,u,v) with tf2 multiplicity, so the
+   * float fold has one term per bigram TYPE per doc — deterministic
+   * across partitionings.
+   *
+   * @return (doc_id, n_bigrams, avg_nll) — avg_nll rounded to 6
+   */
+  def knBigramNll(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      d: Double = 0.75): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"KN discount must be in (0,1), got $d")
+    val toks = tokens(col(textCol))
+    val big = df.select(col(idCol).as("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "if(size(tk) >= 2, " +
+          "transform(sequence(1, size(tk) - 1), " +
+          "  i -> struct(tk[i - 1] AS u, tk[i] AS v)), " +
+          "cast(array() as array<struct<u:string,v:string>>))")).as("uv"))
+      .select(col("doc_id"), col("uv.u").as("u"), col("uv.v").as("v"))
+    val tf2 = big.groupBy(col("doc_id"), col("u"), col("v"))
+      .agg(count(lit(1)).as("tf2"))
+    val big2 = tf2.groupBy(col("u"), col("v")).agg(sum(col("tf2")).as("cuv"))
+    val ctx = big2.groupBy(col("u"))
+      .agg(sum(col("cuv")).as("cu"), count(lit(1)).as("n1p_u"))
+    val cont = big2.groupBy(col("v")).agg(count(lit(1)).as("n1pb_v"))
+    val totals = big2.agg(count(lit(1)).as("n1p_all"))
+    val pcont = col("n1pb_v").cast("double") / col("n1p_all").cast("double")
+    val pkn = (greatest(col("cuv").cast("double") - lit(d), lit(0.0)) +
+      lit(d) * col("n1p_u").cast("double") * pcont) / col("cu").cast("double")
+    tf2
+      .join(big2, Seq("u", "v"))
+      .join(ctx, Seq("u"))
+      .join(cont, Seq("v"))
+      .crossJoin(broadcast(totals))
+      .withColumn("nll", col("tf2").cast("double") * (lit(0.0) - log(pkn)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf2")).as("n_bigrams"),
+        round(sum(col("nll")) / sum(col("tf2")).cast("double"), 6).as("avg_nll"))
+  }
+
+  /**
    * Vocabulary coverage / OOV-rate under a frozen top-`vocabSize`
    * frequency vocabulary (tokenizer-coverage analysis: how much of each
    * document a top-V word list explains). The vocabulary cut is

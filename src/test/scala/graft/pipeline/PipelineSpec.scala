@@ -1243,6 +1243,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(z(2L)(0) - 0.6f) < 1e-6 && math.abs(z(2L)(1) - 0.8f) < 1e-6)
   }
 
+  test("KN bigram NLL: hand-computed fixture; interpolated-KN mass sums to 1 per context") {
+    val d = 0.75
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // bigram types: (a,b)=2, (b,a)=1, (a,c)=1
+    // ctx a: cu=3, N1p=2; ctx b: cu=1, N1p=1
+    // cont: a<-1, b<-1, c<-1; N1p_all=3
+    def pkn(cuv: Double, cu: Double, n1pU: Double, n1pbV: Double): Double =
+      (math.max(cuv - d, 0.0) + d * n1pU * (n1pbV / 3.0)) / cu
+    val pBA = pkn(2, 3, 2, 1) // P(b|a)
+    val pAB = pkn(1, 1, 1, 1) // P(a|b)
+    val pCA = pkn(1, 3, 2, 1) // P(c|a)
+    val exp1 = BigDecimal((2 * -math.log(pBA) + -math.log(pAB)) / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal(-math.log(pCA))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextAnalysis.knBigramNll(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    assert(out(1L) == ((3L, exp1)), s"doc1: ${out(1L)} vs $exp1")
+    assert(out(2L) == ((1L, exp2)), s"doc2: ${out(2L)} vs $exp2")
+    // the property that makes KN a probability model: summing P(v|u)
+    // over the WHOLE vocab (seen bigrams by discount, unseen by the
+    // continuation backoff alone) returns exactly 1 per context
+    val vocabCont = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    val seen = Map(("a", "b") -> 2.0, ("b", "a") -> 1.0, ("a", "c") -> 1.0)
+    for ((u, cu, n1pU) <- Seq(("a", 3.0, 2.0), ("b", 1.0, 1.0))) {
+      val mass = vocabCont.keys.toSeq.map { v =>
+        pkn(seen.getOrElse((u, v), 0.0), cu, n1pU, vocabCont(v))
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"context $u mass $mass != 1")
+    }
+  }
+
   test("chat format: assistant span extracts exactly the response; unsplittable docs drop") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
