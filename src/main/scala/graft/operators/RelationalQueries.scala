@@ -1049,6 +1049,21 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ANALYZE-style column statistics: one-pass per-column row/null/NDV
+    // counts + min/max (multiple DISTINCT aggregates = one Expand in
+    // one scan; unpivot via inline explode, nothing driver-side). The
+    // money column goes in pre-scaled to integer cents — raw-double
+    // string rendering differs across engines.
+    "rel_column_stats" -> ((s, dir) => {
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      graft.pipeline.TableStats.columnStats(src,
+        Seq("o_orderkey", "o_custkey", "price_cents",
+          "o_orderstatus", "o_orderpriority"))
+    }),
+
     // Small-file compaction: 64-way fragmented write (the historical-
     // write-pattern failure mode) rewritten to ceil(bytes/target)
     // right-sized files; runtime asserts pin the file-count contract
@@ -2139,6 +2154,45 @@ object RelationalQueries {
         |WHERE o_orderstatus <> 'P'
         |GROUP BY 1
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_column_stats" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderstatus, o_orderpriority
+        |  FROM orders),
+        |u AS (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(o_orderkey) AS n_nonnull,
+        |    count(*) - count(o_orderkey) AS n_null,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_val
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(o_custkey),
+        |    count(*) - count(o_custkey), count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'price_cents', count(*), count(price_cents),
+        |    count(*) - count(price_cents), count(DISTINCT price_cents),
+        |    CAST(min(price_cents) AS VARCHAR), CAST(max(price_cents) AS VARCHAR)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+        |    count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |    min(o_orderstatus), max(o_orderstatus)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+        |    count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |    min(o_orderpriority), max(o_orderpriority)
+        |  FROM src)
+        |SELECT col_name, n_rows, n_nonnull, n_null, n_distinct,
+        |  min_val, max_val
+        |FROM u
+        |ORDER BY col_name""".stripMargin,
 
     "rel_file_compaction" ->
       """SELECT o_orderpriority,

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * ANALYZE-style per-column statistics — row count, null count, exact
+ * NDV, and min/max — the stats table an optimizer (or a data-quality
+ * monitor) keeps per corpus snapshot.
+ *
+ * One pass over the data: all per-column aggregates run in a single
+ * `agg` (Spark plans the multiple DISTINCT aggregates via one Expand —
+ * n_cols× row expansion inside one scan, the standard plan, still one
+ * shuffle); the wide 1-row result is unpivoted to (col_name, …) rows
+ * with an inline explode — nothing touches the driver.
+ *
+ * min/max are emitted as strings OF SAFE TYPES ONLY (integers and
+ * varchars render identically everywhere; raw doubles don't — Spark
+ * says `1.0E7` where DuckDB says `10000000.0` — so money columns go
+ * in pre-scaled to integer cents).
+ */
+object TableStats {
+
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__ndv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__rows").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"),
+        (col("__rows") - col(s"__nn_$c")).as("n_null"),
+        col(s"__ndv_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))
+    }
+    wide.select(explode(array(entries: _*)).as("s"))
+      .select(col("s.*"))
+      .orderBy(col("col_name"))
+  }
+}
