@@ -807,6 +807,14 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Positional-postings phrase search: exact phrase matching by
+    // adjacent-position intersection of term postings (the inverted-
+    // index phrase-AND, term-selective — not a substring scan). The
+    // phrase is the corpus's own top bigram ((count DESC, u, v)
+    // tie-break), so the gate survives corpus regeneration.
+    "text_phrase_search" -> ((s, dir) =>
+      Retrieval.topBigramPhraseSearch(docs(s, dir))),
+
     // Hybrid retrieval: reciprocal-rank fusion (c=60) of the BM25
     // lexical ranking over documents and the brute-force cosine dense
     // ranking over embeddings (doc_id ≡ vec_id in the synthetic corpus),
@@ -2536,6 +2544,34 @@ object PipelineQueries {
         |  round(count(*) FILTER (v.term IS NULL) * 1.0 / count(*), 6) AS oov_ratio
         |FROM tok LEFT JOIN vocab v ON v.term = tok.term
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_phrase_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS l
+        |  FROM documents),
+        |bi AS (
+        |  SELECT l[i] AS u, l[i+1] AS v
+        |  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+        |        FROM tk WHERE len(l) >= 2)),
+        |top AS (
+        |  SELECT u, v FROM (
+        |    SELECT u, v, count(*) AS cnt FROM bi GROUP BY 1, 2)
+        |  ORDER BY cnt DESC, u, v LIMIT 1),
+        |tp AS (
+        |  SELECT doc_id, i, l[CAST(i AS INTEGER)] AS term
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        |        FROM tk)),
+        |hits AS (
+        |  SELECT t1.doc_id, t1.i - 1 AS pos, top.u, top.v
+        |  FROM tp t1 JOIN tp t2
+        |    ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1, top
+        |  WHERE t1.term = top.u AND t2.term = top.v)
+        |SELECT doc_id, u || ' ' || v AS phrase,
+        |  count(*) AS n_hits, CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM hits
+        |GROUP BY doc_id, u, v
         |ORDER BY doc_id""".stripMargin,
 
     "text_bm25_topk" ->

@@ -114,4 +114,48 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"), col("rrf_score"))
   }
+
+  /**
+   * Positional-postings phrase search — exact phrase matching the way
+   * an inverted index does it (adjacent-position intersection of the
+   * phrase terms' postings), not a substring scan. The phrase is
+   * derived from the corpus itself — its most frequent bigram, with
+   * (count DESC, u, v) the deterministic tie-break — so the gate is
+   * robust to corpus regeneration.
+   *
+   * Scale shape: postings are (doc_id, pos, term) from one posexplode
+   * pass; joining each side against the broadcast 1-row phrase FIRST
+   * prunes both legs to single-term postings lists before the
+   * position-adjacency equi-join on (doc_id, pos) — the classic
+   * phrase-AND plan, term-selective instead of corpus-wide.
+   *
+   * @return (doc_id, phrase, n_hits, first_pos) per matching doc,
+   *         positions 0-based, overlapping occurrences counted
+   */
+  def topBigramPhraseSearch(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bi = docs.select(toks.as("tk"))
+      .select(explode(expr(
+        "if(size(tk) >= 2, " +
+          "transform(sequence(1, size(tk) - 1), " +
+          "  i -> struct(tk[i - 1] AS u, tk[i] AS v)), " +
+          "cast(array() as array<struct<u:string,v:string>>))")).as("uv"))
+      .select(col("uv.u").as("u"), col("uv.v").as("v"))
+    val top = bi.groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("u"), col("v")).limit(1)
+      .select(col("u"), col("v"))
+    val postings = docs.select(col(idCol).as("doc_id"),
+        posexplode(toks).as(Seq("pos", "term")))
+    val p1 = postings.join(broadcast(top), col("term") === col("u"))
+      .select(col("doc_id"), col("pos"), col("u"), col("v"))
+    val p2 = postings.select(col("doc_id").as("doc_id2"),
+      col("pos").as("pos2"), col("term").as("term2"))
+    p1.join(p2,
+        col("doc_id") === col("doc_id2") && col("pos2") === col("pos") + 1 &&
+          col("term2") === col("v"))
+      .groupBy(col("doc_id"), concat(col("u"), lit(" "), col("v")).as("phrase"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
 }
