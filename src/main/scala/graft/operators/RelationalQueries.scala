@@ -704,6 +704,50 @@ object RelationalQueries {
     // answer (same DuckDB oracle), which is what exactly-once micro-batch
     // semantics promise. countDistinct is not legal in streaming aggs, so
     // the streaming variant carries (n_events, sum_value) only.
+    // STREAMING quantile-sketch maintenance: lineitem price cents
+    // arrive as 4 microbatches; each foreachBatch OVERWRITES its own
+    // deterministic per-batchId HDR-cell partial (idempotent under
+    // replay), the finish folds the cells by groupBy-sum and reads the
+    // per-mille quantiles — EXACTLY the batch sketch, so the gate
+    // shares rel_hdr_quantiles' oracle verbatim. This is why the
+    // histogram (not a sorted sample) is the quantile statistic a
+    // stream keeps.
+    "stream_hdr_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val src = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("v"))
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_shdr_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val filesDir = new java.io.File(root, "in")
+      java.nio.file.Files.createDirectories(filesDir.toPath)
+      val n = src.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+      (0 until 4).foreach { b =>
+        val stage = new java.io.File(root, s"stage$b")
+        src.filter(col("l_orderkey") >= n * b / 4 &&
+            col("l_orderkey") < n * (b + 1) / 4)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(filesDir, s"batch$b.parquet").toPath)
+      }
+      val cellDir = new java.io.File(root, "cells").toString
+      val q = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.pipeline.Sketches.hdrCells(batch, "v", subBits = 5)
+            .write.mode("overwrite").parquet(s"$cellDir/b$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.pipeline.Sketches.hdrQuantiles(
+        s.read.option("recursiveFileLookup", "true").parquet(cellDir),
+        subBits = 5, quantilesPerMille = Seq(10, 250, 500, 750, 900, 990, 999))
+    }),
+
     "stream_events_hourly" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -1596,6 +1640,32 @@ object RelationalQueries {
 
   /** Shared by `rel_sessionize` (batch windows) and `stream_sessionize`
     * (custom streaming state): one ground truth, two execution paths. */
+  private val hdrQuantilesOracle =
+    """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT v - v % (CAST(1 AS BIGINT)
+        |      << GREATEST(length(bin(v)) - 1 - 5, 0)) AS blo,
+        |    count(*) AS n
+        |  FROM v GROUP BY 1),
+        |cum AS (
+        |  SELECT blo, sum(n) OVER (ORDER BY blo) AS cum,
+        |    CAST(sum(n) OVER () AS BIGINT) AS total
+        |  FROM cells),
+        |q(q_pm) AS (VALUES (10), (250), (500), (750), (900), (990), (999)),
+        |hit AS (
+        |  SELECT q_pm, min(blo) AS est_lo, max(total) AS n_total
+        |  FROM cum CROSS JOIN q
+        |  WHERE cum * 1000 >= q_pm * total
+        |  GROUP BY 1)
+        |SELECT q_pm, est_lo,
+        |  est_lo + (CAST(1 AS BIGINT)
+        |    << GREATEST(length(bin(est_lo)) - 1 - 5, 0)) - 1 AS est_ub,
+        |  n_total
+        |FROM hit
+        |ORDER BY q_pm""".stripMargin
+
   private val sessionizeOracle =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts, value,
@@ -1938,31 +2008,12 @@ object RelationalQueries {
 
     // HDR sketch replay: same bit-exact binning (bin() string length =
     // integer bitlen in both engines), same ceil-rank per-mille probe
-    "rel_hdr_quantiles" ->
-      """WITH v AS (
-        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
-        |  FROM lineitem),
-        |cells AS (
-        |  SELECT v - v % (CAST(1 AS BIGINT)
-        |      << GREATEST(length(bin(v)) - 1 - 5, 0)) AS blo,
-        |    count(*) AS n
-        |  FROM v GROUP BY 1),
-        |cum AS (
-        |  SELECT blo, sum(n) OVER (ORDER BY blo) AS cum,
-        |    CAST(sum(n) OVER () AS BIGINT) AS total
-        |  FROM cells),
-        |q(q_pm) AS (VALUES (10), (250), (500), (750), (900), (990), (999)),
-        |hit AS (
-        |  SELECT q_pm, min(blo) AS est_lo, max(total) AS n_total
-        |  FROM cum CROSS JOIN q
-        |  WHERE cum * 1000 >= q_pm * total
-        |  GROUP BY 1)
-        |SELECT q_pm, est_lo,
-        |  est_lo + (CAST(1 AS BIGINT)
-        |    << GREATEST(length(bin(est_lo)) - 1 - 5, 0)) - 1 AS est_ub,
-        |  n_total
-        |FROM hit
-        |ORDER BY q_pm""".stripMargin,
+    "rel_hdr_quantiles" -> hdrQuantilesOracle,
+
+    // the streaming sketch maintenance must produce EXACTLY the batch
+    // sketch — cell-wise partial merge is lossless, so same oracle
+    "stream_hdr_quantiles" -> hdrQuantilesOracle,
+
 
     "rel_sessionize" -> sessionizeOracle,
 
