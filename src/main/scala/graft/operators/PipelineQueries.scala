@@ -1393,6 +1393,16 @@ object PipelineQueries {
       Audio.decodeStats(blobs).toDF().orderBy(col("doc_id"))
     }),
 
+    // Audio decimation resample: every 4th frame of the decoded PCM —
+    // the audio twin of the integer pixel downsample (no floats, every
+    // output value IS an input value), so the oracle replays the
+    // closed-form generator restricted to the kept sample indices.
+    "multimodal_audio_decimate" -> ((s, dir) => {
+      val blobs = Audio.withWavAudio(s,
+        docs(s, dir).filter(col("doc_id") < 200), "doc_id")
+      Audio.decimateStats(blobs, k = 4).toDF().orderBy(col("doc_id"))
+    }),
+
     // Mergeable length-distribution sketch: geometric (bit-length) bins
     // of per-doc token counts, per source + a bin-wise-sum __merged__
     // row, with exact bin-resolution p50/p90/p99 upper bounds from the
@@ -3474,6 +3484,24 @@ object PipelineQueries {
         |  CAST(1 AS INTEGER) AS n_channels,
         |  CAST(16 AS INTEGER) AS bits_per_sample,
         |  CAST(256 + doc_id % 64 AS BIGINT) AS n_frames,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(v)) AS BIGINT) AS max_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |FROM s GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_audio_decimate" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |s0 AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0,
+        |      CAST(256 + doc_id % 64 AS BIGINT) - 1, 4)) AS i
+        |  FROM ids),
+        |s AS (SELECT doc_id, ((doc_id * 31 + i * 17) % 2001) - 1000 AS v FROM s0)
+        |SELECT doc_id,
+        |  CAST(4 AS INTEGER) AS factor,
+        |  CAST((8000 + (doc_id % 8) * 1000) // 4 AS INTEGER) AS sample_rate_out,
+        |  CAST((256 + doc_id % 64 + 3) // 4 AS BIGINT) AS n_frames_out,
         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
         |  CAST(max(abs(v)) AS BIGINT) AS max_abs,
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq

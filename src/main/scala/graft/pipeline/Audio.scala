@@ -150,4 +150,81 @@ object Audio {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.map(b => decodeWavStats(b.doc_id, b.data)))
   }
+
+  final case class WavDecimStats(
+      doc_id: Long,
+      factor: Int,
+      sample_rate_out: Int,
+      n_frames_out: Long,
+      sum_abs: Long,
+      max_abs: Long,
+      sum_sq: Long)
+
+  /** Integer decimation resample: keep every `k`-th FRAME (all channels
+    * of frames 0, k, 2k, …) while parsing — the audio twin of the
+    * integer pixel downsample ([[Multimodal.decodeResizeStats]]): no
+    * floats, no interpolation, every output value IS an input value, so
+    * the stats replay closed-form in SQL. (A production resampler would
+    * low-pass first; decimation is the exact-arithmetic core the gate
+    * can pin.) Output rate is `rate div k` — exact when k divides the
+    * rate. */
+  def decodeWavDecimatedStats(docId: Long, bytes: Array[Byte], k: Int): WavDecimStats = {
+    require(k >= 1, "decimation factor must be >= 1")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+    }
+    require(tag() == "RIFF", s"doc $docId: not a RIFF container")
+    bb.getInt()
+    require(tag() == "WAVE", s"doc $docId: not a WAVE form")
+    var rate = -1; var channels = -1
+    var nOut = 0L; var sumAbs = 0L; var maxAbs = 0L; var sumSq = 0L
+    while (bb.remaining() >= 8) {
+      val id = tag()
+      val len = bb.getInt()
+      id match {
+        case "fmt " =>
+          val end = bb.position() + len
+          val codec = bb.getShort()
+          require(codec == 1, s"doc $docId: not PCM (fmt $codec)")
+          channels = bb.getShort().toInt
+          rate = bb.getInt()
+          bb.getInt(); bb.getShort()
+          val bits = bb.getShort().toInt
+          require(bits == 16, s"doc $docId: only PCM-16 supported (got $bits)")
+          bb.position(end)
+        case "data" =>
+          require(rate > 0, s"doc $docId: data chunk before fmt")
+          val frames = len / (2 * channels)
+          var f = 0L
+          while (f < frames) {
+            var c = 0
+            if (f % k == 0) {
+              while (c < channels) {
+                val s = bb.getShort().toLong
+                val a = math.abs(s)
+                sumAbs += a
+                sumSq += s * s
+                if (a > maxAbs) maxAbs = a
+                c += 1
+              }
+              nOut += 1L
+            } else {
+              bb.position(bb.position() + 2 * channels)
+            }
+            f += 1L
+          }
+        case _ =>
+          bb.position(bb.position() + len + (len & 1))
+      }
+    }
+    require(rate > 0 && nOut > 0, s"doc $docId: missing fmt/data chunk")
+    WavDecimStats(docId, k, rate / k, nOut, sumAbs, maxAbs, sumSq)
+  }
+
+  /** Decimation stage: same mapPartitions shape as [[decodeStats]]. */
+  def decimateStats(blobs: Dataset[MediaBlob], k: Int): Dataset[WavDecimStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => decodeWavDecimatedStats(b.doc_id, b.data, k)))
+  }
 }

@@ -24,4 +24,21 @@ object AudioProps extends Properties("graft-audio") {
         stats.max_abs == samples.map(s => math.abs(s.toLong)).max &&
         stats.sum_sq == samples.map(s => s.toLong * s.toLong).sum
     }
+
+  property("decimation keeps exactly frames 0, k, 2k, …; k=1 equals the full decode") =
+    forAll(Gen.choose(0L, 1000L), samplesGen, Gen.choose(1, 7)) {
+      (docId, xs, k) =>
+        val samples = xs.map(_.toShort).toArray
+        val bytes = Audio.encodeWavPcm16(docId, 11025, samples)
+        val dec = Audio.decodeWavDecimatedStats(docId, bytes, k)
+        val kept = samples.zipWithIndex.collect { case (s, i) if i % k == 0 => s.toLong }
+        val full = Audio.decodeWavStats(docId, bytes)
+        dec.n_frames_out == kept.length.toLong &&
+        dec.sum_abs == kept.map(math.abs).sum &&
+        dec.max_abs == kept.map(math.abs).max &&
+        dec.sum_sq == kept.map(s => s * s).sum &&
+        dec.sample_rate_out == 11025 / k &&
+        (k != 1 || (dec.sum_abs == full.sum_abs && dec.sum_sq == full.sum_sq &&
+          dec.n_frames_out == full.n_frames))
+    }
 }
