@@ -1393,6 +1393,14 @@ object PipelineQueries {
       Audio.decodeStats(blobs).toDF().orderBy(col("doc_id"))
     }),
 
+    // Dataset content digest: order/partitioning-insensitive
+    // (count, Σhash, ⊕hash) over 63-bit canonical row hashes — the
+    // dataset-versioning primitive; combines across shards/appends by
+    // (add, add, xor) without rescanning.
+    "pipeline_dataset_digest" -> ((s, dir) =>
+      graft.pipeline.TableStats.datasetDigest(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
     // Audio decimation resample: every 4th frame of the decoded PCM —
     // the audio twin of the integer pixel downsample (no floats, every
     // output value IS an input value), so the oracle replays the
@@ -3489,6 +3497,16 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq
         |FROM s GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_dataset_digest" ->
+      """WITH h AS (
+        |  SELECT CAST(md5_number_lower(concat_ws(chr(1),
+        |    doc_id, text, lang, source, n_chars)) >> 1 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(h) AS VARCHAR) AS digest_sum,
+        |  bit_xor(h) AS digest_xor
+        |FROM h""".stripMargin,
 
     "multimodal_audio_decimate" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),

@@ -45,4 +45,28 @@ object TableStats {
       .select(col("s.*"))
       .orderBy(col("col_name"))
   }
+
+  /**
+   * Order-insensitive dataset content digest — the dataset-versioning
+   * primitive: every row hashes to a 63-bit value (md5_lower64 of the
+   * -joined canonical column string, >>> 1 per the repo's
+   * positive-range hash idiom), and the digest is (count, Σhash, ⊕hash).
+   * Row order and partitioning can't affect it, and it combines across
+   * shards/appends by (add, add, xor) — so an incremental pipeline can
+   * maintain the digest without rescanning (TableStatsSpec pins the
+   * combine law). Σ runs in DECIMAL(38,0): 2^40 rows × 2^63 ≈ 1e31
+   * still fits exactly, no modular wrap needed.
+   *
+   * Column values must render engine-identically (integers/strings —
+   * the same safe-types rule as [[columnStats]] min/max).
+   */
+  def datasetDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val canon = concat_ws("", cols.map(c => col(c).cast("string")): _*)
+    val h = shiftrightunsigned(graft.functions.text.md5_lower64(canon), 1)
+    df.select(h.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(38,0)")).cast("string").as("digest_sum"),
+        expr("bit_xor(h)").as("digest_xor"))
+  }
 }
