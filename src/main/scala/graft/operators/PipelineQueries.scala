@@ -1393,6 +1393,13 @@ object PipelineQueries {
       Audio.decodeStats(blobs).toDF().orderBy(col("doc_id"))
     }),
 
+    // Curriculum ordering: easy-to-hard training order from normalized
+    // length + mean-token-IDF difficulty, 6-dp-snapped before ranking;
+    // stage = equal-width rank bands (competence-based schedule). The
+    // production layout is writeOrder's range sort on difficulty.
+    "pipeline_curriculum_order" -> ((s, dir) =>
+      Sampling.curriculumOrder(docs(s, dir), "doc_id", "text", stages = 4)),
+
     // Dataset content digest: order/partitioning-insensitive
     // (count, Σhash, ⊕hash) over 63-bit canonical row hashes — the
     // dataset-versioning primitive; combines across shards/appends by
@@ -3497,6 +3504,40 @@ object PipelineQueries {
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq
         |FROM s GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curriculum_order" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |dfq AS (
+        |  SELECT term, count(*) AS dfreq
+        |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |    round(sum(ln(CAST(n_docs AS DOUBLE) / CAST(dfreq AS DOUBLE)))
+        |      / count(*), 6) AS mean_idf_r
+        |  FROM tok JOIN dfq USING (term) CROSS JOIN nd
+        |  GROUP BY doc_id),
+        |mx AS (SELECT max(n_toks) AS max_toks, max(mean_idf_r) AS max_idf
+        |       FROM perdoc),
+        |scored AS (
+        |  SELECT doc_id, n_toks, mean_idf_r,
+        |    round((CAST(n_toks AS DOUBLE) / CAST(max_toks AS DOUBLE)
+        |      + mean_idf_r / max_idf) / 2.0, 6) AS difficulty_r
+        |  FROM perdoc CROSS JOIN mx),
+        |rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY difficulty_r, doc_id)
+        |      AS curriculum_rank,
+        |    count(*) OVER () AS n_total
+        |  FROM scored)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, mean_idf_r,
+        |  difficulty_r, curriculum_rank,
+        |  CAST((curriculum_rank - 1) * 4 // n_total + 1 AS INTEGER) AS stage
+        |FROM rk
+        |ORDER BY curriculum_rank""".stripMargin,
 
     "pipeline_dataset_digest" ->
       """WITH h AS (

@@ -228,4 +228,53 @@ object Sampling {
   def writeOrder(shuffled: DataFrame, numPartitions: Int): DataFrame =
     shuffled.repartitionByRange(numPartitions, col("shuffle_key"))
       .sortWithinPartitions(col("shuffle_key"))
+
+  /**
+   * Curriculum ordering — easy-to-hard training order from two
+   * normalized difficulty signals: document LENGTH (token count) and
+   * lexical RARITY (mean ln(N/df) token IDF), each divided by its
+   * corpus max and averaged. Stage = `stages` equal-width rank bands
+   * (the competence-based curriculum schedule: train on stage ≤ s,
+   * grow s).
+   *
+   * Scale shape: IDF is one corpus df-agg joined term-keyed onto the
+   * token stream, the two maxes are a broadcast 1-row agg, and the
+   * global easy-to-hard rank is a range-sort in production (the
+   * [[writeOrder]] layout applied to `difficulty_r` instead of a
+   * shuffle key); the gate's window form is the same ordering at
+   * verification scale. Difficulty is 6-dp-snapped BEFORE ranking so
+   * (difficulty_r, doc_id) ties break identically in both engines.
+   */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+      stages: Int = 4): DataFrame = {
+    require(stages >= 1, "stages must be positive")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val df = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val perDoc = tok.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(log(col("n_docs").cast("double") /
+          col("dfreq").cast("double"))) / count(lit(1)).cast("double"), 6)
+          .as("mean_idf_r"))
+    val maxes = perDoc.agg(max(col("n_toks")).as("max_toks"),
+      max(col("mean_idf_r")).as("max_idf"))
+    val scored = perDoc.crossJoin(broadcast(maxes))
+      .withColumn("difficulty_r", round(
+        (col("n_toks").cast("double") / col("max_toks").cast("double") +
+          col("mean_idf_r") / col("max_idf")) / 2.0, 6))
+    val w = Window.orderBy(col("difficulty_r"), col("doc_id"))
+    val withRank = scored
+      .withColumn("curriculum_rank", row_number().over(w).cast("long"))
+    val total = withRank.select(count(lit(1)).as("n_total"))
+    withRank.crossJoin(broadcast(total))
+      .withColumn("stage", expr(
+        s"CAST((curriculum_rank - 1) * $stages DIV n_total + 1 AS INT)"))
+      .select(col("doc_id"), col("n_toks"), col("mean_idf_r"),
+        col("difficulty_r"), col("curriculum_rank"), col("stage"))
+      .orderBy(col("curriculum_rank"))
+  }
 }
