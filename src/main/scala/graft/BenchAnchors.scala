@@ -241,5 +241,23 @@ object BenchAnchors {
     "graph_semantic_communities" -> 8.365,
     "rel_gapfill_lerp" -> 0.556,
     "text_llr_bigrams" -> 1.239,
+    // round-9 additions (isolated warm medians, this box): textrank is
+    // PR-round-bound like graph_pagerank; stream_hdr is staging+stream-
+    // startup-bound like stream_cms_merge
+    "rel_hdr_quantiles" -> 0.944,
+    "text_textrank_keywords" -> 5.248,
+    "rel_orc_roundtrip" -> 0.828,
+    "rel_csv_roundtrip" -> 1.055,
+    "pipeline_chat_format" -> 0.555,
+    "rel_file_compaction" -> 1.872,
+    "text_kn_nll" -> 1.113,
+    "rel_column_stats" -> 0.361,
+    "text_phrase_search" -> 1.569,
+    "stream_hdr_quantiles" -> 6.44,
+    "multimodal_audio_decimate" -> 0.711,
+    "pipeline_dataset_digest" -> 0.429,
+    "pipeline_curriculum_order" -> 1.629,
+    "rel_skew_stats" -> 0.497,
+    "rel_data_quality" -> 0.291,
   )
 }

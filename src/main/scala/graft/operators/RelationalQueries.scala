@@ -1093,6 +1093,45 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Data-quality expectations (dbt-test/Deequ-shaped): not-null,
+    // uniqueness, range, allowed-set and pattern rules over orders in
+    // ONE pass, one report row per rule with violation count and
+    // verdict — what a pipeline gates promotion on.
+    "rel_data_quality" -> ((s, dir) =>
+      graft.pipeline.TableStats.qualityReport(
+        t(s, dir, "orders"),
+        notNullCols = Seq("o_orderkey", "o_custkey"),
+        uniqueCols = Seq("o_orderkey"),
+        predicates = Seq(
+          "range:o_totalprice" ->
+            (col("o_totalprice") > 0 && col("o_totalprice") <= 1000000),
+          "set:o_orderstatus" -> col("o_orderstatus").isin("O", "F", "P"),
+          "pattern:o_orderpriority" -> col("o_orderpriority").rlike("^[1-5]-")))),
+
+    // Shuffle-key skew diagnostics: the pre-join planning pass that
+    // decides salting/AQE-skew handling — per-key row counts reduced to
+    // (keys, max, exact percentiles, top-1 share in ppm). One groupBy
+    // over the fact table; everything after runs on the key-count
+    // table (dimension-sized).
+    "rel_skew_stats" -> ((s, dir) => {
+      val kc = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("kn"))
+      val top = kc.orderBy(col("kn").desc, col("l_partkey")).limit(1)
+        .select(col("l_partkey").as("top_key"))
+      kc.agg(
+          sum(col("kn")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("kn")).as("max_key_rows"),
+          percentile(col("kn"), lit(0.5)).as("p50_key_rows"),
+          percentile(col("kn"), lit(0.99)).as("p99_key_rows"))
+        .crossJoin(broadcast(top))
+        .withColumn("top1_ppm",
+          expr("max_key_rows * 1000000 DIV n_rows"))
+        .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+          col("top_key"), col("p50_key_rows"), col("p99_key_rows"),
+          col("top1_ppm"))
+    }),
+
     // ANALYZE-style column statistics: one-pass per-column row/null/NDV
     // counts + min/max (multiple DISTINCT aggregates = one Expand in
     // one scan; unpivot via inline explode, nothing driver-side). The
@@ -2205,6 +2244,45 @@ object RelationalQueries {
         |WHERE o_orderstatus <> 'P'
         |GROUP BY 1
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_data_quality" ->
+      """WITH w AS (
+        |  SELECT count(*) AS n,
+        |    count(o_orderkey) AS nn_key, count(o_custkey) AS nn_cust,
+        |    count(DISTINCT o_orderkey) AS nd_key,
+        |    sum(CASE WHEN o_totalprice > 0 AND o_totalprice <= 1000000
+        |      THEN 0 ELSE 1 END) AS v_range,
+        |    sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+        |      THEN 0 ELSE 1 END) AS v_set,
+        |    sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+        |      THEN 0 ELSE 1 END) AS v_pat
+        |  FROM orders),
+        |u AS (
+        |  SELECT 'not_null:o_orderkey' AS rule, n AS n_checked,
+        |    n - nn_key AS n_violations FROM w
+        |  UNION ALL SELECT 'not_null:o_custkey', n, n - nn_cust FROM w
+        |  UNION ALL SELECT 'unique:o_orderkey', n, n - nd_key FROM w
+        |  UNION ALL SELECT 'range:o_totalprice', n, CAST(v_range AS BIGINT) FROM w
+        |  UNION ALL SELECT 'set:o_orderstatus', n, CAST(v_set AS BIGINT) FROM w
+        |  UNION ALL SELECT 'pattern:o_orderpriority', n, CAST(v_pat AS BIGINT) FROM w)
+        |SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+        |FROM u
+        |ORDER BY rule""".stripMargin,
+
+    "rel_skew_stats" ->
+      """WITH kc AS (
+        |  SELECT l_partkey, count(*) AS kn FROM lineitem GROUP BY 1),
+        |top AS (
+        |  SELECT l_partkey AS top_key FROM kc
+        |  ORDER BY kn DESC, l_partkey LIMIT 1)
+        |SELECT CAST(sum(kn) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys,
+        |  max(kn) AS max_key_rows,
+        |  (SELECT top_key FROM top) AS top_key,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY kn) AS p50_key_rows,
+        |  percentile_cont(0.99) WITHIN GROUP (ORDER BY kn) AS p99_key_rows,
+        |  max(kn) * 1000000 // CAST(sum(kn) AS BIGINT) AS top1_ppm
+        |FROM kc""".stripMargin,
 
     "rel_column_stats" ->
       """WITH src AS (

@@ -47,6 +47,45 @@ object TableStats {
   }
 
   /**
+   * Data-quality expectations report (the dbt-test / Deequ-shaped
+   * check): not-null, uniqueness, and arbitrary row-predicate rules
+   * evaluated in ONE pass (a single agg; uniqueness rides the same
+   * Expand as [[columnStats]]' NDVs), unpivoted to one row per rule
+   * with its violation count and verdict. A pipeline gates promotion
+   * on `passed` — and because the report is itself a DataFrame, the
+   * gate composes with everything else.
+   */
+  def qualityReport(
+      df: DataFrame,
+      notNullCols: Seq[String],
+      uniqueCols: Seq[String],
+      predicates: Seq[(String, Column)]): DataFrame = {
+    require(notNullCols.nonEmpty || uniqueCols.nonEmpty || predicates.nonEmpty,
+      "at least one rule")
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        notNullCols.map(c => count(col(c)).as(s"__nn_$c")) ++
+        uniqueCols.map(c => count_distinct(col(c)).as(s"__nd_$c")) ++
+        predicates.map { case (name, pass) =>
+          sum(when(pass, 0L).otherwise(1L)).as(s"__v_$name")
+        }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries =
+      notNullCols.map(c => struct(lit(s"not_null:$c").as("rule"),
+        col("__n").as("n_checked"),
+        (col("__n") - col(s"__nn_$c")).as("n_violations"))) ++
+      uniqueCols.map(c => struct(lit(s"unique:$c").as("rule"),
+        col("__n").as("n_checked"),
+        (col("__n") - col(s"__nd_$c")).as("n_violations"))) ++
+      predicates.map { case (name, _) => struct(lit(name).as("rule"),
+        col("__n").as("n_checked"), col(s"__v_$name").as("n_violations")) }
+    wide.select(explode(array(entries: _*)).as("s"))
+      .select(col("s.*"))
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy(col("rule"))
+  }
+
+  /**
    * Order-insensitive dataset content digest — the dataset-versioning
    * primitive: every row hashes to a 63-bit value (md5_lower64 of the
    * -joined canonical column string, >>> 1 per the repo's

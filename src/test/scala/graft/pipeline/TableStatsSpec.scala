@@ -26,6 +26,31 @@ class TableStatsSpec extends AnyFunSuite {
     assert(s.getAs[String]("min_val") == "a" && s.getAs[String]("max_val") == "c")
   }
 
+  test("quality report: planted nulls/dupes/out-of-range each hit exactly their rule") {
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "O"), (2L, -5.0, "F"), (2L, 20.0, "X"), (null, 30.0, "O"))
+      .toDF("k", "price", "status")
+    val out = TableStats.qualityReport(df,
+        notNullCols = Seq("k"), uniqueCols = Seq("k"),
+        predicates = Seq(
+          "range:price" -> (col("price") > 0),
+          "set:status" -> col("status").isin("O", "F")))
+      .collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed"))).toMap
+    assert(out("not_null:k") == ((1L, false)))
+    // n - count_distinct = 4 - 2: the dupe AND the null both count
+    // (nulls are the not_null rule's finding too, but they are not
+    // unique key values either)
+    assert(out("unique:k") == ((2L, false)))
+    assert(out("range:price") == ((1L, false)))
+    assert(out("set:status") == ((1L, false)))
+    val clean = TableStats.qualityReport(
+      df.filter(col("k") === 1L), Seq("k"), Seq("k"),
+      Seq("range:price" -> (col("price") > 0))).collect()
+    assert(clean.forall(_.getAs[Boolean]("passed")))
+  }
+
   test("dataset digest: order/partitioning-insensitive; shards combine by (add, add, xor)") {
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "t")
     val b = Seq((4L, "w"), (5L, "y")).toDF("id", "t")
