@@ -379,6 +379,32 @@ class PlanSpec extends AnyFunSuite {
       s"partition filter must reference the partition column:\n$p")
   }
 
+  test("chat format render is one narrow map stage — no exchange below the sort") {
+    val p = SparkEntry.queries("pipeline_chat_format")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the render itself must be shuffle-free; the only exchange allowed
+    // is the final presentation orderBy's range partitioning
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"render must not shuffle (only the output sort may):\n$p")
+  }
+
+  test("dataset digest is a single two-phase aggregate — one exchange total") {
+    val p = SparkEntry.queries("pipeline_dataset_digest")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"digest = partial agg -> single exchange -> final agg:\n$p")
+  }
+
+  test("phrase search: the phrase joins broadcast; no cartesian product anywhere") {
+    val p = SparkEntry.queries("text_phrase_search")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"phrase search must not go cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row phrase must broadcast onto the postings:\n$p")
+  }
+
   test("ORC round trip: the status filter pushes down to the ORC scan") {
     val p = plan("rel_orc_roundtrip")
     val scanLine = p.linesIterator

@@ -1023,6 +1023,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(d.features(0) - 83.5f / 255f) < 1e-6f, d.features(0).toString)
   }
 
+  test("multimodal: JPEG (lossy) round-trips the JDK codec — dims exact, channel means within tolerance") {
+    // the fourth codec beside PNG/BMP/GIF: lossy, so no closed-form
+    // oracle — the spec pins dimension exactness and bounded per-pixel
+    // drift on solid quadrants (DCT ringing stays small on flat fills)
+    val ids = Seq(0L, 7L, 95L, 255L)
+    ids.foreach { id =>
+      val src = Multimodal.encodeQuadrantImage(id)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src.data))
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer in this JDK")
+      val jb = Multimodal.MediaBlob(id, "image/jpeg", bos.toByteArray,
+        Multimodal.MediaMeta(img.getWidth, img.getHeight, 3, 0L))
+      val d = ImageIoDecoder.decodeOne(jb)
+      assert(d.width == img.getWidth && d.height == img.getHeight && d.channels == 3,
+        s"doc $id: JPEG dims must survive exactly")
+      val ref = ImageIoDecoder.decodeOne(src)
+      // global per-channel means (features 0-2) within 3/255 per channel
+      (0 until 3).foreach { ch =>
+        assert(math.abs(d.features(ch) - ref.features(ch)) < 3f / 255f,
+          s"doc $id ch$ch: jpeg mean ${d.features(ch)} vs ${ref.features(ch)}")
+      }
+    }
+  }
+
   test("multimodal: animated-GIF frames round-trip the REAL JDK codec frame-for-frame") {
     val ids = Seq(0L, 1L, 3L, 23L, 100L, 255L)
     val blobs = Multimodal.withEncodedGifs(spark, ids.toDF("doc_id"), "doc_id")
