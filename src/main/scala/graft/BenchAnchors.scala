@@ -259,5 +259,6 @@ object BenchAnchors {
     "pipeline_curriculum_order" -> 1.629,
     "rel_skew_stats" -> 0.497,
     "rel_data_quality" -> 0.291,
+    "dedup_bottomk_overlap" -> 1.754,
   )
 }

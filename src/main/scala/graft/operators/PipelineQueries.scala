@@ -423,6 +423,16 @@ object PipelineQueries {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // KMV/bottom-k sketch overlap: the SCALE path for the exact
+    // contamination matrix above — per-source k-minimum-values sketches
+    // (k rows per source regardless of corpus size), pairwise Jaccard
+    // estimated from the merged pair sketch. At 100 TB the exact
+    // all-shingle self-join is replaced by this k·sources-row audit.
+    "dedup_bottomk_overlap" -> ((s, dir) =>
+      Sketches.bottomKJaccard(
+        Sketches.bottomKSketches(docs(s, dir), "text", "source", k = 128),
+        k = 128)),
+
     // Budget-constrained selection: the best docs whose token counts fit
     // a global 8000-token budget, greedy in (quality DESC, doc_id) order
     // with prefix semantics — exact, via score-bin token cumsums + a
@@ -1958,6 +1968,59 @@ object PipelineQueries {
         |FROM inter
         |JOIN sizes na ON na.source = inter.source_a
         |JOIN sizes nb ON nb.source = inter.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // KMV: same shingle strings as the exact oracle, hashed to the
+    // engine's SIGNED md5-low-64 (UBIGINT folded over 2^63) so the
+    // bottom-k ORDER matches Spark's signed longs exactly
+    "dedup_bottomk_overlap" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT source, s FROM (
+        |    SELECT source, unnest(
+        |      CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |           ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS s
+        |    FROM toks)),
+        |shh AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN md5_number_lower(s) >= 9223372036854775808
+        |      THEN CAST(md5_number_lower(s) AS HUGEINT) - 18446744073709551616
+        |      ELSE CAST(md5_number_lower(s) AS HUGEINT) END AS BIGINT) AS h
+        |  FROM sh0),
+        |sk AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM shh) WHERE rn <= 128),
+        |srcs AS (SELECT DISTINCT source FROM sk),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |m AS (
+        |  SELECT source_a, source_b, h,
+        |    max(in_a) AS in_a, max(in_b) AS in_b
+        |  FROM (
+        |    SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+        |    FROM pairs p JOIN sk s ON s.source = p.source_a
+        |    UNION ALL
+        |    SELECT p.source_a, p.source_b, s.h, 0 AS in_a, 1 AS in_b
+        |    FROM pairs p JOIN sk s ON s.source = p.source_b)
+        |  GROUP BY 1, 2, 3),
+        |topk AS (
+        |  SELECT * FROM (
+        |    SELECT m.*, row_number() OVER (
+        |      PARTITION BY source_a, source_b ORDER BY h) AS rn
+        |    FROM m) WHERE rn <= 128)
+        |SELECT source_a, source_b,
+        |  count(*) AS k_eff,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+        |  round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jacc_est_r
+        |FROM topk
+        |GROUP BY 1, 2
         |ORDER BY source_a, source_b""".stripMargin,
 
     "pipeline_token_budget" ->

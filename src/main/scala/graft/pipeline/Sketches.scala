@@ -243,6 +243,71 @@ object Sketches {
       .orderBy(col("source"))
   }
 
+  // --- KMV / bottom-k distinct sketch ------------------------------------
+
+  /** Per-source bottom-`k` (KMV) sketch over the word-shingle hash
+    * space: the k smallest shingle hashes each source has ever seen.
+    * k rows per source REGARDLESS of corpus size, and mergeable — the
+    * sketch of a union is the bottom-k of the sketch union
+    * (SketchesSpec pins the law) — which is what replaces
+    * `dedup_source_overlap`'s exact all-shingle self-join at 100 TB:
+    * overlap questions answered from k·sources rows. */
+  def bottomKSketches(docs: DataFrame, textCol: String, sourceCol: String,
+      k: Int, shingleK: Int = 3): DataFrame = {
+    require(k >= 1, "sketch size must be positive")
+    // md5-hashed shingle STRINGS (not the XXH64 kernel, which has no
+    // DuckDB twin — KMV needs the ORDER of hashes replayed, not just
+    // their Jaccard structure). The token array materializes once
+    // under the Generate barrier (the cdcChunks defense), and hashes
+    // are taken BEFORE the distinct so only 8-byte longs shuffle.
+    val sh = docs
+      .select(col(sourceCol).as("source"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col("source"), explode(expr(
+        s"""if(size(tk) >= $shingleK,
+           |  transform(sequence(1, size(tk) - ${shingleK - 1}),
+           |    i -> concat_ws(' ', slice(tk, i, $shingleK))),
+           |  array(array_join(tk, ' ')))""".stripMargin)).as("s"))
+      .select(col("source"), text.md5_lower64(col("s")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    sh.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("source"), col("h"))
+  }
+
+  /** KMV Jaccard between every source pair (Beyer et al.'s k-minimum-
+    * values estimator): of the k smallest hashes in the MERGED pair
+    * sketch, the fraction present in both sides estimates J(A,B).
+    * Everything downstream of the sketches is pair-count × k sized —
+    * the 190-pair audit runs on ~k·sources rows, never re-touching the
+    * corpus. */
+  def bottomKJaccard(sketches: DataFrame, k: Int): DataFrame = {
+    val srcs = sketches.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .join(srcs.select(col("source").as("source_b")),
+        col("source_a") < col("source_b"))
+    val ra = pairs
+      .join(sketches.withColumnRenamed("source", "source_a"), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val rb = pairs
+      .join(sketches.withColumnRenamed("source", "source_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("h"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val merged = ra.unionByName(rb)
+      .groupBy(col("source_a"), col("source_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy(col("source_a"), col("source_b"))
+      .orderBy(col("h"))
+    merged.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(col("in_a") * col("in_b")).as("n_common"))
+      .withColumn("jacc_est_r", round(
+        col("n_common").cast("double") / col("k_eff").cast("double"), 6))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   // --- HDR quantile sketch (sub-bucketed geometric histogram) ------------
 
   /** 2^k power table — Column-typed shift counts aren't in the functions

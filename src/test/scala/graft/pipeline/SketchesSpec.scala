@@ -136,6 +136,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("bigram")).toSet == Set("x y", "y x"))
   }
 
+  test("KMV bottom-k: estimate tracks exact Jaccard; sketch-union merge law holds") {
+    // doc i contributes 4 unique shingles; A = docs 0-39, B = 20-59
+    // -> exact shingle Jaccard = 80 / 240 = 1/3
+    def text(i: Int) = s"a$i b$i c$i d$i e$i f$i"
+    val rows = (0 until 40).map(i => (s"d$i", "A", text(i))) ++
+      (20 until 60).map(i => (s"e$i", "B", text(i)))
+    val df = rows.toDF("doc_id", "source", "text")
+    val k = 64
+    val est = Sketches.bottomKJaccard(
+      Sketches.bottomKSketches(df, "text", "source", k), k).collect().head
+    val j = est.getAs[Double]("jacc_est_r")
+    assert(est.getAs[Long]("k_eff") == k)
+    assert(math.abs(j - 1.0 / 3.0) < 0.15,
+      s"KMV estimate $j too far from exact 0.333 at k=$k")
+    // merge law: the k smallest of (sketchA ∪ sketchB) ARE the k
+    // smallest of the full union — sketches compose without raw data
+    val sketches = Sketches.bottomKSketches(df, "text", "source", k).collect()
+    val mergedFromSketches = sketches.map(_.getAs[Long]("h"))
+      .distinct.sorted.take(k).toSeq
+    val full = Sketches.bottomKSketches(
+      df.withColumn("source", lit("all")), "text", "source", k)
+      .collect().map(_.getAs[Long]("h")).sorted.toSeq
+    assert(mergedFromSketches == full, "KMV union-merge law violated")
+  }
+
   test("HDR quantiles: sharded partials merge to the direct sketch; bounds bracket the exact quantile") {
     val rnd = new scala.util.Random(7)
     // wide-dynamic-range positives: exp-ish spread over ~6 decades
