@@ -260,5 +260,6 @@ object BenchAnchors {
     "rel_skew_stats" -> 0.497,
     "rel_data_quality" -> 0.291,
     "dedup_bottomk_overlap" -> 1.754,
+    "stream_cdc_apply" -> 2.633,
   )
 }

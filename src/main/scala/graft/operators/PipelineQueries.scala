@@ -479,6 +479,63 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING CDC apply: the same changelog as pipeline_snapshot_merge
+    // arrives as 3 version-ordered microbatches; each foreachBatch folds
+    // its batch into the previous state with the version-PRESERVING
+    // merge step and overwrites a batchId-keyed state dir (idempotent
+    // under replay, lineage = one window pass per batch). Monotone batch
+    // versions make the fold associative, so the final state — including
+    // winning versions — is EXACTLY the one-shot merge: shared oracle.
+    "stream_cdc_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val batches = Seq(
+        d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+            col("source"), lit(1L).as("version"), lit("U").as("op")),
+        d.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id"), lit("").as("text"), col("source"),
+            lit(2L).as("version"), lit("D").as("op")),
+        d.filter(col("doc_id") % 21 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v3")).as("text"),
+            col("source"), lit(3L).as("version"), lit("U").as("op")))
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_cdc_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val filesDir = new java.io.File(root, "in")
+      java.nio.file.Files.createDirectories(filesDir.toPath)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = new java.io.File(root, s"stage$i")
+        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(filesDir, s"batch$i.parquet").toPath)
+      }
+      val stateInit = new java.io.File(root, "state_init").toString
+      d.withColumn("version", lit(0L)).write.mode("overwrite").parquet(stateInit)
+      val stateDir = new java.io.File(root, "state").toString
+      val q = s.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val prev =
+            if (batchId == 0L) s.read.parquet(stateInit)
+            else s.read.parquet(s"$stateDir/b${batchId - 1}")
+          Snapshot.fold(prev, batch, "doc_id", "version", "op")
+            .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val last = new java.io.File(stateDir).listFiles()
+        .map(_.getName).filter(_.startsWith("b")).map(_.drop(1).toInt).max
+      s.read.parquet(s"$stateDir/b$last")
+        .select(col("doc_id"), col("version"),
+          length(col("text")).cast("long").as("text_len"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // COMPOSITE flagship: semantic communities — the embedding space's
     // exact k-NN graph (bounded corpus; the IVF/LSH paths are the
     // production route for the graph BUILD, this gate's point is the
@@ -1550,6 +1607,23 @@ object PipelineQueries {
        |     ELSE list_transform($sl, x -> CAST(CAST(x AS DOUBLE) / ${normL(sl)} AS FLOAT)) END""".stripMargin
   }
 
+  private val snapshotMergeOracle =
+    """WITH log AS (
+        |  SELECT doc_id, text, source, CAST(0 AS BIGINT) AS version, 'U' AS op FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v2', source, 1, 'U' FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, '', source, 2, 'D' FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v3', source, 3, 'U' FROM documents WHERE doc_id % 21 = 0),
+        |rn AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY version DESC, op ASC) AS rn
+        |  FROM log)
+        |SELECT doc_id, version, CAST(len(text) AS BIGINT) AS text_len, source
+        |FROM rn WHERE rn = 1 AND op = 'U'
+        |ORDER BY doc_id""".stripMargin
+
   /** All-pairs exact word-3-gram-shingle Jaccard over the planted-near-dup
     * corpus — the shared ground truth for every blocked dedup variant.
     * Shingle semantics mirror TextKernels.shingles (distinct trigrams;
@@ -2057,22 +2131,11 @@ object PipelineQueries {
          |WHERE rnk <= 5
          |ORDER BY anchor_id, rnk""".stripMargin,
 
-    "pipeline_snapshot_merge" ->
-      """WITH log AS (
-        |  SELECT doc_id, text, source, CAST(0 AS BIGINT) AS version, 'U' AS op FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, text || ' v2', source, 1, 'U' FROM documents WHERE doc_id % 7 = 0
-        |  UNION ALL
-        |  SELECT doc_id, '', source, 2, 'D' FROM documents WHERE doc_id % 13 = 0
-        |  UNION ALL
-        |  SELECT doc_id, text || ' v3', source, 3, 'U' FROM documents WHERE doc_id % 21 = 0),
-        |rn AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY version DESC, op ASC) AS rn
-        |  FROM log)
-        |SELECT doc_id, version, CAST(len(text) AS BIGINT) AS text_len, source
-        |FROM rn WHERE rn = 1 AND op = 'U'
-        |ORDER BY doc_id""".stripMargin,
+    "pipeline_snapshot_merge" -> snapshotMergeOracle,
+
+    // the streaming CDC apply must land on EXACTLY the batch merge —
+    // same oracle, word for word
+    "stream_cdc_apply" -> snapshotMergeOracle,
 
     "ann_sq8_cosine" ->
       s"""WITH q AS (

@@ -54,6 +54,33 @@ object Snapshot {
   }
 
   /**
+   * Version-PRESERVING merge step for incremental/streaming CDC apply:
+   * like [[merge]], but the state's existing `verCol` is kept instead
+   * of being floored to `baseVersion`, so folding a version-ordered
+   * changelog batch-by-batch yields EXACTLY the one-shot merge —
+   * including the winning version column. (The max-version row per key
+   * survives any fold order; cross-batch ties can't occur when batch
+   * versions are monotone, so the fold is associative.) State rows are
+   * re-entered as upserts at their carried version.
+   */
+  def fold(
+      state: DataFrame,
+      changelog: DataFrame,
+      keyCol: String,
+      verCol: String,
+      opCol: String): DataFrame = {
+    val stateAsLog = state.withColumn(opCol, lit("U"))
+    val unioned = stateAsLog
+      .unionByName(changelog.select(stateAsLog.columns.map(col): _*))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(verCol).desc, col(opCol).asc)
+    unioned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) === "U")
+      .drop("__rn", opCol)
+  }
+
+  /**
    * Corpus snapshot diff: classify every key across two generations as
    * `added` / `removed` / `changed` / `unchanged` by comparing content
    * fingerprints — the audit step between corpus refreshes (how much
