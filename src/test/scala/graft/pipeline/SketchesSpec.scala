@@ -188,6 +188,28 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("HDR quantiles at 50M rows: cell table stays tiny, quantiles bracket the closed form") {
+    assume(sys.env.contains("GRAFT_HEAVY") || sys.props.contains("GRAFT_HEAVY"),
+      "heavy gate: set GRAFT_HEAVY=1 to run")
+    // 50M deterministic wide-range positives from spark.range — the
+    // volume proof: the sketch's working set is the CELL table
+    // (<= ~63·32 rows), never the raw column
+    val n = 50000000L
+    val vals = spark.range(n).select(
+      (pmod(col("id") * 2654435761L, lit(1000000007L)) + 1L).as("v"))
+    val cells = Sketches.hdrCells(vals, "v", subBits = 5)
+    val nCells = cells.count()
+    assert(nCells <= 63L * 32, s"cell table must stay bounded, got $nCells")
+    val qs = Sketches.hdrQuantiles(cells, subBits = 5, Seq(500, 990)).collect()
+    // v is a near-uniform permutation-ish map into [1, 1e9+7]: p50
+    // must sit within the 2^-5 band around ~5e8, p99 around ~9.9e8
+    val p50 = qs.find(_.getAs[Int]("q_pm") == 500).get
+    val (lo, ub) = (p50.getAs[Long]("est_lo"), p50.getAs[Long]("est_ub"))
+    assert(lo <= 520000000L && ub >= 480000000L,
+      s"p50 bucket [$lo,$ub] implausible for a near-uniform 1e9 domain")
+    assert(qs.forall(_.getAs[Long]("n_total") == n))
+  }
+
   test("HDR quantiles: exact (width-1 buckets) below 2^(subBits+1)") {
     val df = (1L to 63L).toDF("v")
     val out = Sketches.hdrQuantiles(
