@@ -264,5 +264,7 @@ object BenchAnchors {
     "rel_data_quality" -> 0.291,
     "dedup_bottomk_overlap" -> 1.754,
     "stream_cdc_apply" -> 2.633,
+    "rel_winsorize" -> 0.408,
+    "text_cooccur_pairs" -> 1.417,
   )
 }

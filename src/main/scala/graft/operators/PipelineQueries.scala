@@ -846,6 +846,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Pairwise co-occurrence mining (A-priori first pass): docs are
+    // baskets, distinct tokens are items; unordered pairs counted once
+    // per doc, support >= 5, top-30. Pair fan-out is per-doc-vocab
+    // quadratic, array-side, zero shuffle before the count agg.
+    "text_cooccur_pairs" -> ((s, dir) =>
+      TextAnalysis.cooccurrencePairs(docs(s, dir), "text",
+        minSupport = 5L, k = 30)),
+
     // Interpolated Kneser–Ney bigram NLL: the KenLM-class smoothing the
     // add-α model approximates badly on Zipfian text (CCNet-style LM
     // quality scoring) — absolute discount + distinct-continuation
@@ -2648,6 +2656,25 @@ object PipelineQueries {
         |JOIN uni cv ON cv.term = tf2.v, tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "text_cooccur_pairs" ->
+      """WITH tk AS (
+        |  SELECT list_sort(list_distinct(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0))) AS a
+        |  FROM documents),
+        |pr AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(a)),
+        |    i -> list_transform(range(CAST(i AS INTEGER) + 1, len(a) + 1),
+        |      j -> struct_pack(t1 := a[CAST(i AS INTEGER)],
+        |                       t2 := a[CAST(j AS INTEGER)]))))) AS p
+        |  FROM tk WHERE len(a) >= 2)
+        |SELECT p.t1 AS t1, p.t2 AS t2, count(*) AS n_docs
+        |FROM pr
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 5
+        |ORDER BY n_docs DESC, t1, t2
+        |LIMIT 30""".stripMargin,
 
     // KN: probability expression mirrors the Spark association order
     // exactly — (max(cuv−d,0) + (d·N₁₊(u)·(N₁₊ᵇ(v)/N₁₊(··)))) / c(u,·)

@@ -1093,6 +1093,28 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Winsorization: clamp the value column at its exact p01/p99 (the
+    // outlier-robust preprocessing step before any mean-based stat) —
+    // cutoffs from one percentile agg broadcast back onto the stream,
+    // then clamped aggregates beside raw ones so the trim's effect is
+    // itself the tested value.
+    "rel_winsorize" -> ((s, dir) => {
+      val v = t(s, dir, "events").select(col("event_id"), col("value"))
+      val cuts = v.agg(
+        percentile(col("value"), lit(0.01)).as("p01"),
+        percentile(col("value"), lit(0.99)).as("p99"))
+      v.crossJoin(broadcast(cuts))
+        .withColumn("w", least(greatest(col("value"), col("p01")), col("p99")))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("p01")), 6).as("p01_r"),
+          round(min(col("p99")), 6).as("p99_r"),
+          sum((col("value") < col("p01")).cast("long")).as("n_clamped_lo"),
+          sum((col("value") > col("p99")).cast("long")).as("n_clamped_hi"),
+          round(avg(col("value")), 6).as("mean_raw_r"),
+          round(avg(col("w")), 6).as("mean_winsor_r"))
+    }),
+
     // Data-quality expectations (dbt-test/Deequ-shaped): not-null,
     // uniqueness, range, allowed-set and pattern rules over orders in
     // ONE pass, one report row per rule with violation count and
@@ -2244,6 +2266,22 @@ object RelationalQueries {
         |WHERE o_orderstatus <> 'P'
         |GROUP BY 1
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT percentile_cont(0.01) WITHIN GROUP (ORDER BY value) AS p01,
+        |         percentile_cont(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        |  FROM events)
+        |SELECT count(*) AS n,
+        |  round(min(p01), 6) AS p01_r,
+        |  round(min(p99), 6) AS p99_r,
+        |  CAST(sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_lo,
+        |  CAST(sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_hi,
+        |  round(avg(value), 6) AS mean_raw_r,
+        |  round(avg(LEAST(GREATEST(value, p01), p99)), 6) AS mean_winsor_r
+        |FROM events, cuts""".stripMargin,
 
     "rel_data_quality" ->
       """WITH w AS (

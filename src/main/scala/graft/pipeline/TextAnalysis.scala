@@ -558,6 +558,38 @@ object TextAnalysis {
   }
 
   /**
+   * Pairwise co-occurrence mining (the A-priori first pass / market-
+   * basket pairs): documents are baskets, DISTINCT tokens are items,
+   * and every unordered token pair co-occurring in a document counts
+   * once per document. Support-thresholded, top-`k` by count.
+   *
+   * Scale shape: the pair fan-out is per-document quadratic in the
+   * DISTINCT token count only (bounded by per-doc vocabulary, not doc
+   * length), generated array-side under the Generate barrier with zero
+   * shuffle — the sorted distinct array guarantees t1 < t2 without a
+   * self-join. At 100 TB you additionally cap the per-doc distinct
+   * count (or pre-filter items below global support, the actual
+   * A-priori trick) before the fan-out; the count agg is one map-side
+   * combined groupBy.
+   */
+  def cooccurrencePairs(docs: DataFrame, textCol: String,
+      minSupport: Long, k: Int): DataFrame = {
+    val base = docs
+      .select(array_sort(array_distinct(tokens(col(textCol)))).as("a"))
+      .filter(size(col("a")) >= 2)
+    base.select(explode(expr(
+        """flatten(transform(sequence(1, size(a) - 1),
+          |  i -> transform(sequence(i + 1, size(a)),
+          |    j -> struct(a[i-1] AS t1, a[j-1] AS t2))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minSupport)
+      .orderBy(col("n_docs").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
+  /**
    * TextRank keyword extraction (Mihalcea & Tarau 2004): content words
    * (lowercase alphabetic, ≥ 3 chars, non-stopword) are nodes; an
    * undirected unweighted edge links words co-occurring within a window
