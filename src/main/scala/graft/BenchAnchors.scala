@@ -266,5 +266,6 @@ object BenchAnchors {
     "stream_cdc_apply" -> 2.633,
     "rel_winsorize" -> 0.408,
     "text_cooccur_pairs" -> 1.417,
+    "rel_event_paths" -> 0.608,
   )
 }

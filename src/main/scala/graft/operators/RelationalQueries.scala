@@ -347,6 +347,28 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Event-path mining (funnel DISCOVERY, where rel_funnel_conversion
+    // tests a KNOWN funnel): each user's first three event types in
+    // (ts, event_id) order become a path, counted across users —
+    // conditional-max slot extraction, no per-user sequence collection.
+    "rel_event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .filter(col("e3").isNotNull)
+        .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    }),
+
     // Ordered funnel conversion (signup → click ≤24h → purchase ≤24h):
     // each stage is a min-timestamp aggregation joined to the previous
     // stage's cohort — the standard events-analytics funnel as three
@@ -1905,6 +1927,26 @@ object RelationalQueries {
         |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
         |FROM c JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "rel_event_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |slots AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+        |    max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+        |    max(CASE WHEN rn = 3 THEN event_type END) AS e3
+        |  FROM r WHERE rn <= 3
+        |  GROUP BY user_id)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path,
+        |  count(*) AS n_users
+        |FROM slots WHERE e3 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n_users DESC, path
+        |LIMIT 20""".stripMargin,
 
     "rel_funnel_conversion" ->
       """WITH s AS (
