@@ -267,5 +267,6 @@ object BenchAnchors {
     "rel_winsorize" -> 0.408,
     "text_cooccur_pairs" -> 1.417,
     "rel_event_paths" -> 0.608,
+    "pipeline_span_corruption" -> 0.612,
   )
 }

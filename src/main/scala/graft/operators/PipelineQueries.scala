@@ -750,6 +750,14 @@ object PipelineQueries {
     "pipeline_chat_format" -> ((s, dir) =>
       graft.pipeline.SftFormat.renderChat(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // T5-style span-corruption mask selection: content+position hash
+    // gates open 2-token claims that merge into maximal runs
+    // (gaps-and-islands) — one span row per mask, exactly what the
+    // local collator needs to build <extra_id_k> inputs/targets.
+    "pipeline_span_corruption" -> ((s, dir) =>
+      graft.pipeline.SftFormat.spanCorruptionSpans(
+        docs(s, dir).filter(col("doc_id") < 300))),
+
     // Sequence packing: shard-partitioned token-budget pack assignment
     // (the LLM context-window packing step) — deterministic prefix-sum
     // bucketing, value-checked against the same window math in SQL.
@@ -2562,6 +2570,47 @@ object PipelineQueries {
         |FROM corpus JOIN r USING (source)
         |GROUP BY source, n_docs, rate_ppm
         |ORDER BY source""".stripMargin,
+
+    // span corruption: same signed md5 gate, same lag/islands machinery;
+    // tokens keep their case (wsTokens does not lowercase)
+    "pipeline_span_corruption" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS l
+        |  FROM documents WHERE doc_id < 300),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS pos, l[CAST(i AS INTEGER)] AS t
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        |        FROM tk)),
+        |g AS (
+        |  SELECT doc_id, pos, t,
+        |    (CAST(md5_number_lower(concat_ws('#', doc_id, pos, t)) >> 1
+        |      AS BIGINT) % 8 = 0) AS g
+        |  FROM tok),
+        |cov AS (
+        |  SELECT doc_id, pos, t
+        |  FROM (
+        |    SELECT *, g OR coalesce(lag(g) OVER (
+        |      PARTITION BY doc_id ORDER BY pos), false) AS covered
+        |    FROM g)
+        |  WHERE covered),
+        |isl AS (
+        |  SELECT doc_id, pos, t,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS island
+        |  FROM cov),
+        |spans AS (
+        |  SELECT doc_id, island,
+        |    CAST(min(pos) AS BIGINT) AS start_pos,
+        |    count(*) AS n_span_tokens,
+        |    string_agg(t, ' ' ORDER BY pos) AS span_text
+        |  FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY start_pos)
+        |    AS span_idx,
+        |  start_pos, n_span_tokens, span_text
+        |FROM spans
+        |ORDER BY doc_id, span_idx""".stripMargin,
 
     "pipeline_chat_format" ->
       """WITH base AS (

@@ -39,6 +39,54 @@ object SftFormat {
    * response inside the rendered string — the loss-mask span), and the
    * whitespace token counts of both sides.
    */
+  /**
+   * T5-style span-corruption mask SELECTION — the deterministic heart
+   * of the denoising objective: token (doc, pos, t) OPENS a mask span
+   * iff `md5_lower64(doc#pos#t) >>> 1 mod gateMod == 0` (content+
+   * position hash gate, the CDC trick applied to masking), a gate
+   * claims itself and the next token, and overlapping claims merge
+   * into maximal runs (gaps-and-islands over the covered positions).
+   * Expected corruption rate ≈ 2/gateMod.
+   *
+   * Emits one row per span — (doc_id, span_idx, start_pos,
+   * n_span_tokens, span_text) — which is exactly what a local collator
+   * needs to build `<extra_id_k>` inputs/targets; the string assembly
+   * stays out of the distributed path on purpose. Shape: one
+   * posexplode pass, one lag window, one island agg — all keyed on
+   * doc, no corpus-wide state.
+   */
+  def spanCorruptionSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", gateMod: Int = 8): DataFrame = {
+    require(gateMod >= 2, "gateMod must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(wsTokens(col(textCol))).as(Seq("pos", "t")))
+    val gated = tok.withColumn("g",
+      shiftrightunsigned(graft.functions.text.md5_lower64(
+        concat_ws("#", col("doc_id"), col("pos"), col("t"))), 1)
+        % gateMod === 0)
+    val wLag = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = gated
+      .withColumn("covered",
+        col("g") || coalesce(lag(col("g"), 1).over(wLag), lit(false)))
+      .filter(col("covered"))
+    val wRn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = cov
+      .withColumn("island", col("pos") - row_number().over(wRn))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_span_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t"))).as("span_text"))
+    val wSpan = Window.partitionBy(col("doc_id")).orderBy(col("start_pos"))
+    spans
+      .withColumn("span_idx", row_number().over(wSpan).cast("long"))
+      .select(col("doc_id"), col("span_idx"), col("start_pos"),
+        col("n_span_tokens"), col("span_text"))
+      .orderBy(col("doc_id"), col("span_idx"))
+  }
+
   def renderChat(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
