@@ -268,5 +268,6 @@ object BenchAnchors {
     "text_cooccur_pairs" -> 1.417,
     "rel_event_paths" -> 0.608,
     "pipeline_span_corruption" -> 0.612,
+    "rel_grouping_sets" -> 0.668,
   )
 }

@@ -639,6 +639,32 @@ object RelationalQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("ship_year").asc_nulls_first)
     }),
 
+    // Explicit GROUPING SETS (the third grouping form beside cube and
+    // rollup): a hand-picked lattice of aggregation levels in one pass
+    // (Spark's Expand — no re-scan per level), driven through spark.sql
+    // to pin the SQL surface itself. grouping_id() disambiguates a real
+    // NULL key from a rolled-up one.
+    "rel_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+        .createOrReplaceTempView("graft_gs_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, ship_year,
+               CAST(grouping(l_returnflag) * 4 + grouping(l_linestatus) * 2
+                 + grouping(ship_year) AS INT) AS gid,
+               count(*) AS n,
+               CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_cents
+        FROM (SELECT l_returnflag, l_linestatus, ship_year, l_quantity
+              FROM graft_gs_lineitem)
+        GROUP BY GROUPING SETS (
+          (l_returnflag, l_linestatus),
+          (l_returnflag, ship_year),
+          (ship_year),
+          ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST,
+          l_linestatus ASC NULLS FIRST, ship_year ASC NULLS FIRST""")
+    }),
+
     // TPC-H Q18-style: large orders via HAVING-filtered subquery join.
     "rel_q18_large_orders" -> ((s, dir) => {
       val big = t(s, dir, "lineitem")
@@ -1927,6 +1953,26 @@ object RelationalQueries {
         |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
         |FROM c JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "rel_grouping_sets" ->
+      """WITH base AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+        |    l_quantity
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, ship_year,
+        |  CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+        |    + GROUPING(ship_year) AS INTEGER) AS gid,
+        |  count(*) AS n,
+        |  CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_cents
+        |FROM base
+        |GROUP BY GROUPING SETS (
+        |  (l_returnflag, l_linestatus),
+        |  (l_returnflag, ship_year),
+        |  (ship_year),
+        |  ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST, ship_year ASC NULLS FIRST""".stripMargin,
 
     "rel_event_paths" ->
       """WITH r AS (
