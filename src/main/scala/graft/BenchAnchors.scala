@@ -269,5 +269,6 @@ object BenchAnchors {
     "rel_event_paths" -> 0.608,
     "pipeline_span_corruption" -> 0.612,
     "rel_grouping_sets" -> 0.668,
+    "embed_knn_classify" -> 0.654,
   )
 }

@@ -1148,6 +1148,19 @@ object PipelineQueries {
     // at predict time; the tiny label×dim table is the only driver
     // materialization. correct = does the embedding space round-trip the
     // label.
+    // k-NN majority-vote classification: the instance-based embedding-
+    // quality probe beside the parametric centroid classifier — cosine
+    // top-5 among the OTHER vectors, modal label with (votes DESC,
+    // label) tie-break. Queries broadcast onto the corpus scan (the
+    // KNN contract); production swaps in the IVF/sealed path.
+    "embed_knn_classify" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") >= 30 && col("vec_id") < 45)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("true_label"))
+      Embeddings.knnClassify(e, "vec_id", "embedding", "label", q, k = 5)
+    }),
+
     "embed_centroid_classify" -> ((s, dir) => {
       Embeddings.nearestCentroidClassify(s, emb(s, dir),
           "vec_id", "embedding", "label")
@@ -2128,6 +2141,36 @@ object PipelineQueries {
          |SELECT doc_id, quality_score, n_tokens, cum_tokens,
          |  (cum_tokens <= 8000) AS kept
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "embed_knn_classify" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+         |  FROM embeddings WHERE vec_id >= 30 AND vec_id < 45),
+         |scored AS (
+         |  SELECT q.query_id, q.true_label, e.vec_id, e.label,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")}
+         |           / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         |nn AS (
+         |  SELECT * FROM (
+         |    SELECT scored.*, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |    FROM scored) WHERE rnk <= 5),
+         |votes AS (
+         |  SELECT query_id, true_label, label AS vote, count(*) AS n_votes
+         |  FROM nn GROUP BY 1, 2, 3),
+         |win AS (
+         |  SELECT * FROM (
+         |    SELECT votes.*, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY n_votes DESC, vote) AS vr
+         |    FROM votes) WHERE vr = 1)
+         |SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+         |  CAST(vote AS BIGINT) AS pred_label, n_votes,
+         |  vote = true_label AS correct
+         |FROM win
+         |ORDER BY query_id""".stripMargin,
 
     "embed_hard_negatives" ->
       s"""WITH q AS (

@@ -190,6 +190,51 @@ object Embeddings {
   }
 
   /**
+   * k-NN majority-vote classification — the instance-based evaluator
+   * beside the parametric [[nearestCentroidClassify]]: each query takes
+   * the cosine top-`k` among the OTHER labeled vectors and predicts the
+   * modal label ((votes DESC, label ASC) tie-break, so the verdict is
+   * deterministic). The standard embedding-quality probe: k-NN accuracy
+   * is the first number reported for any new embedding model.
+   *
+   * Shape at scale: the query set broadcasts onto the corpus scan (the
+   * KNN contract shared with [[hardNegatives]] and the brute search
+   * path); voting is a query-keyed count over the k·queries candidate
+   * rows. Production swaps the brute scan for the IVF/sealed-index
+   * path — the voting algebra is unchanged.
+   */
+  def knnClassify(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queries: DataFrame, // (query_id, qv, true_label)
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wNn = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    val votes = df.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine",
+        graft.functions.vector.cosine_sim(col(vecCol), col("qv")))
+      .withColumn("rnk", row_number().over(wNn))
+      .filter(col("rnk") <= k)
+      .groupBy(col("query_id"), col("true_label"), col(labelCol).as("vote"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wV = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("vote"))
+    votes
+      .withColumn("vr", row_number().over(wV))
+      .filter(col("vr") === 1)
+      .select(col("query_id"),
+        col("true_label").cast("long").as("true_label"),
+        col("vote").cast("long").as("pred_label"),
+        col("n_votes"),
+        (col("vote") === col("true_label")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
+  /**
    * Nearest-centroid (Rocchio) classification: fit one centroid per
    * label from the labeled rows, then assign EVERY row to its nearest
    * centroid by squared L2 — the cheap embedding-space domain/topic
