@@ -270,5 +270,6 @@ object BenchAnchors {
     "pipeline_span_corruption" -> 0.612,
     "rel_grouping_sets" -> 0.668,
     "embed_knn_classify" -> 0.654,
+    "stream_late_drop" -> 4.881, // 4-batch staging + stream startup, like stream_cms_merge
   )
 }

@@ -822,6 +822,80 @@ object RelationalQueries {
       s.table(name).orderBy(col("hour_ts"), col("event_type"))
     }),
 
+    // WATERMARK LATE-DROP: the negative case the complete-mode gates
+    // can't show — append-mode hourly windows with a 1 h watermark,
+    // fed (1) the early half, (2) the fresh half PLUS planted >25 h-
+    // late copies, (3) a far-future sentinel that pushes the watermark
+    // past every real window so append mode flushes them. The planted
+    // lates fall into long-closed windows and MUST be dropped; the
+    // sentinel's own window stays above the final watermark and is
+    // never emitted — so the stream's output is exactly the hourly
+    // aggregation of the ORIGINAL events, which is the oracle.
+    "stream_late_drop" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val mm = ev.agg(min(col("ts")).as("tmin"), max(col("ts")).as("tmax")).head()
+      val (tmin, tmax) = (mm.getTimestamp(0), mm.getTimestamp(1))
+      val cutoff = new java.sql.Timestamp((tmin.getTime + tmax.getTime) / 2)
+      val lateCut = new java.sql.Timestamp(cutoff.getTime - 26L * 3600 * 1000)
+      val sentinelTs = new java.sql.Timestamp(tmax.getTime + 48L * 3600 * 1000)
+      val late = ev.filter(col("ts") <= lit(lateCut))
+        .select((col("event_id") + 10000000L).as("event_id"), col("ts"),
+          col("event_type"), col("value"))
+      require(late.limit(1).count() == 1L,
+        "late-drop gate needs plantable late rows — data shape changed")
+      // lates get their OWN batch after the fresh one: state eviction
+      // runs at the END of the batch whose watermark first covers a
+      // window, so a late row sharing that batch would still merge —
+      // the drop guarantee only binds one batch later (pinned
+      // empirically; the watermark contract is exactly this one-sided)
+      val batches = Seq(
+        ev.filter(col("ts") <= lit(cutoff)),
+        ev.filter(col("ts") > lit(cutoff)),
+        late,
+        ev.limit(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value")))
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_late_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val filesDir = new java.io.File(root, "in")
+      java.nio.file.Files.createDirectories(filesDir.toPath)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = new java.io.File(root, s"stage$i")
+        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        val dest = new java.io.File(filesDir, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        // the file source orders batches by MODIFICATION TIME — the
+        // watermark progression depends on batch order here (unlike the
+        // order-insensitive sketch merges), so pin strictly increasing
+        // mtimes instead of trusting sub-second write timing
+        require(dest.setLastModified(1700000000000L + i * 60000L),
+          s"could not pin mtime on $dest")
+      }
+      val agg = s.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_ts"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      val name = s"stream_late_${streamRunId.incrementAndGet()}"
+      Option(lastStreamView.getAndSet(name))
+        .foreach(prev => s.catalog.dropTempView(prev))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(name)
+      require(out.filter(col("event_type") === "sentinel").isEmpty,
+        "sentinel window must stay above the final watermark")
+      out.orderBy(col("hour_ts"), col("event_type"))
+    }),
+
     // Sliding event-time windows through the streaming engine (1 h
     // windows every 30 min — each event lands in exactly two overlapping
     // windows; the tumbling gate above can't see overlap semantics).
@@ -2282,6 +2356,18 @@ object RelationalQueries {
         |ORDER BY hour_ts, c_mktsegment""".stripMargin,
 
     "stream_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_ts, event_type""".stripMargin,
+
+    // late-drop: planted lates are dropped and the sentinel window is
+    // never emitted, so the append stream lands on EXACTLY the hourly
+    // aggregation of the original events
+    "stream_late_drop" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
         |  event_type,
         |  count(*) AS n_events,
