@@ -481,11 +481,12 @@ object PipelineQueries {
 
     // STREAMING CDC apply: the same changelog as pipeline_snapshot_merge
     // arrives as 3 version-ordered microbatches; each foreachBatch folds
-    // its batch into the previous state with the version-PRESERVING
-    // merge step and overwrites a batchId-keyed state dir (idempotent
-    // under replay, lineage = one window pass per batch). Monotone batch
-    // versions make the fold associative, so the final state — including
-    // winning versions — is EXACTLY the one-shot merge: shared oracle.
+    // its batch into the previous state with the version-PRESERVING,
+    // tombstone-RETAINING merge step and overwrites a batchId-keyed
+    // state dir (idempotent under replay, lineage = one window pass per
+    // batch). Retained tombstones make the fold order-insensitive per
+    // key, so the finished live view — including winning versions — is
+    // EXACTLY the one-shot merge under any batching: shared oracle.
     "stream_cdc_apply" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
@@ -509,8 +510,14 @@ object PipelineQueries {
         val stage = new java.io.File(root, s"stage$i")
         b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
         val part = stage.listFiles().find(_.getName.startsWith("part-")).get
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(filesDir, s"batch$i.parquet").toPath)
+        val dest = new java.io.File(filesDir, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        // the file source orders batches by MODIFICATION TIME, and
+        // Snapshot.fold is order-sensitive (a reordered delete/upsert
+        // pair would resurrect a deleted key) — pin strictly increasing
+        // mtimes instead of trusting sub-second write timing
+        require(dest.setLastModified(1700000000000L + i * 60000L),
+          s"could not pin mtime on $dest")
       }
       val stateInit = new java.io.File(root, "state_init").toString
       d.withColumn("version", lit(0L)).write.mode("overwrite").parquet(stateInit)
@@ -530,7 +537,9 @@ object PipelineQueries {
       q.awaitTermination()
       val last = new java.io.File(stateDir).listFiles()
         .map(_.getName).filter(_.startsWith("b")).map(_.drop(1).toInt).max
-      s.read.parquet(s"$stateDir/b$last")
+      // the carried state retains tombstones (order-robust fold);
+      // finish() projects the live view the one-shot oracle computes
+      Snapshot.finish(s.read.parquet(s"$stateDir/b$last"), "op")
         .select(col("doc_id"), col("version"),
           length(col("text")).cast("long").as("text_len"), col("source"))
         .orderBy(col("doc_id"))

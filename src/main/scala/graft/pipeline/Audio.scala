@@ -84,9 +84,12 @@ object Audio {
     while (bb.remaining() >= 8) {
       val id = tag()
       val len = bb.getInt()
+      // consume every chunk by its declared length (+ odd pad): a data
+      // chunk whose len is not a whole frame multiple must not leave
+      // remainder bytes to misalign the next chunk tag
+      val chunkEnd = math.min(bb.position() + len + (len & 1), bb.limit())
       id match {
         case "fmt " =>
-          val end = bb.position() + len
           val codec = bb.getShort()
           require(codec == 1, s"doc $docId: not PCM (fmt $codec)")
           channels = bb.getShort().toInt
@@ -95,7 +98,6 @@ object Audio {
           bb.getShort() // block align
           bits = bb.getShort().toInt
           require(bits == 16, s"doc $docId: only PCM-16 supported (got $bits)")
-          bb.position(end)
         case "data" =>
           require(rate > 0, s"doc $docId: data chunk before fmt")
           val frames = len / (2 * channels)
@@ -113,9 +115,9 @@ object Audio {
             f += 1L
           }
           nFrames += frames
-        case _ =>
-          bb.position(bb.position() + len + (len & 1)) // skip, pad odd
+        case _ => () // unknown chunk: skipped by the chunkEnd seek
       }
+      bb.position(chunkEnd)
     }
     require(rate > 0 && nFrames > 0, s"doc $docId: missing fmt/data chunk")
     WavStats(docId, rate, channels, bits, nFrames, sumAbs, maxAbs, sumSq)
@@ -179,12 +181,21 @@ object Audio {
     require(tag() == "WAVE", s"doc $docId: not a WAVE form")
     var rate = -1; var channels = -1
     var nOut = 0L; var sumAbs = 0L; var maxAbs = 0L; var sumSq = 0L
+    // global frame index across data chunks: multi-chunk audio is ONE
+    // logical stream, so the every-k-th-frame phase must carry over
+    // rather than restart at each chunk boundary
+    var f = 0L
     while (bb.remaining() >= 8) {
       val id = tag()
       val len = bb.getInt()
+      // consume every chunk by its declared length (+ RIFF odd-length
+      // pad), never by how many whole frames we happened to read — a
+      // data chunk whose len is not a frame multiple would otherwise
+      // leave remainder bytes in the buffer and misalign every
+      // subsequent chunk tag
+      val chunkEnd = math.min(bb.position() + len + (len & 1), bb.limit())
       id match {
         case "fmt " =>
-          val end = bb.position() + len
           val codec = bb.getShort()
           require(codec == 1, s"doc $docId: not PCM (fmt $codec)")
           channels = bb.getShort().toInt
@@ -192,12 +203,11 @@ object Audio {
           bb.getInt(); bb.getShort()
           val bits = bb.getShort().toInt
           require(bits == 16, s"doc $docId: only PCM-16 supported (got $bits)")
-          bb.position(end)
         case "data" =>
           require(rate > 0, s"doc $docId: data chunk before fmt")
           val frames = len / (2 * channels)
-          var f = 0L
-          while (f < frames) {
+          val endFrame = f + frames
+          while (f < endFrame) {
             var c = 0
             if (f % k == 0) {
               while (c < channels) {
@@ -214,9 +224,9 @@ object Audio {
             }
             f += 1L
           }
-        case _ =>
-          bb.position(bb.position() + len + (len & 1))
+        case _ => ()
       }
+      bb.position(chunkEnd)
     }
     require(rate > 0 && nOut > 0, s"doc $docId: missing fmt/data chunk")
     WavDecimStats(docId, k, rate / k, nOut, sumAbs, maxAbs, sumSq)

@@ -27,19 +27,6 @@ object SftFormat {
     filter(split(trim(c), "\\s+"), t => length(t) > 0)
 
   /**
-   * Derive an (instruction, response) pair from a raw document — split
-   * at the first token boundary (space) at or past the character
-   * midpoint, the deterministic prompt/response derivation for
-   * exercising the template on an unlabeled corpus — then render the
-   * chat template and compute the assistant span. Documents that can't
-   * split (no space past the midpoint, or an empty side) produce no row.
-   *
-   * Output per doc: `rendered_md5` (pins the exact rendered string),
-   * `n_rendered_chars`, `a_start`/`a_len` (1-based char span of the
-   * response inside the rendered string — the loss-mask span), and the
-   * whitespace token counts of both sides.
-   */
-  /**
    * T5-style span-corruption mask SELECTION — the deterministic heart
    * of the denoising objective: token (doc, pos, t) OPENS a mask span
    * iff `md5_lower64(doc#pos#t) >>> 1 mod gateMod == 0` (content+
@@ -87,6 +74,19 @@ object SftFormat {
       .orderBy(col("doc_id"), col("span_idx"))
   }
 
+  /**
+   * Derive an (instruction, response) pair from a raw document — split
+   * at the first token boundary (space) at or past the character
+   * midpoint, the deterministic prompt/response derivation for
+   * exercising the template on an unlabeled corpus — then render the
+   * chat template and compute the assistant span. Documents that can't
+   * split (no space past the midpoint, or an empty side) produce no row.
+   *
+   * Output per doc: `rendered_md5` (pins the exact rendered string),
+   * `n_rendered_chars`, `a_start`/`a_len` (1-based char span of the
+   * response inside the rendered string — the loss-mask span), and the
+   * whitespace token counts of both sides.
+   */
   def renderChat(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -335,7 +335,18 @@ object Sketches {
     * what makes this the quantile summary a 100 TB pipeline keeps per
     * shard/day and folds on read instead of ever sorting raw values. */
   def hdrCells(values: DataFrame, valueCol: String, subBits: Int): DataFrame =
-    values.select(hdrBucketLo(col(valueCol), subBits).as("blo"))
+    values.select(
+        // positivity is the binning's domain contract (bitlen/shift
+        // arithmetic is ill-defined at v <= 0: Spark's % follows the
+        // dividend sign and a negative value's 64-char bin() pushes
+        // element_at past the pow2 table) — fail loudly in-plan
+        // instead of silently mis-bucketing or dropping nulls
+        when(col(valueCol) > 0, hdrBucketLo(col(valueCol), subBits))
+          .otherwise(raise_error(concat(
+            lit(s"hdrCells: non-positive value in '$valueCol' ("),
+            col(valueCol).cast("string"),
+            lit(") — the HDR binning is defined for positive integers"))))
+          .as("blo"))
       .groupBy(col("blo")).agg(count(lit(1)).as("n"))
 
   /** Quantile finish over (possibly multi-slice) cells: per-mille ranks

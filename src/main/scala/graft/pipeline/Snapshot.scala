@@ -56,12 +56,22 @@ object Snapshot {
   /**
    * Version-PRESERVING merge step for incremental/streaming CDC apply:
    * like [[merge]], but the state's existing `verCol` is kept instead
-   * of being floored to `baseVersion`, so folding a version-ordered
-   * changelog batch-by-batch yields EXACTLY the one-shot merge —
-   * including the winning version column. (The max-version row per key
-   * survives any fold order; cross-batch ties can't occur when batch
-   * versions are monotone, so the fold is associative.) State rows are
-   * re-entered as upserts at their carried version.
+   * of being floored to `baseVersion`, AND delete tombstones are
+   * RETAINED in the carried state (as rows with `opCol = "D"`). With
+   * tombstones retained, the fold is order-insensitive per key — the
+   * max-version row survives no matter how the changelog is batched,
+   * so a stale upsert arriving after a higher-versioned delete loses
+   * the window instead of silently resurrecting the key (the defect a
+   * drop-tombstones fold has under any non-monotone batch order). No
+   * monotonicity precondition, no guard needed: per-key version
+   * uniqueness (the CDC log contract) is the only requirement, and
+   * fold-then-[[finish]] equals the one-shot [[merge]] under ANY
+   * partition of the changelog into batches.
+   *
+   * A state missing `opCol` (the first fold over a plain base
+   * snapshot) is treated as all-upserts. Read the live view with
+   * [[finish]]; reclaim old tombstones with [[compactState]] once all
+   * producers are past a version horizon.
    */
   def fold(
       state: DataFrame,
@@ -69,16 +79,32 @@ object Snapshot {
       keyCol: String,
       verCol: String,
       opCol: String): DataFrame = {
-    val stateAsLog = state.withColumn(opCol, lit("U"))
+    val stateAsLog =
+      if (state.columns.contains(opCol)) state
+      else state.withColumn(opCol, lit("U"))
     val unioned = stateAsLog
       .unionByName(changelog.select(stateAsLog.columns.map(col): _*))
+    // delete-first tie-break mirrors merge: at equal versions D wins
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(verCol).desc, col(opCol).asc)
     unioned
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col(opCol) === "U")
-      .drop("__rn", opCol)
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
+
+  /** Live view of a fold state: surviving upserts only, op dropped —
+    * the exact shape [[merge]] returns. */
+  def finish(state: DataFrame, opCol: String): DataFrame =
+    state.filter(col(opCol) === "U").drop(opCol)
+
+  /** Tombstone compaction: drop delete rows whose version is strictly
+    * below `horizon` — safe once every producer is known to be past
+    * the horizon (no batch can still carry a lower version), the
+    * standard lakehouse state-GC step. Upserts are never dropped. */
+  def compactState(state: DataFrame, verCol: String, opCol: String,
+      horizon: Long): DataFrame =
+    state.filter(col(opCol) === "U" || col(verCol) >= horizon)
 
   /**
    * Corpus snapshot diff: classify every key across two generations as

@@ -574,6 +574,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(Snapshot.merge(base.filter(col("k") === 1), tie, "k", "version", "op").count() === 0L)
   }
 
+  test("snapshot fold: retained tombstones make the fold order-robust (no delete resurrection)") {
+    val state = Seq((1L, "one", 0L), (2L, "two", 0L)).toDF("k", "v", "version")
+    // batch 1 deletes key 1 at version 2 — the tombstone is RETAINED in
+    // the carried state (not just dropped from the live view)
+    val b1 = Seq((1L, "", 2L, "D")).toDF("k", "v", "version", "op")
+    val s1 = Snapshot.fold(state, b1, "k", "version", "op")
+    assert(Snapshot.finish(s1, "op").orderBy("k")
+      .as[(Long, String, Long)].collect().toSeq === Seq((2L, "two", 0L)))
+    assert(s1.filter(col("k") === 1L && col("op") === "D").count() === 1L)
+    // an OUT-OF-ORDER batch carrying an upsert at a version BELOW the
+    // applied delete must NOT resurrect key 1: the v2 tombstone wins
+    val b2 = Seq((1L, "one-stale", 1L, "U")).toDF("k", "v", "version", "op")
+    val s2 = Snapshot.fold(s1, b2, "k", "version", "op")
+    assert(Snapshot.finish(s2, "op").filter(col("k") === 1L).count() === 0L)
+    // any batching order finishes to the one-shot merge (incl. versions)
+    val oneShot = Snapshot.merge(state, b1.unionByName(b2), "k", "version", "op")
+    val folded = Snapshot.finish(s2, "op")
+    assert(folded.exceptAll(oneShot).isEmpty && oneShot.exceptAll(folded).isEmpty)
+    // tombstone GC: below-horizon deletes reclaimed, upserts never
+    val compacted = Snapshot.compactState(s2, "version", "op", horizon = 3L)
+    assert(compacted.filter(col("op") === "D").count() === 0L)
+    assert(compacted.filter(col("op") === "U").count() ===
+      s2.filter(col("op") === "U").count())
+  }
+
   test("fuzzy join: in-block edits match, prefix edits escape, distance cap holds") {
     val canon = Seq("small ring", "red widget").toDF("name")
     val dirty = Seq(

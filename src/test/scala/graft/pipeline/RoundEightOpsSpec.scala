@@ -246,6 +246,38 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(got.sum_sq == 100L * 100 + 200L * 200 + 300L * 300 + 400L * 400)
   }
 
+  test("wav decode: two data chunks + odd-remainder len keep chunk alignment and a global frame index") {
+    // data chunk 1: 3 mono frames with ONE trailing remainder byte
+    // (len=7, not a frame multiple) + RIFF odd pad; then a junk chunk;
+    // then data chunk 2 with 3 more frames. A parser that consumes only
+    // whole frames would misread the junk tag; a per-chunk decimation
+    // phase would re-anchor frame 0 at chunk 2.
+    val samples = Seq[Short](10, -20, 30, 40, -50, 60)
+    val bb = java.nio.ByteBuffer.allocate(12 + (8 + 16) + (8 + 7 + 1) + (8 + 4) + (8 + 6))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(0).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(7)
+    samples.take(3).foreach(s => bb.putShort(s))
+    bb.put(0x7f.toByte) // remainder byte inside the declared len
+    bb.put(0x00.toByte) // RIFF pad for odd len
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0xdeadbeef)
+    bb.put("data".getBytes("US-ASCII")).putInt(6)
+    samples.drop(3).foreach(s => bb.putShort(s))
+    val bytes = bb.array()
+    val stats = Audio.decodeWavStats(1L, bytes)
+    assert(stats.n_frames == 6L)
+    assert(stats.sum_abs == samples.map(s => math.abs(s.toLong)).sum)
+    // k=2 keeps GLOBAL frames 0,2,4 -> samples 10, 30, -50 (frame 4 is
+    // the second chunk's first frame: the phase carries across chunks)
+    val dec = Audio.decodeWavDecimatedStats(1L, bytes, k = 2)
+    assert(dec.n_frames_out == 3L)
+    assert(dec.sum_abs == 10L + 30L + 50L)
+    assert(dec.max_abs == 50L)
+    assert(dec.sum_sq == 100L + 900L + 2500L)
+  }
+
   test("wav decode: non-RIFF and non-PCM payloads are rejected loudly") {
     intercept[IllegalArgumentException] {
       Audio.decodeWavStats(1L, "nonsense-bytes-here".getBytes("US-ASCII"))

@@ -220,4 +220,16 @@ class SketchesSpec extends AnyFunSuite {
       r.getAs[Long]("est_lo"), r.getAs[Long]("est_ub"))).toSeq ==
       Seq((500, 32L, 32L), (1000, 63L, 63L)))
   }
+
+  test("HDR cells: non-positive values fail loudly instead of mis-bucketing") {
+    for (bad <- Seq(0L, -7L)) {
+      val df = Seq(5L, bad, 9L).toDF("v")
+      val err = intercept[Exception] {
+        Sketches.hdrCells(df, "v", subBits = 5).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(err).exists(_.contains("non-positive")), s"value $bad")
+    }
+  }
 }
