@@ -1387,7 +1387,7 @@ object PipelineQueries {
     // that equality; the oracle recomputes all rows register-for-register).
     "text_hll_by_source" -> ((s, dir) =>
       Sketches.hllBySource(docs(s, dir)))
-  ) ++ roundEightQueries
+  ) ++ roundEightQueries ++ roundTenQueries
 
   // --- round-8 widening: classifier / shuffle / incremental IVF /
   //     time-decay / snapshot diff -------------------------------------
@@ -1560,6 +1560,92 @@ object PipelineQueries {
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
         .orderBy(col("status"))
+    })
+  )
+
+  // --- round-10 widening: readability / normalization / Zipf fit /
+  //     DPO pairs / perceptual hash / tokenizer fertility ----------------
+
+  private def roundTenQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Flesch reading ease + FK grade — exact integer word / sentence /
+    // vowel-group-syllable counts, two fixed-order float formulas at the
+    // end. Narrow per-row compute over one scan (the readability-
+    // bucketed-mixture / curriculum input signal).
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Deterministic normalization chain with its own contract pinned in
+    // the output: `changed` (did normalization touch the doc) and
+    // `idem_ok` (applying the chain twice is the identity — the property
+    // that makes normalized text safe to re-ingest). The oracle replays
+    // the chain AND the double application symbolically.
+    "text_normalize" -> ((s, dir) => {
+      val norm = TextAnalysis.normalizeText(col("text"))
+      val norm2 = TextAnalysis.normalizeText(norm)
+      docs(s, dir).select(
+          col("doc_id"),
+          md5(norm.cast("binary")).as("norm_md5"),
+          length(norm).cast("long").as("n_norm_chars"),
+          (norm =!= col("text")).as("changed"),
+          (norm2 === norm).as("idem_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Zipf rank-frequency OLS fit over the top-100 vocabulary — corpus-
+    // health dial (natural text ≈ −1). Token-count agg + distributed
+    // TakeOrdered top-k + a 5-sum reduce; the ln/OLS stage touches k
+    // rows regardless of corpus size.
+    "text_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfFit(docs(s, dir), "text", k = 100)),
+
+    // DPO preference-pair construction: per (source, lang) prompt group,
+    // chosen = highest quality score, rejected = lowest (ties → smaller
+    // doc_id on both sides), minimum margin 0.05. One keyed groupBy with
+    // struct-ordered max_by aggregates — no window sort, no self-join.
+    "pipeline_dpo_pairs" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("source"), col("lang"),
+        col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      graft.pipeline.Preference.dpoPairs(
+          scored, Seq("source", "lang"), "doc_id", "q", minMargin = 0.05)
+        .orderBy(col("source"), col("lang"))
+    }),
+
+    // Perceptual average-hash over REAL decoded pixels (the image-level
+    // near-dup key): 8×8 nearest-neighbor point-sample, integer
+    // luminance, bit = cell lum exceeds the 64-cell mean in exact
+    // integer form. The oracle replays every sampled pixel closed-form
+    // from the quadrant-fill construction.
+    "multimodal_ahash" -> ((s, dir) => {
+      val blobs = Multimodal.withEncodedImages(
+        s, docs(s, dir).select("doc_id"), "doc_id")
+      Multimodal.imageAHash(blobs).toDF().orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer fertility by source — the vocabulary-fit dashboard for a
+    // frozen BPE table: tokens per whitespace word and chars per token,
+    // aggregated from the per-doc frozen-merges encode. The oracle
+    // replays the full merge chain per doc, then aggregates identically.
+    "pipeline_tokenizer_fertility" -> ((s, dir) => {
+      val enc = Bpe.encodeDocs(s, docs(s, dir), "doc_id", "text",
+        Bpe.ReferenceMerges).select(col("doc_id"), col("n_tokens"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
+          length(col("text")).cast("long").as("n_chars"))
+        .join(enc, "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words_total"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(col("n_chars")).as("chars_total"))
+        .withColumn("fertility", round(
+          col("tokens_total").cast("double") / col("words_total"), 6))
+        .withColumn("chars_per_token", round(
+          col("chars_total").cast("double") / col("tokens_total"), 6))
+        .orderBy(col("source"))
     })
   )
 
@@ -1792,10 +1878,161 @@ object PipelineQueries {
       |      + (1.0 - least(draw * 5.0, 1.0)) * 0.2
       |      + least(swraw * 4.0, 1.0) * 0.2, 6)""".stripMargin
 
+  /** SQL mirror of `TextAnalysis.normalizeText` — the exact chain, in
+    * the exact order (control-strip, lower, per-char punct-run collapse,
+    * whitespace collapse, trim), applied to `inner`. Kept as a generator
+    * so the idempotency pin can apply it twice symbolically. */
+  private def normChainSql(inner: String): String = {
+    val lowered = s"lower(regexp_replace($inner, '[\\x00-\\x1f\\x7f]', ' ', 'g'))"
+    val punct = Seq(
+      ("\\.{2,}", "."), ("!{2,}", "!"), ("\\?{2,}", "?"),
+      (",{2,}", ","), (";{2,}", ";"), (":{2,}", ":"))
+      .foldLeft(lowered) { case (acc, (p, r)) =>
+        s"regexp_replace($acc, '$p', '$r', 'g')"
+      }
+    s"trim(regexp_replace($punct, '\\s+', ' ', 'g'))"
+  }
+
   /** `def`, not `val`: the BPE-trainer oracle is generated from the
     * merges the gate LAST LEARNED (see [[bpeLearnOracle]]), so the map
     * must be rebuilt when dumped after the queries run. */
   def oracles: Map[String, String] = Map(
+
+    "text_readability" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS tk,
+         |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS ns
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(ns AS BIGINT) AS n_sentences,
+         |    CAST(list_sum(list_transform(tk,
+         |      t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))) AS BIGINT) AS n_syllables
+         |  FROM base)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+         |        - 84.6 * (n_syllables * 1.0 / n_words), 4) AS flesch_ease,
+         |  round(0.39 * (n_words * 1.0 / n_sentences)
+         |        + 11.8 * (n_syllables * 1.0 / n_words) - 15.59, 4) AS fk_grade
+         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      s"""WITH n1 AS (
+         |  SELECT doc_id, text, ${normChainSql("text")} AS norm FROM documents),
+         |n2 AS (
+         |  SELECT doc_id, text, norm, ${normChainSql("norm")} AS norm2 FROM n1)
+         |SELECT doc_id, md5(norm) AS norm_md5,
+         |  CAST(len(norm) AS BIGINT) AS n_norm_chars,
+         |  norm <> text AS changed,
+         |  norm2 = norm AS idem_ok
+         |FROM n2 ORDER BY doc_id""".stripMargin,
+
+    "text_zipf_slope" ->
+      s"""WITH words AS (
+         |  SELECT unnest($toksSql) AS token FROM documents),
+         |counts AS (SELECT token, count(*) AS n FROM words GROUP BY 1),
+         |top AS (
+         |  SELECT token, n, rnk FROM (
+         |    SELECT token, n,
+         |      row_number() OVER (ORDER BY n DESC, token) AS rnk
+         |    FROM counts) x WHERE rnk <= 100),
+         |t AS (SELECT rnk, token, n,
+         |  ln(rnk * 1.0) AS lx, ln(n * 1.0) AS ly FROM top),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |    max(CASE WHEN rnk = 1 THEN token END) AS top_token,
+         |    CAST(max(CASE WHEN rnk = 1 THEN n END) AS BIGINT) AS top_count,
+         |    sum(lx) AS sx, sum(ly) AS sy,
+         |    sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+         |  FROM t)
+         |SELECT n_terms, top_token, top_count,
+         |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4) AS zipf_slope,
+         |  round((sy - round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4) * sx)
+         |        / n_terms, 4) AS zipf_intercept
+         |FROM agg""".stripMargin,
+
+    "pipeline_dpo_pairs" ->
+      s"""WITH base AS (
+         |  SELECT source, lang, doc_id, text, $qualityRawColsSql FROM documents),
+         |sc AS (SELECT source, lang, doc_id, $qualityFormulaSql AS q FROM base),
+         |ch AS (
+         |  SELECT source, lang, doc_id AS chosen_id, q AS qc,
+         |    row_number() OVER (PARTITION BY source, lang ORDER BY q DESC, doc_id) AS rn
+         |  FROM sc),
+         |rj AS (
+         |  SELECT source, lang, doc_id AS rejected_id, q AS qr,
+         |    row_number() OVER (PARTITION BY source, lang ORDER BY q ASC, doc_id) AS rn
+         |  FROM sc),
+         |n AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_candidates
+         |      FROM sc GROUP BY 1, 2)
+         |SELECT c.source, c.lang, chosen_id, rejected_id, n_candidates,
+         |  round(qc - qr, 6) AS margin
+         |FROM ch c
+         |JOIN rj r ON c.source = r.source AND c.lang = r.lang AND r.rn = 1
+         |JOIN n ON n.source = c.source AND n.lang = c.lang
+         |WHERE c.rn = 1 AND chosen_id <> rejected_id AND qc - qr >= 0.05
+         |ORDER BY c.source, c.lang""".stripMargin,
+
+    "multimodal_ahash" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 48 + 8 AS INTEGER) AS w,
+        |    CAST(doc_id % 32 + 8 AS INTEGER) AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w, h, k, k // 8 AS i, k % 8 AS j
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) g),
+        |qd AS (
+        |  SELECT doc_id, w, h, k,
+        |    (CASE WHEN (i * h) // 8 < h // 2 THEN 0 ELSE 2 END
+        |     + CASE WHEN (j * w) // 8 < w // 2 THEN 0 ELSE 1 END) AS q
+        |  FROM cells),
+        |v AS (
+        |  SELECT doc_id, w, h, k,
+        |    299 * ((doc_id * 3 + 31 * q + 7) % 256)
+        |    + 587 * ((doc_id * 5 + 31 * q + 7) % 256)
+        |    + 114 * ((doc_id * 7 + 31 * q + 7) % 256) AS lum
+        |  FROM qd),
+        |tot AS (
+        |  SELECT doc_id, w, h, k, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id) AS total
+        |  FROM v)
+        |SELECT doc_id, max(w) AS width, max(h) AS height,
+        |  CAST(sum(CASE WHEN lum * 64 <= total THEN 0
+        |                WHEN k = 63 THEN (CAST(-9223372036854775807 AS BIGINT) - 1)
+        |                ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS ahash,
+        |  CAST(sum(CASE WHEN lum * 64 > total THEN 1 ELSE 0 END) AS INTEGER) AS ahash_bits
+        |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipeline_tokenizer_fertility" ->
+      ("""WITH pre AS (
+        |  SELECT doc_id, i, l[i] AS tok FROM (
+        |    SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM (
+        |      SELECT doc_id, regexp_extract_all(text,
+        |        '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+') AS l
+        |      FROM documents WHERE text IS NOT NULL))),
+        |enc AS (
+        |  SELECT doc_id, i,
+        |    string_split(trim(""".stripMargin + bpeEncChain +
+        s""", chr(31)), chr(31) || chr(31)) AS toks
+        |  FROM pre WHERE NOT regexp_matches(tok, '^\\s+$$')),
+        |tokd AS (
+        |  SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+        |  FROM enc GROUP BY doc_id),
+        |stats AS (
+        |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_words,
+        |    CAST(len(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |j AS (SELECT s.source, s.n_words, s.n_chars, t.n_tokens
+        |      FROM stats s JOIN tokd t USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS words_total,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  round(sum(n_tokens) * 1.0 / sum(n_words), 6) AS fertility,
+        |  round(sum(n_chars) * 1.0 / sum(n_tokens), 6) AS chars_per_token
+        |FROM j GROUP BY source ORDER BY source""".stripMargin),
     "text_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, text,

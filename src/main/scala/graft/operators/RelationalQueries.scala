@@ -1791,6 +1791,140 @@ object RelationalQueries {
         .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
         .orderBy(col("s_name"))
+    }),
+
+    // Spark's NATIVE session_window operator (the built-in counterpart
+    // of the flatMapGroupsWithState sessionizer in stream_sessionize —
+    // different physical operator, same 30-minute-gap semantics on this
+    // data): watermarked append-mode session aggregation, flushed by a
+    // per-user far-future sentinel batch, then sessions numbered
+    // per-user by start time. Shares the gaps-and-islands oracle.
+    "stream_session_window" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir).filter(col("user_id") <= 50)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val sentinels = ev.select(col("user_id")).distinct()
+        .select(lit(-1L).as("event_id"),
+          to_timestamp(lit("2100-01-01 00:00:00")).as("ts"),
+          col("user_id"), lit(0.0).as("value"))
+      val batches = Seq(ev, sentinels)
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_sesw_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val filesDir = new java.io.File(root, "in")
+      java.nio.file.Files.createDirectories(filesDir.toPath)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = new java.io.File(root, s"stage$i")
+        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        val dest = new java.io.File(filesDir, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        // file-source batch order is mtime order; the sentinel batch
+        // must arrive LAST to flush the append-mode sessions
+        require(dest.setLastModified(1700000000000L + i * 60000L),
+          s"could not pin mtime on $dest")
+      }
+      val agg = s.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+        .withWatermark("ts", "1 second")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          sum(col("value")).as("raw_value"))
+      val name = s"stream_sesw_${streamRunId.incrementAndGet()}"
+      Option(lastStreamView.getAndSet(name))
+        .foreach(prev => s.catalog.dropTempView(prev))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+      s.table(name)
+        .filter(col("session_start") < "2099-01-01")
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"), round(col("raw_value"), 4).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Incremental materialized-view maintenance: the per-customer order
+    // aggregate (n / sum / min / max / avg in exact cents) maintained by
+    // FOLDING two yearly deltas into the base state — merge(state,
+    // aggState(delta)) touches |delta| + |keys| rows, never the base —
+    // and the oracle is the full recompute the incremental state must
+    // stay exactly equal to. This is the 100 TB shape: refreshing the
+    // view under a daily delta costs the delta scan + a thin keyed
+    // combine instead of a base rescan.
+    "rel_mv_incremental" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("price_c"))
+      val keys = Seq("o_custkey")
+      val base = o.filter(col("o_orderdate") < lit("1998-01-01"))
+      val deltas = Seq(
+        o.filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("2000-01-01")),
+        o.filter(col("o_orderdate") >= lit("2000-01-01")))
+      val state = deltas.foldLeft(
+        graft.pipeline.Mv.aggState(base, keys, "price_c")) { (st, d) =>
+        graft.pipeline.Mv.merge(st, graft.pipeline.Mv.aggState(d, keys, "price_c"), keys)
+      }
+      graft.pipeline.Mv.finish(state).orderBy(col("o_custkey"))
+    }),
+
+    // The same view maintained through the STREAMING engine: orders
+    // arrive as 3 mtime-pinned microbatches; each foreachBatch merges
+    // its batch's partial aggregate into the previous state and
+    // overwrites a batchId-keyed state dir (idempotent under replay —
+    // a blind append would double-count a replayed batch). The merge is
+    // associative AND commutative, so the final state equals the batch
+    // recompute no matter how the stream was cut: shared oracle.
+    "stream_mv_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("price_c"))
+      val keys = Seq("o_custkey")
+      val batches = Seq(
+        o.filter(col("o_orderdate") < lit("1998-01-01")),
+        o.filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("2000-01-01")),
+        o.filter(col("o_orderdate") >= lit("2000-01-01")))
+        .map(_.drop("o_orderdate"))
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_mv_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val filesDir = new java.io.File(root, "in")
+      java.nio.file.Files.createDirectories(filesDir.toPath)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = new java.io.File(root, s"stage$i")
+        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        val dest = new java.io.File(filesDir, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        require(dest.setLastModified(1700000000000L + i * 60000L),
+          s"could not pin mtime on $dest")
+      }
+      val stateDir = new java.io.File(root, "state").toString
+      val q = s.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val part = graft.pipeline.Mv.aggState(batch, keys, "price_c")
+          val next =
+            if (batchId == 0L) part
+            else graft.pipeline.Mv.merge(
+              s.read.parquet(s"$stateDir/b${batchId - 1}"), part, keys)
+          next.write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val last = new java.io.File(stateDir).listFiles()
+        .map(_.getName).filter(_.startsWith("b")).map(_.drop(1).toInt).max
+      graft.pipeline.Mv.finish(s.read.parquet(s"$stateDir/b$last"))
+        .orderBy(col("o_custkey"))
     })
   )
 
@@ -3018,8 +3152,30 @@ object RelationalQueries {
         |WHERE n_name = 'NATION_3'
         |  AND EXISTS (SELECT 1 FROM shares
         |              WHERE l_suppkey = s_suppkey AND pair_qty * 100 > part_qty * 3)
-        |ORDER BY s_name""".stripMargin
+        |ORDER BY s_name""".stripMargin,
+
+    "rel_mv_incremental" -> mvRecomputeSql,
+
+    "stream_mv_incremental" -> mvRecomputeSql,
+
+    "stream_session_window" -> sessionizeOracle
   )
+
+  /** The recompute both MV-maintenance gates must stay exactly equal to:
+    * the per-customer order aggregate over the WHOLE orders table, in
+    * exact cents (incremental drift would be a correctness bug, so the
+    * oracle is the one-shot GROUP BY). */
+  private def mvRecomputeSql: String =
+    """WITH st AS (
+      |  SELECT o_custkey,
+      |    CAST(count(*) AS BIGINT) AS mv_n,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mv_sum,
+      |    min(CAST(round(o_totalprice * 100) AS BIGINT)) AS mv_min,
+      |    max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mv_max
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, mv_n, mv_sum, mv_min, mv_max,
+      |  round(CAST(mv_sum AS DOUBLE) / mv_n, 4) AS mv_avg
+      |FROM st ORDER BY o_custkey""".stripMargin
 
   /** Unrolled 16-bit Morton interleave — the SQL mirror of
     * `graft.functions.ZOrder2` (`x`/`y` must be parenthesized

@@ -166,6 +166,62 @@ object Multimodal {
     }
   }
 
+  final case class ImageAHash(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      ahash: Long,
+      ahash_bits: Int)
+
+  /**
+   * Perceptual average-hash over REAL decoded pixels: nearest-neighbor
+   * point-sample an 8×8 grid (cell (i,j) reads pixel (i·h/8, j·w/8) —
+   * the same integer floor mapping as the pixel-resize gate, so every
+   * sampled value IS a source pixel), take integer luminance
+   * 299·R+587·G+114·B per cell, and set bit i·8+j iff the cell's
+   * luminance exceeds the 64-cell mean (`lum·64 > Σ lums` — the exact
+   * integer form of the comparison, no division). Near-identical images
+   * land within a few Hamming bits, which is what image-level near-dup
+   * bucketing keys on. All arithmetic is integer, so the hash replays
+   * closed-form. Per-row mapPartitions decode; only the 64-bit hash
+   * crosses any shuffle.
+   */
+  def imageAHash(blobs: Dataset[MediaBlob]): Dataset[ImageAHash] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { blob =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(blob.data))
+        require(img != null, s"undecodable media payload for doc ${blob.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val lums = new Array[Long](64)
+        var total = 0L
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            val p = img.getRGB(j * w / 8, i * h / 8)
+            val lum = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+              114L * (p & 0xff)
+            lums(i * 8 + j) = lum
+            total += lum
+            j += 1
+          }
+          i += 1
+        }
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (lums(k) * 64L > total) hash |= (1L << k)
+          k += 1
+        }
+        ImageAHash(blob.doc_id, w, h, hash, java.lang.Long.bitCount(hash))
+      }
+    }
+  }
+
   /**
    * Decode stage — mapPartitions with explicit batching (the Scala shape
    * of `mapInPandas`): pull `batchSize` blobs, decode each via the

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -642,5 +643,107 @@ object TextAnalysis {
       .select(col("word"), col("rank_fp"))
       .orderBy(col("rank_fp").desc, col("word"))
       .limit(k)
+  }
+
+  // --- Readability ---------------------------------------------------------
+
+  /** Per-text syllable count under the standard vowel-group heuristic:
+    * each whitespace token contributes max(1, #maximal `[aeiouy]+` runs)
+    * — tokens with no vowels (numbers, symbols) count one syllable, the
+    * convention that keeps grade formulas defined on any text. Exact
+    * integer fold over the token array, no shuffle. */
+  def syllableCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + greatest(lit(1L), regexp_count(t, lit("[aeiouy]+"))))
+
+  /** Sentence count: maximal `[.!?]+` runs, floored at 1 (a fragment
+    * with no terminal punctuation is one sentence). */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1L), regexp_count(text, lit("[.!?]+")))
+
+  /**
+   * Flesch reading ease + Flesch–Kincaid grade — the classic corpus
+   * quality/difficulty signals (readability-bucketed mixtures, easy-to-
+   * hard curricula). All counts are exact integers; only the two final
+   * formula evaluations are floating point, in a fixed operation order
+   * both engines reproduce bit-identically. Narrow per-row compute —
+   * pipelines into the scan at any scale.
+   *
+   * ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+   * grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+   */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val wps = col("n_words").cast("double") / col("n_sentences")
+    val spw = col("n_syllables").cast("double") / col("n_words")
+    df.select(col(idCol),
+        tokenCount(t).cast("long").as("n_words"),
+        sentenceCount(t).as("n_sentences"),
+        syllableCount(t).as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch_ease",
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4))
+      .withColumn("fk_grade",
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4))
+  }
+
+  // --- Normalization -------------------------------------------------------
+
+  /** Deterministic text normalization chain (the canonical form dedup
+    * fingerprints and training text share): strip control characters,
+    * lowercase, collapse each repeated terminal-punctuation run to one
+    * character (per-char rules — RE2 has no backreferences, so the SQL
+    * mirror stays expressible), collapse whitespace runs to one space,
+    * trim. IDEMPOTENT by construction — applying it twice is the
+    * identity on its own output (pinned by the gate's idem_ok column).
+    * Pure narrow string ops; no shuffle. */
+  def normalizeText(text: Column): Column = {
+    val noCtrl = regexp_replace(text, "[\\x00-\\x1f\\x7f]", " ")
+    val lowered = lower(noCtrl)
+    val punctDeduped = Seq("\\.", "!", "\\?", ",", ";", ":")
+      .foldLeft(lowered)((c, p) =>
+        regexp_replace(c, s"$p{2,}", p.replace("\\", "")))
+    trim(regexp_replace(punctDeduped, "\\s+", " "))
+  }
+
+  // --- Zipf fit ------------------------------------------------------------
+
+  /**
+   * Zipf rank–frequency fit over the corpus vocabulary: OLS slope of
+   * ln(count) on ln(rank) across the top-`k` tokens (natural text sits
+   * near −1; a corpus drifting away signals boilerplate or templating —
+   * a cheap corpus-health dial). One token-count aggregation, one
+   * bounded top-k, and a 5-sum reduce over k rows — the corpus-size-
+   * independent tail of the job. Returns one row: n_terms, top token/
+   * count, slope and intercept (rounded; the only float stage).
+   */
+  def zipfFit(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    // bounded TakeOrdered FIRST (distributed top-k, no global sort of
+    // the vocabulary), then the ranking window runs over just k rows
+    val w = Window.orderBy(col("n").desc, col("token"))
+    val top = counts
+      .orderBy(col("n").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("n").cast("double"))
+    top
+      .select(col("rank"), col("token"), col("n"),
+        x.as("lx"), y.as("ly"), (x * y).as("lxy"), (x * x).as("lxx"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        max(when(col("rank") === 1, col("token"))).as("top_token"),
+        max(when(col("rank") === 1, col("n"))).as("top_count"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lxy")).as("sxy"), sum(col("lxx")).as("sxx"))
+      .withColumn("zipf_slope", round(
+        (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")), 4))
+      .withColumn("zipf_intercept", round(
+        (col("sy") - col("zipf_slope") * col("sx")) / col("n_terms"), 4))
+      .select(col("n_terms"), col("top_token"), col("top_count"),
+        col("zipf_slope"), col("zipf_intercept"))
   }
 }

@@ -425,4 +425,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!joinLine.contains("text"), s"join keys must be thin:\n$joinLine")
   }
 
+  test("incremental MV: delta partial-aggregates map-side; the merge never rescans wide rows") {
+    // the maintenance plan must be aggregates all the way down — a join
+    // anywhere means state was matched row-by-row instead of merged by
+    // the partial-agg algebra; partial_sum proves map-side combine
+    val p = plan("rel_mv_incremental")
+    assert(!p.contains("Join"), s"MV maintenance must be join-free:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"expected partial aggregation:\n$p")
+  }
+
+  test("dpo pairs: one keyed aggregate, no window sort, no self-join") {
+    // struct-ordered max_by reads each group once; the naive argmax
+    // implementation (window row_number or a join back onto the group)
+    // reads it twice and adds a per-group sort
+    val p = plan("pipeline_dpo_pairs")
+    assert(!p.contains("Join"), s"dpo pairs must not self-join:\n$p")
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Window") ||
+      l.trim.startsWith("+- Window")), s"dpo pairs must not use a window:\n$p")
+  }
+
+  test("zipf fit: the vocabulary top-k is a TakeOrdered, never a global sort") {
+    val p = plan("text_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected distributed TakeOrdered for the top-k:\n$p")
+  }
+
 }
