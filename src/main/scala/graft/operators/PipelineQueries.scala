@@ -1623,6 +1623,46 @@ object PipelineQueries {
       Multimodal.imageAHash(blobs).toDF().orderBy(col("doc_id"))
     }),
 
+    // Shingle-containment pairs over a corpus with PLANTED sub-documents
+    // (every 10th doc's 60%-prefix at +200000): the quote/boilerplate
+    // detector Jaccard misses. df-pruned shingle space (df <= 10) bounds
+    // the equi-join fan-out at any scale; planted prefixes score 1.0 by
+    // construction (pruning is symmetric). Exact-integer threshold; the
+    // oracle replays shingling, pruning, and the ratio on raw strings.
+    "dedup_containment" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val nToks = size(TextAnalysis.tokens(col("text")))
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          // ceil(0.6·n) as exact integer floor-div: (3n+4) div 5 —
+          // fractional parts of (3n+4)/5 are k/5, never within double
+          // eps of an integer, so floor over the double quotient is the
+          // exact integer division
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")),
+            lit(1), floor((nToks * 3 + 4) / 5).cast("int"))).as("text"))
+      Dedup.containmentPairs(d.unionByName(planted), "doc_id", "text",
+          shingleK = 3, maxDf = 10L, minContainmentPct = 90)
+        .orderBy(col("contained_id"), col("container_id"))
+    }),
+
+    // Perceptual-hash near-dup pairs over REAL decoded images: corpus =
+    // quadrant images (doc_id < 1000) plus +1-perturbed re-encodes at
+    // +300000. The 4×16-bit banded join is EXACT at Hamming <= 3
+    // (pigeonhole), so the oracle's closed-form all-pairs scan must
+    // match value-for-value.
+    "dedup_ahash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).filter(col("doc_id") < 1000)
+        .select(col("doc_id")).as[Long]
+      val base = ids.map(Multimodal.encodeQuadrantImage(_))
+      val planted = ids.filter(_ % 10 == 0).map(id =>
+        Multimodal.encodeQuadrantImage(id, delta = 1)
+          .copy(doc_id = id + 300000))
+      val hashes = Multimodal.imageAHash(base.unionByName(planted)).toDF()
+      Dedup.ahashNearDuplicates(hashes, "doc_id", "ahash", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Tokenizer fertility by source — the vocabulary-fit dashboard for a
     // frozen BPE table: tokens per whitespace word and chars per token,
     // aggregated from the per-doc frozen-merges encode. The oracle
@@ -2004,6 +2044,82 @@ object PipelineQueries {
         |                ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS ahash,
         |  CAST(sum(CASE WHEN lum * 64 > total THEN 1 ELSE 0 END) AS INTEGER) AS ahash_bits
         |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_to_string(tk[1:(3 * len(tk) + 4) // 5], ' ') AS text
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |    FROM documents WHERE doc_id % 10 = 0) p),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS s
+        |  FROM toks),
+        |dfq AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 10),
+        |pr AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n_shingles FROM pr GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id, count(*) AS c
+        |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT contained_id, container_id, CAST(c AS BIGINT) AS n_shared,
+        |  CAST(sz.n_shingles AS BIGINT) AS n_shingles,
+        |  round(c * 1.0 / sz.n_shingles, 6) AS containment
+        |FROM inter JOIN sz ON sz.doc_id = inter.contained_id
+        |WHERE c * 100 >= sz.n_shingles * 90
+        |ORDER BY contained_id, container_id""".stripMargin,
+
+    "dedup_ahash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, doc_id AS base_id, 0 AS delta
+        |  FROM documents WHERE doc_id < 1000
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, doc_id AS base_id, 1 AS delta
+        |  FROM documents WHERE doc_id < 1000 AND doc_id % 10 = 0),
+        |m AS (
+        |  SELECT doc_id, base_id, delta,
+        |    CAST(base_id % 48 + 8 AS INTEGER) AS w,
+        |    CAST(base_id % 32 + 8 AS INTEGER) AS h
+        |  FROM corpus),
+        |cells AS (
+        |  SELECT doc_id, base_id, delta, w, h, k, k // 8 AS i, k % 8 AS j
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) g),
+        |qd AS (
+        |  SELECT doc_id, base_id, delta, k,
+        |    (CASE WHEN (i * h) // 8 < h // 2 THEN 0 ELSE 2 END
+        |     + CASE WHEN (j * w) // 8 < w // 2 THEN 0 ELSE 1 END) AS q
+        |  FROM cells),
+        |v AS (
+        |  SELECT doc_id, k,
+        |    299 * ((base_id * 3 + 31 * q + 7 + delta) % 256)
+        |    + 587 * ((base_id * 5 + 31 * q + 7 + delta) % 256)
+        |    + 114 * ((base_id * 7 + 31 * q + 7 + delta) % 256) AS lum
+        |  FROM qd),
+        |tot AS (
+        |  SELECT doc_id, k, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id) AS total
+        |  FROM v),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN lum * 64 <= total THEN 0
+        |                  WHEN k = 63 THEN (CAST(-9223372036854775807 AS BIGINT) - 1)
+        |                  ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS ahash
+        |  FROM tot GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "pipeline_tokenizer_fertility" ->
       ("""WITH pre AS (

@@ -1793,6 +1793,57 @@ object RelationalQueries {
         .orderBy(col("s_name"))
     }),
 
+    // k-bounded closeness centrality of a 5-customer seed set: per-seed
+    // exact BFS distances within 2 hops (state keyed on (seed, node) —
+    // the sampled-centrality shape: seeds are sampled at scale, never
+    // all-pairs), folded to (reached, Σdist, closeness). Exact integers
+    // until one final division; unrolled-round oracle.
+    "graph_closeness" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.pipeline.GraphAlgos.kBoundedCloseness(
+          graft.pipeline.GraphAlgos.symmetrize(edges),
+          sources = Seq(2L, 4L, 6L, 8L, 10L), rounds = 2)
+        .orderBy(col("seed"))
+    }),
+
+    // SCD type-2 dimension versioning: the per-customer order-price
+    // history as interval versions — each change valid from its own
+    // date until the next change (null = current). ONE window pass on
+    // the dimension key: lead closes the interval, row_number numbers
+    // the version; no self-join.
+    "rel_scd2_dimension" -> ((s, dir) => {
+      val ch = t(s, dir, "orders").filter(col("o_custkey") <= 300)
+        .select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("change_date"),
+          col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+      graft.pipeline.Snapshot.scd2(ch, "o_custkey", "change_date", "o_orderkey")
+        .select(col("o_custkey"), col("version_seq"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("price_c"), col("is_current"))
+        .orderBy(col("o_custkey"), col("version_seq"))
+    }),
+
+    // ntile / cume_dist / percent_rank — the ranking-window quartet the
+    // mixture-balancing and skew reports lean on, pinned on the
+    // customer-balance distribution per market segment. Exact-integer
+    // sort keys; the two ratios are single divisions of exact counts.
+    "rel_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("bal_c").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          cents(col("c_acctbal")).as("bal_c"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .orderBy(col("c_mktsegment"), col("bal_c").desc, col("c_custkey"))
+    }),
+
     // Spark's NATIVE session_window operator (the built-in counterpart
     // of the flatMapGroupsWithState sessionizer in stream_sessionize —
     // different physical operator, same 30-minute-gap semantics on this
@@ -3158,8 +3209,64 @@ object RelationalQueries {
 
     "stream_mv_incremental" -> mvRecomputeSql,
 
-    "stream_session_window" -> sessionizeOracle
+    "stream_session_window" -> sessionizeOracle,
+
+    "graph_closeness" ->
+      s"""WITH edges0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM edges0
+         |  UNION SELECT dst AS src, src AS dst FROM edges0),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |d0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist
+         |       FROM nodes WHERE node IN (2, 4, 6, 8, 10)),
+         |${pbfsRound("d0", "d1")},
+         |${pbfsRound("d1", "d2")}
+         |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+         |  CASE WHEN sum(dist) > 0
+         |       THEN round((count(*) - 1) * 1.0 / sum(dist), 6)
+         |       ELSE 0.0 END AS closeness
+         |FROM d2 GROUP BY seed ORDER BY seed""".stripMargin,
+
+    "rel_scd2_dimension" ->
+      """SELECT o_custkey, version_seq, valid_from, valid_to, price_c, is_current
+        |FROM (
+        |  SELECT o_custkey,
+        |    CAST(row_number() OVER w AS BIGINT) AS version_seq,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS valid_from,
+        |    strftime(lead(CAST(o_orderdate AS DATE)) OVER w, '%Y-%m-%d') AS valid_to,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |  FROM orders WHERE o_custkey <= 300
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY CAST(o_orderdate AS DATE), o_orderkey)) x
+        |ORDER BY o_custkey, version_seq""".stripMargin,
+
+    "rel_window_ntile" ->
+      """SELECT c_custkey, c_mktsegment, bal_c,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM (SELECT c_custkey, c_mktsegment,
+        |        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |      FROM customer) c
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_c DESC, c_custkey)
+        |ORDER BY c_mktsegment, bal_c DESC, c_custkey""".stripMargin
   )
+
+  /** One per-seed BFS min-relaxation round (the (seed, node)-keyed
+    * mirror of [[bfsRound]]). */
+  private def pbfsRound(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT seed, node, min(dist) AS dist FROM (
+       |    SELECT seed, node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT d.seed, e.dst AS node, d.dist + 1 AS dist
+       |    FROM edges e JOIN $prev d ON e.src = d.node) x
+       |  GROUP BY seed, node)""".stripMargin
 
   /** The recompute both MV-maintenance gates must stay exactly equal to:
     * the per-customer order aggregate over the WHOLE orders table, in

@@ -464,6 +464,86 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /**
+   * Asymmetric shingle CONTAINMENT pairs — the quote/boilerplate/
+   * sub-document detector Jaccard misses (a short doc fully embedded in
+   * a long one has high containment but low Jaccard):
+   * `C(A→B) = |S'_A ∩ S'_B| / |S'_A|` over the document-frequency-
+   * pruned shingle space `S'` (shingles with df ≤ `maxDf`).
+   *
+   * The df-pruning IS the scale mechanism, not an approximation knob:
+   * per-shingle join fan-out is ≤ maxDf², so the candidate volume is
+   * linear in corpus shingles — a boilerplate shingle shared by a
+   * million docs never materializes its million² pairs (and carries no
+   * containment signal anyway). Pruning is symmetric (dropped from both
+   * numerator and denominator), so a true sub-document still scores
+   * 1.0. The threshold test is exact-integer
+   * (`n_shared·denom ≥ num·n_shingles`); `containment` is emitted
+   * rounded for reading. Emits ORDERED pairs (contained → container).
+   */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      maxDf: Long = 10L,
+      minContainmentPct: Int = 90): DataFrame = {
+    val sh = df.select(col(idCol).as("__cid"),
+      explode(shingleHashes(col(textCol), shingleK)).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val pruned = sh.join(dfreq.filter(col("df") <= maxDf).select("h"), "h")
+    val sizes = pruned.groupBy(col("__cid")).agg(count(lit(1)).as("n_shingles"))
+    val a = pruned.select(col("__cid").as("contained_id"), col("h"))
+    val b = pruned.select(col("__cid").as("container_id"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("contained_id") =!= col("container_id"))
+      .groupBy(col("contained_id"), col("container_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("__cid", "contained_id"), "contained_id")
+      .filter(col("n_shared") * 100 >= col("n_shingles") * minContainmentPct)
+      .withColumn("containment", round(
+        col("n_shared").cast("double") / col("n_shingles"), 6))
+      .select(col("contained_id"), col("container_id"),
+        col("n_shared"), col("n_shingles"), col("containment"))
+  }
+
+  /**
+   * Image near-duplicate pairs over 64-bit perceptual hashes
+   * ([[Multimodal.imageAHash]]) at Hamming ≤ `maxHamming`: band the
+   * hash into four 16-bit segments and equi-join on (band, value) —
+   * with ≤ 3 differing bits, the pigeonhole principle guarantees at
+   * least one intact band, so the banded join is EXACT (recall 1.0,
+   * value-identical to the all-pairs scan the oracle runs). Candidate
+   * pairs are distinct'd on bare ids before the verify, mirroring the
+   * MinHash-LSH shape.
+   */
+  def ahashNearDuplicates(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole exactness holds only for maxHamming <= 3")
+    val bands = hashes.select(col(idCol).as("__id"), col(hashCol).as("__h"),
+        explode(array((0 until 4).map(bnd =>
+          struct(lit(bnd).as("band"),
+            shiftrightunsigned(col(hashCol), bnd * 16)
+              .bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("bd"))
+      .select(col("__id"), col("__h"), col("bd.band").as("band"),
+        col("bd.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__h").as("ha"), col("b.__h").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash packed into a LONG — a native expression

@@ -735,6 +735,70 @@ object GraphAlgos {
       .groupBy(col("node")).agg(min(col("dist")).as("dist"))
   }
 
+  /**
+   * Per-source exact hop distances — [[multiSourceDistances]] with the
+   * seed IDENTITY kept (state keyed on (seed, node), min-relaxation per
+   * key), the primitive under sampled centrality measures. State is
+   * |sources| × reached-nodes rows; the per-round shape is the same
+   * single equi-join + keyed min as plain BFS.
+   */
+  def perSourceDistances(
+      edges: DataFrame,
+      sources: Seq[Long],
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one BFS round")
+    require(sources.nonEmpty, "perSourceDistances needs a non-empty seed set")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    e.persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "perSourceDistances on an empty edge set")
+    val bcast = n * sources.size <= BroadcastRankMaxNodes
+
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df
+    var dist = sources.toDF("seed")
+      .join(nodes, col("seed") === col("node"), "left_semi")
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(
+          maybeBcast(dist.select(col("seed"), col("node").as("src"), col("dist"))),
+          Seq("src"))
+        .select(col("seed"), col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      SparkShims.unpersistCheckpoint(dist)
+      dist = next
+    }
+    e.unpersist()
+    dist
+  }
+
+  /**
+   * k-bounded closeness centrality of the seed set: per seed,
+   * `(reached − 1) / Σ dist` over the nodes within `rounds` hops — the
+   * sampled-centrality estimate (HyperBall-family shape: exact per-seed
+   * BFS within a bounded horizon, aggregated to two scalars per seed;
+   * at 100 TB you sample seeds, never all-pairs). Exact integers until
+   * the one final division.
+   */
+  def kBoundedCloseness(
+      edges: DataFrame,
+      sources: Seq[Long],
+      rounds: Int): DataFrame =
+    perSourceDistances(edges, sources, rounds)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
+      .withColumn("closeness",
+        when(col("sum_dist") > 0, round(
+          (col("n_reached") - 1).cast("double") / col("sum_dist"), 6))
+          .otherwise(lit(0.0)))
+
   /** HITS auth half-round, lazy (pinnable in GraphAlgosSpec). */
   private[pipeline] def hitsAuthStep(
       e: DataFrame, scores: DataFrame, broadcastScores: Boolean): DataFrame = {

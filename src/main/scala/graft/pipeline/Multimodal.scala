@@ -89,7 +89,7 @@ object Multimodal {
     * pixel sums have an exact integer closed form:
     * `Σ_q area(q)·v(q,ch)` with `area` from the floor-half quadrant
     * split — which is precisely what the gate oracle recomputes. */
-  def encodeQuadrantImage(docId: Long): MediaBlob = {
+  def encodeQuadrantImage(docId: Long, delta: Int = 0): MediaBlob = {
     val w = (docId % 48 + 8).toInt
     val h = (docId % 32 + 8).toInt
     val fmt = if (docId % 2 == 0) "png" else "bmp"
@@ -102,9 +102,9 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val q = (if (y < ht) 0 else 2) + (if (x < wl) 0 else 1)
-        val r = ((docId * 3 + 31 * q + 7) % 256).toInt
-        val g = ((docId * 5 + 31 * q + 7) % 256).toInt
-        val b = ((docId * 7 + 31 * q + 7) % 256).toInt
+        val r = ((docId * 3 + 31 * q + 7 + delta) % 256).toInt
+        val g = ((docId * 5 + 31 * q + 7 + delta) % 256).toInt
+        val b = ((docId * 7 + 31 * q + 7 + delta) % 256).toInt
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -121,7 +121,7 @@ object Multimodal {
     * [[withSyntheticMedia]] for the real-decode path. */
   def withEncodedImages(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long].map(encodeQuadrantImage)
+    df.select(col(idCol).cast("long")).as[Long].map(encodeQuadrantImage(_))
   }
 
   /** REAL decode of image payloads to exact integer channel statistics:

@@ -107,6 +107,32 @@ object Snapshot {
     state.filter(col(opCol) === "U" || col(verCol) >= horizon)
 
   /**
+   * SCD type-2 interval versioning: turn a change event stream into the
+   * slowly-changing-dimension table — per key, each change opens a
+   * version valid from its own timestamp until the NEXT change's
+   * timestamp (`valid_to` null = current version). The warehouse shape
+   * for "what did this dimension row look like at time T" joins.
+   *
+   * ONE window pass keyed on the dimension key (single shuffle): the
+   * interval close is a `lead`, the version ordinal a `row_number`,
+   * both over the same (ts, tie) sort — no self-join, no second pass.
+   * `tieCol` makes same-timestamp changes deterministic (last writer by
+   * tie order wins the shorter interval).
+   */
+  def scd2(
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("version_seq", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /**
    * Corpus snapshot diff: classify every key across two generations as
    * `added` / `removed` / `changed` / `unchanged` by comparing content
    * fingerprints — the audit step between corpus refreshes (how much

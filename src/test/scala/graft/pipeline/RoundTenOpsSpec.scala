@@ -162,6 +162,102 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(got._5 === intercept)
   }
 
+  // --- SCD2 ----------------------------------------------------------------
+
+  test("scd2: intervals chain per key, ties order by the tie column, last version open") {
+    val ch = Seq(
+      (1L, "2024-01-01", 10L, "a"), (1L, "2024-03-01", 11L, "b"),
+      (1L, "2024-03-01", 12L, "c"),  // same-day change: orderkey breaks the tie
+      (2L, "2024-02-01", 20L, "x"))
+      .toDF("k", "d", "tie", "attr")
+      .withColumn("d", to_date(col("d")))
+    val got = Snapshot.scd2(ch, "k", "d", "tie")
+      .select(col("k"), col("version_seq"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("vf"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("vt"),
+        col("attr"), col("is_current"))
+      .orderBy("k", "version_seq")
+      .as[(Long, Long, String, String, String, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, "2024-01-01", "2024-03-01", "a", false),
+      // the tie pair: key 11 gets the zero-length interval, key 12 stays open
+      (1L, 2L, "2024-03-01", "2024-03-01", "b", false),
+      (1L, 3L, "2024-03-01", null, "c", true),
+      (2L, 1L, "2024-02-01", null, "x", true)))
+  }
+
+  // --- Closeness -----------------------------------------------------------
+
+  test("closeness: hand-built path graph, per-seed distances stay separate") {
+    // path 1-2-3-4; seeds 1 and 3, 2 rounds
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphAlgos.kBoundedCloseness(
+        GraphAlgos.symmetrize(e), sources = Seq(1L, 3L), rounds = 2)
+      .orderBy("seed")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // seed 1 reaches {1:0, 2:1, 3:2} -> (3-1)/3
+    // seed 3 reaches {3:0, 2:1, 4:1, 1:2} -> (4-1)/4
+    assert(got === Seq(
+      (1L, 3L, 3L, BigDecimal(2.0 / 3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (3L, 4L, 4L, 0.75)))
+  }
+
+  test("closeness: a seed absent from the graph produces no row") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val got = GraphAlgos.kBoundedCloseness(
+      GraphAlgos.symmetrize(e), sources = Seq(1L, 99L), rounds = 1)
+    assert(got.count() === 1L)
+  }
+
+  // --- Containment ---------------------------------------------------------
+
+  test("containment: a planted prefix sub-doc scores 1.0; df-pruning is symmetric") {
+    // doc 1 = 8 tokens, doc 11 = its first 5 tokens (prefix sub-doc);
+    // doc 2 unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleK = 3, maxDf = 10L, minContainmentPct = 90)
+      .orderBy("contained_id", "container_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // doc 11 has 3 trigrams, all present among doc 1's 6 -> containment 1.0
+    // (the reverse direction is 3/6 = 0.5 -> filtered)
+    assert(got === Seq((11L, 1L, 3L, 3L, 1.0)))
+  }
+
+  test("containment: shingles above maxDf vanish from both sides of the ratio") {
+    // the shared trigram appears in ALL 4 docs -> df 4 > maxDf 3 ->
+    // pruned everywhere -> doc A keeps no shingles -> no pair at all
+    val base = "common shared phrase"
+    val docs = Seq(
+      (1L, base), (2L, s"$base unique1 u2"), (3L, s"$base v1 v2"), (4L, s"$base w1 w2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleK = 3, maxDf = 3L, minContainmentPct = 50)
+    assert(got.filter(col("contained_id") === 1L).isEmpty)
+  }
+
+  // --- aHash near-dup ------------------------------------------------------
+
+  test("ahash banding: the 4x16 band join finds every pair within Hamming 3 (pigeonhole)") {
+    // hand-built hashes: pairs at Hamming 0, 1, 3 must surface; 4 must not
+    val rows = Seq(
+      (1L, 0x0123456789abcdefL),
+      (2L, 0x0123456789abcdefL),                  // H0 vs 1
+      (3L, 0x0123456789abcdeeL),                  // H1 vs 1 (bit 0)
+      (4L, 0x0123456789abcde8L),                  // H3 vs 1 (bits 0,1,2)
+      (5L, 0x0123456789abcde0L))                  // H4 vs 1 -> excluded
+      .toDF("doc_id", "ahash")
+    val got = Dedup.ahashNearDuplicates(rows, "doc_id", "ahash", maxHamming = 3)
+      .filter(col("id_a") === 1L).orderBy("id_b")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 3)))
+  }
+
   // --- Perceptual hash -----------------------------------------------------
 
   test("ahash: solid image hashes to zero; half-split image sets exactly the bright half") {
