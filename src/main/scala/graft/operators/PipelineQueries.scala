@@ -1663,6 +1663,29 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Deterministic weighted source interleaving (stride scheduling):
+    // the smooth mixture ORDER a training loader consumes — weight-w
+    // sources appear w× as often, evenly spread, under exact integer
+    // stride arithmetic with a total tie order. First 500 positions via
+    // TakeOrdered (never a full corpus sort).
+    "pipeline_interleave_order" -> ((s, dir) => {
+      val weight = lit(1) + substring(col("source"), 4, 10).cast("int") % 4
+      Sampling.interleaveOrder(docs(s, dir), "doc_id", "source", weight, take = 500)
+        .orderBy(col("position"))
+    }),
+
+    // Scene-cut detection over REAL decoded GIF frames: cuts are frames
+    // whose per-pixel weighted-luminance jump vs the previous frame is
+    // >= 20/255 — with the synthetic +11-per-frame palette, exactly the
+    // frames where a channel WRAPS mod 256. Lag window over fixed-width
+    // stats rows; the oracle replays frames and deltas closed-form.
+    "multimodal_scene_cuts" -> ((s, dir) => {
+      val frames = Multimodal.decodeFrameStats(
+        Multimodal.withEncodedGifs(s, docs(s, dir), "doc_id")).toDF()
+      Multimodal.sceneCuts(frames, minMeanDelta = 20L)
+        .orderBy(col("doc_id"), col("cut_frame"))
+    }),
+
     // Tokenizer fertility by source — the vocabulary-fit dashboard for a
     // frozen BPE table: tokens per whitespace word and chars per token,
     // aggregated from the per-doc frozen-merges encode. The oracle
@@ -2044,6 +2067,46 @@ object PipelineQueries {
         |                ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS ahash,
         |  CAST(sum(CASE WHEN lum * 64 > total THEN 1 ELSE 0 END) AS INTEGER) AS ahash_bits
         |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipeline_interleave_order" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    1 + (CAST(substr(source, 4) AS INTEGER) % 4) AS w,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+        |  FROM documents),
+        |v AS (
+        |  SELECT source, doc_id, w,
+        |    ((2 * r - 1) * 1000000) // w AS vtime
+        |  FROM ranked),
+        |top AS (SELECT * FROM v ORDER BY vtime, source, doc_id LIMIT 500)
+        |SELECT CAST(row_number() OVER (ORDER BY vtime, source, doc_id) AS BIGINT)
+        |    AS position,
+        |  source, doc_id, CAST(w AS BIGINT) AS weight, CAST(vtime AS BIGINT) AS vtime
+        |FROM top ORDER BY position""".stripMargin,
+
+    "multimodal_scene_cuts" ->
+      """WITH f AS (
+        |  SELECT doc_id, fi,
+        |    CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 16 + 8 AS BIGINT) AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(generate_series(0, CAST(doc_id % 4 + 1 AS BIGINT))) AS fi
+        |        FROM documents) x),
+        |v AS (
+        |  SELECT doc_id, fi, w, h,
+        |    w * h * (299 * ((doc_id * 3 + 11 * fi + 5) % 256)
+        |           + 587 * ((doc_id * 5 + 11 * fi + 5) % 256)
+        |           + 114 * ((doc_id * 7 + 11 * fi + 5) % 256)) AS lum
+        |  FROM f),
+        |lg AS (
+        |  SELECT doc_id, fi, w, h, lum,
+        |    lag(lum) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+        |  FROM v)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS cut_frame,
+        |  CAST(lum - prev AS BIGINT) AS lum_delta
+        |FROM lg
+        |WHERE prev IS NOT NULL AND abs(lum - prev) >= w * h * 1000 * 20
+        |ORDER BY doc_id, cut_frame""".stripMargin,
 
     "dedup_containment" ->
       """WITH corpus AS (

@@ -406,6 +406,30 @@ object Multimodal {
     }
   }
 
+  /**
+   * Scene-cut detection over decoded frame statistics: a frame is a cut
+   * when its weighted-luminance sum jumps by at least `minMeanDelta`
+   * per pixel vs the previous frame (`|lum_f − lum_{f−1}| ≥
+   * w·h·1000·minMeanDelta` — the exact integer form; lum is the
+   * 299/587/114 integer weighting, scale 1000). One lag window keyed on
+   * the video id over fixed-width stats rows — the pixel buffers died
+   * inside the decode task, so the shuffle moves ~40 bytes per frame
+   * regardless of resolution.
+   */
+  def sceneCuts(frames: DataFrame, minMeanDelta: Long): DataFrame = {
+    val lum = col("sum_r") * 299L + col("sum_g") * 587L + col("sum_b") * 114L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("lum", lum)
+      .withColumn("prev_lum", lag(col("lum"), 1).over(w))
+      .filter(col("prev_lum").isNotNull &&
+        abs(col("lum") - col("prev_lum")) >=
+          col("width").cast("long") * col("height") * 1000L * minMeanDelta)
+      .select(col("doc_id"), col("frame_idx").as("cut_frame"),
+        (col("lum") - col("prev_lum")).as("lum_delta"))
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame
     * (flatMap fan-out, bounded by the kernel's frame cap). */
   def sampleFrames(

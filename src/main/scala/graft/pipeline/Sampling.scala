@@ -277,4 +277,36 @@ object Sampling {
         col("difficulty_r"), col("curriculum_rank"), col("stage"))
       .orderBy(col("curriculum_rank"))
   }
+
+  /**
+   * Deterministic weighted source INTERLEAVING (stride scheduling — the
+   * smooth mixture ORDER, not just the proportions): item `r` of source
+   * `s` runs at virtual time `(2r−1)·SCALE div w_s`, and the global
+   * order sorts by (vtime, source, id). A weight-2 source lands twice
+   * as often, spread evenly rather than in bursts — what a training
+   * loader needs so no shard is source-clumped. Exact integer stride
+   * arithmetic (SCALE = 1e6) with a total (source, id) tie order, so
+   * the sequence is reproducible on any engine and any partitioning.
+   *
+   * Scale shape: per-source ranks are one keyed window; the first-`take`
+   * cut is an `orderBy().limit()` → TakeOrdered (per-partition top-N +
+   * driver merge, never a full sort of the corpus); the final position
+   * window runs over `take` rows only.
+   */
+  def interleaveOrder(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weight: Column,
+      take: Int): DataFrame = {
+    val wRank = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val ranked = df.select(col(sourceCol), col(idCol), weight.cast("long").as("weight"))
+      .withColumn("r", row_number().over(wRank).cast("long"))
+      .withColumn("vtime", expr("((2 * r - 1) * 1000000) div weight"))
+    val order = Seq(col("vtime"), col(sourceCol), col(idCol))
+    ranked.orderBy(order: _*).limit(take)
+      .withColumn("position", row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .select(col("position"), col(sourceCol), col(idCol),
+        col("weight"), col("vtime"))
+  }
 }

@@ -258,6 +258,50 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 3)))
   }
 
+  // --- Stride interleave ---------------------------------------------------
+
+  test("interleave: weights drive frequency, spreading is smooth, order is total") {
+    // source a weight 3, source b weight 1 -> a appears 3x as often
+    val df = ((1 to 30).map(i => ("a", i.toLong)) ++
+      (1 to 30).map(i => ("b", 100L + i))).toDF("source", "doc_id")
+    val weight = when(col("source") === "a", 3).otherwise(1)
+    val got = Sampling.interleaveOrder(df, "doc_id", "source", weight, take = 20)
+      .orderBy("position")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // positions are 1..20, dense
+    assert(got.map(_._1) === (1L to 20L))
+    // ~15 a's and ~5 b's in the first 20 (3:1 ratio)
+    val aCount = got.count(_._2 == "a")
+    assert(aCount === 15, s"expected 15 a's in first 20, got $aCount")
+    // smoothness: no run of >3 consecutive a's (stride spacing)
+    val runs = got.map(_._2).foldLeft(List.empty[(String, Int)]) {
+      case ((s, n) :: t, c) if s == c => (s, n + 1) :: t
+      case (acc, c) => (c, 1) :: acc
+    }
+    assert(runs.forall(_._2 <= 3), s"clumped runs: $runs")
+    // determinism: same result under a different partitioning
+    val again = Sampling.interleaveOrder(df.repartition(7), "doc_id", "source",
+        weight, take = 20).orderBy("position")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(again === got)
+  }
+
+  // --- Scene cuts ----------------------------------------------------------
+
+  test("scene cuts: only above-threshold luminance jumps surface; frame 0 never cuts") {
+    val frames = Seq(
+      // doc 1: 4x4 frames, lum per pixel (scaled 1000): 10*1000 -> jump at f2
+      (1L, 0L, 4, 4, 160L, 160L, 160L),   // lum = 16*1000*10 per channel mix
+      (1L, 1L, 4, 4, 176L, 176L, 176L),   // +1/pixel per channel -> below thr
+      (1L, 2L, 4, 4, 1760L, 1760L, 1760L) // +99/pixel -> cut
+    ).toDF("doc_id", "frame_idx", "width", "height", "sum_r", "sum_g", "sum_b")
+    val got = Multimodal.sceneCuts(frames, minMeanDelta = 20L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) === Seq((1L, 2L)))
+    // delta: (1760-176) * (299+587+114) = 1584 * 1000
+    assert(got.head._3 === 1584L * 1000L)
+  }
+
   // --- Perceptual hash -----------------------------------------------------
 
   test("ahash: solid image hashes to zero; half-split image sets exactly the bright half") {
