@@ -1663,6 +1663,57 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // STREAMING KNN query serving: query batches arrive as mtime-pinned
+    // microbatches; each foreachBatch collects its (bounded) query
+    // batch — the KNN contract — and runs the brute cosine top-10
+    // against the static corpus, writing a batchId-keyed result
+    // partition (idempotent under replay). Per-batch results are
+    // independent, so the union equals the one-shot batch answer:
+    // shared-shape oracle.
+    "stream_knn_serve" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+      val batches = Seq(
+        queries.filter(col("queryId") < 5),
+        queries.filter(col("queryId") >= 5))
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_knnserve_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val filesDir = new java.io.File(root, "in")
+      java.nio.file.Files.createDirectories(filesDir.toPath)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = new java.io.File(root, s"stage$i")
+        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        val dest = new java.io.File(filesDir, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        require(dest.setLastModified(1700000000000L + i * 60000L),
+          s"could not pin mtime on $dest")
+      }
+      val outDir = new java.io.File(root, "out").toString
+      val q = s.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val qs = batch.select(col("queryId"), col("qv").cast("array<float>"))
+            .as[(Long, Array[Float])].collect().toSeq
+          if (qs.nonEmpty)
+            Ann.searchBrute(s, e, "vec_id", "embedding", qs, k = 10)
+              .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val parts = new java.io.File(outDir).listFiles()
+        .filter(_.getName.startsWith("b")).map(_.toString)
+      s.read.parquet(parts: _*)
+        .orderBy(col("queryId"), col("rank"))
+    }),
+
     // Deterministic weighted source interleaving (stride scheduling):
     // the smooth mixture ORDER a training loader consumes — weight-w
     // sources appear w× as often, evenly spread, under exact integer
@@ -2067,6 +2118,24 @@ object PipelineQueries {
         |                ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS ahash,
         |  CAST(sum(CASE WHEN lum * 64 > total THEN 1 ELSE 0 END) AS INTEGER) AS ahash_bits
         |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "stream_knn_serve" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.queryId, e.vec_id AS neighbor_id,
+         |    CASE WHEN ${normL("e.embedding")} = 0 OR ${normL("q.qv")} = 0 THEN 0.0
+         |         ELSE ${dotL("e.embedding", "q.qv")} / (${normL("e.embedding")} * ${normL("q.qv")})
+         |    END AS cosine
+         |  FROM embeddings e, q)
+         |SELECT queryId, neighbor_id, rnk AS "rank", cosine FROM (
+         |  SELECT queryId, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY queryId
+         |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
 
     "pipeline_interleave_order" ->
       """WITH ranked AS (

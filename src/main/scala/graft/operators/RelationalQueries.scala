@@ -1793,6 +1793,32 @@ object RelationalQueries {
         .orderBy(col("s_name"))
     }),
 
+    // Robust MAD outlier detection per event type: median + median-
+    // absolute-deviation (the robust z-score, threshold 3·1.4826·MAD) —
+    // the data-quality anomaly screen that survives heavy tails where
+    // mean/stddev don't. Two exact-percentile passes + broadcast stats
+    // joins; interpolated-median parity with DuckDB is established by
+    // rel_percentiles. (At 100 TB the HDR sketch is the quantile path;
+    // this is the exact-stats variant for bounded groups.)
+    "rel_mad_outliers" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val stats = dev.groupBy(col("event_type"), col("med"))
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"),
+          count(lit(1)).as("n_events"))
+      dev.join(broadcast(stats.drop("n_events")), Seq("event_type", "med"))
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("adev") > col("mad") * 4.4478, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .select(col("event_type"), round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"), col("n_events"), col("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     // k-bounded closeness centrality of a 5-customer seed set: per-seed
     // exact BFS distances within 2 hops (state keyed on (seed, node) —
     // the sampled-centrality shape: seeds are sampled at scale, never
@@ -3210,6 +3236,27 @@ object RelationalQueries {
     "stream_mv_incremental" -> mvRecomputeSql,
 
     "stream_session_window" -> sessionizeOracle,
+
+    "rel_mad_outliers" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        |  FROM ev GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        |  FROM ev e JOIN med m USING (event_type)),
+        |st AS (
+        |  SELECT event_type, med,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        |  FROM dev GROUP BY 1, 2)
+        |SELECT d.event_type, round(s.med, 6) AS med, round(s.mad, 6) AS mad,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN d.adev > s.mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN st s USING (event_type)
+        |GROUP BY d.event_type, s.med, s.mad
+        |ORDER BY d.event_type""".stripMargin,
 
     "graph_closeness" ->
       s"""WITH edges0 AS (

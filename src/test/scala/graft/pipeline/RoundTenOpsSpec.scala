@@ -51,6 +51,31 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(merged.filter(col("k") === 9L).select("mv_sum").as[Long].head() === 5L)
   }
 
+  test("mv at 50M rows: incremental fold touches deltas + thin state, equals recompute") {
+    assume(sys.env.contains("GRAFT_HEAVY") || sys.props.contains("GRAFT_HEAVY"),
+      "heavy gate: set GRAFT_HEAVY=1 to run")
+    // 50M deterministic facts over a 100k-key space, split 80/15/5 into
+    // base + two deltas by hash — the volume proof that the maintained
+    // state (100k rows) merges with delta partials without ever
+    // rescanning the base
+    val n = 50000000L
+    val facts = spark.range(n).select(
+      pmod(col("id") * 2654435761L, lit(100000L)).as("k"),
+      pmod(col("id") * 40503L, lit(10007L)).as("v"),
+      pmod(col("id") * 48271L, lit(100L)).as("slice"))
+    val base = facts.filter(col("slice") < 80)
+    val d1 = facts.filter(col("slice") >= 80 && col("slice") < 95)
+    val d2 = facts.filter(col("slice") >= 95)
+    val state = Mv.merge(
+      Mv.merge(Mv.aggState(base, Seq("k"), "v"),
+        Mv.aggState(d1, Seq("k"), "v"), Seq("k")),
+      Mv.aggState(d2, Seq("k"), "v"), Seq("k"))
+    assert(state.count() === 100000L, "state cardinality = key space")
+    val recompute = Mv.aggState(facts.drop("slice"), Seq("k"), "v")
+    assert(state.exceptAll(recompute).isEmpty && recompute.exceptAll(state).isEmpty,
+      "incremental state must equal the one-shot recompute at volume")
+  }
+
   // --- DPO preference pairs ------------------------------------------------
 
   test("dpo pairs: extremes picked, ties break to smaller id, margin gate filters") {
