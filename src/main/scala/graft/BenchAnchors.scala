@@ -294,5 +294,8 @@ object BenchAnchors {
     "multimodal_scene_cuts" -> 1.954,
     "rel_mad_outliers" -> 0.947,
     "stream_knn_serve" -> 2.168,
+    "graph_sssp_weighted" -> 2.949,
+    "stream_windowed_topk" -> 1.925,
+    "multimodal_audio_vad" -> 0.436,
   )
 }

@@ -1663,6 +1663,20 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Voice-activity segments over REAL decoded WAV block energies: the
+    // VAD corpus plants silence in every third 32-frame block; active
+    // blocks (max |sample| > 0) merge into maximal segments via one
+    // gaps-and-islands window. Decode fan-out is one fixed-width row
+    // per block; the oracle replays signal, blocks, and islands
+    // closed-form.
+    "multimodal_audio_vad" -> ((s, dir) => {
+      val blobs = Audio.withVadAudio(
+        s, docs(s, dir).filter(col("doc_id") < 200), "doc_id")
+      Audio.vadSegments(
+          Audio.blockStats(blobs, blockFrames = 32).toDF(), threshold = 0L)
+        .orderBy(col("doc_id"), col("seg_idx"))
+    }),
+
     // STREAMING KNN query serving: query batches arrive as mtime-pinned
     // microbatches; each foreachBatch collects its (bounded) query
     // batch — the KNN contract — and runs the brute cosine top-10
@@ -2118,6 +2132,38 @@ object PipelineQueries {
         |                ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS ahash,
         |  CAST(sum(CASE WHEN lum * 64 > total THEN 1 ELSE 0 END) AS INTEGER) AS ahash_bits
         |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "multimodal_audio_vad" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |s0 AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(256 + doc_id % 64 AS BIGINT) - 1)) AS i
+        |  FROM ids),
+        |s AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN (i // 32) % 3 = 0 THEN 0
+        |         ELSE ((doc_id * 31 + i * 17) % 2001) - 1000 END AS v
+        |  FROM s0),
+        |blk AS (
+        |  SELECT doc_id, i // 32 AS block_idx,
+        |    sum(abs(v)) AS sum_abs, max(abs(v)) AS max_abs
+        |  FROM s GROUP BY 1, 2),
+        |act AS (
+        |  SELECT doc_id, block_idx, sum_abs,
+        |    block_idx - row_number() OVER (PARTITION BY doc_id ORDER BY block_idx)
+        |      AS island
+        |  FROM blk WHERE max_abs > 0),
+        |seg AS (
+        |  SELECT doc_id, island, min(block_idx) AS start_block,
+        |    count(*) AS n_blocks, sum(sum_abs) AS seg_sum_abs
+        |  FROM act GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_block)
+        |    AS BIGINT) AS seg_idx,
+        |  CAST(start_block AS BIGINT) AS start_block,
+        |  CAST(n_blocks AS BIGINT) AS n_blocks,
+        |  CAST(seg_sum_abs AS BIGINT) AS seg_sum_abs
+        |FROM seg ORDER BY doc_id, seg_idx""".stripMargin,
 
     "stream_knn_serve" ->
       s"""WITH q AS (

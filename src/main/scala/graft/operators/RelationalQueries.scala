@@ -1793,6 +1793,52 @@ object RelationalQueries {
         .orderBy(col("s_name"))
     }),
 
+    // Bounded-round weighted SSSP (Bellman–Ford) from customer node 2
+    // over the fulfillment graph with ORDER-MULTIPLICITY edge weights:
+    // exact min-cost distances for paths of <= 3 edges, integer
+    // relaxation, unrolled-round oracle. One equi-join + keyed min per
+    // round — the iterative-frontier shape shared with BFS/PageRank.
+    "graph_sssp_weighted" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val wedges = pairs.groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      val sym = wedges.unionByName(wedges.select(
+        col("dst").as("src"), col("src").as("dst"), col("w")))
+      graft.pipeline.GraphAlgos.weightedSssp(sym, source = 2L, rounds = 3)
+        .orderBy(col("node"))
+    }),
+
+    // STREAMING windowed top-k: the hourly event-type leaderboard —
+    // complete-mode windowed counts through the streaming engine, then
+    // a rank window over the (bounded) aggregate. The ranking runs on
+    // hours × types rows, never the event stream.
+    "stream_windowed_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val agg = stream
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val name = s"stream_wtopk_${streamRunId.incrementAndGet()}"
+      Option(lastStreamView.getAndSet(name))
+        .foreach(prev => s.catalog.dropTempView(prev))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val w = Window.partitionBy(col("hour_ts"))
+        .orderBy(col("n_events").desc, col("event_type"))
+      s.table(name)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("hour_ts"), col("rnk"))
+    }),
+
     // Robust MAD outlier detection per event type: median + median-
     // absolute-deviation (the robust z-score, threshold 3·1.4826·MAD) —
     // the data-quality anomaly screen that survives heavy tails where
@@ -3237,6 +3283,32 @@ object RelationalQueries {
 
     "stream_session_window" -> sessionizeOracle,
 
+    "graph_sssp_weighted" ->
+      s"""WITH pairs AS (
+         |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |wedges0 AS (SELECT src, dst, count(*) AS w FROM pairs GROUP BY 1, 2),
+         |wedges AS (
+         |  SELECT src, dst, w FROM wedges0
+         |  UNION ALL SELECT dst AS src, src AS dst, w FROM wedges0),
+         |d0 AS (SELECT CAST(2 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+         |${wssspRound("d0", "d1")},
+         |${wssspRound("d1", "d2")},
+         |${wssspRound("d2", "d3")}
+         |SELECT node, dist FROM d3 ORDER BY node""".stripMargin,
+
+    "stream_windowed_topk" ->
+      """SELECT hour_ts, event_type, n_events, rnk FROM (
+        |  SELECT hour_ts, event_type, n_events,
+        |    row_number() OVER (PARTITION BY hour_ts
+        |                       ORDER BY n_events DESC, event_type) AS rnk
+        |  FROM (
+        |    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |      event_type, count(*) AS n_events
+        |    FROM events GROUP BY 1, 2) a) b
+        |WHERE rnk <= 3
+        |ORDER BY hour_ts, rnk""".stripMargin,
+
     "rel_mad_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events),
         |med AS (
@@ -3303,6 +3375,16 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_c DESC, c_custkey)
         |ORDER BY c_mktsegment, bal_c DESC, c_custkey""".stripMargin
   )
+
+  /** One weighted Bellman–Ford relaxation round over `wedges`. */
+  private def wssspRound(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT node, min(dist) AS dist FROM (
+       |    SELECT node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT e.dst AS node, d.dist + e.w AS dist
+       |    FROM wedges e JOIN $prev d ON e.src = d.node) x
+       |  GROUP BY node)""".stripMargin
 
   /** One per-seed BFS min-relaxation round (the (seed, node)-keyed
     * mirror of [[bfsRound]]). */

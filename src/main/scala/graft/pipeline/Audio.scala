@@ -147,6 +147,31 @@ object Audio {
     df.select(col(idCol).cast("long")).as[Long].map(synthBlob)
   }
 
+  /** [[synthBlob]] with planted SILENCE: every third 32-frame block
+    * (block index ≡ 0 mod 3) is zeroed, the rest carry the noise
+    * formula — the closed-form signal the VAD gate detects speech-like
+    * activity islands in. */
+  def synthVadBlob(docId: Long): MediaBlob = {
+    val n = (256 + docId % 64).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) =
+        if ((i / 32) % 3 == 0) 0
+        else (((docId * 31 + i.toLong * 17) % 2001) - 1000).toShort
+      i += 1
+    }
+    val rate = (8000 + (docId % 8) * 1000).toInt
+    MediaBlob(docId, "audio/wav", encodeWavPcm16(docId, rate, samples),
+      MediaMeta(0, 0, 1, n * 1000L / rate))
+  }
+
+  /** VAD-corpus variant of [[withWavAudio]]. */
+  def withVadAudio(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map(synthVadBlob)
+  }
+
   /** Decode stage: real parser per blob inside mapPartitions. */
   def decodeStats(blobs: Dataset[MediaBlob]): Dataset[WavStats] = {
     import blobs.sparkSession.implicits._
@@ -236,5 +261,103 @@ object Audio {
   def decimateStats(blobs: Dataset[MediaBlob], k: Int): Dataset[WavDecimStats] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.map(b => decodeWavDecimatedStats(b.doc_id, b.data, k)))
+  }
+
+  final case class WavBlockStats(
+      doc_id: Long,
+      block_idx: Long,
+      n_frames: Long,
+      sum_abs: Long,
+      max_abs: Long)
+
+  /** Block-energy decode: the WAV parse of [[decodeWavStats]], reduced
+    * per `blockFrames`-frame block (global frame index — blocks span
+    * data-chunk boundaries) instead of per payload. The framing step
+    * every frame-level audio operator (VAD, loudness normalization,
+    * silence trim) keys on; output rows are fixed-width, one per block. */
+  def decodeWavBlockStats(
+      docId: Long, bytes: Array[Byte], blockFrames: Int): Seq[WavBlockStats] = {
+    require(blockFrames >= 1, "blockFrames must be >= 1")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+    }
+    require(tag() == "RIFF", s"doc $docId: not a RIFF container")
+    bb.getInt()
+    require(tag() == "WAVE", s"doc $docId: not a WAVE form")
+    var rate = -1; var channels = -1
+    var f = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[WavBlockStats]
+    var blk = -1L; var bn = 0L; var bsum = 0L; var bmax = 0L
+    def flush(): Unit = if (blk >= 0) {
+      out += WavBlockStats(docId, blk, bn, bsum, bmax)
+      bn = 0L; bsum = 0L; bmax = 0L
+    }
+    while (bb.remaining() >= 8) {
+      val id = tag()
+      val len = bb.getInt()
+      val chunkEnd = math.min(bb.position() + len + (len & 1), bb.limit())
+      id match {
+        case "fmt " =>
+          val codec = bb.getShort()
+          require(codec == 1, s"doc $docId: not PCM (fmt $codec)")
+          channels = bb.getShort().toInt
+          rate = bb.getInt()
+          bb.getInt(); bb.getShort()
+          val bits = bb.getShort().toInt
+          require(bits == 16, s"doc $docId: only PCM-16 supported (got $bits)")
+        case "data" =>
+          require(rate > 0, s"doc $docId: data chunk before fmt")
+          val frames = len / (2 * channels)
+          val endFrame = f + frames
+          while (f < endFrame) {
+            val b = f / blockFrames
+            if (b != blk) { flush(); blk = b }
+            var c = 0
+            while (c < channels) {
+              val a = math.abs(bb.getShort().toLong)
+              bsum += a
+              if (a > bmax) bmax = a
+              c += 1
+            }
+            bn += 1L
+            f += 1L
+          }
+        case _ => ()
+      }
+      bb.position(chunkEnd)
+    }
+    flush()
+    require(rate > 0 && f > 0, s"doc $docId: missing fmt/data chunk")
+    out.toSeq
+  }
+
+  /** Block-stats stage (flatMap fan-out: one row per block). */
+  def blockStats(blobs: Dataset[MediaBlob], blockFrames: Int): Dataset[WavBlockStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap(b => decodeWavBlockStats(b.doc_id, b.data, blockFrames))
+  }
+
+  /**
+   * Voice-activity segments from block energies: a block is ACTIVE when
+   * `max_abs > threshold`; consecutive active blocks merge into maximal
+   * segments (gaps-and-islands — one keyed window, no join), emitted as
+   * (seg_idx, start_block, n_blocks, seg_sum_abs). The silence-trim /
+   * speech-extraction step of an audio pipeline, over fixed-width
+   * block rows only.
+   */
+  def vadSegments(blocks: DataFrame, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("block_idx"))
+    val active = blocks.filter(col("max_abs") > threshold)
+      .withColumn("island", col("block_idx") - row_number().over(w))
+    val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("start_block"))
+    active.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("block_idx")).as("start_block"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("sum_abs")).as("seg_sum_abs"))
+      .withColumn("seg_idx", row_number().over(wSeg).cast("long"))
+      .select(col("doc_id"), col("seg_idx"), col("start_block"),
+        col("n_blocks"), col("seg_sum_abs"))
   }
 }

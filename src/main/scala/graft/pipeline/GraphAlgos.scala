@@ -780,6 +780,48 @@ object GraphAlgos {
   }
 
   /**
+   * Bounded-round weighted single-source shortest paths (Bellman–Ford
+   * relaxation): integer edge weights, `rounds` rounds of
+   * `dist_v = min(dist_v, dist_u + w_uv)` — exact distances for every
+   * path of ≤ `rounds` edges. Each round is ONE equi-join + keyed min
+   * over the frontier state; rounds are localCheckpoint'ed so lineage
+   * stays O(1) (the iterative-algorithm discipline shared by PageRank/
+   * BFS/LPA here). Unreached nodes emit no row.
+   *
+   * `edges`: (src, dst, w) directed — symmetrize (both directions)
+   * upstream for undirected graphs.
+   */
+  def weightedSssp(
+      edges: DataFrame,
+      source: Long,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one relaxation round")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long"))
+    e.persist()
+    val n = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().count()
+    val bcast = n <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(
+          maybeBcast(dist.select(col("node").as("src"), col("dist"))), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      SparkShims.unpersistCheckpoint(dist)
+      dist = next
+    }
+    e.unpersist()
+    dist
+  }
+
+  /**
    * k-bounded closeness centrality of the seed set: per seed,
    * `(reached − 1) / Σ dist` over the nodes within `rounds` hops — the
    * sampled-centrality estimate (HyperBall-family shape: exact per-seed

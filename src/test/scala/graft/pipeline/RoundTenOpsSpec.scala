@@ -311,6 +311,40 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  // --- Weighted SSSP -------------------------------------------------------
+
+  test("weighted sssp: min-cost beats min-hop; bounded rounds cap path length") {
+    // 1 -> 2 costs 10 direct, but 1 -> 3 -> 2 costs 2 + 3 = 5
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L), (2L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val got2 = GraphAlgos.weightedSssp(e, source = 1L, rounds = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got2 === Seq((1L, 0L), (2L, 5L), (3L, 2L), (4L, 11L)))
+    // with 3 rounds the 3-edge path 1-3-2-4 relaxes 4 down to 6
+    val got3 = GraphAlgos.weightedSssp(e, source = 1L, rounds = 3)
+      .filter(col("node") === 4L).as[(Long, Long)].head()
+    assert(got3 === ((4L, 6L)))
+  }
+
+  // --- Audio VAD -----------------------------------------------------------
+
+  test("audio vad: planted silence splits activity into the expected block islands") {
+    val blob = Audio.synthVadBlob(7L)
+    // n = 256 + 7 % 64 = 263 samples -> blocks 0..8 (block 8 partial);
+    // blocks 0, 3, 6 are silent -> active islands {1,2}, {4,5}, {7,8}
+    val blocks = Audio.decodeWavBlockStats(7L, blob.data, blockFrames = 32)
+    assert(blocks.map(_.block_idx) === (0L to 8L))
+    assert(blocks.filter(b => b.block_idx % 3 == 0).forall(_.max_abs == 0L))
+    assert(blocks.last.n_frames === 263L - 256L)
+    val segs = Audio.vadSegments(blocks.toDF(), threshold = 0L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(segs.map(t => (t._2, t._3, t._4)) ===
+      Seq((1L, 1L, 2L), (2L, 4L, 2L), (3L, 7L, 2L)))
+    // segment energy equals the sum of its blocks' energies
+    val byIdx = blocks.map(b => b.block_idx -> b.sum_abs).toMap
+    assert(segs.head._5 === byIdx(1L) + byIdx(2L))
+  }
+
   // --- Scene cuts ----------------------------------------------------------
 
   test("scene cuts: only above-threshold luminance jumps surface; frame 0 never cuts") {
