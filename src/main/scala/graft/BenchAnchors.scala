@@ -297,5 +297,8 @@ object BenchAnchors {
     "graph_sssp_weighted" -> 2.949,
     "stream_windowed_topk" -> 1.925,
     "multimodal_audio_vad" -> 0.436,
+    "rel_partition_overwrite" -> 1.021,
+    "rel_sequence_gaps" -> 0.541,
+    "text_topic_segments" -> 0.635,
   )
 }

@@ -1663,6 +1663,17 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // TextTiling-style topic segmentation: adjacent 20-token blocks
+    // scored by distinct-token overlap (a (doc, token)-keyed equi-join,
+    // never a pairwise block join); boundary where cohesion < 20%. The
+    // long-doc chunking signal; zero-overlap pairs kept via the block-
+    // table left join.
+    "text_topic_segments" -> ((s, dir) =>
+      TextAnalysis.topicSegments(
+          docs(s, dir).filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          blockTokens = 20)
+        .orderBy(col("doc_id"), col("boundary_after"))),
+
     // Voice-activity segments over REAL decoded WAV block energies: the
     // VAD corpus plants silence in every third 32-frame block; active
     // blocks (max |sample| > 0) merge into maximal segments via one
@@ -2132,6 +2143,30 @@ object PipelineQueries {
         |                ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS ahash,
         |  CAST(sum(CASE WHEN lum * 64 > total THEN 1 ELSE 0 END) AS INTEGER) AS ahash_bits
         |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_topic_segments" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, (i - 1) // 20 AS blk, t FROM (
+         |    SELECT doc_id, i, tk[i] AS t FROM (
+         |      SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+         |      FROM (SELECT doc_id, $toksSql AS tk
+         |            FROM documents WHERE doc_id % 3 = 0) z) y) x),
+         |sizes AS (SELECT doc_id, blk, count(*) AS sz FROM tok GROUP BY 1, 2),
+         |ov AS (
+         |  SELECT a.doc_id, a.blk, count(*) AS overlap
+         |  FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND b.blk = a.blk + 1 AND a.t = b.t
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT sa.doc_id, sa.blk, sa.sz AS size_a, sb.sz AS size_b
+         |  FROM sizes sa JOIN sizes sb
+         |    ON sa.doc_id = sb.doc_id AND sb.blk = sa.blk + 1)
+         |SELECT p.doc_id, CAST(p.blk AS BIGINT) AS boundary_after,
+         |  CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+         |  CAST(size_a AS BIGINT) AS size_a, CAST(size_b AS BIGINT) AS size_b,
+         |  coalesce(ov.overlap, 0) * 5 < least(size_a, size_b) AS is_boundary
+         |FROM pairs p LEFT JOIN ov ON ov.doc_id = p.doc_id AND ov.blk = p.blk
+         |ORDER BY p.doc_id, boundary_after""".stripMargin,
 
     "multimodal_audio_vad" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),

@@ -1793,6 +1793,54 @@ object RelationalQueries {
         .orderBy(col("s_name"))
     }),
 
+    // Dynamic partition overwrite — the lakehouse partition-restatement
+    // write: a year-partitioned copy of orders gets its 1998 partition
+    // rewritten (+100 price cents) in ONE overwrite that touches ONLY
+    // the 1998 directory (partitionOverwriteMode=dynamic; a static
+    // overwrite would wipe the other years). The read-back aggregate
+    // proves untouched partitions survived byte-for-value.
+    "rel_partition_overwrite" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"),
+        year(col("o_orderdate")).cast("int").as("yr"))
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_po_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}").toString
+      val rootFile = new java.io.File(root)
+      if (rootFile.exists()) org.apache.commons.io.FileUtils.deleteDirectory(rootFile)
+      base.write.partitionBy("yr").parquet(root)
+      base.filter(col("yr") === 1998)
+        .withColumn("price_c", col("price_c") + 100L)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("yr").parquet(root)
+      s.read.parquet(root)
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("sum_price_c"))
+        .orderBy(col("yr"))
+    }),
+
+    // Sequence-gap audit: per-order line-number sequences with PLANTED
+    // holes (line 2 of every 7th order dropped) — emit (gap_start,
+    // gap_end) per hole, including a missing head. Keyed lag window
+    // (partitioned on the sequence owner — never a global sort), the
+    // completeness check every ingest pipeline runs.
+    "rel_sequence_gaps" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"))
+        // bound the audited slice (the generator's line numbers are
+        // naturally sparse, so the full audit is output-heavy)
+        .filter(col("l_orderkey") % 10 === 0)
+        .filter(!(col("l_orderkey") % 7 === 0 && col("ln") === 2))
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("ln"))
+      li.withColumn("prev", lag(col("ln"), 1).over(w))
+        .withColumn("expected", coalesce(col("prev"), lit(0L)) + 1L)
+        .filter(col("ln") > col("expected"))
+        .select(col("l_orderkey"), col("expected").as("gap_start"),
+          (col("ln") - 1).as("gap_end"))
+        .orderBy(col("l_orderkey"), col("gap_start"))
+    }),
+
     // Bounded-round weighted SSSP (Bellman–Ford) from customer node 2
     // over the fulfillment graph with ORDER-MULTIPLICITY edge weights:
     // exact min-cost distances for paths of <= 3 edges, integer
@@ -3282,6 +3330,29 @@ object RelationalQueries {
     "stream_mv_incremental" -> mvRecomputeSql,
 
     "stream_session_window" -> sessionizeOracle,
+
+    "rel_partition_overwrite" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN year(o_orderdate) = 1998 THEN 100 ELSE 0 END)
+        |    AS BIGINT) AS sum_price_c
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "rel_sequence_gaps" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln
+        |  FROM lineitem
+        |  WHERE l_orderkey % 10 = 0
+        |    AND NOT (l_orderkey % 7 = 0 AND l_linenumber = 2)),
+        |lg AS (
+        |  SELECT l_orderkey, ln,
+        |    coalesce(lag(ln) OVER (PARTITION BY l_orderkey ORDER BY ln), 0) + 1
+        |      AS expected
+        |  FROM li)
+        |SELECT l_orderkey, expected AS gap_start, ln - 1 AS gap_end
+        |FROM lg WHERE ln > expected
+        |ORDER BY l_orderkey, gap_start""".stripMargin,
 
     "graph_sssp_weighted" ->
       s"""WITH pairs AS (

@@ -706,6 +706,51 @@ object TextAnalysis {
     trim(regexp_replace(punctDeduped, "\\s+", " "))
   }
 
+  // --- Topic segmentation --------------------------------------------------
+
+  /**
+   * TextTiling-style topic segmentation (integer form): split each doc
+   * into consecutive `blockTokens`-token blocks, score each adjacent
+   * block pair by DISTINCT-token overlap, and call a topic boundary
+   * where `overlap · 5 < min(|A|, |B|)` (< 20% lexical cohesion) — the
+   * long-document chunking signal that beats fixed windows when topics
+   * shift. Exact set arithmetic: the overlap is a (doc, token)-keyed
+   * equi-join of adjacent blocks (never a pairwise block join), zero-
+   * overlap pairs are kept via the block-table left join.
+   *
+   * Emits one row per adjacent pair: (doc_id, boundary_after, overlap,
+   * size_a, size_b, is_boundary).
+   */
+  def topicSegments(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int): DataFrame = {
+    require(blockTokens >= 1, "blockTokens must be >= 1")
+    val tok = docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+      .select(col("doc_id"), (col("pos") / blockTokens).cast("long").as("blk"),
+        col("t"))
+      .distinct()
+    val sizes = tok.groupBy(col("doc_id"), col("blk"))
+      .agg(count(lit(1)).as("sz"))
+    val overlap = tok.as("a")
+      .join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.blk") === col("a.blk") + 1 && col("a.t") === col("b.t"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.blk").as("blk"))
+      .agg(count(lit(1)).as("overlap"))
+    val pairs = sizes.as("sa")
+      .join(sizes.as("sb"),
+        col("sa.doc_id") === col("sb.doc_id") &&
+          col("sb.blk") === col("sa.blk") + 1)
+      .select(col("sa.doc_id").as("doc_id"), col("sa.blk").as("blk"),
+        col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
+    pairs.join(overlap, Seq("doc_id", "blk"), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .withColumn("is_boundary",
+        col("overlap") * 5 < least(col("size_a"), col("size_b")))
+      .select(col("doc_id"), col("blk").as("boundary_after"),
+        col("overlap"), col("size_a"), col("size_b"), col("is_boundary"))
+  }
+
   // --- Zipf fit ------------------------------------------------------------
 
   /**

@@ -311,6 +311,21 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  // --- Topic segmentation --------------------------------------------------
+
+  test("topic segments: disjoint blocks cut, cohesive blocks don't, zero-overlap kept") {
+    // 8-token blocks: block0 repeats a..h, block1 repeats the SAME
+    // vocab (cohesive), block2 switches vocab entirely (boundary)
+    val text = (Seq.fill(2)("a b c d e f g h") :+ "p q r s t u v w").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.topicSegments(df, "doc_id", "text", blockTokens = 8)
+      .orderBy("boundary_after")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 8L, 8L, 8L, false),   // full overlap -> cohesive
+      (1L, 1L, 0L, 8L, 8L, true)))   // zero overlap -> boundary (left join kept it)
+  }
+
   // --- Weighted SSSP -------------------------------------------------------
 
   test("weighted sssp: min-cost beats min-hop; bounded rounds cap path length") {
