@@ -451,4 +451,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected distributed TakeOrdered for the top-k:\n$p")
   }
 
+  test("mad outliers: stats sides broadcast onto the event stream, never a stream shuffle join") {
+    val p = plan("rel_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast stats joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the event stream must not sort-merge against its own stats:\n$p")
+  }
+
+  test("topic segments: block overlap is an equi-join, never a cartesian/nested loop") {
+    val p = plan("text_topic_segments")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"block overlap must stay a keyed equi-join:\n$p")
+  }
+
+  test("sequence gaps: the lag window is keyed (no single-partition global sort)") {
+    val p = plan("rel_sequence_gaps")
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("l_orderkey"),
+      s"the gap window must partition on the sequence owner:\n$windowLine")
+  }
+
+  test("interleave: the first-N cut is a TakeOrdered, never a full corpus sort") {
+    val p = plan("pipeline_interleave_order")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered for the stride cut:\n$p")
+  }
+
 }
