@@ -298,6 +298,7 @@ object BenchAnchors {
     "stream_windowed_topk" -> 1.925,
     "multimodal_audio_vad" -> 0.436,
     "rel_partition_overwrite" -> 1.021,
+    "stream_transform_with_state" -> 2.814,
     "rel_sequence_gaps" -> 0.541,
     "text_topic_segments" -> 0.635,
   )

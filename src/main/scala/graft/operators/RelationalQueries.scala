@@ -1793,6 +1793,61 @@ object RelationalQueries {
         .orderBy(col("s_name"))
     }),
 
+    // Spark 4's transformWithState arbitrary-state API (the modern
+    // mapGroupsWithState: named state variables, TTL, timers, RocksDB
+    // store): running per-user totals in exact 1e-4 units, one
+    // cumulative snapshot per (user, batch). Two mtime-pinned
+    // microbatches make the snapshot sequence deterministic; the
+    // RocksDB provider is scoped to this query and restored after.
+    "stream_transform_with_state" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = events(s, dir).filter(col("user_id") <= 50)
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 10000).cast("long").as("vc"))
+      val cutoff = "2024-01-15 00:00:00"
+      val batches = Seq(
+        ev.filter(col("ts") <= lit(cutoff)).drop("ts"),
+        ev.filter(col("ts") > lit(cutoff)).drop("ts"))
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_tws_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val filesDir = new java.io.File(root, "in")
+      java.nio.file.Files.createDirectories(filesDir.toPath)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = new java.io.File(root, s"stage$i")
+        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        val dest = new java.io.File(filesDir, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        require(dest.setLastModified(1700000000000L + i * 60000L),
+          s"could not pin mtime on $dest")
+      }
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = s.readStream.schema(batches.head.schema)
+          .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+          .as[(Long, Long)]
+        val snapshots = graft.streaming.TransformWithStateOps.runningTotals(stream)
+        val name = s"stream_tws_${streamRunId.incrementAndGet()}"
+        Option(lastStreamView.getAndSet(name))
+          .foreach(prev => s.catalog.dropTempView(prev))
+        val q = snapshots.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).orderBy(col("user_id"), col("n_events"))
+      } finally {
+        prevProvider match {
+          case Some(p) => s.conf.set(providerKey, p)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+    }),
+
     // Dynamic partition overwrite — the lakehouse partition-restatement
     // write: a year-partitioned copy of orders gets its 1998 partition
     // rewritten (+100 price cents) in ONE overwrite that touches ONLY
@@ -3330,6 +3385,30 @@ object RelationalQueries {
     "stream_mv_incremental" -> mvRecomputeSql,
 
     "stream_session_window" -> sessionizeOracle,
+
+    "stream_transform_with_state" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, CAST(round(value * 10000) AS BIGINT) AS vc
+        |  FROM events WHERE user_id <= 50),
+        |b1 AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS br,
+        |    CAST(sum(vc) AS BIGINT) AS sv
+        |  FROM ev WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+        |b2 AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS br
+        |  FROM ev WHERE ts > TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+        |tot AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(vc) AS BIGINT) AS sv
+        |  FROM ev GROUP BY 1)
+        |SELECT user_id, batch_rows, n_events, sum_value_c FROM (
+        |  SELECT user_id, br AS batch_rows, br AS n_events, sv AS sum_value_c
+        |  FROM b1
+        |  UNION ALL
+        |  SELECT b2.user_id, b2.br AS batch_rows, tot.n AS n_events,
+        |    tot.sv AS sum_value_c
+        |  FROM b2 JOIN tot USING (user_id)) x
+        |ORDER BY user_id, n_events""".stripMargin,
 
     "rel_partition_overwrite" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
