@@ -299,6 +299,7 @@ object BenchAnchors {
     "multimodal_audio_vad" -> 0.436,
     "rel_partition_overwrite" -> 1.021,
     "stream_transform_with_state" -> 2.814,
+    "cluster_spherical_kmeans" -> 1.920,
     "rel_sequence_gaps" -> 0.541,
     "text_topic_segments" -> 0.635,
   )

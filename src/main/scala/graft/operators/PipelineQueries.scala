@@ -629,6 +629,18 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Spherical k-means (the cosine coarse quantizer): unit-normalized
+    // inputs, Lloyd's on the sphere, re-normalized snapped centroids
+    // each round. Every float stage (sqrt/divide/float-cast over the
+    // 1e-6-snapped means) is correctly rounded, so the oracle's
+    // unrolled rounds land bit-for-bit.
+    "cluster_spherical_kmeans" -> ((s, dir) => {
+      val (_, assigned) = Clustering.sphericalKMeans(
+        s, emb(s, dir), "vec_id", "embedding", k = 8, iterations = 2)
+      assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means the embedding space with the
     // distributed trainer, deduplicate within clusters only. Corpus =
     // bounded base ∪ perturbed near-copies (vec_id+100000, cosine ≈
@@ -1861,6 +1873,39 @@ object PipelineQueries {
        |    SELECT c, list(CAST(mv AS FLOAT) ORDER BY i) AS cent FROM $mN GROUP BY c) m
        |  ON $cIn.c = m.c)""".stripMargin
 
+  /** One spherical-Lloyd's round over CTE `unit` (unit-normalized
+    * embeddings): L2 assignment (≡ cosine argmax on the sphere),
+    * 1e-6-snapped per-dim means, then RE-NORMALIZED centroids — the
+    * mirror of `Clustering.sphericalKMeans`'s update, with every float
+    * stage correctly rounded. */
+  private def sphericalRound(aN: String, cIn: String, mN: String, cOut: String) =
+    s"""$aN AS (
+       |  SELECT vec_id, embedding, c FROM (
+       |    SELECT e.vec_id, e.embedding, $cIn.c,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${l2L("e.embedding", s"$cIn.cent")}, $cIn.c) AS rn
+       |    FROM unit e CROSS JOIN $cIn) x WHERE rn = 1),
+       |$mN AS (
+       |  SELECT c, gs.i, round(avg(CAST(embedding[gs.i] AS DOUBLE)), 6) AS mv
+       |  FROM $aN CROSS JOIN generate_series(1, 64) gs(i)
+       |  GROUP BY c, gs.i),
+       |${mN}l AS (
+       |  SELECT c, list(CAST(mv AS FLOAT) ORDER BY i) AS m FROM $mN GROUP BY c),
+       |$cOut AS (
+       |  SELECT $cIn.c,
+       |    COALESCE(
+       |      CASE WHEN ${normL("ml.m")} = 0 THEN ml.m
+       |           ELSE list_transform(ml.m,
+       |                  x -> CAST(CAST(x AS DOUBLE) / ${normL("ml.m")} AS FLOAT)) END,
+       |      $cIn.cent) AS cent
+       |  FROM $cIn LEFT JOIN ${mN}l ml ON $cIn.c = ml.c)""".stripMargin
+
+  /** Unit-normalized embedding list (zero-norm rows pass through — K6),
+    * the SQL mirror of `Clustering.unitNormalize`. */
+  private def unitSql(src: String) =
+    s"""CASE WHEN ${normL(src)} = 0 THEN $src
+       |     ELSE list_transform($src, x -> CAST(CAST(x AS DOUBLE) / ${normL(src)} AS FLOAT)) END""".stripMargin
+
   /** DuckDB mirror of Embeddings.matryoshka(_, 16): slice the first 16
     * dims, divide by the slice norm, cast back to FLOAT element-wise
     * (zero-norm slices pass through, the K6 convention). */
@@ -3044,6 +3089,23 @@ object PipelineQueries {
          |  FROM scored) x
          |WHERE rnk <= 10
          |ORDER BY queryId, rnk""".stripMargin,
+
+    "cluster_spherical_kmeans" ->
+      s"""WITH unit AS (
+         |  SELECT vec_id, ${unitSql("embedding")} AS embedding FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+         |    embedding AS cent
+         |  FROM (SELECT vec_id, embedding FROM unit ORDER BY vec_id LIMIT 8) seed),
+         |${sphericalRound("a0", "c0", "m1", "c1")},
+         |${sphericalRound("a1", "c1", "m2", "c2")},
+         |a2 AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT e.vec_id, c2.c,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY ${l2L("e.embedding", "c2.cent")}, c2.c) AS rn
+         |    FROM unit e CROSS JOIN c2) x WHERE rn = 1)
+         |SELECT vec_id, c AS cluster FROM a2 ORDER BY vec_id""".stripMargin,
 
     "cluster_kmeans" ->
       s"""WITH c0 AS (

@@ -116,4 +116,88 @@ object Clustering {
       Ann.clusterOf(col(embCol), model.ivf).as("cluster"))
     (model, assigned)
   }
+
+  /** Unit-normalize an ARRAY<FLOAT> column (zero-norm rows pass through
+    * unchanged — the K6 convention). Sequential double accumulation +
+    * one correctly-rounded sqrt/divide per element, so the result is
+    * bit-stable and SQL-replayable. */
+  def unitNormalize(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n2 = sqrt(aggregate(emb, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(n2 === 0.0, emb)
+      .otherwise(transform(emb, x => (x.cast("double") / n2).cast("float")))
+  }
+
+  /**
+   * Spherical k-means — the cosine-geometry trainer (the standard coarse
+   * quantizer for cosine IVF): inputs are unit-normalized once, Lloyd's
+   * runs in L2 on the sphere (argmin L2 ≡ argmax cosine there), and each
+   * round's centroid is the RE-NORMALIZED snapped mean, so centroids
+   * stay on the sphere. Same scale shape as [[kMeans]]: codegen argmin
+   * assignment, map-side partial sums, k×(dim+1) numbers to the driver
+   * per round. Every float stage is correctly-rounded (sqrt, divide,
+   * float cast) over the 1e-6-snapped means, so the DuckDB oracle
+   * replays rounds bit-for-bit.
+   */
+  def sphericalKMeans(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iterations: Int,
+      snapDecimals: Int = 6): (KMeansModel, DataFrame) = {
+    import spark.implicits._
+    val unit = df.select(col(idCol), unitNormalize(col(embCol)).as("__unit"))
+    val init = unit.orderBy(col(idCol)).limit(k)
+      .select(col("__unit").cast("array<float>")).as[Array[Float]].collect()
+    require(init.length == k, s"need at least k=$k rows to seed k-means")
+    val dim = init.head.length
+    var centroids: Array[Float] = init.flatten.toArray
+
+    val agg = new VecSumAggregator(dim).toColumn.name("stats")
+    var it = 0
+    while (it < iterations) {
+      val model = IvfModel(k, dim, centroids)
+      val stats = unit
+        .select(Ann.clusterOf(col("__unit"), model).as("cluster"),
+          col("__unit").cast("array<float>").as("v"))
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg)
+        .collect()
+        .toMap
+      val next = new Array[Float](k * dim)
+      var c = 0
+      while (c < k) {
+        stats.get(c) match {
+          case Some((sum, n)) if n > 0 =>
+            val m = new Array[Float](dim)
+            var i = 0
+            while (i < dim) { m(i) = snap(sum(i) / n, snapDecimals); i += 1 }
+            var ss = 0.0
+            i = 0
+            while (i < dim) { ss += m(i).toDouble * m(i).toDouble; i += 1 }
+            val nm = math.sqrt(ss)
+            i = 0
+            while (i < dim) {
+              next(c * dim + i) =
+                if (nm == 0.0) m(i) else (m(i).toDouble / nm).toFloat
+              i += 1
+            }
+          case _ => // empty cluster: keep the previous centroid
+            System.arraycopy(centroids, c * dim, next, c * dim, dim)
+        }
+        c += 1
+      }
+      centroids = next
+      it += 1
+    }
+
+    val model = KMeansModel(k, dim, centroids)
+    val assigned = unit.select(col(idCol),
+      Ann.clusterOf(col("__unit"), model.ivf).as("cluster"))
+    (model, assigned)
+  }
 }

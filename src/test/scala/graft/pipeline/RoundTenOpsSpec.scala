@@ -311,6 +311,34 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  // --- Spherical k-means ---------------------------------------------------
+
+  test("spherical kmeans: centroids stay unit-norm; assignment is the cosine argmax") {
+    val sfDocs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (model, assigned) = Clustering.sphericalKMeans(
+      spark, sfDocs, "vec_id", "embedding", k = 4, iterations = 2)
+    // every trained centroid has unit L2 norm (within float rounding)
+    for (c <- 0 until model.k) {
+      val nm = math.sqrt((0 until model.dim)
+        .map(i => model.centroids(c * model.dim + i).toDouble)
+        .map(x => x * x).sum)
+      assert(math.abs(nm - 1.0) < 1e-5, s"centroid $c norm $nm")
+    }
+    // the L2-argmin assignment on the sphere equals the cosine argmax
+    val unit = sfDocs.select(col("vec_id"),
+      Clustering.unitNormalize(col("embedding")).as("u"))
+    val cents = (0 until model.k).map(c =>
+      (c, (0 until model.dim).map(i => model.centroids(c * model.dim + i)).toArray))
+    val centDf = cents.toDF("c", "cent")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c"))
+    val byCos = unit.crossJoin(broadcast(centDf))
+      .withColumn("cos", graft.functions.vector.cosine_sim(col("u"), col("cent")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c").as("cluster"))
+    assert(byCos.exceptAll(assigned).isEmpty && assigned.exceptAll(byCos).isEmpty)
+  }
+
   // --- Topic segmentation --------------------------------------------------
 
   test("topic segments: disjoint blocks cut, cohesive blocks don't, zero-overlap kept") {
