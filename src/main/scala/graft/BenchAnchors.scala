@@ -300,6 +300,7 @@ object BenchAnchors {
     "rel_partition_overwrite" -> 1.021,
     "stream_transform_with_state" -> 2.814,
     "cluster_spherical_kmeans" -> 1.920,
+    "multimodal_patch_grid" -> 0.579,
     "rel_sequence_gaps" -> 0.541,
     "text_topic_segments" -> 0.635,
   )

@@ -1675,6 +1675,18 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ViT-style patch grid over REAL decoded pixels: 4×4 rectangle
+    // patches, exact integer weighted-luminance sums (the patch-
+    // embedding prep). The oracle replays each patch closed-form as
+    // quadrant-intersection areas × quadrant luminances — no per-pixel
+    // SQL fan-out needed.
+    "multimodal_patch_grid" -> ((s, dir) => {
+      val blobs = Multimodal.withEncodedImages(
+        s, docs(s, dir).filter(col("doc_id") < 500).select("doc_id"), "doc_id")
+      Multimodal.patchGridStats(blobs, grid = 4).toDF()
+        .orderBy(col("doc_id"), col("patch_row"), col("patch_col"))
+    }),
+
     // TextTiling-style topic segmentation: adjacent 20-token blocks
     // scored by distinct-token overlap (a (doc, token)-keyed equi-join,
     // never a pairwise block join); boundary where cohesion < 20%. The
@@ -2188,6 +2200,45 @@ object PipelineQueries {
         |                ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS ahash,
         |  CAST(sum(CASE WHEN lum * 64 > total THEN 1 ELSE 0 END) AS INTEGER) AS ahash_bits
         |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "multimodal_patch_grid" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 48 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 32 + 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 500),
+        |p AS (
+        |  SELECT doc_id, w, h, pi, pj,
+        |    (pi * h) // 4 AS y0, ((pi + 1) * h) // 4 AS y1,
+        |    (pj * w) // 4 AS x0, ((pj + 1) * w) // 4 AS x1
+        |  FROM m,
+        |    LATERAL (SELECT unnest(generate_series(0, 3)) AS pi) gi,
+        |    LATERAL (SELECT unnest(generate_series(0, 3)) AS pj) gj),
+        |areas AS (
+        |  SELECT doc_id, w, h, pi, pj, y0, y1, x0, x1,
+        |    greatest(0, least(y1, h // 2) - y0) AS cnt_top,
+        |    (y1 - y0) - greatest(0, least(y1, h // 2) - y0) AS cnt_bot,
+        |    greatest(0, least(x1, w // 2) - x0) AS cnt_left,
+        |    (x1 - x0) - greatest(0, least(x1, w // 2) - x0) AS cnt_right
+        |  FROM p),
+        |lums AS (
+        |  SELECT doc_id, q,
+        |    299 * ((doc_id * 3 + 31 * q + 7) % 256)
+        |    + 587 * ((doc_id * 5 + 31 * q + 7) % 256)
+        |    + 114 * ((doc_id * 7 + 31 * q + 7) % 256) AS lum
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, 3)) AS q) gq)
+        |SELECT a.doc_id,
+        |  CAST(pi AS INTEGER) AS patch_row, CAST(pj AS INTEGER) AS patch_col,
+        |  CAST((y1 - y0) * (x1 - x0) AS BIGINT) AS n_pixels,
+        |  CAST(cnt_top * cnt_left * l0.lum + cnt_top * cnt_right * l1.lum
+        |     + cnt_bot * cnt_left * l2.lum + cnt_bot * cnt_right * l3.lum
+        |    AS BIGINT) AS sum_lum
+        |FROM areas a
+        |JOIN lums l0 ON l0.doc_id = a.doc_id AND l0.q = 0
+        |JOIN lums l1 ON l1.doc_id = a.doc_id AND l1.q = 1
+        |JOIN lums l2 ON l2.doc_id = a.doc_id AND l2.q = 2
+        |JOIN lums l3 ON l3.doc_id = a.doc_id AND l3.q = 3
+        |ORDER BY a.doc_id, patch_row, patch_col""".stripMargin,
 
     "text_topic_segments" ->
       s"""WITH tok AS (

@@ -406,6 +406,55 @@ object Multimodal {
     }
   }
 
+  final case class PatchStats(
+      doc_id: Long,
+      patch_row: Int,
+      patch_col: Int,
+      n_pixels: Long,
+      sum_lum: Long)
+
+  /**
+   * ViT-style patch grid over REAL decoded pixels: partition each image
+   * into a `grid`×`grid` rectangle grid (floor-division edges — patch
+   * (i,j) covers rows [i·h/g, (i+1)·h/g)), and reduce each patch to its
+   * exact integer weighted-luminance sum — the patch-embedding prep
+   * step (each patch's stats row is what a projection layer consumes).
+   * Fan-out is grid² fixed-width rows per image; pixel buffers die in
+   * the decode task.
+   */
+  def patchGridStats(blobs: Dataset[MediaBlob], grid: Int): Dataset[PatchStats] = {
+    require(grid >= 1, "grid must be >= 1")
+    import blobs.sparkSession.implicits._
+    blobs.flatMap { blob =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(blob.data))
+      require(img != null, s"undecodable media payload for doc ${blob.doc_id}")
+      val w = img.getWidth
+      val h = img.getHeight
+      for {
+        pi <- 0 until grid
+        pj <- 0 until grid
+      } yield {
+        val y0 = pi * h / grid; val y1 = (pi + 1) * h / grid
+        val x0 = pj * w / grid; val x1 = (pj + 1) * w / grid
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            sum += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+              114L * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        PatchStats(blob.doc_id, pi, pj, (y1 - y0).toLong * (x1 - x0), sum)
+      }
+    }
+  }
+
   /**
    * Scene-cut detection over decoded frame statistics: a frame is a cut
    * when its weighted-luminance sum jumps by at least `minMeanDelta`
