@@ -301,6 +301,7 @@ object BenchAnchors {
     "stream_transform_with_state" -> 2.814,
     "cluster_spherical_kmeans" -> 1.920,
     "multimodal_patch_grid" -> 0.579,
+    "text_mixed_language" -> 0.364,
     "rel_sequence_gaps" -> 0.541,
     "text_topic_segments" -> 0.635,
   )

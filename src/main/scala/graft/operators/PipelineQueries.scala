@@ -1675,6 +1675,25 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Mixed-language detection: language-ID the two character halves of
+    // each doc and flag disagreement — the code-switch / concatenated-
+    // crawl screen a monolingual filter misses. Same codegen'd langid
+    // pass, three applications, no shuffle; the oracle replays the full
+    // vote chain on each half.
+    "text_mixed_language" -> ((s, dir) => {
+      val t = col("text")
+      val mid = (length(t) / 2).cast("int")
+      val h1 = t.substr(lit(1), mid)
+      val h2 = t.substr(mid + 1, greatest(length(t) - mid, lit(0)))
+      docs(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.langId(t).as("lang_full"),
+          TextAnalysis.langId(h1).as("lang_head"),
+          TextAnalysis.langId(h2).as("lang_tail"))
+        .withColumn("mixed", col("lang_head") =!= col("lang_tail"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ViT-style patch grid over REAL decoded pixels: 4×4 rectangle
     // patches, exact integer weighted-luminance sums (the patch-
     // embedding prep). The oracle replays each patch closed-form as
@@ -1884,6 +1903,27 @@ object PipelineQueries {
        |  FROM $cIn LEFT JOIN (
        |    SELECT c, list(CAST(mv AS FLOAT) ORDER BY i) AS cent FROM $mN GROUP BY c) m
        |  ON $cIn.c = m.c)""".stripMargin
+
+  /** The langid vote chain over an arbitrary string expression — the
+    * parameterized form of the `text_langid` oracle (script ranges,
+    * then stopword voting with the greatest-struct tie order fr > es >
+    * en > de that mirrors the Scala struct max). */
+  private def langidSql(src: String): String = {
+    val tk = s"list_filter(regexp_split_to_array(lower(trim($src)), '\\s+'), t -> len(t) > 0)"
+    def v(words: String) = s"len(list_filter($tk, x -> list_contains($words, x)))"
+    val en = v("['the','and','of','to','is','in','that','it','with','for']")
+    val es = v("['el','la','de','que','y','en','los','del','las','por']")
+    val de = v("['der','die','und','das','ist','nicht','von','mit','den','ein']")
+    val fr = v("['le','la','les','de','et','est','un','une','des','que']")
+    s"""CASE WHEN regexp_matches($src, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |     WHEN regexp_matches($src, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+       |     WHEN regexp_matches($src, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+       |     WHEN greatest($en, $es, $de, $fr) > 0 THEN
+       |       CASE greatest($en, $es, $de, $fr)
+       |         WHEN $fr THEN 'fr' WHEN $es THEN 'es'
+       |         WHEN $en THEN 'en' ELSE 'de' END
+       |     ELSE 'und' END""".stripMargin
+  }
 
   /** One spherical-Lloyd's round over CTE `unit` (unit-normalized
     * embeddings): L2 assignment (≡ cosine argmax on the sphere),
@@ -2200,6 +2240,19 @@ object PipelineQueries {
         |                ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS ahash,
         |  CAST(sum(CASE WHEN lum * 64 > total THEN 1 ELSE 0 END) AS INTEGER) AS ahash_bits
         |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_mixed_language" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, text,
+         |    substr(text, 1, CAST(len(text) // 2 AS INTEGER)) AS h1,
+         |    substr(text, CAST(len(text) // 2 AS INTEGER) + 1) AS h2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${langidSql("text")} AS lang_full,
+         |  ${langidSql("h1")} AS lang_head,
+         |  ${langidSql("h2")} AS lang_tail,
+         |  ${langidSql("h1")} <> ${langidSql("h2")} AS mixed
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "multimodal_patch_grid" ->
       """WITH m AS (
