@@ -306,6 +306,8 @@ object BenchAnchors {
     "cluster_spherical_kmeans" -> 1.920,
     "multimodal_patch_grid" -> 0.579,
     "text_mixed_language" -> 0.364,
+    "text_caps_spans" -> 0.621,
+    "multimodal_audio_gain" -> 0.343,
     "rel_sequence_gaps" -> 0.541,
     "text_topic_segments" -> 0.635,
   )

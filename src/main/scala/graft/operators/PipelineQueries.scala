@@ -1675,6 +1675,34 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Crude-NER capitalized spans over a DETERMINISTICALLY CASED corpus
+    // (the raw corpus is all-lowercase, so the gate plants casing:
+    // tokens at positions i mod 5 < 2 get their first letter uppered —
+    // giving length-2 runs everywhere). One posexplode + one islands
+    // window; the oracle replays casing, the anchored regex, and the
+    // islands.
+    "text_caps_spans" -> ((s, dir) => {
+      val cased = docs(s, dir).filter(col("doc_id") % 5 === 0).select(
+        col("doc_id"),
+        concat_ws(" ", transform(TextAnalysis.tokens(col("text")),
+          (t, i) => when(i % 5 < 2,
+            concat(upper(t.substr(lit(1), lit(1))), t.substr(lit(2), length(t))))
+            .otherwise(t))).as("text"))
+      TextAnalysis.capitalizedSpans(cased, "doc_id", "text", minLen = 2)
+        .orderBy(col("doc_id"), col("span_idx"))
+    }),
+
+    // Integer peak normalization of REAL decoded WAV payloads: gain map
+    // out = sign(v)·(|v|·30000 div max|v|) — magnitude-side floor
+    // division, identical under any engine's division convention. The
+    // oracle replays the signal and the exact gain arithmetic.
+    "multimodal_audio_gain" -> ((s, dir) => {
+      val blobs = Audio.withWavAudio(
+        s, docs(s, dir).filter(col("doc_id") < 200), "doc_id")
+      Audio.gainStats(blobs, targetPeak = 30000L).toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // Mixed-language detection: language-ID the two character halves of
     // each doc and flag disagreement — the code-switch / concatenated-
     // crawl screen a monolingual filter misses. Same codegen'd langid
@@ -2240,6 +2268,50 @@ object PipelineQueries {
         |                ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS ahash,
         |  CAST(sum(CASE WHEN lum * 64 > total THEN 1 ELSE 0 END) AS INTEGER) AS ahash_bits
         |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_caps_spans" ->
+      s"""WITH cased AS (
+         |  SELECT doc_id, $toksSql AS tk
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    CASE WHEN (i - 1) % 5 < 2
+         |         THEN upper(substr(tk[i], 1, 1)) || substr(tk[i], 2)
+         |         ELSE tk[i] END AS t
+         |  FROM cased, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g),
+         |caps AS (
+         |  SELECT doc_id, pos, t FROM tok
+         |  WHERE regexp_matches(t, '^[A-Z][a-z]+$$')),
+         |isl AS (
+         |  SELECT doc_id, pos, t,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM caps),
+         |spans AS (
+         |  SELECT doc_id, grp, CAST(min(pos) AS BIGINT) AS span_start,
+         |    CAST(count(*) AS BIGINT) AS span_len,
+         |    string_agg(t, ' ' ORDER BY pos) AS span_text
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_start)
+         |    AS BIGINT) AS span_idx,
+         |  span_start, span_len, span_text
+         |FROM spans WHERE span_len >= 2
+         |ORDER BY doc_id, span_idx""".stripMargin,
+
+    "multimodal_audio_gain" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |s0 AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(256 + doc_id % 64 AS BIGINT) - 1)) AS i
+        |  FROM ids),
+        |s AS (SELECT doc_id, ((doc_id * 31 + i * 17) % 2001) - 1000 AS v FROM s0),
+        |mx AS (SELECT doc_id, max(abs(v)) AS mx FROM s GROUP BY 1)
+        |SELECT s.doc_id, CAST(mx.mx AS BIGINT) AS max_abs_in,
+        |  CAST(max((abs(v) * 30000) // mx.mx) AS BIGINT) AS peak_out,
+        |  CAST(sum((abs(v) * 30000) // mx.mx) AS BIGINT) AS sum_abs_out
+        |FROM s JOIN mx USING (doc_id)
+        |GROUP BY s.doc_id, mx.mx
+        |ORDER BY doc_id""".stripMargin,
 
     "text_mixed_language" ->
       s"""WITH h AS (

@@ -263,6 +263,93 @@ object Audio {
     blobs.mapPartitions(_.map(b => decodeWavDecimatedStats(b.doc_id, b.data, k)))
   }
 
+  final case class WavGainStats(
+      doc_id: Long,
+      max_abs_in: Long,
+      peak_out: Long,
+      sum_abs_out: Long)
+
+  /**
+   * Peak (loudness) normalization in EXACT integer arithmetic: scale
+   * every sample so the peak hits `targetPeak`, with the per-sample map
+   * `out = sign(v) · (|v|·target div max|v|)` — magnitude-side floor
+   * division, so the result is identical under any engine's division
+   * convention (truncation vs floor differ on negatives; working on
+   * |v| sidesteps it). Silent payloads pass through (gain undefined).
+   * One decode pass + one bounded sample buffer per payload; only the
+   * stats row crosses the shuffle.
+   */
+  def decodeWavGainStats(docId: Long, bytes: Array[Byte], targetPeak: Long): WavGainStats = {
+    val s = decodeSamples(docId, bytes)
+    var maxAbs = 0L
+    var i = 0
+    while (i < s.length) {
+      val a = math.abs(s(i).toLong)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    var sumOut = 0L
+    var peakOut = 0L
+    if (maxAbs > 0) {
+      i = 0
+      while (i < s.length) {
+        val a = math.abs(s(i).toLong) * targetPeak / maxAbs
+        sumOut += a
+        if (a > peakOut) peakOut = a
+        i += 1
+      }
+    }
+    WavGainStats(docId, maxAbs, peakOut, sumOut)
+  }
+
+  /** Decode all PCM-16 samples of a WAV payload (chunk-walk shared with
+    * the stats kernels; bounded by the payload). */
+  private def decodeSamples(docId: Long, bytes: Array[Byte]): Array[Short] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+    }
+    require(tag() == "RIFF", s"doc $docId: not a RIFF container")
+    bb.getInt()
+    require(tag() == "WAVE", s"doc $docId: not a WAVE form")
+    var rate = -1; var channels = -1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+    while (bb.remaining() >= 8) {
+      val id = tag()
+      val len = bb.getInt()
+      val chunkEnd = math.min(bb.position() + len + (len & 1), bb.limit())
+      id match {
+        case "fmt " =>
+          val codec = bb.getShort()
+          require(codec == 1, s"doc $docId: not PCM (fmt $codec)")
+          channels = bb.getShort().toInt
+          rate = bb.getInt()
+          bb.getInt(); bb.getShort()
+          val bits = bb.getShort().toInt
+          require(bits == 16, s"doc $docId: only PCM-16 supported (got $bits)")
+        case "data" =>
+          require(rate > 0, s"doc $docId: data chunk before fmt")
+          val frames = len / (2 * channels)
+          var f = 0
+          while (f < frames) {
+            var c = 0
+            while (c < channels) { out += bb.getShort(); c += 1 }
+            f += 1
+          }
+        case _ => ()
+      }
+      bb.position(chunkEnd)
+    }
+    require(rate > 0, s"doc $docId: missing fmt chunk")
+    out.toArray
+  }
+
+  /** Gain-normalization stage: same mapPartitions shape as decodeStats. */
+  def gainStats(blobs: Dataset[MediaBlob], targetPeak: Long): Dataset[WavGainStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => decodeWavGainStats(b.doc_id, b.data, targetPeak)))
+  }
+
   final case class WavBlockStats(
       doc_id: Long,
       block_idx: Long,

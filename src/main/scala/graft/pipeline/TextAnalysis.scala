@@ -706,6 +706,39 @@ object TextAnalysis {
     trim(regexp_replace(punctDeduped, "\\s+", " "))
   }
 
+  // --- Capitalized spans (crude NER) ---------------------------------------
+
+  /**
+   * Proper-noun candidate spans: maximal runs of ≥ `minLen` consecutive
+   * Capitalized tokens (`^[A-Z][a-z]+$`, ORIGINAL case — tokens are NOT
+   * lowercased here) — the zero-model entity tagger used for masking /
+   * pseudonymization passes. One posexplode + one gaps-and-islands
+   * window keyed on the doc; span text reassembles inside the island
+   * aggregate.
+   */
+  def capitalizedSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 2): DataFrame = {
+    val rawToks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(rawToks).as(Seq("pos", "t")))
+    val caps = tok.filter(col("t").rlike("^[A-Z][a-z]+$"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = caps
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        count(lit(1)).as("span_len"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t"))).as("span_text"))
+      .filter(col("span_len") >= minLen)
+    val wSpan = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+    spans
+      .withColumn("span_idx", row_number().over(wSpan).cast("long"))
+      .select(col("doc_id"), col("span_idx"), col("span_start"),
+        col("span_len"), col("span_text"))
+  }
+
   // --- Topic segmentation --------------------------------------------------
 
   /**
