@@ -312,6 +312,7 @@ object BenchAnchors {
     "text_mixed_language" -> 0.364,
     "text_caps_spans" -> 0.621,
     "multimodal_audio_gain" -> 0.343,
+    "stream_scd2" -> 2.401,
     "rel_sequence_gaps" -> 0.541,
     "text_topic_segments" -> 0.635,
   )

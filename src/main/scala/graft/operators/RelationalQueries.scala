@@ -2002,6 +2002,66 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("version_seq"))
     }),
 
+    // STREAMING incremental SCD2 maintenance: the same change stream as
+    // rel_scd2_dimension arrives as 3 date-ranged microbatches; each
+    // foreachBatch folds its batch into the carried dimension table —
+    // touched keys' open versions close at the batch's first change,
+    // new versions renumber after the carried max. Time-ordered batches
+    // make the fold land on EXACTLY the one-shot scd2: shared oracle.
+    "stream_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ch = t(s, dir, "orders").filter(col("o_custkey") <= 300)
+        .select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("change_date"),
+          col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+      val batches = Seq(
+        ch.filter(col("change_date") < lit("1998-01-01")),
+        ch.filter(col("change_date") >= lit("1998-01-01") &&
+          col("change_date") < lit("2000-01-01")),
+        ch.filter(col("change_date") >= lit("2000-01-01")))
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_sscd2_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val filesDir = new java.io.File(root, "in")
+      java.nio.file.Files.createDirectories(filesDir.toPath)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = new java.io.File(root, s"stage$i")
+        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        val dest = new java.io.File(filesDir, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        // the fold requires time-ordered batches — pin mtimes so the
+        // file source delivers the date ranges in order
+        require(dest.setLastModified(1700000000000L + i * 60000L),
+          s"could not pin mtime on $dest")
+      }
+      val stateDir = new java.io.File(root, "state").toString
+      val q = s.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val next =
+            if (batchId == 0L)
+              graft.pipeline.Snapshot.scd2(batch, "o_custkey", "change_date", "o_orderkey")
+            else graft.pipeline.Snapshot.scd2Fold(
+              s.read.parquet(s"$stateDir/b${batchId - 1}"), batch,
+              "o_custkey", "change_date", "o_orderkey")
+          next.write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val last = new java.io.File(stateDir).listFiles()
+        .map(_.getName).filter(_.startsWith("b")).map(_.drop(1).toInt).max
+      s.read.parquet(s"$stateDir/b$last")
+        .select(col("o_custkey"), col("version_seq"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("price_c"), col("is_current"))
+        .orderBy(col("o_custkey"), col("version_seq"))
+    }),
+
     // ntile / cume_dist / percent_rank — the ranking-window quartet the
     // mixture-balancing and skew reports lean on, pinned on the
     // customer-balance distribution per market segment. Exact-integer
@@ -3499,19 +3559,9 @@ object RelationalQueries {
          |       ELSE 0.0 END AS closeness
          |FROM d2 GROUP BY seed ORDER BY seed""".stripMargin,
 
-    "rel_scd2_dimension" ->
-      """SELECT o_custkey, version_seq, valid_from, valid_to, price_c, is_current
-        |FROM (
-        |  SELECT o_custkey,
-        |    CAST(row_number() OVER w AS BIGINT) AS version_seq,
-        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS valid_from,
-        |    strftime(lead(CAST(o_orderdate AS DATE)) OVER w, '%Y-%m-%d') AS valid_to,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
-        |    (lead(o_orderdate) OVER w IS NULL) AS is_current
-        |  FROM orders WHERE o_custkey <= 300
-        |  WINDOW w AS (PARTITION BY o_custkey
-        |               ORDER BY CAST(o_orderdate AS DATE), o_orderkey)) x
-        |ORDER BY o_custkey, version_seq""".stripMargin,
+    "rel_scd2_dimension" -> scd2Oracle,
+
+    "stream_scd2" -> scd2Oracle,
 
     "rel_window_ntile" ->
       """SELECT c_custkey, c_mktsegment, bal_c,
@@ -3546,6 +3596,22 @@ object RelationalQueries {
        |    SELECT d.seed, e.dst AS node, d.dist + 1 AS dist
        |    FROM edges e JOIN $prev d ON e.src = d.node) x
        |  GROUP BY seed, node)""".stripMargin
+
+  /** The one-shot SCD2 table both the batch gate and the streaming
+    * incremental fold must land on exactly. */
+  private def scd2Oracle: String =
+    """SELECT o_custkey, version_seq, valid_from, valid_to, price_c, is_current
+        |FROM (
+        |  SELECT o_custkey,
+        |    CAST(row_number() OVER w AS BIGINT) AS version_seq,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS valid_from,
+        |    strftime(lead(CAST(o_orderdate AS DATE)) OVER w, '%Y-%m-%d') AS valid_to,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |  FROM orders WHERE o_custkey <= 300
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY CAST(o_orderdate AS DATE), o_orderkey)) x
+        |ORDER BY o_custkey, version_seq""".stripMargin
 
   /** The recompute both MV-maintenance gates must stay exactly equal to:
     * the per-customer order aggregate over the WHOLE orders table, in

@@ -133,6 +133,45 @@ object Snapshot {
   }
 
   /**
+   * Incremental SCD2 maintenance: fold a TIME-ORDERED change batch into
+   * an existing [[scd2]] dimension table — each touched key's open
+   * version closes at the batch's first change for that key, the
+   * batch's own versions chain via a within-batch [[scd2]] pass and
+   * renumber after the key's carried max. Under per-key time-ordered
+   * batches (every batch date strictly after the key's carried dates —
+   * date-range batching gives this globally), folding batch-by-batch
+   * yields EXACTLY the one-shot [[scd2]] over the concatenated stream,
+   * including version numbers and the single open version per key.
+   *
+   * Shape: the close step joins the (thin) state against two per-key
+   * 1-row aggregates of the batch; the append step is the within-batch
+   * window pass. Nothing rescans history beyond the state rows.
+   */
+  def scd2Fold(
+      state: DataFrame,
+      batch: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val firstTs = batch.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("__first_ts"))
+    val maxSeq = state.groupBy(col(keyCol))
+      .agg(max(col("version_seq")).as("__max_seq"))
+    val closed = state.join(firstTs, Seq(keyCol), "left")
+      .withColumn("valid_to",
+        when(col("is_current") && col("__first_ts").isNotNull, col("__first_ts"))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current", col("is_current") && col("__first_ts").isNull)
+      .drop("__first_ts")
+    val appended = scd2(batch, keyCol, tsCol, tieCol)
+      .join(maxSeq, Seq(keyCol), "left")
+      .withColumn("version_seq",
+        col("version_seq") + coalesce(col("__max_seq"), lit(0L)))
+      .drop("__max_seq")
+    closed.unionByName(appended.select(closed.columns.map(col): _*))
+  }
+
+  /**
    * Corpus snapshot diff: classify every key across two generations as
    * `added` / `removed` / `changed` / `unchanged` by comparing content
    * fingerprints — the audit step between corpus refreshes (how much
