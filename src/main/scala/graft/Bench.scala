@@ -57,7 +57,17 @@ object Bench {
       }
       "vec_heavy_seal_query" -> (System.nanoTime() - t0) / 1e9
     }
-    val results = gateResults :+ heavyResult
+    // SIMD kernel row (Panama lanes, recall-gated against the scalar
+    // path inside timedRun — see SimdBench): the row prices the SIMD
+    // pass ONLY; corpus build + the scalar cross-check run outside it.
+    val simdResult = {
+      try { "vec_simd_l2_topk" -> SimdBench.timedRun(spark)._1 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] vec_simd_l2_topk FAILED: ${e.getMessage}")
+        "vec_simd_l2_topk" -> -1.0
+      }
+    }
+    val results = gateResults :+ heavyResult :+ simdResult
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

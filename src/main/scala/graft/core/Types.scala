@@ -52,12 +52,13 @@ final case class IndexMeta(
   // (4·graphDegree B), PQ codes (pqM B) and ~64 B of bookkeeping per
   // row. The reference's fixed 100k default sits ~6x inside this bound
   // at its own production shape (dim 768: ~341 MB). Deployments wanting
-  // bigger segments should split instead — more segments seal in
-  // parallel and probe independently; a partitioned Vamana build (one
-  // graph spanning executors) is the documented alternative if a
-  // single-segment graph past this bound is ever truly required
-  // (PAPERS.md: DiskANN sharding literature).
-  require(maxSegmentSize.toLong * segmentBuildRowBytes <= IndexMeta.SegmentBuildBudgetBytes,
+  // bigger segments either split (more segments seal in parallel and
+  // probe independently) or opt into graphBuildMode=PARTITIONED — the
+  // sharded Vamana build (PartitionedBuild, DiskANN sharding
+  // literature per PAPERS.md) where no task ever holds the whole
+  // segment, which lifts this bound entirely.
+  require(graphBuildMode == GraphBuildMode.Partitioned ||
+      maxSegmentSize.toLong * segmentBuildRowBytes <= IndexMeta.SegmentBuildBudgetBytes,
     s"maxSegmentSize=$maxSegmentSize needs ~${maxSegmentSize.toLong * segmentBuildRowBytes >> 20} MB " +
       s"of per-task seal memory (dim=$dimension, degree=$graphDegree, pqM=$pqM) — " +
       s"over the ${IndexMeta.SegmentBuildBudgetBytes >> 30} GB task budget; " +
@@ -78,11 +79,15 @@ object IndexMeta {
   * brute-force top-L + greedy α-prune builder directly).
   *  - AUTO: graphAlpha ≤ 1.0 → exact kNN graph, else incremental Vamana.
   *  - PRUNED: brute-force top-`graphBuildBreadth` then greedy α-prune
-  *    (GraphBuilder.buildPrunedNeighbors) regardless of alpha. */
+  *    (GraphBuilder.buildPrunedNeighbors) regardless of alpha.
+  *  - PARTITIONED: sharded Vamana (overlap-2 clustering, per-shard build,
+  *    degree-capped edge union — PartitionedBuild); the only mode whose
+  *    `maxSegmentSize` may exceed the per-task seal budget. */
 object GraphBuildMode {
   val Auto = "AUTO"
   val Pruned = "PRUNED"
-  val all: Set[String] = Set(Auto, Pruned)
+  val Partitioned = "PARTITIONED"
+  val all: Set[String] = Set(Auto, Pruned, Partitioned)
 }
 
 /** Segment lifecycle states (reference: vectorsearch.proto:74-101). */
@@ -95,14 +100,24 @@ object SegmentState {
   val all: Set[String] = Set(Active, Pending, Sealed, Compacting, Writing)
 }
 
-/** Per-segment metadata row in the manifest (reference: vectorsearch.proto:74-101). */
+/** Per-segment metadata row in the manifest (reference: vectorsearch.proto:74-101).
+  *
+  * `buildAttempts`/`lastBuildError` are the batch re-expression of the
+  * reference's build-queue task claims (SegmentBuildWorker.java:39-55
+  * retries failed builds with attempt counts): every seal try — success
+  * or failure — increments the counter, a failure records the error (a
+  * scheduler polling manifests can see what the reference's queue
+  * exposes), and the next successful seal clears it. Defaults keep
+  * pre-round-11 manifests deserializing cleanly. */
 final case class SegmentMeta(
     segId: Int,
     state: String,
     count: Long,
     deletedCount: Long,
     createdAtMs: Long,
-    lastVacuumAtMs: Long = 0L) {
+    lastVacuumAtMs: Long = 0L,
+    buildAttempts: Int = 0,
+    lastBuildError: String = "") {
   require(SegmentState.all.contains(state), s"invalid state $state")
 }
 

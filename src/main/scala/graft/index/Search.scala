@@ -93,6 +93,17 @@ object Search {
     * parallelize across the executor pool. Var for tests. */
   private[index] var queryChunkSize: Int = 1024
 
+  /** Above this many chunks the per-chunk cogroup plans are fused into a
+    * single LogicalRDD leaf via RDD-level union instead of a Catalyst
+    * Union of N analyzed cogroup subtrees — a 100k-query batch (100
+    * chunks) must not build a 100-subtree plan on the driver. Var for
+    * tests. */
+  private[index] var chunkUnionPlanThreshold: Int = 32
+
+  /** Whether the last sealed-path query fused its chunk union into a
+    * single LogicalRDD leaf (observability for tests). */
+  @volatile private[index] var lastChunkPlanFused: Boolean = false
+
   private def release(e: CachedInputs): Unit =
     // an entry from a stopped context has nothing to release — its blocks
     // died with the context, and unpersist would throw
@@ -306,7 +317,16 @@ object Search {
             }
           }.toDF("queryId", "segId", "vecId")
         }
-        val candidates = chunkCandidates.reduce(_ unionByName _)
+        // small batches: plain Catalyst union (keeps the exact committed
+        // plan shape). Past `chunkUnionPlanThreshold` chunks, fuse into
+        // one LogicalRDD leaf — driver planning time stays flat instead
+        // of growing with an N-subtree Union the optimizer re-walks.
+        val fuse = chunkCandidates.lengthCompare(chunkUnionPlanThreshold) > 0
+        lastChunkPlanFused = fuse
+        val candidates =
+          if (!fuse) chunkCandidates.reduce(_ unionByName _)
+          else org.apache.spark.sql.graft.SparkShims
+            .unionAsSingleLeaf(spark, chunkCandidates)
 
         // exact rerank (J5): candidates ⋈ vectors (pruned to sealed segs).
         // Shuffle hash join, NOT broadcast: candidates are O(queries ×

@@ -158,11 +158,29 @@ final class SegmentedIndex(val spark: SparkSession, val store: IndexStore) {
    */
   def sealPending(states: Set[String] = Set(SegmentState.Pending, SegmentState.Writing)): Manifest = {
     val m0 = manifest
-    val toSeal = m0.segments.filter(s => states.contains(s.state)).map(_.segId)
+    val toSeal = m0.segments.filter(s => states.contains(s.state)).map(_.segId).toSet
     if (toSeal.isEmpty) return m0
-    buildArtifacts(toSeal)
+    // retry bookkeeping (T1, reference SegmentBuildWorker.java:39-55): a
+    // failed build commits attempt+error to the manifest BEFORE
+    // rethrowing, so a scheduler sweeping manifests sees the failure
+    // surface the reference exposes via task claims; the artifacts
+    // themselves are idempotent overwrites, so the re-run is safe.
+    try buildArtifacts(toSeal.toSeq)
+    catch {
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(512)
+        store.writeManifest(m0.copy(segments = m0.segments.map { s =>
+          if (toSeal.contains(s.segId))
+            s.copy(buildAttempts = s.buildAttempts + 1, lastBuildError = msg)
+          else s
+        }))
+        throw e
+    }
     val m1 = m0.copy(segments = m0.segments.map { s =>
-      if (states.contains(s.state)) s.copy(state = SegmentState.Sealed) else s
+      if (toSeal.contains(s.segId))
+        s.copy(state = SegmentState.Sealed,
+          buildAttempts = s.buildAttempts + 1, lastBuildError = "")
+      else s
     })
     store.writeManifest(m1)
     m1
@@ -174,7 +192,15 @@ final class SegmentedIndex(val spark: SparkSession, val store: IndexStore) {
     * 391-414 swaps registry only after build completes). */
   def buildArtifacts(toSeal: Seq[Int]): Unit = {
     if (toSeal.isEmpty) return
-    val metaB = spark.sparkContext.broadcast(manifest.meta)
+    val im0 = manifest.meta
+    // PARTITIONED: sharded build — no task holds the whole segment, so
+    // the per-task budget no longer caps maxSegmentSize (PartitionedBuild)
+    if (im0.graphBuildMode == graft.core.GraphBuildMode.Partitioned) {
+      val built = PartitionedBuild.buildSegments(spark, store, toSeal, im0)
+      writeZeroCodebooks(toSeal.filterNot(built.contains), im0)
+      return
+    }
+    val metaB = spark.sparkContext.broadcast(im0)
 
     val rows = store.readVectors(spark)
       .filter(col("segId").isin(toSeal: _*))
@@ -212,24 +238,24 @@ final class SegmentedIndex(val spark: SparkSession, val store: IndexStore) {
     store.writeCodes(rows.filter(_.kind == "cg").map(r => CodeRow(r.segId, r.vecId, r.code)))
     store.writeGraph(rows.filter(_.kind == "cg").map(r => GraphRow(r.segId, r.vecId, r.neighbors)))
     store.writeCodebooks(rows.filter(_.kind == "cb").map(r => CodebookRow(r.segId, r.m, r.k, r.subDim, r.centroids)))
-    // reference parity (SegmentBuildService.java:143-157,377-387): a
-    // segment with no vector rows still seals with an explicit all-zero
-    // codebook artifact, so a SEALED segment ALWAYS has its codebook and
-    // the query path never special-cases "sealed but artifact-less".
     // (bounded collect: one segId per sealed segment of this sweep)
     val builtSegs = rows.filter(_.kind == "cb").map(_.segId).collect().toSet
     rows.unpersist()
-    val emptySegs = toSeal.filterNot(builtSegs.contains)
+    writeZeroCodebooks(toSeal.filterNot(builtSegs.contains), metaB.value)
+  }
+
+  /** Reference parity (SegmentBuildService.java:143-157,377-387): a
+    * row-less segment still seals with an explicit all-zero codebook, so
+    * SEALED always implies artifacts exist. Shared by the classic and
+    * PARTITIONED build paths. */
+  private def writeZeroCodebooks(emptySegs: Seq[Int], im: IndexMeta): Unit =
     if (emptySegs.nonEmpty) {
-      val im = metaB.value
       val subDim = im.dimension / im.pqM
       store.writeCodebooks(emptySegs
         .map(sid => CodebookRow(sid, im.pqM, im.pqK, subDim,
           new Array[Float](im.pqM * im.pqK * subDim)))
         .toDS())
     }
-    ()
-  }
 
   /**
    * Tombstone delete by gid (reference M1, FdbVectorStore.deleteBatch

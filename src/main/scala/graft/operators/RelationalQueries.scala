@@ -1955,10 +1955,13 @@ object RelationalQueries {
         .agg(percentile(col("value"), lit(0.5)).as("med"))
       val dev = ev.join(broadcast(med), "event_type")
         .withColumn("adev", abs(col("value") - col("med")))
-      val stats = dev.groupBy(col("event_type"), col("med"))
-        .agg(percentile(col("adev"), lit(0.5)).as("mad"),
-          count(lit(1)).as("n_events"))
-      dev.join(broadcast(stats.drop("n_events")), Seq("event_type", "med"))
+      // Join stats back on event_type ONLY — med/mad are functionally
+      // dependent on it, and an equi-join keyed on the float `med`
+      // would rely on Spark recomputing the percentile subtree
+      // bit-identically in both plan branches.
+      val stats = dev.groupBy(col("event_type"))
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(stats), Seq("event_type"))
         .groupBy(col("event_type"), col("med"), col("mad"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("adev") > col("mad") * 4.4478, 1L).otherwise(0L))

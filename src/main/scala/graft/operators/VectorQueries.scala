@@ -529,6 +529,21 @@ object VectorQueries {
       sealedGateQuery(s, store, e)
     }),
 
+    // Partitioned (sharded) Vamana seal — the beyond-budget build path
+    // (PartitionedBuild: overlap-2 shard assignment, per-shard Vamana in
+    // parallel tasks, degree-capped edge union; DiskANN sharding per
+    // PAPERS.md). Same recall-1.0 config as the pruned/alpha1 rows
+    // (ef 160 exhausts 100-node segments), so the sharded graph must
+    // still produce exact KNN under the same hard oracle.
+    "vec_knn_partitioned" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 300)
+      val store = memoizedStore("partitioned", s, dir) {
+        buildVariant("partitioned", s, e,
+          graphMode = graft.core.GraphBuildMode.Partitioned)(_.sealPending())
+      }
+      sealedGateQuery(s, store, e)
+    }),
+
     // F2: WRITING segments are invisible to search (the reference's
     // state-dispatch rule — a compaction target must never serve results
     // before its single-commit swap). Ingest-only build (no seal cost),
@@ -804,6 +819,23 @@ object VectorQueries {
     // same exact-KNN oracle as alpha1: the PRUNED builder changes graph
     // construction, never what an exhaustive search must find
     "vec_knn_sealed_pruned" ->
+      s"""WITH g AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS gid, embedding
+         |  FROM embeddings WHERE vec_id < 300),
+         |q AS (
+         |  SELECT vec_id AS queryId, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         |SELECT queryId, gid, rnk AS "rank", dist AS distance FROM (
+         |  SELECT q.queryId, g.gid,
+         |    sqrt(${l2sqL("g.embedding", "q.qv")}) AS dist,
+         |    row_number() OVER (PARTITION BY q.queryId
+         |                       ORDER BY ${l2sqL("g.embedding", "q.qv")}, g.gid) AS rnk
+         |  FROM g, q) x
+         |WHERE rnk <= 10
+         |ORDER BY queryId, rnk""".stripMargin,
+
+    // same exact-KNN oracle as pruned/alpha1: the sharded builder changes
+    // graph construction, never what an exhaustive search must find
+    "vec_knn_partitioned" ->
       s"""WITH g AS (
          |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS gid, embedding
          |  FROM embeddings WHERE vec_id < 300),

@@ -312,7 +312,7 @@ object Audio {
     require(tag() == "RIFF", s"doc $docId: not a RIFF container")
     bb.getInt()
     require(tag() == "WAVE", s"doc $docId: not a WAVE form")
-    var rate = -1; var channels = -1
+    var rate = -1; var channels = -1; var nData = 0
     val out = scala.collection.mutable.ArrayBuffer.empty[Short]
     while (bb.remaining() >= 8) {
       val id = tag()
@@ -329,6 +329,7 @@ object Audio {
           require(bits == 16, s"doc $docId: only PCM-16 supported (got $bits)")
         case "data" =>
           require(rate > 0, s"doc $docId: data chunk before fmt")
+          nData += 1
           val frames = len / (2 * channels)
           var f = 0
           while (f < frames) {
@@ -340,7 +341,11 @@ object Audio {
       }
       bb.position(chunkEnd)
     }
-    require(rate > 0, s"doc $docId: missing fmt chunk")
+    // Same missing-data contract as the sibling kernels (decodeWavStats,
+    // decodeWavBlockStats): a WAV with fmt but no data chunk is rejected
+    // loudly, not silently decoded to zero samples. A present-but-empty
+    // data chunk (len 0) is still legal silence.
+    require(rate > 0 && nData > 0, s"doc $docId: missing fmt/data chunk")
     out.toArray
   }
 

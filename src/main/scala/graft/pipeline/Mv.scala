@@ -32,7 +32,7 @@ object Mv {
   def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(
-        count(col(valueCol)).as("mv_n"),
+        count(lit(1)).as("mv_n"),
         sum(col(valueCol)).as("mv_sum"),
         min(col(valueCol)).as("mv_min"),
         max(col(valueCol)).as("mv_max"))

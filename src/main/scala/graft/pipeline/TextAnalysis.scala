@@ -492,9 +492,17 @@ object TextAnalysis {
           "  i -> struct(tk[i - 1] AS u, tk[i] AS v)), " +
           "cast(array() as array<struct<u:string,v:string>>))")).as("uv"))
       .select(col("doc_id"), col("uv.u").as("u"), col("uv.v").as("v"))
+    // ONE corpus pass (the pmiBigrams pattern): tf2 — the per-doc
+    // bigram-TYPE table — is persisted so the tokenize/explode lineage
+    // never re-executes; big2 and the three model aggs (ctx, cont,
+    // totals) all derive from it. Both caches are vocabulary/corpus-type
+    // bounded, not raw-token bounded, and are released after the
+    // doc-count-sized result materializes.
     val tf2 = big.groupBy(col("doc_id"), col("u"), col("v"))
       .agg(count(lit(1)).as("tf2"))
+      .persist()
     val big2 = tf2.groupBy(col("u"), col("v")).agg(sum(col("tf2")).as("cuv"))
+      .persist()
     val ctx = big2.groupBy(col("u"))
       .agg(sum(col("cuv")).as("cu"), count(lit(1)).as("n1p_u"))
     val cont = big2.groupBy(col("v")).agg(count(lit(1)).as("n1pb_v"))
@@ -502,7 +510,7 @@ object TextAnalysis {
     val pcont = col("n1pb_v").cast("double") / col("n1p_all").cast("double")
     val pkn = (greatest(col("cuv").cast("double") - lit(d), lit(0.0)) +
       lit(d) * col("n1p_u").cast("double") * pcont) / col("cu").cast("double")
-    tf2
+    val out = tf2
       .join(big2, Seq("u", "v"))
       .join(ctx, Seq("u"))
       .join(cont, Seq("v"))
@@ -511,6 +519,10 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("tf2")).as("n_bigrams"),
         round(sum(col("nll")) / sum(col("tf2")).cast("double"), 6).as("avg_nll"))
+      .localCheckpoint()
+    big2.unpersist()
+    tf2.unpersist()
+    out
   }
 
   /**

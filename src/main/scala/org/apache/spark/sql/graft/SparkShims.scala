@@ -36,6 +36,26 @@ object SparkShims {
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 
+  /** Re-assemble a DataFrame from physical-plan output rows
+    * (`SparkSession.internalCreateDataFrame` is `private[sql]`). Used to
+    * flatten an N-way union of identical-schema subplans into ONE
+    * LogicalRDD leaf: `sc.union(dfs.map(_.queryExecution.toRdd))` keeps
+    * every subplan lazy and schedulable in a single stage wave, while the
+    * consumer's plan sees a single leaf instead of N analyzed subtrees —
+    * driver planning stays flat as N grows. Each subplan's toRdd is
+    * planned independently (O(N) small plannings, each constant-size)
+    * instead of one O(N)-subtree mega-plan that Catalyst re-canonicalizes
+    * on every rule pass. */
+  def unionAsSingleLeaf(
+      spark: org.apache.spark.sql.SparkSession,
+      dfs: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    require(dfs.nonEmpty, "unionAsSingleLeaf needs at least one input")
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = classic.sparkContext.union(
+      dfs.map(_.queryExecution.toRdd))
+    classic.internalCreateDataFrame(rdd, dfs.head.schema)
+  }
+
   /** Release the block-manager storage behind a `localCheckpoint`ed
     * Dataset. `Dataset.unpersist` only touches the relation cache, not the
     * checkpoint RDD — iterative algorithms that checkpoint per round leak

@@ -19,6 +19,18 @@ class RegistrySpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).toSeq.sorted}")
   }
 
+  /** The enforceable half of the reference's JaCoCo coverage gate
+    * (build.gradle:216-232): line/branch instrumentation is impossible
+    * offline (adjudicated in BASELINE.md round 5 — no scoverage/JaCoCo
+    * artifact in the pre-warmed cache), so `sbt test` enforces the proxy
+    * instead: the value-oracle surface can only grow. Bump the floor
+    * when gates are added; a PR that drops gates must lower it
+    * EXPLICITLY here, never silently. */
+  test("oracle-gate floor: the correctness surface never shrinks") {
+    assert(SparkEntry.queries.size >= 237,
+      s"gate registry shrank to ${SparkEntry.queries.size} (floor 237)")
+  }
+
   test("query names are unique across modules (no silent map overwrite)") {
     import graft.operators._
     val all = Seq(RelationalQueries.queries.keys, VectorQueries.queries.keys,

@@ -111,4 +111,51 @@ class GlobalRunnerSpec extends AnyFunSuite {
     val m = idx.addAll(unpacked, "embedding", "id")
     assert(m.nextGid == 20L)
   }
+
+  test("failed seal records attempt count + error in manifest; re-run seals idempotently") {
+    val dir = Files.createTempDirectory("graft-retry").toString
+    val store = new IndexStore(dir)
+    store.createOrOpen(IndexMeta("retry", dimension = 4, maxSegmentSize = 30,
+      pqM = 2, pqK = 4, graphDegree = 4, graphBuildBreadth = 16), 0L)
+    val idx = new SegmentedIndex(spark, store)
+    idx.addAll(gaussianDf(30, 4, 7), "embedding", "id") // exactly one PENDING
+    // poison the PENDING segment with a wrong-dimension row written
+    // BEHIND the ingest API (the executor-side build must fail)
+    store.appendVectors(Seq(
+      VectorRecord(0, 999, 999L, Array(1.0f, 2.0f), deleted = false,
+        payload = Array.emptyByteArray)).toDS())
+    intercept[Exception] { idx.sealPending() }
+    val afterFail = idx.manifest.segment(0).get
+    assert(afterFail.state == SegmentState.Pending) // no partial commit
+    assert(afterFail.buildAttempts == 1)
+    assert(afterFail.lastBuildError.nonEmpty)
+    // repair: rewrite the segment partition without the poison row
+    val good = store.readVectors(spark)
+      .filter(r => r.segId == 0 && r.vecId != 999)
+    store.overwriteVectorSegments(good)
+    val m2 = idx.sealPending()
+    val seg = m2.segment(0).get
+    assert(seg.state == SegmentState.Sealed)
+    assert(seg.buildAttempts == 2) // total tries, success included
+    assert(seg.lastBuildError.isEmpty)
+    // re-running the sweep is still a no-op barrier
+    assert(idx.sealPending().segment(0).get.buildAttempts == 2)
+  }
+
+  test("pre-round-11 manifests without retry fields deserialize to zero-state") {
+    val dir = Files.createTempDirectory("graft-compat").toString
+    val store = new IndexStore(dir)
+    store.createOrOpen(IndexMeta("compat", dimension = 4, maxSegmentSize = 30,
+      pqM = 2, pqK = 4, graphDegree = 4), 0L)
+    val p = java.nio.file.Paths.get(store.manifestPath)
+    val stripped = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replaceAll("""(?s),\s*"buildAttempts"\s*:\s*-?\d+""", "")
+      .replaceAll("""(?s),\s*"lastBuildError"\s*:\s*"[^"]*"""", "")
+    assert(!stripped.contains("buildAttempts"), "strip failed — field layout changed")
+    java.nio.file.Files.write(p, stripped.getBytes("UTF-8"))
+    val m = store.readManifest()
+    val s = m.segments.head
+    assert(s.buildAttempts == 0)
+    assert(s.lastBuildError != null && s.lastBuildError.isEmpty)
+  }
 }

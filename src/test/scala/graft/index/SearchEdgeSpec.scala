@@ -87,6 +87,42 @@ class SearchEdgeSpec extends AnyFunSuite {
     } finally Search.queryChunkSize = chunk0
   }
 
+  test("a 40-chunk batch fuses into one LogicalRDD leaf; results and planning stay flat") {
+    val idx = newIndex()
+    val data = gaussianDf(120, 11)
+    idx.addAll(data, "embedding", "id")
+    idx.sealPending()
+    val r = new Random(11)
+    val base = data.select("embedding").as[Array[Float]].collect()
+    val big = (0 until 400).map(i => (i.toLong, base(r.nextInt(base.length))))
+      .toDF("queryId", "qv")
+
+    val (chunk0, fuse0) = (Search.queryChunkSize, Search.chunkUnionPlanThreshold)
+    try {
+      // reference run: one cogroup, no fusion
+      Search.queryChunkSize = Int.MaxValue
+      val single = Search.query(spark, idx.store, big, 3)
+        .select("queryId", "gid", "rank").as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(!Search.lastChunkPlanFused)
+
+      // 40 chunks > threshold 32 → RDD-union leaf; same results, and the
+      // end-to-end wall time (planning included) must stay sane — a
+      // 40-subtree Catalyst union regressing to quadratic planning blows
+      // far past this bound
+      Search.queryChunkSize = 10
+      val t0 = System.nanoTime()
+      val fused = Search.query(spark, idx.store, big, 3)
+        .select("queryId", "gid", "rank").as[(Long, Long, Long)].collect().sorted.toSeq
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      assert(Search.lastChunkPlanFused)
+      assert(fused == single, "fused chunk plan must be plan-invariant")
+      assert(elapsedSec < 60.0, f"40-chunk query took $elapsedSec%.1f s — planning not flat")
+    } finally {
+      Search.queryChunkSize = chunk0
+      Search.chunkUnionPlanThreshold = fuse0
+    }
+  }
+
   test("addAll of zero rows is a no-op; manifest unchanged") {
     val idx = newIndex()
     val before = idx.manifest
