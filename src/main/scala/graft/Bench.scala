@@ -32,7 +32,8 @@ object Bench {
     // be VISIBLE — it silently turns those rows back into build+query.
     Seq("vec_knn_sealed", "vec_knn_sealed_deleted", "vec_knn_post_vacuum",
       "vec_knn_writing_invisible", "vec_knn_sealed_alpha1",
-      "vec_knn_sealed_pruned", "vec_knn_during_compaction").foreach { name =>
+      "vec_knn_sealed_pruned", "vec_knn_during_compaction",
+      "vec_knn_partitioned").foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch {
         case e: Throwable =>
