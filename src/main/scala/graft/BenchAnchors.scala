@@ -322,9 +322,29 @@ object BenchAnchors {
     "text_topic_segments" -> 0.635,
     // round-11 additions (isolated warm medians, this box)
     "vec_knn_partitioned" -> 0.724,
+    "dedup_edit_verify" -> 2.457,
+    "pipeline_epoch_shuffle" -> 0.811,
     // in-bench measurement (the row only ever runs inside the full
     // bench): SIMD pass of the 50k x dim-768 distributed brute top-k;
     // the same run's scalar cross-check pass was 2.89 s (2.0x)
     "vec_simd_l2_topk" -> 1.45,
+  )
+
+  /** Dual-regime ISOLATED anchors (advisor, round 10): queries whose
+    * in-bench anchor was deliberately loosened for code-cache/JIT
+    * pressure keep a second, tight anchor at the isolated-warm-median
+    * regime. `seconds` gates the driver's loaded run; THIS map gates the
+    * Probe adjudication — so a real regression on these paths still
+    * trips at 1.5x isolated even though the loaded anchor would absorb
+    * it. Probe prints the ratio (and warns) automatically for any query
+    * listed here; refresh only from a 5-rep isolated median. */
+  val isolatedSeconds: Map[String, Double] = Map(
+    "pipeline_tokenizer_fertility" -> 1.952, // in-bench anchored 4.4
+    "text_bpe_encode" -> 2.10, // in-bench regularly 3.4-3.8
+    "dedup_simhash" -> 1.90, // re-anchored r10 from isolated reps
+    "text_kn_nll" -> 1.493, // r11 re-anchor (tf2-persist plan)
+    "stream_late_drop" -> 4.667, // r11 adjudication median
+    "stream_interval_join" -> 2.685, // r11 adjudication median
+    "vec_knn_partitioned" -> 0.724,
   )
 }

@@ -1657,6 +1657,25 @@ object PipelineQueries {
         .orderBy(col("contained_id"), col("container_id"))
     }),
 
+    // Edit-distance verify kernel over blocked candidates: corpus = docs
+    // plus first-char-dropped re-adds at +400000 (one deletion → prefix
+    // Levenshtein ≤ 2). Candidates come from the (source, lang, 64-char
+    // length-bucket) equi-join plus the |Δlen| ≤ 5 lower-bound skip —
+    // never all-pairs; the verify is the codegen'd built-in
+    // `levenshtein` over 120-char prefixes, identical on both engines.
+    "dedup_edit_verify" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        col("source"), col("lang"))
+      val planted = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          col("text").substr(lit(2), length(col("text"))).as("text"),
+          col("source"), col("lang"))
+      Dedup.editDistanceVerify(d.unionByName(planted), "doc_id", "text",
+          "source", "lang", bucketChars = 64, prefixLen = 120,
+          maxDistance = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Perceptual-hash near-dup pairs over REAL decoded images: corpus =
     // quadrant images (doc_id < 1000) plus +1-perturbed re-encodes at
     // +300000. The 4×16-bit banded join is EXACT at Hamming <= 3
@@ -1819,6 +1838,34 @@ object PipelineQueries {
       val weight = lit(1) + substring(col("source"), 4, 10).cast("int") % 4
       Sampling.interleaveOrder(docs(s, dir), "doc_id", "source", weight, take = 500)
         .orderBy(col("position"))
+    }),
+
+    // Deterministic epoch reshuffle — the training loader's per-epoch
+    // permutation WITHOUT materializing an order column or seeding
+    // executor RNGs: epoch e orders by the affine modular key
+    // (doc_id·(48271 + 8191·e) + 7919·e) mod (2^31−1), a bijection on
+    // [0, P) (P prime, multiplier ≠ 0 mod P) so ties are impossible and
+    // every epoch is a full, distinct, reproducible permutation. The
+    // first 100 positions per epoch are cut with orderBy+limit —
+    // TakeOrdered per epoch, never a global sort of the corpus — so the
+    // shape holds when the corpus is 100 TB and the cut is a shard
+    // manifest. The tiny ranking window runs over ≤ 300 surviving rows.
+    "pipeline_epoch_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = (0 until 3).map { e =>
+        docs(s, dir).select(
+            lit(e).as("epoch"),
+            col("doc_id"),
+            ((col("doc_id") * lit(48271L + 8191L * e) + lit(7919L * e))
+              % lit(2147483647L)).as("k"))
+          .orderBy(col("k"), col("doc_id")).limit(100)
+      }
+      parts.reduce(_ unionByName _)
+        .withColumn("position", row_number().over(
+          Window.partitionBy(col("epoch")).orderBy(col("k"), col("doc_id")))
+          .cast("long"))
+        .select(col("epoch"), col("position"), col("doc_id"))
+        .orderBy(col("epoch"), col("position"))
     }),
 
     // Scene-cut detection over REAL decoded GIF frames: cuts are frames
@@ -2455,6 +2502,24 @@ object PipelineQueries {
         |  source, doc_id, CAST(w AS BIGINT) AS weight, CAST(vtime AS BIGINT) AS vtime
         |FROM top ORDER BY position""".stripMargin,
 
+    // the oracle replays the affine modular permutation exactly —
+    // 64-bit integer arithmetic on both engines, no float anywhere
+    "pipeline_epoch_shuffle" ->
+      """WITH e(epoch) AS (VALUES (0), (1), (2)),
+        |k AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    (d.doc_id * (48271 + 8191 * e.epoch) + 7919 * e.epoch)
+        |      % 2147483647 AS k
+        |  FROM documents d, e),
+        |r AS (
+        |  SELECT epoch, doc_id,
+        |    row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+        |      AS position
+        |  FROM k)
+        |SELECT epoch, position, doc_id FROM r
+        |WHERE position <= 100
+        |ORDER BY epoch, position""".stripMargin,
+
     "multimodal_scene_cuts" ->
       """WITH f AS (
         |  SELECT doc_id, fi,
@@ -2478,6 +2543,29 @@ object PipelineQueries {
         |FROM lg
         |WHERE prev IS NOT NULL AND abs(lum - prev) >= w * h * 1000 * 20
         |ORDER BY doc_id, cut_frame""".stripMargin,
+
+    // the oracle replays the planting, the (source, lang, len//64)
+    // blocking, the |Δlen| ≤ 5 lower-bound skip, and the same built-in
+    // levenshtein over 120-char prefixes — value-exact
+    "dedup_edit_verify" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, substr(text, 2) AS text,
+        |    source, lang
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |sides AS (
+        |  SELECT doc_id, substr(text, 1, 120) AS pre,
+        |    length(text) AS len, source, lang,
+        |    length(text) // 64 AS bkt
+        |  FROM corpus)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.pre, b.pre) AS INT) AS edit_dist
+        |FROM sides a JOIN sides b
+        |  ON a.source = b.source AND a.lang = b.lang AND a.bkt = b.bkt
+        | AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5
+        |WHERE levenshtein(a.pre, b.pre) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_containment" ->
       """WITH corpus AS (

@@ -5,10 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** One shared local SparkSession for all suites. */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // GRAFT_TEST_MASTER widens the pool for the heavy gates (e.g.
+    // local[32] for HeavyXlSpec's 8 concurrent 100k Vamana builds);
+    // default stays small so `sbt test` parallelism composes
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master(sys.env.getOrElse("GRAFT_TEST_MASTER", "local[4]"))
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_TEST_SHUFFLE", "8"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

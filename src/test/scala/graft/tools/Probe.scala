@@ -42,6 +42,15 @@ object Probe {
       if (times.length % 2 == 1) times(times.length / 2)
       else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
     println(f"[probe] $name MEDIAN: $median%.3f s over $reps warm reps")
+    // dual-anchor adjudication (BenchAnchors.isolatedSeconds): dual-
+    // regime queries keep a tight isolated anchor alongside the
+    // loosened in-bench one — a real regression trips HERE at 1.5x
+    // even when the loaded bench anchor would absorb it
+    graft.BenchAnchors.isolatedSeconds.get(name).foreach { a =>
+      val r = median / a
+      println(f"[probe] $name vs isolated anchor $a%.3f s: ${r}%.2fx" +
+        (if (r > 1.5) "  ** REGRESSION vs isolated anchor — investigate or re-anchor from THIS protocol **" else ""))
+    }
     spark.stop()
   }
 }
