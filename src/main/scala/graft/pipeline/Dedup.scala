@@ -951,8 +951,13 @@ object Dedup {
     side("a").join(side("b"), Seq("src", "lng", "bkt"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("len_a") - col("len_b")) <= maxDistance)
-      .withColumn("edit_dist", levenshtein(col("pre_a"), col("pre_b")))
-      .filter(col("edit_dist") <= maxDistance)
+      // banded DP (threshold form): O(maxDistance·prefixLen) per pair
+      // instead of O(prefixLen²) — identical output because only
+      // distances ≤ maxDistance survive anyway. Above the threshold the
+      // built-in returns -1, which the between() excludes.
+      .withColumn("edit_dist",
+        levenshtein(col("pre_a"), col("pre_b"), maxDistance))
+      .filter(col("edit_dist").between(0, maxDistance))
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 }
