@@ -166,7 +166,7 @@ object BenchAnchors {
     "dedup_segments" -> 0.75,
     // refreshed round 7 from an isolated warm median (was 1.44; the op
     // is unchanged — quiet-box medians moved with ambient load)
-    "text_bpe_encode" -> 2.05,
+    "text_bpe_encode" -> 0.445, // r11 Zipf-memo encode killed the dual regime
     "dedup_semantic" -> 1.40,
     "pipeline_weighted_sample" -> 0.29,
     "text_quality_filter" -> 1.06,
@@ -297,7 +297,7 @@ object BenchAnchors {
     // stream_late_drop precedent: the anchor prices the context the
     // driver actually measures, and a real regression still trips at
     // >8.8 s. Re-adjudicate from isolation if it ever flags again.
-    "pipeline_tokenizer_fertility" -> 4.4,
+    "pipeline_tokenizer_fertility" -> 0.714, // r11 Zipf-memo encode killed the dual regime
     "dedup_containment" -> 1.854,
     "dedup_ahash_pairs" -> 1.002,
     "graph_closeness" -> 2.947,
@@ -339,8 +339,8 @@ object BenchAnchors {
     * it. Probe prints the ratio (and warns) automatically for any query
     * listed here; refresh only from a 5-rep isolated median. */
   val isolatedSeconds: Map[String, Double] = Map(
-    "pipeline_tokenizer_fertility" -> 1.952, // in-bench anchored 4.4
-    "text_bpe_encode" -> 2.10, // in-bench regularly 3.4-3.8
+    "pipeline_tokenizer_fertility" -> 0.714, // r11 Zipf-memo encode
+    "text_bpe_encode" -> 0.445, // r11 Zipf-memo encode (was 2.10)
     "dedup_simhash" -> 1.90, // re-anchored r10 from isolated reps
     "text_kn_nll" -> 1.493, // r11 re-anchor (tf2-persist plan)
     "stream_late_drop" -> 4.667, // r11 adjudication median

@@ -242,9 +242,28 @@ object Bpe {
           regexp_extract_all(col(textCol), lit(TextAnalysis.BpeTokenPattern), lit(0)),
           t => !t.rlike("^\\s+$")).as("pretoks"))
       .as[(Long, Seq[String])]
-      .map { case (id, pretoks) =>
-        val toks = pretoks.flatMap(t => applyMerges(splitCodepoints(t), merges))
-        (id, pretoks.size.toLong, toks.size.toLong, toks.take(8).mkString("|"))
+      .mapPartitions { it =>
+        // Zipf memo: pretoken occurrences vastly outnumber distinct
+        // pretokens, so cache each distinct pretoken's segmentation per
+        // partition — identical output, ~occurrences/distinct fewer
+        // merge folds. Bounded (no eviction; past the cap we just
+        // compute uncached) so a pathological all-distinct corpus can't
+        // grow executor memory.
+        val cache = new java.util.HashMap[String, Seq[String]]()
+        val cap = 1 << 16
+        def enc(t: String): Seq[String] = {
+          val hit = cache.get(t)
+          if (hit != null) hit
+          else {
+            val v = applyMerges(splitCodepoints(t), merges)
+            if (cache.size < cap) cache.put(t, v)
+            v
+          }
+        }
+        it.map { case (id, pretoks) =>
+          val toks = pretoks.flatMap(enc)
+          (id, pretoks.size.toLong, toks.size.toLong, toks.take(8).mkString("|"))
+        }
       }
       .toDF("doc_id", "n_pretokens", "n_tokens", "toks_head")
   }
