@@ -60,7 +60,18 @@ object PartitionedBuild {
   /** Build codes + graph + codebook artifacts for `segIds` of a
     * PARTITIONED-mode index; returns the segIds that had rows (the
     * caller writes zero-codebooks for the rest, same as the classic
-    * path's empty-segment parity rule). */
+    * path's empty-segment parity rule).
+    *
+    * Segments are processed SEQUENTIALLY by design: each segment's
+    * writes are dynamic-partition overwrites into the shared artifact
+    * tables, and concurrent overwrite commits to one table path race in
+    * the commit protocol (staging collisions) — while each segment's
+    * own build is fully distributed (encode, `Overlap`·S shard tasks,
+    * merge). A genuinely over-budget segment has S sized to the task
+    * budget, i.e. many shards, so one segment alone fills the pool; a
+    * many-small-segments index wanting cross-segment parallelism is the
+    * classic mode's shape (one task per segment, all parallel), not
+    * this one's. */
   def buildSegments(
       spark: SparkSession,
       store: IndexStore,

@@ -1660,8 +1660,9 @@ object PipelineQueries {
     // Edit-distance verify kernel over blocked candidates: corpus = docs
     // plus first-char-dropped re-adds at +400000 (one deletion → prefix
     // Levenshtein ≤ 2). Candidates come from the (source, lang, 64-char
-    // length-bucket) equi-join plus the |Δlen| ≤ 5 lower-bound skip —
-    // never all-pairs; the verify is the codegen'd built-in
+    // length-bucket ±1 probe) equi-join plus the |Δlen| ≤ 5 lower-bound
+    // skip — never all-pairs, lossless at the bound even across bucket
+    // boundaries; the verify is the codegen'd banded built-in
     // `levenshtein` over 120-char prefixes, identical on both engines.
     "dedup_edit_verify" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"),
@@ -2544,9 +2545,10 @@ object PipelineQueries {
         |WHERE prev IS NOT NULL AND abs(lum - prev) >= w * h * 1000 * 20
         |ORDER BY doc_id, cut_frame""".stripMargin,
 
-    // the oracle replays the planting, the (source, lang, len//64)
+    // the oracle replays the planting, the (source, lang, len//64 ±1)
     // blocking, the |Δlen| ≤ 5 lower-bound skip, and the same built-in
-    // levenshtein over 120-char prefixes — value-exact
+    // levenshtein over 120-char prefixes — value-exact (the Spark side's
+    // 3-way probe explode == the abs(bkt diff) <= 1 join, one row/pair)
     "dedup_edit_verify" ->
       """WITH corpus AS (
         |  SELECT doc_id, text, source, lang FROM documents
@@ -2562,7 +2564,8 @@ object PipelineQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.pre, b.pre) AS INT) AS edit_dist
         |FROM sides a JOIN sides b
-        |  ON a.source = b.source AND a.lang = b.lang AND a.bkt = b.bkt
+        |  ON a.source = b.source AND a.lang = b.lang
+        | AND abs(a.bkt - b.bkt) <= 1
         | AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5
         |WHERE levenshtein(a.pre, b.pre) <= 5
         |ORDER BY id_a, id_b""".stripMargin,

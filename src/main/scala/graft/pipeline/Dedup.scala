@@ -929,6 +929,14 @@ object Dedup {
    * lang × length-bucket cell), bounded per-pair cost. At 100 TB the
    * blocks stream through an ordinary sort-merge join; nothing is
    * quadratic in corpus size, only in cell occupancy.
+   *
+   * The blocking is LOSSLESS for the distance bound: with
+   * `maxDistance` ≤ `bucketChars`, an admissible pair's buckets differ
+   * by at most 1, and the probe side emits bkt−1/bkt/bkt+1 — so a pair
+   * straddling a bucket boundary (length 64 vs 63 at bucket width 64)
+   * still meets in exactly one probe cell (each pair matches once:
+   * the build side's single bkt equals exactly one of the probe's
+   * three distinct values).
    */
   def editDistanceVerify(
       df: DataFrame,
@@ -941,6 +949,8 @@ object Dedup {
       maxDistance: Int = 5): DataFrame = {
     require(bucketChars > 0 && prefixLen > 0 && maxDistance >= 0,
       "bucketChars/prefixLen must be positive, maxDistance non-negative")
+    require(maxDistance <= bucketChars,
+      "maxDistance must be <= bucketChars for the +-1-bucket probe to be lossless")
     def side(suffix: String): DataFrame = df.select(
       col(idCol).as(s"id_$suffix"),
       substring(col(textCol), 1, prefixLen).as(s"pre_$suffix"),
@@ -948,7 +958,9 @@ object Dedup {
       col(sourceCol).as("src"),
       col(langCol).as("lng"),
       (length(col(textCol)).cast("long") / bucketChars).cast("long").as("bkt"))
-    side("a").join(side("b"), Seq("src", "lng", "bkt"))
+    val probe = side("b").withColumn("bkt",
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+    side("a").join(probe, Seq("src", "lng", "bkt"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("len_a") - col("len_b")) <= maxDistance)
       // banded DP (threshold form): O(maxDistance·prefixLen) per pair

@@ -39,20 +39,42 @@ object SparkShims {
   /** Re-assemble a DataFrame from physical-plan output rows
     * (`SparkSession.internalCreateDataFrame` is `private[sql]`). Used to
     * flatten an N-way union of identical-schema subplans into ONE
-    * LogicalRDD leaf: `sc.union(dfs.map(_.queryExecution.toRdd))` keeps
-    * every subplan lazy and schedulable in a single stage wave, while the
-    * consumer's plan sees a single leaf instead of N analyzed subtrees —
-    * driver planning stays flat as N grows. Each subplan's toRdd is
-    * planned independently (O(N) small plannings, each constant-size)
-    * instead of one O(N)-subtree mega-plan that Catalyst re-canonicalizes
-    * on every rule pass. */
+    * LogicalRDD leaf, so the consumer's plan sees a single leaf instead
+    * of N analyzed subtrees — driver planning stays flat as N grows.
+    * Each subplan's toRdd is planned independently (O(N) small
+    * plannings, each constant-size) instead of one O(N)-subtree
+    * mega-plan that Catalyst re-canonicalizes on every rule pass. Note
+    * under AQE the per-subplan toRdd is EAGER (stages materialize), so
+    * the body runs them concurrently — see inline comment. */
   def unionAsSingleLeaf(
       spark: org.apache.spark.sql.SparkSession,
       dfs: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
     require(dfs.nonEmpty, "unionAsSingleLeaf needs at least one input")
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val rdd = classic.sparkContext.union(
-      dfs.map(_.queryExecution.toRdd))
+    // Under AQE (the Spark 4 default) `queryExecution.toRdd` is NOT
+    // lazy: AdaptiveSparkPlanExec.execute() blocks while it materializes
+    // that subplan's shuffle stages. A sequential map would therefore
+    // run the N chunk plans one wave at a time on the driver —
+    // serializing exactly the cross-chunk parallelism the fusion is
+    // for. Materialize them CONCURRENTLY on a bounded pool (concurrent
+    // job submission from driver threads is the standard Spark
+    // multi-job pattern); the scheduler interleaves the chunk stages
+    // across the executor pool.
+    val rdds =
+      if (dfs.lengthCompare(2) < 0) dfs.map(_.queryExecution.toRdd)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(dfs.size, 8))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(
+              dfs.map(df => scala.concurrent.Future(df.queryExecution.toRdd))),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      }
+    val rdd = classic.sparkContext.union(rdds)
     classic.internalCreateDataFrame(rdd, dfs.head.schema)
   }
 

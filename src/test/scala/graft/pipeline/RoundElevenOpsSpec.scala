@@ -26,6 +26,16 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 1)))
   }
 
+  test("edit verify: a pair straddling a bucket boundary is still found") {
+    val base = "y" * 64 // bkt 1; the deletion lands in bkt 0
+    val df = corpus(
+      (1L, base, "web", "en"),
+      (2L, base.drop(1), "web", "en"))
+    val out = Dedup.editDistanceVerify(df, "doc_id", "text", "source", "lang")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 1)), "±1 bucket probe must catch the straddle")
+  }
+
   test("edit verify: |Δlen| beyond maxDistance is skipped even with identical prefixes") {
     val shared = "x" * 128 // identical 120-char prefixes
     val df = corpus(

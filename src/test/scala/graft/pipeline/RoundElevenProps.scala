@@ -47,7 +47,7 @@ object RoundElevenProps extends Properties("graft-round11") {
         (ia, ta, sa, la) <- docs
         (ib, tb, sb, lb) <- docs
         if ia < ib && sa == sb && la == lb
-        if ta.length / bucketChars == tb.length / bucketChars
+        if math.abs(ta.length / bucketChars - tb.length / bucketChars) <= 1
         if math.abs(ta.length - tb.length) <= maxDist
         d = lev(ta.take(prefixLen), tb.take(prefixLen))
         if d <= maxDist
