@@ -322,7 +322,7 @@ object BenchAnchors {
     "text_topic_segments" -> 0.635,
     // round-11 additions (isolated warm medians, this box)
     "vec_knn_partitioned" -> 0.724,
-    "dedup_edit_verify" -> 1.307, // banded (threshold) levenshtein
+    "dedup_edit_verify" -> 2.138, // banded levenshtein + lossless ±1 bucket probe
     "pipeline_epoch_shuffle" -> 0.811,
     // in-bench measurement (the row only ever runs inside the full
     // bench): SIMD pass of the 50k x dim-768 distributed brute top-k;
