@@ -477,4 +477,27 @@ class PlanSpec extends AnyFunSuite {
       s"expected TakeOrdered for the stride cut:\n$p")
   }
 
+  test("edit verify: block-keyed hash join, pruned scan, no nested loop") {
+    // the post-LSH verify stage must candidate-generate via the
+    // (source, lang, bucket) equi-join — a nested-loop/cartesian here is
+    // the all-pairs failure mode; the scan must not read n_chars
+    val p = plan("dedup_edit_verify")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit verify grew a non-equi join:\n$p")
+    assert(p.contains("HashJoin"), "block key must drive a hash join")
+    assert(!p.contains("n_chars"), "scan must prune to the 4 used columns")
+  }
+
+  test("epoch shuffle: every per-epoch cut is a TakeOrdered, never a global sort") {
+    // 3 epochs → 3 TakeOrdered cuts; a corpus-wide Sort exchange per
+    // epoch would be the 100 TB failure mode
+    val p = plan("pipeline_epoch_shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered epoch cuts:\n$p")
+    val globalSorts = p.linesIterator.count(l =>
+      l.contains("Sort ") && l.contains("global=true") && !l.contains("TakeOrdered"))
+    assert(globalSorts <= 1, // the ≤300-row presentation sort only
+      s"unexpected corpus-wide sorts ($globalSorts):\n$p")
+  }
+
 }
