@@ -328,6 +328,12 @@ object BenchAnchors {
     // bench): SIMD pass of the 50k x dim-768 distributed brute top-k;
     // the same run's scalar cross-check pass was 2.89 s (2.0x)
     "vec_simd_l2_topk" -> 1.45,
+    // round-11 second wave (5-rep isolated medians, this box)
+    "text_char_entropy" -> 0.222,
+    "dedup_line_boilerplate" -> 0.436,
+    "pipeline_kappa_agreement" -> 0.230,
+    "rel_psi_drift" -> 0.323,
+    "graph_modularity" -> 1.505,
   )
 
   /** Dual-regime ISOLATED anchors (advisor, round 10): queries whose

@@ -308,7 +308,57 @@ case class CdcSpansExpr(child: Expression, avg: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Character-level Shannon entropy in ONE pass over the text:
+  * STRUCT(n_cps BIGINT, n_distinct BIGINT, entropy DOUBLE).
+  *
+  * The classic gibberish/binary-junk quality dial (low entropy =
+  * repeated-char padding, high ≈ ln(alphabet) = encrypted/base64 blobs).
+  * Counting is by Unicode CODEPOINT (surrogate pairs consumed whole) so
+  * DuckDB's codepoint-wise `regexp_split_to_array(text, '')` reproduces
+  * the alphabet exactly. The entropy is computed as
+  * `ln(n) − Σ c·ln(c) / n` with the Σ taken in ASCENDING CODEPOINT order
+  * — a deterministic summation order, so the double is reproducible
+  * run-to-run; gates round to 6 decimals for the cross-engine compare
+  * (the house rule for transcendental outputs, e.g. lang_entropy in
+  * pipeline_data_cards). */
+case class CharEntropyExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cps", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    val entropy =
+      if (n == 0L) 0.0
+      else {
+        var slk = 0.0
+        val it = counts.values().iterator()
+        while (it.hasNext) { val c = it.next(); slk += c * math.log(c.toDouble) }
+        math.log(n.toDouble) - slk / n
+      }
+    InternalRow(n, counts.size.toLong, entropy)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object text {
+  def char_entropy(c: Column): Column =
+    SparkShims.column(CharEntropyExpr(SparkShims.expression(c)))
   def cdc_spans(c: Column, avg: Int): Column =
     SparkShims.column(CdcSpansExpr(SparkShims.expression(c), avg))
   def shingle_hashes(c: Column, k: Int): Column =

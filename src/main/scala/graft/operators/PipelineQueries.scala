@@ -1904,6 +1904,63 @@ object PipelineQueries {
         .withColumn("chars_per_token", round(
           col("chars_total").cast("double") / col("tokens_total"), 6))
         .orderBy(col("source"))
+    }),
+
+    // --- round-11 second wave: entropy / boilerplate / agreement --------
+
+    // Character-level Shannon entropy per doc (ONE native pass,
+    // graft.functions.CharEntropyExpr) — the gibberish/binary-junk
+    // quality dial: low = repeated-char padding, high ≈ ln(alphabet) =
+    // base64/encrypted blobs. Codepoint alphabet, ascending-codepoint
+    // summation (deterministic), rounded 6 for the cross-engine compare.
+    "text_char_entropy" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.text.char_entropy(col("text")).as("ce"))
+        .select(col("doc_id"),
+          col("ce.n_cps").as("n_cps"),
+          col("ce.n_distinct").as("n_distinct"),
+          round(col("ce.entropy"), 6).as("entropy"))
+        .orderBy(col("doc_id"))),
+
+    // CCNet/RefinedWeb-style line-level boilerplate detection over a
+    // corpus with PLANTED structure (the raw docs are single-line):
+    // every 3rd doc gets its source's navigation banner, every 4th the
+    // global footer — lines recurring in >= 3 distinct docs of one
+    // source are boilerplate. Per-doc damage stats; integer-exact except
+    // the final one-division char fraction.
+    "dedup_line_boilerplate" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("source"),
+        concat_ws("\n",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("NAVIGATION :: "), col("source"))).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("(c) graft corpus footer")).otherwise(lit(""))).as("text"))
+      Dedup.lineBoilerplate(corpus, "doc_id", "text", "source", minDocs = 3L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Inter-rater agreement (Cohen's kappa) per source between two
+    // deterministic quality raters (char-length terciles vs token-count
+    // terciles) — the labeling-batch QA gate. Confusion cells are exact
+    // integers from ONE grouped pass; po/pe/kappa are fixed-order
+    // arithmetic over them, rounded 6.
+    "pipeline_kappa_agreement" -> ((s, dir) => {
+      val toks = size(TextAnalysis.tokens(col("text")))
+      val rated = docs(s, dir).select(col("source"),
+        when(length(col("text")) < 200, "short")
+          .when(length(col("text")) < 400, "medium")
+          .otherwise("long").as("rater_len"),
+        when(toks < 35, "short").when(toks < 70, "medium")
+          .otherwise("long").as("rater_tok"))
+      graft.pipeline.Agreement.cohenKappa(rated, Seq("source"),
+          "rater_len", "rater_tok", Seq("short", "medium", "long"))
+        .select(col("source"), col("n"),
+          round(col("po"), 6).as("po"),
+          round(col("pe"), 6).as("pe"),
+          round(col("kappa"), 6).as("kappa"))
+        .orderBy(col("source"))
     })
   )
 
@@ -4774,7 +4831,97 @@ object PipelineQueries {
         |  FROM base b FULL OUTER JOIN nextgen n ON b.doc_id = n.doc_id)
         |SELECT status, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
         |FROM d GROUP BY status
-        |ORDER BY status""".stripMargin
+        |ORDER BY status""".stripMargin,
+
+    // codepoint alphabet: DuckDB's empty-pattern regexp split is
+    // per-codepoint, matching the expression's codePointAt walk; the
+    // empty-string artifact of splitting '' is filtered on both sides
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, ''), c -> c <> '')) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, count(*) AS d,
+        |         sum(k * ln(k)) AS slk
+        |       FROM cc GROUP BY 1)
+        |SELECT d0.doc_id,
+        |  coalesce(ag.n, 0) AS n_cps,
+        |  coalesce(ag.d, 0) AS n_distinct,
+        |  round(CASE WHEN ag.n IS NULL OR ag.n = 0 THEN 0.0
+        |             ELSE ln(ag.n) - slk / ag.n END, 6) AS entropy
+        |FROM documents d0 LEFT JOIN ag ON ag.doc_id = d0.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
+
+    // line semantics mirror text_repetition's oracle: split on \n, trim
+    // exactly ' ', \t, \r, drop empties; boilerplate = line recurring in
+    // >= 3 DISTINCT docs of one source
+    "dedup_line_boilerplate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source,
+        |    concat_ws(chr(10),
+        |      CASE WHEN doc_id % 3 = 0 THEN 'NAVIGATION :: ' || source ELSE '' END,
+        |      text,
+        |      CASE WHEN doc_id % 4 = 0 THEN '(c) graft corpus footer' ELSE '' END) AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(list_transform(regexp_split_to_array(text, chr(10)),
+        |      l -> trim(l, ' ' || chr(9) || chr(13))), l -> len(l) > 0)) AS line
+        |  FROM corpus),
+        |boiler AS (
+        |  SELECT source, line FROM lines
+        |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3),
+        |j AS (
+        |  SELECT l.doc_id, l.line, (b.line IS NOT NULL) AS is_b
+        |  FROM lines l
+        |  LEFT JOIN boiler b ON b.source = l.source AND b.line = l.line)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+        |  CAST(sum(len(line)) AS BIGINT) AS n_line_chars,
+        |  CAST(sum(CASE WHEN is_b THEN len(line) ELSE 0 END) AS BIGINT) AS n_boiler_chars,
+        |  CASE WHEN sum(len(line)) = 0 THEN 0.0
+        |       ELSE CAST(sum(CASE WHEN is_b THEN len(line) ELSE 0 END) AS DOUBLE)
+        |            / sum(len(line)) END AS boiler_char_frac
+        |FROM j GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // marginal products in fixed (short, medium, long) order — the same
+    // order the engine's expression chain folds, so pe is term-for-term
+    // identical before the round
+    "pipeline_kappa_agreement" ->
+      """WITH rated AS (
+        |  SELECT source,
+        |    CASE WHEN len(text) < 200 THEN 'short'
+        |         WHEN len(text) < 400 THEN 'medium' ELSE 'long' END AS ra,
+        |    CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                    t -> len(t) > 0)) < 35 THEN 'short'
+        |         WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                    t -> len(t) > 0)) < 70 THEN 'medium'
+        |         ELSE 'long' END AS rb
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, count(*) AS n,
+        |    sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS diag,
+        |    sum(CASE WHEN ra = 'short' THEN 1 ELSE 0 END) AS ra_s,
+        |    sum(CASE WHEN ra = 'medium' THEN 1 ELSE 0 END) AS ra_m,
+        |    sum(CASE WHEN ra = 'long' THEN 1 ELSE 0 END) AS ra_l,
+        |    sum(CASE WHEN rb = 'short' THEN 1 ELSE 0 END) AS rb_s,
+        |    sum(CASE WHEN rb = 'medium' THEN 1 ELSE 0 END) AS rb_m,
+        |    sum(CASE WHEN rb = 'long' THEN 1 ELSE 0 END) AS rb_l
+        |  FROM rated GROUP BY 1),
+        |k AS (
+        |  SELECT source, n,
+        |    CAST(diag AS DOUBLE) / n AS po,
+        |    CAST(ra_s AS DOUBLE) * rb_s / (CAST(n AS DOUBLE) * n)
+        |      + CAST(ra_m AS DOUBLE) * rb_m / (CAST(n AS DOUBLE) * n)
+        |      + CAST(ra_l AS DOUBLE) * rb_l / (CAST(n AS DOUBLE) * n) AS pe
+        |  FROM g)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  round(po, 6) AS po, round(pe, 6) AS pe,
+        |  round(CASE WHEN pe >= 1.0 THEN 1.0 ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+        |FROM k ORDER BY source""".stripMargin
   )
 
   private def sqlQuote(v: String): String = "'" + v.replace("'", "''") + "'"

@@ -2214,6 +2214,44 @@ object RelationalQueries {
         .map(_.getName).filter(_.startsWith("b")).map(_.drop(1).toInt).max
       graft.pipeline.Mv.finish(s.read.parquet(s"$stateDir/b$last"))
         .orderBy(col("o_custkey"))
+    }),
+
+    // Population Stability Index per event type between the first and
+    // second half of the month — the drift dial in front of retraining
+    // decisions. ONE grouped pass: the fixed 10-bin grid unrolls into
+    // conditional counts (map-side combined) and the PSI is a fixed-order
+    // expression chain over them, so the transcendental sum is
+    // bit-deterministic (rounded to 6 for the cross-engine compare).
+    "rel_psi_drift" -> ((s, dir) => {
+      graft.pipeline.Drift.psiFixedBins(
+          events(s, dir), Seq("event_type"), "value",
+          baseline = col("ts") < to_timestamp(lit("2024-01-16 00:00:00")),
+          bins = 10, lo = 0.0, hi = 500.0)
+        .select(col("event_type"), col("n_base"), col("n_curr"),
+          round(col("psi"), 6).as("psi"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Newman modularity of the nation partition over the customer–
+    // supplier co-transaction graph — the quality score for ANY community
+    // assignment (LPA labels, embedding clusters, attribute partitions).
+    // Exact-integer e_c/d_c/m; the only doubles are the two final
+    // divisions (deterministic, rounded to 6).
+    "graph_modularity" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val comm = t(s, dir, "customer")
+        .select((col("c_custkey") * 2).as("node"), col("c_nationkey").as("community"))
+        .unionByName(t(s, dir, "supplier")
+          .select((col("s_suppkey") * 2 + 1).as("node"), col("s_nationkey").as("community")))
+      graft.pipeline.GraphAlgos.modularity(edges, comm)
+        .select(col("community"), col("n_nodes"), col("degree_sum"),
+          col("intra_edges"), col("m_edges"),
+          round(col("contribution"), 6).as("contribution"))
+        .orderBy(col("community"))
     })
   )
 
@@ -3576,8 +3614,75 @@ object RelationalQueries {
         |        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
         |      FROM customer) c
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_c DESC, c_custkey)
-        |ORDER BY c_mktsegment, bal_c DESC, c_custkey""".stripMargin
+        |ORDER BY c_mktsegment, bal_c DESC, c_custkey""".stripMargin,
+
+    "rel_psi_drift" -> psiDriftOracle,
+
+    "graph_modularity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |comm AS (
+        |  SELECT c_custkey * 2 AS node, c_nationkey AS community FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey * 2 + 1 AS node, s_nationkey AS community FROM supplier),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+        |  GROUP BY 1),
+        |cd AS (
+        |  SELECT community, count(*) AS n_nodes, sum(deg) AS degree_sum
+        |  FROM deg JOIN comm USING (node) GROUP BY 1),
+        |intra AS (
+        |  SELECT ca.community AS community, count(*) AS intra_edges
+        |  FROM e
+        |  JOIN comm ca ON ca.node = e.src
+        |  JOIN comm cb ON cb.node = e.dst
+        |  WHERE ca.community = cb.community GROUP BY 1),
+        |m AS (SELECT count(*) AS m_edges FROM e)
+        |SELECT CAST(cd.community AS BIGINT) AS community,
+        |  cd.n_nodes,
+        |  CAST(cd.degree_sum AS BIGINT) AS degree_sum,
+        |  CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+        |  m.m_edges,
+        |  round(CAST(coalesce(intra.intra_edges, 0) AS DOUBLE) / m.m_edges
+        |    - (CAST(cd.degree_sum AS DOUBLE) / (m.m_edges * 2))
+        |      * (CAST(cd.degree_sum AS DOUBLE) / (m.m_edges * 2)), 6) AS contribution
+        |FROM cd LEFT JOIN intra USING (community) CROSS JOIN m
+        |ORDER BY cd.community""".stripMargin
   )
+
+  /** PSI oracle: the same fixed 10-bin grid and fixed-order term chain the
+    * engine computes, unrolled symbolically per bin. */
+  private def psiDriftOracle: String = {
+    val bins = 10
+    val cells = (0 until bins).flatMap { i =>
+      Seq(
+        s"sum(CASE WHEN is_base AND bin = $i THEN 1 ELSE 0 END) AS cb_$i",
+        s"sum(CASE WHEN NOT is_base AND bin = $i THEN 1 ELSE 0 END) AS cc_$i")
+    }.mkString(",\n    ")
+    val terms = (0 until bins).map { i =>
+      s"""((CAST(cb_$i + 1 AS DOUBLE) / (n_base + $bins)) - (CAST(cc_$i + 1 AS DOUBLE) / (n_curr + $bins)))
+         | * ln((CAST(cb_$i + 1 AS DOUBLE) / (n_base + $bins)) / (CAST(cc_$i + 1 AS DOUBLE) / (n_curr + $bins)))"""
+        .stripMargin
+    }.mkString("\n  + ")
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    least(greatest(CAST(floor((value - 0.0) / 50.0) AS INT), 0), $bins - 1) AS bin,
+       |    (ts < TIMESTAMP '2024-01-16 00:00:00') AS is_base
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type,
+       |    sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
+       |    sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_curr,
+       |    $cells
+       |  FROM b GROUP BY 1)
+       |SELECT event_type,
+       |  CAST(n_base AS BIGINT) AS n_base,
+       |  CAST(n_curr AS BIGINT) AS n_curr,
+       |  round($terms, 6) AS psi
+       |FROM g ORDER BY event_type""".stripMargin
+  }
 
   /** One weighted Bellman–Ford relaxation round over `wedges`. */
   private def wssspRound(prev: String, out: String): String =

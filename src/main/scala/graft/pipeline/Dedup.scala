@@ -63,6 +63,62 @@ object Dedup {
   }
 
   /**
+   * Line-level boilerplate detection (the CCNet / RefinedWeb paragraph-
+   * dedup shape): a line that recurs across ≥ `minDocs` DISTINCT
+   * documents of the SAME source is boilerplate (navigation, headers,
+   * cookie banners) — per-document stats of how much of the doc it eats.
+   *
+   * Line semantics match [[graft.functions.RepetitionStatsExpr]]: split
+   * on '\n', trim exactly ' ', '\t', '\r' (NOT Java's String.trim —
+   * DuckDB's `trim(l, ' \t\r')` reproduces this byte-for-byte), drop
+   * empties.
+   *
+   * Scale shape: explode lines once → md5 line key → ONE (source, key)
+   * aggregation with map-side combine (`countDistinct` of doc ids —
+   * internally a partial-agg distinct expand, never a driver set) →
+   * equi-join the per-line doc-frequency back onto the exploded lines →
+   * per-doc re-aggregation. Two shuffles total, both on keys with
+   * corpus-bounded cardinality; nothing is quadratic and nothing lands
+   * on the driver. The boilerplate side of the join is the df ≥ minDocs
+   * slice only, so AQE is free to broadcast it when (as in real crawls)
+   * boilerplate is a tiny fraction of distinct lines.
+   *
+   * Output per input row: doc_id, n_lines, n_boiler_lines, n_line_chars,
+   * n_boiler_chars, boiler_char_frac (an integer-ratio double — exact).
+   */
+  def lineBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      minDocs: Long): DataFrame = {
+    val linesArr = filter(
+      transform(split(col(textCol), "\n"), l => trim(l, " \t\r")),
+      l => length(l) > 0)
+    val lines = df
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        explode_outer(linesArr).as("line"))
+      .withColumn("lh", md5(col("line")))
+    val boiler = lines.filter(col("line").isNotNull)
+      .groupBy(col("source"), col("lh"))
+      .agg(countDistinct(col("doc_id")).as("df_docs"))
+      .filter(col("df_docs") >= minDocs)
+      .select(col("source"), col("lh"), lit(true).as("is_boiler"))
+    lines
+      .join(boiler, Seq("source", "lh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("line")).as("n_lines"),
+        count(when(col("is_boiler"), lit(1))).as("n_boiler_lines"),
+        coalesce(sum(length(col("line"))), lit(0L)).cast("long").as("n_line_chars"),
+        coalesce(sum(when(col("is_boiler"), length(col("line")))), lit(0L))
+          .cast("long").as("n_boiler_chars"))
+      .withColumn("boiler_char_frac",
+        when(col("n_line_chars") === 0L, lit(0.0))
+          .otherwise(col("n_boiler_chars").cast("double") / col("n_line_chars")))
+  }
+
+  /**
    * Incremental exact dedup: the survivor rows of a DELTA batch against
    * an already-deduplicated BASE corpus — the daily-increment shape (a
    * new crawl lands against petabytes of accepted corpus; re-running

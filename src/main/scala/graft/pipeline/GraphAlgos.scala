@@ -924,4 +924,56 @@ object GraphAlgos {
     labels.join(maybeBcast(voted), col("node") === col("v_node"), "left")
       .select(col("node"), coalesce(col("v_label"), col("label")).as("label"))
   }
+
+  /**
+   * Newman modularity of a node partition, per community:
+   *   Q_c = e_c/m − (d_c/(2m))²   (Q = Σ_c Q_c)
+   * where m = |E|, e_c = edges with BOTH endpoints in c, d_c = Σ degree
+   * over c's members. The quality dial for any community assignment
+   * (LPA labels, attribute partitions, embedding clusters).
+   *
+   * `edges`: undirected edge list with each edge exactly ONCE (canonical
+   * a<b pairs; no self-loops). `communities`: (node, community).
+   *
+   * Shape: degrees from one explode+groupBy pass; two node-sized
+   * community joins (broadcast when the partition table is small, the
+   * same size-aware rule as the rank algorithms); per-community partial
+   * aggs; m arrives as a broadcast 1-row cross join — no collect, and
+   * e_c/d_c/m stay exact integers so the only doubles are the two final
+   * divisions (deterministic; gates round to 6).
+   */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    e.persist()
+    val comm = communities.select(col("node").cast("long").as("node"),
+      col("community").cast("long").as("community"))
+    val bcast = comm.count() <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+
+    val degrees = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val commDeg = degrees.join(maybeBcast(comm), Seq("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+
+    val tagged = e
+      .join(maybeBcast(comm.select(col("node").as("src"), col("community").as("ca"))), Seq("src"))
+      .join(maybeBcast(comm.select(col("node").as("dst"), col("community").as("cb"))), Seq("dst"))
+    val intra = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
+
+    val m = e.agg(count(lit(1)).as("m_edges"))
+    val out = commDeg.join(intra, Seq("community"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("contribution",
+        col("intra_edges").cast("double") / col("m_edges") -
+          (col("degree_sum").cast("double") / (col("m_edges") * 2L)) *
+          (col("degree_sum").cast("double") / (col("m_edges") * 2L)))
+      .select(col("community"), col("n_nodes"), col("degree_sum"),
+        col("intra_edges"), col("m_edges"), col("contribution"))
+    e.unpersist()
+    out
+  }
 }

@@ -500,4 +500,28 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected corpus-wide sorts ($globalSorts):\n$p")
   }
 
+  test("psi drift: ONE aggregation pass — no join, no window, map-side partials") {
+    // the 10-bin grid must unroll into conditional counts inside a single
+    // grouped aggregate; a per-bin join or window here multiplies the
+    // scan at 100 TB
+    val p = plan("rel_psi_drift")
+    assert(!p.contains("Join"), s"psi grew a join:\n$p")
+    assert(!p.contains("Window"), s"psi grew a window:\n$p")
+    assert(p.contains("partial"), "bin counts must partial-aggregate map-side")
+  }
+
+  test("kappa: ONE grouped pass — the confusion matrix never becomes a join or window") {
+    val p = plan("pipeline_kappa_agreement")
+    assert(!p.contains("Join"), s"kappa grew a join:\n$p")
+    assert(!p.contains("Window"), s"kappa grew a window:\n$p")
+    assert(p.contains("partial"), "confusion cells must partial-aggregate map-side")
+  }
+
+  test("line boilerplate: equi-joins only, and document text never reaches the df join") {
+    // candidate structure is (source, line-hash) — a nested-loop join or
+    // a join carrying the full text column is the scale failure mode
+    val p = plan("dedup_line_boilerplate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate grew a non-equi join:\n$p")
+  }
 }

@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * repetitions on an isolated session and prints each rep plus the
   * median — the `BenchAnchors` protocol recorded in BASELINE.md.
   *
-  * Usage: sbt "Test/runMain graft.tools.Probe <query> [sfDir] [reps]"
+  * Usage: sbt "Test/runMain graft.tools.Probe <query>[,<query>...] [sfDir] [reps]"
+  * (comma-separated names probe sequentially in one session — each still
+  * gets its own cold warmup rep before its timed reps)
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -21,11 +23,16 @@ object Probe {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
-    // warmup (session machinery + one cold pass of the query itself)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    args(0).split(",").foreach(name => probeOne(spark, name, dir, reps))
+    spark.stop()
+  }
+
+  private def probeOne(
+      spark: SparkSession, name: String, dir: String, reps: Int): Unit = {
+    // warmup (session machinery + one cold pass of the query itself)
     spark.sparkContext.setJobDescription(s"warmup $name")
     try graft.SparkEntry.queries(name)(spark, dir).count()
     catch { case e: Throwable => println(s"[probe] warmup failed: $e") }
@@ -51,6 +58,5 @@ object Probe {
       println(f"[probe] $name vs isolated anchor $a%.3f s: ${r}%.2fx" +
         (if (r > 1.5) "  ** REGRESSION vs isolated anchor — investigate or re-anchor from THIS protocol **" else ""))
     }
-    spark.stop()
   }
 }
