@@ -334,6 +334,10 @@ object BenchAnchors {
     "pipeline_kappa_agreement" -> 0.230,
     "rel_psi_drift" -> 0.323,
     "graph_modularity" -> 1.505,
+    "dedup_stitch_pairs" -> 1.028,
+    "graph_assortativity" -> 1.828,
+    "rel_benford_deviation" -> 0.255,
+    "stream_psi_drift" -> 4.932, // 4-batch stage-write + drain per run
   )
 
   /** Dual-regime ISOLATED anchors (advisor, round 10): queries whose

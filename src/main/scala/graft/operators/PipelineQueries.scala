@@ -1941,6 +1941,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Suffix→prefix stitch pairs over a corpus with PLANTED continuations
+    // (every 9th doc with >= 8 tokens re-appears at +500000 starting with
+    // the original's last 8 tokens): the crawl-pagination shape whole-doc
+    // dedup misses. One key pass + one 128-bit-key equi-join — never
+    // all-pairs; the oracle replays keys on raw token strings.
+    "dedup_stitch_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val planted = d.filter(col("doc_id") % 9 === 0 && size(toks) >= 8)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(concat_ws(" ", slice(toks, -8, 8)),
+            lit(" stitched continuation payload graft")).as("text"))
+      Dedup.stitchPairs(d.unionByName(planted), "doc_id", "text", k = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Inter-rater agreement (Cohen's kappa) per source between two
     // deterministic quality raters (char-length terciles vs token-count
     // terciles) — the labeling-batch QA gate. Confusion cells are exact
@@ -4886,6 +4902,33 @@ object PipelineQueries {
         |            / sum(len(line)) END AS boiler_char_frac
         |FROM j GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // the engine joins md5 keys over space-joined token slices; the
+    // oracle joins the raw slice strings — the same equivalence every
+    // hash-keyed dedup oracle in this file relies on
+    "dedup_stitch_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, tk FROM toks
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id,
+        |    list_concat(tk[len(tk)-7:len(tk)],
+        |      ['stitched', 'continuation', 'payload', 'graft']) AS tk
+        |  FROM toks WHERE doc_id % 9 = 0 AND len(tk) >= 8),
+        |keys AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 8
+        |         THEN array_to_string(tk[1:8], ' ') END AS pref,
+        |    CASE WHEN len(tk) >= 8
+        |         THEN array_to_string(tk[len(tk)-7:len(tk)], ' ') END AS suf
+        |  FROM corpus)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM keys a JOIN keys b ON a.suf = b.pref AND a.doc_id <> b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // marginal products in fixed (short, medium, long) order — the same
     // order the engine's expression chain folds, so pe is term-for-term

@@ -2232,6 +2232,90 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // The SAME drift monitor as a LIVE stream: four staged micro-batches
+    // (event-id quarters) fold their bin counts in complete-mode
+    // aggregation state; the drained table's final row set IS the batch
+    // PSI (shared oracle) — the continuously-updating retrain dial.
+    "stream_psi_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_spsi_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val filesDir = new java.io.File(root, "in")
+      java.nio.file.Files.createDirectories(filesDir.toPath)
+      val n = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+      (0 until 4).foreach { b =>
+        val stage = new java.io.File(root, s"stage$b")
+        ev.filter(col("event_id") >= n * b / 4 && col("event_id") < n * (b + 1) / 4)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(filesDir, s"batch$b.parquet").toPath)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+      val agg = graft.pipeline.Drift.psiFixedBins(
+        stream, Seq("event_type"), "value",
+        baseline = col("ts") < to_timestamp(lit("2024-01-16 00:00:00")),
+        bins = 10, lo = 0.0, hi = 500.0)
+      val name = s"stream_psi_${streamRunId.incrementAndGet()}"
+      Option(lastPsiView.getAndSet(name))
+        .foreach(prev => s.catalog.dropTempView(prev))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("event_type"), col("n_base"), col("n_curr"),
+          round(col("psi"), 6).as("psi"))
+        .orderBy(col("event_type"))
+    }),
+
+    // First-significant-digit (Benford) deviation per event type — the
+    // fabricated/synthetic-value screen in data-quality audits. The
+    // digit comes from EXACT integer cents (first significant digit is
+    // invariant under ×100; no float log10 on the data path), digit
+    // counts are one conditional-sum pass, and the mean absolute
+    // deviation vs log10(1+1/d) is a fixed-order 9-term chain.
+    "rel_benford_deviation" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), cents(col("value")).as("c"))
+        .filter(col("c") > 0)
+      val dig = when(col("c") < 10L, col("c"))
+        .when(col("c") < 100L, expr("c div 10"))
+        .when(col("c") < 1000L, expr("c div 100"))
+        .when(col("c") < 10000L, expr("c div 1000"))
+        .when(col("c") < 100000L, expr("c div 10000"))
+        .when(col("c") < 1000000L, expr("c div 100000"))
+        .otherwise(expr("c div 1000000"))
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (1 to 9).map(i => sum(when(dig === i, 1L).otherwise(0L)).as(s"c_$i"))
+      val counted = ev.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+      val mad = (1 to 9).map { d =>
+        abs(col(s"c_$d").cast("double") / col("n") -
+          log10(lit((d + 1).toDouble / d)))
+      }.reduce(_ + _) / 9
+      counted
+        .withColumn("benford_mad", round(mad, 6))
+        .orderBy(col("event_type"))
+    }),
+
+    // Degree assortativity of the customer–supplier graph: do hubs link
+    // to hubs? Three exact-integer edge sums (one degree join per side,
+    // map-side combine); the Pearson r is final-division-only arithmetic.
+    "graph_assortativity" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.pipeline.GraphAlgos.assortativity(edges)
+        .select(col("m_edges"), col("sum_jk"), col("sum_deg"), col("sum_deg2"),
+          round(col("assortativity"), 6).as("assortativity"))
+    }),
+
     // Newman modularity of the nation partition over the customer–
     // supplier co-transaction graph — the quality score for ANY community
     // assignment (LPA labels, embedding clusters, attribute partitions).
@@ -2265,6 +2349,7 @@ object RelationalQueries {
   private val lastOuterJoinView = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastEnrichView = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastDecayView = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastPsiView = new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** Shared by `rel_decay_engagement` (batch) and
     * `stream_decay_engagement` (complete-mode streaming aggregation). */
@@ -3618,6 +3703,40 @@ object RelationalQueries {
 
     "rel_psi_drift" -> psiDriftOracle,
 
+    // the streaming drain's final complete-mode table equals the batch
+    // aggregation — same oracle
+    "stream_psi_drift" -> psiDriftOracle,
+
+    "rel_benford_deviation" -> benfordOracle,
+
+    "graph_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+        |  GROUP BY 1),
+        |jk AS (
+        |  SELECT dj.deg AS j, dk.deg AS k
+        |  FROM e JOIN deg dj ON dj.node = e.src JOIN deg dk ON dk.node = e.dst),
+        |g AS (
+        |  SELECT count(*) AS m,
+        |    CAST(sum(j * k) AS BIGINT) AS sum_jk,
+        |    CAST(sum(j + k) AS BIGINT) AS sum_deg,
+        |    CAST(sum(j * j + k * k) AS BIGINT) AS sum_deg2
+        |  FROM jk)
+        |SELECT m AS m_edges, sum_jk, sum_deg, sum_deg2,
+        |  round(CASE WHEN CAST(sum_deg2 AS DOUBLE) / (m * 2)
+        |        - (CAST(sum_deg AS DOUBLE) / (m * 2)) * (CAST(sum_deg AS DOUBLE) / (m * 2)) = 0
+        |      THEN 0.0
+        |      ELSE (CAST(sum_jk AS DOUBLE) / m
+        |        - (CAST(sum_deg AS DOUBLE) / (m * 2)) * (CAST(sum_deg AS DOUBLE) / (m * 2)))
+        |        / (CAST(sum_deg2 AS DOUBLE) / (m * 2)
+        |        - (CAST(sum_deg AS DOUBLE) / (m * 2)) * (CAST(sum_deg AS DOUBLE) / (m * 2)))
+        |      END, 6) AS assortativity
+        |FROM g""".stripMargin,
+
     "graph_modularity" ->
       """WITH e AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -3651,6 +3770,36 @@ object RelationalQueries {
         |FROM cd LEFT JOIN intra USING (community) CROSS JOIN m
         |ORDER BY cd.community""".stripMargin
   )
+
+  /** Benford oracle: digit from exact integer cents via the same CASE
+    * range chain (`//` floor division — DuckDB `/` is float), counts as
+    * conditional sums, MAD as the same fixed-order 9-term chain. */
+  private def benfordOracle: String = {
+    val digitCase =
+      """CASE WHEN c < 10 THEN c WHEN c < 100 THEN c // 10
+        |         WHEN c < 1000 THEN c // 100 WHEN c < 10000 THEN c // 1000
+        |         WHEN c < 100000 THEN c // 10000 WHEN c < 1000000 THEN c // 100000
+        |         ELSE c // 1000000 END""".stripMargin
+    val cells = (1 to 9).map(i =>
+      s"CAST(sum(CASE WHEN dig = $i THEN 1 ELSE 0 END) AS BIGINT) AS c_$i")
+      .mkString(",\n    ")
+    val terms = (1 to 9).map(d =>
+      s"abs(CAST(c_$d AS DOUBLE) / n - log10(${(d + 1).toDouble / d}))")
+      .mkString("\n  + ")
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+       |d AS (
+       |  SELECT event_type, $digitCase AS dig FROM ev),
+       |g AS (
+       |  SELECT event_type, count(*) AS n,
+       |    $cells
+       |  FROM d GROUP BY 1)
+       |SELECT event_type, n,
+       |  ${(1 to 9).map(i => s"c_$i").mkString(", ")},
+       |  round(($terms) / 9, 6) AS benford_mad
+       |FROM g ORDER BY event_type""".stripMargin
+  }
 
   /** PSI oracle: the same fixed 10-bin grid and fixed-order term chain the
     * engine computes, unrolled symbolically per bin. */

@@ -119,6 +119,38 @@ object Dedup {
   }
 
   /**
+   * Suffix→prefix stitch detection: pairs (a, b) where document b BEGINS
+   * with document a's last `k` tokens — the crawl-continuation /
+   * pagination shape (one logical document split across fetches), which
+   * whole-document dedup misses and shingle dedup only catches at high
+   * overlap. These pairs are the stitch candidates a re-assembly pass
+   * consumes.
+   *
+   * Shape: ONE pass computes each doc's first-k and last-k token keys
+   * (md5 over the space-joined [[TextAnalysis.tokens]] slice — docs
+   * shorter than k tokens get NULL keys and drop out), then ONE
+   * suffix=prefix equi-join on the 128-bit key. Never all-pairs; join
+   * fan-out is bounded by key collisions, i.e. by genuinely shared
+   * k-token runs.
+   */
+  def stitchPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, "stitch runs need at least 2 tokens")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val keyed = df.select(col(idCol).as("doc_id"),
+        when(size(toks) >= k,
+          md5(concat_ws(" ", slice(toks, 1, k)))).as("prefix_key"),
+        when(size(toks) >= k,
+          md5(concat_ws(" ", slice(toks, -k, k)))).as("suffix_key"))
+    keyed.select(col("doc_id").as("id_a"), col("suffix_key").as("key"))
+      .filter(col("key").isNotNull)
+      .join(keyed.select(col("doc_id").as("id_b"), col("prefix_key").as("key"))
+        .filter(col("key").isNotNull), Seq("key"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /**
    * Incremental exact dedup: the survivor rows of a DELTA batch against
    * an already-deduplicated BASE corpus — the daily-increment shape (a
    * new crawl lands against petabytes of accepted corpus; re-running

@@ -942,6 +942,53 @@ object GraphAlgos {
    * e_c/d_c/m stay exact integers so the only doubles are the two final
    * divisions (deterministic; gates round to 6).
    */
+  /**
+   * Degree assortativity (Newman's r): the Pearson correlation of the
+   * endpoint degrees over edges — do hubs link to hubs (> 0, social
+   * graphs) or to leaves (< 0, web/biology)? The structural dial that
+   * predicts whether hub-cap heuristics (link prediction, wedge
+   * bounds) will bite.
+   *
+   * `edges`: undirected, each edge exactly once. With j,k the endpoint
+   * degrees and M = |E|:
+   *   r = [Sjk/M − (Sd/(2M))²] / [Sd2/(2M) − (Sd/(2M))²]
+   * where Sjk = Σ j·k, Sd = Σ (j+k), Sd2 = Σ (j²+k²). All three sums
+   * are EXACT INTEGERS (one degree join per side, one map-side-combined
+   * agg), so the only doubles are the final divisions — deterministic;
+   * gates round to 6. Regular graphs (zero variance) return r = 0.
+   */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    e.persist()
+    val degrees = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val n = degrees.count() // prices the join-side broadcast decision
+    val bcast = n <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val out = e
+      .join(maybeBcast(degrees.select(col("node").as("src"), col("deg").as("j"))), Seq("src"))
+      .join(maybeBcast(degrees.select(col("node").as("dst"), col("deg").as("k"))), Seq("dst"))
+      .agg(
+        count(lit(1)).as("m_edges"),
+        sum(col("j") * col("k")).as("sum_jk"),
+        sum(col("j") + col("k")).as("sum_deg"),
+        sum(col("j") * col("j") + col("k") * col("k")).as("sum_deg2"))
+      .withColumn("mean_half",
+        col("sum_deg").cast("double") / (col("m_edges") * 2L))
+      .withColumn("num",
+        col("sum_jk").cast("double") / col("m_edges") - col("mean_half") * col("mean_half"))
+      .withColumn("den",
+        col("sum_deg2").cast("double") / (col("m_edges") * 2L) - col("mean_half") * col("mean_half"))
+      .withColumn("assortativity",
+        when(col("den") === 0.0, lit(0.0)).otherwise(col("num") / col("den")))
+      .select(col("m_edges"), col("sum_jk"), col("sum_deg"), col("sum_deg2"),
+        col("assortativity"))
+      .localCheckpoint() // materialize (1 row) before releasing e
+    e.unpersist()
+    out
+  }
+
   def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))

@@ -524,4 +524,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"boilerplate grew a non-equi join:\n$p")
   }
+
+  test("benford: ONE aggregation pass — digit cells never become a join or window") {
+    val p = plan("rel_benford_deviation")
+    assert(!p.contains("Join"), s"benford grew a join:\n$p")
+    assert(!p.contains("Window"), s"benford grew a window:\n$p")
+    assert(p.contains("partial"), "digit counts must partial-aggregate map-side")
+  }
+
+  test("stitch pairs: key equi-join only, never all-pairs") {
+    val p = plan("dedup_stitch_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"stitch grew a non-equi join:\n$p")
+    assert(p.contains("HashJoin"), "suffix=prefix key must drive a hash join")
+  }
 }

@@ -152,6 +152,46 @@ class RoundElevenBSpec extends AnyFunSuite {
     }
   }
 
+  test("assortativity: a star is perfectly disassortative, a cycle degenerates to 0") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = GraphAlgos.assortativity(star)
+      .select("assortativity").as[Double].head()
+    assert(math.abs(r - (-1.0)) < 1e-12, s"star must score -1, got $r")
+
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r2 = GraphAlgos.assortativity(cycle)
+      .select("assortativity").as[Double].head()
+    assert(r2 == 0.0, "regular graph: zero variance guard")
+  }
+
+  test("assortativity: integer sums replay the hand computation") {
+    // path 1-2-3: degrees 1,2,1; edges (1,2),(2,3) → j·k sums = 2+2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val row = GraphAlgos.assortativity(path)
+      .select("m_edges", "sum_jk", "sum_deg", "sum_deg2")
+      .as[(Long, Long, Long, Long)].head()
+    assert(row == ((2L, 4L, 6L, 10L)))
+  }
+
+  test("stitch pairs: a continuation starting with the suffix is found; short docs drop") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "c d e f g h i j continuation text goes onward"),
+      (3L, "too short to key"),
+      (4L, "unrelated body of nine tokens padding out fully")).toDF("doc_id", "text")
+    val out = Dedup.stitchPairs(df, "doc_id", "text", k = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("stitch pairs: identical repetitive docs pair both ways but never self-pair") {
+    val t = "x x x x x x x x x x"
+    val df = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val out = Dedup.stitchPairs(df, "doc_id", "text", k = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 1L)))
+  }
+
   test("modularity: the whole graph as one community scores zero") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val comm = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("node", "community")
