@@ -45,4 +45,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // OpenJDK 17.0.20 C2 SIGSEGV (BoolNode::Ideal) observed once compiling
+  // this stock Spark parquet-writer method mid-bench (hs_err 2026-08-15,
+  // tier-4 task 18983) — keep the 21-byte method at C1; cost is nil,
+  // and a JIT crash would cost a whole driver bench run.
+  "-XX:CompileCommand=exclude,org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport::consumeGroup",
 )
