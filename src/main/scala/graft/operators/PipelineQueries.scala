@@ -4891,17 +4891,24 @@ object PipelineQueries {
         |j AS (
         |  SELECT l.doc_id, l.line, (b.line IS NOT NULL) AS is_b
         |  FROM lines l
-        |  LEFT JOIN boiler b ON b.source = l.source AND b.line = l.line)
-        |SELECT doc_id,
-        |  count(*) AS n_lines,
-        |  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
-        |  CAST(sum(len(line)) AS BIGINT) AS n_line_chars,
-        |  CAST(sum(CASE WHEN is_b THEN len(line) ELSE 0 END) AS BIGINT) AS n_boiler_chars,
-        |  CASE WHEN sum(len(line)) = 0 THEN 0.0
-        |       ELSE CAST(sum(CASE WHEN is_b THEN len(line) ELSE 0 END) AS DOUBLE)
-        |            / sum(len(line)) END AS boiler_char_frac
-        |FROM j GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+        |  LEFT JOIN boiler b ON b.source = l.source AND b.line = l.line),
+        |g AS (
+        |  SELECT doc_id,
+        |    count(*) AS n_lines,
+        |    CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+        |    CAST(sum(len(line)) AS BIGINT) AS n_line_chars,
+        |    CAST(sum(CASE WHEN is_b THEN len(line) ELSE 0 END) AS BIGINT) AS n_boiler_chars
+        |  FROM j GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  coalesce(g.n_lines, 0) AS n_lines,
+        |  coalesce(g.n_boiler_lines, 0) AS n_boiler_lines,
+        |  coalesce(g.n_line_chars, 0) AS n_line_chars,
+        |  coalesce(g.n_boiler_chars, 0) AS n_boiler_chars,
+        |  CASE WHEN coalesce(g.n_line_chars, 0) = 0 THEN 0.0
+        |       ELSE CAST(g.n_boiler_chars AS DOUBLE) / g.n_line_chars
+        |       END AS boiler_char_frac
+        |FROM corpus c LEFT JOIN g ON g.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     // the engine joins md5 keys over space-joined token slices; the
     // oracle joins the raw slice strings — the same equivalence every

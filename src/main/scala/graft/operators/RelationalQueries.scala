@@ -47,6 +47,18 @@ object RelationalQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     normalizeTs(t(s, dir, "events"))
 
+  /** The customer–supplier co-transaction graph with each bipartite edge
+    * exactly ONCE (customers at node 2c, suppliers at 2s+1) — the
+    * canonical undirected view the partition-quality gates consume.
+    * (The rank/propagation gates inline their own variants: several need
+    * the multigraph or directed form, which this distinct view is not.) */
+  private def custSuppEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+
   /** Exact integer money arithmetic: prices/discounts/balances in the
     * test data are exact 2-decimal values, so revenue sums in integer
     * 1e-4-dollar units are bit-identical across engines — immune to
@@ -2283,13 +2295,11 @@ object RelationalQueries {
       val ev = events(s, dir)
         .select(col("event_type"), cents(col("value")).as("c"))
         .filter(col("c") > 0)
-      val dig = when(col("c") < 10L, col("c"))
-        .when(col("c") < 100L, expr("c div 10"))
-        .when(col("c") < 1000L, expr("c div 100"))
-        .when(col("c") < 10000L, expr("c div 1000"))
-        .when(col("c") < 100000L, expr("c div 10000"))
-        .when(col("c") < 1000000L, expr("c div 100000"))
-        .otherwise(expr("c div 1000000"))
+      // first significant digit = first char of the base-10 rendering —
+      // magnitude-proof over the whole positive long range (a div-chain
+      // CASE caps at some digit count and silently mis-digits beyond it);
+      // integer-to-string is engine-independent, no float log10 anywhere
+      val dig = substring(col("c").cast("string"), 1, 1).cast("long")
       val aggs = Seq(count(lit(1)).as("n")) ++
         (1 to 9).map(i => sum(when(dig === i, 1L).otherwise(0L)).as(s"c_$i"))
       val counted = ev.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
@@ -2306,12 +2316,7 @@ object RelationalQueries {
     // to hubs? Three exact-integer edge sums (one degree join per side,
     // map-side combine); the Pearson r is final-division-only arithmetic.
     "graph_assortativity" -> ((s, dir) => {
-      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      graft.pipeline.GraphAlgos.assortativity(edges)
+      graft.pipeline.GraphAlgos.assortativity(custSuppEdges(s, dir))
         .select(col("m_edges"), col("sum_jk"), col("sum_deg"), col("sum_deg2"),
           round(col("assortativity"), 6).as("assortativity"))
     }),
@@ -2322,11 +2327,7 @@ object RelationalQueries {
     // Exact-integer e_c/d_c/m; the only doubles are the two final
     // divisions (deterministic, rounded to 6).
     "graph_modularity" -> ((s, dir) => {
-      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      val edges = custSuppEdges(s, dir)
       val comm = t(s, dir, "customer")
         .select((col("c_custkey") * 2).as("node"), col("c_nationkey").as("community"))
         .unionByName(t(s, dir, "supplier")
@@ -3771,15 +3772,11 @@ object RelationalQueries {
         |ORDER BY cd.community""".stripMargin
   )
 
-  /** Benford oracle: digit from exact integer cents via the same CASE
-    * range chain (`//` floor division — DuckDB `/` is float), counts as
+  /** Benford oracle: digit = first char of the exact-cents base-10
+    * rendering (magnitude-proof, engine-independent), counts as
     * conditional sums, MAD as the same fixed-order 9-term chain. */
   private def benfordOracle: String = {
-    val digitCase =
-      """CASE WHEN c < 10 THEN c WHEN c < 100 THEN c // 10
-        |         WHEN c < 1000 THEN c // 100 WHEN c < 10000 THEN c // 1000
-        |         WHEN c < 100000 THEN c // 10000 WHEN c < 1000000 THEN c // 100000
-        |         ELSE c // 1000000 END""".stripMargin
+    val digitCase = "CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)"
     val cells = (1 to 9).map(i =>
       s"CAST(sum(CASE WHEN dig = $i THEN 1 ELSE 0 END) AS BIGINT) AS c_$i")
       .mkString(",\n    ")

@@ -25,7 +25,9 @@ object Agreement {
    * Output per group: n (rows rated in-vocabulary by both), po (observed
    * agreement), pe (chance agreement from the marginals), kappa
    * ((po−pe)/(1−pe); 1.0 when pe = 1 — degenerate single-category
-   * agreement). Raw doubles — callers round for cross-engine compares.
+   * agreement; all three 0.0 when n = 0, so a wholly un-ratable batch
+   * FAILS a "kappa ≥ threshold" QA gate instead of null-skipping it).
+   * Raw doubles — callers round for cross-engine compares.
    */
   def cohenKappa(
       df: DataFrame,
@@ -53,10 +55,11 @@ object Agreement {
     val po = diag.cast("double") / col("n")
 
     counted
-      .withColumn("po", po)
-      .withColumn("pe", pe)
+      .withColumn("po", when(col("n") === 0L, 0.0).otherwise(po))
+      .withColumn("pe", when(col("n") === 0L, 0.0).otherwise(pe))
       .withColumn("kappa",
-        when(col("pe") >= 1.0, lit(1.0))
+        when(col("n") === 0L, 0.0)
+          .when(col("pe") >= 1.0, lit(1.0))
           .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))))
       .select(groupCols.map(col) ++
         Seq(col("n"), col("po"), col("pe"), col("kappa")): _*)

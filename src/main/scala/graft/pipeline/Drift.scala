@@ -27,7 +27,9 @@ object Drift {
    * p = (c+1)/(n+bins) keep empty cells finite on both sides.
    *
    * Output per group: n_base, n_curr, psi (raw double — callers round
-   * for cross-engine compares).
+   * for cross-engine compares). NULL values are dropped before any
+   * counting (a null-valued row belongs to no bin; counting it into
+   * n_base/n_curr but no cell would silently deflate every proportion).
    */
   def psiFixedBins(
       df: DataFrame,
@@ -52,7 +54,8 @@ object Drift {
       sum(when(baseline, 1L).otherwise(0L)).as("n_base"),
       sum(when(!baseline, 1L).otherwise(0L)).as("n_curr")) ++ cellCounts
 
-    val counted = df.groupBy(groupCols.map(col): _*)
+    val counted = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
 
     // fixed-order fold over the bin cells: psi = Σ_i (pb_i − pc_i)·ln(pb_i/pc_i)

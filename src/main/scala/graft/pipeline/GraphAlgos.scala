@@ -926,23 +926,6 @@ object GraphAlgos {
   }
 
   /**
-   * Newman modularity of a node partition, per community:
-   *   Q_c = e_c/m − (d_c/(2m))²   (Q = Σ_c Q_c)
-   * where m = |E|, e_c = edges with BOTH endpoints in c, d_c = Σ degree
-   * over c's members. The quality dial for any community assignment
-   * (LPA labels, attribute partitions, embedding clusters).
-   *
-   * `edges`: undirected edge list with each edge exactly ONCE (canonical
-   * a<b pairs; no self-loops). `communities`: (node, community).
-   *
-   * Shape: degrees from one explode+groupBy pass; two node-sized
-   * community joins (broadcast when the partition table is small, the
-   * same size-aware rule as the rank algorithms); per-community partial
-   * aggs; m arrives as a broadcast 1-row cross join — no collect, and
-   * e_c/d_c/m stay exact integers so the only doubles are the two final
-   * divisions (deterministic; gates round to 6).
-   */
-  /**
    * Degree assortativity (Newman's r): the Pearson correlation of the
    * endpoint degrees over edges — do hubs link to hubs (> 0, social
    * graphs) or to leaves (< 0, web/biology)? The structural dial that
@@ -989,10 +972,31 @@ object GraphAlgos {
     out
   }
 
+  /**
+   * Newman modularity of a node partition, per community:
+   *   Q_c = e_c/m − (d_c/(2m))²   (Q = Σ_c Q_c)
+   * where m = |E|, e_c = edges with BOTH endpoints in c, d_c = Σ degree
+   * over c's members. The quality dial for any community assignment
+   * (LPA labels, attribute partitions, embedding clusters).
+   *
+   * `edges`: undirected edge list with each edge exactly ONCE (canonical
+   * a<b pairs; no self-loops). `communities`: (node, community).
+   *
+   * Shape: degrees from one explode+groupBy pass; two node-sized
+   * community joins (broadcast when the partition table is small, the
+   * same size-aware rule as the rank algorithms); per-community partial
+   * aggs; m arrives as a broadcast 1-row cross join — no collect, and
+   * e_c/d_c/m stay exact integers so the only doubles are the two final
+   * divisions (deterministic; gates round to 6).
+   */
   def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    // NO persist/checkpoint here, deliberately: degrees, intra tagging,
+    // and m consume IDENTICAL edge subplans inside ONE final plan, and
+    // Catalyst's ReuseExchange shares the join's shuffle output across
+    // them — a persist+checkpoint barrier defeats that and measured
+    // ~35% SLOWER (2.04 s vs 1.51 s at sf0.1) for the cache-write cost.
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    e.persist()
     val comm = communities.select(col("node").cast("long").as("node"),
       col("community").cast("long").as("community"))
     val bcast = comm.count() <= BroadcastRankMaxNodes
@@ -1020,7 +1024,6 @@ object GraphAlgos {
           (col("degree_sum").cast("double") / (col("m_edges") * 2L)))
       .select(col("community"), col("n_nodes"), col("degree_sum"),
         col("intra_edges"), col("m_edges"), col("contribution"))
-    e.unpersist()
     out
   }
 }

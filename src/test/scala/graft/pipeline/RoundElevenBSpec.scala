@@ -109,6 +109,23 @@ class RoundElevenBSpec extends AnyFunSuite {
     assert(out._2 == 1.0, "single-category agreement: pe=1 guard")
   }
 
+  test("cohen kappa: a group with zero in-vocab rows scores 0.0, never NULL") {
+    val df = Seq(("g", "junk", "junk"), ("g", "junk", "a")).toDF("grp", "ra", "rb")
+    val out = Agreement.cohenKappa(df, Seq("grp"), "ra", "rb", Seq("a", "b"))
+      .select("n", "po", "pe", "kappa").as[(Long, Double, Double, Double)].head()
+    assert(out == ((0L, 0.0, 0.0, 0.0)),
+      "an un-ratable batch must FAIL a kappa>=threshold gate, not null-skip it")
+  }
+
+  test("psi: NULL values belong to no slice — dropped before counting") {
+    val df = Seq(("e", Some(10.0), true), ("e", None, true),
+      ("e", Some(10.0), false)).toDF("k", "value", "base")
+    val row = Drift.psiFixedBins(df, Seq("k"), "value", col("base"),
+        bins = 10, lo = 0.0, hi = 500.0)
+      .select("n_base", "n_curr").as[(Long, Long)].head()
+    assert(row == ((1L, 1L)), "the null row must not deflate the proportions")
+  }
+
   test("psi: identical distributions score exactly zero; a shift scores positive") {
     val same = (0 until 100).flatMap(i =>
       Seq(("e", i.toDouble * 5, true), ("e", i.toDouble * 5, false)))

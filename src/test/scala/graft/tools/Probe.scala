@@ -31,6 +31,12 @@ object Probe {
   }
 
   private def probeOne(
+      spark: SparkSession, name: String, dir: String, reps: Int): Unit =
+    // a bad name / failing query must not abort the rest of the sweep
+    try probeOneUnsafe(spark, name, dir, reps)
+    catch { case e: Throwable => println(s"[probe] $name FAILED: $e") }
+
+  private def probeOneUnsafe(
       spark: SparkSession, name: String, dir: String, reps: Int): Unit = {
     // warmup (session machinery + one cold pass of the query itself)
     spark.sparkContext.setJobDescription(s"warmup $name")
