@@ -338,6 +338,9 @@ object BenchAnchors {
     "graph_assortativity" -> 1.828,
     "rel_benford_deviation" -> 0.255,
     "stream_psi_drift" -> 4.932, // 4-batch stage-write + drain per run
+    "graph_conductance" -> 1.708,
+    "dedup_threshold_sweep" -> 1.757,
+    "text_jsd_sources" -> 1.656,
   )
 
   /** Dual-regime ISOLATED anchors (advisor, round 10): queries whose

@@ -1941,6 +1941,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup-rate-vs-threshold tuning curve over the planted-near-dup
+    // corpus: one df-pruned shingle-join candidate generation pays for
+    // ALL five thresholds (integer cross-multiplied Jaccard tests,
+    // conditional sums) — the table read before committing a threshold
+    // to a petabyte dedup run.
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.jaccardThresholdSweep(corpusNear(s, dir), "doc_id", "text",
+        shingleK = 3, maxDf = 10L)),
+
+    // Jensen–Shannon divergence of each source's unigram distribution vs
+    // the rest of the corpus over the top-100 vocabulary (TakeOrdered
+    // cut, count-desc/term-asc tie-break) — the corpus-mixing
+    // diagnostic: which source is the odd one out.
+    "text_jsd_sources" -> ((s, dir) =>
+      graft.pipeline.Drift.jsdByGroup(
+          docs(s, dir).select(col("source"), col("text")), "source", "text", v = 100)
+        .select(col("source"), col("n_vocab_tokens"),
+          round(col("jsd"), 6).as("jsd"))
+        .orderBy(col("source"))),
+
     // Suffix→prefix stitch pairs over a corpus with PLANTED continuations
     // (every 9th doc with >= 8 tokens re-appears at +500000 starting with
     // the original's last 8 tokens): the crawl-pagination shape whole-doc
@@ -4909,6 +4929,85 @@ object PipelineQueries {
         |       END AS boiler_char_frac
         |FROM corpus c LEFT JOIN g ON g.doc_id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    // the df-pruned candidate space replayed on raw shingle strings; the
+    // five threshold tests are the same integer cross-multiplications
+    "dedup_threshold_sweep" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftmutation' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS g
+        |  FROM toks),
+        |dfq AS (
+        |  SELECT g FROM (SELECT g, count(*) AS c FROM sh GROUP BY 1) WHERE c <= 10),
+        |pr AS (SELECT sh.doc_id, sh.g FROM sh JOIN dfq USING (g)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM pr a JOIN pr b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i, na.n + nb.n - i AS u
+        |  FROM inter
+        |  JOIN sizes na ON na.doc_id = inter.da
+        |  JOIN sizes nb ON nb.doc_id = inter.db)
+        |SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+        |  CAST(sum(CASE WHEN i * 100 >= u * 50 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_ge_50,
+        |  CAST(sum(CASE WHEN i * 100 >= u * 60 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_ge_60,
+        |  CAST(sum(CASE WHEN i * 100 >= u * 70 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_ge_70,
+        |  CAST(sum(CASE WHEN i * 100 >= u * 80 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_ge_80,
+        |  CAST(sum(CASE WHEN i * 100 >= u * 90 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_ge_90
+        |FROM pairs""".stripMargin,
+
+    // dense (source × vocab) grid with add-1 smoothing, the same
+    // p/q/m formula term-for-term; float sum over <= 100 summands per
+    // source rounded 6 (the lang-entropy precedent)
+    "text_jsd_sources" ->
+      """WITH toks AS (
+        |  SELECT source AS grp,
+        |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term, count(*) AS total FROM toks GROUP BY 1
+        |  ORDER BY total DESC, term LIMIT 100),
+        |gc AS (
+        |  SELECT grp, term, count(*) AS cnt
+        |  FROM toks JOIN vocab USING (term) GROUP BY 1, 2),
+        |grps AS (SELECT DISTINCT grp FROM gc),
+        |grid AS (
+        |  SELECT g.grp, v.term, coalesce(gc.cnt, 0) AS cnt
+        |  FROM grps g CROSS JOIN vocab v
+        |  LEFT JOIN gc ON gc.grp = g.grp AND gc.term = v.term),
+        |tot AS (SELECT grp, sum(cnt) AS n_grp FROM grid GROUP BY 1),
+        |corp AS (SELECT term, sum(cnt) AS cnt_all FROM grid GROUP BY 1),
+        |alltot AS (SELECT sum(n_grp) AS n_all FROM tot),
+        |vsize AS (SELECT count(*) AS av FROM vocab),
+        |scored AS (
+        |  SELECT grid.grp,
+        |    CAST(grid.cnt + 1 AS DOUBLE) / (tot.n_grp + vsize.av) AS p,
+        |    CAST(corp.cnt_all - grid.cnt + 1 AS DOUBLE)
+        |      / (alltot.n_all - tot.n_grp + vsize.av) AS q
+        |  FROM grid JOIN tot USING (grp) JOIN corp USING (term)
+        |  CROSS JOIN alltot CROSS JOIN vsize),
+        |j AS (
+        |  SELECT grp,
+        |    sum(p * ln(p / ((p + q) / 2)) / 2 + q * ln(q / ((p + q) / 2)) / 2) AS jsd
+        |  FROM scored GROUP BY 1)
+        |SELECT t.grp AS source, CAST(t.n_grp AS BIGINT) AS n_vocab_tokens,
+        |  round(j.jsd, 6) AS jsd
+        |FROM tot t JOIN j ON j.grp = t.grp
+        |ORDER BY source""".stripMargin,
 
     // the engine joins md5 keys over space-joined token slices; the
     // oracle joins the raw slice strings — the same equivalence every

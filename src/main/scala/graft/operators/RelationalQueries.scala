@@ -2327,18 +2327,32 @@ object RelationalQueries {
     // Exact-integer e_c/d_c/m; the only doubles are the two final
     // divisions (deterministic, rounded to 6).
     "graph_modularity" -> ((s, dir) => {
-      val edges = custSuppEdges(s, dir)
-      val comm = t(s, dir, "customer")
-        .select((col("c_custkey") * 2).as("node"), col("c_nationkey").as("community"))
-        .unionByName(t(s, dir, "supplier")
-          .select((col("s_suppkey") * 2 + 1).as("node"), col("s_nationkey").as("community")))
-      graft.pipeline.GraphAlgos.modularity(edges, comm)
+      graft.pipeline.GraphAlgos.modularity(custSuppEdges(s, dir), nationComm(s, dir))
         .select(col("community"), col("n_nodes"), col("degree_sum"),
           col("intra_edges"), col("m_edges"),
           round(col("contribution"), 6).as("contribution"))
         .orderBy(col("community"))
+    }),
+
+    // Modularity's companion dial over the same partition: conductance
+    // (boundary leakiness) — cut edges / min(volume, 2m − volume), all
+    // exact integers until the one final division.
+    "graph_conductance" -> ((s, dir) => {
+      graft.pipeline.GraphAlgos.conductance(custSuppEdges(s, dir), nationComm(s, dir))
+        .select(col("community"), col("n_nodes"), col("volume"),
+          col("cut_edges"), col("m_edges"),
+          round(col("conductance"), 6).as("conductance"))
+        .orderBy(col("community"))
     })
   )
+
+  /** The nation partition of the customer–supplier node space — the
+    * community assignment the partition-quality gates score. */
+  private def nationComm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select((col("c_custkey") * 2).as("node"), col("c_nationkey").as("community"))
+      .unionByName(t(s, dir, "supplier")
+        .select((col("s_suppkey") * 2 + 1).as("node"), col("s_nationkey").as("community")))
 
   /** memory-sink table names must be unique per invocation (Spark rejects
     * a reused active query name); only the latest view is retained. */
@@ -3709,6 +3723,43 @@ object RelationalQueries {
     "stream_psi_drift" -> psiDriftOracle,
 
     "rel_benford_deviation" -> benfordOracle,
+
+    "graph_conductance" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |comm AS (
+        |  SELECT c_custkey * 2 AS node, c_nationkey AS community FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey * 2 + 1 AS node, s_nationkey AS community FROM supplier),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+        |  GROUP BY 1),
+        |vol AS (
+        |  SELECT community, count(*) AS n_nodes,
+        |    CAST(sum(deg) AS BIGINT) AS volume
+        |  FROM deg JOIN comm USING (node) GROUP BY 1),
+        |cut AS (
+        |  SELECT community, count(*) AS cut_edges FROM (
+        |    SELECT unnest([ca.community, cb.community]) AS community
+        |    FROM e
+        |    JOIN comm ca ON ca.node = e.src
+        |    JOIN comm cb ON cb.node = e.dst
+        |    WHERE ca.community <> cb.community)
+        |  GROUP BY 1),
+        |m AS (SELECT count(*) AS m_edges FROM e)
+        |SELECT CAST(vol.community AS BIGINT) AS community, vol.n_nodes,
+        |  vol.volume,
+        |  CAST(coalesce(cut.cut_edges, 0) AS BIGINT) AS cut_edges,
+        |  m.m_edges,
+        |  round(CASE WHEN least(vol.volume, m.m_edges * 2 - vol.volume) = 0
+        |        THEN 0.0
+        |        ELSE CAST(coalesce(cut.cut_edges, 0) AS DOUBLE)
+        |             / least(vol.volume, m.m_edges * 2 - vol.volume)
+        |        END, 6) AS conductance
+        |FROM vol LEFT JOIN cut USING (community) CROSS JOIN m
+        |ORDER BY vol.community""".stripMargin,
 
     "graph_assortativity" ->
       """WITH e AS (

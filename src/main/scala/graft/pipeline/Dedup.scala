@@ -596,6 +596,50 @@ object Dedup {
   }
 
   /**
+   * Dedup-rate-vs-threshold tuning curve: how many near-duplicate pairs
+   * survive each Jaccard threshold — the table an operator reads BEFORE
+   * committing a threshold to a petabyte dedup run (too low = eat real
+   * data, too high = keep the near-dups). ONE candidate generation pays
+   * for every threshold.
+   *
+   * Candidates come from the df-pruned shingle equi-join (the
+   * [[containmentPairs]] scale mechanism: per-shingle fan-out ≤ maxDf²,
+   * linear in corpus shingles); Jaccard is exact integers over the
+   * PRUNED shingle space, and each threshold test is the integer cross-
+   * multiplication `inter·100 ≥ union·t` — the whole sweep is one
+   * conditional-sum aggregation over the candidate pairs.
+   *
+   * Output: ONE row — n_candidate_pairs plus pairs_ge_<t> per threshold.
+   */
+  def jaccardThresholdSweep(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      maxDf: Long = 10L,
+      thresholds: Seq[Int] = Seq(50, 60, 70, 80, 90)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t <= 100),
+      "thresholds are integer percents in (0, 100]")
+    val sh = df.select(col(idCol).as("__cid"),
+      explode(shingleHashes(col(textCol), shingleK)).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val pruned = sh.join(dfreq.filter(col("df") <= maxDf).select("h"), "h")
+    val sizes = pruned.groupBy(col("__cid")).agg(count(lit(1)).as("n"))
+    val pairs = pruned.as("a").join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.__cid") < col("b.__cid"))
+      .groupBy(col("a.__cid").as("id_a"), col("b.__cid").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("__cid").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("__cid").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+    val aggs = Seq(count(lit(1)).as("n_candidate_pairs")) ++
+      thresholds.map(t =>
+        sum(when(col("inter") * 100 >= col("uni") * t, 1L).otherwise(0L))
+          .as(s"pairs_ge_$t"))
+    pairs.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * Image near-duplicate pairs over 64-bit perceptual hashes
    * ([[Multimodal.imageAHash]]) at Hamming ≤ `maxHamming`: band the
    * hash into four 16-bit segments and equi-join on (band, value) —

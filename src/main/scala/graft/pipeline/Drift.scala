@@ -69,4 +69,66 @@ object Drift {
       .withColumn("psi", psi)
       .select(groupCols.map(col) ++ Seq(col("n_base"), col("n_curr"), col("psi")): _*)
   }
+
+  /**
+   * Jensen–Shannon divergence of each group's unigram distribution vs
+   * the REST of the corpus, over the corpus-wide top-`v` vocabulary —
+   * the corpus-mixing diagnostic (which source is the odd one out, is a
+   * new crawl slice distributionally novel). Bounded: 0 = identical,
+   * ln 2 = disjoint.
+   *
+   * Shape: one tokenize+explode pass → (group, term) counts; the top-v
+   * vocabulary is a TakeOrdered cut (count desc, term asc tie-break —
+   * never a global sort); per-group JSD is one grouped sum over ≤ v
+   * joined rows. Distributions are add-1 smoothed over the vocabulary
+   * (in-group token totals RESTRICTED to the vocab), so zero-count
+   * terms stay finite. The per-term summands are O(1/v) doubles summed
+   * by a float agg — callers round (6) for cross-engine compares, the
+   * lang-entropy precedent.
+   */
+  def jsdByGroup(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      v: Int): DataFrame = {
+    require(v >= 2, "need at least a 2-term vocabulary")
+    val terms = df.select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    terms.persist()
+    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("total"))
+      .orderBy(col("total").desc, col("term")).limit(v)
+    // smoothing must add over the REALIZED vocabulary (a corpus with
+    // fewer than v distinct terms otherwise leaks probability mass and
+    // flattens every divergence)
+    val actualV = vocab.count()
+    val grpCounts = terms.join(broadcast(vocab.select("term")), Seq("term"))
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("cnt"))
+    grpCounts.persist().count() // release the token explosion early
+    terms.unpersist()
+    // dense (grp × vocab) grid: zero-count cells must exist for smoothing
+    val grps = grpCounts.select(col("grp")).distinct()
+    val grid = grps.crossJoin(broadcast(vocab))
+      .join(grpCounts, Seq("grp", "term"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val totals = grid.groupBy(col("grp")).agg(sum(col("cnt")).as("n_grp"))
+    val corpus = grid.groupBy(col("term")).agg(sum(col("cnt")).as("cnt_all"))
+    val allTotal = totals.agg(sum(col("n_grp")).as("n_all"))
+    val scored = grid
+      .join(broadcast(totals), Seq("grp"))
+      .join(broadcast(corpus), Seq("term"))
+      .crossJoin(broadcast(allTotal))
+      .withColumn("p", (col("cnt") + 1L).cast("double") / (col("n_grp") + actualV))
+      .withColumn("q", (col("cnt_all") - col("cnt") + 1L).cast("double") /
+        (col("n_all") - col("n_grp") + actualV))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .withColumn("contrib",
+        col("p") * log(col("p") / col("m")) / 2.0 +
+          col("q") * log(col("q") / col("m")) / 2.0)
+    val out = scored.groupBy(col("grp"))
+      .agg(max(col("n_grp")).as("n_vocab_tokens"), sum(col("contrib")).as("jsd"))
+      .select(col("grp").as(groupCol), col("n_vocab_tokens"), col("jsd"))
+      .localCheckpoint() // materialize (group-sized) before releasing grpCounts
+    grpCounts.unpersist()
+    out
+  }
 }

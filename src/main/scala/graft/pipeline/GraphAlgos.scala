@@ -973,6 +973,56 @@ object GraphAlgos {
   }
 
   /**
+   * Conductance of each community in a node partition:
+   *   φ(c) = cut(c) / min(vol(c), 2m − vol(c))
+   * with cut(c) = edges with exactly one endpoint in c and vol(c) = Σ
+   * degree over c's members — modularity's companion dial (modularity
+   * rewards dense insides, conductance punishes leaky boundaries; a
+   * good community is high-Q AND low-φ). 0 = perfectly sealed,
+   * 1 = all-boundary; φ = 0 by convention when min(vol, 2m−vol) = 0.
+   *
+   * Same plan shape and input contract as [[modularity]] (each edge
+   * once, no self-loops; integers exact until the final division) —
+   * the two share one tagged-edges pass if the caller reuses the input,
+   * and ReuseExchange shares the edge shuffle across the consumers.
+   */
+  def conductance(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val comm = communities.select(col("node").cast("long").as("node"),
+      col("community").cast("long").as("community"))
+    val bcast = comm.count() <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+
+    val degrees = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val vol = degrees.join(maybeBcast(comm), Seq("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("volume"))
+
+    val tagged = e
+      .join(maybeBcast(comm.select(col("node").as("src"), col("community").as("ca"))), Seq("src"))
+      .join(maybeBcast(comm.select(col("node").as("dst"), col("community").as("cb"))), Seq("dst"))
+      .filter(col("ca") =!= col("cb"))
+    // a cut edge contributes to BOTH endpoint communities' cuts
+    val cut = tagged
+      .select(explode(array(col("ca"), col("cb"))).as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("cut_edges"))
+
+    val m = e.agg(count(lit(1)).as("m_edges"))
+    vol.join(cut, Seq("community"), "left")
+      .withColumn("cut_edges", coalesce(col("cut_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("denom",
+        least(col("volume"), col("m_edges") * 2L - col("volume")))
+      .withColumn("conductance",
+        when(col("denom") === 0L, lit(0.0))
+          .otherwise(col("cut_edges").cast("double") / col("denom")))
+      .select(col("community"), col("n_nodes"), col("volume"),
+        col("cut_edges"), col("m_edges"), col("conductance"))
+  }
+
+  /**
    * Newman modularity of a node partition, per community:
    *   Q_c = e_c/m − (d_c/(2m))²   (Q = Σ_c Q_c)
    * where m = |E|, e_c = edges with BOTH endpoints in c, d_c = Σ degree

@@ -532,6 +532,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), "digit counts must partial-aggregate map-side")
   }
 
+  test("threshold sweep: df-pruned equi-join candidates, never a cross join") {
+    // the whole sweep must ride ONE candidate generation — an all-pairs
+    // variant (ngramJaccardJoin's labeled-oracle shape) here would pay
+    // the quadratic cost five times over at corpus scale
+    val p = plan("dedup_threshold_sweep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sweep grew a non-equi join:\n$p")
+  }
+
   test("stitch pairs: key equi-join only, never all-pairs") {
     val p = plan("dedup_stitch_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -216,4 +216,55 @@ class RoundElevenBSpec extends AnyFunSuite {
       .select("contribution").as[Double].head()
     assert(math.abs(q) < 1e-12, "e_c=m and d_c=2m cancel exactly")
   }
+
+  test("conductance: two triangles + bridge — one leaky edge over volume 7") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (1L, 4L)).toDF("src", "dst")
+    val comm = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("node", "community")
+    val out = GraphAlgos.conductance(edges, comm).orderBy("community")
+      .select("volume", "cut_edges", "conductance")
+      .as[(Long, Long, Double)].collect()
+    out.foreach { case (vol, cut, phi) =>
+      assert(vol == 7L && cut == 1L)
+      assert(math.abs(phi - 1.0 / 7) < 1e-12)
+    }
+  }
+
+  test("conductance: a sealed partition scores zero") {
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val comm = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("node", "community")
+    val phis = GraphAlgos.conductance(edges, comm)
+      .select("conductance").as[Double].collect()
+    assert(phis.forall(_ == 0.0))
+  }
+
+  test("jaccard threshold sweep: hand pairs land in the right buckets") {
+    val df = Seq(
+      (1L, "a b c d e f"), // shingles abc bcd cde def
+      (2L, "a b c d e f"), // identical -> jaccard 1.0 with 1
+      (3L, "a b c d x y")) // shares abc,bcd with 1/2 -> 2/6 = 0.333
+      .toDF("doc_id", "text")
+    val row = Dedup.jaccardThresholdSweep(df, "doc_id", "text")
+      .select("n_candidate_pairs", "pairs_ge_50", "pairs_ge_90")
+      .as[(Long, Long, Long)].head()
+    assert(row == ((3L, 1L, 1L)),
+      "3 candidates (1-2, 1-3, 2-3); only the identical pair clears 50/90")
+  }
+
+  test("jsd: identical group distributions score exactly zero; disjoint score high") {
+    val same = Seq(("a", "x y z x y"), ("b", "x y z x y")).toDF("source", "text")
+    val jsd0 = Drift.jsdByGroup(same, "source", "text", v = 10)
+      .select("jsd").as[Double].collect()
+    assert(jsd0.forall(_ == 0.0), "equal counts give p = q term-for-term")
+
+    val disjoint = Seq(("a", "x x x x x x x x"), ("b", "y y y y y y y y"))
+      .toDF("source", "text")
+    val jsds = Drift.jsdByGroup(disjoint, "source", "text", v = 10)
+      .select("jsd").as[Double].collect()
+    // closed form with add-1 over the 2-term vocab: p=(.9,.1), q=(.1,.9)
+    // -> JSD = 2·(0.45·ln1.8 + 0.05·ln0.2) = 0.36806...
+    assert(jsds.forall(j => math.abs(j - 0.3680642071684971) < 1e-12),
+      s"disjoint two-term closed form, got ${jsds.toSeq}")
+  }
 }
