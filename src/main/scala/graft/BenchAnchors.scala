@@ -341,6 +341,7 @@ object BenchAnchors {
     "graph_conductance" -> 1.708,
     "dedup_threshold_sweep" -> 1.757,
     "text_jsd_sources" -> 1.656,
+    "rel_k_anonymity" -> 0.783,
   )
 
   /** Dual-regime ISOLATED anchors (advisor, round 10): queries whose

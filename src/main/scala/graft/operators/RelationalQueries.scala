@@ -2334,6 +2334,34 @@ object RelationalQueries {
         .orderBy(col("community"))
     }),
 
+    // k-anonymity audit over the (mktsegment, nation) quasi-identifier:
+    // equivalence-class size histogram, the k=5 suppression fraction
+    // (rows whose class is smaller than k must be suppressed before
+    // release), and l-diversity (min distinct sensitive values — order
+    // priority — over the k-surviving classes). The data-governance
+    // screen run before any training-data release; two grouped passes,
+    // all exact integers except the one final fraction.
+    "rel_k_anonymity" -> ((s, dir) => {
+      val quasi = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderpriority")),
+          col("c_custkey") === col("o_custkey"))
+      val classes = quasi.groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("o_orderpriority")).as("l_diversity"))
+      classes.agg(
+          count(lit(1)).as("n_classes"),
+          sum(when(col("class_size") < 5, 1L).otherwise(0L)).as("n_small_classes"),
+          sum(col("class_size")).cast("long").as("n_rows"),
+          sum(when(col("class_size") < 5, col("class_size")).otherwise(0L))
+            .cast("long").as("n_suppressed"),
+          min(when(col("class_size") >= 5, col("l_diversity"))).as("min_l_diversity"))
+        .withColumn("suppressed_frac",
+          when(col("n_rows") === 0L, lit(0.0))
+            .otherwise(col("n_suppressed").cast("double") / col("n_rows")))
+    }),
+
     // Modularity's companion dial over the same partition: conductance
     // (boundary leakiness) — cut edges / min(volume, 2m − volume), all
     // exact integers until the one final division.
@@ -3723,6 +3751,25 @@ object RelationalQueries {
     "stream_psi_drift" -> psiDriftOracle,
 
     "rel_benford_deviation" -> benfordOracle,
+
+    "rel_k_anonymity" ->
+      """WITH quasi AS (
+        |  SELECT c_mktsegment, c_nationkey, o_orderpriority
+        |  FROM customer JOIN orders ON c_custkey = o_custkey),
+        |classes AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    count(*) AS class_size,
+        |    count(DISTINCT o_orderpriority) AS l_diversity
+        |  FROM quasi GROUP BY 1, 2)
+        |SELECT count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS n_suppressed,
+        |  CAST(min(CASE WHEN class_size >= 5 THEN l_diversity END) AS BIGINT) AS min_l_diversity,
+        |  CASE WHEN sum(class_size) = 0 THEN 0.0
+        |       ELSE CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS DOUBLE)
+        |            / sum(class_size) END AS suppressed_frac
+        |FROM classes""".stripMargin,
 
     "graph_conductance" ->
       """WITH e AS (
