@@ -342,6 +342,7 @@ object BenchAnchors {
     "dedup_threshold_sweep" -> 1.757,
     "text_jsd_sources" -> 1.656,
     "rel_k_anonymity" -> 0.783,
+    "multimodal_image_entropy" -> 0.876,
   )
 
   /** Dual-regime ISOLATED anchors (advisor, round 10): queries whose

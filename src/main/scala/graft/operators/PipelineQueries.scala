@@ -1941,6 +1941,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Pixel-level entropy over REAL decoded images (256-bin R-channel
+    // histogram per image) — the junk-image screen, the multimodal twin
+    // of text_char_entropy. The quadrant construction gives the oracle
+    // an exact closed form: 4 solid values with floor-half areas.
+    "multimodal_image_entropy" -> ((s, dir) => {
+      val blobs = Multimodal.withEncodedImages(
+        s, docs(s, dir).select("doc_id"), "doc_id")
+      Multimodal.imageEntropy(blobs).toDF()
+        .select(col("doc_id"), col("n_pixels"), col("n_distinct"),
+          round(col("entropy"), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup-rate-vs-threshold tuning curve over the planted-near-dup
     // corpus: one df-pruned shingle-join candidate generation pays for
     // ALL five thresholds (integer cross-multiplied Jaccard tests,
@@ -4929,6 +4942,27 @@ object PipelineQueries {
         |       END AS boiler_char_frac
         |FROM corpus c LEFT JOIN g ON g.doc_id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    // quadrant closed form: R values (3·id + 31q + 7) mod 256 are always
+    // 4 distinct bytes (31q spans {0,31,62,93}), so the histogram is the
+    // floor-half quadrant areas — entropy replays symbolically
+    "multimodal_image_entropy" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    (doc_id % 48 + 8) AS w, (doc_id % 32 + 8) AS h,
+        |    (doc_id % 48 + 8) // 2 AS wl, (doc_id % 32 + 8) // 2 AS ht
+        |  FROM documents),
+        |areas AS (
+        |  SELECT doc_id, w * h AS n,
+        |    wl * ht AS a0, (w - wl) * ht AS a1,
+        |    wl * (h - ht) AS a2, (w - wl) * (h - ht) AS a3
+        |  FROM dims)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_pixels,
+        |  CAST(4 AS BIGINT) AS n_distinct,
+        |  round(ln(n) - (a0 * ln(a0) + a1 * ln(a1) + a2 * ln(a2) + a3 * ln(a3)) / n,
+        |    6) AS entropy
+        |FROM areas ORDER BY doc_id""".stripMargin,
 
     // the df-pruned candidate space replayed on raw shingle strings; the
     // five threshold tests are the same integer cross-multiplications

@@ -222,6 +222,56 @@ object Multimodal {
     }
   }
 
+  final case class ImageEntropy(
+      doc_id: Long,
+      n_pixels: Long,
+      n_distinct: Long,
+      entropy: Double)
+
+  /**
+   * Pixel-level Shannon entropy over REAL decoded images: a 256-bin
+   * byte histogram of the R channel per image, entropy
+   * `ln(n) − Σ c·ln(c) / n` summed in ASCENDING byte-value order
+   * (deterministic; the text kernel's convention) — the multimodal
+   * twin of `text_char_entropy`: near-zero = solid/padded frames,
+   * high = noise/compression artifacts, the junk-image screen. Only
+   * 4 numbers per image cross a shuffle; gates round to 6.
+   */
+  def imageEntropy(blobs: Dataset[MediaBlob]): Dataset[ImageEntropy] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { blob =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(blob.data))
+        require(img != null, s"undecodable media payload for doc ${blob.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val counts = new Array[Long](256)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            counts(((img.getRGB(x, y) >> 16) & 0xff)) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var slk = 0.0
+        var distinct = 0L
+        var v = 0
+        while (v < 256) {
+          val c = counts(v)
+          if (c > 0L) { slk += c * math.log(c.toDouble); distinct += 1 }
+          v += 1
+        }
+        val entropy = if (n == 0L) 0.0 else math.log(n.toDouble) - slk / n
+        ImageEntropy(blob.doc_id, n, distinct, entropy)
+      }
+    }
+  }
+
   /**
    * Decode stage — mapPartitions with explicit batching (the Scala shape
    * of `mapInPandas`): pull `batchSize` blobs, decode each via the

@@ -252,6 +252,27 @@ class RoundElevenBSpec extends AnyFunSuite {
       "3 candidates (1-2, 1-3, 2-3); only the identical pair clears 50/90")
   }
 
+  test("image entropy: a solid frame scores zero; the quadrant closed form replays") {
+    def pngBlob(id: Long, colors: Seq[Int], w: Int, h: Int): Multimodal.MediaBlob = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, colors((y * w + x) % colors.length) << 16)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaBlob(id, "image/png", bos.toByteArray,
+        Multimodal.MediaMeta(w, h, 3, 0L))
+    }
+    val blobs = Seq(
+      pngBlob(1L, Seq(42), 8, 8), // solid
+      pngBlob(2L, Seq(10, 200), 8, 8)) // perfect 2-value alternation
+      .toDS()
+    val out = Multimodal.imageEntropy(blobs).collect().sortBy(_.doc_id)
+    assert(out(0).n_pixels == 64L && out(0).n_distinct == 1L && out(0).entropy == 0.0)
+    assert(out(1).n_distinct == 2L &&
+      math.abs(out(1).entropy - math.log(2)) < 1e-12)
+  }
+
   test("jsd: identical group distributions score exactly zero; disjoint score high") {
     val same = Seq(("a", "x y z x y"), ("b", "x y z x y")).toDF("source", "text")
     val jsd0 = Drift.jsdByGroup(same, "source", "text", v = 10)
