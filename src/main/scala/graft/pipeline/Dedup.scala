@@ -632,10 +632,12 @@ object Dedup {
       .join(sizes.select(col("__cid").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("__cid").as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("uni", col("na") + col("nb") - col("inter"))
+    // coalesce: a corpus with NO candidate pairs must sweep to zeros,
+    // not NULL counts (sum over an empty relation is NULL)
     val aggs = Seq(count(lit(1)).as("n_candidate_pairs")) ++
       thresholds.map(t =>
-        sum(when(col("inter") * 100 >= col("uni") * t, 1L).otherwise(0L))
-          .as(s"pairs_ge_$t"))
+        coalesce(sum(when(col("inter") * 100 >= col("uni") * t, 1L).otherwise(0L)),
+          lit(0L)).as(s"pairs_ge_$t"))
     pairs.agg(aggs.head, aggs.tail: _*)
   }
 
