@@ -335,7 +335,7 @@ object BenchAnchors {
     "rel_psi_drift" -> 0.323,
     "graph_modularity" -> 1.505,
     "dedup_stitch_pairs" -> 1.028,
-    "graph_assortativity" -> 1.828,
+    "graph_assortativity" -> 1.667, // single-job shape (no sizing action)
     "rel_benford_deviation" -> 0.255,
     "stream_psi_drift" -> 4.932, // 4-batch stage-write + drain per run
     "graph_conductance" -> 1.708,

@@ -941,17 +941,19 @@ object GraphAlgos {
    * gates round to 6. Regular graphs (zero variance) return r = 0.
    */
   def assortativity(edges: DataFrame): DataFrame = {
+    // single-job shape, deliberately: no persist, no sizing action — the
+    // degree subtree and the main join consume the SAME edge plan inside
+    // one final aggregation, so ReuseExchange shares the shuffle and AQE
+    // picks the degree-join strategy from the actual runtime size (the
+    // count()-then-broadcast idiom the iterative algorithms need would
+    // add a second full job here for nothing).
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    e.persist()
     val degrees = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val n = degrees.count() // prices the join-side broadcast decision
-    val bcast = n <= BroadcastRankMaxNodes
-    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val out = e
-      .join(maybeBcast(degrees.select(col("node").as("src"), col("deg").as("j"))), Seq("src"))
-      .join(maybeBcast(degrees.select(col("node").as("dst"), col("deg").as("k"))), Seq("dst"))
+      .join(degrees.select(col("node").as("src"), col("deg").as("j")), Seq("src"))
+      .join(degrees.select(col("node").as("dst"), col("deg").as("k")), Seq("dst"))
       .agg(
         count(lit(1)).as("m_edges"),
         sum(col("j") * col("k")).as("sum_jk"),
@@ -967,8 +969,6 @@ object GraphAlgos {
         when(col("den") === 0.0, lit(0.0)).otherwise(col("num") / col("den")))
       .select(col("m_edges"), col("sum_jk"), col("sum_deg"), col("sum_deg2"),
         col("assortativity"))
-      .localCheckpoint() // materialize (1 row) before releasing e
-    e.unpersist()
     out
   }
 
