@@ -333,12 +333,12 @@ object BenchAnchors {
     "dedup_line_boilerplate" -> 0.436,
     "pipeline_kappa_agreement" -> 0.230,
     "rel_psi_drift" -> 0.323,
-    "graph_modularity" -> 1.505,
+    "graph_modularity" -> 1.346, // one-shot shape, no sizing action
     "dedup_stitch_pairs" -> 1.028,
     "graph_assortativity" -> 1.667, // single-job shape (no sizing action)
     "rel_benford_deviation" -> 0.255,
     "stream_psi_drift" -> 4.932, // 4-batch stage-write + drain per run
-    "graph_conductance" -> 1.708,
+    "graph_conductance" -> 1.262, // one-shot shape, no sizing action
     "dedup_threshold_sweep" -> 1.757,
     "text_jsd_sources" -> 1.656,
     "rel_k_anonymity" -> 0.783,

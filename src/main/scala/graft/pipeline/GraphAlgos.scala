@@ -987,22 +987,22 @@ object GraphAlgos {
    * and ReuseExchange shares the edge shuffle across the consumers.
    */
   def conductance(edges: DataFrame, communities: DataFrame): DataFrame = {
+    // one-shot aggregation: no sizing action — AQE picks the community-
+    // join strategy from runtime sizes (see assortativity's comment)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val comm = communities.select(col("node").cast("long").as("node"),
       col("community").cast("long").as("community"))
-    val bcast = comm.count() <= BroadcastRankMaxNodes
-    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
 
     val degrees = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val vol = degrees.join(maybeBcast(comm), Seq("node"))
+    val vol = degrees.join(comm, Seq("node"))
       .groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("volume"))
 
     val tagged = e
-      .join(maybeBcast(comm.select(col("node").as("src"), col("community").as("ca"))), Seq("src"))
-      .join(maybeBcast(comm.select(col("node").as("dst"), col("community").as("cb"))), Seq("dst"))
+      .join(comm.select(col("node").as("src"), col("community").as("ca")), Seq("src"))
+      .join(comm.select(col("node").as("dst"), col("community").as("cb")), Seq("dst"))
       .filter(col("ca") =!= col("cb"))
     // a cut edge contributes to BOTH endpoint communities' cuts
     val cut = tagged
@@ -1049,18 +1049,16 @@ object GraphAlgos {
       col("dst").cast("long").as("dst"))
     val comm = communities.select(col("node").cast("long").as("node"),
       col("community").cast("long").as("community"))
-    val bcast = comm.count() <= BroadcastRankMaxNodes
-    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
-
+    // one-shot aggregation: no sizing action either (see assortativity)
     val degrees = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val commDeg = degrees.join(maybeBcast(comm), Seq("node"))
+    val commDeg = degrees.join(comm, Seq("node"))
       .groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
 
     val tagged = e
-      .join(maybeBcast(comm.select(col("node").as("src"), col("community").as("ca"))), Seq("src"))
-      .join(maybeBcast(comm.select(col("node").as("dst"), col("community").as("cb"))), Seq("dst"))
+      .join(comm.select(col("node").as("src"), col("community").as("ca")), Seq("src"))
+      .join(comm.select(col("node").as("dst"), col("community").as("cb")), Seq("dst"))
     val intra = tagged.filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
 
