@@ -541,6 +541,13 @@ class PlanSpec extends AnyFunSuite {
       s"sweep grew a non-equi join:\n$p")
   }
 
+  test("k-anonymity: one equi-join + grouped passes, no window, no cartesian") {
+    val p = plan("rel_k_anonymity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"k-anonymity grew a non-equi join:\n$p")
+    assert(!p.contains("Window"), s"class sizing must stay a grouped agg:\n$p")
+  }
+
   test("stitch pairs: key equi-join only, never all-pairs") {
     val p = plan("dedup_stitch_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -117,6 +117,59 @@ object RoundElevenBProps extends Properties("graft-round11b") {
     }
   }
 
+  // --- stitch pairs vs a brute suffix/prefix scan ------------------------------
+
+  property("stitch pairs == brute suffix/prefix comparison") = {
+    import spark.implicits._
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val text = Gen.choose(1, 7).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val k = 3
+    forAll(Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, text))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.stitchPairs(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .as[(Long, Long)].collect().toSet
+      def toks(t: String) = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia != ib
+        a = toks(ta); b = toks(tb)
+        if a.length >= k && b.length >= k && a.takeRight(k) == b.take(k)
+      } yield (ia, ib)).toSet
+      got == want
+    }
+  }
+
+  // --- line boilerplate vs a naive per-line replay -----------------------------
+
+  property("line boilerplate == naive df counting with the light trim") = {
+    import spark.implicits._
+    val line = Gen.oneOf("nav", "  nav  ", "body one", "body two", "", "\t", "x")
+    val text = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, line)).map(_.mkString("\n"))
+    forAll(Gen.choose(1, 8).flatMap(n => Gen.listOfN(n,
+      Gen.zip(text, Gen.oneOf("s1", "s2"))))) { rows =>
+      val docs = rows.zipWithIndex.map { case ((t, src), i) => (i.toLong, src, t) }
+      val minDocs = 2L
+      val got = Dedup.lineBoilerplate(docs.toDF("doc_id", "source", "text"),
+          "doc_id", "text", "source", minDocs)
+        .select("doc_id", "n_lines", "n_boiler_lines", "n_line_chars", "n_boiler_chars")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      def lines(t: String): Seq[String] =
+        t.split("\n", -1).toSeq
+          .map(_.dropWhile(c => c == ' ' || c == '\t' || c == '\r')
+            .reverse.dropWhile(c => c == ' ' || c == '\t' || c == '\r').reverse)
+          .filter(_.nonEmpty)
+      val df = docs.flatMap { case (id, src, t) => lines(t).distinct.map(l => (src, l, id)) }
+        .groupBy(p => (p._1, p._2)).view.mapValues(_.map(_._3).distinct.size).toMap
+      docs.forall { case (id, src, t) =>
+        val ls = lines(t)
+        val boiler = ls.filter(l => df((src, l)) >= minDocs)
+        val (_, gn, gb, gc, gbc) = got(id)
+        gn == ls.size.toLong && gb == boiler.size.toLong &&
+          gc == ls.map(_.length).sum.toLong && gbc == boiler.map(_.length).sum.toLong
+      }
+    }
+  }
+
   // --- modularity + conductance + assortativity vs brute graph math ----------
 
   private val edgeGen: Gen[List[(Long, Long)]] =
