@@ -4945,7 +4945,10 @@ object PipelineQueries {
 
     // quadrant closed form: R values (3·id + 31q + 7) mod 256 are always
     // 4 distinct bytes (31q spans {0,31,62,93}), so the histogram is the
-    // floor-half quadrant areas — entropy replays symbolically
+    // floor-half quadrant areas. The Σ a·ln(a) terms are summed in
+    // ASCENDING BYTE-VALUE order — the engine's histogram-walk order —
+    // so the double is bit-identical, not merely round-6-close (the
+    // values wrap mod 256 for many ids, so quadrant order differs)
     "multimodal_image_entropy" ->
       """WITH dims AS (
         |  SELECT doc_id,
@@ -4954,14 +4957,17 @@ object PipelineQueries {
         |  FROM documents),
         |areas AS (
         |  SELECT doc_id, w * h AS n,
-        |    wl * ht AS a0, (w - wl) * ht AS a1,
-        |    wl * (h - ht) AS a2, (w - wl) * (h - ht) AS a3
+        |    list_sort([
+        |      {'v': (doc_id * 3 + 7) % 256, 'a': wl * ht},
+        |      {'v': (doc_id * 3 + 38) % 256, 'a': (w - wl) * ht},
+        |      {'v': (doc_id * 3 + 69) % 256, 'a': wl * (h - ht)},
+        |      {'v': (doc_id * 3 + 100) % 256, 'a': (w - wl) * (h - ht)}]) AS q
         |  FROM dims)
         |SELECT doc_id,
         |  CAST(n AS BIGINT) AS n_pixels,
         |  CAST(4 AS BIGINT) AS n_distinct,
-        |  round(ln(n) - (a0 * ln(a0) + a1 * ln(a1) + a2 * ln(a2) + a3 * ln(a3)) / n,
-        |    6) AS entropy
+        |  round(ln(n) - (q[1].a * ln(q[1].a) + q[2].a * ln(q[2].a)
+        |    + q[3].a * ln(q[3].a) + q[4].a * ln(q[4].a)) / n, 6) AS entropy
         |FROM areas ORDER BY doc_id""".stripMargin,
 
     // the df-pruned candidate space replayed on raw shingle strings; the
@@ -5018,7 +5024,7 @@ object PipelineQueries {
         |gc AS (
         |  SELECT grp, term, count(*) AS cnt
         |  FROM toks JOIN vocab USING (term) GROUP BY 1, 2),
-        |grps AS (SELECT DISTINCT grp FROM gc),
+        |grps AS (SELECT DISTINCT source AS grp FROM documents),
         |grid AS (
         |  SELECT g.grp, v.term, coalesce(gc.cnt, 0) AS cnt
         |  FROM grps g CROSS JOIN vocab v

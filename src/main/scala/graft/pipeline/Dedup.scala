@@ -569,6 +569,24 @@ object Dedup {
    * (`n_shared·denom ≥ num·n_shingles`); `containment` is emitted
    * rounded for reading. Emits ORDERED pairs (contained → container).
    */
+  /** The df-pruned shingle space shared by [[containmentPairs]] and
+    * [[jaccardThresholdSweep]]: per-doc distinct shingle hashes with
+    * document frequency ≤ maxDf (the fan-out bound), plus per-doc
+    * pruned-space sizes. Returns (pruned(__cid, h), sizes(__cid, n)). */
+  private def dfPrunedShingles(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      maxDf: Long): (DataFrame, DataFrame) = {
+    val sh = df.select(col(idCol).as("__cid"),
+      explode(shingleHashes(col(textCol), shingleK)).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val pruned = sh.join(dfreq.filter(col("df") <= maxDf).select("h"), "h")
+    val sizes = pruned.groupBy(col("__cid")).agg(count(lit(1)).as("n"))
+    (pruned, sizes)
+  }
+
   def containmentPairs(
       df: DataFrame,
       idCol: String,
@@ -576,11 +594,8 @@ object Dedup {
       shingleK: Int = 3,
       maxDf: Long = 10L,
       minContainmentPct: Int = 90): DataFrame = {
-    val sh = df.select(col(idCol).as("__cid"),
-      explode(shingleHashes(col(textCol), shingleK)).as("h"))
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val pruned = sh.join(dfreq.filter(col("df") <= maxDf).select("h"), "h")
-    val sizes = pruned.groupBy(col("__cid")).agg(count(lit(1)).as("n_shingles"))
+    val (pruned, rawSizes) = dfPrunedShingles(df, idCol, textCol, shingleK, maxDf)
+    val sizes = rawSizes.withColumnRenamed("n", "n_shingles")
     val a = pruned.select(col("__cid").as("contained_id"), col("h"))
     val b = pruned.select(col("__cid").as("container_id"), col("h"))
     a.join(b, Seq("h"))
@@ -620,11 +635,7 @@ object Dedup {
       thresholds: Seq[Int] = Seq(50, 60, 70, 80, 90)): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t <= 100),
       "thresholds are integer percents in (0, 100]")
-    val sh = df.select(col(idCol).as("__cid"),
-      explode(shingleHashes(col(textCol), shingleK)).as("h"))
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val pruned = sh.join(dfreq.filter(col("df") <= maxDf).select("h"), "h")
-    val sizes = pruned.groupBy(col("__cid")).agg(count(lit(1)).as("n"))
+    val (pruned, sizes) = dfPrunedShingles(df, idCol, textCol, shingleK, maxDf)
     val pairs = pruned.as("a").join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.__cid") < col("b.__cid"))
       .groupBy(col("a.__cid").as("id_a"), col("b.__cid").as("id_b"))

@@ -97,16 +97,21 @@ object Drift {
     terms.persist()
     val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("total"))
       .orderBy(col("total").desc, col("term")).limit(v)
+      .persist() // ≤ v rows; every downstream subtree re-reads it
     // smoothing must add over the REALIZED vocabulary (a corpus with
     // fewer than v distinct terms otherwise leaks probability mass and
-    // flattens every divergence)
+    // flattens every divergence); count() also materializes the persist
+    // BEFORE terms is released, so the corpus tokenization runs once
     val actualV = vocab.count()
     val grpCounts = terms.join(broadcast(vocab.select("term")), Seq("term"))
       .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("cnt"))
     grpCounts.persist().count() // release the token explosion early
     terms.unpersist()
-    // dense (grp × vocab) grid: zero-count cells must exist for smoothing
-    val grps = grpCounts.select(col("grp")).distinct()
+    // dense (grp × vocab) grid: zero-count cells must exist for smoothing.
+    // Groups come from the INPUT, not from grpCounts — a group with zero
+    // tokens in the vocabulary (the oddest possible slice: wrong language,
+    // binary junk) must score its near-ln2 JSD, not vanish from the output.
+    val grps = df.select(col(groupCol).as("grp")).distinct()
     val grid = grps.crossJoin(broadcast(vocab))
       .join(grpCounts, Seq("grp", "term"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
@@ -127,8 +132,9 @@ object Drift {
     val out = scored.groupBy(col("grp"))
       .agg(max(col("n_grp")).as("n_vocab_tokens"), sum(col("contrib")).as("jsd"))
       .select(col("grp").as(groupCol), col("n_vocab_tokens"), col("jsd"))
-      .localCheckpoint() // materialize (group-sized) before releasing grpCounts
+      .localCheckpoint() // materialize (group-sized) before releasing the caches
     grpCounts.unpersist()
+    vocab.unpersist()
     out
   }
 }

@@ -939,6 +939,12 @@ object GraphAlgos {
    * are EXACT INTEGERS (one degree join per side, one map-side-combined
    * agg), so the only doubles are the final divisions — deterministic;
    * gates round to 6. Regular graphs (zero variance) return r = 0.
+   *
+   * Precondition (shared by [[modularity]] and [[conductance]]): the
+   * inputs must be DETERMINISTIC plans — the single-job shape evaluates
+   * `edges` in more than one subtree, so a nondeterministic source
+   * (sample(), limit over an unordered scan) could present different
+   * edge sets to the degree and join passes. Persist such inputs first.
    */
   def assortativity(edges: DataFrame): DataFrame = {
     // single-job shape, deliberately: no persist, no sizing action — the

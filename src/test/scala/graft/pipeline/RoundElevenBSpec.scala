@@ -273,6 +273,24 @@ class RoundElevenBSpec extends AnyFunSuite {
       math.abs(out(1).entropy - math.log(2)) < 1e-12)
   }
 
+  test("jsd: a group with ZERO vocabulary overlap still appears, scoring high") {
+    // the oddest possible slice (no token in the corpus top-v) must not
+    // vanish from the diagnostic's output. The corpus dist must be
+    // SKEWED: a uniform corpus coincides with the zero-count group's
+    // add-1 prior and scores a legitimate 0.
+    val df = Seq(("a", "x x x x x y y"), ("b", "zzz qqq www")).toDF("source", "text")
+    val rows = Drift.jsdByGroup(df, "source", "text", v = 2)
+      .select("source", "n_vocab_tokens", "jsd")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("a", "b"), "both groups must be present")
+    val b = rows(1)
+    assert(b._2 == 0L, "b has no vocab tokens")
+    // add-1 smoothing over a 7-token corpus dampens the magnitude; what
+    // the regression guards is PRESENCE with a strictly positive score
+    // (the pre-fix kernel dropped the row entirely)
+    assert(b._3 > 0.0, s"zero-overlap group must score positive, got ${b._3}")
+  }
+
   test("jsd: identical group distributions score exactly zero; disjoint score high") {
     val same = Seq(("a", "x y z x y"), ("b", "x y z x y")).toDF("source", "text")
     val jsd0 = Drift.jsdByGroup(same, "source", "text", v = 10)
