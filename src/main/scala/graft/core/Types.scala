@@ -31,13 +31,13 @@ final case class IndexMeta(
     name: String,
     dimension: Int,
     metric: String = Metric.L2.name,
-    maxSegmentSize: Int = 100000,
-    pqM: Int = 16,
-    pqK: Int = 256,
-    graphDegree: Int = 64,
-    graphBuildBreadth: Int = 256,
-    graphAlpha: Double = 1.2,
-    oversample: Int = 2,
+    maxSegmentSize: Int = IndexMeta.DefaultMaxSegmentSize,
+    pqM: Int = IndexMeta.DefaultPqM,
+    pqK: Int = IndexMeta.DefaultPqK,
+    graphDegree: Int = IndexMeta.DefaultGraphDegree,
+    graphBuildBreadth: Int = IndexMeta.DefaultGraphBuildBreadth,
+    graphAlpha: Double = IndexMeta.DefaultGraphAlpha,
+    oversample: Int = IndexMeta.DefaultOversample,
     graphBuildMode: String = GraphBuildMode.Auto) {
   require(dimension > 0, "dimension must be positive")
   require(pqM > 0 && dimension % pqM == 0, s"pqM=$pqM must divide dimension=$dimension")
@@ -71,6 +71,17 @@ object IndexMeta {
   /** Per-task sealed-build memory budget bounding `maxSegmentSize`
     * (see the validation rationale in the case class). */
   val SegmentBuildBudgetBytes: Long = 2L << 30
+
+  /** Production defaults (reference: VectorIndexConfig.java:389-397),
+    * hoisted so interop decoders can fall back to them without
+    * constructing a (possibly invalid) dummy meta. */
+  val DefaultMaxSegmentSize = 100000
+  val DefaultPqM = 16
+  val DefaultPqK = 256
+  val DefaultGraphDegree = 64
+  val DefaultGraphBuildBreadth = 256
+  val DefaultGraphAlpha = 1.2
+  val DefaultOversample = 2
 }
 
 /** Segment graph construction strategy (reference exercises all three

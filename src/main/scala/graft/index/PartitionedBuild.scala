@@ -90,8 +90,16 @@ object PartitionedBuild {
         val rowBytes = 4L * meta.dimension + 4L * meta.graphDegree + meta.pqM + 64L
         val sampleCap = math.max(1L, sampleBudgetBytes / (4L * meta.dimension))
         val step = math.max(1L, (count + sampleCap - 1) / sampleCap)
+        // Dense-vecId contract: per-segment vecIds are 0..count-1
+        // (SegmentedIndex assigns pos % cap), so `vecId % step == 0`
+        // yields ~count/step rows — the byte cap. Sparse/global ids
+        // would silently break the sample size; assert the density.
         val sample = seg.filter(r => r.vecId % step == 0)
           .map(_.embedding).collect().toIndexedSeq
+        require(sample.size <= sampleCap + 1,
+          s"dense-vecId sampling contract violated: ${sample.size} rows " +
+            s"sampled for cap $sampleCap (segment $sid, step $step) — " +
+            "per-segment vecIds must be dense from 0")
         val cb = Pq.train(sample, meta.dimension, meta.pqM, meta.pqK)
         // shard count: overlap-inflated segment must fit task budget;
         // floor 2 — PARTITIONED means partitioned, so even a small

@@ -349,6 +349,44 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // K7 interop, proto edition: encode VectorRecords into the reference's
+    // protobuf wire blobs (ProtoInterop ↔ vectorsearch.proto:108-126),
+    // persist the blobs, decode them back, and verify (a) the exact
+    // embedding/flag/id round-trip and (b) the encoded byte LENGTH against
+    // the oracle's closed-form varint arithmetic — a value-level check
+    // that the canonical proto3 encoding (defaults omitted, fields in
+    // order, varint sizes) is what actually hit disk. Distributed both
+    // ways (Dataset.map, no driver collection).
+    "vec_proto_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-proto").toString
+      tempStores.synchronized { tempStores += root }
+      e.select(col("vec_id").cast("int").as("vec_id"), col("embedding"))
+        .as[(Int, Array[Float])]
+        .map { case (vid, embArr) =>
+          val rec = graft.core.VectorRecord(
+            vid % 8, vid, vid.toLong, embArr, vid % 7 == 0, Array.emptyByteArray)
+          (vid, graft.sources.ProtoInterop.encodeVectorRecord(rec))
+        }.toDF("vec_id", "blob")
+        .write.mode("overwrite").parquet(s"$root/proto")
+      val back = s.read.parquet(s"$root/proto").as[(Int, Array[Byte])]
+        .map { case (vid, blob) =>
+          val rec = graft.sources.ProtoInterop.decodeVectorRecord(blob, (_, v) => v.toLong)
+          (vid, blob.length, rec.segId, rec.vecId, rec.deleted, rec.embedding)
+        }.toDF("vec_id", "proto_len", "dec_seg_id", "dec_vec_id", "dec_deleted", "emb2")
+      e.select(col("vec_id").cast("int").as("vec_id"), col("embedding"))
+        .join(back, Seq("vec_id"))
+        .select(col("vec_id").cast("bigint").as("vec_id"), size(col("embedding")).as("dim"),
+          col("proto_len"),
+          round(vector.vec_norm(col("emb2")), 6).as("l2_norm"),
+          (col("embedding") === col("emb2") &&
+            col("dec_seg_id") === col("vec_id") % 8 &&
+            col("dec_vec_id") === col("vec_id") &&
+            col("dec_deleted") === (col("vec_id") % 7 === 0)).as("roundtrip_exact"))
+        .orderBy(col("vec_id"))
+    }),
+
     "vec_norm_stats" -> ((s, dir) => {
       emb(s, dir)
         .withColumn("nrm", vector.vec_norm(col("embedding")))
@@ -926,6 +964,29 @@ object VectorQueries {
          |FROM embeddings e, q
          |WHERE sqrt(${l2sqL("e.embedding", "q.qv")}) <= 1.22
          |ORDER BY q.queryId, e.vec_id""".stripMargin,
+
+    // Closed-form proto3 wire length: per-field tag+varint sizes with
+    // canonical default omission — seg_id (vec_id%8, 1-byte varint or
+    // omitted at 0), vec_id (omitted at 0, else 1-3 byte varint),
+    // embedding (tag + length-varint + 4·dim payload), deleted (2 bytes
+    // when true), payload empty (omitted).
+    "vec_proto_roundtrip" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+         |  CAST(
+         |    (CASE WHEN vec_id % 8 = 0 THEN 0 ELSE 2 END)
+         |    + (CASE WHEN vec_id = 0 THEN 0
+         |            WHEN vec_id < 128 THEN 2
+         |            WHEN vec_id < 16384 THEN 3 ELSE 4 END)
+         |    + 1
+         |    + (CASE WHEN 4 * len(embedding) < 128 THEN 1
+         |            WHEN 4 * len(embedding) < 16384 THEN 2 ELSE 3 END)
+         |    + 4 * len(embedding)
+         |    + (CASE WHEN vec_id % 7 = 0 THEN 2 ELSE 0 END)
+         |  AS INTEGER) AS proto_len,
+         |  round(${normLambda("embedding")}, 6) AS l2_norm,
+         |  true AS roundtrip_exact
+         |FROM embeddings
+         |ORDER BY vec_id""".stripMargin,
 
     "vec_pack_roundtrip" ->
       s"""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,

@@ -38,18 +38,22 @@ object Agreement {
     require(categories.size >= 2, "at least two categories")
     val inVocab = col(raterA).isin(categories: _*) && col(raterB).isin(categories: _*)
 
-    val cells = for (a <- categories; b <- categories) yield
-      sum(when(inVocab && col(raterA) === a && col(raterB) === b, 1L).otherwise(0L))
-        .as(s"c_${a}_$b")
+    // Confusion cells are named by category INDEX, not label: labels with
+    // underscores/dots would collide or break col() resolution.
+    val idx = categories.indices
+    val cells = for (i <- idx; j <- idx) yield
+      sum(when(inVocab && col(raterA) === categories(i) && col(raterB) === categories(j), 1L)
+        .otherwise(0L))
+        .as(s"c_${i}_$j")
     val aggs = Seq(sum(when(inVocab, 1L).otherwise(0L)).as("n")) ++ cells
 
     val counted = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
-    val diag = categories.map(a => col(s"c_${a}_$a")).reduce(_ + _)
+    val diag = idx.map(i => col(s"c_${i}_$i")).reduce(_ + _)
     // marginals in fixed category order
-    val pe = categories.map { k =>
-      val rowMarg = categories.map(b => col(s"c_${k}_$b")).reduce(_ + _)
-      val colMarg = categories.map(a => col(s"c_${a}_$k")).reduce(_ + _)
+    val pe = idx.map { k =>
+      val rowMarg = idx.map(j => col(s"c_${k}_$j")).reduce(_ + _)
+      val colMarg = idx.map(i => col(s"c_${i}_$k")).reduce(_ + _)
       rowMarg.cast("double") * colMarg / (col("n").cast("double") * col("n"))
     }.reduce(_ + _)
     val po = diag.cast("double") / col("n")

@@ -54,7 +54,10 @@ object Drift {
       sum(when(baseline, 1L).otherwise(0L)).as("n_base"),
       sum(when(!baseline, 1L).otherwise(0L)).as("n_curr")) ++ cellCounts
 
-    val counted = df.filter(col(valueCol).isNotNull)
+    // NULL *and* NaN rows are excluded from the histogram: NaN passes
+    // isNotNull but floor/cast would silently land it in bin 0 on the
+    // Spark side while DuckDB errors casting NaN to INT.
+    val counted = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
 

@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
 object Mv {
 
   /** Partial-aggregate state of `df` for an additive view keyed on
-    * `keys`: per-key (mv_n, mv_sum, mv_min, mv_max) over `valueCol`. */
+    * `keys`: per-key (mv_n, mv_sum, mv_min, mv_max) over `valueCol`.
+    *
+    * `mv_n` has count(*) semantics: rows where `valueCol` is NULL count
+    * toward `mv_n` but are ignored by mv_sum/min/max, so
+    * `mv_sum / mv_n` equals SQL `AVG(valueCol)` only on null-free
+    * inputs. Callers needing AVG parity on nullable columns must filter
+    * nulls upstream. */
   def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(

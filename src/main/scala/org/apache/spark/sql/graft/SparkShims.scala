@@ -65,13 +65,27 @@ object SparkShims {
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(dfs.size, 8))
+        // Scope the concurrent chunk jobs to one job group so that if
+        // any chunk fails, the in-flight siblings are cancelled instead
+        // of burning the executor pool behind an already-failed query.
+        val jobGroup = s"graft-unionAsSingleLeaf-${java.util.UUID.randomUUID()}"
         try {
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.fromExecutor(pool)
           scala.concurrent.Await.result(
             scala.concurrent.Future.sequence(
-              dfs.map(df => scala.concurrent.Future(df.queryExecution.toRdd))),
+              dfs.map(df => scala.concurrent.Future {
+                classic.sparkContext.setJobGroup(
+                  jobGroup, "graft chunked query-batch materialization",
+                  interruptOnCancel = true)
+                df.queryExecution.toRdd
+              })),
             scala.concurrent.duration.Duration.Inf)
+        } catch {
+          case t: Throwable =>
+            classic.sparkContext.cancelJobGroup(jobGroup)
+            pool.shutdownNow()
+            throw t
         } finally pool.shutdown()
       }
     val rdd = classic.sparkContext.union(rdds)

@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.core.{IndexMeta, Metric, SegmentMeta, SegmentState, VectorRecord}
+import graft.index.Pq
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Golden-blob and round-trip tests for the hand-rolled proto3 codec.
+ *
+ * Golden hex strings are hand-derived from the public protobuf wire
+ * format (and cross-checked with an independent minimal encoder) for the
+ * reference's message layouts (vectorsearch.proto:31-155), canonical
+ * protobuf-java serialization: field-number order, proto3 defaults
+ * omitted, packed repeated scalars.
+ */
+class ProtoInteropSpec extends AnyFunSuite {
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("IndexMeta golden blob is byte-exact and round-trips") {
+    val m = IndexMeta(name = "idx", dimension = 8, metric = Metric.Cosine.name,
+      maxSegmentSize = 100, pqM = 2, pqK = 4, graphDegree = 3, oversample = 2,
+      graphBuildBreadth = 12, graphAlpha = 1.2)
+    val golden = "0a036964781008180120642802300438034002480c51333333333333f33f"
+    assert(hex(ProtoInterop.encodeIndexMeta(m)) === golden)
+    val back = ProtoInterop.decodeIndexMeta(unhex(golden))
+    assert(back === m.copy(graphBuildMode = back.graphBuildMode))
+  }
+
+  test("IndexMeta with L2 metric omits the zero enum; decode restores defaults") {
+    val m = IndexMeta(name = "i2", dimension = 4, metric = Metric.L2.name,
+      maxSegmentSize = 10, pqM = 2, pqK = 4, graphDegree = 3, oversample = 2,
+      graphBuildBreadth = 12, graphAlpha = 0.0)
+    // graphAlpha = 0.0 means "pruning disabled" upstream; as a proto3
+    // default it vanishes from the wire and decode restores our default.
+    val golden = "0a0269321004200a2802300438034002480c"
+    assert(hex(ProtoInterop.encodeIndexMeta(m)) === golden)
+    val back = ProtoInterop.decodeIndexMeta(unhex(golden))
+    assert(back.metric === Metric.L2.name)
+    assert(back.graphAlpha === IndexMeta.DefaultGraphAlpha)
+  }
+
+  test("SegmentMeta golden blob is byte-exact and round-trips") {
+    val m = SegmentMeta(segId = 7, state = SegmentState.Sealed, count = 12345L,
+      deletedCount = 42L, createdAtMs = 1723000000000L, lastVacuumAtMs = 1723000500000L)
+    val golden = "0807100218b96020809cb6d69232282a30a0ded4d69232"
+    assert(hex(ProtoInterop.encodeSegmentMeta(m)) === golden)
+    assert(ProtoInterop.decodeSegmentMeta(unhex(golden)) === m)
+  }
+
+  test("SegmentMeta ACTIVE zero-state is omitted on the wire") {
+    val m = SegmentMeta(segId = 0, state = SegmentState.Active, count = 1L,
+      deletedCount = 0L, createdAtMs = 5L)
+    assert(hex(ProtoInterop.encodeSegmentMeta(m)) === "18012005")
+    assert(ProtoInterop.decodeSegmentMeta(unhex("18012005")) === m)
+  }
+
+  test("VectorRecord golden blob is byte-exact; gid reconstructed by mapping") {
+    val rec = VectorRecord(segId = 0, vecId = 3, gid = 3L,
+      embedding = Array(1.5f, -2.25f), deleted = true, payload = Array[Byte](1, 2))
+    val golden = "10031a080000c03f000010c020012a020102"
+    assert(hex(ProtoInterop.encodeVectorRecord(rec)) === golden)
+    val back = ProtoInterop.decodeVectorRecord(unhex(golden), (s, v) => s.toLong * 1000 + v)
+    assert(back.segId === 0 && back.vecId === 3 && back.gid === 3L)
+    assert(back.embedding.toSeq === Seq(1.5f, -2.25f))
+    assert(back.deleted && back.payload.toSeq === Seq[Byte](1, 2))
+  }
+
+  test("PQCodebook golden blob is byte-exact and round-trips the flat layout") {
+    val cb = Pq.Codebook(m = 2, k = 2, subDim = 1, centroids = Array(0f, 1f, 2f, 3f))
+    val golden = "080210021a08000000000000803f1a080000004000004040"
+    assert(hex(ProtoInterop.encodeCodebook(cb)) === golden)
+    val back = ProtoInterop.decodeCodebook(unhex(golden))
+    assert(back.m === 2 && back.k === 2 && back.subDim === 1)
+    assert(back.centroids.toSeq === Seq(0f, 1f, 2f, 3f))
+  }
+
+  test("Adjacency packs repeated int32 (proto3 packed default)") {
+    val golden = "0a040105ac02"
+    assert(hex(ProtoInterop.encodeAdjacency(Array(1, 5, 300))) === golden)
+    assert(ProtoInterop.decodeAdjacency(unhex(golden)).toSeq === Seq(1, 5, 300))
+    assert(ProtoInterop.encodeAdjacency(Array.empty[Int]).isEmpty)
+  }
+
+  test("decoder tolerates unpacked repeated ints, unknown fields, any order") {
+    // unpacked neighbor_ids (08 01 08 05) + unknown field 9 varint + field 1 packed
+    val mixed = unhex("08010805" + "4807" + "0a02ac02")
+    assert(ProtoInterop.decodeAdjacency(mixed).toSeq === Seq(1, 5, 300))
+    // VectorRecord fields in reverse order, unknown LD field 15
+    val rev = unhex("2a020102" + "2001" + "1a080000c03f000010c0" + "1003" + "7a03aabbcc")
+    val back = ProtoInterop.decodeVectorRecord(rev, (_, v) => v.toLong)
+    assert(back.vecId === 3 && back.deleted && back.embedding.length === 2)
+  }
+
+  test("varint boundaries round-trip (multi-byte lengths and int64 values)") {
+    val m = SegmentMeta(segId = Int.MaxValue, state = SegmentState.Compacting,
+      count = Int.MaxValue.toLong, deletedCount = Long.MaxValue / 2,
+      createdAtMs = Long.MaxValue, lastVacuumAtMs = 1L)
+    assert(ProtoInterop.decodeSegmentMeta(ProtoInterop.encodeSegmentMeta(m)) === m)
+    val big = VectorRecord(1, 200, 0L, Array.fill(300)(0.125f), deleted = false,
+      payload = Array.fill(200)(7.toByte))
+    val b2 = ProtoInterop.decodeVectorRecord(ProtoInterop.encodeVectorRecord(big), (_, _) => 0L)
+    assert(b2.embedding.length === 300 && b2.payload.length === 200 && !b2.deleted)
+  }
+}
