@@ -66,7 +66,7 @@ object BenchAnchors {
     "rel_unpivot_part" -> 0.16,
     "rel_window_running_qty" -> 0.168,
     "rel_window_topk_parts" -> 0.322,
-    "stream_dedup_survivors" -> 2.412,
+    "stream_dedup_survivors" -> 1.713, // r12 one-job batch staging
     "stream_events_hourly" -> 1.516,
     "stream_sessionize" -> 1.863,
     // refreshed round 8 from a 5-rep isolated warm median (0.235; the
@@ -185,7 +185,7 @@ object BenchAnchors {
     "pipeline_token_budget" -> 1.718,
     "embed_drift" -> 1.102,
     "dedup_source_overlap" -> 1.638,
-    "stream_vec_ingest" -> 3.348,
+    "stream_vec_ingest" -> 2.171, // r12 one-job batch staging
     "embed_pca_power" -> 1.612,
     "vec_knn_federated" -> 2.774,
     "rel_retention_cohorts" -> 0.793,
@@ -240,7 +240,7 @@ object BenchAnchors {
     "graph_link_ra" -> 2.102,
     "multimodal_frames_real" -> 2.347,
     "ann_pcapq_cosine" -> 1.303,
-    "stream_cms_merge" -> 4.772,
+    "stream_cms_merge" -> 4.407, // r12 one-job batch staging
     "graph_pagerank_weighted" -> 5.051,
     "rel_gapfill_resample" -> 0.40,
     "rel_partitioned_scan" -> 0.866,
@@ -264,14 +264,14 @@ object BenchAnchors {
     "text_kn_nll" -> 1.493,
     "rel_column_stats" -> 0.361,
     "text_phrase_search" -> 1.569,
-    "stream_hdr_quantiles" -> 6.44,
+    "stream_hdr_quantiles" -> 3.301, // r12 one-job batch staging
     "multimodal_audio_decimate" -> 0.711,
     "pipeline_dataset_digest" -> 0.429,
     "pipeline_curriculum_order" -> 1.629,
     "rel_skew_stats" -> 0.497,
     "rel_data_quality" -> 0.291,
     "dedup_bottomk_overlap" -> 1.754,
-    "stream_cdc_apply" -> 2.633,
+    "stream_cdc_apply" -> 2.305, // r12 adjudicated: one-job staging + AQE-style state coalesce
     "rel_winsorize" -> 0.408,
     "text_cooccur_pairs" -> 1.417,
     "rel_event_paths" -> 0.608,
@@ -283,7 +283,7 @@ object BenchAnchors {
     // rows price file staging + stream startup on top of the query
     "rel_mv_incremental" -> 0.538,
     "stream_mv_incremental" -> 2.299,
-    "stream_session_window" -> 2.968,
+    "stream_session_window" -> 2.883, // r12 one-job batch staging
     "text_readability" -> 0.455,
     "text_normalize" -> 0.242,
     "text_zipf_slope" -> 0.514,
@@ -306,12 +306,12 @@ object BenchAnchors {
     "pipeline_interleave_order" -> 0.440,
     "multimodal_scene_cuts" -> 1.954,
     "rel_mad_outliers" -> 0.947,
-    "stream_knn_serve" -> 2.168,
+    "stream_knn_serve" -> 1.120, // r12 one-job batch staging
     "graph_sssp_weighted" -> 2.949,
     "stream_windowed_topk" -> 1.925,
     "multimodal_audio_vad" -> 0.436,
     "rel_partition_overwrite" -> 1.021,
-    "stream_transform_with_state" -> 2.814,
+    "stream_transform_with_state" -> 2.130, // r12 one-job batch staging
     "cluster_spherical_kmeans" -> 1.920,
     "multimodal_patch_grid" -> 0.579,
     "text_mixed_language" -> 0.364,

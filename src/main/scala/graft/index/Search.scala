@@ -17,6 +17,19 @@ import graft.functions.vector
 final case class SegPayloadRow(
     segId: Int, vecId: Int, code: Array[Byte], neighbors: Array[Int])
 
+/** One replicated query row for the distributed-queries sealed search:
+  * the query (queryId, qv) keyed to (segId, bucket) so it shuffles into
+  * the segment task that owns its bucket. */
+final case class QueryRep(segId: Int, bucket: Int, queryId: Long, qv: Array[Float])
+
+/** Left-side row of the distributed-queries cogroup: either a segment
+  * payload row (`centroids == null`) or that segment's codebook row
+  * (`centroids != null`), replicated per query bucket. */
+final case class SealedSideRow(
+    segId: Int, bucket: Int, vecId: Int, code: Array[Byte],
+    neighbors: Array[Int], pqM: Int, pqK: Int, subDim: Int,
+    centroids: Array[Float])
+
 /**
  * Distributed KNN query (SURVEY.md §3.1): the Spark re-expression of the
  * reference's per-segment fan-out (FdbVectorIndex.query, :351-467).
@@ -344,8 +357,147 @@ object Search {
           .observe(s"graft_sealed_rerank_$obsTag", count(lit(1)).as("rows"))
       }
 
-    // ---- per-segment cap (J8) + global merge (J7) -----------------------
-    val all = bruteScored.unionByName(sealedScored)
+    capAndMerge(spark, bruteScored.unionByName(sealedScored), k, perSegLimit,
+      metric, useAggregatorMerge, obsTag)
+  }
+
+  /** Distributed-queries KNN: identical semantics and results to
+    * [[query]], but the query set STAYS a distributed DataFrame — nothing
+    * query-sized ever passes through the driver, so a multi-million-row
+    * query table (the offline-retrieval shape: "embed every training
+    * document, fetch its neighbors") is a legal input.
+    *
+    * Layout (the block-nested-loop shape a 1000-executor cluster wants):
+    * queries are hashed into `Q = ceil(M / queriesPerTask)` buckets and
+    * replicated once per sealed segment (each replica is one (id, qv) row
+    * — the small side); the per-segment codes∪graph payload and codebook
+    * are replicated once per BUCKET (the big side, so Q is chosen to keep
+    * its replication factor minimal while bounding per-task query count).
+    * One cogroup on (segId, bucket) then gives every task exactly one
+    * segment's state plus ≤ queriesPerTask queries — per-task memory and
+    * time are both bounded regardless of M, and the M×S search work is
+    * spread across Q×S tasks. Rerank joins candidates back to the
+    * partition-pruned vectors table and to the (distributed) queries on
+    * queryId — no broadcast anywhere, AQE free to pick strategies.
+    *
+    * The single `count()` sizing job on the queries table is the one
+    * driver-side action: the bucket count must be fixed before the
+    * replication shuffle (AQE cannot re-plan a flatMap's fan-out).
+    *
+    * ACTIVE/PENDING segments take the brute path as a plain (un-hinted)
+    * cross join: Catalyst broadcasts a small queries side by itself and
+    * falls back to a partitioned cartesian for a huge one — both are the
+    * honest M×N work the brute contract states. */
+  def queryDistributed(
+      spark: SparkSession,
+      store: IndexStore,
+      queriesDf: DataFrame,
+      k: Int,
+      paramsOpt: Option[SearchParams] = None,
+      queriesPerTask: Int = 1024): DataFrame = {
+    import spark.implicits._
+
+    drainExpired()
+    val (m, manifestVersion) = store.readManifestWithVersion()
+    val im = m.meta
+    val metric = im.metricEnum
+    val params = paramsOpt.getOrElse(SearchParams.defaults(k, im.oversample))
+    val perSegLimit = k * math.max(1, im.oversample)
+    val phaseSink = graft.util.EngineMetrics.forSession(spark).phaseSink
+    val obsTag = observeId.incrementAndGet()
+
+    val sealedSegs = m.segments.collect {
+      case s if s.state == SegmentState.Sealed || s.state == SegmentState.Compacting => s.segId
+    }
+    val bruteSegs = m.segments.collect {
+      case s if s.state == SegmentState.Active || s.state == SegmentState.Pending => s.segId
+    }
+
+    val q = queriesDf
+      .select(col("queryId").cast("long"), col("qv").cast("array<float>"))
+    val vectors = store.readVectors(spark)
+
+    // ---- brute path: un-hinted cross join (queries side distributed) ----
+    val bruteScored: DataFrame =
+      if (bruteSegs.isEmpty) emptyResults(spark)
+      else {
+        val live = vectors
+          .filter(col("segId").isin(bruteSegs: _*))
+          .filter(!col("deleted"))
+        scored(live.crossJoin(q), metric, params.normalizeOnRead)
+          .select(col("queryId"), col("segId"), col("gid"), col("score"), col("distance"), col("payload"))
+      }
+
+    // ---- sealed path: (segId, bucket) cogroup ---------------------------
+    val sealedScored: DataFrame =
+      if (sealedSegs.isEmpty) emptyResults(spark)
+      else {
+        val qCount = q.count() // sizing job: fixes the bucket layout
+        val numBuckets = math.max(1L,
+          (qCount + queriesPerTask - 1) / queriesPerTask).toInt
+
+        val (payload, cbs) = sealedInputs(spark, store, sealedSegs, manifestVersion)
+        val segs = sealedSegs.toArray
+        val qRep = q.as[(Long, Array[Float])].flatMap { case (qid, qv) =>
+          // floorMod: Int.MinValue.abs is still negative
+          val b = java.lang.Math.floorMod(java.lang.Long.hashCode(qid), numBuckets)
+          segs.iterator.map(sid => QueryRep(sid, b, qid, qv))
+        }
+        val leftSide = payload.flatMap { r =>
+          Iterator.range(0, numBuckets).map(b =>
+            SealedSideRow(r.segId, b, r.vecId, r.code, r.neighbors, 0, 0, 0, null))
+        }.unionByName(cbs.flatMap { c =>
+          Iterator.range(0, numBuckets).map(b =>
+            SealedSideRow(c.segId, b, -1, null, null, c.m, c.k, c.subDim, c.centroids))
+        })
+
+        val candidates = leftSide.groupByKey(r => (r.segId, r.bucket))
+          .cogroup(qRep.groupByKey(r => (r.segId, r.bucket))) { case ((segId, _), rows, qs) =>
+            var cb: Pq.Codebook = null
+            val codeMap = new mutable.HashMap[Int, Array[Byte]]()
+            val adj = new mutable.HashMap[Int, Array[Int]]()
+            rows.foreach { r =>
+              if (r.centroids != null) cb = Pq.Codebook(r.pqM, r.pqK, r.subDim, r.centroids)
+              else if (r.code != null) codeMap.put(r.vecId, r.code)
+              else adj.put(r.vecId, r.neighbors)
+            }
+            if (cb == null) Iterator.empty // missing codebook → segment yields nothing
+            else qs.flatMap { qr =>
+              SegmentSearch.searchSealed(segId, cb, qr.qv, codeMap, adj, perSegLimit, params, phaseSink)
+                .iterator.map(a => (qr.queryId, segId, a.vecId))
+            }
+          }.toDF("queryId", "segId", "vecId")
+
+        // Rerank joins are UN-hinted here (unlike the bounded-batch path,
+        // which forces shuffle_hash building the contractually-small
+        // candidates side): with unbounded queries the candidates table is
+        // M × S × k·oversample rows and may dwarf the vectors side, so
+        // neither side is always the right hash build — AQE picks from
+        // runtime stats and sort-merge spills safely when both are huge.
+        val sealedVectors = vectors.filter(col("segId").isin(sealedSegs: _*))
+        val joined = sealedVectors
+          .join(candidates, Seq("segId", "vecId"))
+          .filter(!col("deleted"))
+          .join(q, Seq("queryId"))
+        scored(joined, metric, params.normalizeOnRead)
+          .select(col("queryId"), col("segId"), col("gid"), col("score"), col("distance"), col("payload"))
+          .observe(s"graft_dist_rerank_$obsTag", count(lit(1)).as("rows"))
+      }
+
+    capAndMerge(spark, bruteScored.unionByName(sealedScored), k, perSegLimit,
+      metric, useAggregatorMerge = true, obsTag)
+  }
+
+  /** Per-segment cap (J8) + global top-k merge (J7) — the shared tail of
+    * both the bounded-batch and the distributed-queries paths. */
+  private def capAndMerge(
+      spark: SparkSession,
+      all: DataFrame,
+      k: Int,
+      perSegLimit: Int,
+      metric: Metric,
+      useAggregatorMerge: Boolean,
+      obsTag: Long): DataFrame = {
     val perSeg = Window.partitionBy(col("queryId"), col("segId"))
       .orderBy(col("score").desc, col("gid"))
     val capped = all

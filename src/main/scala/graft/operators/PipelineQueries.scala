@@ -506,19 +506,10 @@ object PipelineQueries {
       if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
       val filesDir = new java.io.File(root, "in")
       java.nio.file.Files.createDirectories(filesDir.toPath)
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val stage = new java.io.File(root, s"stage$i")
-        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
-        val dest = new java.io.File(filesDir, s"batch$i.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        // the file source orders batches by MODIFICATION TIME, and
-        // Snapshot.fold is order-sensitive (a reordered delete/upsert
-        // pair would resurrect a deleted key) — pin strictly increasing
-        // mtimes instead of trusting sub-second write timing
-        require(dest.setLastModified(1700000000000L + i * 60000L),
-          s"could not pin mtime on $dest")
-      }
+      // Snapshot.fold is order-sensitive (a reordered delete/upsert
+      // pair would resurrect a deleted key) — the staged mtime pinning
+      // in StreamStage carries the ordering.
+      StreamStage.stageBatches(root, filesDir, batches)
       val stateInit = new java.io.File(root, "state_init").toString
       d.withColumn("version", lit(0L)).write.mode("overwrite").parquet(stateInit)
       val stateDir = new java.io.File(root, "state").toString
@@ -529,7 +520,12 @@ object PipelineQueries {
           val prev =
             if (batchId == 0L) s.read.parquet(stateInit)
             else s.read.parquet(s"$stateDir/b${batchId - 1}")
+          // AQE is disabled inside streaming queries, so the fold's
+          // 32-partition window output would commit 32 tiny files per
+          // state; coalesce to a handful — exactly the post-shuffle
+          // coalesce AQE would apply at this state size.
           Snapshot.fold(prev, batch, "doc_id", "version", "op")
+            .coalesce(4)
             .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
           ()
         }
@@ -1312,14 +1308,8 @@ object PipelineQueries {
       val filesDir = new java.io.File(root, "in")
       java.nio.file.Files.createDirectories(filesDir.toPath)
       val n = src.agg(max(col("doc_id"))).head().getLong(0) + 1
-      (0 until 4).foreach { b =>
-        val stage = new java.io.File(root, s"stage$b")
-        src.filter(col("doc_id") >= n * b / 4 && col("doc_id") < n * (b + 1) / 4)
-          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(filesDir, s"batch$b.parquet").toPath)
-      }
+      StreamStage.stageBatches(root, filesDir, (0 until 4).map(b =>
+        src.filter(col("doc_id") >= n * b / 4 && col("doc_id") < n * (b + 1) / 4)))
       val tokDir = new java.io.File(root, "tok").toString
       val cellDir = new java.io.File(root, "cells").toString
       val q = s.readStream.schema(src.schema)
@@ -1801,15 +1791,7 @@ object PipelineQueries {
       if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
       val filesDir = new java.io.File(root, "in")
       java.nio.file.Files.createDirectories(filesDir.toPath)
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val stage = new java.io.File(root, s"stage$i")
-        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
-        val dest = new java.io.File(filesDir, s"batch$i.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        require(dest.setLastModified(1700000000000L + i * 60000L),
-          s"could not pin mtime on $dest")
-      }
+      StreamStage.stageBatches(root, filesDir, batches)
       val outDir = new java.io.File(root, "out").toString
       val q = s.readStream.schema(batches.head.schema)
         .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)

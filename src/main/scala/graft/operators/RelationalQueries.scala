@@ -783,15 +783,9 @@ object RelationalQueries {
       val filesDir = new java.io.File(root, "in")
       java.nio.file.Files.createDirectories(filesDir.toPath)
       val n = src.agg(max(col("l_orderkey"))).head().getLong(0) + 1
-      (0 until 4).foreach { b =>
-        val stage = new java.io.File(root, s"stage$b")
+      StreamStage.stageBatches(root, filesDir, (0 until 4).map(b =>
         src.filter(col("l_orderkey") >= n * b / 4 &&
-            col("l_orderkey") < n * (b + 1) / 4)
-          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(filesDir, s"batch$b.parquet").toPath)
-      }
+          col("l_orderkey") < n * (b + 1) / 4)))
       val cellDir = new java.io.File(root, "cells").toString
       val q = s.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
@@ -874,19 +868,11 @@ object RelationalQueries {
       if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
       val filesDir = new java.io.File(root, "in")
       java.nio.file.Files.createDirectories(filesDir.toPath)
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val stage = new java.io.File(root, s"stage$i")
-        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
-        val dest = new java.io.File(filesDir, s"batch$i.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        // the file source orders batches by MODIFICATION TIME — the
-        // watermark progression depends on batch order here (unlike the
-        // order-insensitive sketch merges), so pin strictly increasing
-        // mtimes instead of trusting sub-second write timing
-        require(dest.setLastModified(1700000000000L + i * 60000L),
-          s"could not pin mtime on $dest")
-      }
+      // the file source orders batches by MODIFICATION TIME — the
+      // watermark progression depends on batch order here (unlike the
+      // order-insensitive sketch merges), so pin strictly increasing
+      // mtimes instead of trusting sub-second write timing
+      StreamStage.stageBatches(root, filesDir, batches)
       val agg = s.readStream.schema(batches.head.schema)
         .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
         .withWatermark("ts", "1 hour")
@@ -1827,15 +1813,7 @@ object RelationalQueries {
       if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
       val filesDir = new java.io.File(root, "in")
       java.nio.file.Files.createDirectories(filesDir.toPath)
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val stage = new java.io.File(root, s"stage$i")
-        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
-        val dest = new java.io.File(filesDir, s"batch$i.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        require(dest.setLastModified(1700000000000L + i * 60000L),
-          s"could not pin mtime on $dest")
-      }
+      StreamStage.stageBatches(root, filesDir, batches)
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
       val prevProvider = s.conf.getOption(providerKey)
       s.conf.set(providerKey,
@@ -2040,17 +2018,9 @@ object RelationalQueries {
       if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
       val filesDir = new java.io.File(root, "in")
       java.nio.file.Files.createDirectories(filesDir.toPath)
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val stage = new java.io.File(root, s"stage$i")
-        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
-        val dest = new java.io.File(filesDir, s"batch$i.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        // the fold requires time-ordered batches — pin mtimes so the
-        // file source delivers the date ranges in order
-        require(dest.setLastModified(1700000000000L + i * 60000L),
-          s"could not pin mtime on $dest")
-      }
+      // the fold requires time-ordered batches — pin mtimes so the
+      // file source delivers the date ranges in order
+      StreamStage.stageBatches(root, filesDir, batches)
       val stateDir = new java.io.File(root, "state").toString
       val q = s.readStream.schema(batches.head.schema)
         .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
@@ -2115,17 +2085,9 @@ object RelationalQueries {
       if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
       val filesDir = new java.io.File(root, "in")
       java.nio.file.Files.createDirectories(filesDir.toPath)
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val stage = new java.io.File(root, s"stage$i")
-        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
-        val dest = new java.io.File(filesDir, s"batch$i.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        // file-source batch order is mtime order; the sentinel batch
-        // must arrive LAST to flush the append-mode sessions
-        require(dest.setLastModified(1700000000000L + i * 60000L),
-          s"could not pin mtime on $dest")
-      }
+      // file-source batch order is mtime order; the sentinel batch
+      // must arrive LAST to flush the append-mode sessions
+      StreamStage.stageBatches(root, filesDir, batches)
       val agg = s.readStream.schema(batches.head.schema)
         .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
         .withWatermark("ts", "1 second")
@@ -2198,15 +2160,7 @@ object RelationalQueries {
       if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
       val filesDir = new java.io.File(root, "in")
       java.nio.file.Files.createDirectories(filesDir.toPath)
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val stage = new java.io.File(root, s"stage$i")
-        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
-        val dest = new java.io.File(filesDir, s"batch$i.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        require(dest.setLastModified(1700000000000L + i * 60000L),
-          s"could not pin mtime on $dest")
-      }
+      StreamStage.stageBatches(root, filesDir, batches)
       val stateDir = new java.io.File(root, "state").toString
       val q = s.readStream.schema(batches.head.schema)
         .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
@@ -2259,14 +2213,8 @@ object RelationalQueries {
       val filesDir = new java.io.File(root, "in")
       java.nio.file.Files.createDirectories(filesDir.toPath)
       val n = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-      (0 until 4).foreach { b =>
-        val stage = new java.io.File(root, s"stage$b")
-        ev.filter(col("event_id") >= n * b / 4 && col("event_id") < n * (b + 1) / 4)
-          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(filesDir, s"batch$b.parquet").toPath)
-      }
+      StreamStage.stageBatches(root, filesDir, (0 until 4).map(b =>
+        ev.filter(col("event_id") >= n * b / 4 && col("event_id") < n * (b + 1) / 4)))
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
       val agg = graft.pipeline.Drift.psiFixedBins(

@@ -199,15 +199,9 @@ object VectorQueries {
       val filesDir = s"$root/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(filesDir))
       val bounds = (0 to 4).map(i => n * i / 4)
-      (0 until 4).foreach { b =>
-        val stage = s"$root/stage$b"
-        e.filter(col("vec_id") >= bounds(b) && col("vec_id") < bounds(b + 1))
-          .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.startsWith("part-")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$filesDir/batch$b.parquet"))
-      }
+      StreamStage.stageBatches(new java.io.File(root), new java.io.File(filesDir),
+        (0 until 4).map(b =>
+          e.filter(col("vec_id") >= bounds(b) && col("vec_id") < bounds(b + 1))))
       val st = new IndexStore(s"$root/index")
       st.createOrOpen(IndexMeta("stream_ingest", dimension = dim, maxSegmentSize = Cap,
         pqM = 16, pqK = 64, graphDegree = 16, graphBuildBreadth = 64, graphAlpha = 1.2,
@@ -490,6 +484,23 @@ object VectorQueries {
     // gate made exact, VectorIndexTest.java:212-259).
     "vec_knn_sealed" -> ((s, dir) =>
       sealedGateQuery(s, sealedStore(s, dir), emb(s, dir))),
+
+    // Distributed-queries KNN (Search.queryDistributed): the query set
+    // stays a DataFrame end-to-end — replicated-by-bucket cogroup on
+    // (segId, bucket) instead of the bounded driver batch. Same index,
+    // same batch, same recall-1.0 knobs as vec_knn_sealed, so the result
+    // must be IDENTICAL row-for-row: the gates share one oracle.
+    // queriesPerTask=2 forces numBuckets=3 at 5 queries, so the bucketed
+    // payload replication + multi-bucket merge paths actually execute.
+    "vec_knn_distributed_queries" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+      Search.queryDistributed(s, sealedStore(s, dir), queries, 10,
+          queriesPerTask = 2)
+        .select(col("queryId"), col("gid"), col("rank").cast("long").as("rank"), col("distance"))
+        .orderBy(col("queryId"), col("rank"))
+    }),
 
     // G1: graphAlpha ≤ 1.0 selects the exact-kNN graph builder
     // (buildL2Neighbors) instead of Vamana — the reference's builder
@@ -817,6 +828,7 @@ object VectorQueries {
         |ORDER BY segId""".stripMargin,
 
     "vec_knn_sealed" -> sealedKnnOracle,
+    "vec_knn_distributed_queries" -> sealedKnnOracle,
 
     "vec_knn_sealed_beam" -> sealedKnnOracle,
 

@@ -62,6 +62,23 @@ class PlanSpec extends AnyFunSuite {
       s"semantic dedup grew a cross join:\n$p")
   }
 
+  test("distributed-queries KNN never materializes a cross product or broadcast of queries") {
+    // the queries side is contractually unbounded (a multi-million-row
+    // table) — the sealed path must be cogroup + EQUI-joins: no
+    // CartesianProduct on the sealed path, and the rerank un-hinted (AQE
+    // picks build side / sort-merge from runtime stats, because with
+    // unbounded queries the candidates table can dwarf the vectors side).
+    // (The trailing empty ACTIVE segment still takes the brute path; its
+    // un-hinted cross join may plan as a BroadcastNestedLoopJoin building
+    // the near-empty VECTORS side — the planner's size-based choice,
+    // which flips away as that side grows.)
+    val p = plan("vec_knn_distributed_queries")
+    assert(!p.contains("CartesianProduct"),
+      s"distributed KNN grew a cartesian product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"rerank lost its equi-join:\n$p")
+  }
+
   test("sealed KNN rerank joins candidates via shuffle hash, not broadcast") {
     // the candidate set is O(queries × segments × k·oversample) — at 100×
     // segment count it no longer fits a broadcast; the rerank must hash-
