@@ -51,3 +51,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // and a JIT crash would cost a whole driver bench run.
   "-XX:CompileCommand=exclude,org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport::consumeGroup",
 )
+// Offline-sandbox coverage: GRAFT_COVERAGE=1 attaches the hand-built
+// line/branch agent (tools/coverage — ASM-on-xbean, no scoverage/jacoco
+// artifacts resolvable offline) to the forked test JVM. Build the jar
+// first: tools/coverage/build.sh. Report: python3 tools/coverage/report.py
+javaOptions ++= (if (sys.env.contains("GRAFT_COVERAGE"))
+  Seq(s"-javaagent:${baseDirectory.value}/tools/coverage/graft-coverage.jar")
+else Seq.empty)

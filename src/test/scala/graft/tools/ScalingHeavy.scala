@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scaling curves for the bench-TOP rows (verdict r11 item 6): the r11
+ * 3-SF record evidenced linearity on overhead-dominated queries; this
+ * tool generates corpora at 3 sizes (1x/3x/10x) for the five most
+ * expensive bench families, so the linear claim is measured where the
+ * DATA term dominates the row. Timings go to BASELINE.md §round-12.
+ *
+ *   sbt "Test/runMain graft.tools.ScalingHeavy"           # all families
+ *   sbt "Test/runMain graft.tools.ScalingHeavy graph,cms" # subset
+ *
+ * Run on a QUIET box (same protocol as Probe anchors).
+ */
+object ScalingHeavy {
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  /** Deterministic Zipf-ish word: rank r word appears ~ 1/r. */
+  private def docsAt(spark: SparkSession, nDocs: Long): DataFrame = {
+    spark.range(nDocs).select(col("id"),
+      concat_ws(" ",
+        transform(sequence(lit(0), lit(119)), i => concat(lit("w"),
+          (pmod(col("id") * 131 + i * 7919, lit(1000)) *
+            pmod(col("id") + i, lit(50)) / lit(49)).cast("int").cast("string")))
+      ).as("text"))
+  }
+
+  /** Power-law-ish digraph: |E| edges over ~|E|/20 vertices. */
+  private def edgesAt(spark: SparkSession, nEdges: Long): DataFrame = {
+    val v = math.max(100L, nEdges / 20)
+    spark.range(nEdges).select(
+      pmod(col("id") * 2654435761L, lit(v)).as("src"),
+      // square-rank skew: low ids attract quadratically more in-edges
+      pmod(pmod(col("id") * 40503L, lit(v)) * pmod(col("id") * 40503L, lit(v)) / lit(v), lit(v)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val families = if (args.isEmpty) Set("seal", "graph", "cms", "textrank")
+      else args(0).split(",").toSet
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect() // warm
+
+    if (families("seal")) {
+      // vec_heavy_seal_query's data term: ONE segment's Vamana build at
+      // dim 768 (single task by design — cross-segment parallelism is the
+      // scale axis, so per-segment n IS the data term) + 100-query search
+      for (n <- Seq(12500, 37500, 125000)) {
+        val data = spark.range(n.toLong)
+          .map(id => (id, graft.index.ManifoldData.vectorFor(id)))
+          .toDF("vec_id", "embedding")
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-scale-seal$n").toString
+        val store = new graft.index.IndexStore(tmp)
+        store.createOrOpen(graft.core.IndexMeta(s"scale$n",
+          dimension = graft.index.ManifoldData.Dim, maxSegmentSize = n,
+          pqM = 16, pqK = 256, graphDegree = 64, graphBuildBreadth = 256,
+          graphAlpha = 1.2, oversample = 4), 1000L)
+        val idx = new graft.index.SegmentedIndex(spark, store)
+        idx.addAll(data, "embedding", "vec_id")
+        val (tSeal, _) = time { idx.sealPending() }
+        val queries = spark.range(100L)
+          .map(q => (q, graft.index.ManifoldData.queryFor(q))).toDF("queryId", "qv")
+        val (tQ, cnt) = time {
+          graft.index.Search.query(spark, store, queries, 10).count()
+        }
+        println(f"[scale] seal n=$n%7d  seal=$tSeal%8.1f s  query100=$tQ%6.2f s  rows=$cnt")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+
+    if (families("graph")) {
+      for (e <- Seq(100000L, 300000L, 1000000L)) {
+        val edges = edgesAt(spark, e).persist()
+        edges.count()
+        val (tTri, nTri) = time {
+          graft.pipeline.GraphAlgos.triangleCounts(
+            edges.select(col("src").as("a"), col("dst").as("b"))).count()
+        }
+        val (tCore, nCore) = time {
+          graft.pipeline.GraphAlgos.kCorePeel(edges, k = 10, rounds = 8).count()
+        }
+        println(f"[scale] graph |E|=$e%8d  triangles=$tTri%6.2f s ($nTri rows)  kcore=$tCore%6.2f s ($nCore rows)")
+        edges.unpersist()
+      }
+    }
+
+    if (families("cms")) {
+      for (n <- Seq(5000L, 15000L, 50000L)) {
+        val docs = docsAt(spark, n).persist()
+        docs.count()
+        val (t, rows) = time {
+          // the stream gate's data term: 4 batch partials + cell merge + finish
+          val parts = (0 until 4).map(b =>
+            docs.filter(pmod(col("id"), lit(4)) === b))
+          val tok = parts.map(graft.pipeline.Sketches.cmsTokenPartials(_, "text"))
+            .reduce(_ unionByName _)
+          val cells = parts.map(p => graft.pipeline.Sketches.cmsCellPartials(
+            graft.pipeline.Sketches.cmsTokenPartials(p, "text")))
+            .reduce(_ unionByName _)
+          graft.pipeline.Sketches.cmsFinish(tok, cells).count()
+        }
+        println(f"[scale] cms docs=$n%6d  4-batch partials+merge=$t%6.2f s ($rows rows)")
+        docs.unpersist()
+      }
+    }
+
+    if (families("textrank")) {
+      for (n <- Seq(5000L, 15000L, 50000L)) {
+        val docs = docsAt(spark, n).persist()
+        docs.count()
+        val (t, rows) = time {
+          graft.pipeline.TextAnalysis.textRankKeywords(docs, "text").count()
+        }
+        println(f"[scale] textrank docs=$n%6d  $t%6.2f s ($rows rows)")
+        docs.unpersist()
+      }
+    }
+  }
+}
