@@ -57,8 +57,13 @@ public final class CoverageAgent {
         if (pd == null || pd.getCodeSource() == null
             || pd.getCodeSource().getLocation() == null) return null;
         String loc = pd.getCodeSource().getLocation().toString();
-        // main classes only: sbt writes them to .../target/scala-*/classes/
-        if (!loc.endsWith("/classes/") && !loc.endsWith("/classes")) return null;
+        // main classes only. Two load shapes: `sbt test` forks with the
+        // classes DIRECTORY on the classpath (test-classes rejected by
+        // the suffix check); `sbt runMain` packages main classes into the
+        // project jar under target/bg-jobs (main-only by construction).
+        boolean mainDir = loc.endsWith("/classes/") || loc.endsWith("/classes");
+        boolean projectJar = loc.endsWith(".jar") && loc.contains("vectorsearchspark");
+        if (!mainDir && !projectJar) return null;
         return instrument(className, bytes);
       } catch (Throwable t) {
         System.err.println("[graftcov] skipping " + className + ": " + t);
@@ -183,7 +188,16 @@ public final class CoverageAgent {
           @Override public void visitInsn(int op) { flushAll(); super.visitInsn(op); }
           @Override public void visitIntInsn(int op, int v) { flushAll(); super.visitIntInsn(op, v); }
           @Override public void visitVarInsn(int op, int v) { flushAll(); super.visitVarInsn(op, v); }
-          @Override public void visitTypeInsn(int op, String t) { flushAll(); super.visitTypeInsn(op, t); }
+          @Override public void visitTypeInsn(int op, String t) {
+            // NEW is special: StackMapTable Uninitialized entries record
+            // the NEW instruction's exact offset (via the label bound to
+            // it) — a probe inserted between that label and the NEW
+            // shifts the offset and fails class format checking. Flushing
+            // AFTER the NEW is verifier-legal (probes never touch the
+            // uninitialized ref on the stack).
+            if (op == Opcodes.NEW) { super.visitTypeInsn(op, t); flushAll(); }
+            else { flushAll(); super.visitTypeInsn(op, t); }
+          }
           @Override public void visitFieldInsn(int op, String o, String n2, String d2) {
             flushAll(); super.visitFieldInsn(op, o, n2, d2);
           }
