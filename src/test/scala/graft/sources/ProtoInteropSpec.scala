@@ -94,6 +94,29 @@ class ProtoInteropSpec extends AnyFunSuite {
     assert(back.vecId === 3 && back.deleted && back.embedding.length === 2)
   }
 
+  test("malformed blobs fail loudly: truncated varint, truncated bytes, bad codebook") {
+    // truncated varint (continuation bit set, stream ends)
+    intercept[IllegalArgumentException] {
+      ProtoInterop.decodeSegmentMeta(unhex("08ff"))
+    }
+    // length-delimited field claims more bytes than remain
+    intercept[IllegalArgumentException] {
+      ProtoInterop.decodeVectorRecord(unhex("1a0a0000"), (_, v) => v.toLong)
+    }
+    // codebook with missing m/k
+    intercept[IllegalArgumentException] {
+      ProtoInterop.decodeCodebook(unhex("1a040000803f"))
+    }
+    // codebook whose centroid entry count disagrees with m
+    intercept[IllegalArgumentException] {
+      ProtoInterop.decodeCodebook(unhex("080210021a04" + "0000803f"))
+    }
+    // unsupported wire type in skip path (wire type 3 = group start)
+    intercept[IllegalArgumentException] {
+      ProtoInterop.decodeAdjacency(unhex("7b"))
+    }
+  }
+
   test("varint boundaries round-trip (multi-byte lengths and int64 values)") {
     val m = SegmentMeta(segId = Int.MaxValue, state = SegmentState.Compacting,
       count = Int.MaxValue.toLong, deletedCount = Long.MaxValue / 2,

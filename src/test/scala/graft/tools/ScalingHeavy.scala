@@ -23,13 +23,21 @@ object ScalingHeavy {
     ((System.nanoTime() - t0) / 1e9, a)
   }
 
-  /** Deterministic Zipf-ish word: rank r word appears ~ 1/r. */
+  /** Deterministic Zipf-ish corpus of ALPHABETIC words (the text kernels
+    * filter `[a-z]{3,}`, so digit-suffixed tokens would vanish): rank is
+    * skewed by a product-of-mods, then rendered as two syllables. */
   private def docsAt(spark: SparkSession, nDocs: Long): DataFrame = {
+    val syl = typedlit(("ba be bi bo bu da de di do du fa fe fi fo fu " +
+      "ga ge gi go gu ka ke ki ko ku la le li lo lu " +
+      "ma me mi mo mu na ne ni no nu").split(" ").toSeq)
     spark.range(nDocs).select(col("id"),
       concat_ws(" ",
-        transform(sequence(lit(0), lit(119)), i => concat(lit("w"),
-          (pmod(col("id") * 131 + i * 7919, lit(1000)) *
-            pmod(col("id") + i, lit(50)) / lit(49)).cast("int").cast("string")))
+        transform(sequence(lit(0), lit(119)), i => {
+          val r = (pmod(col("id") * 131 + i * 7919, lit(1000)) *
+            pmod(col("id") + i, lit(50)) / lit(49)).cast("int")
+          concat(element_at(syl, pmod(r, lit(40)) + 1),
+            element_at(syl, (r / 40).cast("int") + 1))
+        })
       ).as("text"))
   }
 
