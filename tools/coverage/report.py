@@ -11,7 +11,13 @@ fallCount (the probes bracket the jump). Switches contribute 1 edge
 (executed or not); per-case switch edges would need trampoline
 instrumentation (documented limitation).
 
-Usage: report.py [dumpdir] [--per-file]
+Usage: report.py [dumpdir] [--per-file] [--gate[=LINE_PCT]]
+
+--gate makes the report an enforcing CI gate (the reference fails its
+build below 90% line / 75% branch, build.gradle:216-232): exit 1 when
+TOTAL line coverage is below LINE_PCT (default 90). The branch number is
+reported but not gated — bytecode-edge branch coverage is not comparable
+to the reference's source-level JaCoCo metric (see BASELINE.md §round-12).
 """
 import sys, os, glob
 from collections import defaultdict
@@ -20,6 +26,12 @@ from collections import defaultdict
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     per_file = "--per-file" in sys.argv
+    gate = None
+    for a in sys.argv[1:]:
+        if a == "--gate":
+            gate = 90.0
+        elif a.startswith("--gate="):
+            gate = float(a.split("=", 1)[1])
     dumpdir = args[0] if args else "target/coverage"
     files = sorted(glob.glob(os.path.join(dumpdir, "coverage-*.tsv")))
     if not files:
@@ -86,9 +98,16 @@ def main():
     lt = sum(v[1] for v in per_src_lines.values())
     bc = sum(v[0] for v in per_src_br.values())
     bt = sum(v[1] for v in per_src_br.values())
-    print(f"TOTAL line coverage:   {100*lc/lt:.2f}% ({lc}/{lt} executable lines)")
+    line_pct = 100 * lc / lt
+    print(f"TOTAL line coverage:   {line_pct:.2f}% ({lc}/{lt} executable lines)")
     print(f"TOTAL branch coverage: {100*bc/bt:.2f}% ({bc}/{bt} edges; switches=1 edge)")
     print(f"dumps: {len(files)}")
+    if gate is not None:
+        if line_pct < gate:
+            print(f"COVERAGE GATE FAILED: {line_pct:.2f}% < {gate:.2f}% line",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"coverage gate passed: {line_pct:.2f}% >= {gate:.2f}% line")
 
 
 if __name__ == "__main__":
