@@ -8,22 +8,66 @@ import graft.TestSpark
 import graft.core.{IndexMeta, SegmentState}
 
 /**
- * M4/M5 at the reference production shape (verdict r11 item 5): the
- * small-SF lifecycle gates prove compaction is CORRECT; this run prices
- * it at volume — a delete-heavy 8×100k dim-768 index, vacuum of the
- * delete-heavy segments, then a scored compaction folding ≥2 sources
- * into one WRITING→SEALED segment, with the reference's gid-stability
- * invariant (GidCompactionStabilityTest.java:52) asserted over every
- * surviving row, not a sample.
+ * M2–M5 at the reference production shape (verdict r11 item 5): the
+ * small-SF lifecycle gates prove vacuum/compaction are CORRECT; this run
+ * prices them at volume on an 8×100k dim-768 index and asserts the
+ * reference's gid-stability invariant
+ * (GidCompactionStabilityTest.java:52) over every surviving row, not a
+ * sample.
+ *
+ * Scenario (reference-faithful: vacuum and compaction are ALTERNATIVE
+ * maintenance paths — compaction's live-row copy drops tombstones
+ * itself, and a vacuumed segment's fragmentation resets to 0, which
+ * correctly disqualifies it from frag-gated compaction):
+ *
+ *   - segs 0,1: 55% tombstoned → direct compaction sources (45k live
+ *     each; 90k ≥ the 80k fill budget, so the scored pick is EXACTLY
+ *     {0,1} and the merged segment fits maxSegmentSize)
+ *   - seg 2: 30% tombstoned → vacuum path (ratio 0.3 ≥ 0.25 policy);
+ *     also pins that the vacuumed segment does NOT join the pick
+ *
+ * The first run seals the 8×100k index into a pristine cache dir
+ * (~56 min; ManifoldData is deterministic) and copies it to a working
+ * dir; reruns reuse the cache and only pay the copy.
  *
  * {{{ GRAFT_HEAVY_XL=1 GRAFT_TEST_MASTER='local[32]' GRAFT_TEST_SHUFFLE=32 \
  *     SPARK_DRIVER_MEM=48g sbt "testOnly graft.index.HeavyCompactionSpec" }}}
  *
- * Wall-clocks are recorded in BASELINE.md §round-12 (capability record,
- * not a bench anchor — the seal dominates and is already priced by the
- * Heavy-XL baseline).
+ * Wall-clocks recorded in BASELINE.md §round-12 (capability record, not
+ * a bench anchor — the seal is already priced by the Heavy-XL baseline).
  */
 class HeavyCompactionSpec extends AnyFunSuite {
+
+  private val n = 800000L
+  private val segSize = 100000
+  private val createdAt = 1000L
+
+  /** Seal the pristine 8×100k index once; reuse across runs. */
+  private def pristineIndex(spark: org.apache.spark.sql.SparkSession): String = {
+    import spark.implicits._
+    val cache = sys.env.getOrElse("GRAFT_HEAVY_CACHE",
+      s"${System.getProperty("java.io.tmpdir")}/graft-heavy-compact-cache")
+    val store = new IndexStore(cache)
+    if (store.exists &&
+        store.readManifest().segments.count(_.state == SegmentState.Sealed) == 8) {
+      info(s"reusing cached pristine index at $cache")
+      return cache
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cache))
+    val data: DataFrame = spark.range(n)
+      .map(id => (id, ManifoldData.vectorFor(id)))
+      .toDF("vec_id", "embedding")
+    store.createOrOpen(IndexMeta("heavy_compact", dimension = ManifoldData.Dim,
+      maxSegmentSize = segSize, pqM = 16, pqK = 256, graphDegree = 64,
+      graphBuildBreadth = 256, graphAlpha = 1.2, oversample = 4), createdAt)
+    val idx = new SegmentedIndex(spark, store)
+    val t0 = System.nanoTime()
+    idx.addAll(data, "embedding", "vec_id")
+    idx.sealPending()
+    info(f"ingest+seal ${(System.nanoTime() - t0) / 1e9}%.1f s (8 parallel 100k dim-768 builds)")
+    assert(store.readManifest().segments.count(_.state == SegmentState.Sealed) == 8)
+    cache
+  }
 
   test("delete-heavy XL index: vacuum + scored compaction, gid-stable at volume") {
     assume(sys.env.contains("GRAFT_HEAVY_XL") || sys.props.contains("GRAFT_HEAVY_XL"),
@@ -31,57 +75,52 @@ class HeavyCompactionSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
 
-    val n = 800000L
-    val segSize = 100000
-
-    val data: DataFrame = spark.range(n)
-      .map(id => (id, ManifoldData.vectorFor(id)))
-      .toDF("vec_id", "embedding")
-
+    val cache = pristineIndex(spark)
     val tmp = java.nio.file.Files.createTempDirectory("graft-heavy-compact").toString
     try {
-      val createdAt = 1000L
+      val tCp0 = System.nanoTime()
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(cache), new java.io.File(tmp))
+      info(f"working copy of the 8×100k index: ${(System.nanoTime() - tCp0) / 1e9}%.1f s")
       val store = new IndexStore(tmp)
-      store.createOrOpen(IndexMeta("heavy_compact", dimension = ManifoldData.Dim,
-        maxSegmentSize = segSize, pqM = 16, pqK = 256, graphDegree = 64,
-        graphBuildBreadth = 256, graphAlpha = 1.2, oversample = 4), createdAt)
       val idx = new SegmentedIndex(spark, store)
-      val t0 = System.nanoTime()
-      idx.addAll(data, "embedding", "vec_id")
-      idx.sealPending()
-      val tSeal = System.nanoTime()
-      assert(store.readManifest().segments.count(_.state == SegmentState.Sealed) == 8)
-      info(f"ingest+seal ${(tSeal - t0) / 1e9}%.1f s (8 parallel 100k dim-768 builds)")
 
-      // delete 65% of segments 0 and 1 (gid = ingest order → seg = gid/100k):
-      // ratio 0.65 trips the 0.25 vacuum policy, and the 35k survivors per
-      // segment leave both under half-full → compaction candidates whose
-      // union (70k) fits the 80% merge budget
-      val delGids = (0L until 2L * segSize).filter(_ % 20 < 13)
+      // 55% of segs 0,1 (gid = ingest order → seg = gid/100k): they stay
+      // FRAGMENTED (no vacuum) so the frag-gated scorer picks them, and
+      // 45k live each puts the pick's running sum over the 80k budget at
+      // exactly two segments — the merged segment fits maxSegmentSize.
+      // 30% of seg 2: the vacuum path (ratio 0.3 ≥ 0.25 policy).
+      val delCompact = (0L until 2L * segSize).filter(_ % 20 < 11)
+      val delVacuum = (2L * segSize until 3L * segSize).filter(_ % 10 < 3)
       val tDel0 = System.nanoTime()
-      idx.delete(delGids)
-      val tDel = System.nanoTime()
-      info(f"tombstone delete of ${delGids.size} gids: ${(tDel - tDel0) / 1e9}%.1f s")
+      idx.delete(delCompact ++ delVacuum)
+      info(f"tombstone delete of ${delCompact.size + delVacuum.size} gids: " +
+        f"${(System.nanoTime() - tDel0) / 1e9}%.1f s")
 
-      // full pre-compaction live snapshot of the affected segments — the
-      // stability check is exhaustive (every gid, every embedding byte)
+      val mt = new graft.maintenance.Maintenance(idx)
+      val nowMs = createdAt + 10 * 60 * 1000L // past the vacuum cooldown
+
+      // M2/M3 at volume: policy trips on seg 2, physical rewrite prices it
+      assert(mt.shouldVacuum(store.readManifest().segment(2).get, nowMs))
+      val tV0 = System.nanoTime()
+      val vacuumed = mt.vacuumSegment(2, nowMs)
+      info(f"vacuum of seg 2 removed $vacuumed rows in ${(System.nanoTime() - tV0) / 1e9}%.1f s")
+      assert(vacuumed == delVacuum.size.toLong)
+
+      // full pre-compaction live snapshot of the sources — the stability
+      // check is exhaustive (every gid, every embedding byte)
       val preLive = store.readVectors(spark)
         .filter(col("segId").isin(0, 1)).filter(!col("deleted"))
         .select(col("gid"), col("embedding"))
       preLive.persist()
       val preCount = preLive.count()
-      assert(preCount == 2L * segSize - delGids.size)
+      assert(preCount == 2L * segSize - delCompact.size)
 
-      val mt = new graft.maintenance.Maintenance(idx)
-      val nowMs = createdAt + 10 * 60 * 1000L // past the vacuum cooldown
-      val tV0 = System.nanoTime()
-      val vacuumed = Seq(0, 1).map(s => mt.vacuumSegment(s, nowMs))
-      val tV = System.nanoTime()
-      info(f"vacuum removed ${vacuumed.sum} rows in ${(tV - tV0) / 1e9}%.1f s")
-      assert(vacuumed.sum == delGids.size.toLong)
-
+      // M5: the scored pick is EXACTLY the two fragmented segments — the
+      // freshly-vacuumed seg 2 (frag reset to 0) must NOT join the set,
+      // and the 45k+45k running sum crosses the 80k budget at two.
       val cands = mt.findCompactionCandidates(0)
-      assert(cands.size >= 2, s"expected >=2 compaction sources, got $cands")
+      assert(cands.sorted == Seq(0, 1), s"expected pick {0,1}, got $cands")
       assert(mt.markCandidatesCompacting(cands), "COMPACTING transition rejected")
       val tC0 = System.nanoTime()
       val newSeg = mt.compactSegments(cands, nowMs)
@@ -94,6 +133,7 @@ class HeavyCompactionSpec extends AnyFunSuite {
       val newMeta = m1.segment(newSeg).get
       assert(newMeta.state == SegmentState.Sealed)
       assert(newMeta.count == preCount)
+      assert(newMeta.count <= segSize.toLong, "merged segment exceeds maxSegmentSize")
 
       // gid stability at volume: the (gid, embedding) set of the merged
       // segment must equal the pre-compaction live set EXACTLY
@@ -105,12 +145,13 @@ class HeavyCompactionSpec extends AnyFunSuite {
       assert(postLive.exceptAll(preLive).count() == 0L, "phantom rows")
       preLive.unpersist()
 
-      // and the merged segment answers queries: its gids appear in top-k
-      val queries = spark.range(5L)
-        .map(q => (q, ManifoldData.vectorFor(q))) // q < 2·segSize survivors? q%20<13 deleted
+      // and the merged segment answers queries: survivors of segs 0,1
+      // (gid % 20 >= 11) must surface in their own top-k
+      val queries = spark.range(3L)
+        .map(q => (q, ManifoldData.vectorFor(q * 20 + 11))) // gid%20==11 survives
         .toDF("queryId", "qv")
       val res = Search.query(spark, store, queries, 10)
-      assert(res.count() == 50L)
+      assert(res.count() == 30L)
       info("query over the compacted manifest returned full top-10s")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
