@@ -108,11 +108,15 @@ class HeavyCompactionSpec extends AnyFunSuite {
       assert(vacuumed == delVacuum.size.toLong)
 
       // full pre-compaction live snapshot of the sources — the stability
-      // check is exhaustive (every gid, every embedding byte)
-      val preLive = store.readVectors(spark)
+      // check is exhaustive (every gid, every embedding byte). Snapshot to
+      // parquet, NOT .persist(): compaction drops the source files, and a
+      // block-cache partition evicted during the 90k merge build would
+      // recompute from the vanished scan (observed on the first XL run).
+      store.readVectors(spark)
         .filter(col("segId").isin(0, 1)).filter(!col("deleted"))
         .select(col("gid"), col("embedding"))
-      preLive.persist()
+        .write.parquet(s"$tmp/pre_snapshot")
+      val preLive = spark.read.parquet(s"$tmp/pre_snapshot")
       val preCount = preLive.count()
       assert(preCount == 2L * segSize - delCompact.size)
 
@@ -143,7 +147,6 @@ class HeavyCompactionSpec extends AnyFunSuite {
       assert(postLive.count() == preCount)
       assert(preLive.exceptAll(postLive).count() == 0L, "lost/changed rows")
       assert(postLive.exceptAll(preLive).count() == 0L, "phantom rows")
-      preLive.unpersist()
 
       // and the merged segment answers queries: survivors of segs 0,1
       // (gid % 20 >= 11) must surface in their own top-k
