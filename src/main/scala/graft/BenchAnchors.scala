@@ -287,6 +287,7 @@ object BenchAnchors {
     "text_readability" -> 0.455,
     "text_normalize" -> 0.242,
     "text_zipf_slope" -> 0.514,
+    "text_heaps_vocab" -> 0.423, // r12 new gate, 5-rep isolated quiet-box median
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

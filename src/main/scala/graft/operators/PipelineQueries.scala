@@ -1602,6 +1602,16 @@ object PipelineQueries {
     "text_zipf_slope" -> ((s, dir) =>
       TextAnalysis.zipfFit(docs(s, dir), "text", k = 100)),
 
+    // Heaps'-law vocabulary-growth checkpoints: per-source distinct-BIGRAM
+    // vocabulary at 25/50/75/100% doc-prefix cuts — the before/after dial
+    // for a dedup pass (saturating curve = duplication; linear = noise).
+    // Rank window carries (source, id) only; one (source, bigram) hash agg
+    // is the dominant shuffle; the 4-rows-per-source checkpoint table
+    // broadcasts. Exact-integer outputs.
+    "text_heaps_vocab" -> ((s, dir) =>
+      TextAnalysis.heapsVocabCheckpoints(docs(s, dir), "source", "doc_id", "text")
+        .orderBy(col("source"), col("frac_pct"))),
+
     // DPO preference-pair construction: per (source, lang) prompt group,
     // chosen = highest quality score, rejected = lowest (ties → smaller
     // doc_id on both sides), minimum margin 0.05. One keyed groupBy with
@@ -2327,6 +2337,33 @@ object PipelineQueries {
          |  norm <> text AS changed,
          |  norm2 = norm AS idem_ok
          |FROM n2 ORDER BY doc_id""".stripMargin,
+
+    "text_heaps_vocab" ->
+      s"""WITH ranked AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, $toksSql AS ts FROM documents),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |    i -> ts[i] || ' ' || ts[i+1])) AS bigram
+         |  FROM toks WHERE len(ts) >= 2),
+         |firsts AS (
+         |  SELECT rk.source, b.bigram, min(rk.r) AS first_r
+         |  FROM bi b JOIN ranked rk ON rk.doc_id = b.doc_id
+         |  GROUP BY rk.source, b.bigram),
+         |totals AS (SELECT source, count(*) AS total FROM documents GROUP BY source),
+         |cks AS (SELECT unnest([25, 50, 75, 100]) AS frac_pct),
+         |lims AS (
+         |  SELECT t.source, CAST(c.frac_pct AS BIGINT) AS frac_pct,
+         |    CAST(ceil(t.total * c.frac_pct / 100.0) AS BIGINT) AS n_docs
+         |  FROM totals t CROSS JOIN cks c)
+         |SELECT l.source, l.frac_pct, l.n_docs, count(f.bigram) AS vocab
+         |FROM lims l LEFT JOIN firsts f
+         |  ON f.source = l.source AND f.first_r <= l.n_docs
+         |GROUP BY l.source, l.frac_pct, l.n_docs
+         |ORDER BY l.source, l.frac_pct""".stripMargin,
 
     "text_zipf_slope" ->
       s"""WITH words AS (

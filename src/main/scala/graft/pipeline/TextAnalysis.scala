@@ -836,4 +836,68 @@ object TextAnalysis {
       .select(col("n_terms"), col("top_token"), col("top_count"),
         col("zipf_slope"), col("zipf_intercept"))
   }
+  /**
+   * Heaps'-law vocabulary-growth checkpoints — the corpus-health curve
+   * complementing the rank-frequency `zipfSlope`: for each source, the
+   * distinct BIGRAM vocabulary V(n) observed in the first n documents
+   * (doc-id order) at n = ceil(frac% of the source's docs). A healthy
+   * natural corpus grows V(n) ≈ K·n^β (β ≈ 0.4–0.6); a curve that
+   * saturates early means duplication/boilerplate, one that stays linear
+   * means noise — the standard before/after read on a dedup pass.
+   *
+   * Bigrams, not unigrams: unigram vocabularies saturate within a few
+   * hundred documents on topical corpora, so the unigram curve stops
+   * discriminating exactly where dedup decisions happen.
+   *
+   * Shape at scale: the per-source rank window carries ONLY
+   * (source, id) — text never enters the window shuffle; bigrams come
+   * from the one-pass token lambda (the [[llrBigrams]] idiom) and join
+   * the rank table on id; first-appearance is one (source, bigram)
+   * hash aggregation (the dominant shuffle, vocabulary-sized). The
+   * checkpoint table is pivoted WIDE (one row per source) and broadcast
+   * onto the vocabulary, where each checkpoint is a conditional sum —
+   * no outer join ever touches the big side, so a source that dominates
+   * the vocabulary cannot skew a join shuffle. All outputs are exact
+   * integers.
+   *
+   * @return (source, frac_pct, n_docs, vocab) — one row per source per
+   *         checkpoint, vocab non-decreasing in frac_pct
+   */
+  def heapsVocabCheckpoints(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      textCol: String,
+      fracsPct: Seq[Int] = Seq(25, 50, 75, 100)): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val ranks = df.select(col(sourceCol), col(idCol))
+      .withColumn("r", row_number().over(w).cast("long"))
+    val bi = df
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("bigram"))
+    val firsts = bi.join(ranks, idCol)
+      .groupBy(col(sourceCol), col("bigram"))
+      .agg(min(col("r")).as("first_r"))
+    // one WIDE row per source: the prefix length of every checkpoint
+    val lims = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("total"))
+      .select(col(sourceCol) +: fracsPct.map(f =>
+        ceil(col("total") * f / lit(100.0)).cast("long").as(s"n_$f")): _*)
+    val vAggs = fracsPct.map(f =>
+      sum(when(col("first_r") <= col(s"n_$f"), 1L).otherwise(0L)).as(s"v_$f"))
+    val counted = firsts.join(broadcast(lims), sourceCol)
+      .groupBy(col(sourceCol))
+      .agg(vAggs.head, vAggs.tail: _*)
+    // tiny ⋈ tiny (both sides are per-source aggregates — provably
+    // sources-sized, so the hint is safe): re-attach sources with zero
+    // bigrams, unpivot to rows
+    lims.join(broadcast(counted), Seq(sourceCol), "left")
+      .select(col(sourceCol), explode(array(fracsPct.map(f => struct(
+        lit(f.toLong).as("frac_pct"),
+        col(s"n_$f").as("n_docs"),
+        coalesce(col(s"v_$f"), lit(0L)).as("vocab"))): _*)).as("c"))
+      .select(col(sourceCol), col("c.frac_pct"), col("c.n_docs"), col("c.vocab"))
+  }
 }

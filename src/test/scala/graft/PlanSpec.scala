@@ -571,4 +571,11 @@ class PlanSpec extends AnyFunSuite {
       s"stitch grew a non-equi join:\n$p")
     assert(p.contains("HashJoin"), "suffix=prefix key must drive a hash join")
   }
+
+  test("heaps vocab: checkpoint table broadcasts onto the vocabulary, no outer join on the big side") {
+    val p = plan("text_heaps_vocab")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "vocabulary-sized side entered a sort-merge join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
