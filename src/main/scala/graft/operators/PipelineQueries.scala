@@ -625,6 +625,16 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Simplified (centroid-based) silhouette over the same 2-round
+    // Lloyd's model: per-point (b−a)/max(a,b) against the k snapped
+    // centroids — broadcast-literal expression, one codegen'd pass, no
+    // join/shuffle. Per-ROW output (not a mean), so no float-sum-order
+    // dependence; score snaps to 6 dp.
+    "cluster_silhouette" -> ((s, dir) =>
+      Clustering.simplifiedSilhouette(
+          s, emb(s, dir), "vec_id", "embedding", k = 8, iterations = 2)
+        .orderBy(col("vec_id"))),
+
     // Spherical k-means (the cosine coarse quantizer): unit-normalized
     // inputs, Lloyd's on the sphere, re-normalized snapped centroids
     // each round. Every float stage (sqrt/divide/float-cast over the
@@ -3513,6 +3523,32 @@ object PipelineQueries {
          |                         ORDER BY ${l2L("e.embedding", "c2.cent")}, c2.c) AS rn
          |    FROM embeddings e CROSS JOIN c2) x WHERE rn = 1)
          |SELECT vec_id, c AS cluster FROM a2 ORDER BY vec_id""".stripMargin,
+
+    "cluster_silhouette" ->
+      s"""WITH c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+         |    embedding AS cent
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) seed),
+         |${lloydRound("a0", "c0", "m1", "c1")},
+         |${lloydRound("a1", "c1", "m2", "c2")},
+         |dist AS (
+         |  SELECT e.vec_id, c2.c, sqrt(${l2L("e.embedding", "c2.cent")}) AS d
+         |  FROM embeddings e CROSS JOIN c2),
+         |asg AS (
+         |  SELECT vec_id, c AS cluster, d AS own FROM (
+         |    SELECT vec_id, c, d,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM dist) x WHERE rn = 1),
+         |oth AS (
+         |  SELECT d.vec_id, min(d.d) AS other
+         |  FROM dist d JOIN asg a ON a.vec_id = d.vec_id AND d.c <> a.cluster
+         |  GROUP BY d.vec_id)
+         |SELECT a.vec_id, a.cluster,
+         |  CASE WHEN greatest(a.own, o.other) = 0 THEN 0.0
+         |       ELSE round((o.other - a.own) / greatest(a.own, o.other), 6)
+         |  END AS silhouette
+         |FROM asg a JOIN oth o ON o.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     // Same 2-round unrolled Lloyd's as cluster_kmeans, over the planted
     // corpus; rep = min id per (cluster, identical embedding); a rep is

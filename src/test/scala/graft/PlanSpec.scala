@@ -578,4 +578,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "vocabulary-sized side entered a sort-merge join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("silhouette: one codegen'd pass, no join, only the presentation sort exchanges") {
+    val p = plan("cluster_silhouette")
+    assert(!p.contains("Join"), "silhouette scoring must not join")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1)
+  }
 }
