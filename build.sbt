@@ -53,8 +53,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 // Offline-sandbox coverage: GRAFT_COVERAGE=1 attaches the hand-built
 // line/branch agent (tools/coverage — ASM-on-xbean, no scoverage/jacoco
-// artifacts resolvable offline) to the forked test JVM. Build the jar
-// first: tools/coverage/build.sh. Report: python3 tools/coverage/report.py
-javaOptions ++= (if (sys.env.contains("GRAFT_COVERAGE"))
-  Seq(s"-javaagent:${baseDirectory.value}/tools/coverage/graft-coverage.jar")
-else Seq.empty)
+// artifacts resolvable offline) to the forked test JVM. The jar is NOT
+// committed (binaries drift from source); it is rebuilt from
+// tools/coverage/src by build.sh whenever missing or stale.
+// Report: python3 tools/coverage/report.py
+javaOptions ++= (if (sys.env.contains("GRAFT_COVERAGE")) {
+  val dir = baseDirectory.value / "tools" / "coverage"
+  val jar = dir / "graft-coverage.jar"
+  val srcs = (dir / "src" / "graftcov").listFiles.filter(_.getName.endsWith(".java"))
+  if (!jar.exists || srcs.exists(_.lastModified > jar.lastModified)) {
+    import scala.sys.process._
+    require(Seq((dir / "build.sh").getAbsolutePath).! == 0, "coverage agent build failed")
+  }
+  Seq(s"-javaagent:$jar")
+} else Seq.empty)

@@ -66,7 +66,10 @@ object ProtoInterop {
     def bool(field: Int, v: Boolean): Unit = if (v) { tag(field, 0); writeVarint(1L) }
 
     def double(field: Int, v: Double): Unit =
-      if (v != 0.0d) {
+      // protobuf-java's proto3 presence check is on the raw bits, so -0.0
+      // IS serialized (doubleToRawLongBits(-0.0) != 0); `v != 0.0d` would
+      // wrongly skip it and break byte-identity with the reference.
+      if (java.lang.Double.doubleToRawLongBits(v) != 0L) {
         tag(field, 1)
         ensure(8)
         var bits = java.lang.Double.doubleToLongBits(v)
@@ -143,9 +146,17 @@ object ProtoInterop {
       java.lang.Double.longBitsToDouble(bits)
     }
 
+    /** Length prefix validated as a Long BEFORE narrowing: a corrupt blob
+      * declaring e.g. 2^32+5 must fail the truncation check, not wrap to 5
+      * and decode garbage silently. */
+    private def readLen(what: String): Int = {
+      val n = readVarint()
+      require(n >= 0L && n <= (until - pos).toLong, s"truncated $what")
+      n.toInt
+    }
+
     def readBytes(): Array[Byte] = {
-      val n = readVarint().toInt
-      require(n >= 0 && pos + n <= until, "truncated bytes field")
+      val n = readLen("bytes field")
       val out = java.util.Arrays.copyOfRange(b, pos, pos + n)
       pos += n
       out
@@ -153,8 +164,7 @@ object ProtoInterop {
 
     /** Sub-reader over a length-delimited payload (embedded message / packed). */
     def subReader(): Reader = {
-      val n = readVarint().toInt
-      require(n >= 0 && pos + n <= until, "truncated length-delimited field")
+      val n = readLen("length-delimited field")
       val r = new Reader(b, pos, pos + n)
       pos += n
       r
@@ -212,7 +222,13 @@ object ProtoInterop {
     IndexMeta(
       name = name,
       dimension = dim,
-      metric = MetricFromEnum.getOrElse(metric, Metric.L2.name),
+      // Unknown enum values (a future METRIC_* from a newer schema) fail
+      // loudly: silently defaulting to L2 would return wrong distances.
+      // Enum 0 (= L2) is the valid proto3 default for an omitted field.
+      metric = MetricFromEnum.getOrElse(
+        metric,
+        throw new IllegalArgumentException(
+          s"IndexMeta.metric: unknown Metric enum value $metric (this codec knows ${MetricEnum.values.toSeq.sorted.mkString(",")})")),
       maxSegmentSize = if (maxSeg > 0) maxSeg else IndexMeta.DefaultMaxSegmentSize,
       pqM = if (pqM > 0) pqM else IndexMeta.DefaultPqM,
       pqK = if (pqK > 0) pqK else IndexMeta.DefaultPqK,

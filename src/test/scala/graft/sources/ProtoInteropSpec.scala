@@ -117,6 +117,40 @@ class ProtoInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("unknown Metric enum value fails loudly instead of defaulting to L2") {
+    // field 3 (metric) = 2 — a future METRIC_DOT from a newer schema.
+    // Silently mapping it to L2 would answer queries with wrong distances.
+    val ex = intercept[IllegalArgumentException] {
+      ProtoInterop.decodeIndexMeta(unhex("0a03696478100818022064"))
+    }
+    assert(ex.getMessage.contains("unknown Metric enum value 2"))
+    // enum 0 (omitted field) is still the valid proto3 L2 default
+    assert(ProtoInterop.decodeIndexMeta(unhex("0a036964781020")).metricEnum === Metric.L2)
+  }
+
+  test("64-bit length prefix fails the truncation check instead of wrapping") {
+    // embedding field declares length 2^32+5; a 32-bit narrow would wrap
+    // to 5 and silently decode the next 5 bytes as the payload.
+    val blob = unhex("1a85808080100000000000")
+    intercept[IllegalArgumentException] {
+      ProtoInterop.decodeVectorRecord(blob, (_, v) => v.toLong)
+    }
+  }
+
+  test("graphAlpha = -0.0 is serialized (raw-bits presence, protobuf-java parity)") {
+    val m = IndexMeta(name = "idx", dimension = 8, metric = Metric.Cosine.name,
+      maxSegmentSize = 100, pqM = 2, pqK = 4, graphDegree = 3, oversample = 2,
+      graphBuildBreadth = 12, graphAlpha = -0.0)
+    val enc = hex(ProtoInterop.encodeIndexMeta(m))
+    // field 10 fixed64 tag 0x51 + LE bits of -0.0 (sign bit only)
+    assert(enc.endsWith("510000000000000080"))
+    // decode applies the reference's zero-default fallback (alpha <= 0)
+    assert(ProtoInterop.decodeIndexMeta(unhex(enc)).graphAlpha === IndexMeta.DefaultGraphAlpha)
+    // and +0.0 stays omitted from the wire
+    val enc0 = hex(ProtoInterop.encodeIndexMeta(m.copy(graphAlpha = 0.0)))
+    assert(!enc0.contains("51" + "0" * 16))
+  }
+
   test("varint boundaries round-trip (multi-byte lengths and int64 values)") {
     val m = SegmentMeta(segId = Int.MaxValue, state = SegmentState.Compacting,
       count = Int.MaxValue.toLong, deletedCount = Long.MaxValue / 2,
