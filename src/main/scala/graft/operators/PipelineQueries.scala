@@ -647,6 +647,20 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // DBSCAN density classification (core/border/noise, ε=0.03,
+    // minPts=5) on the (dim0, dim1) projection of the embeddings — the
+    // density-based outlier/cluster primitive. Engine side buckets the
+    // ε-join on ⌊coord/ε⌋ grid cells (3×3 halo probe) so the join is
+    // local-density-sized, never all-pairs; the oracle states the
+    // SEMANTICS as the quadratic ε-join, making the bucketing a genuine
+    // independent check. Exact integer counts; the one float compare
+    // uses the same eps*eps product on both engines.
+    "cluster_dbscan_core" -> ((s, dir) =>
+      Clustering.dbscanClassify(emb(s, dir), "vec_id",
+          element_at(col("embedding"), 1), element_at(col("embedding"), 2),
+          eps = 0.03, minPts = 5)
+        .orderBy(col("vec_id"))),
+
     // SemDeDup (Abbas et al. 2023): k-means the embedding space with the
     // distributed trainer, deduplicate within clusters only. Corpus =
     // bounded base ∪ perturbed near-copies (vec_id+100000, cosine ≈
@@ -3549,6 +3563,28 @@ object PipelineQueries {
          |  END AS silhouette
          |FROM asg a JOIN oth o ON o.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    // The semantic spec: the QUADRATIC eps-join (the engine buckets it
+    // on grid cells — an independent path to the same classification).
+    // Threshold written as the same 0.03*0.03 double product.
+    "cluster_dbscan_core" ->
+      """WITH pts AS (
+        |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+        |         CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS p, b.vec_id AS q
+        |  FROM pts a JOIN pts b
+        |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.03*0.03),
+        |cnt AS (SELECT p, count(*) AS n_eps FROM pairs GROUP BY p),
+        |core AS (SELECT p FROM cnt WHERE n_eps >= 5),
+        |border AS (
+        |  SELECT DISTINCT pr.p FROM pairs pr JOIN core c ON pr.q = c.p
+        |  WHERE pr.p <> pr.q AND pr.p NOT IN (SELECT p FROM core))
+        |SELECT cnt.p AS vec_id, cnt.n_eps,
+        |  CASE WHEN cnt.p IN (SELECT p FROM core) THEN 'core'
+        |       WHEN cnt.p IN (SELECT p FROM border) THEN 'border'
+        |       ELSE 'noise' END AS cls
+        |FROM cnt ORDER BY vec_id""".stripMargin,
 
     // Same 2-round unrolled Lloyd's as cluster_kmeans, over the planted
     // corpus; rep = min id per (cluster, identical embedding); a rep is

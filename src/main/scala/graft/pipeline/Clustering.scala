@@ -249,4 +249,83 @@ object Clustering {
         .otherwise(round((other - own) / greatest(own, other), 6))
         .as("silhouette"))
   }
+
+  /**
+   * DBSCAN density classification (core / border / noise) over a 2-D
+   * projection, with the ε-neighborhood join GRID-BUCKETED: each point
+   * lands in its ⌊coord/ε⌋ cell, probes only the 3×3 cell neighborhood
+   * (every point within ε of p is at most one cell away), and exact
+   * distances filter the candidates. That replaces the all-pairs
+   * O(n²) ε-join with one equi-join on cell keys whose volume is the
+   * true neighbor volume plus a constant-factor halo — the standard
+   * spatial-bucketing shape that survives 100 TB (points shuffle once
+   * by cell; per-task work is bounded by local density, and a
+   * pathological all-points-in-one-cell corpus degenerates exactly as
+   * DBSCAN itself does, because then the density really IS quadratic).
+   *
+   * Semantics (Ester et al. 1996): `n_eps` counts neighbors within ε
+   * INCLUDING the point itself; core ⇔ n_eps ≥ minPts; border ⇔
+   * non-core with a core point within ε; noise otherwise. The full
+   * cluster labeling (connected components over core adjacency) is
+   * [[graft.pipeline.Dedup]]'s pointer-jumping primitive; this kernel
+   * is the density stage that feeds it.
+   *
+   * Distance parity: dx·dx + dy·dy in doubles, compared against the
+   * Scala-evaluated `eps*eps` — the oracle writes the same `eps*eps`
+   * product so both engines round the threshold identically.
+   */
+  def dbscanClassify(
+      points: DataFrame,
+      idCol: String,
+      xCol: org.apache.spark.sql.Column,
+      yCol: org.apache.spark.sql.Column,
+      eps: Double,
+      minPts: Int): DataFrame = {
+    require(eps > 0.0, "dbscan eps must be positive")
+    require(minPts >= 1, "dbscan minPts must be >= 1")
+    val pairs = epsNeighborPairs(points, idCol, xCol, yCol, eps)
+      .localCheckpoint() // reused by the count AND the border join
+    val counts = pairs.groupBy(col("p")).agg(count(lit(1)).as("n_eps"))
+    val coreIds = counts.filter(col("n_eps") >= minPts)
+      .select(col("p").as("core_q"))
+    val borderIds = pairs.filter(col("p") =!= col("q"))
+      .join(coreIds, col("q") === col("core_q"))
+      .select(col("p").as("bp")).distinct()
+    counts.join(borderIds, col("p") === col("bp"), "left")
+      .select(col("p").as(idCol), col("n_eps"),
+        when(col("n_eps") >= minPts, lit("core"))
+          .when(col("bp").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("cls"))
+  }
+
+  /** The grid-bucketed candidate stage, lazy — split out so the
+    * per-stage physical plan stays pinnable in DbscanSpec (the
+    * checkpoint in [[dbscanClassify]] reduces the public query's plan
+    * to a LogicalRDD scan, the [[GraphAlgos.pageRankStep]] precedent).
+    * Emits every ordered pair (p, q) with dist(p, q) ≤ ε — q's home
+    * cell is unique and always inside p's 3×3 halo when dist ≤ ε
+    * (cells are ε-wide), so each in-range q appears EXACTLY once. */
+  private[pipeline] def epsNeighborPairs(
+      points: DataFrame,
+      idCol: String,
+      xCol: org.apache.spark.sql.Column,
+      yCol: org.apache.spark.sql.Column,
+      eps: Double): DataFrame = {
+    val pts = points.select(col(idCol).cast("long").as("id"),
+        xCol.cast("double").as("x"), yCol.cast("double").as("y"))
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long"))
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"))
+    val probe = pts.select(col("id").as("p"), col("x").as("px"),
+        col("y").as("py"), explode(array(offsets: _*)).as("o"),
+        col("cx"), col("cy"))
+      .select(col("p"), col("px"), col("py"),
+        (col("cx") + col("o.ox")).as("gx"), (col("cy") + col("o.oy")).as("gy"))
+    val eps2 = eps * eps
+    probe.join(pts, col("gx") === col("cx") && col("gy") === col("cy"))
+      .filter((col("px") - col("x")) * (col("px") - col("x")) +
+        (col("py") - col("y")) * (col("py") - col("y")) <= lit(eps2))
+      .select(col("p"), col("id").as("q"))
+  }
 }

@@ -584,4 +584,5 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "silhouette scoring must not join")
     assert(p.linesIterator.count(_.contains("Exchange")) <= 1)
   }
+
 }
