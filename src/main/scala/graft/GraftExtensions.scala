@@ -66,6 +66,9 @@ object GraftExtensions {
       es => { arity("md5_lower64", es, 1); Md5Lower64Expr(es(0)) }),
     ("repetition_stats", "repetition_stats(text) - STRUCT(dup_line_ratio, top_bigram_ratio)",
       es => { arity("repetition_stats", es, 1); RepetitionStatsExpr(es(0)) }),
+    ("aho_counts",
+      "aho_counts(text, patterns) - per-pattern occurrence counts (Aho-Corasick, one pass)",
+      es => { arity("aho_counts", es, 2); AhoCountsExpr(es(0), es(1)) }),
     ("pq_encode", "pq_encode(vec, centroids, m) - PQ code bytes (argmin per subspace)",
       es => { arity("pq_encode", es, 3); PqEncode(es(0), es(1), es(2)) }),
     ("shingle_hashes_pos", "shingle_hashes_pos(text, k) - word-k-gram hashes in token order",

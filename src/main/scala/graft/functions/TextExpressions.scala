@@ -356,7 +356,117 @@ case class CharEntropyExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/**
+ * Aho–Corasick automaton (Aho & Corasick 1975): one pass over the text
+ * matches EVERY pattern of a dictionary simultaneously — the scale answer
+ * to blocklist / decontamination-term filtering, where k patterns as k
+ * regex/contains passes would re-scan the corpus k times. Counts ALL
+ * occurrences (one per match END position, overlapping included), each
+ * pattern independently — "data" inside "database" counts for both when
+ * both are in the dictionary.
+ *
+ * Build is the textbook goto/fail/output construction over UTF-16 chars;
+ * the per-node output list is closed over the fail chain during the BFS,
+ * so the scan never walks fail links for reporting — O(text + matches).
+ */
+private[functions] final class AhoAutomaton(patterns: Array[String]) extends Serializable {
+  require(patterns.nonEmpty, "aho automaton needs at least one pattern")
+  require(patterns.forall(_.nonEmpty), "aho patterns must be non-empty")
+
+  private val goto = scala.collection.mutable.ArrayBuffer(
+    new java.util.HashMap[Char, Int]())
+  private val ends = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+
+  patterns.zipWithIndex.foreach { case (p, pi) =>
+    var s = 0
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      val nxt = goto(s).get(c)
+      s = if (goto(s).containsKey(c)) nxt
+      else {
+        goto += new java.util.HashMap[Char, Int]()
+        ends += Nil
+        goto(s).put(c, goto.size - 1)
+        goto.size - 1
+      }
+      i += 1
+    }
+    ends(s) = pi :: ends(s)
+  }
+
+  private val n = goto.size
+  private val fail = new Array[Int](n)
+  /** pattern ids reported at each node: own ends ∪ out(fail) (BFS closure) */
+  private val out: Array[Array[Int]] = new Array[Array[Int]](n)
+  locally {
+    out(0) = ends(0).toArray
+    val q = new java.util.ArrayDeque[Int]()
+    goto(0).forEach { (_, v) =>
+      fail(v) = 0
+      out(v) = (ends(v) ++ out(0).toList).toArray
+      q.add(v)
+    }
+    while (!q.isEmpty) {
+      val u = q.poll()
+      goto(u).forEach { (c, v) =>
+        var f = fail(u)
+        while (f != 0 && !goto(f).containsKey(c)) f = fail(f)
+        fail(v) = if (goto(f).containsKey(c) && goto(f).get(c) != v) goto(f).get(c) else 0
+        out(v) = (ends(v) ++ out(fail(v)).toList).toArray
+        q.add(v)
+      }
+    }
+  }
+
+  /** Per-pattern occurrence counts over one text, index-aligned with the
+    * constructor's pattern order. */
+  def countAll(text: String): Array[Long] = {
+    val counts = new Array[Long](patterns.length)
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      while (s != 0 && !goto(s).containsKey(c)) s = fail(s)
+      if (goto(s).containsKey(c)) s = goto(s).get(c)
+      val o = out(s)
+      var j = 0
+      while (j < o.length) { counts(o(j)) += 1L; j += 1 }
+      i += 1
+    }
+    counts
+  }
+}
+
+/** ARRAY<BIGINT> of per-pattern occurrence counts (all match positions,
+  * overlapping included) of a FOLDABLE ARRAY<STRING> dictionary over a
+  * text column — one [[AhoAutomaton]] pass per row, built once per
+  * executor. The multi-pattern blocklist/decontamination primitive. */
+case class AhoCountsExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "aho_counts"
+
+  @transient private lazy val automaton = {
+    require(right.foldable, "aho_counts: the pattern dictionary must be a literal array")
+    val ad = right.eval().asInstanceOf[ArrayData]
+    require(ad != null, "aho_counts: the pattern dictionary must not be NULL")
+    new AhoAutomaton(Array.tabulate(ad.numElements())(i => ad.getUTF8String(i).toString))
+  }
+
+  override def nullSafeEval(t: Any, patternsIgnored: Any): Any =
+    new GenericArrayData(automaton.countAll(t.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object text {
+  def aho_counts(c: Column, patterns: Seq[String]): Column =
+    SparkShims.column(AhoCountsExpr(SparkShims.expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        patterns, ArrayType(StringType, containsNull = false))))
   def char_entropy(c: Column): Column =
     SparkShims.column(CharEntropyExpr(SparkShims.expression(c)))
   def cdc_spans(c: Column, avg: Int): Column =

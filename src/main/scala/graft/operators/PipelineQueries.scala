@@ -1027,6 +1027,27 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Multi-pattern blocklist scan: ONE Aho–Corasick automaton pass
+    // counts every dictionary term per doc (substring semantics,
+    // dictionary-substring pairs like "query"/"big query" counted
+    // independently) — the scale answer to blocklist/decontamination
+    // term filtering, vs k regex passes re-scanning the corpus k
+    // times. All dictionary terms are border-free (no proper
+    // prefix = suffix), so the oracle's greedy replace-count equals
+    // the automaton's all-occurrences count exactly.
+    "text_blocklist_aho" -> ((s, dir) => {
+      val pats = Seq("scan", "query", "big query", "data",
+        "stream", "part table", "scan slow", "row")
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.text.aho_counts(lower(col("text")), pats)))
+        .filter(col("col") > 0)
+        .select(col("doc_id"),
+          element_at(typedlit(pats), (col("pos") + 1).cast("int")).as("term"),
+          col("col").as("n"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
     // TF-IDF keyword extraction: per-document top-3 terms (smoothed idf,
     // deterministic term-asc tie-break), bounded to every 7th doc.
     "text_tfidf_topk" -> ((s, dir) => {
@@ -4148,6 +4169,19 @@ object PipelineQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    // greedy replace-count per term == all-occurrence count because
+    // every dictionary term is border-free (occurrences cannot overlap)
+    "text_blocklist_aho" ->
+      """WITH pats(term) AS (VALUES ('scan'), ('query'), ('big query'),
+        |  ('data'), ('stream'), ('part table'), ('scan slow'), ('row')),
+        |hits AS (
+        |  SELECT d.doc_id, p.term,
+        |    CAST((len(lower(d.text)) - len(replace(lower(d.text), p.term, '')))
+        |      // len(p.term) AS BIGINT) AS n
+        |  FROM documents d CROSS JOIN pats p)
+        |SELECT doc_id, term, n FROM hits WHERE n > 0
+        |ORDER BY doc_id, term""".stripMargin,
 
     "text_tfidf_topk" ->
       """WITH tok AS (

@@ -124,7 +124,8 @@ class ExpressionParitySpec extends AnyFunSuite {
   test("text expressions parity (empty string, punctuation-only, unicode)") {
     assertParity(
       """SELECT id, shingle_hashes(s, 2), shingle_hashes_pos(s, 2),
-        |  gram_sketch(s, 2, 4), simhash64(s), md5_lower64(s), repetition_stats(s)
+        |  gram_sketch(s, 2, 4), simhash64(s), md5_lower64(s), repetition_stats(s),
+        |  aho_counts(s, array('the', 'o', 'a a', 'wörld', '---'))
         |FROM VALUES
         |  (0, 'the quick brown fox jumps over the lazy dog'),
         |  (1, ''),
