@@ -291,6 +291,7 @@ object BenchAnchors {
     "cluster_silhouette" -> 0.633, // r12 new gate, 5-rep isolated quiet-box median
     "cluster_dbscan_core" -> 0.624, // r13 new gate, 5-rep isolated quiet-box median
     "text_blocklist_aho" -> 0.314, // r13 new gate, 5-rep isolated quiet-box median
+    "multimodal_audio_pitch" -> 0.467, // r13 new gate, 5-rep isolated quiet-box median
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

@@ -1560,6 +1560,25 @@ object PipelineQueries {
       graft.pipeline.TableStats.datasetDigest(docs(s, dir),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // Windowed autocorrelation pitch detection: real WAV parse, then
+    // per-64-frame-window integer autocorrelation at candidate lags
+    // {1,2,4,8} — best_lag recovers the corpus's PLANTED period
+    // (2·2^(id mod 3)) in every window. Exact Long arithmetic end to
+    // end; the oracle replays the closed-form generator + the same
+    // lag sums per window in SQL.
+    "multimodal_audio_pitch" -> ((s, dir) => {
+      val blobs = Audio.withPitchAudio(s,
+        docs(s, dir).filter(col("doc_id") < 200), "doc_id")
+      Audio.autocorrStats(blobs, win = 64, lags = Seq(1, 2, 4, 8)).toDF()
+        .select(col("doc_id"), col("win_idx"), col("energy"),
+          element_at(col("corrs"), 1).as("r1"),
+          element_at(col("corrs"), 2).as("r2"),
+          element_at(col("corrs"), 3).as("r4"),
+          element_at(col("corrs"), 4).as("r8"),
+          col("best_lag"))
+        .orderBy(col("doc_id"), col("win_idx"))
+    }),
+
     // Audio decimation resample: every 4th frame of the decoded PCM —
     // the audio twin of the integer pixel downsample (no floats, every
     // output value IS an input value), so the oracle replays the
@@ -4928,6 +4947,56 @@ object PipelineQueries {
         |  CAST(sum(h) AS VARCHAR) AS digest_sum,
         |  bit_xor(h) AS digest_xor
         |FROM h""".stripMargin,
+
+    // closed-form pitch corpus replay: period/wave/amplitude CASEs
+    // mirror Audio.synthPitchBlob; lag sums joined within each full
+    // 64-frame window; best lag = max r, smallest lag on ties
+    "multimodal_audio_pitch" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |samp AS (
+        |  SELECT doc_id, i,
+        |    (CASE WHEN doc_id % 3 = 0 THEN
+        |       CASE (i + doc_id) % 2 WHEN 0 THEN 1000 ELSE -1000 END
+        |     WHEN doc_id % 3 = 1 THEN
+        |       CASE (i + doc_id) % 4 WHEN 0 THEN 1000 WHEN 1 THEN -200
+        |         WHEN 2 THEN -1000 ELSE 200 END
+        |     ELSE
+        |       CASE (i + doc_id) % 8 WHEN 0 THEN 1000 WHEN 1 THEN 300
+        |         WHEN 2 THEN -800 WHEN 3 THEN 150 WHEN 4 THEN -1000
+        |         WHEN 5 THEN -300 WHEN 6 THEN 800 ELSE -150 END
+        |     END) * (1 + doc_id % 3) AS s
+        |  FROM ids, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(255 + doc_id % 64 AS BIGINT))) AS i)),
+        |fw AS (
+        |  SELECT doc_id, i // 64 AS w, i % 64 AS j, s FROM samp
+        |  WHERE i // 64 < (256 + doc_id % 64) // 64),
+        |energy AS (
+        |  SELECT doc_id, w, CAST(sum(s * s) AS BIGINT) AS energy
+        |  FROM fw GROUP BY doc_id, w),
+        |corr AS (
+        |  SELECT a.doc_id, a.w, l.lag, CAST(sum(a.s * b.s) AS BIGINT) AS r
+        |  FROM fw a
+        |  JOIN (VALUES (1), (2), (4), (8)) l(lag) ON a.j < 64 - l.lag
+        |  JOIN fw b ON b.doc_id = a.doc_id AND b.w = a.w AND b.j = a.j + l.lag
+        |  GROUP BY a.doc_id, a.w, l.lag),
+        |piv AS (
+        |  SELECT doc_id, w,
+        |    max(CASE WHEN lag = 1 THEN r END) AS r1,
+        |    max(CASE WHEN lag = 2 THEN r END) AS r2,
+        |    max(CASE WHEN lag = 4 THEN r END) AS r4,
+        |    max(CASE WHEN lag = 8 THEN r END) AS r8
+        |  FROM corr GROUP BY doc_id, w),
+        |best AS (
+        |  SELECT doc_id, w, CAST(lag AS INTEGER) AS best_lag FROM (
+        |    SELECT doc_id, w, lag,
+        |      row_number() OVER (PARTITION BY doc_id, w ORDER BY r DESC, lag) AS rn
+        |    FROM corr) x WHERE rn = 1)
+        |SELECT e.doc_id, e.w AS win_idx, e.energy, p.r1, p.r2, p.r4, p.r8,
+        |  b.best_lag
+        |FROM energy e
+        |JOIN piv p ON p.doc_id = e.doc_id AND p.w = e.w
+        |JOIN best b ON b.doc_id = e.doc_id AND b.w = e.w
+        |ORDER BY e.doc_id, win_idx""".stripMargin,
 
     "multimodal_audio_decimate" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),

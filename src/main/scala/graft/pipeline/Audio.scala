@@ -172,6 +172,41 @@ object Audio {
     df.select(col(idCol).cast("long")).as[Long].map(synthVadBlob)
   }
 
+  /** Near-zero-mean period waveforms for the pitch corpus, one per
+    * planted period. Values are hand-designed so the TRUE period's
+    * autocorrelation dominates every other candidate lag (a
+    * near-period-2 aliased wave like k·997 mod 2001 would not). */
+  private val PitchWaves: Map[Int, Array[Int]] = Map(
+    2 -> Array(1000, -1000),
+    4 -> Array(1000, -200, -1000, 200),
+    8 -> Array(1000, 300, -800, 150, -1000, -300, 800, -150))
+
+  /** [[synthBlob]] with planted PERIODICITY: period p = 2·2^(id mod 3)
+    * ∈ {2,4,8}, doc-rotated phase, amplitude 1 + id mod 3 — the
+    * closed-form signal whose pitch the autocorrelation gate recovers
+    * (`best_lag` = p in EVERY window, verified exhaustively). */
+  def synthPitchBlob(docId: Long): MediaBlob = {
+    val p = 2 << (docId % 3).toInt
+    val wave = PitchWaves(p)
+    val amp = 1 + (docId % 3).toInt
+    val n = (256 + docId % 64).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = (wave(((i + docId) % p).toInt) * amp).toShort
+      i += 1
+    }
+    val rate = (8000 + (docId % 8) * 1000).toInt
+    MediaBlob(docId, "audio/wav", encodeWavPcm16(docId, rate, samples),
+      MediaMeta(0, 0, 1, n * 1000L / rate))
+  }
+
+  /** Pitch-corpus variant of [[withWavAudio]]. */
+  def withPitchAudio(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map(synthPitchBlob)
+  }
+
   /** Decode stage: real parser per blob inside mapPartitions. */
   def decodeStats(blobs: Dataset[MediaBlob]): Dataset[WavStats] = {
     import blobs.sparkSession.implicits._
@@ -451,5 +486,64 @@ object Audio {
       .withColumn("seg_idx", row_number().over(wSeg).cast("long"))
       .select(col("doc_id"), col("seg_idx"), col("start_block"),
         col("n_blocks"), col("seg_sum_abs"))
+  }
+
+  final case class WavAutocorr(
+      doc_id: Long,
+      win_idx: Long,
+      energy: Long,
+      corrs: Seq[Long],
+      best_lag: Int)
+
+  /**
+   * Windowed integer autocorrelation — the periodicity/pitch-detection
+   * primitive (the time-domain stage every classic pitch tracker runs
+   * before peak-picking). Per full `win`-frame window:
+   * `r_ℓ = Σ_{i<win−ℓ} s[i]·s[i+ℓ]` for each candidate lag, plus the
+   * window energy `r_0 = Σ s²`; `best_lag` is the argmax over the
+   * candidate lags (smallest lag on ties — deterministic). EXACT Long
+   * arithmetic end to end (|s| ≤ 32768, win ≤ 2¹⁵ → |r| < 2⁴⁵), so the
+   * closed-form gate corpus replays value-for-value in SQL. Trailing
+   * partial windows are dropped (a pitch estimate over a ragged tail
+   * is not comparable across docs).
+   *
+   * Scale shape: [[decodeSamples]]' real chunk-walk parse + this loop
+   * run per row inside mapPartitions; audio bytes never cross a
+   * shuffle — only the fixed-width per-window rows do.
+   */
+  def decodeWavAutocorr(
+      docId: Long, bytes: Array[Byte], win: Int, lags: Seq[Int]): Seq[WavAutocorr] = {
+    require(win >= 2, "autocorr window must have at least 2 frames")
+    require(lags.nonEmpty && lags.forall(l => l >= 1 && l < win),
+      s"lags must be in [1, win); got $lags")
+    val s = decodeSamples(docId, bytes)
+    val nWin = s.length / win
+    (0 until nWin).map { w =>
+      val base = w * win
+      var energy = 0L
+      var i = 0
+      while (i < win) {
+        val v = s(base + i).toLong
+        energy += v * v
+        i += 1
+      }
+      val corrs = lags.map { lag =>
+        var r = 0L
+        var j = 0
+        while (j < win - lag) {
+          r += s(base + j).toLong * s(base + j + lag).toLong
+          j += 1
+        }
+        r
+      }
+      val best = corrs.zip(lags).maxBy { case (r, lag) => (r, -lag) }._2
+      WavAutocorr(docId, w.toLong, energy, corrs, best)
+    }
+  }
+
+  /** Autocorrelation stage: same mapPartitions shape as [[decodeStats]]. */
+  def autocorrStats(blobs: Dataset[MediaBlob], win: Int, lags: Seq[Int]): Dataset[WavAutocorr] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap(b => decodeWavAutocorr(b.doc_id, b.data, win, lags)))
   }
 }
