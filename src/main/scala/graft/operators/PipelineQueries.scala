@@ -661,6 +661,20 @@ object PipelineQueries {
           eps = 0.03, minPts = 5)
         .orderBy(col("vec_id"))),
 
+    // FULL DBSCAN (ε=0.015 — 19-20 real clusters at every gate SF):
+    // clusters = connected components of the core-core ε-adjacency via
+    // the pointer-jumping min-label CC (O(log diameter) rounds);
+    // borders attach to the MIN cluster label among adjacent cores
+    // (deterministic where the textbook scan order is not); noise −1.
+    // The oracle replays the semantics with the quadratic ε-join + a
+    // recursive min-label CTE — independent of both the grid bucketing
+    // AND the pointer jumping.
+    "cluster_dbscan_labels" -> ((s, dir) =>
+      Clustering.dbscanLabels(emb(s, dir), "vec_id",
+          element_at(col("embedding"), 1), element_at(col("embedding"), 2),
+          eps = 0.015, minPts = 5)
+        .orderBy(col("vec_id"))),
+
     // SemDeDup (Abbas et al. 2023): k-means the embedding space with the
     // distributed trainer, deduplicate within clusters only. Corpus =
     // bounded base ∪ perturbed near-copies (vec_id+100000, cosine ≈
@@ -3625,6 +3639,45 @@ object PipelineQueries {
         |       WHEN cnt.p IN (SELECT p FROM border) THEN 'border'
         |       ELSE 'noise' END AS cls
         |FROM cnt ORDER BY vec_id""".stripMargin,
+
+    // quadratic eps-join + recursive min-label CC over core-core edges
+    // (the dedup_clusters CTE recipe) — independent of the engine's
+    // grid bucketing and pointer jumping
+    "cluster_dbscan_labels" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+        |         CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS p, b.vec_id AS q
+        |  FROM pts a JOIN pts b
+        |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.015*0.015),
+        |cnt AS (SELECT p, count(*) AS n_eps FROM pairs GROUP BY p),
+        |core AS (SELECT p FROM cnt WHERE n_eps >= 5),
+        |ce AS (
+        |  SELECT pr.p AS u, pr.q AS v FROM pairs pr
+        |  JOIN core a ON pr.p = a.p JOIN core b ON pr.q = b.p
+        |  WHERE pr.p <> pr.q),
+        |cc AS (
+        |  SELECT p AS id, p AS label FROM core
+        |  UNION
+        |  SELECT e.v AS id, cc.label FROM cc JOIN ce e ON cc.id = e.u),
+        |corelab AS (SELECT id AS node, min(label) AS cluster FROM cc GROUP BY id),
+        |blab AS (
+        |  SELECT pr.p, min(cl.cluster) AS bcluster
+        |  FROM pairs pr JOIN corelab cl ON pr.q = cl.node
+        |  WHERE pr.p <> pr.q
+        |  GROUP BY pr.p)
+        |SELECT cnt.p AS vec_id, cnt.n_eps,
+        |  CASE WHEN cl.node IS NOT NULL THEN 'core'
+        |       WHEN b.bcluster IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS cls,
+        |  CAST(CASE WHEN cl.node IS NOT NULL THEN cl.cluster
+        |            WHEN b.bcluster IS NOT NULL THEN b.bcluster
+        |            ELSE -1 END AS BIGINT) AS cluster
+        |FROM cnt
+        |LEFT JOIN corelab cl ON cl.node = cnt.p
+        |LEFT JOIN blab b ON b.p = cnt.p
+        |ORDER BY vec_id""".stripMargin,
 
     // Same 2-round unrolled Lloyd's as cluster_kmeans, over the planted
     // corpus; rep = min id per (cluster, identical embedding); a rep is

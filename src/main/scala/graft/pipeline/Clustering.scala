@@ -298,6 +298,59 @@ object Clustering {
           .otherwise(lit("noise")).as("cls"))
   }
 
+  /**
+   * Full DBSCAN cluster labeling: [[dbscanClassify]]'s density stage
+   * plus the component stage — clusters are connected components of
+   * the ε-adjacency restricted to CORE points
+   * ([[Dedup.duplicateClusters]]' pointer-jumping min-label CC, the
+   * O(log diameter)-round large-scale recipe), borders attach to the
+   * MINIMUM cluster label among their adjacent cores (deterministic —
+   * textbook DBSCAN leaves border assignment scan-order-dependent),
+   * noise labels −1. Cluster label = minimum vec id of the component
+   * (an isolated core is its own singleton cluster).
+   *
+   * Scale shape: the grid-bucketed candidate join runs ONCE
+   * (checkpointed) and feeds the count, the core-core edge filter, and
+   * the border attach; the CC rounds then touch only core-edge rows.
+   */
+  def dbscanLabels(
+      points: DataFrame,
+      idCol: String,
+      xCol: org.apache.spark.sql.Column,
+      yCol: org.apache.spark.sql.Column,
+      eps: Double,
+      minPts: Int): DataFrame = {
+    require(eps > 0.0, "dbscan eps must be positive")
+    require(minPts >= 1, "dbscan minPts must be >= 1")
+    val pairs = epsNeighborPairs(points, idCol, xCol, yCol, eps)
+      .localCheckpoint() // feeds counts, core-edge filter AND border attach
+    val counts = pairs.groupBy(col("p")).agg(count(lit(1)).as("n_eps"))
+    val core = counts.filter(col("n_eps") >= minPts).select(col("p").as("cp"))
+    val coreEdges = pairs.filter(col("p") =!= col("q"))
+      .join(core, col("p") === col("cp")).drop("cp")
+      .join(core, col("q") === col("cp")).drop("cp")
+    val cc = Dedup.duplicateClusters(coreEdges, "p", "q")
+      .select(col("doc_id").as("cc_id"), col("cluster_id"))
+    // isolated cores (no core neighbor) carry no CC row → own-id cluster
+    val coreLab = core.join(cc, col("cp") === col("cc_id"), "left")
+      .select(col("cp").as("core_node"),
+        coalesce(col("cluster_id"), col("cp")).as("core_cluster"))
+    val borderLab = pairs.filter(col("p") =!= col("q"))
+      .join(coreLab, col("q") === col("core_node"))
+      .groupBy(col("p")).agg(min(col("core_cluster")).as("b_cluster"))
+      .select(col("p").as("bp"), col("b_cluster"))
+    counts
+      .join(coreLab, col("p") === col("core_node"), "left")
+      .join(borderLab, col("p") === col("bp"), "left")
+      .select(col("p").as(idCol), col("n_eps"),
+        when(col("core_node").isNotNull, lit("core"))
+          .when(col("b_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("cls"),
+        when(col("core_node").isNotNull, col("core_cluster"))
+          .when(col("b_cluster").isNotNull, col("b_cluster"))
+          .otherwise(lit(-1L)).cast("long").as("cluster"))
+  }
+
   /** The grid-bucketed candidate stage, lazy — split out so the
     * per-stage physical plan stays pinnable in DbscanSpec (the
     * checkpoint in [[dbscanClassify]] reduces the public query's plan

@@ -71,6 +71,56 @@ class DbscanSpec extends AnyFunSuite {
     assert(out.values.forall(_ == ((1L, "core"))))
   }
 
+  private def labels(pts: Seq[(Long, Double, Double)],
+                     eps: Double, minPts: Int): Map[Long, (String, Long)] = {
+    val s = spark
+    import s.implicits._
+    Clustering.dbscanLabels(pts.toDF("id", "x", "y"), "id",
+        col("x"), col("y"), eps, minPts)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+  }
+
+  test("labels: two separate clusters, border attaches to MIN adjacent cluster, noise -1") {
+    // eps=1, minPts=3. Cluster A = chain {1,2,3} (0, 0.5, 1.0) all core;
+    // cluster B = chain {10,11,12} at x=5.. all core. p20 at (1.7, 0):
+    // neighbors {3,20} → non-core, adjacent to core 3 → border of
+    // cluster min(A)=1. p30 isolated → noise, cluster -1.
+    val out = labels(Seq(
+      (1L, 0.0, 0.0), (2L, 0.5, 0.0), (3L, 1.0, 0.0),
+      (10L, 5.0, 0.0), (11L, 5.5, 0.0), (12L, 6.0, 0.0),
+      (20L, 1.7, 0.0), (30L, 9.0, 9.0)), eps = 1.0, minPts = 3)
+    assert(Seq(1L, 2L, 3L).forall(out(_) == (("core", 1L))))
+    assert(Seq(10L, 11L, 12L).forall(out(_) == (("core", 10L))))
+    assert(out(20L) === (("border", 1L)))
+    assert(out(30L) === (("noise", -1L)))
+  }
+
+  test("labels: a border between two clusters takes the smaller cluster label") {
+    // eps=1, minPts=4, exact-binary quarter coordinates. Cluster A =
+    // {1,2,3,4} at 0.25..1.0 (span 0.75, each n_eps=4 → core); cluster
+    // B = {7,8,9,10} at 3.0..3.75. p5 at 2.0: neighbors {4,5,7} = 3 <
+    // 4 → border, adjacent to core 4 (cluster 1) AND core 7 (cluster
+    // 7) at distance exactly 1.0 each → takes min(1, 7) = 1. The two
+    // clusters stay separate (1.0 to 3.0 = 2.0 > ε; p5 is no bridge —
+    // only CORE adjacency merges clusters).
+    val out = labels(Seq(
+      (1L, 0.25, 0.0), (2L, 0.5, 0.0), (3L, 0.75, 0.0), (4L, 1.0, 0.0),
+      (7L, 3.0, 0.0), (8L, 3.25, 0.0), (9L, 3.5, 0.0), (10L, 3.75, 0.0),
+      (5L, 2.0, 0.0)), eps = 1.0, minPts = 4)
+    assert(out(5L) === (("border", 1L)))
+    assert(out(7L) === (("core", 7L)) && out(1L) === (("core", 1L)))
+    assert(out(10L) === (("core", 7L)))
+  }
+
+  test("labels: an isolated core is its own singleton cluster") {
+    // 5 coincident points are core (n_eps=5 >= 5) with no OTHER core
+    // within eps — wait, they are each other's core neighbors; use one
+    // point with minPts=1: core with zero core EDGES (self-pairs are
+    // excluded) → singleton cluster labeled by its own id.
+    val out = labels(Seq((42L, 0.0, 0.0), (50L, 9.0, 0.0)), eps = 1.0, minPts = 1)
+    assert(out(42L) === (("core", 42L)) && out(50L) === (("core", 50L)))
+  }
+
   test("plan: the eps-join is a cell-key hash join, never all-pairs") {
     val s = spark
     import s.implicits._
