@@ -295,6 +295,7 @@ object BenchAnchors {
     // CC-round dominated (pointer-jumping over the 1441-core eps-graph;
     // the graph_kcore/lpa cost class)
     "cluster_dbscan_labels" -> 6.801, // r13 new gate, 5-rep isolated quiet-box median
+    "graph_path_counts" -> 3.561, // r13 new gate, 5-rep isolated quiet-box median
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

@@ -1483,6 +1483,29 @@ object RelationalQueries {
         .orderBy(col("node_type"), col("node_key"))
     }),
 
+    // Shortest-path multiplicities (3 layers) from the 5-customer seed
+    // set — the Brandes forward pass: per (seed, node) exact hop
+    // distance AND the number of distinct shortest paths σ, the
+    // primitive under betweenness/stress centrality. Pure integer path
+    // sums; the oracle unrolls the layers (σ summed over layer-(r−1)
+    // predecessors, settled keys excluded).
+    "graph_path_counts" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.pipeline.GraphAlgos.shortestPathCounts(
+          graft.pipeline.GraphAlgos.symmetrize(edges),
+          sources = Seq(2L, 4L, 6L, 8L, 10L), rounds = 3)
+        .select(
+          expr("seed div 2").cast("long").as("seed_key"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").cast("long").as("node_key"),
+          col("dist"), col("sigma"))
+        .orderBy(col("seed_key"), col("node_type"), col("node_key"))
+    }),
+
     // HITS hubs/authorities (2 exact-integer rounds) on the DIRECTED
     // customer→supplier fulfillment graph: suppliers are pure
     // authorities, customers pure hubs — round 1 is degree, round 2
@@ -3304,6 +3327,52 @@ object RelationalQueries {
          |  node // 2 AS node_key, dist
          |FROM d3
          |ORDER BY node_type, node_key""".stripMargin,
+
+    // unrolled path-count layers: layer r pulls sigma from layer r-1
+    // only, NOT EXISTS against the settled union keeps sigma a
+    // SHORTEST-path count (first arrival wins)
+    "graph_path_counts" ->
+      s"""WITH edges0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM edges0
+         |  UNION SELECT dst AS src, src AS dst FROM edges0),
+         |p0 AS (
+         |  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist,
+         |    CAST(1 AS BIGINT) AS sigma
+         |  FROM (VALUES (2), (4), (6), (8), (10)) s(seed)
+         |  WHERE seed IN (SELECT src FROM edges)),
+         |p1 AS (
+         |  SELECT p.seed, e.dst AS node, CAST(1 AS BIGINT) AS dist,
+         |    CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM p0 p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM p0 x
+         |                    WHERE x.seed = p.seed AND x.node = e.dst)
+         |  GROUP BY p.seed, e.dst),
+         |s1 AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1),
+         |p2 AS (
+         |  SELECT p.seed, e.dst AS node, CAST(2 AS BIGINT) AS dist,
+         |    CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM p1 p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM s1 x
+         |                    WHERE x.seed = p.seed AND x.node = e.dst)
+         |  GROUP BY p.seed, e.dst),
+         |s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM p2),
+         |p3 AS (
+         |  SELECT p.seed, e.dst AS node, CAST(3 AS BIGINT) AS dist,
+         |    CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM p2 p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM s2 x
+         |                    WHERE x.seed = p.seed AND x.node = e.dst)
+         |  GROUP BY p.seed, e.dst),
+         |s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM p3)
+         |SELECT CAST(seed // 2 AS BIGINT) AS seed_key,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS node_key, dist, sigma
+         |FROM s3
+         |ORDER BY seed_key, node_type, node_key""".stripMargin,
 
     "graph_hits" ->
       s"""WITH edges AS (

@@ -780,6 +780,70 @@ object GraphAlgos {
   }
 
   /**
+   * Shortest-path multiplicities from each seed — the Brandes forward
+   * pass: per (seed, node) the exact hop distance AND the number of
+   * distinct shortest paths σ, the primitive under betweenness/stress
+   * centrality and route-diversity scoring. Layer-synchronous BFS with
+   * path counting: layer-r candidates come from layer-(r−1) frontier
+   * rows only (σ_v = Σ over frontier predecessors of σ_u), and a
+   * left-anti join against the settled set admits only FIRST-time —
+   * hence shortest — arrivals, so σ never double-counts longer walks.
+   * Pure Long arithmetic (σ ≤ deg^rounds « 2⁶³ at bounded rounds);
+   * seeds absent from the graph are dropped.
+   *
+   * Scale shape per round: one edges⋈frontier equi-join + keyed sum +
+   * anti-join against node-sized state; rounds localCheckpoint so
+   * lineage stays O(1) (the BFS/PageRank discipline). `edges` directed;
+   * symmetrize upstream for undirected semantics (multi-edges must be
+   * deduped — σ counts paths in the SIMPLE graph).
+   */
+  def shortestPathCounts(
+      edges: DataFrame,
+      sources: Seq[Long],
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one BFS round")
+    require(sources.nonEmpty, "shortestPathCounts needs a non-empty seed set")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    e.persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "shortestPathCounts on an empty edge set")
+    val bcast = n * sources.size <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df
+
+    var settled = sources.toDF("seed")
+      .join(nodes, col("seed") === col("node"), "left_semi")
+      .select(col("seed"), col("seed").as("node"),
+        lit(0L).as("dist"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var frontier = settled
+    for (r <- 1 to rounds) {
+      val cand = e.join(
+          maybeBcast(frontier.select(col("seed"), col("node").as("src"), col("sigma"))),
+          Seq("src"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("seed"), col("dst").as("node"), col("sigma"))
+      val fresh = cand
+        .join(settled.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(r.toLong).as("dist"), col("sigma"))
+        .localCheckpoint()
+      val nextSettled = settled.unionByName(fresh).localCheckpoint()
+      SparkShims.unpersistCheckpoint(settled)
+      if (r > 1) SparkShims.unpersistCheckpoint(frontier)
+      settled = nextSettled
+      frontier = fresh
+    }
+    if (rounds >= 1 && (frontier ne settled)) SparkShims.unpersistCheckpoint(frontier)
+    e.unpersist()
+    settled
+  }
+
+  /**
    * Bounded-round weighted single-source shortest paths (Bellman–Ford
    * relaxation): integer edge weights, `rounds` rounds of
    * `dist_v = min(dist_v, dist_u + w_uv)` — exact distances for every

@@ -355,4 +355,32 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(one(101L) === 2L) // in-labels {2,3} tie -> min = 2
     assert(one(1L) === 1L && one(2L) === 2L && one(3L) === 3L) // sinks hold
   }
+
+  test("path counts: diamond multiplicities, per-seed identity, no longer-walk leakage") {
+    // diamond 1-2-4, 1-3-4 plus tail 4-5; seeds {1, 5}; seed 99 absent
+    val e = GraphAlgos.symmetrize(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("src", "dst"))
+    val got = GraphAlgos.shortestPathCounts(e, sources = Seq(1L, 5L, 99L), rounds = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (s, n, d, sg) => (s, n) -> ((d, sg)) }.toMap
+    // from 1: two shortest paths reach 4 (via 2 and via 3); 5 gets both
+    assert(got((1L, 1L)) === ((0L, 1L)) && got((1L, 2L)) === ((1L, 1L)))
+    assert(got((1L, 4L)) === ((2L, 2L)), "diamond must double sigma")
+    assert(got((1L, 5L)) === ((3L, 2L)), "sigma propagates through the tail")
+    // from 5: the diamond in reverse — 2 and 3 at dist 2 (sigma 1 each),
+    // 1 at dist 3 with sigma 2
+    assert(got((5L, 4L)) === ((1L, 1L)) && got((5L, 1L)) === ((3L, 2L)))
+    // the walk 1->2->4->3 must NOT register 3 at dist 3 (settled at 1)
+    assert(got((1L, 3L)) === ((1L, 1L)))
+    // absent seed dropped entirely
+    assert(!got.keys.exists(_._1 == 99L))
+  }
+
+  test("path counts: triangle — adjacent nodes settle at dist 1 and never re-enter") {
+    val e = GraphAlgos.symmetrize(Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst"))
+    val got = GraphAlgos.shortestPathCounts(e, sources = Seq(0L), rounds = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (s, n, d, sg) => n -> ((d, sg)) }.toMap
+    assert(got === Map(0L -> ((0L, 1L)), 1L -> ((1L, 1L)), 2L -> ((1L, 1L))))
+  }
 }
