@@ -292,9 +292,10 @@ object BenchAnchors {
     "cluster_dbscan_core" -> 0.624, // r13 new gate, 5-rep isolated quiet-box median
     "text_blocklist_aho" -> 0.314, // r13 new gate, 5-rep isolated quiet-box median
     "multimodal_audio_pitch" -> 0.467, // r13 new gate, 5-rep isolated quiet-box median
-    // CC-round dominated (pointer-jumping over the 1441-core eps-graph;
-    // the graph_kcore/lpa cost class)
-    "cluster_dbscan_labels" -> 6.801, // r13 new gate, 5-rep isolated quiet-box median
+    // CC-round dominated (star-rewriting over the 1441-core eps-graph;
+    // re-anchored after the switch from pointer jumping to
+    // large-star/small-star — fewer rounds, 6.801 -> 3.828)
+    "cluster_dbscan_labels" -> 3.828, // r13 gate, 5-rep isolated quiet-box median
     "graph_path_counts" -> 3.561, // r13 new gate, 5-rep isolated quiet-box median
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,

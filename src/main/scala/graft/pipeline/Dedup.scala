@@ -772,9 +772,14 @@ object Dedup {
         struct(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // freshCheckpointStats after every eager checkpoint: the round
+    // contains a SELF-join, so inherited size estimates would square
+    // every round and drown the driver in BigInteger stats math by
+    // round ~20 (measured on a 1M-node component; see SparkShims)
+    var labels = SparkShims.freshCheckpointStats(
+      edges.select(col("u").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint(true))
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -786,18 +791,19 @@ object Dedup {
       // below then needs no join back to the old labels.
       val prop = edges.join(labels.withColumnRenamed("id", "u"), Seq("u"))
         .select(col("v").as("id"), col("label"), lit(null).cast("long").as("prev"))
-      val stepped = labels.withColumn("prev", col("label"))
-        .unionByName(prop)
-        .groupBy("id").agg(min("label").as("label"), min("prev").as("prev"))
-        .localCheckpoint(true)
+      val stepped = SparkShims.freshCheckpointStats(
+        labels.withColumn("prev", col("label"))
+          .unionByName(prop)
+          .groupBy("id").agg(min("label").as("label"), min("prev").as("prev"))
+          .localCheckpoint(true))
       // (b) pointer jumping: label := label(label) — a label always names
       // a node of the same component (and labels only decrease), so the
       // lookup table is `stepped` itself and each id joins exactly one
       // lookup row
-      val next = stepped
+      val next = SparkShims.freshCheckpointStats(stepped
         .join(stepped.select(col("id").as("label"), col("label").as("ll")), Seq("label"))
         .select(col("id"), least(col("label"), col("ll")).as("label"), col("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       // next is materialized: release the superseded round's storage
       // (Dataset.unpersist can't reach a checkpoint RDD — shim does)
       SparkShims.unpersistCheckpoint(stepped)

@@ -780,6 +780,101 @@ object GraphAlgos {
   }
 
   /**
+   * Connected components by alternating large-star/small-star edge
+   * rewriting (Kiveris et al., "Connected Components in MapReduce and
+   * Beyond") — O(log² n) rounds on ANY graph shape, including the
+   * huge-diameter meshes that defeat min-label propagation.
+   *
+   * Why this exists next to [[Dedup.duplicateClusters]]: label
+   * propagation (even with pointer jumping) moves information ONE graph
+   * hop per round, so a spatial cluster spanning d grid cells costs
+   * Θ(d) rounds — measured 289 rounds on a 300×300 mesh with random
+   * ids, where the label forest offers no shortcuts because each
+   * neighborhood minimum is geometrically local. Star rewriting instead
+   * RESHAPES the edge set toward stars rooted at component minima: the
+   * same mesh converges in 9 rounds. Near-dup clusters (tiny diameter)
+   * keep using duplicateClusters; spatial/mesh-like graphs use this.
+   *
+   * Per round: large-star hangs every higher neighbor of v onto
+   * min(N(v) ∪ {v}); small-star re-hangs the lower-or-equal neighbors
+   * (and v). Each is one symmetric-view groupBy-min + equi-join +
+   * distinct over the edge set — no node-count blowup (the paper bounds
+   * the edge multiset). Rounds localCheckpoint with
+   * [[SparkShims.freshCheckpointStats]] so driver-side size estimates
+   * stay measured, not compounded. Convergence = edge-set fixpoint,
+   * checked with an order-insensitive (count, Σhash, ⊕hash) digest.
+   *
+   * Output: (node, component) for every endpoint of `edges0`, component
+   * = minimum node id of the component (the star root).
+   */
+  def connectedComponentsStar(edges0: DataFrame, maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, "at least one star round")
+    val init = edges0.select(
+        least(col(edges0.columns(0)), col(edges0.columns(1))).cast("long").as("a"),
+        greatest(col(edges0.columns(0)), col(edges0.columns(1))).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+    def sym(e: DataFrame): DataFrame = e.select(explode(array(
+        struct(col("a").as("v"), col("b").as("u")),
+        struct(col("b").as("v"), col("a").as("u")))).as("x"))
+      .select(col("x.v").as("v"), col("x.u").as("u"))
+
+    /** m(v) = min(N(v) ∪ {v}) joined back onto the symmetric view. */
+    def withMin(s: DataFrame): DataFrame = {
+      val mins = s.groupBy(col("v")).agg(min(col("u")).as("mn"))
+        .select(col("v").as("mv"), least(col("mn"), col("mv")).as("m"))
+      s.join(mins, col("v") === col("mv")).drop("mv")
+    }
+
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+    def largeStar(e: DataFrame): DataFrame =
+      canon(withMin(sym(e)).filter(col("u") > col("v"))
+        .select(col("m").as("x"), col("u").as("y")))
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = withMin(sym(e))
+      canon(s.filter(col("u") <= col("v"))
+          .select(col("m").as("x"), col("u").as("y"))
+        .unionByName(s.select(col("m").as("x"), col("v").as("y")).distinct()))
+    }
+
+    def digest(e: DataFrame): (Long, String, Long) = {
+      // decimal Σhash: exact and overflow-free under ANSI mode
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
+        expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString,
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
+    var e = SparkShims.freshCheckpointStats(init.localCheckpoint(true))
+    var d = digest(e)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val next = SparkShims.freshCheckpointStats(
+        smallStar(largeStar(e)).localCheckpoint(true))
+      val d2 = digest(next)
+      SparkShims.unpersistCheckpoint(e)
+      e = next
+      converged = d2 == d
+      d = d2
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxRounds rounds")
+    // stars: every node's component is min(N(v) ∪ {v})
+    sym(e).groupBy(col("v")).agg(min(col("u")).as("mn"))
+      .select(col("v").as("node"), least(col("mn"), col("v")).as("component"))
+  }
+
+  /**
    * Shortest-path multiplicities from each seed — the Brandes forward
    * pass: per (seed, node) the exact hop distance AND the number of
    * distinct shortest paths σ, the primitive under betweenness/stress

@@ -101,4 +101,40 @@ object SparkShims {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /**
+   * Replace a checkpointed Dataset's inherited statistics with the
+   * MEASURED size of its materialized blocks.
+   *
+   * `Dataset.localCheckpoint` carries the origin plan's ESTIMATED
+   * `sizeInBytes` into the `LogicalRDD`. In a run-to-fixpoint loop whose
+   * round contains a self-join, that estimate multiplies with itself
+   * every round — the BigInt doubles in DIGITS per round, and after ~20
+   * rounds the driver spends minutes per round inside
+   * `BigInteger.multiplyToomCook3` doing join-size estimation with zero
+   * executor tasks running (measured on the 1M-point DBSCAN core CC:
+   * round 23's pointer-jump "join" took 291 s of pure driver stats
+   * math). Resetting to the real materialized size keeps every round's
+   * planning O(1) and the estimates honest.
+   *
+   * No-op for plans that are not a checkpointed scan or not yet
+   * materialized.
+   */
+  def freshCheckpointStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val sess = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val measured = sess.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => BigInt(i.memSize + i.diskSize).max(BigInt(1)))
+        measured match {
+          case Some(size) =>
+            val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+              sizeInBytes = size)
+            org.apache.spark.sql.classic.Dataset.ofRows(sess,
+              lr.copy()(sess, Some(stats), None))
+          case None => df
+        }
+      case _ => df
+    }
 }

@@ -376,6 +376,36 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(!got.keys.exists(_._1 == 99L))
   }
 
+  test("star CC: components get min-id labels on paths, cliques and crossing chains") {
+    // component A: path 5-9-3-7 (min 3); component B: triangle 10-11-12;
+    // component C: single edge 100-101; input directed/duplicated edges
+    val e = Seq((5L, 9L), (9L, 5L), (9L, 3L), (3L, 7L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (100L, 101L)).toDF("src", "dst")
+    val got = GraphAlgos.connectedComponentsStar(e)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(5L -> 3L, 9L -> 3L, 3L -> 3L, 7L -> 3L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 100L -> 100L, 101L -> 100L))
+  }
+
+  test("star CC: long chain with adversarial (descending) ids converges in few rounds") {
+    // a 200-link chain whose ids DESCEND along the path — the label-
+    // propagation worst case; star rewriting must still converge inside
+    // the default 30-round budget (O(log^2 n))
+    val chain = (0L until 200L).map(i => (200L - i, 199L - i)).toDF("src", "dst")
+    val got = GraphAlgos.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 201 && got.values.forall(_ == 0L))
+  }
+
+  test("star CC: self-loops and an empty edge set are handled") {
+    val e = Seq((1L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = GraphAlgos.connectedComponentsStar(e).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+    val empty = GraphAlgos.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(empty.isEmpty)
+  }
+
   test("path counts: triangle — adjacent nodes settle at dist 1 and never re-enter") {
     val e = GraphAlgos.symmetrize(Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst"))
     val got = GraphAlgos.shortestPathCounts(e, sources = Seq(0L), rounds = 3)
