@@ -1483,6 +1483,27 @@ object RelationalQueries {
         .orderBy(col("node_type"), col("node_key"))
     }),
 
+    // Connected components via large-star/small-star edge rewriting
+    // (Kiveris et al.) over the decile co-purchase graph — O(log² n)
+    // rounds on ANY graph shape, including the huge-diameter meshes
+    // that defeat label propagation (see BASELINE.md round 13). Labels
+    // are component minima; the oracle restates the semantics as a
+    // recursive min-label closure, independent of the rewriting.
+    "graph_connected_components" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      graft.pipeline.GraphAlgos.connectedComponentsStar(edges)
+        .select(col("node").cast("long").as("part_key"),
+          col("component").cast("long").as("component"))
+        .orderBy(col("part_key"))
+    }),
+
     // Shortest-path multiplicities (3 layers) from the 5-customer seed
     // set — the Brandes forward pass: per (seed, node) exact hop
     // distance AND the number of distinct shortest paths σ, the
@@ -3327,6 +3348,26 @@ object RelationalQueries {
          |  node // 2 AS node_key, dist
          |FROM d3
          |ORDER BY node_type, node_key""".stripMargin,
+
+    // recursive min-label closure over the symmetric decile
+    // co-purchase edges (the dedup_clusters CTE recipe)
+    "graph_connected_components" ->
+      s"""WITH RECURSIVE edges0 AS (
+         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         |  WHERE x.l_partkey % 10 = 0 AND y.l_partkey % 10 = 0),
+         |edges AS (
+         |  SELECT a AS u, b AS v FROM edges0
+         |  UNION ALL SELECT b AS u, a AS v FROM edges0),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |cc AS (
+         |  SELECT id, id AS label FROM nodes
+         |  UNION
+         |  SELECT e.v AS id, cc.label FROM cc JOIN edges e ON cc.id = e.u)
+         |SELECT id AS part_key, CAST(min(label) AS BIGINT) AS component
+         |FROM cc GROUP BY id
+         |ORDER BY part_key""".stripMargin,
 
     // unrolled path-count layers: layer r pulls sigma from layer r-1
     // only, NOT EXISTS against the settled union keeps sigma a
