@@ -298,6 +298,7 @@ object BenchAnchors {
     "cluster_dbscan_labels" -> 3.828, // r13 gate, 5-rep isolated quiet-box median
     "graph_path_counts" -> 3.561, // r13 new gate, 5-rep isolated quiet-box median
     "graph_connected_components" -> 3.238, // r13 new gate, 5-rep isolated quiet-box median
+    "multimodal_image_hist_eq" -> 0.714, // r13 new gate, 5-rep isolated quiet-box median
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

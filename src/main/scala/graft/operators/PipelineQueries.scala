@@ -864,6 +864,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Histogram equalization (exact-integer CDF mapping) over the REAL
+    // decoded PNG/BMP pixels — the classic contrast-normalization
+    // stage; the oracle replays the 4-quadrant histogram → CDF →
+    // floor-division mapping closed-form per channel.
+    "multimodal_image_hist_eq" -> ((s, dir) => {
+      val blobs = Multimodal.withEncodedImages(s, docs(s, dir), "doc_id")
+      Multimodal.decodeHistEq(blobs).toDF().orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling (video rows fan out one row per frame).
     // REAL frame extraction: multi-frame animated GIFs (the JDK codec's
     // writeToSequence / getNumImages-read path), per-frame exact integer
@@ -4170,6 +4179,42 @@ object PipelineQueries {
         |  CAST(wl*ht*((doc_id*7+7) % 256) + wr*ht*((doc_id*7+38) % 256)
         |     + wl*hb*((doc_id*7+69) % 256) + wr*hb*((doc_id*7+100) % 256) AS BIGINT) AS sum_b
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // quadrant histogram -> windowed CDF -> the same floor-division
+    // equalization mapping; per-channel equalized sums stay BIGINT
+    "multimodal_image_hist_eq" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 48 + 8 AS BIGINT) AS w,
+        |         CAST(doc_id % 32 + 8 AS BIGINT) AS h FROM documents),
+        |g AS (
+        |  SELECT doc_id, w, h, w // 2 AS wl, w - w // 2 AS wr,
+        |         h // 2 AS ht, h - h // 2 AS hb FROM m),
+        |quad AS (
+        |  SELECT doc_id, w * h AS n, ch.name AS ch,
+        |    CASE q.q WHEN 0 THEN wl*ht WHEN 1 THEN wr*ht
+        |             WHEN 2 THEN wl*hb ELSE wr*hb END AS area,
+        |    (doc_id * ch.c + 31 * q.q + 7) % 256 AS v
+        |  FROM g, (VALUES (3, 'r'), (5, 'g'), (7, 'b')) ch(c, name),
+        |       (VALUES (0), (1), (2), (3)) q(q)),
+        |hist AS (
+        |  SELECT doc_id, n, ch, v, sum(area) AS area
+        |  FROM quad GROUP BY doc_id, n, ch, v),
+        |cdf AS (
+        |  SELECT doc_id, n, ch, v, area,
+        |    sum(area) OVER (PARTITION BY doc_id, ch ORDER BY v) AS cdf
+        |  FROM hist),
+        |mn AS (SELECT doc_id, ch, min(cdf) AS cdfmin FROM cdf GROUP BY 1, 2),
+        |eq AS (
+        |  SELECT c.doc_id, c.ch, c.area, c.n,
+        |    CASE WHEN c.n = x.cdfmin THEN 0
+        |         ELSE (c.cdf - x.cdfmin) * 255 // (c.n - x.cdfmin) END AS ev
+        |  FROM cdf c JOIN mn x ON x.doc_id = c.doc_id AND x.ch = c.ch)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_pixels,
+        |  CAST(sum(CASE WHEN ch = 'r' THEN area * ev ELSE 0 END) AS BIGINT) AS eq_sum_r,
+        |  CAST(sum(CASE WHEN ch = 'g' THEN area * ev ELSE 0 END) AS BIGINT) AS eq_sum_g,
+        |  CAST(sum(CASE WHEN ch = 'b' THEN area * ev ELSE 0 END) AS BIGINT) AS eq_sum_b
+        |FROM eq GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(f * 5000 AS BIGINT) AS ts_ms

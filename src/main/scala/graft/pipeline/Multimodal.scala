@@ -81,6 +81,72 @@ object Multimodal {
       sum_g: Long,
       sum_b: Long)
 
+  final case class HistEqStats(
+      doc_id: Long,
+      n_pixels: Long,
+      eq_sum_r: Long,
+      eq_sum_g: Long,
+      eq_sum_b: Long)
+
+  /**
+   * Histogram equalization in EXACT integer arithmetic — the classic
+   * contrast-normalization preprocessing stage, run on the REAL decoded
+   * pixels. Per channel: 256-bin histogram → CDF → the textbook mapping
+   * `eq(v) = (cdf(v) − cdf_min) · 255 div (N − cdf_min)` with cdf_min
+   * the first non-zero CDF value; magnitude-side floor division keeps
+   * every mapped level an exact integer, so per-channel equalized pixel
+   * SUMS replay closed-form in SQL from the quadrant generator. A
+   * constant-channel image (N = cdf_min) maps to 0 by definition.
+   *
+   * Scale shape: one decode pass per row inside mapPartitions, a
+   * 3×256 histogram per image — image bytes never cross a shuffle,
+   * only the fixed-width stats rows do.
+   */
+  def decodeHistEq(blobs: Dataset[MediaBlob]): Dataset[HistEqStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { blob =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.data))
+        require(img != null, s"no ImageIO reader for doc ${blob.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = Array.ofDim[Long](3, 256)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            hist(0)((p >> 16) & 0xff) += 1
+            hist(1)((p >> 8) & 0xff) += 1
+            hist(2)(p & 0xff) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val sums = Array.tabulate(3) { ch =>
+          var cdf = 0L
+          var cdfMin = -1L
+          var eqSum = 0L
+          var v = 0
+          while (v < 256) {
+            val c = hist(ch)(v)
+            if (c > 0L) {
+              cdf += c
+              if (cdfMin < 0L) cdfMin = cdf
+              val eq = if (n == cdfMin) 0L else (cdf - cdfMin) * 255L / (n - cdfMin)
+              eqSum += c * eq
+            }
+            v += 1
+          }
+          eqSum
+        }
+        HistEqStats(blob.doc_id, n, sums(0), sums(1), sums(2))
+      }
+    }
+  }
+
   /** Deterministic quadrant-fill image for `docId`, encoded through a
     * REAL `javax.imageio` codec (PNG for even ids, BMP for odd — both
     * ship in a stock JRE, no external codecs). Quadrant q (0=TL, 1=TR,

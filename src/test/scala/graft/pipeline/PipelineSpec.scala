@@ -1048,6 +1048,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(d.features(0) - 83.5f / 255f) < 1e-6f, d.features(0).toString)
   }
 
+  test("multimodal: histogram equalization — hand-computed CDF mapping, constant-channel zero") {
+    // id=0: 8x8 image, equal 4x4 quadrants (area 16 each), N=64.
+    // R values (0*3+31q+7)%256 = 7,38,69,100 ascending with q.
+    // cdf = 16,32,48,64; cdf_min=16; eq(v) = (cdf-16)*255/(64-16)
+    //  -> 0, 85, 170, 255 exactly; eq_sum = 16*(0+85+170+255) = 8160.
+    // G and B have the same +31q ladder -> identical eq sums.
+    val out = Multimodal.decodeHistEq(Multimodal.withEncodedImages(
+        spark, Seq(0L).toDF("doc_id"), "doc_id"))
+      .collect().head
+    assert(out.n_pixels == 64L)
+    assert(out.eq_sum_r == 8160L && out.eq_sum_g == 8160L && out.eq_sum_b == 8160L, out.toString)
+
+    // constant-channel image: every pixel one value -> N == cdf_min ->
+    // the whole channel maps to 0 by definition
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, (9 << 16) | (9 << 8) | 9)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val const = Multimodal.decodeHistEq(Seq(Multimodal.MediaBlob(
+        1L, "image/png", bos.toByteArray, Multimodal.MediaMeta(4, 4, 3, 0L))).toDS())
+      .collect().head
+    assert(const.n_pixels == 16L)
+    assert(const.eq_sum_r == 0L && const.eq_sum_g == 0L && const.eq_sum_b == 0L, const.toString)
+  }
+
   test("multimodal: JPEG (lossy) round-trips the JDK codec — dims exact, channel means within tolerance") {
     // the fourth codec beside PNG/BMP/GIF: lossy, so no closed-form
     // oracle — the spec pins dimension exactness and bounded per-pixel
