@@ -292,10 +292,13 @@ object BenchAnchors {
     "cluster_dbscan_core" -> 0.624, // r13 new gate, 5-rep isolated quiet-box median
     "text_blocklist_aho" -> 0.314, // r13 new gate, 5-rep isolated quiet-box median
     "multimodal_audio_pitch" -> 0.467, // r13 new gate, 5-rep isolated quiet-box median
-    // CC-round dominated (star-rewriting over the 1441-core eps-graph;
-    // re-anchored after the switch from pointer jumping to
-    // large-star/small-star — fewer rounds, 6.801 -> 3.828)
-    "cluster_dbscan_labels" -> 3.828, // r13 gate, 5-rep isolated quiet-box median
+    // CC-round dominated (star-rewriting over the 1441-core eps-graph).
+    // Dual-regime: isolated 5-rep median 3.828, but 4.8-6.8 inside the
+    // full 266-query bench session (round-scheduling pressure, the
+    // kcore/lpa cost class) — loaded anchor set to the in-bench
+    // representative; the tight isolated tripwire lives in
+    // isolatedSeconds below.
+    "cluster_dbscan_labels" -> 6.0, // r13 gate, in-bench representative
     "graph_path_counts" -> 3.561, // r13 new gate, 5-rep isolated quiet-box median
     "graph_connected_components" -> 3.238, // r13 new gate, 5-rep isolated quiet-box median
     "multimodal_image_hist_eq" -> 0.714, // r13 new gate, 5-rep isolated quiet-box median
@@ -373,5 +376,6 @@ object BenchAnchors {
     "stream_late_drop" -> 4.667, // r11 adjudication median
     "stream_interval_join" -> 2.685, // r11 adjudication median
     "vec_knn_partitioned" -> 0.724,
+    "cluster_dbscan_labels" -> 3.828, // r13 isolated median (star CC)
   )
 }
