@@ -37,11 +37,11 @@ object CcProbe {
       .localCheckpoint()
     println(s"[ccprobe] n=$n core=${core.count()} coreEdges=${coreEdges.count()}")
 
-    // production path first (includes the freshCheckpointStats fix)
+    // production CC path (star rewriting — what dbscanLabels runs)
     val tP = System.nanoTime()
-    val prod = Dedup.duplicateClusters(coreEdges, "p", "q", maxRounds = 64)
-    val nClusters = prod.select(countDistinct(col("cluster_id"))).head().getLong(0)
-    println(f"[ccprobe] duplicateClusters (production): ${(System.nanoTime() - tP) / 1e9}%.1f s, clusters=$nClusters")
+    val prod = GraphAlgos.connectedComponentsStar(coreEdges.select(col("p"), col("q")))
+    val nClusters = prod.select(countDistinct(col("component"))).head().getLong(0)
+    println(f"[ccprobe] connectedComponentsStar: ${(System.nanoTime() - tP) / 1e9}%.1f s, clusters=$nClusters")
 
     spark.stop()
   }
