@@ -215,6 +215,18 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // EXACT shared-substring runs between doc pairs (≥30 consecutive
+    // chars): char-30-gram posting lists with the boilerplate df-cap,
+    // equi-join on the gram, gaps-and-islands on the position diagonal
+    // — the "dedup exact substrings, not just whole docs" operator.
+    // The oracle replays gram extraction, cap, join, and islands
+    // relationally; every value is an exact integer.
+    "dedup_substring_runs" -> ((s, dir) => {
+      Dedup.substringRuns(docs(s, dir), "doc_id", "text",
+          gramLen = 30, maxDf = 50)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // SimHash near-dup pairs (Hamming ≤ 3): the token hash is md5Lower64 =
     // DuckDB's md5_number_lower, so the oracle recomputes the ENTIRE
     // fingerprint (per-token bit votes → sign bits → pair Hamming) in SQL
@@ -4510,6 +4522,38 @@ object PipelineQueries {
          |FROM asg WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // DuckDB list slices are 1-based INCLUSIVE: toks[s+1 : s+64] ==
+    // exact substring runs: 30-gram posting lists, df-cap 2..50,
+    // equi-join on the gram, islands on the (pa - pb) diagonal;
+    // run length = island size + 29
+    "dedup_substring_runs" ->
+      """WITH grams0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 29)) AS p,
+        |    text
+        |  FROM documents WHERE length(text) >= 30),
+        |grams AS (
+        |  SELECT doc_id, p, substr(text, CAST(p AS INT), 30) AS g
+        |  FROM grams0),
+        |keep AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+        |  WHERE df BETWEEN 2 AND 50),
+        |pg AS (SELECT doc_id, p, g FROM grams WHERE g IN (SELECT g FROM keep)),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
+        |  FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT da, db, pa - pb AS diag, pa,
+        |    pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa)
+        |      AS isl_id
+        |  FROM pairs),
+        |runs AS (
+        |  SELECT da, db, CAST(count(*) + 29 AS BIGINT) AS run_len
+        |  FROM isl GROUP BY da, db, diag, isl_id)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(max(run_len) AS BIGINT) AS max_shared_run,
+        |  CAST(count(*) AS BIGINT) AS n_runs
+        |FROM runs GROUP BY da, db ORDER BY doc_a, doc_b""".stripMargin,
+
     // Spark slice(toks, s+1, 64); generate_series(0, -1, 48) is empty,
     // matching the n>0 filter.
     "dedup_cdc_chunks" ->

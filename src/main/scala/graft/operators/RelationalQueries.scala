@@ -1527,6 +1527,49 @@ object RelationalQueries {
         .orderBy(col("seed_key"), col("node_type"), col("node_key"))
     }),
 
+    // Katz centrality in its exact-integer form: with β = 1/8, the
+    // 8³-scaled 3-term Katz score is 64·walks₁ + 8·walks₂ + walks₃
+    // (walks_r = length-r walks ending at the node, a pure-Long
+    // recurrence) — same ranking as float Katz truncated at R=3, zero
+    // float anywhere, so the oracle replay is bit-exact.
+    "graph_katz_centrality" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.pipeline.GraphAlgos.katzCentrality(
+          graft.pipeline.GraphAlgos.symmetrize(edges), rounds = 3, base = 8L)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").cast("long").as("node_key"),
+          col("katz_scaled"))
+        .orderBy(col("node_type"), col("node_key"))
+    }),
+
+    // Bounded-horizon stress centrality — the Brandes BACKWARD pass
+    // completing graph_path_counts: per node, the number of shortest
+    // paths (≤3 hops, 5-seed set) passing through it as an interior
+    // vertex. The σ_v/σ_w fractions of the classic accumulation cancel
+    // in the suffix-count form (stress = σ·(g−1), g = DAG-path-suffix
+    // count), so everything stays in Long and the oracle unrolls the
+    // backward layers exactly.
+    "graph_stress_paths" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.pipeline.GraphAlgos.stressCentrality(
+          graft.pipeline.GraphAlgos.symmetrize(edges),
+          sources = Seq(2L, 4L, 6L, 8L, 10L), rounds = 3)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").cast("long").as("node_key"),
+          col("stress"))
+        .orderBy(col("node_type"), col("node_key"))
+    }),
+
     // HITS hubs/authorities (2 exact-integer rounds) on the DIRECTED
     // customer→supplier fulfillment graph: suppliers are pure
     // authorities, customers pure hubs — round 1 is degree, round 2
@@ -2363,6 +2406,46 @@ object RelationalQueries {
           col("cut_edges"), col("m_edges"),
           round(col("conductance"), 6).as("conductance"))
         .orderBy(col("community"))
+    }),
+
+    // Sweep-line union of intervals per key — total covered days over
+    // the UNION of [ship_day, ship_day + qty%7 + 1] per supplier
+    // (returned lines only, so real gaps exist). The gaps-and-islands
+    // shape: a running max of prior interval ends (ROWS … 1 PRECEDING)
+    // marks island starts, a running sum of the marks numbers islands,
+    // one grouped pass closes them. All exact integers; both window
+    // orderings carry the full (s, e, orderkey, linenumber) tie-break
+    // so the island numbering is engine-deterministic. At scale this
+    // is one shuffle on the partition key; island state never leaves
+    // the window operator (no self-join, no collect).
+    "rel_interval_coverage" -> ((s, dir) => {
+      val iv = t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(
+          col("l_suppkey").as("k"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .cast("long").as("s"),
+          (datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long")
+            + col("l_quantity").cast("long") % 7 + 1).as("e"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      val order = Window.partitionBy(col("k"))
+        .orderBy(col("s"), col("e"), col("ok"), col("ln"))
+      val w = iv.withColumn("prev_max",
+        max(col("e")).over(order.rowsBetween(Window.unboundedPreceding, -1)))
+      val isl = w.withColumn("isl_id",
+        sum(when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+          .otherwise(0L))
+          .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      isl.groupBy(col("k"), col("isl_id"))
+        .agg(min(col("s")).as("st"), max(col("e")).as("en"),
+          count(lit(1)).as("n_iv"))
+        .groupBy(col("k"))
+        .agg(sum(col("en") - col("st")).cast("long").as("covered_days"),
+          count(lit(1)).cast("long").as("n_islands"),
+          sum(col("n_iv")).cast("long").as("n_intervals"))
+        .select(col("k").as("supp_key"), col("covered_days"),
+          col("n_islands"), col("n_intervals"))
+        .orderBy(col("supp_key"))
     })
   )
 
@@ -3415,6 +3498,102 @@ object RelationalQueries {
          |FROM s3
          |ORDER BY seed_key, node_type, node_key""".stripMargin,
 
+    // integer Katz: walks_r by r unrolled joins over the symmetrized
+    // DISTINCT edge set; score = 64*w1 + 8*w2 + w3 (8^3-scaled beta=1/8)
+    "graph_katz_centrality" ->
+      s"""WITH edges0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM edges0
+         |  UNION SELECT dst AS src, src AS dst FROM edges0),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |w1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS w
+         |       FROM edges GROUP BY dst),
+         |w2 AS (SELECT e.dst AS node, CAST(sum(w1.w) AS BIGINT) AS w
+         |       FROM w1 JOIN edges e ON e.src = w1.node GROUP BY e.dst),
+         |w3 AS (SELECT e.dst AS node, CAST(sum(w2.w) AS BIGINT) AS w
+         |       FROM w2 JOIN edges e ON e.src = w2.node GROUP BY e.dst)
+         |SELECT CASE WHEN n.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  n.node // 2 AS node_key,
+         |  CAST(64 * coalesce(w1.w, 0) + 8 * coalesce(w2.w, 0)
+         |    + coalesce(w3.w, 0) AS BIGINT) AS katz_scaled
+         |FROM nodes n
+         |LEFT JOIN w1 ON w1.node = n.node
+         |LEFT JOIN w2 ON w2.node = n.node
+         |LEFT JOIN w3 ON w3.node = n.node
+         |ORDER BY node_type, node_key""".stripMargin,
+
+    // Brandes backward pass in integer suffix-count form: forward
+    // layers p0..p3 as graph_path_counts, then g3=1,
+    // g_r = 1 + sum over shortest-path-DAG successors of g_{r+1};
+    // stress(v) = sum over seeds of sigma_v * (g_v - 1)
+    "graph_stress_paths" ->
+      s"""WITH edges0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM edges0
+         |  UNION SELECT dst AS src, src AS dst FROM edges0),
+         |p0 AS (
+         |  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist,
+         |    CAST(1 AS BIGINT) AS sigma
+         |  FROM (VALUES (2), (4), (6), (8), (10)) s(seed)
+         |  WHERE seed IN (SELECT src FROM edges)),
+         |p1 AS (
+         |  SELECT p.seed, e.dst AS node, CAST(1 AS BIGINT) AS dist,
+         |    CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM p0 p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM p0 x
+         |                    WHERE x.seed = p.seed AND x.node = e.dst)
+         |  GROUP BY p.seed, e.dst),
+         |s1 AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1),
+         |p2 AS (
+         |  SELECT p.seed, e.dst AS node, CAST(2 AS BIGINT) AS dist,
+         |    CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM p1 p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM s1 x
+         |                    WHERE x.seed = p.seed AND x.node = e.dst)
+         |  GROUP BY p.seed, e.dst),
+         |s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM p2),
+         |p3 AS (
+         |  SELECT p.seed, e.dst AS node, CAST(3 AS BIGINT) AS dist,
+         |    CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM p2 p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM s2 x
+         |                    WHERE x.seed = p.seed AND x.node = e.dst)
+         |  GROUP BY p.seed, e.dst),
+         |g3 AS (SELECT seed, node, CAST(1 AS BIGINT) AS g FROM p3),
+         |a2 AS (SELECT g3.seed, e.src AS node, sum(g3.g) AS sg
+         |       FROM g3 JOIN edges e ON g3.node = e.dst
+         |       GROUP BY g3.seed, e.src),
+         |g2 AS (SELECT p.seed, p.node,
+         |         CAST(1 + coalesce(a2.sg, 0) AS BIGINT) AS g
+         |       FROM p2 p LEFT JOIN a2
+         |         ON a2.seed = p.seed AND a2.node = p.node),
+         |a1 AS (SELECT g2.seed, e.src AS node, sum(g2.g) AS sg
+         |       FROM g2 JOIN edges e ON g2.node = e.dst
+         |       GROUP BY g2.seed, e.src),
+         |g1 AS (SELECT p.seed, p.node,
+         |         CAST(1 + coalesce(a1.sg, 0) AS BIGINT) AS g
+         |       FROM p1 p LEFT JOIN a1
+         |         ON a1.seed = p.seed AND a1.node = p.node),
+         |allg AS (
+         |  SELECT * FROM g1 UNION ALL SELECT * FROM g2
+         |  UNION ALL SELECT * FROM g3),
+         |sig AS (
+         |  SELECT seed, node, sigma FROM p1
+         |  UNION ALL SELECT seed, node, sigma FROM p2
+         |  UNION ALL SELECT seed, node, sigma FROM p3)
+         |SELECT CASE WHEN a.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  a.node // 2 AS node_key,
+         |  CAST(sum(s.sigma * (a.g - 1)) AS BIGINT) AS stress
+         |FROM allg a JOIN sig s ON s.seed = a.seed AND s.node = a.node
+         |GROUP BY a.node
+         |ORDER BY node_type, node_key""".stripMargin,
+
     "graph_hits" ->
       s"""WITH edges AS (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -3925,7 +4104,35 @@ object RelationalQueries {
         |    - (CAST(cd.degree_sum AS DOUBLE) / (m.m_edges * 2))
         |      * (CAST(cd.degree_sum AS DOUBLE) / (m.m_edges * 2)), 6) AS contribution
         |FROM cd LEFT JOIN intra USING (community) CROSS JOIN m
-        |ORDER BY cd.community""".stripMargin
+        |ORDER BY cd.community""".stripMargin,
+
+    "rel_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS k,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      + CAST(l_quantity AS BIGINT) % 7 + 1 AS e,
+        |    l_orderkey AS ok, l_linenumber AS ln
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |w AS (
+        |  SELECT k, s, e, ok, ln,
+        |    max(e) OVER (PARTITION BY k ORDER BY s, e, ok, ln
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max
+        |  FROM iv),
+        |isl AS (
+        |  SELECT k, s, e,
+        |    sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY k ORDER BY s, e, ok, ln
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        |  FROM w),
+        |runs AS (
+        |  SELECT k, isl_id, min(s) AS st, max(e) AS en, count(*) AS n_iv
+        |  FROM isl GROUP BY k, isl_id)
+        |SELECT k AS supp_key, CAST(sum(en - st) AS BIGINT) AS covered_days,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(n_iv) AS BIGINT) AS n_intervals
+        |FROM runs GROUP BY k ORDER BY supp_key""".stripMargin
   )
 
   /** Benford oracle: digit = first char of the exact-cents base-10

@@ -1123,4 +1123,72 @@ object Dedup {
       .filter(col("edit_dist").between(0, maxDistance))
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
+
+  /**
+   * EXACT shared-substring runs between document pairs — the
+   * "deduplicate exact substrings, not just whole docs" operator of
+   * training-corpus hygiene (cross-doc boilerplate, quoted passages,
+   * copy-paste contamination). For every pair sharing at least one
+   * exact run of ≥ `gramLen` characters: the longest shared run and
+   * how many maximal runs there are.
+   *
+   * Mechanism: character `gramLen`-gram posting lists (doc_id, pos,
+   * gram), a DOC-FREQUENCY CAP (grams in more than `maxDf` docs —
+   * corpus-wide boilerplate — are dropped BEFORE the self-join, the
+   * same hot-bucket guard as the LSH/CDC paths, bounding any gram's
+   * pair fan-out at maxDf²), an equi-join on the gram, then
+   * gaps-and-islands on the (pos_a − pos_b) DIAGONAL: consecutive
+   * matched positions on one diagonal are one maximal run of length
+   * `islandLen + gramLen − 1`. The frequency cap can split a run that
+   * crosses a capped gram — that is the documented semantics (both
+   * this and the relational replay apply the identical cap).
+   *
+   * Scale shape: no all-pairs anywhere — candidate volume is
+   * Σ_g df(g)² ≤ maxDf · Σ_g df(g), one shuffle keyed by gram, one by
+   * (pair, diagonal) whose window partitions are run-sized. The
+   * classical single-node alternative (suffix array) needs a global
+   * sort of every suffix; prefix-doubling suffix arrays distribute,
+   * but cost O(log n) full-corpus sorts — the capped posting-list join
+   * touches only grams that actually repeat, which at corpus scale is
+   * the small minority.
+   */
+  def substringRuns(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramLen: Int = 30,
+      maxDf: Int = 50): DataFrame = {
+    require(gramLen >= 2, "gram length must be at least 2")
+    require(maxDf >= 2, "doc-frequency cap below 2 would drop every match")
+    val grams = df
+      .filter(length(col(textCol)) >= gramLen)
+      .select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, length($textCol) - ${gramLen - 1}), " +
+            s"p -> struct(p AS p, substring($textCol, p, $gramLen) AS g))"))
+          .as("pg"))
+      .select(col("doc_id"), col("pg.p").as("p"), col("pg.g").as("g"))
+    grams.persist()
+    val keep = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("df_docs"))
+      .filter(col("df_docs").between(2, maxDf))
+      .select("g")
+    val pg = grams.join(keep, Seq("g"), "left_semi")
+    val pairs = pg.as("a").join(pg.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    val out = pairs.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl_id", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl_id"))
+      .agg((count(lit(1)) + lit(gramLen.toLong - 1)).as("run_len"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("run_len")).cast("long").as("max_shared_run"),
+        count(lit(1)).cast("long").as("n_runs"))
+      .localCheckpoint()
+    grams.unpersist()
+    out
+  }
 }

@@ -939,6 +939,114 @@ object GraphAlgos {
   }
 
   /**
+   * Katz centrality, exact-integer form. With attenuation β = 1/base
+   * (base a small integer), base^R · Σ_{r=1..R} β^r · walks_r(v) =
+   * Σ_{r=1..R} base^(R−r) · walks_r(v), where walks_r(v) is the number
+   * of length-r walks ENDING at v — a pure-Long recurrence
+   * (walks_r(v) = Σ_{(u,v)∈E} walks_{r−1}(u), walks_0 ≡ 1), so the
+   * scaled score is engine-bit-exact with no float anywhere. Ranking
+   * equals float Katz at the same β truncated to R terms.
+   *
+   * Scale shape: each round is ONE edges⋈walks equi-join + keyed sum
+   * (the PageRank shuffle), walks state is node-sized and
+   * localCheckpoint'ed so lineage stays O(1). Overflow-safe for
+   * bounded R: walks_r ≤ (max in-degree)^r. `edges` directed and
+   * assumed deduped; symmetrize upstream for undirected semantics.
+   */
+  def katzCentrality(edges: DataFrame, rounds: Int, base: Long): DataFrame = {
+    require(rounds >= 1, "at least one walk round")
+    require(base >= 2, "attenuation base must be >= 2")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    e.persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    val bcast = n <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df
+    def scale(r: Int): Long =
+      (1 to (rounds - r)).foldLeft(1L)((acc, _) => acc * base)
+    var walks = nodes.select(col("node"), lit(1L).as("w")).localCheckpoint()
+    var rounds0 = List(walks)
+    var contribs = List.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val next = e.join(
+          maybeBcast(walks.select(col("node").as("src"), col("w"))), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("w")).as("w"))
+        .select(col("dst").as("node"), col("w"))
+        .localCheckpoint()
+      walks = next
+      rounds0 ::= next
+      contribs ::= next.select(col("node"), (col("w") * scale(r)).as("contrib"))
+    }
+    val scored = contribs.reduce(_ unionByName _)
+      .groupBy(col("node")).agg(sum(col("contrib")).as("katz_scaled"))
+    val out = nodes.join(scored, Seq("node"), "left")
+      .select(col("node"), coalesce(col("katz_scaled"), lit(0L)).as("katz_scaled"))
+      .localCheckpoint()
+    rounds0.foreach(SparkShims.unpersistCheckpoint)
+    e.unpersist()
+    out
+  }
+
+  /**
+   * Bounded-horizon stress centrality — the Brandes BACKWARD pass in
+   * its integer form, completing [[shortestPathCounts]] (the forward
+   * pass): per node, the number of shortest paths from the seed set
+   * that pass through it as an INTERIOR vertex, over paths of ≤
+   * `rounds` hops. The classic accumulation carries σ_v/σ_w fractions;
+   * this formulation cancels them exactly: with g(v) = DAG-path-suffix
+   * count (g = 1 + Σ over shortest-path-DAG successors of g, computed
+   * layer-by-layer from the horizon inward; DAG edge u→w iff edge(u,w)
+   * and dist_w = dist_u + 1), the paths through v are
+   * σ_s(v) · (g(v) − 1) — pure Longs end-to-end, so the gate is
+   * bit-exact against a relational replay.
+   *
+   * Scale shape: forward pass as [[shortestPathCounts]]; each backward
+   * layer is one edges⋈g equi-join + keyed sum + a layer-sized left
+   * join — state is (seed × reached-nodes)-sized, never all-pairs
+   * (the pivot-sampling regime: at 100 TB you sample seeds).
+   */
+  def stressCentrality(
+      edges: DataFrame,
+      sources: Seq[Long],
+      rounds: Int): DataFrame = {
+    require(rounds >= 2, "stress needs at least an interior layer")
+    val fwd = shortestPathCounts(edges, sources, rounds).persist()
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    e.persist()
+    var g = fwd.where(col("dist") === rounds)
+      .select(col("seed"), col("node"), lit(1L).as("g"))
+      .localCheckpoint()
+    var layers = List(g)
+    for (r <- (rounds - 1) to 1 by -1) {
+      val succSum = g.select(col("seed"), col("node").as("dst"), col("g"))
+        .join(e, Seq("dst"))
+        .groupBy(col("seed"), col("src"))
+        .agg(sum(col("g")).as("sg"))
+        .select(col("seed"), col("src").as("node"), col("sg"))
+      val layer = fwd.where(col("dist") === r).select(col("seed"), col("node"))
+      val gr = layer.join(succSum, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          (lit(1L) + coalesce(col("sg"), lit(0L))).as("g"))
+        .localCheckpoint()
+      g = gr
+      layers ::= gr
+    }
+    val stress = layers.reduce(_ unionByName _)
+      .join(fwd.where(col("dist") >= 1)
+        .select(col("seed"), col("node"), col("sigma")), Seq("seed", "node"))
+      .groupBy(col("node"))
+      .agg(sum(col("sigma") * (col("g") - 1L)).as("stress"))
+      .localCheckpoint()
+    layers.foreach(SparkShims.unpersistCheckpoint)
+    fwd.unpersist()
+    SparkShims.unpersistCheckpoint(fwd)
+    e.unpersist()
+    stress
+  }
+
+  /**
    * Bounded-round weighted single-source shortest paths (Bellman–Ford
    * relaxation): integer edge weights, `rounds` rounds of
    * `dist_v = min(dist_v, dist_u + w_uv)` — exact distances for every

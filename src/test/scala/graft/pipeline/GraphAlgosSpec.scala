@@ -413,4 +413,32 @@ class GraphAlgosSpec extends AnyFunSuite {
       .map { case (s, n, d, sg) => n -> ((d, sg)) }.toMap
     assert(got === Map(0L -> ((0L, 1L)), 1L -> ((1L, 1L)), 2L -> ((1L, 1L))))
   }
+
+  test("katz: integer walk counts on a path graph match hand math") {
+    // 0-1-2 undirected: walks1 = degree (1,2,1); walks2 = (2,2,2);
+    // walks3 = (2,4,2); scaled: 64*w1 + 8*w2 + w3.
+    val e = GraphAlgos.symmetrize(Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"))
+    val got = GraphAlgos.katzCentrality(e, rounds = 3, base = 8L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 82L, 1L -> 148L, 2L -> 82L))
+  }
+
+  test("stress: path graph — interior nodes carry the path counts") {
+    // 0-1-2-3: from seed 0, paths through 1 = {0->2, 0->3}, through 2
+    // = {0->3}; endpoints never count as interior.
+    val e = GraphAlgos.symmetrize(
+      Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val got = GraphAlgos.stressCentrality(e, sources = Seq(0L), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("stress: diamond — sigma multiplies through parallel interiors") {
+    // 0-1-3, 0-2-3: sigma(3) = 2, both interiors carry one path each.
+    val e = GraphAlgos.symmetrize(
+      Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"))
+    val got = GraphAlgos.stressCentrality(e, sources = Seq(0L), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
 }

@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-14 operator kernels. */
+class RoundFourteenOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("substring runs: a planted shared passage is found at its exact length") {
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // 40 chars
+    val df = Seq(
+      (1L, s"prefix one $shared suffix one"),
+      (2L, s"a different lead-in $shared and another tail"),
+      (3L, "no overlap with anything else in this corpus at all, none"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringRuns(df, "doc_id", "text", gramLen = 30, maxDf = 50)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the shared run is " 0123...ABCD " (42 chars with both spaces)
+    assert(out == Set((1L, 2L, 42L, 1L)))
+  }
+
+  test("substring runs: two disjoint shared passages count as two runs") {
+    val a = "A".concat("x" * 30).concat("MIDDLE-A-ONLY-SECTION-PADDING!!")
+      .concat("y" * 30).concat("Z")
+    val b = "B".concat("x" * 30).concat("other-middle-entirely-here-now!")
+      .concat("y" * 30).concat("Q")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = Dedup.substringRuns(df, "doc_id", "text", gramLen = 30, maxDf = 50)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // x-run is exactly 30; both middles end in '!' so the y-run is 31
+    assert(out == Set((1L, 2L, 31L, 2L)))
+  }
+
+  test("substring runs: the df-cap drops corpus-wide boilerplate") {
+    val boiler = "b" * 40
+    val rows = (1L to 6L).map(i => (i, s"doc $i carries $boiler verbatim"))
+    val df = rows.toDF("doc_id", "text")
+    // cap 5 < 6 docs: every gram inside the boilerplate is dropped
+    val out = Dedup.substringRuns(df, "doc_id", "text", gramLen = 30, maxDf = 5)
+    assert(out.count() === 0L)
+  }
+}
