@@ -885,6 +885,16 @@ object PipelineQueries {
       Multimodal.decodeHistEq(blobs).toDF().orderBy(col("doc_id"))
     }),
 
+    // 3×3 box-filter (blur) response sums over REAL decoded pixels via
+    // a summed-area table — exact integers (9× the blurred mean-sum,
+    // no division). The oracle counts each pixel's window memberships
+    // closed-form: the boundary-trimmed c(x)·c(y) profile factorizes
+    // per solid quadrant into arithmetic products.
+    "multimodal_box_filter" -> ((s, dir) => {
+      val blobs = Multimodal.withEncodedImages(s, docs(s, dir), "doc_id")
+      Multimodal.decodeBoxFilter(blobs).toDF().orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling (video rows fan out one row per frame).
     // REAL frame extraction: multi-frame animated GIFs (the JDK codec's
     // writeToSequence / getNumImages-read path), per-frame exact integer
@@ -4169,6 +4179,32 @@ object PipelineQueries {
         |  CAST(w * h * ((doc_id * 5 + 11 * fi + 5) % 256) AS BIGINT) AS sum_g,
         |  CAST(w * h * ((doc_id * 7 + 11 * fi + 5) % 256) AS BIGINT) AS sum_b
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // box filter: pixel at x is inside c(x) valid windows, c = 1,2,3,
+    // ...,3,2,1; per-quadrant sums of c factorize to 3*wl-3 (left),
+    // 3*w-3*wl-3 (right) and the y analogues
+    "multimodal_box_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 48 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 32 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, w, h,
+        |    3 * (w // 2) - 3 AS cxl, 3 * w - 3 * (w // 2) - 3 AS cxr,
+        |    3 * (h // 2) - 3 AS cyt, 3 * h - 3 * (h // 2) - 3 AS cyb
+        |  FROM m)
+        |SELECT doc_id, CAST((w - 2) * (h - 2) AS BIGINT) AS n_windows,
+        |  CAST(cxl*cyt*((doc_id*3+7) % 256) + cxr*cyt*((doc_id*3+38) % 256)
+        |     + cxl*cyb*((doc_id*3+69) % 256) + cxr*cyb*((doc_id*3+100) % 256)
+        |    AS BIGINT) AS box_r,
+        |  CAST(cxl*cyt*((doc_id*5+7) % 256) + cxr*cyt*((doc_id*5+38) % 256)
+        |     + cxl*cyb*((doc_id*5+69) % 256) + cxr*cyb*((doc_id*5+100) % 256)
+        |    AS BIGINT) AS box_g,
+        |  CAST(cxl*cyt*((doc_id*7+7) % 256) + cxr*cyt*((doc_id*7+38) % 256)
+        |     + cxl*cyb*((doc_id*7+69) % 256) + cxr*cyb*((doc_id*7+100) % 256)
+        |    AS BIGINT) AS box_b
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "multimodal_decode_real" ->
       """WITH m AS (

@@ -2408,6 +2408,30 @@ object RelationalQueries {
         .orderBy(col("community"))
     }),
 
+    // Bradley–Terry preference-strength fit (2 MM rounds) over pairwise
+    // "cheaper supplier wins the order" outcomes — the arena-ranking /
+    // reward-model fit, order-free unlike Elo. Outcomes are decided on
+    // EXACT integer cents (float sums of prices would be ulp-order-
+    // dependent); the ratings are round(,6) under the float-sum
+    // contract, wins/comparisons exact integers.
+    "pipeline_bradley_terry" -> ((s, dir) => {
+      val ls = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val m = ls.as("a").join(ls.as("b"),
+          col("a.o") === col("b.o") && col("a.sk") < col("b.sk"))
+        .select(
+          when(col("a.cents") <= col("b.cents"), col("a.sk"))
+            .otherwise(col("b.sk")).as("winner"),
+          when(col("a.cents") <= col("b.cents"), col("b.sk"))
+            .otherwise(col("a.sk")).as("loser"))
+      graft.pipeline.Preference.bradleyTerry(m, "winner", "loser")
+        .select(col("player").as("supp_key"), col("wins"),
+          col("comparisons"), col("rating"))
+        .orderBy(col("supp_key"))
+    }),
+
     // Sweep-line union of intervals per key — total covered days over
     // the UNION of [ship_day, ship_day + qty%7 + 1] per supplier
     // (returned lines only, so real gaps exist). The gaps-and-islands
@@ -4105,6 +4129,42 @@ object RelationalQueries {
         |      * (CAST(cd.degree_sum AS DOUBLE) / (m.m_edges * 2)), 6) AS contribution
         |FROM cd LEFT JOIN intra USING (community) CROSS JOIN m
         |ORDER BY cd.community""".stripMargin,
+
+    // BT MM replay: round 1 closed-form 2W/N, round 2 the coupled sum;
+    // winners decided on exact integer cents, ratings round(,6)
+    "pipeline_bradley_terry" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey AS o, l_suppkey AS sk,
+        |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT CASE WHEN a.cents <= b.cents THEN a.sk ELSE b.sk END
+        |      AS winner,
+        |    CASE WHEN a.cents <= b.cents THEN b.sk ELSE a.sk END AS loser
+        |  FROM ls a JOIN ls b ON a.o = b.o AND a.sk < b.sk),
+        |dir AS (
+        |  SELECT winner AS i, loser AS j, count(*) AS wn FROM m GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT i, j, sum(w) AS w, sum(n) AS n FROM (
+        |    SELECT i, j, wn AS w, wn AS n FROM dir
+        |    UNION ALL SELECT j AS i, i AS j, 0 AS w, wn AS n FROM dir) u
+        |  GROUP BY i, j),
+        |agg AS (
+        |  SELECT i, CAST(sum(w) AS BIGINT) AS w_i,
+        |    CAST(sum(n) AS BIGINT) AS n_i
+        |  FROM sym GROUP BY i),
+        |s1 AS (SELECT i, 2.0 * w_i / n_i AS s FROM agg),
+        |den AS (
+        |  SELECT sym.i, sum(sym.n / (si.s + sj.s)) AS d
+        |  FROM sym
+        |  JOIN s1 si ON si.i = sym.i
+        |  JOIN s1 sj ON sj.i = sym.j
+        |  GROUP BY sym.i)
+        |SELECT agg.i AS supp_key, agg.w_i AS wins, agg.n_i AS comparisons,
+        |  round(CASE WHEN agg.w_i = 0 THEN 0.0
+        |             ELSE agg.w_i / den.d END, 6) AS rating
+        |FROM agg JOIN den ON den.i = agg.i
+        |ORDER BY supp_key""".stripMargin,
 
     "rel_interval_coverage" ->
       """WITH iv AS (

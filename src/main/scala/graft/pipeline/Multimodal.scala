@@ -88,6 +88,82 @@ object Multimodal {
       eq_sum_g: Long,
       eq_sum_b: Long)
 
+  final case class BoxFilterStats(
+      doc_id: Long,
+      n_windows: Long,
+      box_r: Long,
+      box_g: Long,
+      box_b: Long)
+
+  /**
+   * 3×3 box-filter response over the REAL decoded pixels, in exact
+   * integers — the blur/low-pass primitive of vision preprocessing.
+   * Per channel: Σ over all VALID (non-clamped) 3×3 windows of the
+   * window's pixel sum, i.e. 9× the blurred mean-sum with no division
+   * anywhere, computed through a summed-area table (the O(1)-per-window
+   * integral-image structure, so the cost is O(pixels) independent of
+   * the window size). The oracle replays it closed-form: each pixel is
+   * counted in c(x)·c(y) windows with c a boundary-trimmed constant-3
+   * profile, which factorizes per solid quadrant.
+   *
+   * Scale shape: one decode + two linear passes per row inside
+   * mapPartitions — image bytes never cross a shuffle, only the
+   * fixed-width stats rows do.
+   */
+  def decodeBoxFilter(blobs: Dataset[MediaBlob]): Dataset[BoxFilterStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { blob =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(blob.data))
+        require(img != null, s"no ImageIO reader for doc ${blob.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        require(w >= 3 && h >= 3,
+          s"box filter needs a 3x3 window; got ${w}x$h for doc ${blob.doc_id}")
+        val stride = w + 1
+        val sat = Array.ofDim[Long](3, stride * (h + 1))
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val i = (y + 1) * stride + (x + 1)
+            var ch = 0
+            while (ch < 3) {
+              val v = (p >> (16 - 8 * ch)) & 0xff
+              sat(ch)(i) = v + sat(ch)(i - 1) + sat(ch)(i - stride) -
+                sat(ch)(i - stride - 1)
+              ch += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val sums = new Array[Long](3)
+        var y0 = 0
+        while (y0 + 3 <= h) {
+          var x0 = 0
+          while (x0 + 3 <= w) {
+            var ch = 0
+            while (ch < 3) {
+              sums(ch) += sat(ch)((y0 + 3) * stride + x0 + 3) -
+                sat(ch)(y0 * stride + x0 + 3) -
+                sat(ch)((y0 + 3) * stride + x0) +
+                sat(ch)(y0 * stride + x0)
+              ch += 1
+            }
+            x0 += 1
+          }
+          y0 += 1
+        }
+        BoxFilterStats(blob.doc_id, (w - 2).toLong * (h - 2),
+          sums(0), sums(1), sums(2))
+      }
+    }
+  }
+
   /**
    * Histogram equalization in EXACT integer arithmetic — the classic
    * contrast-normalization preprocessing stage, run on the REAL decoded

@@ -50,4 +50,61 @@ object Preference {
           col("n_candidates"),
           round(col("ch.score") - col("rj.score"), 6).as("margin"))): _*)
   }
+
+  /**
+   * Bradley–Terry strength fitting over pairwise outcomes — the
+   * preference-model step behind reward shaping and arena-style model
+   * ranking (Elo's order-free batch cousin: no sequential game order,
+   * so the fit is deterministic under any partitioning). Two fixed
+   * rounds of the Hunter (2004) MM update
+   * `s_i ← W_i / Σ_j n_ij / (s_i + s_j)` from s ≡ 1:
+   * round 1 collapses to the closed form 2·W_i/N_i (one double
+   * division — bit-exact), round 2 is the first genuinely coupled
+   * update. Ratings are round(…, 6): the Σ_j term is a float sum over
+   * each player's opponent set (the jsd-family rounding contract).
+   *
+   * Whenever n_ij > 0, s1_i + s1_j > 0 (someone won at least one of
+   * those games), so round 2 never divides by zero; an all-losing
+   * player rates exactly 0.
+   *
+   * Scale shape: one groupBy over directed pair counts, a symmetrized
+   * union, two keyed aggregations and two broadcast-or-shuffle joins
+   * against the player-sized ratings table — comparisons stream
+   * through, nothing is collected.
+   *
+   * @param matches one row per comparison, already tie-broken
+   */
+  def bradleyTerry(
+      matches: DataFrame,
+      winnerCol: String,
+      loserCol: String): DataFrame = {
+    val m = matches.select(col(winnerCol).cast("long").as("w"),
+      col(loserCol).cast("long").as("l"))
+    val dir = m.groupBy(col("w").as("i"), col("l").as("j"))
+      .agg(count(lit(1)).as("wn"))
+    val sym = dir.select(col("i"), col("j"), col("wn").as("w"), col("wn").as("n"))
+      .unionByName(dir.select(col("j").as("i"), col("i").as("j"),
+        lit(0L).as("w"), col("wn").as("n")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("w")).as("w"), sum(col("n")).as("n"))
+    sym.persist()
+    val agg = sym.groupBy(col("i"))
+      .agg(sum(col("w")).cast("long").as("w_i"),
+        sum(col("n")).cast("long").as("n_i"))
+    val s1 = agg.select(col("i"),
+      (lit(2.0) * col("w_i") / col("n_i")).as("s"))
+    val den = sym
+      .join(s1.select(col("i"), col("s").as("s_i")), Seq("i"))
+      .join(s1.select(col("i").as("j"), col("s").as("s_j")), Seq("j"))
+      .groupBy(col("i"))
+      .agg(sum(col("n") / (col("s_i") + col("s_j"))).as("d"))
+    val out = agg.join(den, Seq("i"))
+      .select(col("i").as("player"), col("w_i").as("wins"),
+        col("n_i").as("comparisons"),
+        round(when(col("w_i") === 0L, 0.0)
+          .otherwise(col("w_i") / col("d")), 6).as("rating"))
+      .localCheckpoint()
+    sym.unpersist()
+    out
+  }
 }

@@ -35,6 +35,26 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 31L, 2L)))
   }
 
+  test("bradley-terry: two MM rounds match hand math; shutout rates 0") {
+    // A beats B twice, B beats A once, A beats C twice.
+    // s1 = 2W/N: A = 2*4/5, B = 2/3, C = 0.
+    // den_A = 3/(s1A+s1B) + 2/(s1A+s1C) = 3/(34/15) + 2/(8/5)
+    // s2_A = 4/den_A; s2_B = 1/(3/(34/15)); C shutout -> 0.
+    val m = Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L))
+      .toDF("winner", "loser")
+    val got = Preference.bradleyTerry(m, "winner", "loser")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val s1a = 2.0 * 4 / 5; val s1b = 2.0 / 3; val s1c = 0.0
+    val denA = 3 / (s1a + s1b) + 2 / (s1a + s1c)
+    val denB = 3 / (s1a + s1b)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((4L, 5L, r6(4 / denA))))
+    assert(got(2L) === ((1L, 3L, r6(1 / denB))))
+    assert(got(3L) === ((0L, 2L, 0.0)))
+  }
+
   test("substring runs: the df-cap drops corpus-wide boilerplate") {
     val boiler = "b" * 40
     val rows = (1L to 6L).map(i => (i, s"doc $i carries $boiler verbatim"))
