@@ -2408,6 +2408,46 @@ object RelationalQueries {
         .orderBy(col("community"))
     }),
 
+    // KMV/theta-sketch INTERSECTION cardinality between nation-0
+    // suppliers' distinct part sets (k=256, Knuth multiplicative hash —
+    // bijective, so the oracle replays hash ranks exactly). n_common/
+    // theta_star exact integers; est = n_common·2³²/(θ*+1) is one
+    // IEEE multiply+divide (bit-identical), exact_common carried for
+    // calibration.
+    "rel_kmv_intersect" -> ((s, dir) => {
+      val nat0 = t(s, dir, "supplier").where(col("s_nationkey") < 5)
+        .select(col("s_suppkey"))
+      val sets = t(s, dir, "lineitem")
+        .join(nat0, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_suppkey"), col("l_partkey"))
+      graft.pipeline.Sketches.kmvIntersections(sets, "l_suppkey", "l_partkey", k = 256)
+        .select(col("key_a").as("supp_a"), col("key_b").as("supp_b"),
+          col("n_common"), col("theta_star"), col("est_common"),
+          col("exact_common"))
+        .orderBy(col("supp_a"), col("supp_b"))
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // journeys: P(next_type | type) with the (ts, event_id) total order
+    // (ts alone can tie). Counts exact integers; probabilities are one
+    // division, round(,6).
+    "rel_markov_transitions" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val tot = trans.groupBy(col("event_type"))
+        .agg(sum(col("n")).cast("long").as("n_from"))
+      trans.join(tot, Seq("event_type"))
+        .select(col("event_type"), col("next_type"), col("n"), col("n_from"),
+          round(col("n").cast("double") / col("n_from"), 6).as("p"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
     // Bradley–Terry preference-strength fit (2 MM rounds) over pairwise
     // "cheaper supplier wins the order" outcomes — the arena-ranking /
     // reward-model fit, order-free unlike Elo. Outcomes are decided on
@@ -4129,6 +4169,69 @@ object RelationalQueries {
         |      * (CAST(cd.degree_sum AS DOUBLE) / (m.m_edges * 2)), 6) AS contribution
         |FROM cd LEFT JOIN intra USING (community) CROSS JOIN m
         |ORDER BY cd.community""".stripMargin,
+
+    // KMV replay: bijective multiplicative hash, rank <= 256 per key,
+    // pair-common below theta* = min(theta_a, theta_b)
+    "rel_kmv_intersect" ->
+      """WITH raw AS (
+        |  SELECT DISTINCT l.l_suppkey AS key, l.l_partkey AS v
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  WHERE s.s_nationkey < 5),
+        |hashed AS (
+        |  SELECT key, (v * 2654435761) % 4294967296 AS h FROM raw),
+        |sk AS (
+        |  SELECT key, h FROM (
+        |    SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h)
+        |      AS rn
+        |    FROM hashed) r
+        |  WHERE rn <= 256),
+        |theta AS (SELECT key, max(h) AS theta FROM sk GROUP BY key),
+        |common AS (
+        |  SELECT a.key AS key_a, b.key AS key_b, a.h
+        |  FROM sk a JOIN sk b ON a.h = b.h AND a.key < b.key),
+        |j AS (
+        |  SELECT c.key_a, c.key_b, c.h, least(ta.theta, tb.theta) AS ts
+        |  FROM common c
+        |  JOIN theta ta ON ta.key = c.key_a
+        |  JOIN theta tb ON tb.key = c.key_b),
+        |agg AS (
+        |  SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(min(ts) AS BIGINT) AS theta_star
+        |  FROM j WHERE h <= ts GROUP BY key_a, key_b),
+        |ex AS (
+        |  SELECT x.key AS key_a, y.key AS key_b,
+        |    CAST(count(*) AS BIGINT) AS exact_common
+        |  FROM raw x JOIN raw y ON x.v = y.v AND x.key < y.key
+        |  GROUP BY 1, 2)
+        |SELECT agg.key_a AS supp_a, agg.key_b AS supp_b, agg.n_common,
+        |  agg.theta_star,
+        |  round(agg.n_common * 4294967296.0 / (agg.theta_star + 1), 6)
+        |    AS est_common,
+        |  ex.exact_common
+        |FROM agg JOIN ex ON ex.key_a = agg.key_a AND ex.key_b = agg.key_b
+        |ORDER BY supp_a, supp_b""".stripMargin,
+
+    // per-user journeys under the (ts, event_id) total order; DuckDB
+    // lead() with the same ordering replays transitions exactly
+    "rel_markov_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events),
+        |tr AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM ev),
+        |trans AS (
+        |  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM tr WHERE next_type IS NOT NULL
+        |  GROUP BY event_type, next_type),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM trans GROUP BY event_type)
+        |SELECT t.event_type, t.next_type, t.n, o.n_from,
+        |  round(CAST(t.n AS DOUBLE) / o.n_from, 6) AS p
+        |FROM trans t JOIN tot o ON o.event_type = t.event_type
+        |ORDER BY t.event_type, t.next_type""".stripMargin,
 
     // BT MM replay: round 1 closed-form 2W/N, round 2 the coupled sum;
     // winners decided on exact integer cents, ratings round(,6)

@@ -379,4 +379,74 @@ object Sketches {
       .select(col("q_pm"), col("est_lo"), col("est_ub"), col("n_total"))
       .orderBy(col("q_pm"))
   }
+
+  // --- KMV/theta intersection (distinct set algebra) ----------------------
+
+  /**
+   * KMV/theta-sketch set-INTERSECTION estimation between every key
+   * pair — the sketch-algebra counterpart of [[bottomKJaccard]]
+   * (which estimates the ratio; this estimates the CARDINALITY, the
+   * theta-sketch `intersect` people reach for in cross-shard distinct
+   * overlap audits). Per key: the k smallest hashes of the distinct
+   * value set with θ = the k-th minimum; per pair: both sketches are
+   * truncated at θ* = min(θ_a, θ_b) (below θ* each sketch is a FULL
+   * record of its hashes), so
+   * `est = n_common · 2³² / (θ* + 1)` unbiasedly scales the shared
+   * count back up. `exact_common` is carried alongside for
+   * calibration. Pairs sharing no sketch hash emit no row.
+   *
+   * The hash is the Knuth multiplicative hash `(v·2654435761) mod 2³²`
+   * — odd constant, hence BIJECTIVE on the key space: distinct values
+   * never collide, ranking ties are impossible, and a relational
+   * engine replays it with plain integer arithmetic.
+   *
+   * Scale shape: one distinct + one window top-k per key (sketch is
+   * k-sized regardless of set size), the pair join runs on sketch
+   * rows only — never on the raw sets. `exact_common` is the one
+   * full-data pair join; at production scale drop it (it is the
+   * calibration column, not the operator).
+   */
+  def kmvIntersections(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "sketch size must be positive")
+    val raw = df.select(col(keyCol).cast("long").as("key"),
+      col(valCol).cast("long").as("v")).distinct()
+    raw.persist()
+    val hashed = raw.select(col("key"),
+      ((col("v") * 2654435761L) % 4294967296L).as("h"))
+    val w = Window.partitionBy(col("key")).orderBy(col("h"))
+    val sk = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("key"), col("h"))
+    sk.persist()
+    val theta = sk.groupBy(col("key")).agg(max(col("h")).as("theta"))
+    val common = sk.as("a").join(sk.as("b"),
+        col("a.h") === col("b.h") && col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_a"), col("b.key").as("key_b"), col("a.h"))
+    val exact = raw.as("x").join(raw.as("y"),
+        col("x.v") === col("y.v") && col("x.key") < col("y.key"))
+      .groupBy(col("x.key").as("key_a"), col("y.key").as("key_b"))
+      .agg(count(lit(1)).cast("long").as("exact_common"))
+    val out = common
+      .join(theta.select(col("key").as("key_a"), col("theta").as("ta")),
+        Seq("key_a"))
+      .join(theta.select(col("key").as("key_b"), col("theta").as("tb")),
+        Seq("key_b"))
+      .filter(col("h") <= least(col("ta"), col("tb")))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).cast("long").as("n_common"),
+        min(least(col("ta"), col("tb"))).cast("long").as("theta_star"))
+      .join(exact, Seq("key_a", "key_b"))
+      .select(col("key_a"), col("key_b"), col("n_common"), col("theta_star"),
+        round(col("n_common") * lit(4294967296.0) / (col("theta_star") + 1), 6)
+          .as("est_common"),
+        col("exact_common"))
+      .localCheckpoint()
+    sk.unpersist()
+    raw.unpersist()
+    out
+  }
 }
