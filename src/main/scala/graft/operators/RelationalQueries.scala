@@ -1527,6 +1527,28 @@ object RelationalQueries {
         .orderBy(col("seed_key"), col("node_type"), col("node_key"))
     }),
 
+    // Deterministic hash-driven walks (DeepWalk corpus prep without
+    // executor RNG): 4 steps from 20 customer seeds, successor =
+    // argmin of the mixed multiplicative hash over neighbors —
+    // reproducible under retries/partitioning, replayed exactly by the
+    // oracle's unrolled min_by steps.
+    "graph_hash_walks" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.pipeline.GraphAlgos.hashWalks(
+          graft.pipeline.GraphAlgos.symmetrize(edges),
+          sources = (1L to 20L).map(_ * 2), steps = 4)
+        .select(
+          expr("seed div 2").cast("long").as("seed_key"),
+          col("step"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").cast("long").as("node_key"))
+        .orderBy(col("seed_key"), col("step"))
+    }),
+
     // Katz centrality in its exact-integer form: with β = 1/8, the
     // 8³-scaled 3-term Katz score is 64·walks₁ + 8·walks₂ + walks₃
     // (walks_r = length-r walks ending at the node, a pure-Long
@@ -3561,6 +3583,52 @@ object RelationalQueries {
          |  node // 2 AS node_key, dist, sigma
          |FROM s3
          |ORDER BY seed_key, node_type, node_key""".stripMargin,
+
+    // hash-walk replay: 4 unrolled min_by steps over the symmetrized
+    // DISTINCT edges; the mix hash is collision-free in the v term
+    "graph_hash_walks" ->
+      s"""WITH edges0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM edges0
+         |  UNION SELECT dst AS src, src AS dst FROM edges0),
+         |s0 AS (
+         |  SELECT seed, seed AS node
+         |  FROM (SELECT unnest(generate_series(1, 20)) * 2 AS seed) s
+         |  WHERE seed IN (SELECT src FROM edges)),
+         |s1 AS (
+         |  SELECT seed, min_by(e.dst,
+         |    (s.node*2654435761 + e.dst*40503 + 1*2246822519) % 4294967296)
+         |      AS node
+         |  FROM s0 s JOIN edges e ON e.src = s.node GROUP BY seed),
+         |s2 AS (
+         |  SELECT seed, min_by(e.dst,
+         |    (s.node*2654435761 + e.dst*40503 + 2*2246822519) % 4294967296)
+         |      AS node
+         |  FROM s1 s JOIN edges e ON e.src = s.node GROUP BY seed),
+         |s3 AS (
+         |  SELECT seed, min_by(e.dst,
+         |    (s.node*2654435761 + e.dst*40503 + 3*2246822519) % 4294967296)
+         |      AS node
+         |  FROM s2 s JOIN edges e ON e.src = s.node GROUP BY seed),
+         |s4 AS (
+         |  SELECT seed, min_by(e.dst,
+         |    (s.node*2654435761 + e.dst*40503 + 4*2246822519) % 4294967296)
+         |      AS node
+         |  FROM s3 s JOIN edges e ON e.src = s.node GROUP BY seed),
+         |walk AS (
+         |  SELECT seed, CAST(0 AS BIGINT) AS step, node FROM s0
+         |  UNION ALL SELECT seed, 1, node FROM s1
+         |  UNION ALL SELECT seed, 2, node FROM s2
+         |  UNION ALL SELECT seed, 3, node FROM s3
+         |  UNION ALL SELECT seed, 4, node FROM s4)
+         |SELECT CAST(seed // 2 AS BIGINT) AS seed_key, step,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS node_key
+         |FROM walk
+         |ORDER BY seed_key, step""".stripMargin,
 
     // integer Katz: walks_r by r unrolled joins over the symmetrized
     // DISTINCT edge set; score = 64*w1 + 8*w2 + w3 (8^3-scaled beta=1/8)

@@ -939,6 +939,59 @@ object GraphAlgos {
   }
 
   /**
+   * Deterministic hash-driven walks — the DeepWalk/node2vec corpus-prep
+   * step without executor RNG: from each seed, `steps` steps where the
+   * step-t successor of u is the neighbor v minimizing the mixed
+   * multiplicative hash `(u·2654435761 + v·40503 + t·2246822519) mod
+   * 2³²`. The choice is uniform-ish over neighbors, REPRODUCIBLE under
+   * any partitioning/retry (the property RNG walks lose on speculative
+   * re-execution), and replayable relationally (plain integer
+   * arithmetic; the v-term is injective for node ids < 2³², so argmin
+   * ties are impossible). Emits one row per (seed, step, node),
+   * step 0 = the seed itself; seeds absent from the graph are dropped.
+   *
+   * Scale shape per step: the walk state is seed-sized (broadcast side
+   * of one edges⋈state equi-join) + a keyed min_by — walk count scales
+   * to millions of seeds before the state side stops broadcasting,
+   * and steps are a fixed small constant (the walk-corpus regime).
+   */
+  def hashWalks(
+      edges: DataFrame,
+      sources: Seq[Long],
+      steps: Int): DataFrame = {
+    require(steps >= 1, "at least one walk step")
+    require(sources.nonEmpty, "hashWalks needs a non-empty seed set")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    e.persist()
+    val nodes = e.select(col("src").as("node")).distinct()
+    var cur = sources.toDF("seed")
+      .join(nodes, col("seed") === col("node"), "left_semi")
+      .select(col("seed"), col("seed").as("node"))
+      .localCheckpoint()
+    var rows = List(cur.select(col("seed"), lit(0L).as("step"), col("node")))
+    var checkpoints = List(cur)
+    for (t <- 1 to steps) {
+      val next = e.join(broadcast(cur.select(col("seed"), col("node").as("src"))),
+          Seq("src"))
+        .select(col("seed"), col("src"), col("dst"),
+          ((col("src") * 2654435761L + col("dst") * 40503L
+            + lit(t.toLong) * 2246822519L) % 4294967296L).as("mix"))
+        .groupBy(col("seed"))
+        .agg(min_by(col("dst"), col("mix")).as("node"))
+        .localCheckpoint()
+      cur = next
+      checkpoints ::= next
+      rows ::= next.select(col("seed"), lit(t.toLong).as("step"), col("node"))
+    }
+    val out = rows.reduce(_ unionByName _).localCheckpoint()
+    checkpoints.foreach(SparkShims.unpersistCheckpoint)
+    e.unpersist()
+    out
+  }
+
+  /**
    * Katz centrality, exact-integer form. With attenuation β = 1/base
    * (base a small integer), base^R · Σ_{r=1..R} β^r · walks_r(v) =
    * Σ_{r=1..R} base^(R−r) · walks_r(v), where walks_r(v) is the number
