@@ -2430,6 +2430,37 @@ object RelationalQueries {
         .orderBy(col("community"))
     }),
 
+    // CUSUM changepoint over hourly event volume, in SCALED integers:
+    // S_i = D·(Σ_{h≤i} c_h) − i·T is D× the classic cumulative
+    // deviation from the mean — no division, no float, argmax by
+    // (|S|, earliest) is engine-deterministic. The volume-shift
+    // detector run over pipeline telemetry before retraining.
+    "rel_cusum_changepoint" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val tot = Window.partitionBy(col("event_type"))
+      val cum = hourly
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cs", sum(col("c"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("d", count(lit(1)).over(tot))
+        .withColumn("t", sum(col("c")).over(tot))
+        .withColumn("s_val", col("d") * col("cs") - col("i") * col("t"))
+      val pick = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("s_val")).desc, col("i").asc)
+      cum.withColumn("rk", row_number().over(pick)).where(col("rk") === 1)
+        .select(col("event_type"), col("hr").as("cp_hour"),
+          col("i").cast("long").as("cp_index"),
+          col("s_val").cast("long").as("s_value"),
+          col("d").cast("long").as("n_hours"),
+          col("t").cast("long").as("total"))
+        .orderBy(col("event_type"))
+    }),
+
     // KMV/theta-sketch INTERSECTION cardinality between nation-0
     // suppliers' distinct part sets (k=256, Knuth multiplicative hash —
     // bijective, so the oracle replays hash ranks exactly). n_common/
@@ -4237,6 +4268,33 @@ object RelationalQueries {
         |      * (CAST(cd.degree_sum AS DOUBLE) / (m.m_edges * 2)), 6) AS contribution
         |FROM cd LEFT JOIN intra USING (community) CROSS JOIN m
         |ORDER BY cd.community""".stripMargin,
+
+    // scaled-integer CUSUM replay: D*cumsum - i*total, argmax by
+    // (|S| DESC, i) via row_number
+    "rel_cusum_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, hr, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY hr
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cs,
+        |    count(*) OVER (PARTITION BY event_type) AS d,
+        |    sum(c) OVER (PARTITION BY event_type) AS t
+        |  FROM hourly),
+        |sv AS (
+        |  SELECT event_type, hr, i, d, t, d * cs - i * t AS s_val,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY abs(d * cs - i * t) DESC, i) AS rk
+        |  FROM cum)
+        |SELECT event_type, hr AS cp_hour, CAST(i AS BIGINT) AS cp_index,
+        |  CAST(s_val AS BIGINT) AS s_value, CAST(d AS BIGINT) AS n_hours,
+        |  CAST(t AS BIGINT) AS total
+        |FROM sv WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     // KMV replay: bijective multiplicative hash, rank <= 256 per key,
     // pair-common below theta* = min(theta_a, theta_b)
