@@ -302,6 +302,17 @@ object BenchAnchors {
     "graph_path_counts" -> 3.561, // r13 new gate, 5-rep isolated quiet-box median
     "graph_connected_components" -> 3.238, // r13 new gate, 5-rep isolated quiet-box median
     "multimodal_image_hist_eq" -> 0.714, // r13 new gate, 5-rep isolated quiet-box median
+    // r14 new gates, 5-rep isolated quiet-box medians (Probe protocol)
+    "rel_interval_coverage" -> 0.437,
+    "graph_katz_centrality" -> 5.711,
+    "graph_stress_paths" -> 10.773,
+    "dedup_substring_runs" -> 6.667,
+    "pipeline_bradley_terry" -> 3.638,
+    "multimodal_box_filter" -> 0.775,
+    "rel_kmv_intersect" -> 2.381,
+    "rel_markov_transitions" -> 0.531,
+    "graph_hash_walks" -> 3.094,
+    "rel_cusum_changepoint" -> 0.334,
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

@@ -585,4 +585,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange")) <= 1)
   }
 
+  test("interval coverage: join-free gaps-and-islands, window state only") {
+    // the sweep-line must never self-join intervals — a join here is the
+    // quadratic overlap shape the window formulation exists to avoid
+    val p = plan("rel_interval_coverage")
+    assert(!p.contains("Join"), s"interval coverage grew a join:\n$p")
+    assert(p.contains("Window"), "island numbering must be a window pass")
+  }
+
+  test("cusum changepoint: join-free, cumulative state stays in the window operator") {
+    val p = plan("rel_cusum_changepoint")
+    assert(!p.contains("Join"), s"cusum grew a join:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("markov transitions: totals join hashes, never nested-loop") {
+    val p = plan("rel_markov_transitions")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"markov transitions planned a non-equi join:\n$p")
+  }
+
 }
