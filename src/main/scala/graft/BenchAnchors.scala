@@ -313,6 +313,7 @@ object BenchAnchors {
     "rel_markov_transitions" -> 0.531,
     "graph_hash_walks" -> 3.094,
     "rel_cusum_changepoint" -> 0.334,
+    "stream_cusum_changepoint" -> 4.762,
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

@@ -2436,29 +2436,43 @@ object RelationalQueries {
     // (|S|, earliest) is engine-deterministic. The volume-shift
     // detector run over pipeline telemetry before retraining.
     "rel_cusum_changepoint" -> ((s, dir) => {
-      val hourly = events(s, dir)
+      cusumOverHourly(events(s, dir)
         .groupBy(col("event_type"),
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
             .as("hr"))
+        .agg(count(lit(1)).as("c")))
+    }),
+
+    // The SAME changepoint monitor as a LIVE stream: four staged
+    // micro-batches fold hourly counts in complete-mode aggregation
+    // state; the CUSUM/argmax runs over the drained table, so the
+    // final rows equal the batch gate's (shared oracle) — the
+    // volume-shift dial as it would actually be deployed.
+    "stream_cusum_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir).select(col("event_id"), col("ts"), col("event_type"))
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_scusum_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val filesDir = new java.io.File(root, "in")
+      java.nio.file.Files.createDirectories(filesDir.toPath)
+      val n = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+      StreamStage.stageBatches(root, filesDir, (0 until 4).map(b =>
+        ev.filter(col("event_id") >= n * b / 4 && col("event_id") < n * (b + 1) / 4)))
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+      val agg = stream.groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hr"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
-      val tot = Window.partitionBy(col("event_type"))
-      val cum = hourly
-        .withColumn("i", row_number().over(w).cast("long"))
-        .withColumn("cs", sum(col("c"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("d", count(lit(1)).over(tot))
-        .withColumn("t", sum(col("c")).over(tot))
-        .withColumn("s_val", col("d") * col("cs") - col("i") * col("t"))
-      val pick = Window.partitionBy(col("event_type"))
-        .orderBy(abs(col("s_val")).desc, col("i").asc)
-      cum.withColumn("rk", row_number().over(pick)).where(col("rk") === 1)
-        .select(col("event_type"), col("hr").as("cp_hour"),
-          col("i").cast("long").as("cp_index"),
-          col("s_val").cast("long").as("s_value"),
-          col("d").cast("long").as("n_hours"),
-          col("t").cast("long").as("total"))
-        .orderBy(col("event_type"))
+      val name = s"stream_cusum_${streamRunId.incrementAndGet()}"
+      Option(lastCusumView.getAndSet(name))
+        .foreach(prev => s.catalog.dropTempView(prev))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      cusumOverHourly(s.table(name))
     }),
 
     // KMV/theta-sketch INTERSECTION cardinality between nation-0
@@ -2585,6 +2599,31 @@ object RelationalQueries {
   private val lastEnrichView = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastDecayView = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastPsiView = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastCusumView = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Scaled-integer CUSUM + deterministic argmax over an hourly count
+    * table (event_type, hr, c) — shared by the batch gate and the
+    * streaming drain so both provably compute the same changepoint. */
+  private def cusumOverHourly(hourly: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val tot = Window.partitionBy(col("event_type"))
+    val cum = hourly
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cs", sum(col("c"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("d", count(lit(1)).over(tot))
+      .withColumn("t", sum(col("c")).over(tot))
+      .withColumn("s_val", col("d") * col("cs") - col("i") * col("t"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s_val")).desc, col("i").asc)
+    cum.withColumn("rk", row_number().over(pick)).where(col("rk") === 1)
+      .select(col("event_type"), col("hr").as("cp_hour"),
+        col("i").cast("long").as("cp_index"),
+        col("s_val").cast("long").as("s_value"),
+        col("d").cast("long").as("n_hours"),
+        col("t").cast("long").as("total"))
+      .orderBy(col("event_type"))
+  }
 
   /** Shared by `rel_decay_engagement` (batch) and
     * `stream_decay_engagement` (complete-mode streaming aggregation). */
@@ -4271,30 +4310,11 @@ object RelationalQueries {
 
     // scaled-integer CUSUM replay: D*cumsum - i*total, argmax by
     // (|S| DESC, i) via row_number
-    "rel_cusum_changepoint" ->
-      """WITH hourly AS (
-        |  SELECT event_type,
-        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
-        |    CAST(count(*) AS BIGINT) AS c
-        |  FROM events GROUP BY 1, 2),
-        |cum AS (
-        |  SELECT event_type, hr, c,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i,
-        |    sum(c) OVER (PARTITION BY event_type ORDER BY hr
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS cs,
-        |    count(*) OVER (PARTITION BY event_type) AS d,
-        |    sum(c) OVER (PARTITION BY event_type) AS t
-        |  FROM hourly),
-        |sv AS (
-        |  SELECT event_type, hr, i, d, t, d * cs - i * t AS s_val,
-        |    row_number() OVER (PARTITION BY event_type
-        |                       ORDER BY abs(d * cs - i * t) DESC, i) AS rk
-        |  FROM cum)
-        |SELECT event_type, hr AS cp_hour, CAST(i AS BIGINT) AS cp_index,
-        |  CAST(s_val AS BIGINT) AS s_value, CAST(d AS BIGINT) AS n_hours,
-        |  CAST(t AS BIGINT) AS total
-        |FROM sv WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "rel_cusum_changepoint" -> cusumOracle,
+
+    // the streaming drain's complete-mode hourly table equals the batch
+    // aggregation — same oracle
+    "stream_cusum_changepoint" -> cusumOracle,
 
     // KMV replay: bijective multiplicative hash, rank <= 256 per key,
     // pair-common below theta* = min(theta_a, theta_b)
@@ -4423,6 +4443,31 @@ object RelationalQueries {
         |  CAST(sum(n_iv) AS BIGINT) AS n_intervals
         |FROM runs GROUP BY k ORDER BY supp_key""".stripMargin
   )
+
+  private def cusumOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, hr, c,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY hr
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cs,
+      |    count(*) OVER (PARTITION BY event_type) AS d,
+      |    sum(c) OVER (PARTITION BY event_type) AS t
+      |  FROM hourly),
+      |sv AS (
+      |  SELECT event_type, hr, i, d, t, d * cs - i * t AS s_val,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY abs(d * cs - i * t) DESC, i) AS rk
+      |  FROM cum)
+      |SELECT event_type, hr AS cp_hour, CAST(i AS BIGINT) AS cp_index,
+      |  CAST(s_val AS BIGINT) AS s_value, CAST(d AS BIGINT) AS n_hours,
+      |  CAST(t AS BIGINT) AS total
+      |FROM sv WHERE rk = 1 ORDER BY event_type""".stripMargin
 
   /** Benford oracle: digit = first char of the exact-cents base-10
     * rendering (magnitude-proof, engine-independent), counts as
