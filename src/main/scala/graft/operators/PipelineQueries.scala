@@ -1268,6 +1268,14 @@ object PipelineQueries {
       Embeddings.knnClassify(e, "vec_id", "embedding", "label", q, k = 5)
     }),
 
+    // Mutual kNN pairs (k=5, exact cosine, id tie-breaks): the
+    // reciprocal-rank filter behind SemDeDup-style pair graphs — a
+    // one-way neighbor is a hub artifact, a mutual one almost never.
+    "embed_mutual_knn" -> ((s, dir) => {
+      Embeddings.mutualKnn(emb(s, dir), "vec_id", "embedding", k = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "embed_centroid_classify" -> ((s, dir) => {
       Embeddings.nearestCentroidClassify(s, emb(s, dir),
           "vec_id", "embedding", "label")
@@ -3262,6 +3270,28 @@ object PipelineQueries {
          |SELECT doc_id, quality_score, n_tokens, cum_tokens,
          |  (cum_tokens <= 8000) AS kept
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // mutual-kNN replay: full scored matrix, per-side top-5 by
+    // (cosine DESC, id), reciprocal self-join
+    "embed_mutual_knn" ->
+      s"""WITH scored AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    CASE WHEN ${normL("a.embedding")} = 0
+         |           OR ${normL("b.embedding")} = 0 THEN 0.0
+         |         ELSE ${dotL("a.embedding", "b.embedding")}
+         |           / (${normL("a.embedding")} * ${normL("b.embedding")})
+         |    END AS cosine
+         |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+         |topk AS (
+         |  SELECT ia, ib, cosine FROM (
+         |    SELECT scored.*, row_number() OVER (
+         |      PARTITION BY ia ORDER BY cosine DESC, ib) AS rnk
+         |    FROM scored) t
+         |  WHERE rnk <= 5)
+         |SELECT x.ia AS id_a, x.ib AS id_b, round(x.cosine, 6) AS cosine
+         |FROM topk x JOIN topk y ON y.ia = x.ib AND y.ib = x.ia
+         |  AND x.ia < x.ib
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "embed_knn_classify" ->
       s"""WITH q AS (

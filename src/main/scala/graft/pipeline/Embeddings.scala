@@ -203,6 +203,48 @@ object Embeddings {
    * rows. Production swaps the brute scan for the IVF/sealed-index
    * path — the voting algebra is unchanged.
    */
+  /**
+   * Mutual k-nearest-neighbor pairs — the reciprocal-rank filter that
+   * turns a directed kNN edge list into the high-precision pair graph
+   * SemDeDup-style semantic clustering and label-propagation seeds are
+   * built on (a one-way neighbor is often a hub artifact; a MUTUAL
+   * neighbor almost never is). Exact brute-force cosine top-k per side
+   * (ties broken by neighbor id), then a self-join keeps (a,b) only
+   * when each ranks in the other's top-k.
+   *
+   * Scale shape: the candidate stage here is the exact crossJoin-with-
+   * broadcast (the bounded-corpus contract shared with [[knnClassify]]);
+   * at corpus scale swap it for the IVF/LSH candidate generators in
+   * [[Ann]] — the mutual filter is the same directed-edge self-join
+   * either way, k·n-sized, never quadratic.
+   */
+  def mutualKnn(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("ia"), col(vecCol).as("va"))
+    val other = df.select(col(idCol).cast("long").as("ib"), col(vecCol).as("vb"))
+    val w = Window.partitionBy(col("ia")).orderBy(col("cosine").desc, col("ib"))
+    val topk = base.crossJoin(broadcast(other))
+      .filter(col("ia") =!= col("ib"))
+      .withColumn("cosine",
+        graft.functions.vector.cosine_sim(col("va"), col("vb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("ia"), col("ib"), col("cosine"))
+    topk.persist()
+    val out = topk.as("x").join(topk.as("y"),
+        col("x.ia") === col("y.ib") && col("x.ib") === col("y.ia") &&
+          col("x.ia") < col("x.ib"))
+      .select(col("x.ia").as("id_a"), col("x.ib").as("id_b"),
+        round(col("x.cosine"), 6).as("cosine"))
+      .localCheckpoint()
+    topk.unpersist()
+    out
+  }
+
   def knnClassify(
       df: DataFrame,
       idCol: String,
