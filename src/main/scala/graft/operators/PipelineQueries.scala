@@ -1888,6 +1888,17 @@ object PipelineQueries {
     // gaps-and-islands window. Decode fan-out is one fixed-width row
     // per block; the oracle replays signal, blocks, and islands
     // closed-form.
+    // Amplitude-flux onset detection over the VAD corpus (the zeroed
+    // blocks create genuine transients): |block-to-block sum_abs
+    // delta|, totals + strongest-onset argmax, exact integers; the
+    // oracle replays signal, blocks, and the novelty curve closed-form.
+    "multimodal_audio_flux" -> ((s, dir) => {
+      val blobs = Audio.withVadAudio(
+        s, docs(s, dir).filter(col("doc_id") < 200), "doc_id")
+      Audio.fluxStats(Audio.blockStats(blobs, blockFrames = 32).toDF())
+        .orderBy(col("doc_id"))
+    }),
+
     "multimodal_audio_vad" -> ((s, dir) => {
       val blobs = Audio.withVadAudio(
         s, docs(s, dir).filter(col("doc_id") < 200), "doc_id")
@@ -5159,6 +5170,37 @@ object PipelineQueries {
     // closed-form pitch corpus replay: period/wave/amplitude CASEs
     // mirror Audio.synthPitchBlob; lag sums joined within each full
     // 64-frame window; best lag = max r, smallest lag on ties
+    // flux replay: regenerate the VAD signal, 32-frame block sum_abs,
+    // lag-delta novelty curve, argmax by (flux DESC, block)
+    "multimodal_audio_flux" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |samp AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN (i // 32) % 3 = 0 THEN 0
+        |         ELSE (doc_id * 31 + i * 17) % 2001 - 1000 END AS s
+        |  FROM ids, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(255 + doc_id % 64 AS BIGINT))) AS i)),
+        |blk AS (
+        |  SELECT doc_id, i // 32 AS block_idx,
+        |    CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+        |  FROM samp GROUP BY 1, 2),
+        |fx AS (
+        |  SELECT doc_id, block_idx, sum_abs,
+        |    lag(sum_abs) OVER (PARTITION BY doc_id ORDER BY block_idx)
+        |      AS prev
+        |  FROM blk),
+        |fl AS (
+        |  SELECT doc_id, block_idx, abs(sum_abs - prev) AS flux,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY abs(sum_abs - prev) DESC, block_idx) AS rk
+        |  FROM fx WHERE prev IS NOT NULL)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  CAST(sum(flux) AS BIGINT) AS total_flux,
+        |  CAST(max(flux) AS BIGINT) AS max_flux,
+        |  CAST(min(CASE WHEN rk = 1 THEN block_idx END) AS BIGINT)
+        |    AS max_flux_block
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "multimodal_audio_pitch" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
         |samp AS (

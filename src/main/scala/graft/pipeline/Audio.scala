@@ -473,6 +473,34 @@ object Audio {
    * speech-extraction step of an audio pipeline, over fixed-width
    * block rows only.
    */
+  /**
+   * Amplitude-flux onset detection from block stats: per consecutive
+   * block pair, `flux = |sum_abs_w − sum_abs_{w−1}|` — the novelty
+   * curve onset/beat trackers threshold; its argmax is the strongest
+   * transient. All exact integers over the [[blockStats]] rows (one
+   * keyed window + one grouped pass, fixed-width rows only — audio
+   * bytes never cross a shuffle); argmax tie-breaks to the earliest
+   * block, engine-deterministic.
+   */
+  def fluxStats(blocks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("block_idx"))
+    val f = blocks
+      .withColumn("prev", lag(col("sum_abs"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("flux", abs(col("sum_abs") - col("prev")))
+    val pick = Window.partitionBy(col("doc_id"))
+      .orderBy(col("flux").desc, col("block_idx"))
+    f.withColumn("rk", row_number().over(pick))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_transitions"),
+        sum(col("flux")).cast("long").as("total_flux"),
+        max(col("flux")).cast("long").as("max_flux"),
+        min(when(col("rk") === 1, col("block_idx"))).cast("long")
+          .as("max_flux_block"))
+      .orderBy(col("doc_id"))
+  }
+
   def vadSegments(blocks: DataFrame, threshold: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("block_idx"))
