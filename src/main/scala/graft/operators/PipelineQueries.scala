@@ -1733,6 +1733,16 @@ object PipelineQueries {
     // chosen = highest quality score, rejected = lowest (ties → smaller
     // doc_id on both sides), minimum margin 0.05. One keyed groupBy with
     // struct-ordered max_by aggregates — no window sort, no self-join.
+    // Group-relative advantages (the GRPO/RLOO shaping step): n_chars
+    // centered/scaled within each (source, lang) prompt group, moments
+    // from exact integer sums (builtin stddev is Welford in one engine
+    // and sum-of-squares in the other — never use it cross-engine).
+    "pipeline_group_advantages" -> ((s, dir) => {
+      graft.pipeline.Preference.groupAdvantages(
+          docs(s, dir), Seq("source", "lang"), "doc_id", "n_chars")
+        .orderBy(col("source"), col("lang"), col("doc_id"))
+    }),
+
     "pipeline_dpo_pairs" -> ((s, dir) => {
       val scored = docs(s, dir).select(col("source"), col("lang"),
         col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
@@ -2516,6 +2526,26 @@ object PipelineQueries {
          |  round((sy - round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4) * sx)
          |        / n_terms, 4) AS zipf_intercept
          |FROM agg""".stripMargin,
+
+    // advantages replay: identical fixed op chain
+    // (sx2 - sx*sx/n)/n, (x - mean)/sqrt(var), round 6
+    "pipeline_group_advantages" ->
+      """WITH m AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2
+        |  FROM documents GROUP BY source, lang)
+        |SELECT d.source, d.lang, d.doc_id, d.n_chars AS value, m.n,
+        |  round(CASE WHEN m.n = 1 OR
+        |      (CAST(m.sx2 AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.n)
+        |        / m.n <= 0.0
+        |    THEN 0.0
+        |    ELSE (d.n_chars - CAST(m.sx AS DOUBLE) / m.n)
+        |      / sqrt((CAST(m.sx2 AS DOUBLE)
+        |              - CAST(m.sx AS DOUBLE) * m.sx / m.n) / m.n)
+        |    END, 6) AS advantage
+        |FROM documents d JOIN m ON m.source = d.source AND m.lang = d.lang
+        |ORDER BY d.source, d.lang, d.doc_id""".stripMargin,
 
     "pipeline_dpo_pairs" ->
       s"""WITH base AS (

@@ -2430,6 +2430,43 @@ object RelationalQueries {
         .orderBy(col("community"))
     }),
 
+    // Two-proportion z-test over a hash-split experiment (user_id
+    // parity = arm): conversion = more purchases than clicks. Counts
+    // exact integers; the z statistic is ONE fixed chain of IEEE ops
+    // over them (identical in both engines), round(,6) presentation.
+    // The experimentation readout every feature pipeline ends in.
+    "rel_ab_ztest" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purch"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("clk"))
+        .select((col("user_id") % 2).as("arm"),
+          when(col("purch") > col("clk"), 1L).otherwise(0L).as("conv"))
+      val arms = perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("conv")).cast("long").as("c"))
+      val wide = arms.agg(
+        max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 0, col("c"))).as("c0"),
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 1, col("c"))).as("c1"))
+      wide.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round(col("c0").cast("double") / col("n0"), 6).as("p0"),
+        round(col("c1").cast("double") / col("n1"), 6).as("p1"),
+        round({
+          val pbar = (col("c0") + col("c1")).cast("double") /
+            (col("n0") + col("n1"))
+          val se = sqrt(pbar * (lit(1.0) - pbar) *
+            (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+          when(se === 0.0, 0.0)
+            .otherwise((col("c1").cast("double") / col("n1") -
+              col("c0").cast("double") / col("n0")) / se)
+        }, 6).as("z"))
+    }),
+
     // CUSUM changepoint over hourly event volume, in SCALED integers:
     // S_i = D·(Σ_{h≤i} c_h) − i·T is D× the classic cumulative
     // deviation from the mean — no division, no float, argmax by
@@ -4307,6 +4344,44 @@ object RelationalQueries {
         |      * (CAST(cd.degree_sum AS DOUBLE) / (m.m_edges * 2)), 6) AS contribution
         |FROM cd LEFT JOIN intra USING (community) CROSS JOIN m
         |ORDER BY cd.community""".stripMargin,
+
+    // z-test replay: identical op chain — pooled p, se, (p1-p0)/se
+    "rel_ab_ztest" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS purch,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS clk
+        |  FROM events GROUP BY user_id),
+        |pc AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN purch > clk THEN 1 ELSE 0 END AS conv
+        |  FROM pu),
+        |arms AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS c
+        |  FROM pc GROUP BY arm),
+        |wide AS (
+        |  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    max(CASE WHEN arm = 0 THEN c END) AS c0,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    max(CASE WHEN arm = 1 THEN c END) AS c1
+        |  FROM arms)
+        |SELECT n0, c0, n1, c1,
+        |  round(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+        |  round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+        |  round(CASE WHEN
+        |      sqrt(CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+        |           * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |           * (1.0 / n0 + 1.0 / n1)) = 0.0
+        |    THEN 0.0
+        |    ELSE (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+        |      / sqrt(CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+        |             * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |             * (1.0 / n0 + 1.0 / n1))
+        |    END, 6) AS z
+        |FROM wide""".stripMargin,
 
     // scaled-integer CUSUM replay: D*cumsum - i*total, argmax by
     // (|S| DESC, i) via row_number

@@ -52,6 +52,42 @@ object Preference {
   }
 
   /**
+   * Group-relative advantages — the GRPO/RLOO data-shaping step: each
+   * sample's reward is centered and scaled WITHIN its prompt group,
+   * `adv = (x − mean) / stddev_pop`. Moments are assembled from exact
+   * integer Σx / Σx² (never the builtin stddev aggregate, whose
+   * Welford-vs-sum-of-squares implementation differs across engines at
+   * ulp), so every double op is a fixed deterministic chain; the one
+   * final round(…,6) covers nothing but presentation. Degenerate
+   * groups (n = 1 or zero variance) emit adv = 0.
+   *
+   * Scale shape: one grouped integer aggregation + one broadcast-or-
+   * shuffle join of the group-sized moment table back onto the rows.
+   */
+  def groupAdvantages(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val moments = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum(x * x).as("sx2"))
+    df.select((groupCols.map(col) :+ col(idCol) :+ x.as("x")): _*)
+      .join(moments, groupCols)
+      .withColumn("mean", col("sx").cast("double") / col("n"))
+      .withColumn("variance",
+        (col("sx2") - col("sx").cast("double") * col("sx") / col("n"))
+          / col("n"))
+      .withColumn("adv",
+        when(col("n") === 1L || col("variance") <= 0.0, 0.0)
+          .otherwise((col("x") - col("mean")) / sqrt(col("variance"))))
+      .select((groupCols.map(col) :+ col(idCol) :+ col("x").as("value") :+
+        col("n") :+ round(col("adv"), 6).as("advantage")): _*)
+  }
+
+  /**
    * Bradley–Terry strength fitting over pairwise outcomes — the
    * preference-model step behind reward shaping and arena-style model
    * ranking (Elo's order-free batch cousin: no sequential game order,

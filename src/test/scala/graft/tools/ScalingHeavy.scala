@@ -101,6 +101,27 @@ object ScalingHeavy {
       }
     }
 
+    if (families("centrality")) {
+      // r14 kernels: Brandes fwd+bwd (stress) and integer Katz — the
+      // per-round shape is edges⋈state + keyed agg, so the data term is
+      // |E| per round; seeds fixed at 5 (the pivot-sampling regime)
+      for (e <- Seq(1000000L, 3000000L, 10000000L)) {
+        val edges = graft.pipeline.GraphAlgos.symmetrize(edgesAt(spark, e)).persist()
+        edges.count()
+        val seeds = edges.select(col("src")).limit(100).distinct()
+          .orderBy(col("src")).limit(5)
+          .collect().map(_.getLong(0)).toSeq
+        val (tSt, nSt) = time {
+          graft.pipeline.GraphAlgos.stressCentrality(edges, seeds, rounds = 3).count()
+        }
+        val (tKz, nKz) = time {
+          graft.pipeline.GraphAlgos.katzCentrality(edges, rounds = 3, base = 8L).count()
+        }
+        println(f"[scale] centrality |E|=$e%9d  stress=$tSt%6.2f s ($nSt rows)  katz=$tKz%6.2f s ($nKz rows)")
+        edges.unpersist()
+      }
+    }
+
     if (families("cms")) {
       for (n <- Seq(5000L, 15000L, 50000L)) {
         val docs = docsAt(spark, n).persist()
