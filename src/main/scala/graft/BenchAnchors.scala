@@ -314,6 +314,13 @@ object BenchAnchors {
     "graph_hash_walks" -> 3.094,
     "rel_cusum_changepoint" -> 0.334,
     "stream_cusum_changepoint" -> 4.762,
+    "embed_mutual_knn" -> 2.839,
+    "multimodal_audio_flux" -> 0.303,
+    "pipeline_group_advantages" -> 0.277,
+    "rel_ab_ztest" -> 0.168,
+    "rel_gini_revenue" -> 0.514,
+    "text_burstiness" -> 0.769,
+    "embed_isotropy" -> 0.352,
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

@@ -1268,6 +1268,59 @@ object PipelineQueries {
       Embeddings.knnClassify(e, "vec_id", "embedding", "label", q, k = 5)
     }),
 
+    // Token burstiness (variance-to-mean ratio INCLUDING absent docs)
+    // for the 20 most frequent tokens: VMR = (sx2 − sx²/N)/sx from
+    // exact integer per-doc counts — the corpus-linguistics dial that
+    // separates topical words (bursty) from function words (VMR ≈ 1,
+    // Poisson-like), a quality/diversity screen over training text.
+    "text_burstiness" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nDocs = d.count()
+      val perDoc = d.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      perDoc.groupBy(col("token"))
+        .agg(sum(col("c")).cast("long").as("total"),
+          sum(col("c") * col("c")).cast("long").as("sx2"),
+          count(lit(1)).cast("long").as("n_docs_present"))
+        .orderBy(col("total").desc, col("token"))
+        .limit(20)
+        .select(col("token"), col("total"), col("n_docs_present"),
+          round((col("sx2").cast("double")
+            - col("total").cast("double") * col("total") / lit(nDocs.toDouble))
+            / col("total"), 6).as("vmr"))
+        .orderBy(col("token"))
+    }),
+
+    // Embedding-space isotropy per label (Ethayarajh-style diagnostic):
+    // mean pairwise cosine over unit vectors via the closed form
+    // (|Σu|² − n) / (n(n−1)) — one normalized-vector sum per dimension,
+    // no pair join anywhere. Per-dim sums are float (round(,6)
+    // contract); a collapsed (anisotropic) label space scores near 1,
+    // a healthy one near 0.
+    "embed_isotropy" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, x) => a + x)))
+        .where(col("nrm") > 0)
+      val sums = e.select(col("label"), col("nrm"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("u", col("v").cast("double") / col("nrm"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("u")).as("sd"))
+        .groupBy(col("label"))
+        .agg(sum(col("sd") * col("sd")).as("ss"))
+      val counts = e.groupBy(col("label"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      counts.join(sums, Seq("label"))
+        .select(col("label").cast("long").as("label"), col("n"),
+          round((col("ss") - col("n")) /
+            (col("n").cast("double") * (col("n") - 1)), 6).as("isotropy"))
+        .orderBy(col("label"))
+    }),
+
     // Mutual kNN pairs (k=5, exact cosine, id tie-breaks): the
     // reciprocal-rank filter behind SemDeDup-style pair graphs — a
     // one-way neighbor is a hub artifact, a mutual one almost never.
@@ -3311,6 +3364,52 @@ object PipelineQueries {
          |SELECT doc_id, quality_score, n_tokens, cum_tokens,
          |  (cum_tokens <= 8000) AS kept
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // burstiness replay: per-doc integer counts, top-20 by (total,
+    // token), identical VMR chain
+    "text_burstiness" ->
+      """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |pd AS (
+        |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0)) AS token
+        |    FROM documents) x
+        |  GROUP BY token, doc_id),
+        |st AS (
+        |  SELECT token, CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(sum(c * c) AS BIGINT) AS sx2,
+        |    CAST(count(*) AS BIGINT) AS n_docs_present
+        |  FROM pd GROUP BY token),
+        |top AS (
+        |  SELECT * FROM st ORDER BY total DESC, token LIMIT 20)
+        |SELECT token, total, n_docs_present,
+        |  round((CAST(sx2 AS DOUBLE) - CAST(total AS DOUBLE) * total / n.nd)
+        |    / total, 6) AS vmr
+        |FROM top, n ORDER BY token""".stripMargin,
+
+    // isotropy replay: unit vectors, per-dim sums, closed form
+    // (|S|^2 - n) / (n(n-1)), round 6
+    "embed_isotropy" ->
+      s"""WITH nv AS (
+         |  SELECT label, vec_id, embedding,
+         |    ${normL("embedding")} AS nrm
+         |  FROM embeddings),
+         |pos AS (
+         |  SELECT label, nrm, i, CAST(embedding[i] AS DOUBLE) / nrm AS u
+         |  FROM nv, LATERAL (SELECT unnest(generate_series(1,
+         |    CAST(len(embedding) AS BIGINT))) AS i)
+         |  WHERE nrm > 0),
+         |sd AS (SELECT label, i, sum(u) AS s FROM pos GROUP BY label, i),
+         |ss AS (SELECT label, sum(s * s) AS ss FROM sd GROUP BY label),
+         |cnt AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n
+         |  FROM nv WHERE nrm > 0 GROUP BY label)
+         |SELECT CAST(c.label AS BIGINT) AS label, c.n,
+         |  round((ss.ss - c.n) / (CAST(c.n AS DOUBLE) * (c.n - 1)), 6)
+         |    AS isotropy
+         |FROM cnt c JOIN ss ON ss.label = c.label
+         |ORDER BY label""".stripMargin,
 
     // mutual-kNN replay: full scored matrix, per-side top-5 by
     // (cosine DESC, id), reciprocal self-join

@@ -2430,6 +2430,34 @@ object RelationalQueries {
         .orderBy(col("community"))
     }),
 
+    // Gini concentration of customer revenue in exact integers: with
+    // revenue in cents and the (cents, custkey) total order,
+    // G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) — numerator and denominator
+    // are exact Longs, one final division + round(,6). The rank
+    // assignment is the one inherently global-sort step (at scale:
+    // range-partitioned sort + per-partition rank offsets — the
+    // standard distributed ranking; n here is customer-sized, 1000s,
+    // never fact-table-sized).
+    "rel_gini_revenue" -> ((s, dir) => {
+      val rev = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("cents")).as("x"))
+      val w = Window.orderBy(col("x"), col("o_custkey"))
+      rev.withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          sum(col("x")).cast("long").as("total_cents"),
+          sum(col("i") * col("x")).cast("long").as("rank_weighted"))
+        .select(col("n_customers"), col("total_cents"),
+          round((lit(2.0) * col("rank_weighted")
+            - (col("n_customers") + 1).cast("double") * col("total_cents"))
+            / (col("n_customers").cast("double") * col("total_cents")), 6)
+            .as("gini"))
+    }),
+
     // Two-proportion z-test over a hash-split experiment (user_id
     // parity = arm): conversion = more purchases than clicks. Counts
     // exact integers; the z statistic is ONE fixed chain of IEEE ops
@@ -4344,6 +4372,28 @@ object RelationalQueries {
         |      * (CAST(cd.degree_sum AS DOUBLE) / (m.m_edges * 2)), 6) AS contribution
         |FROM cd LEFT JOIN intra USING (community) CROSS JOIN m
         |ORDER BY cd.community""".stripMargin,
+
+    // gini replay: exact-cents revenue, (cents, custkey) rank order,
+    // identical final float chain
+    "rel_gini_revenue" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_custkey),
+        |rk AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM rev),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(x) AS BIGINT) AS total_cents,
+        |    CAST(sum(i * x) AS BIGINT) AS rank_weighted
+        |  FROM rk)
+        |SELECT n_customers, total_cents,
+        |  round((2.0 * rank_weighted
+        |         - CAST(n_customers + 1 AS DOUBLE) * total_cents)
+        |    / (CAST(n_customers AS DOUBLE) * total_cents), 6) AS gini
+        |FROM agg""".stripMargin,
 
     // z-test replay: identical op chain — pooled p, se, (p1-p0)/se
     "rel_ab_ztest" ->
