@@ -948,7 +948,9 @@ object GraphAlgos {
    * re-execution), and replayable relationally (plain integer
    * arithmetic; the v-term is injective for node ids < 2³², so argmin
    * ties are impossible). Emits one row per (seed, step, node),
-   * step 0 = the seed itself; seeds absent from the graph are dropped.
+   * step 0 = the seed itself; seeds with no out-edges are dropped, and
+   * a walk that reaches a dead-end node (directed graphs) simply ends
+   * early — no row for the unreachable steps.
    *
    * Scale shape per step: the walk state is seed-sized (broadcast side
    * of one edges⋈state equi-join) + a keyed min_by — walk count scales

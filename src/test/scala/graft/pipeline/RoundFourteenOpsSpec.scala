@@ -55,6 +55,56 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 2L, 0.0)))
   }
 
+  test("guard falsifiers: invalid parameters throw, never mis-compute") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.substringRuns(df, "doc_id", "text", gramLen = 1, maxDf = 50)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.substringRuns(df, "doc_id", "text", gramLen = 30, maxDf = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.kmvIntersections(df, "doc_id", "doc_id", k = 0)
+    }
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphAlgos.hashWalks(e, Seq(1L), steps = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphAlgos.hashWalks(e, Seq.empty, steps = 2)
+    }
+    intercept[IllegalArgumentException] {
+      GraphAlgos.katzCentrality(e, rounds = 0, base = 8L)
+    }
+    intercept[IllegalArgumentException] {
+      GraphAlgos.katzCentrality(e, rounds = 2, base = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      GraphAlgos.stressCentrality(e, Seq(1L), rounds = 1)
+    }
+  }
+
+  test("box filter rejects images narrower than the window") {
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val blobs = spark.createDataset(Seq(Multimodal.MediaBlob(
+      7L, "image/png", bos.toByteArray, Multimodal.MediaMeta(2, 2, 3, 0L))))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeBoxFilter(blobs).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("hash walks: dead-end directed node ends the walk early") {
+    // 1 -> 2, no out-edges from 2: step 1 reaches 2, steps 2+ emit no row
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val got = GraphAlgos.hashWalks(e, Seq(1L), steps = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L, 1L), (1L, 1L, 2L)))
+  }
+
   test("substring runs: the df-cap drops corpus-wide boilerplate") {
     val boiler = "b" * 40
     val rows = (1L to 6L).map(i => (i, s"doc $i carries $boiler verbatim"))
