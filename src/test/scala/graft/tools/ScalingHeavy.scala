@@ -122,6 +122,40 @@ object ScalingHeavy {
       }
     }
 
+    if (families("substring")) {
+      // exact substring-run dedup's data term: posting-list volume is
+      // ~270 grams/doc; planted pairs + capped boilerplate mirror the
+      // HeavySubstringSpec corpus so recall is checkable at every size
+      for (n <- Seq(100000L, 300000L, 1000000L)) {
+        val nPairs = n / 400
+        val words = expr(
+          """concat_ws(' ', transform(sequence(1, 40),
+            |  i -> concat('w', pmod(xxhash64(id, i), 4096))))""".stripMargin)
+        val boiler = "THIS DOCUMENT IS PROVIDED AS-IS WITHOUT WARRANTY OF " +
+          "ANY KIND EXPRESS OR IMPLIED BOILERPLATE."
+        val passage = expr(
+          s"""substring(repeat(concat('PLANTED-', pmod(id, $nPairs), '-'), 8),
+             |1, 60)""".stripMargin)
+        val docs = spark.range(n).select(
+          col("id").as("doc_id"),
+          concat_ws(" ",
+            words,
+            when(pmod(col("id"), lit(3L)) === 0L, lit(boiler)).otherwise(lit("")),
+            when(col("id") < nPairs * 2, passage).otherwise(lit(""))).as("text"))
+          .persist()
+        docs.count()
+        val (t, agg) = time {
+          val out = graft.pipeline.Dedup.substringRuns(
+            docs, "doc_id", "text", gramLen = 30, maxDf = 50)
+          out.agg(count(lit(1)),
+            sum(when(col("max_shared_run") >= 60, 1L).otherwise(0L))).head()
+        }
+        println(f"[scale] substring docs=$n%8d  runs=$t%7.1f s  " +
+          f"pairs=${agg.getLong(0)}%8d  planted>=${agg.getLong(1)}%6d/$nPairs")
+        docs.unpersist()
+      }
+    }
+
     if (families("cms")) {
       for (n <- Seq(5000L, 15000L, 50000L)) {
         val docs = docsAt(spark, n).persist()
