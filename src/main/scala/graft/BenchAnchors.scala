@@ -321,6 +321,8 @@ object BenchAnchors {
     "rel_gini_revenue" -> 0.514,
     "text_burstiness" -> 0.769,
     "embed_isotropy" -> 0.352,
+    "rel_ewma_dyadic" -> 0.874,
+    "pipeline_pass_at_k" -> 0.469,
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

@@ -1786,6 +1786,29 @@ object PipelineQueries {
     // chosen = highest quality score, rejected = lowest (ties → smaller
     // doc_id on both sides), minimum margin 0.05. One keyed groupBy with
     // struct-ordered max_by aggregates — no window sort, no self-join.
+    // pass@k (k=5) per prompt group — the Chen et al. unbiased
+    // estimator 1 − C(n−c, k)/C(n, k), computed as the UNROLLED fixed
+    // 5-term product Π (n−c−i)/(n−i) so the float chain is identical
+    // in both engines (a binomial() call would overflow and a loop
+    // would reorder); success = n_chars > 300, an exact integer
+    // criterion. A group that cannot fail k times scores exactly 1
+    // (a product term hits zero). The eval-harness readout every
+    // sampling pipeline ends in.
+    "pipeline_pass_at_k" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("n_chars") > 300, 1L).otherwise(0L)).cast("long")
+            .as("c"))
+        .where(col("n") >= 5)
+      def term(i: Int) =
+        (col("n") - col("c") - i).cast("double") / (col("n") - i)
+      g.select(col("source"), col("lang"), col("n"), col("c"),
+          round(lit(1.0) - term(0) * term(1) * term(2) * term(3) * term(4), 6)
+            .as("pass_at_5"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Group-relative advantages (the GRPO/RLOO shaping step): n_chars
     // centered/scaled within each (source, lang) prompt group, moments
     // from exact integer sums (builtin stddev is Welford in one engine
@@ -2579,6 +2602,23 @@ object PipelineQueries {
          |  round((sy - round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4) * sx)
          |        / n_terms, 4) AS zipf_intercept
          |FROM agg""".stripMargin,
+
+    // pass@5 replay: identical unrolled 5-term product
+    "pipeline_pass_at_k" ->
+      """WITH g AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n, c,
+        |  round(1.0
+        |    - CAST(n - c - 0 AS DOUBLE) / (n - 0)
+        |      * (CAST(n - c - 1 AS DOUBLE) / (n - 1))
+        |      * (CAST(n - c - 2 AS DOUBLE) / (n - 2))
+        |      * (CAST(n - c - 3 AS DOUBLE) / (n - 3))
+        |      * (CAST(n - c - 4 AS DOUBLE) / (n - 4)), 6) AS pass_at_5
+        |FROM g WHERE n >= 5
+        |ORDER BY source, lang""".stripMargin,
 
     // advantages replay: identical fixed op chain
     // (sx2 - sx*sx/n)/n, (x - mean)/sqrt(var), round 6

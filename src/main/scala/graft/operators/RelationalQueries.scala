@@ -2430,6 +2430,30 @@ object RelationalQueries {
         .orderBy(col("community"))
     }),
 
+    // Dyadic EWMA (α = 1/2) over the last 32 hourly buckets per type,
+    // in exact scaled integers: level·2³² = Σ c_j · 2^(31−j) (j = 0 is
+    // the latest hour) — the smoothing forecast with no float until
+    // the one final presentation division. Sequential recurrences
+    // distribute fine when the weights are closed-form.
+    "rel_ewma_dyadic" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr").desc)
+      hourly.withColumn("j", row_number().over(w).cast("long") - 1)
+        .where(col("j") < 32)
+        .withColumn("wt",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(31 - j AS INT))"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_hours"),
+          sum(col("c") * col("wt")).cast("long").as("ewma_scaled"))
+        .select(col("event_type"), col("n_hours"), col("ewma_scaled"),
+          round(col("ewma_scaled") / lit(4294967296.0), 6).as("ewma"))
+        .orderBy(col("event_type"))
+    }),
+
     // Gini concentration of customer revenue in exact integers: with
     // revenue in cents and the (cents, custkey) total order,
     // G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) — numerator and denominator
@@ -4372,6 +4396,27 @@ object RelationalQueries {
         |      * (CAST(cd.degree_sum AS DOUBLE) / (m.m_edges * 2)), 6) AS contribution
         |FROM cd LEFT JOIN intra USING (community) CROSS JOIN m
         |ORDER BY cd.community""".stripMargin,
+
+    // dyadic EWMA replay: rank hours desc, weight 1 << (31 - j)
+    "rel_ewma_dyadic" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hr DESC)
+        |      - 1 AS j
+        |  FROM hourly),
+        |lim AS (SELECT * FROM rk WHERE j < 32)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(c * (CAST(1 AS BIGINT) << CAST(31 - j AS INT)))
+        |    AS BIGINT) AS ewma_scaled,
+        |  round(CAST(sum(c * (CAST(1 AS BIGINT) << CAST(31 - j AS INT)))
+        |    AS BIGINT) / 4294967296.0, 6) AS ewma
+        |FROM lim GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // gini replay: exact-cents revenue, (cents, custkey) rank order,
     // identical final float chain
