@@ -323,6 +323,8 @@ object BenchAnchors {
     "embed_isotropy" -> 0.352,
     "rel_ewma_dyadic" -> 0.874,
     "pipeline_pass_at_k" -> 0.469,
+    "graph_betweenness" -> 12.062,
+    "dedup_substring_survivors" -> 6.645,
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

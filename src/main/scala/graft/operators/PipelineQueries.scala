@@ -227,6 +227,16 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // The dedup ACTION on top of the run detector: per doc, union
+    // coverage of runs shared with lower-id docs (first-occurrence
+    // wins); >= 50% covered -> dropped. Same sweep-line as
+    // rel_interval_coverage so overlapping runs never double-count.
+    "dedup_substring_survivors" -> ((s, dir) => {
+      Dedup.substringSurvivors(docs(s, dir), "doc_id", "text",
+          gramLen = 30, maxDf = 50, dropFraction = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup pairs (Hamming ≤ 3): the token hash is md5Lower64 =
     // DuckDB's md5_number_lower, so the oracle recomputes the ENTIRE
     // fingerprint (per-token bit votes → sign bits → pair Hamming) in SQL
@@ -4799,6 +4809,63 @@ object PipelineQueries {
         |  CAST(max(run_len) AS BIGINT) AS max_shared_run,
         |  CAST(count(*) AS BIGINT) AS n_runs
         |FROM runs GROUP BY da, db ORDER BY doc_a, doc_b""".stripMargin,
+
+    // survivors replay: same gram/island chain, pb_start = min(pa) -
+    // diag, per-doc interval union, first-occurrence-wins
+    "dedup_substring_survivors" ->
+      """WITH grams0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 29)) AS p,
+        |    text
+        |  FROM documents WHERE length(text) >= 30),
+        |grams AS (
+        |  SELECT doc_id, p, substr(text, CAST(p AS INT), 30) AS g
+        |  FROM grams0),
+        |keep AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+        |  WHERE df BETWEEN 2 AND 50),
+        |pg AS (SELECT doc_id, p, g FROM grams WHERE g IN (SELECT g FROM keep)),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
+        |  FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT da, db, pa - pb AS diag, pa,
+        |    pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa)
+        |      AS isl_id
+        |  FROM pairs),
+        |runs AS (
+        |  SELECT da, db, CAST(count(*) + 29 AS BIGINT) AS run_len,
+        |    CAST(min(pa) - diag AS BIGINT) AS pb_start
+        |  FROM isl GROUP BY da, db, diag, isl_id),
+        |iv AS (
+        |  SELECT db AS doc_id, da, pb_start AS s, pb_start + run_len AS e
+        |  FROM runs),
+        |w2 AS (
+        |  SELECT doc_id, da, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e, da
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max
+        |  FROM iv),
+        |i2 AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e, da
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS isl2
+        |  FROM w2),
+        |cov AS (
+        |  SELECT doc_id, CAST(sum(en - st) AS BIGINT) AS covered_chars
+        |  FROM (SELECT doc_id, isl2, min(s) AS st, max(e) AS en
+        |        FROM i2 GROUP BY doc_id, isl2) u
+        |  GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(length(d.text) AS BIGINT) AS text_len,
+        |  c.covered_chars,
+        |  round(CAST(c.covered_chars AS DOUBLE) / length(d.text), 6)
+        |    AS coverage_frac,
+        |  (CAST(c.covered_chars AS DOUBLE) / length(d.text) >= 0.5)
+        |    AS dropped
+        |FROM cov c JOIN documents d ON d.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     // Spark slice(toks, s+1, 64); generate_series(0, -1, 48) is empty,
     // matching the n>0 filter.

@@ -1592,6 +1592,26 @@ object RelationalQueries {
         .orderBy(col("node_type"), col("node_key"))
     }),
 
+    // Bounded-horizon betweenness (Brandes–Pich pivot sampling): the
+    // fractional δ accumulation over the same forward pass as
+    // graph_stress_paths — σ stays exact Long, δ is the one float
+    // fold, round(,6) at the end.
+    "graph_betweenness" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.pipeline.GraphAlgos.betweennessCentrality(
+          graft.pipeline.GraphAlgos.symmetrize(edges),
+          sources = Seq(2L, 4L, 6L, 8L, 10L), rounds = 3)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").cast("long").as("node_key"),
+          col("betweenness"))
+        .orderBy(col("node_type"), col("node_key"))
+    }),
+
     // HITS hubs/authorities (2 exact-integer rounds) on the DIRECTED
     // customer→supplier fulfillment graph: suppliers are pure
     // authorities, customers pure hubs — round 1 is degree, round 2
@@ -3742,6 +3762,71 @@ object RelationalQueries {
          |  node // 2 AS node_key, dist, sigma
          |FROM s3
          |ORDER BY seed_key, node_type, node_key""".stripMargin,
+
+    // betweenness replay: same p0..p3 forward chain, fractional delta
+    // backward layers, round(,6) at the end only
+    "graph_betweenness" ->
+      s"""WITH edges0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM edges0
+         |  UNION SELECT dst AS src, src AS dst FROM edges0),
+         |p0 AS (
+         |  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist,
+         |    CAST(1 AS BIGINT) AS sigma
+         |  FROM (VALUES (2), (4), (6), (8), (10)) s(seed)
+         |  WHERE seed IN (SELECT src FROM edges)),
+         |p1 AS (
+         |  SELECT p.seed, e.dst AS node, CAST(1 AS BIGINT) AS dist,
+         |    CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM p0 p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM p0 x
+         |                    WHERE x.seed = p.seed AND x.node = e.dst)
+         |  GROUP BY p.seed, e.dst),
+         |s1 AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1),
+         |p2 AS (
+         |  SELECT p.seed, e.dst AS node, CAST(2 AS BIGINT) AS dist,
+         |    CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM p1 p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM s1 x
+         |                    WHERE x.seed = p.seed AND x.node = e.dst)
+         |  GROUP BY p.seed, e.dst),
+         |s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM p2),
+         |p3 AS (
+         |  SELECT p.seed, e.dst AS node, CAST(3 AS BIGINT) AS dist,
+         |    CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM p2 p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM s2 x
+         |                    WHERE x.seed = p.seed AND x.node = e.dst)
+         |  GROUP BY p.seed, e.dst),
+         |d3 AS (SELECT seed, node, sigma, 0.0 AS delta FROM p3),
+         |c2 AS (SELECT d.seed, e.src AS node,
+         |         sum((1.0 + d.delta) / d.sigma) AS sh
+         |       FROM d3 d JOIN edges e ON d.node = e.dst
+         |       GROUP BY d.seed, e.src),
+         |d2 AS (SELECT p.seed, p.node, p.sigma,
+         |         p.sigma * coalesce(c.sh, 0.0) AS delta
+         |       FROM p2 p LEFT JOIN c2 c
+         |         ON c.seed = p.seed AND c.node = p.node),
+         |c1 AS (SELECT d.seed, e.src AS node,
+         |         sum((1.0 + d.delta) / d.sigma) AS sh
+         |       FROM d2 d JOIN edges e ON d.node = e.dst
+         |       GROUP BY d.seed, e.src),
+         |d1 AS (SELECT p.seed, p.node, p.sigma,
+         |         p.sigma * coalesce(c.sh, 0.0) AS delta
+         |       FROM p1 p LEFT JOIN c1 c
+         |         ON c.seed = p.seed AND c.node = p.node),
+         |alld AS (
+         |  SELECT * FROM d1 UNION ALL SELECT * FROM d2
+         |  UNION ALL SELECT * FROM d3)
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS node_key,
+         |  round(sum(delta), 6) AS betweenness
+         |FROM alld
+         |GROUP BY node
+         |ORDER BY node_type, node_key""".stripMargin,
 
     // hash-walk replay: 4 unrolled min_by steps over the symmetrized
     // DISTINCT edges; the mix hash is collision-free in the v term

@@ -1157,7 +1157,23 @@ object Dedup {
       idCol: String,
       textCol: String,
       gramLen: Int = 30,
-      maxDf: Int = 50): DataFrame = {
+      maxDf: Int = 50): DataFrame =
+    substringIslands(df, idCol, textCol, gramLen, maxDf)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("run_len")).cast("long").as("max_shared_run"),
+        count(lit(1)).cast("long").as("n_runs"))
+
+  /** Shared maximal-run stage of [[substringRuns]] /
+    * [[substringSurvivors]]: one row per maximal shared run —
+    * (doc_a < doc_b, diagonal, pb_start, run_len). Materialized
+    * (localCheckpoint) so the posting-list join runs once however many
+    * downstream views consume it. */
+  private def substringIslands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramLen: Int,
+      maxDf: Int): DataFrame = {
     require(gramLen >= 2, "gram length must be at least 2")
     require(maxDf >= 2, "doc-frequency cap below 2 would drop every match")
     val grams = df
@@ -1183,12 +1199,57 @@ object Dedup {
     val out = pairs.withColumn("diag", col("pa") - col("pb"))
       .withColumn("isl_id", col("pa") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl_id"))
-      .agg((count(lit(1)) + lit(gramLen.toLong - 1)).as("run_len"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("run_len")).cast("long").as("max_shared_run"),
-        count(lit(1)).cast("long").as("n_runs"))
+      .agg((count(lit(1)) + lit(gramLen.toLong - 1)).as("run_len"),
+        min(col("pb")).as("pb_start"))
       .localCheckpoint()
     grams.unpersist()
     out
+  }
+
+  /**
+   * Turn shared-run detection into a DEDUP ACTION: for every doc, the
+   * fraction of its characters covered by exact runs shared with any
+   * LOWER-id doc (first-occurrence-wins, the standard exact-substring
+   * dedup policy); docs at or above `dropFraction` are marked dropped.
+   * Coverage is the UNION of the run intervals on the doc — the same
+   * sweep-line gaps-and-islands as the relational interval operator,
+   * so overlapping runs from different partners never double-count.
+   * Docs with no shared run emit no row (trivially kept).
+   *
+   * Exact integers throughout; the one division (covered / length) is
+   * round(,6) presentation.
+   */
+  def substringSurvivors(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramLen: Int = 30,
+      maxDf: Int = 50,
+      dropFraction: Double = 0.5): DataFrame = {
+    val iv = substringIslands(df, idCol, textCol, gramLen, maxDf)
+      .select(col("doc_b").as("doc_id"), col("doc_a"),
+        col("pb_start").as("s"),
+        (col("pb_start") + col("run_len")).as("e"))
+    val order = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s"), col("e"), col("doc_a"))
+    val isl = iv
+      .withColumn("prev_max",
+        max(col("e")).over(order.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl_id",
+        sum(when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+          .otherwise(0L))
+          .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val covered = isl.groupBy(col("doc_id"), col("isl_id"))
+      .agg(min(col("s")).as("st"), max(col("e")).as("en"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("en") - col("st")).cast("long").as("covered_chars"))
+    covered
+      .join(df.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("text_len")), Seq("doc_id"))
+      .select(col("doc_id"), col("text_len"), col("covered_chars"),
+        round(col("covered_chars").cast("double") / col("text_len"), 6)
+          .as("coverage_frac"),
+        (col("covered_chars").cast("double") / col("text_len") >=
+          dropFraction).as("dropped"))
   }
 }

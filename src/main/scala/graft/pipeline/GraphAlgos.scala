@@ -1045,6 +1045,62 @@ object GraphAlgos {
   }
 
   /**
+   * Bounded-horizon betweenness centrality — the classic Brandes
+   * accumulation in its fractional form, completing the integer
+   * [[stressCentrality]] twin: δ(v) = Σ over shortest-path-DAG
+   * successors w of (σ_v/σ_w)·(1 + δ(w)), summed over the seed set
+   * for interior vertices. This is the pivot-sampled betweenness
+   * estimate (Brandes–Pich): exact on the sampled seeds, scaled up by
+   * seed-fraction downstream if an absolute value is needed. Scores
+   * are round(…,6) — the per-node successor sum is a float fold (the
+   * jsd-family rounding contract); σ itself stays exact Long from the
+   * forward pass.
+   *
+   * Scale shape identical to [[stressCentrality]]: one backward
+   * edges⋈δ join + keyed sum per layer over (seed × reached)-sized
+   * state.
+   */
+  def betweennessCentrality(
+      edges: DataFrame,
+      sources: Seq[Long],
+      rounds: Int): DataFrame = {
+    require(rounds >= 2, "betweenness needs at least an interior layer")
+    val fwd = shortestPathCounts(edges, sources, rounds).persist()
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    e.persist()
+    var delta = fwd.where(col("dist") === rounds)
+      .select(col("seed"), col("node"), col("sigma"), lit(0.0).as("delta"))
+      .localCheckpoint()
+    var layers = List(delta)
+    for (r <- (rounds - 1) to 1 by -1) {
+      val contrib = delta
+        .select(col("seed"), col("node").as("dst"),
+          ((lit(1.0) + col("delta")) / col("sigma")).as("share"))
+        .join(e, Seq("dst"))
+        .groupBy(col("seed"), col("src"))
+        .agg(sum(col("share")).as("sh"))
+        .select(col("seed"), col("src").as("node"), col("sh"))
+      val layer = fwd.where(col("dist") === r)
+        .select(col("seed"), col("node"), col("sigma"))
+      val dr = layer.join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"),
+          (col("sigma") * coalesce(col("sh"), lit(0.0))).as("delta"))
+        .localCheckpoint()
+      delta = dr
+      layers ::= dr
+    }
+    val out = layers.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(round(sum(col("delta")), 6).as("betweenness"))
+      .localCheckpoint()
+    layers.foreach(SparkShims.unpersistCheckpoint)
+    fwd.unpersist()
+    SparkShims.unpersistCheckpoint(fwd)
+    e.unpersist()
+    out
+  }
+
+  /**
    * Bounded-horizon stress centrality — the Brandes BACKWARD pass in
    * its integer form, completing [[shortestPathCounts]] (the forward
    * pass): per node, the number of shortest paths from the seed set

@@ -55,6 +55,24 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 2L, 0.0)))
   }
 
+  test("substring survivors: higher-id doc carries the coverage, union never double-counts") {
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // 40 chars
+    val df = Seq(
+      (1L, s"prefix one $shared suffix one"),
+      (2L, s"lead $shared tail"), // covered 42 of 51 -> dropped
+      (3L, "no overlap with anything else in this corpus at all, none"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSurvivors(df, "doc_id", "text",
+        gramLen = 30, maxDf = 50, dropFraction = 0.5)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    // only doc 2 (the higher id of the pair) emits a row
+    assert(out.map(_._1).toSet === Set(2L))
+    val r = out.head
+    assert(r._2 === ("lead " + shared + " tail").length.toLong)
+    assert(r._3 === 42L) // " <shared> " with both boundary spaces
+    assert(r._5 === (42.0 / r._2 >= 0.5))
+  }
+
   test("guard falsifiers: invalid parameters throw, never mis-compute") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
