@@ -325,6 +325,9 @@ object BenchAnchors {
     "pipeline_pass_at_k" -> 0.469,
     "graph_betweenness" -> 12.062,
     "dedup_substring_survivors" -> 6.645,
+    "graph_harmonic_scaled" -> 4.766,
+    "text_ngram_novelty" -> 1.799,
+    "text_mattr" -> 0.215,
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

@@ -1278,6 +1278,53 @@ object PipelineQueries {
       Embeddings.knnClassify(e, "vec_id", "embedding", "label", q, k = 5)
     }),
 
+    // Token-5-gram NOVELTY per doc: fraction of the doc's distinct
+    // shingles whose corpus-wide FIRST holder (min doc_id) is this doc
+    // — the contribution/diversity score curriculum builders rank by
+    // (a doc that only restates earlier shingles scores ~0). Exact
+    // integers + one division.
+    "text_ngram_novelty" -> ((s, dir) => {
+      val grams = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(tk) - 4), " +
+            "i -> concat_ws(' ', slice(tk, i, 5))))")).as("g"))
+      val firstDoc = grams.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firstDoc, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .cast("long").as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6)
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Moving-average type-token ratio (MATTR, window 20): the
+    // length-robust lexical-diversity dial (plain TTR shrinks with doc
+    // length; the windowed average does not) — per window an exact
+    // distinct count, one final division.
+    "text_mattr" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) >= 20)
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          expr("transform(sequence(1, size(tk) - 19), " +
+            "i -> size(array_distinct(slice(tk, i, 20))))").as("w"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("w")).cast("long").as("n_windows"),
+          expr("aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("sum_distinct"))
+        .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+          col("sum_distinct"),
+          round(col("sum_distinct").cast("double")
+            / (col("n_windows") * 20), 6).as("mattr"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token burstiness (variance-to-mean ratio INCLUDING absent docs)
     // for the 20 most frequent tokens: VMR = (sx2 − sx²/N)/sx from
     // exact integer per-doc counts — the corpus-linguistics dial that
@@ -3414,6 +3461,46 @@ object PipelineQueries {
          |SELECT doc_id, quality_score, n_tokens, cum_tokens,
          |  (cum_tokens <= 8000) AS kept
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // novelty replay: per-doc distinct 5-gram lists, corpus min-holder
+    "text_ngram_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 4),
+        |    i -> array_to_string(list_slice(tk, i, i + 4), ' ')))) AS g
+        |  FROM tk WHERE len(tk) >= 5),
+        |fd AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY g)
+        |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN fd.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN fd.first_doc = gr.doc_id
+        |                      THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM gr JOIN fd ON fd.g = gr.g
+        |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin,
+
+    // mattr replay: per-window list_distinct counts, same division
+    "text_mattr" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    list_transform(generate_series(1, len(tk) - 19),
+        |      i -> len(list_distinct(list_slice(tk, i, i + 19)))) AS w
+        |  FROM tk WHERE len(tk) >= 20)
+        |SELECT doc_id, n_tokens, CAST(len(w) AS BIGINT) AS n_windows,
+        |  CAST(list_sum(w) AS BIGINT) AS sum_distinct,
+        |  round(CAST(list_sum(w) AS DOUBLE) / (CAST(len(w) AS BIGINT) * 20),
+        |    6) AS mattr
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // burstiness replay: per-doc integer counts, top-20 by (total,
     // token), identical VMR chain

@@ -1592,6 +1592,27 @@ object RelationalQueries {
         .orderBy(col("node_type"), col("node_key"))
     }),
 
+    // Harmonic centrality at horizon 3 in EXACT integers: with dists
+    // in {1,2,3}, Σ 1/d scaled by 6 is Σ 6 div d ∈ {6,3,2} — the
+    // disconnection-robust closeness variant (unreached nodes simply
+    // contribute 0, no infinite-distance special case), zero float.
+    "graph_harmonic_scaled" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.pipeline.GraphAlgos.perSourceDistances(
+          graft.pipeline.GraphAlgos.symmetrize(edges),
+          sources = Seq(2L, 4L, 6L, 8L, 10L), rounds = 3)
+        .where(col("dist") >= 1)
+        .groupBy(col("seed"))
+        .agg(count(lit(1)).cast("long").as("n_reached"),
+          sum(expr("6 div dist")).cast("long").as("harmonic_scaled"))
+        .select(expr("seed div 2").cast("long").as("seed_key"),
+          col("n_reached"), col("harmonic_scaled"))
+        .orderBy(col("seed_key"))
+    }),
+
     // Bounded-horizon betweenness (Brandes–Pich pivot sampling): the
     // fractional δ accumulation over the same forward pass as
     // graph_stress_paths — σ stays exact Long, δ is the one float
@@ -3762,6 +3783,44 @@ object RelationalQueries {
          |  node // 2 AS node_key, dist, sigma
          |FROM s3
          |ORDER BY seed_key, node_type, node_key""".stripMargin,
+
+    // harmonic replay: first-arrival BFS layers give dist, 6 // dist
+    "graph_harmonic_scaled" ->
+      s"""WITH edges0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM edges0
+         |  UNION SELECT dst AS src, src AS dst FROM edges0),
+         |p0 AS (
+         |  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM (VALUES (2), (4), (6), (8), (10)) s(seed)
+         |  WHERE seed IN (SELECT src FROM edges)),
+         |p1 AS (
+         |  SELECT DISTINCT p.seed, e.dst AS node, CAST(1 AS BIGINT) AS dist
+         |  FROM p0 p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM p0 x
+         |                    WHERE x.seed = p.seed AND x.node = e.dst)),
+         |s1 AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1),
+         |p2 AS (
+         |  SELECT DISTINCT p.seed, e.dst AS node, CAST(2 AS BIGINT) AS dist
+         |  FROM p1 p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM s1 x
+         |                    WHERE x.seed = p.seed AND x.node = e.dst)),
+         |s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM p2),
+         |p3 AS (
+         |  SELECT DISTINCT p.seed, e.dst AS node, CAST(3 AS BIGINT) AS dist
+         |  FROM p2 p JOIN edges e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM s2 x
+         |                    WHERE x.seed = p.seed AND x.node = e.dst)),
+         |reach AS (
+         |  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+         |  UNION ALL SELECT * FROM p3)
+         |SELECT CAST(seed // 2 AS BIGINT) AS seed_key,
+         |  CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(6 // dist) AS BIGINT) AS harmonic_scaled
+         |FROM reach GROUP BY seed
+         |ORDER BY seed_key""".stripMargin,
 
     // betweenness replay: same p0..p3 forward chain, fractional delta
     // backward layers, round(,6) at the end only
