@@ -328,6 +328,9 @@ object BenchAnchors {
     "graph_harmonic_scaled" -> 4.766,
     "text_ngram_novelty" -> 1.799,
     "text_mattr" -> 0.215,
+    "rel_mann_whitney" -> 0.391,
+    "rel_association_rules" -> 2.177,
+    "multimodal_image_quantize" -> 0.607,
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

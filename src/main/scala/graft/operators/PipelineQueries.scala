@@ -905,6 +905,14 @@ object PipelineQueries {
       Multimodal.decodeBoxFilter(blobs).toDF().orderBy(col("doc_id"))
     }),
 
+    // Uniform 512-color palette quantization error over REAL decoded
+    // pixels: per channel Σ|v − q(v)| with q = bucket center — exact
+    // integers; the oracle is area × |v%32 − 16| per solid quadrant.
+    "multimodal_image_quantize" -> ((s, dir) => {
+      val blobs = Multimodal.withEncodedImages(s, docs(s, dir), "doc_id")
+      Multimodal.decodeQuantizeStats(blobs).toDF().orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling (video rows fan out one row per frame).
     // REAL frame extraction: multi-frame animated GIFs (the JDK codec's
     // writeToSequence / getNumImages-read path), per-frame exact integer
@@ -4486,6 +4494,33 @@ object PipelineQueries {
         |  CAST(w * h * ((doc_id * 5 + 11 * fi + 5) % 256) AS BIGINT) AS sum_g,
         |  CAST(w * h * ((doc_id * 7 + 11 * fi + 5) % 256) AS BIGINT) AS sum_b
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // quantize: per-quadrant closed form area * |v % 32 - 16|
+    "multimodal_image_quantize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 48 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 32 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, w, h,
+        |    w // 2 AS wl, w - w // 2 AS wr,
+        |    h // 2 AS ht, h - h // 2 AS hb
+        |  FROM m)
+        |SELECT doc_id, CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(wl*ht*abs((doc_id*3+7) % 256 % 32 - 16)
+        |     + wr*ht*abs((doc_id*3+38) % 256 % 32 - 16)
+        |     + wl*hb*abs((doc_id*3+69) % 256 % 32 - 16)
+        |     + wr*hb*abs((doc_id*3+100) % 256 % 32 - 16) AS BIGINT) AS err_r,
+        |  CAST(wl*ht*abs((doc_id*5+7) % 256 % 32 - 16)
+        |     + wr*ht*abs((doc_id*5+38) % 256 % 32 - 16)
+        |     + wl*hb*abs((doc_id*5+69) % 256 % 32 - 16)
+        |     + wr*hb*abs((doc_id*5+100) % 256 % 32 - 16) AS BIGINT) AS err_g,
+        |  CAST(wl*ht*abs((doc_id*7+7) % 256 % 32 - 16)
+        |     + wr*ht*abs((doc_id*7+38) % 256 % 32 - 16)
+        |     + wl*hb*abs((doc_id*7+69) % 256 % 32 - 16)
+        |     + wr*hb*abs((doc_id*7+100) % 256 % 32 - 16) AS BIGINT) AS err_b
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     // box filter: pixel at x is inside c(x) valid windows, c = 1,2,3,
     // ...,3,2,1; per-quadrant sums of c factorize to 3*wl-3 (left),

@@ -2523,6 +2523,67 @@ object RelationalQueries {
             .as("gini"))
     }),
 
+    // Market-basket association rules over co-purchased parts: top-20
+    // pairs by lift = n_ab·N / (n_a·n_b) with confidence n_ab/n_a —
+    // exact Long products, one rounded division each; the LIMIT
+    // boundary is deterministic via the (lift, part_a, part_b)
+    // tie-break. Candidate pairs come from the within-order self-join
+    // (bounded by basket size), never item×item.
+    "rel_association_rules" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val n = li.select(col("o")).distinct().count()
+      val single = li.groupBy(col("p")).agg(count(lit(1)).cast("long").as("n_p"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+        .agg(count(lit(1)).cast("long").as("n_ab"))
+        .where(col("n_ab") >= 2)
+      pairs
+        .join(single.select(col("p").as("part_a"), col("n_p").as("n_a")),
+          Seq("part_a"))
+        .join(single.select(col("p").as("part_b"), col("n_p").as("n_b")),
+          Seq("part_b"))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+          round((col("n_ab") * lit(n)).cast("double")
+            / (col("n_a") * col("n_b")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
+    // Mann–Whitney U / rank-sum test between the experiment arms on
+    // the purchase-value distribution, in EXACT integers: mid-ranks
+    // doubled (2·mid = 2·rank + ties − 1 is always integral), so
+    // R1/U are exact Longs; AUC = U1/(n0·n1) is the one rounded
+    // division. The nonparametric twin of the z/t tests — no
+    // normality assumption, tie handling textbook. The global rank is
+    // the one inherently total-order step (same note as Gini: range-
+    // partitioned sort at scale; n here is purchases, not lineitems).
+    "rel_mann_whitney" -> ((s, dir) => {
+      val v = events(s, dir).where(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("arm"), col("value"))
+      val wAll = Window.orderBy(col("value"))
+      val ranked = v
+        .withColumn("rnk", rank().over(wAll).cast("long"))
+        .withColumn("ties",
+          count(lit(1)).over(Window.partitionBy(col("value"))).cast("long"))
+        .withColumn("mid2", lit(2L) * col("rnk") + col("ties") - 1L)
+      ranked.groupBy()
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+          sum(when(col("arm") === 1, col("mid2")).otherwise(0L)).cast("long")
+            .as("r1_scaled"))
+        .select(col("n0"), col("n1"), col("r1_scaled"),
+          (col("r1_scaled") - col("n1") * (col("n1") + 1)).as("u1_scaled"),
+          round((col("r1_scaled") - col("n1") * (col("n1") + 1))
+            .cast("double") / (lit(2.0) * col("n0") * col("n1")), 6)
+            .as("auc"))
+    }),
+
     // Two-proportion z-test over a hash-split experiment (user_id
     // parity = arm): conversion = more purchases than clicks. Counts
     // exact integers; the z statistic is ONE fixed chain of IEEE ops
@@ -4582,6 +4643,52 @@ object RelationalQueries {
         |  round((2.0 * rank_weighted
         |         - CAST(n_customers + 1 AS DOUBLE) * total_cents)
         |    / (CAST(n_customers AS DOUBLE) * total_cents), 6) AS gini
+        |FROM agg""".stripMargin,
+
+    // association replay: identical counts, divisions, and LIMIT
+    // tie-break
+    "rel_association_rules" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+        |s AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY p),
+        |pr AS (
+        |  SELECT a.p AS part_a, b.p AS part_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) / sa.n_p, 6) AS confidence,
+        |  round(CAST(n_ab * n.n_orders AS DOUBLE) / (sa.n_p * sb.n_p), 6)
+        |    AS lift
+        |FROM pr
+        |JOIN s sa ON sa.p = pr.part_a
+        |JOIN s sb ON sb.p = pr.part_b
+        |CROSS JOIN n
+        |ORDER BY lift DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
+
+    // rank-sum replay: rank() + per-value tie counts, doubled mid-ranks
+    "rel_mann_whitney" ->
+      """WITH v AS (
+        |  SELECT user_id % 2 AS arm, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT arm,
+        |    CAST(rank() OVER (ORDER BY value) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY value) AS BIGINT) AS ties
+        |  FROM v),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 2 * rnk + ties - 1 ELSE 0 END)
+        |      AS BIGINT) AS r1_scaled
+        |  FROM r)
+        |SELECT n0, n1, r1_scaled,
+        |  CAST(r1_scaled - n1 * (n1 + 1) AS BIGINT) AS u1_scaled,
+        |  round(CAST(r1_scaled - n1 * (n1 + 1) AS DOUBLE)
+        |    / (2.0 * n0 * n1), 6) AS auc
         |FROM agg""".stripMargin,
 
     // z-test replay: identical op chain — pooled p, se, (p1-p0)/se

@@ -88,6 +88,54 @@ object Multimodal {
       eq_sum_g: Long,
       eq_sum_b: Long)
 
+  final case class QuantizeStats(
+      doc_id: Long,
+      n_pixels: Long,
+      err_r: Long,
+      err_g: Long,
+      err_b: Long)
+
+  /**
+   * Fixed-palette quantization error over the REAL decoded pixels:
+   * each channel value snaps to the center of its 32-wide bucket
+   * (`q(v) = (v div 32)·32 + 16` — 8 levels per channel, the classic
+   * 512-color uniform palette), and the per-channel Σ|v − q(v)| is the
+   * exact-integer distortion the palette costs — the
+   * compression-preprocessing dial next to [[decodeHistEq]]'s
+   * contrast one. Scale shape: one decode pass per row inside
+   * mapPartitions, fixed-width stats rows out.
+   */
+  def decodeQuantizeStats(blobs: Dataset[MediaBlob]): Dataset[QuantizeStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { blob =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(blob.data))
+        require(img != null, s"no ImageIO reader for doc ${blob.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val err = new Array[Long](3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            var ch = 0
+            while (ch < 3) {
+              val v = (p >> (16 - 8 * ch)) & 0xff
+              err(ch) += math.abs(v % 32 - 16)
+              ch += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        QuantizeStats(blob.doc_id, w.toLong * h, err(0), err(1), err(2))
+      }
+    }
+  }
+
   final case class BoxFilterStats(
       doc_id: Long,
       n_windows: Long,
