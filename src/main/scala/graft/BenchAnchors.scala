@@ -331,6 +331,8 @@ object BenchAnchors {
     "rel_mann_whitney" -> 0.391,
     "rel_association_rules" -> 2.177,
     "multimodal_image_quantize" -> 0.607,
+    "rel_welch_ttest" -> 0.343,
+    "rel_survival_km" -> 0.813,
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

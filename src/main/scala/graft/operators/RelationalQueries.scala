@@ -2554,6 +2554,75 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // Welch's t between the arms on purchase value — completes the
+    // experiment-test trio (z for proportions, U nonparametric, t for
+    // means). Values → exact integer cents; moments from Σx/Σx²
+    // (never builtin stddev — the Welch-vs-sum-of-squares engine
+    // mismatch), one fixed IEEE chain for t, round(,6).
+    "rel_welch_ttest" -> ((s, dir) => {
+      val v = events(s, dir).where(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("arm"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      val m = v.groupBy(col("arm"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("c")).cast("long").as("sx"),
+          sum(col("c") * col("c")).cast("long").as("sx2"))
+      val wide = m.agg(
+        max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 0, col("sx"))).as("sx0"),
+        max(when(col("arm") === 0, col("sx2"))).as("sx20"),
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 1, col("sx"))).as("sx1"),
+        max(when(col("arm") === 1, col("sx2"))).as("sx21"))
+      def mean(sx: Column, n: Column) = sx.cast("double") / n
+      def svar(sx2: Column, sx: Column, n: Column) =
+        (sx2.cast("double") - sx.cast("double") * sx / n) / (n - 1)
+      wide.select(col("n0"), col("n1"),
+        round(mean(col("sx0"), col("n0")), 6).as("mean0_cents"),
+        round(mean(col("sx1"), col("n1")), 6).as("mean1_cents"),
+        round((mean(col("sx1"), col("n1")) - mean(col("sx0"), col("n0")))
+          / sqrt(svar(col("sx21"), col("sx1"), col("n1")) / col("n1")
+            + svar(col("sx20"), col("sx0"), col("n0")) / col("n0")), 6)
+          .as("t"))
+    }),
+
+    // Kaplan–Meier survival over time-to-first-severe-error (value >
+    // 150, ~half the users at every SF; the rest are right-censored
+    // at study end). The
+    // cumulative product Π(1 − d/n) is folded in EXPLICIT ascending
+    // time order on a per-time factor list (both engines left-fold the
+    // same sorted doubles — a product aggregate or exp(Σlog) would be
+    // order-/libm-dependent), so survival replays to the rounded
+    // digit. Factor table is event-time-sized; only it is joined
+    // triangularly — never users × users.
+    "rel_survival_km" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val day = datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+      val users = ev.select(col("user_id")).distinct()
+      val fails = ev.where(col("event_type") === "error" && col("value") > 150)
+        .groupBy(col("user_id")).agg(min(day).as("tf"))
+      val maxDay = ev.agg(max(day)).head().getLong(0)
+      val uts = users.join(fails, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("tf"), lit(maxDay)).as("tu"),
+          col("tf").isNotNull.as("failed"))
+      val km = uts.where(col("failed"))
+        .groupBy(col("tu").as("t")).agg(count(lit(1)).cast("long").as("d"))
+      val risk = km.select(col("t"))
+        .join(uts.select(col("tu")), col("tu") >= col("t"))
+        .groupBy(col("t")).agg(count(lit(1)).cast("long").as("n_risk"))
+      val f = km.join(risk, Seq("t")).withColumn("factor",
+        (col("n_risk") - col("d")).cast("double") / col("n_risk"))
+      f.as("a").join(f.as("b"), col("b.t") <= col("a.t"))
+        .groupBy(col("a.t").as("t"), col("a.n_risk").as("n_risk"),
+          col("a.d").as("d"))
+        .agg(expr("round(aggregate(transform(sort_array(" +
+          "collect_list(struct(b.t AS t, b.factor AS factor))), " +
+          "s -> s.factor), CAST(1.0 AS DOUBLE), (acc, x) -> acc * x), 6)")
+          .as("survival"))
+        .orderBy(col("t"))
+    }),
+
     // Mann–Whitney U / rank-sum test between the experiment arms on
     // the purchase-value distribution, in EXACT integers: mid-ranks
     // doubled (2·mid = 2·rank + ties − 1 is always integral), so
@@ -4644,6 +4713,67 @@ object RelationalQueries {
         |         - CAST(n_customers + 1 AS DOUBLE) * total_cents)
         |    / (CAST(n_customers AS DOUBLE) * total_cents), 6) AS gini
         |FROM agg""".stripMargin,
+
+    // Welch replay: identical moment chain from integer cents
+    "rel_welch_ttest" ->
+      """WITH v AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS sx,
+        |    CAST(sum(c * c) AS BIGINT) AS sx2
+        |  FROM v GROUP BY arm),
+        |wide AS (
+        |  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    max(CASE WHEN arm = 0 THEN sx END) AS sx0,
+        |    max(CASE WHEN arm = 0 THEN sx2 END) AS sx20,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    max(CASE WHEN arm = 1 THEN sx END) AS sx1,
+        |    max(CASE WHEN arm = 1 THEN sx2 END) AS sx21
+        |  FROM m)
+        |SELECT n0, n1,
+        |  round(CAST(sx0 AS DOUBLE) / n0, 6) AS mean0_cents,
+        |  round(CAST(sx1 AS DOUBLE) / n1, 6) AS mean1_cents,
+        |  round((CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)
+        |    / sqrt((CAST(sx21 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n1)
+        |             / (n1 - 1) / n1
+        |         + (CAST(sx20 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sx0 / n0)
+        |             / (n0 - 1) / n0), 6) AS t
+        |FROM wide""".stripMargin,
+
+    // KM replay: same factor table, list ORDER BY t, left-fold product
+    "rel_survival_km" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |mx AS (SELECT max(day) AS md FROM ev),
+        |fl AS (
+        |  SELECT user_id, min(day) AS tf FROM ev
+        |  WHERE event_type = 'error' AND value > 150 GROUP BY user_id),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |uts AS (
+        |  SELECT u.user_id, coalesce(fl.tf, mx.md) AS tu,
+        |    fl.tf IS NOT NULL AS failed
+        |  FROM u LEFT JOIN fl ON fl.user_id = u.user_id CROSS JOIN mx),
+        |km AS (
+        |  SELECT tu AS t, CAST(count(*) AS BIGINT) AS d
+        |  FROM uts WHERE failed GROUP BY tu),
+        |risk AS (
+        |  SELECT km.t, CAST(count(*) AS BIGINT) AS n_risk
+        |  FROM km JOIN uts ON uts.tu >= km.t GROUP BY km.t),
+        |fct AS (
+        |  SELECT km.t, risk.n_risk, km.d,
+        |    CAST(risk.n_risk - km.d AS DOUBLE) / risk.n_risk AS factor
+        |  FROM km JOIN risk ON risk.t = km.t)
+        |SELECT a.t, a.n_risk, a.d,
+        |  round(list_reduce(list(CAST(b.factor AS DOUBLE) ORDER BY b.t),
+        |    (x, y) -> x * y), 6) AS survival
+        |FROM fct a JOIN fct b ON b.t <= a.t
+        |GROUP BY a.t, a.n_risk, a.d
+        |ORDER BY a.t""".stripMargin,
 
     // association replay: identical counts, divisions, and LIMIT
     // tie-break
