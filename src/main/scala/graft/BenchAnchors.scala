@@ -333,6 +333,12 @@ object BenchAnchors {
     "multimodal_image_quantize" -> 0.607,
     "rel_welch_ttest" -> 0.343,
     "rel_survival_km" -> 0.813,
+    "graph_bipartite_projection" -> 2.806,
+    "graph_degree_histogram" -> 2.619,
+    "rel_abc_pareto" -> 0.486,
+    "rel_acf_seasonality" -> 0.670,
+    "rel_chi_square" -> 0.565,
+    "text_hapax_ratio" -> 0.376,
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

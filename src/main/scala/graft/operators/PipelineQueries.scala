@@ -1333,6 +1333,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Hapax-legomena ratio per source: fraction of the source's vocab
+    // occurring exactly once — the vocabulary-richness dial (synthetic
+    // or templated text runs hapax-poor). Exact integers, one
+    // division.
+    "text_hapax_ratio" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      tok.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("vocab"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long")
+            .as("hapax"),
+          sum(col("c")).cast("long").as("n_tokens"))
+        .select(col("source"), col("vocab"), col("hapax"), col("n_tokens"),
+          round(col("hapax").cast("double") / col("vocab"), 6)
+            .as("hapax_ratio"))
+        .orderBy(col("source"))
+    }),
+
     // Token burstiness (variance-to-mean ratio INCLUDING absent docs)
     // for the 20 most frequent tokens: VMR = (sx2 − sx²/N)/sx from
     // exact integer per-doc counts — the corpus-linguistics dial that
@@ -3509,6 +3529,22 @@ object PipelineQueries {
         |  round(CAST(list_sum(w) AS DOUBLE) / (CAST(len(w) AS BIGINT) * 20),
         |    6) AS mattr
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // hapax replay: per-source token counts, once-only fraction
+    "text_hapax_ratio" ->
+      """WITH tok AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0)) AS token
+        |    FROM documents) x
+        |  GROUP BY source, token)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS hapax_ratio
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
 
     // burstiness replay: per-doc integer counts, top-20 by (total,
     // token), identical VMR chain

@@ -1592,6 +1592,45 @@ object RelationalQueries {
         .orderBy(col("node_type"), col("node_key"))
     }),
 
+    // Bipartite projection: the customer–supplier graph projected onto
+    // suppliers with shared-customer edge weights — THE step that
+    // builds co-occurrence graphs from incidence data (the co-purchase
+    // inputs of the triangle/community gates are exactly this op).
+    // Top-20 by (weight, pair) — deterministic LIMIT.
+    "graph_bipartite_projection" -> ((s, dir) => {
+      val inc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      inc.as("x").join(inc.as("y"),
+          col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+        .groupBy(col("x.s").as("supp_a"), col("y.s").as("supp_b"))
+        .agg(count(lit(1)).cast("long").as("weight"))
+        .orderBy(col("weight").desc, col("supp_a"), col("supp_b"))
+        .limit(20)
+    }),
+
+    // Log-binned degree distribution of the co-purchase graph: bucket
+    // = bit length of the degree (1,2-3,4-7,…) — the heavy-tail
+    // diagnostic read before choosing skew strategies; exact integers.
+    "graph_degree_histogram" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).cast("long").as("d"))
+      deg.groupBy(length(bin(col("d"))).cast("long").as("bit_bucket"))
+        .agg(count(lit(1)).cast("long").as("n_nodes"),
+          sum(col("d")).cast("long").as("sum_degree"),
+          min(col("d")).cast("long").as("min_degree"),
+          max(col("d")).cast("long").as("max_degree"))
+        .orderBy(col("bit_bucket"))
+    }),
+
     // Harmonic centrality at horizon 3 in EXACT integers: with dists
     // in {1,2,3}, Σ 1/d scaled by 6 is Σ 6 div d ∈ {6,3,2} — the
     // disconnection-robust closeness variant (unreached nodes simply
@@ -2552,6 +2591,97 @@ object RelationalQueries {
             / (col("n_a") * col("n_b")), 6).as("lift"))
         .orderBy(col("lift").desc, col("part_a"), col("part_b"))
         .limit(20)
+    }),
+
+    // ABC / Pareto classification of parts by revenue: cumulative
+    // exact-cents share against the 80%/95% cutoffs, compared in
+    // CROSS-MULTIPLIED integers (100·cum vs 80·total — no float in
+    // the class boundary, ever). The inventory-analytics classic.
+    "rel_abc_pareto" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+      val tot = Window.partitionBy()
+      rev
+        .withColumn("cum", sum(col("cents"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("cents")).over(tot))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .otherwise(when(col("cum") * 100 <= col("total") * 95, "B")
+              .otherwise("C")))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).cast("long").as("n_parts"),
+          sum(col("cents")).cast("long").as("class_cents"))
+        .orderBy(col("cls"))
+    }),
+
+    // Autocorrelation of hourly event volume at lags 1 and 24 — the
+    // daily-seasonality detector — in SCALED integers: with
+    // y_t = N·c_t − T (N times the mean-centered count), the
+    // autocovariance Σ y_t·y_{t+l} and variance Σ y_t² are exact
+    // Longs; the ACF ratio is the one rounded division.
+    "rel_acf_seasonality" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val tot = Window.partitionBy(col("event_type"))
+      val y = hourly
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("nn", count(lit(1)).over(tot))
+        .withColumn("t", sum(col("c")).over(tot))
+        .select(col("event_type"), col("i"),
+          (col("nn") * col("c") - col("t")).as("y"))
+      val lags = Seq(1, 24).map { l =>
+        y.as("a").join(y.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("b.i") === col("a.i") + l)
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(sum(col("a.y") * col("b.y")).cast("long").as("cov_scaled"))
+          .withColumn("lag", lit(l.toLong))
+      }
+      val v0 = y.groupBy(col("event_type"))
+        .agg(sum(col("y") * col("y")).cast("long").as("var_scaled"))
+      lags.reduce(_ unionByName _)
+        .join(v0, Seq("event_type"))
+        .select(col("event_type"), col("lag"), col("cov_scaled"),
+          col("var_scaled"),
+          round(col("cov_scaled").cast("double") / col("var_scaled"), 6)
+            .as("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
+    // Chi-square independence of event_type × experiment arm: cells
+    // from exact counts; the statistic is a FIXED-ORDER 10-term chain
+    // (type alphabetical × arm), each term ((N·o − r·c)²)/(N·r·c)
+    // cross-multiplied so only the 10 divisions are float —
+    // bit-deterministic without rounding reliance on sums.
+    "rel_chi_square" -> ((s, dir) => {
+      val cells = events(s, dir)
+        .groupBy(col("event_type"), (col("user_id") % 2).as("arm"))
+        .agg(count(lit(1)).cast("long").as("o"))
+      val rows = cells.groupBy(col("event_type"))
+        .agg(sum(col("o")).cast("long").as("r"))
+      val cols0 = cells.groupBy(col("arm"))
+        .agg(sum(col("o")).cast("long").as("cc"))
+      val n = cells.agg(sum(col("o")).cast("long")).head().getLong(0)
+      val terms = cells.join(rows, Seq("event_type")).join(cols0, Seq("arm"))
+        .select(col("event_type"), col("arm"), col("o"), col("r"), col("cc"),
+          (((lit(n) * col("o") - col("r") * col("cc"))
+            * (lit(n) * col("o") - col("r") * col("cc"))).cast("double")
+            / (lit(n).cast("double") * col("r") * col("cc"))).as("term"))
+      // fixed-order fold: sort by (event_type, arm), left-fold the sum
+      terms.groupBy()
+        .agg(expr("round(aggregate(transform(sort_array(collect_list(" +
+          "struct(event_type, arm, term))), s -> s.term), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6)").as("chi2"),
+          count(lit(1)).cast("long").as("n_cells"))
+        .select(col("n_cells"), col("chi2"))
     }),
 
     // Welch's t between the arms on purchase value — completes the
@@ -3914,6 +4044,37 @@ object RelationalQueries {
          |FROM s3
          |ORDER BY seed_key, node_type, node_key""".stripMargin,
 
+    // bipartite projection replay: incidence self-join + LIMIT
+    // tie-break
+    "graph_bipartite_projection" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT x.s AS supp_a, y.s AS supp_b,
+        |  CAST(count(*) AS BIGINT) AS weight
+        |FROM inc x JOIN inc y ON x.c = y.c AND x.s < y.s
+        |GROUP BY x.s, y.s
+        |ORDER BY weight DESC, supp_a, supp_b
+        |LIMIT 20""".stripMargin,
+
+    // degree histogram replay: bit-length buckets over co-purchase
+    // degrees
+    "graph_degree_histogram" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges) u
+        |  GROUP BY n)
+        |SELECT CAST(length(bin(d)) AS BIGINT) AS bit_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(d) AS BIGINT) AS sum_degree,
+        |  CAST(min(d) AS BIGINT) AS min_degree,
+        |  CAST(max(d) AS BIGINT) AS max_degree
+        |FROM deg GROUP BY 1 ORDER BY bit_bucket""".stripMargin,
+
     // harmonic replay: first-arrival BFS layers give dist, 6 // dist
     "graph_harmonic_scaled" ->
       s"""WITH edges0 AS (
@@ -4713,6 +4874,85 @@ object RelationalQueries {
         |         - CAST(n_customers + 1 AS DOUBLE) * total_cents)
         |    / (CAST(n_customers AS DOUBLE) * total_cents), 6) AS gini
         |FROM agg""".stripMargin,
+
+    // ABC replay: same cumulative-cents chain, cross-multiplied
+    // class boundaries
+    "rel_abc_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |cum AS (
+        |  SELECT l_partkey, cents,
+        |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING
+        |                     AND CURRENT ROW) AS cum,
+        |    sum(cents) OVER () AS total
+        |  FROM rev),
+        |cls AS (
+        |  SELECT cents,
+        |    CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |         WHEN cum * 100 <= total * 95 THEN 'B'
+        |         ELSE 'C' END AS cls
+        |  FROM cum)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS class_cents
+        |FROM cls GROUP BY cls ORDER BY cls""".stripMargin,
+
+    // ACF replay: y = N*c - T, lag joins on the hour rank
+    "rel_acf_seasonality" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |y AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i,
+        |    CAST(count(*) OVER (PARTITION BY event_type) * c
+        |      - sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS y
+        |  FROM hourly),
+        |lags AS (
+        |  SELECT a.event_type, l.lag,
+        |    CAST(sum(a.y * b.y) AS BIGINT) AS cov_scaled
+        |  FROM y a
+        |  JOIN (VALUES (1), (24)) l(lag) ON true
+        |  JOIN y b ON b.event_type = a.event_type AND b.i = a.i + l.lag
+        |  GROUP BY a.event_type, l.lag),
+        |v0 AS (
+        |  SELECT event_type, CAST(sum(y * y) AS BIGINT) AS var_scaled
+        |  FROM y GROUP BY event_type)
+        |SELECT l.event_type, CAST(l.lag AS BIGINT) AS lag, l.cov_scaled,
+        |  v0.var_scaled,
+        |  round(CAST(l.cov_scaled AS DOUBLE) / v0.var_scaled, 6) AS acf
+        |FROM lags l JOIN v0 ON v0.event_type = l.event_type
+        |ORDER BY l.event_type, lag""".stripMargin,
+
+    // chi-square replay: cross-multiplied cells, fixed-order left-fold
+    "rel_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id % 2 AS arm,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+        |      FROM cells GROUP BY event_type),
+        |c AS (SELECT arm, CAST(sum(o) AS BIGINT) AS cc
+        |      FROM cells GROUP BY arm),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |terms AS (
+        |  SELECT cells.event_type, cells.arm,
+        |    CAST((n.n * cells.o - r.r * c.cc)
+        |       * (n.n * cells.o - r.r * c.cc) AS DOUBLE)
+        |      / (CAST(n.n AS DOUBLE) * r.r * c.cc) AS term
+        |  FROM cells
+        |  JOIN r ON r.event_type = cells.event_type
+        |  JOIN c ON c.arm = cells.arm
+        |  CROSS JOIN n)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  round(list_reduce(list(term ORDER BY event_type, arm),
+        |    (x, y) -> x + y), 6) AS chi2
+        |FROM terms""".stripMargin,
 
     // Welch replay: identical moment chain from integer cents
     "rel_welch_ttest" ->
