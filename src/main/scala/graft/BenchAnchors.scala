@@ -339,6 +339,9 @@ object BenchAnchors {
     "rel_acf_seasonality" -> 0.670,
     "rel_chi_square" -> 0.565,
     "text_hapax_ratio" -> 0.376,
+    "graph_jaccard_node_sim" -> 2.995,
+    "rel_new_vs_returning" -> 0.437,
+    "text_simpson_diversity" -> 0.433,
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

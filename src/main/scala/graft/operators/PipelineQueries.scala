@@ -1333,6 +1333,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Simpson diversity per source: Σ c(c−1) / (N(N−1)) — probability
+    // two random tokens coincide, EXACT integers until one division;
+    // the concentration twin of the hapax richness dial.
+    "text_simpson_diversity" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      tok.groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          sum(col("c") * (col("c") - 1)).cast("long").as("coincide"))
+        .select(col("source"), col("n_tokens"), col("coincide"),
+          round(col("coincide").cast("double")
+            / (col("n_tokens") * (col("n_tokens") - 1)), 6).as("simpson"))
+        .orderBy(col("source"))
+    }),
+
     // Hapax-legomena ratio per source: fraction of the source's vocab
     // occurring exactly once — the vocabulary-richness dial (synthetic
     // or templated text runs hapax-poor). Exact integers, one
@@ -3529,6 +3546,22 @@ object PipelineQueries {
         |  round(CAST(list_sum(w) AS DOUBLE) / (CAST(len(w) AS BIGINT) * 20),
         |    6) AS mattr
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // simpson replay: same integer coincidence chain
+    "text_simpson_diversity" ->
+      """WITH tok AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0)) AS token
+        |    FROM documents) x
+        |  GROUP BY source, token)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(c * (c - 1)) AS BIGINT) AS coincide,
+        |  round(CAST(sum(c * (c - 1)) AS DOUBLE)
+        |    / (CAST(sum(c) AS BIGINT) * (CAST(sum(c) AS BIGINT) - 1)), 6)
+        |    AS simpson
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
 
     // hapax replay: per-source token counts, once-only fraction
     "text_hapax_ratio" ->

@@ -1592,6 +1592,51 @@ object RelationalQueries {
         .orderBy(col("node_type"), col("node_key"))
     }),
 
+    // Neighborhood Jaccard similarity between suppliers over shared
+    // customers: |N(a)∩N(b)| from the bipartite projection, the union
+    // by inclusion-exclusion — exact integers, one rounded division;
+    // top-20 with a deterministic LIMIT tie-break. The entity-
+    // similarity primitive next to link prediction.
+    "graph_jaccard_node_sim" -> ((s, dir) => {
+      val inc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val deg = inc.groupBy(col("sp")).agg(count(lit(1)).cast("long").as("d"))
+      val inter = inc.as("x").join(inc.as("y"),
+          col("x.c") === col("y.c") && col("x.sp") < col("y.sp"))
+        .groupBy(col("x.sp").as("supp_a"), col("y.sp").as("supp_b"))
+        .agg(count(lit(1)).cast("long").as("n_inter"))
+      inter
+        .join(deg.select(col("sp").as("supp_a"), col("d").as("da")), Seq("supp_a"))
+        .join(deg.select(col("sp").as("supp_b"), col("d").as("db")), Seq("supp_b"))
+        .select(col("supp_a"), col("supp_b"), col("n_inter"),
+          (col("da") + col("db") - col("n_inter")).as("n_union"),
+          round(col("n_inter").cast("double")
+            / (col("da") + col("db") - col("n_inter")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("supp_a"), col("supp_b"))
+        .limit(20)
+    }),
+
+    // New-vs-returning daily split: a user's first-seen day marks them
+    // new on that day, returning after — the product-analytics
+    // counterpart of retention cohorts; exact integers.
+    "rel_new_vs_returning" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("day"))
+      val seen = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      ev.select(col("user_id"), col("day")).distinct()
+        .join(seen, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .cast("long").as("new_users"),
+          sum(when(col("day") > col("first_day"), 1L).otherwise(0L))
+            .cast("long").as("returning_users"))
+        .orderBy(col("day"))
+    }),
+
     // Bipartite projection: the customer–supplier graph projected onto
     // suppliers with shared-customer edge weights — THE step that
     // builds co-occurrence graphs from incidence data (the co-purchase
@@ -4043,6 +4088,45 @@ object RelationalQueries {
          |  node // 2 AS node_key, dist, sigma
          |FROM s3
          |ORDER BY seed_key, node_type, node_key""".stripMargin,
+
+    // jaccard replay: projection counts + inclusion-exclusion union
+    "graph_jaccard_node_sim" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT sp, CAST(count(*) AS BIGINT) AS d
+        |        FROM inc GROUP BY sp),
+        |inter AS (
+        |  SELECT x.sp AS supp_a, y.sp AS supp_b,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM inc x JOIN inc y ON x.c = y.c AND x.sp < y.sp
+        |  GROUP BY x.sp, y.sp)
+        |SELECT supp_a, supp_b, n_inter,
+        |  CAST(da.d + db.d - n_inter AS BIGINT) AS n_union,
+        |  round(CAST(n_inter AS DOUBLE) / (da.d + db.d - n_inter), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN deg da ON da.sp = inter.supp_a
+        |JOIN deg db ON db.sp = inter.supp_b
+        |ORDER BY jaccard DESC, supp_a, supp_b
+        |LIMIT 20""".stripMargin,
+
+    // new-vs-returning replay: first-seen day + daily distinct split
+    "rel_new_vs_returning" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |seen AS (SELECT user_id, min(day) AS first_day
+        |         FROM ev GROUP BY user_id),
+        |du AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT du.day,
+        |  CAST(sum(CASE WHEN du.day = seen.first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN du.day > seen.first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS returning_users
+        |FROM du JOIN seen ON seen.user_id = du.user_id
+        |GROUP BY du.day ORDER BY du.day""".stripMargin,
 
     // bipartite projection replay: incidence self-join + LIMIT
     // tie-break
