@@ -342,6 +342,8 @@ object BenchAnchors {
     "graph_jaccard_node_sim" -> 2.995,
     "rel_new_vs_returning" -> 0.437,
     "text_simpson_diversity" -> 0.433,
+    "graph_rich_club" -> 6.465,
+    "multimodal_audio_zcr" -> 0.204,
     "pipeline_dpo_pairs" -> 0.789,
     "multimodal_ahash" -> 0.637,
     // dual-regime query (adjudicated at round-10 close, twice): 5-rep

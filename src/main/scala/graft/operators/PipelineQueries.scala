@@ -2076,6 +2076,15 @@ object PipelineQueries {
     // gaps-and-islands window. Decode fan-out is one fixed-width row
     // per block; the oracle replays signal, blocks, and islands
     // closed-form.
+    // Zero-crossing census over the real channel-0 PCM stream (VAD
+    // corpus): strict sign flips + sign counts, exact integers; the
+    // voiced/unvoiced discriminator next to energy and pitch.
+    "multimodal_audio_zcr" -> ((s, dir) => {
+      val blobs = Audio.withVadAudio(
+        s, docs(s, dir).filter(col("doc_id") < 200), "doc_id")
+      Audio.decodeZcrStats(blobs).toDF().orderBy(col("doc_id"))
+    }),
+
     // Amplitude-flux onset detection over the VAD corpus (the zeroed
     // blocks create genuine transients): |block-to-block sum_abs
     // delta|, totals + strongest-onset argmax, exact integers; the
@@ -5597,6 +5606,27 @@ object PipelineQueries {
     // closed-form pitch corpus replay: period/wave/amplitude CASEs
     // mirror Audio.synthPitchBlob; lag sums joined within each full
     // 64-frame window; best lag = max r, smallest lag on ties
+    // zcr replay: regenerate the VAD signal, lead() sign-flip census
+    "multimodal_audio_zcr" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |samp AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN (i // 32) % 3 = 0 THEN 0
+        |         ELSE (doc_id * 31 + i * 17) % 2001 - 1000 END AS s
+        |  FROM ids, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(255 + doc_id % 64 AS BIGINT))) AS i)),
+        |nx AS (
+        |  SELECT doc_id, s,
+        |    lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS s2
+        |  FROM samp)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN s2 IS NOT NULL AND s * s2 < 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+        |  CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM nx GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // flux replay: regenerate the VAD signal, 32-frame block sum_abs,
     // lag-delta novelty curve, argmax by (flux DESC, block)
     "multimodal_audio_flux" ->

@@ -1656,6 +1656,46 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // Rich-club coefficient of the co-purchase graph: hubs = nodes
+    // with degree ≥ 1.25× average (cross-multiplied integers 4·d·n ≥
+    // 5·Σd — no float in the membership test; this graph's degree
+    // tail is mild, 2× average selects nobody at any SF), φ = realized fraction of possible
+    // hub–hub edges — "do the hubs club together", the network-science
+    // skew dial that tells you whether hot keys also CO-OCCUR (the
+    // worst case for join salting).
+    "graph_rich_club" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      edges.persist()
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).cast("long").as("d"))
+      val tot = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum(col("d")).cast("long").as("sum_degree")).head()
+      val (nNodes, sumDeg) = (tot.getLong(0), tot.getLong(1))
+      val hubs = deg.where(col("d") * 4L * nNodes >= lit(5L) * sumDeg)
+        .select(col("n"))
+      val nHubs = hubs.count()
+      val eHub = edges
+        .join(hubs.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(hubs.select(col("n").as("b")), Seq("b"), "left_semi")
+        .count()
+      edges.unpersist()
+      val s2 = s
+      import s2.implicits._
+      Seq((nNodes, sumDeg, nHubs, eHub)).toDF(
+          "n_nodes", "sum_degree", "n_hubs", "e_hub")
+        .select(col("n_nodes"), col("sum_degree"), col("n_hubs"),
+          col("e_hub"),
+          round(when(col("n_hubs") >= 2,
+            lit(2.0) * col("e_hub")
+              / (col("n_hubs").cast("double") * (col("n_hubs") - 1)))
+            .otherwise(lit(0.0)), 6).as("rich_club"))
+    }),
+
     // Log-binned degree distribution of the co-purchase graph: bucket
     // = bit length of the degree (1,2-3,4-7,…) — the heavy-tail
     // diagnostic read before choosing skew strategies; exact integers.
@@ -4140,6 +4180,33 @@ object RelationalQueries {
         |GROUP BY x.s, y.s
         |ORDER BY weight DESC, supp_a, supp_b
         |LIMIT 20""".stripMargin,
+
+    // rich-club replay: same cross-multiplied hub test + hub-hub edges
+    "graph_rich_club" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges) u
+        |  GROUP BY n),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(d) AS BIGINT) AS sum_degree
+        |  FROM deg),
+        |hubs AS (
+        |  SELECT n FROM deg CROSS JOIN tot
+        |  WHERE d * 4 * tot.n_nodes >= 5 * tot.sum_degree),
+        |eh AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS e_hub FROM edges
+        |  WHERE a IN (SELECT n FROM hubs) AND b IN (SELECT n FROM hubs)),
+        |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hubs FROM hubs)
+        |SELECT tot.n_nodes, tot.sum_degree, nh.n_hubs, eh.e_hub,
+        |  round(CASE WHEN nh.n_hubs >= 2 THEN 2.0 * eh.e_hub
+        |      / (CAST(nh.n_hubs AS DOUBLE) * (nh.n_hubs - 1))
+        |    ELSE 0.0 END, 6) AS rich_club
+        |FROM tot CROSS JOIN nh CROSS JOIN eh""".stripMargin,
 
     // degree histogram replay: bit-length buckets over co-purchase
     // degrees

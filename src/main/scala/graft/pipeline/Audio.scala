@@ -459,6 +459,71 @@ object Audio {
     out.toSeq
   }
 
+  final case class WavZcrStats(
+      doc_id: Long,
+      n_samples: Long,
+      zcr: Long,
+      n_pos: Long,
+      n_neg: Long,
+      n_zero: Long)
+
+  /**
+   * Zero-crossing rate over the real channel-0 PCM stream — the third
+   * classic frame feature next to energy ([[blockStats]]) and
+   * periodicity ([[autocorrStats]]): `zcr` counts adjacent sample
+   * pairs with a STRICT sign flip (s_i·s_{i+1} < 0; zeros break runs,
+   * so silence contributes nothing), plus the sign census. Exact
+   * integers; one decode pass per row inside mapPartitions.
+   */
+  def decodeZcrStats(blobs: Dataset[MediaBlob]): Dataset[WavZcrStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { blob =>
+      val bb = ByteBuffer.wrap(blob.data).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      require(tag() == "RIFF", s"doc ${blob.doc_id}: not a RIFF container")
+      bb.getInt()
+      require(tag() == "WAVE", s"doc ${blob.doc_id}: not a WAVE form")
+      var rate = -1; var channels = -1
+      var f = 0L; var zcr = 0L; var pos = 0L; var neg = 0L; var zero = 0L
+      var prev = 0
+      while (bb.remaining() >= 8) {
+        val id = tag()
+        val len = bb.getInt()
+        val chunkEnd = math.min(bb.position() + len + (len & 1), bb.limit())
+        id match {
+          case "fmt " =>
+            val codec = bb.getShort()
+            require(codec == 1, s"doc ${blob.doc_id}: not PCM (fmt $codec)")
+            channels = bb.getShort().toInt
+            rate = bb.getInt()
+            bb.getInt(); bb.getShort()
+            val bits = bb.getShort().toInt
+            require(bits == 16,
+              s"doc ${blob.doc_id}: only PCM-16 supported (got $bits)")
+          case "data" =>
+            require(rate > 0, s"doc ${blob.doc_id}: data chunk before fmt")
+            val frames = len / (2 * channels)
+            val endFrame = f + frames
+            while (f < endFrame) {
+              val s = bb.getShort().toInt // channel 0
+              var c = 1
+              while (c < channels) { bb.getShort(); c += 1 }
+              if (s > 0) pos += 1 else if (s < 0) neg += 1 else zero += 1
+              if (f > 0 && s.toLong * prev < 0) zcr += 1
+              prev = s
+              f += 1L
+            }
+          case _ => ()
+        }
+        bb.position(chunkEnd)
+      }
+      require(rate > 0 && f > 0, s"doc ${blob.doc_id}: missing fmt/data chunk")
+      WavZcrStats(blob.doc_id, f, zcr, pos, neg, zero)
+    })
+  }
+
   /** Block-stats stage (flatMap fan-out: one row per block). */
   def blockStats(blobs: Dataset[MediaBlob], blockFrames: Int): Dataset[WavBlockStats] = {
     import blobs.sparkSession.implicits._
