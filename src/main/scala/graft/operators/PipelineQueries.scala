@@ -1398,8 +1398,11 @@ object PipelineQueries {
     // Embedding-space isotropy per label (Ethayarajh-style diagnostic):
     // mean pairwise cosine over unit vectors via the closed form
     // (|Σu|² − n) / (n(n−1)) — one normalized-vector sum per dimension,
-    // no pair join anywhere. Per-dim sums are float (round(,6)
-    // contract); a collapsed (anisotropic) label space scores near 1,
+    // no pair join anywhere. Both double sums (per-dim Σu ordered by
+    // vec_id, per-label Σsd² ordered by dim) are EXPLICIT fixed-order
+    // left-folds so accumulation order never depends on Spark
+    // partitioning — the rel_chi_square determinism pattern; round(,6)
+    // contract. A collapsed (anisotropic) label space scores near 1,
     // a healthy one near 0.
     "embed_isotropy" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1407,13 +1410,17 @@ object PipelineQueries {
           transform(col("embedding"), x => x.cast("double") * x.cast("double")),
           lit(0.0), (a, x) => a + x)))
         .where(col("nrm") > 0)
-      val sums = e.select(col("label"), col("nrm"),
+      val sums = e.select(col("label"), col("vec_id"), col("nrm"),
           posexplode(col("embedding")).as(Seq("dim", "v")))
         .withColumn("u", col("v").cast("double") / col("nrm"))
         .groupBy(col("label"), col("dim"))
-        .agg(sum(col("u")).as("sd"))
+        .agg(expr("aggregate(transform(sort_array(collect_list(" +
+          "struct(vec_id, u))), s -> s.u), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x)").as("sd"))
         .groupBy(col("label"))
-        .agg(sum(col("sd") * col("sd")).as("ss"))
+        .agg(expr("aggregate(transform(sort_array(collect_list(" +
+          "struct(dim, sd))), s -> s.sd * s.sd), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x)").as("ss"))
       val counts = e.groupBy(col("label"))
         .agg(count(lit(1)).cast("long").as("n"))
       counts.join(sums, Seq("label"))
@@ -3619,12 +3626,17 @@ object PipelineQueries {
          |    ${normL("embedding")} AS nrm
          |  FROM embeddings),
          |pos AS (
-         |  SELECT label, nrm, i, CAST(embedding[i] AS DOUBLE) / nrm AS u
+         |  SELECT label, vec_id, nrm, i,
+         |    CAST(embedding[i] AS DOUBLE) / nrm AS u
          |  FROM nv, LATERAL (SELECT unnest(generate_series(1,
          |    CAST(len(embedding) AS BIGINT))) AS i)
          |  WHERE nrm > 0),
-         |sd AS (SELECT label, i, sum(u) AS s FROM pos GROUP BY label, i),
-         |ss AS (SELECT label, sum(s * s) AS ss FROM sd GROUP BY label),
+         |sd AS (SELECT label, i,
+         |    list_reduce(list(u ORDER BY vec_id), (x, y) -> x + y) AS s
+         |  FROM pos GROUP BY label, i),
+         |ss AS (SELECT label,
+         |    list_reduce(list(s * s ORDER BY i), (x, y) -> x + y) AS ss
+         |  FROM sd GROUP BY label),
          |cnt AS (
          |  SELECT label, CAST(count(*) AS BIGINT) AS n
          |  FROM nv WHERE nrm > 0 GROUP BY label)

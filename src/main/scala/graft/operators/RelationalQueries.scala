@@ -4344,22 +4344,26 @@ object RelationalQueries {
          |  WHERE seed IN (SELECT src FROM edges)),
          |s1 AS (
          |  SELECT seed, min_by(e.dst,
-         |    (s.node*2654435761 + e.dst*40503 + 1*2246822519) % 4294967296)
+         |    ((s.node*2654435761 + e.dst*40503 + 1*2246822519)
+         |      % 4294967296 + 4294967296) % 4294967296)
          |      AS node
          |  FROM s0 s JOIN edges e ON e.src = s.node GROUP BY seed),
          |s2 AS (
          |  SELECT seed, min_by(e.dst,
-         |    (s.node*2654435761 + e.dst*40503 + 2*2246822519) % 4294967296)
+         |    ((s.node*2654435761 + e.dst*40503 + 2*2246822519)
+         |      % 4294967296 + 4294967296) % 4294967296)
          |      AS node
          |  FROM s1 s JOIN edges e ON e.src = s.node GROUP BY seed),
          |s3 AS (
          |  SELECT seed, min_by(e.dst,
-         |    (s.node*2654435761 + e.dst*40503 + 3*2246822519) % 4294967296)
+         |    ((s.node*2654435761 + e.dst*40503 + 3*2246822519)
+         |      % 4294967296 + 4294967296) % 4294967296)
          |      AS node
          |  FROM s2 s JOIN edges e ON e.src = s.node GROUP BY seed),
          |s4 AS (
          |  SELECT seed, min_by(e.dst,
-         |    (s.node*2654435761 + e.dst*40503 + 4*2246822519) % 4294967296)
+         |    ((s.node*2654435761 + e.dst*40503 + 4*2246822519)
+         |      % 4294967296 + 4294967296) % 4294967296)
          |      AS node
          |  FROM s3 s JOIN edges e ON e.src = s.node GROUP BY seed),
          |walk AS (
@@ -5266,7 +5270,8 @@ object RelationalQueries {
         |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
         |  WHERE s.s_nationkey < 5),
         |hashed AS (
-        |  SELECT key, (v * 2654435761) % 4294967296 AS h FROM raw),
+        |  SELECT key, ((v * 2654435761) % 4294967296 + 4294967296)
+        |    % 4294967296 AS h FROM raw),
         |sk AS (
         |  SELECT key, h FROM (
         |    SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h)

@@ -531,14 +531,6 @@ object Audio {
   }
 
   /**
-   * Voice-activity segments from block energies: a block is ACTIVE when
-   * `max_abs > threshold`; consecutive active blocks merge into maximal
-   * segments (gaps-and-islands — one keyed window, no join), emitted as
-   * (seg_idx, start_block, n_blocks, seg_sum_abs). The silence-trim /
-   * speech-extraction step of an audio pipeline, over fixed-width
-   * block rows only.
-   */
-  /**
    * Amplitude-flux onset detection from block stats: per consecutive
    * block pair, `flux = |sum_abs_w − sum_abs_{w−1}|` — the novelty
    * curve onset/beat trackers threshold; its argmax is the strongest
@@ -566,6 +558,14 @@ object Audio {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Voice-activity segments from block energies: a block is ACTIVE when
+   * `max_abs > threshold`; consecutive active blocks merge into maximal
+   * segments (gaps-and-islands — one keyed window, no join), emitted as
+   * (seg_idx, start_block, n_blocks, seg_sum_abs). The silence-trim /
+   * speech-extraction step of an audio pipeline, over fixed-width
+   * block rows only.
+   */
   def vadSegments(blocks: DataFrame, threshold: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("block_idx"))

@@ -942,12 +942,17 @@ object GraphAlgos {
    * Deterministic hash-driven walks — the DeepWalk/node2vec corpus-prep
    * step without executor RNG: from each seed, `steps` steps where the
    * step-t successor of u is the neighbor v minimizing the mixed
-   * multiplicative hash `(u·2654435761 + v·40503 + t·2246822519) mod
-   * 2³²`. The choice is uniform-ish over neighbors, REPRODUCIBLE under
+   * multiplicative hash `pmod(u·2654435761 + v·40503 + t·2246822519,
+   * 2³²)`. The choice is uniform-ish over neighbors, REPRODUCIBLE under
    * any partitioning/retry (the property RNG walks lose on speculative
    * re-execution), and replayable relationally (plain integer
-   * arithmetic; the v-term is injective for node ids < 2³², so argmin
-   * ties are impossible). Emits one row per (seed, step, node),
+   * arithmetic). PRECONDITION: node ids must be non-negative and
+   * < 2³¹ — the u-term then stays ≤ 2³¹·2654435761 ≈ 5.7e18 and the
+   * three-term sum fits Long; for larger ids the multiply wraps in
+   * Spark but errors in a strict BIGINT engine, so pre-reduce ids
+   * first. Within that range the v-term is injective mod 2³² for
+   * v < 2³², so argmin ties are impossible; pmod (not `%`) keeps the
+   * mix in [0, 2³²) even if a negative id slips through. Emits one row per (seed, step, node),
    * step 0 = the seed itself; seeds with no out-edges are dropped, and
    * a walk that reaches a dead-end node (directed graphs) simply ends
    * early — no row for the unreachable steps.
@@ -978,8 +983,8 @@ object GraphAlgos {
       val next = e.join(broadcast(cur.select(col("seed"), col("node").as("src"))),
           Seq("src"))
         .select(col("seed"), col("src"), col("dst"),
-          ((col("src") * 2654435761L + col("dst") * 40503L
-            + lit(t.toLong) * 2246822519L) % 4294967296L).as("mix"))
+          pmod(col("src") * 2654435761L + col("dst") * 40503L
+            + lit(t.toLong) * 2246822519L, lit(4294967296L)).as("mix"))
         .groupBy(col("seed"))
         .agg(min_by(col("dst"), col("mix")).as("node"))
         .localCheckpoint()

@@ -395,10 +395,16 @@ object Sketches {
    * count back up. `exact_common` is carried alongside for
    * calibration. Pairs sharing no sketch hash emit no row.
    *
-   * The hash is the Knuth multiplicative hash `(v·2654435761) mod 2³²`
+   * The hash is the Knuth multiplicative hash `pmod(v·2654435761, 2³²)`
    * — odd constant, hence BIJECTIVE on the key space: distinct values
    * never collide, ranking ties are impossible, and a relational
-   * engine replays it with plain integer arithmetic.
+   * engine replays it with plain integer arithmetic. PRECONDITION:
+   * values must be non-negative and < Long.MaxValue/2654435761 ≈
+   * 3.47e9 — beyond that the Long multiply wraps in Spark while a
+   * strict BIGINT engine (DuckDB) raises, a cross-engine divergence.
+   * Ids outside that range must be pre-reduced (e.g. the
+   * `pmod(id, 2³¹−1)` fold [[graft.pipeline.Sampling]] uses); pmod
+   * (not `%`) keeps h ∈ [0, 2³²) even for negative inputs.
    *
    * Scale shape: one distinct + one window top-k per key (sketch is
    * k-sized regardless of set size), the pair join runs on sketch
@@ -416,7 +422,7 @@ object Sketches {
       col(valCol).cast("long").as("v")).distinct()
     raw.persist()
     val hashed = raw.select(col("key"),
-      ((col("v") * 2654435761L) % 4294967296L).as("h"))
+      pmod(col("v") * 2654435761L, lit(4294967296L)).as("h"))
     val w = Window.partitionBy(col("key")).orderBy(col("h"))
     val sk = hashed.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
