@@ -277,9 +277,22 @@ object PipelineQueries {
       val name = s"stream_dedup_${dedupRunId.incrementAndGet()}"
       Option(lastDedupView.getAndSet(name))
         .foreach(prev => s.catalog.dropTempView(prev))
-      val q = deduped.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // State-store partition sizing: the dedup state shuffle (and with
+      // it the number of per-partition state stores the query opens,
+      // snapshots, and commits) is fixed by spark.sql.shuffle.partitions
+      // at the query's FIRST batch — 32 stores for a few thousand keys
+      // is pure per-store overhead. Size it to the stream (restored
+      // after start; a fresh checkpoint per run makes this safe). The
+      // 100-TB shape sets this to cluster scale, not session default.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = deduped.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        // the conf is read during batch-0 incremental planning (async
+        // after start), so restore only after the drain completes
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name).agg(count(lit(1)).as("n_survivors"))
     }),
 
@@ -1649,7 +1662,7 @@ object PipelineQueries {
     // that equality; the oracle recomputes all rows register-for-register).
     "text_hll_by_source" -> ((s, dir) =>
       Sketches.hllBySource(docs(s, dir)))
-  ) ++ roundEightQueries ++ roundTenQueries
+  ) ++ roundEightQueries ++ roundTenQueries ++ roundFourteenQueries
 
   // --- round-8 widening: classifier / shuffle / incremental IVF /
   //     time-decay / snapshot diff -------------------------------------
@@ -2334,6 +2347,180 @@ object PipelineQueries {
           round(col("pe"), 6).as("pe"),
           round(col("kappa"), 6).as("kappa"))
         .orderBy(col("source"))
+    })
+  )
+
+  // --- round-14 widening: cluster validity / cosine histogram / RAKE /
+  //     scanline RLE / systematic importance resampling -----------------
+
+  private def roundFourteenQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Davies–Bouldin cluster-validity terms over the label clusters:
+    // per-cluster mean distance-to-centroid S_i and worst separation
+    // ratio max_{j≠i}(S_i+S_j)/‖c_i−c_j‖ — the internal clustering
+    // score that needs no ground truth. EVERY double sum (per-dim
+    // centroid, per-member distance, per-cluster scatter) is a fixed-
+    // order left-fold (vec_id / dim order — the rel_chi_square
+    // pattern); centroids are cluster-count-sized so the pair join is
+    // a broadcast at any scale, and raw vectors cross exactly two
+    // keyed shuffles (centroid, then member-distance).
+    "cluster_davies_bouldin" -> ((s, dir) => {
+      val pos = emb(s, dir).select(col("label").cast("long").as("label"),
+          col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val cent = pos.groupBy(col("label"), col("dim"))
+        .agg(expr("aggregate(transform(sort_array(collect_list(" +
+            "struct(vec_id, v))), s -> s.v), CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc + x)").as("sv"),
+          count(lit(1)).cast("long").as("n"))
+        .withColumn("c", col("sv") / col("n"))
+      val memberD = pos.join(cent.select(col("label"), col("dim"), col("c")),
+          Seq("label", "dim"))
+        .withColumn("sq", (col("v") - col("c")) * (col("v") - col("c")))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(expr("aggregate(transform(sort_array(collect_list(" +
+          "struct(dim, sq))), s -> s.sq), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x)").as("dsq"))
+        .withColumn("dist", sqrt(col("dsq")))
+      val sg = memberD.groupBy(col("label"))
+        .agg(expr("aggregate(transform(sort_array(collect_list(" +
+            "struct(vec_id, dist))), s -> s.dist), CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc + x)").as("dsum"),
+          count(lit(1)).cast("long").as("n"))
+        .withColumn("s", col("dsum") / col("n"))
+      val m = cent.as("a").join(cent.as("b"),
+          col("a.dim") === col("b.dim") && col("a.label") =!= col("b.label"))
+        .select(col("a.label").as("li"), col("b.label").as("lj"), col("a.dim").as("dim"),
+          ((col("a.c") - col("b.c")) * (col("a.c") - col("b.c"))).as("sq"))
+        .groupBy(col("li"), col("lj"))
+        .agg(expr("aggregate(transform(sort_array(collect_list(" +
+          "struct(dim, sq))), s -> s.sq), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x)").as("msq"))
+        .withColumn("m", sqrt(col("msq")))
+      val si = sg.select(col("label").as("li"), col("s").as("si"), col("n"))
+      val sj = sg.select(col("label").as("lj"), col("s").as("sj"))
+      m.join(si, Seq("li")).join(sj, Seq("lj"))
+        .withColumn("ratio", (col("si") + col("sj")) / col("m"))
+        .groupBy(col("li"), col("n"), col("si"))
+        .agg(max(col("ratio")).as("db_term"))
+        .select(col("li").as("label"), col("n"),
+          round(col("si"), 6).as("scatter"),
+          round(col("db_term"), 6).as("db_term"))
+        .orderBy(col("label"))
+    }),
+
+    // Pairwise-cosine histogram on a deterministic hash sample of
+    // pairs (pmod(31·a+b, 97) < 5 — ~5% of pairs, no RNG), split
+    // intra-/inter-label: the embedding-space health check (a
+    // collapsed space piles intra AND inter mass at high cosine).
+    // The pair join is id-keyed; per-pair cosine is one ordered
+    // fold over dims; only (bin, intra) cells cross the final shuffle.
+    "embed_cosine_histogram" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, x) => a + x)))
+        .where(col("nrm") > 0)
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.vec_id") < col("b.vec_id") &&
+            pmod(col("a.vec_id") * 31 + col("b.vec_id"), lit(97)) < 5)
+      val cos = pairs.select(
+        (col("a.label") === col("b.label")).as("intra"),
+        (aggregate(zip_with(col("a.embedding"), col("b.embedding"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      cos.select(least(lit(19L),
+            floor((col("cos") + 1.0) * 10).cast("long")).as("bin"),
+          col("intra"))
+        .groupBy(col("bin"), col("intra"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .orderBy(col("bin"), col("intra"))
+    }),
+
+    // RAKE keyword extraction: candidate phrases = maximal stopword-free
+    // token runs (gaps-and-islands on token positions), word score =
+    // deg/freq with deg = Σ_occurrences len(phrase) (self-inclusive,
+    // Rose et al. convention), phrase score = Σ word scores folded in
+    // word-position order. Top-20 phrase types by (rounded score,
+    // phrase). Corpus-wide word stats ride one broadcastable join onto
+    // phrase words; nothing touches raw text twice.
+    "text_keyword_rake" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      val sw = typedlit(TextAnalysis.stopwordsEn)
+      val marked = toks.withColumn("is_stop",
+        array_contains(sw, col("tok")))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val phrased = marked.withColumn("n_stops_before",
+          sum(when(col("is_stop"), 1L).otherwise(0L))
+            .over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(!col("is_stop"))
+        .withColumn("phrase_id", col("n_stops_before"))
+      val phrases = phrased.groupBy(col("doc_id"), col("phrase_id"))
+        .agg(expr("array_join(transform(sort_array(collect_list(" +
+            "struct(pos, tok))), s -> s.tok), ' ')").as("phrase"),
+          count(lit(1)).cast("long").as("len"))
+      val occ = phrases.select(col("phrase"), col("len"),
+          posexplode(split(col("phrase"), " ")).as(Seq(("wpos"), ("word"))))
+      val wordStats = occ.groupBy(col("word"))
+        .agg(count(lit(1)).cast("long").as("freq"),
+          sum(col("len")).cast("long").as("deg"))
+      // ssum folds wscore over EVERY occurrence×word row of the phrase
+      // type (duplicates kept, deterministic order), so ssum = n_occ ×
+      // phrase_score exactly; dividing by n_occ recovers the score with
+      // the identical float chain in both engines.
+      val scored = occ.join(wordStats, Seq("word"))
+        .withColumn("wscore", col("deg").cast("double") / col("freq"))
+        .groupBy(col("phrase"))
+        .agg(expr("aggregate(transform(sort_array(collect_list(" +
+            "struct(wpos, word, wscore))), s -> s.wscore), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("ssum"))
+      phrases.groupBy(col("phrase")).agg(count(lit(1)).cast("long").as("n_occ"),
+          max(col("len")).as("len"))
+        .join(scored, Seq("phrase"))
+        .select(col("phrase"), col("len"), col("n_occ"),
+          round(col("ssum") / col("n_occ"), 6).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(20)
+    }),
+
+    // Scanline RLE compression stats over REAL decoded images (PNG/BMP
+    // via ImageIO): R channel quantized to 16 levels, runs restart per
+    // row — the storage-planning dial for packed multimodal shards.
+    // The oracle replays the quadrant generator analytically.
+    "multimodal_rle_compress" -> ((s, dir) => {
+      val blobs = Multimodal.withEncodedImages(
+        s, docs(s, dir).select("doc_id"), "doc_id")
+      Multimodal.imageRleRuns(blobs, step = 16).toDF()
+        .select(col("doc_id"), col("n_pixels"), col("n_runs"),
+          round(col("n_pixels").cast("double") / (col("n_runs") * 2), 6)
+            .as("ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Systematic (low-discrepancy) importance resampling by document
+    // weight: pick j of m lands on the doc whose cumulative weight
+    // interval contains (2j+1)·W/(2m) — replayed EXACTLY in integers
+    // via cross-multiplication (2m·cum_{i−1} < (2j+1)W ≤ 2m·cum_i), so
+    // zero float anywhere. The classic particle-filter/data-mixing
+    // resampler; picks broadcast against the cumulative-weight table
+    // (at petabyte scale the interval join would bucket on cum ranges).
+    "pipeline_importance_resample" -> ((s, dir) => {
+      val m = 50L
+      val w = docs(s, dir).select(col("doc_id"),
+        col("n_chars").cast("long").as("w"))
+      val cum = w.withColumn("cum",
+          sum(col("w")).over(Window.orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev", col("cum") - col("w"))
+      val total = cum.agg(max(col("cum")).cast("long")).head().getLong(0)
+      val picks = s.range(0, m).select(col("id").as("pick_id"),
+        ((col("id") * 2 + 1) * total).as("target2mW"))
+      cum.join(broadcast(picks),
+          col("prev") * 2 * m < col("target2mW") &&
+            col("target2mW") <= col("cum") * 2 * m)
+        .select(col("pick_id"), col("doc_id"), col("w"))
+        .orderBy(col("pick_id"))
     })
   )
 
@@ -6023,7 +6210,163 @@ object PipelineQueries {
         |SELECT source, CAST(n AS BIGINT) AS n,
         |  round(po, 6) AS po, round(pe, 6) AS pe,
         |  round(CASE WHEN pe >= 1.0 THEN 1.0 ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
-        |FROM k ORDER BY source""".stripMargin
+        |FROM k ORDER BY source""".stripMargin,
+
+    // every double sum replayed as an ordered list_reduce (vec_id /
+    // dim order — the embed_isotropy fold pattern); grouping slots
+    // align because Spark dim d ↔ DuckDB index d+1 per array position
+    "cluster_davies_bouldin" ->
+      """WITH pos AS (
+        |  SELECT CAST(label AS BIGINT) AS label, vec_id, i AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1,
+        |    CAST(len(embedding) AS BIGINT))) AS i) g),
+        |cent AS (
+        |  SELECT label, dim,
+        |    list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y) AS sv,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM pos GROUP BY 1, 2),
+        |centc AS (SELECT label, dim, sv / n AS c FROM cent),
+        |md AS (
+        |  SELECT p.label, p.vec_id,
+        |    list_reduce(list((p.v - c.c) * (p.v - c.c) ORDER BY p.dim),
+        |      (x, y) -> x + y) AS dsq
+        |  FROM pos p JOIN centc c ON c.label = p.label AND c.dim = p.dim
+        |  GROUP BY 1, 2),
+        |sg AS (
+        |  SELECT label,
+        |    list_reduce(list(sqrt(dsq) ORDER BY vec_id),
+        |      (x, y) -> x + y) AS dsum,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM md GROUP BY 1),
+        |sgc AS (SELECT label, n, dsum / n AS s FROM sg),
+        |mm AS (
+        |  SELECT a.label AS li, b.label AS lj,
+        |    list_reduce(list((a.c - b.c) * (a.c - b.c) ORDER BY a.dim),
+        |      (x, y) -> x + y) AS msq
+        |  FROM centc a JOIN centc b
+        |    ON a.dim = b.dim AND a.label <> b.label
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT mm.li, si.n, si.s AS si,
+        |    max((si.s + sj.s) / sqrt(mm.msq)) AS db_term
+        |  FROM mm JOIN sgc si ON si.label = mm.li
+        |  JOIN sgc sj ON sj.label = mm.lj
+        |  GROUP BY 1, 2, 3)
+        |SELECT li AS label, n, round(si, 6) AS scatter,
+        |  round(db_term, 6) AS db_term
+        |FROM r ORDER BY label""".stripMargin,
+
+    // deterministic 5/97 hash pair sample + ordered-fold cosine
+    "embed_cosine_histogram" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+         |    ${normL("embedding")} AS nrm
+         |  FROM embeddings),
+         |nz AS (SELECT * FROM e WHERE nrm > 0),
+         |p AS (
+         |  SELECT (a.label = b.label) AS intra,
+         |    ${dotL("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM nz a JOIN nz b
+         |    ON a.vec_id < b.vec_id
+         |    AND (a.vec_id * 31 + b.vec_id) % 97 < 5)
+         |SELECT least(19, CAST(floor((cos + 1.0) * 10) AS BIGINT)) AS bin,
+         |  intra, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM p GROUP BY 1, 2 ORDER BY bin, intra""".stripMargin,
+
+    // RAKE replay: stopword gaps-and-islands, per-occurrence word
+    // explode, deg/freq word scores, occurrence-folded phrase scores
+    "text_keyword_rake" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+        |          lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |        FROM documents) d,
+        |  LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g),
+        |marked AS (
+        |  SELECT doc_id, pos, tok,
+        |    tok IN ('the','a','an','of','and','to','in','is','it','that',
+        |            'for','on','with','as','this','are','be','or') AS is_stop
+        |  FROM toks),
+        |ph AS (
+        |  SELECT doc_id, pos, tok, is_stop,
+        |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS phrase_id
+        |  FROM marked),
+        |phr AS (
+        |  SELECT doc_id, phrase_id,
+        |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS len
+        |  FROM ph WHERE NOT is_stop GROUP BY 1, 2),
+        |occ AS (
+        |  SELECT phrase, len, i - 1 AS wpos, w[i] AS word
+        |  FROM (SELECT phrase, len,
+        |          regexp_split_to_array(phrase, ' ') AS w FROM phr) p,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+        |ws AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(len) AS BIGINT) AS deg
+        |  FROM occ GROUP BY 1),
+        |sc AS (
+        |  SELECT o.phrase,
+        |    list_reduce(list(CAST(ws.deg AS DOUBLE) / ws.freq
+        |        ORDER BY o.wpos, o.word), (x, y) -> x + y) AS ssum
+        |  FROM occ o JOIN ws ON ws.word = o.word GROUP BY 1),
+        |pagg AS (
+        |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+        |    CAST(max(len) AS BIGINT) AS len
+        |  FROM phr GROUP BY 1)
+        |SELECT p.phrase, p.len, p.n_occ,
+        |  round(sc.ssum / p.n_occ, 6) AS score
+        |FROM pagg p JOIN sc ON sc.phrase = p.phrase
+        |ORDER BY score DESC, p.phrase LIMIT 20""".stripMargin,
+
+    // analytic replay of the quadrant generator: runs restart per row,
+    // each row is two quantized spans (one when they collide)
+    "multimodal_rle_compress" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (doc_id % 48 + 8) AS w, (doc_id % 32 + 8) AS h,
+        |    (doc_id % 48 + 8) // 2 AS wl, (doc_id % 32 + 8) // 2 AS ht
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, w, h, ht,
+        |    ((doc_id * 3 + 7) % 256) // 16 AS q0,
+        |    ((doc_id * 3 + 38) % 256) // 16 AS q1,
+        |    ((doc_id * 3 + 69) % 256) // 16 AS q2,
+        |    ((doc_id * 3 + 100) % 256) // 16 AS q3
+        |  FROM dims),
+        |r AS (
+        |  SELECT doc_id, CAST(w * h AS BIGINT) AS n_pixels,
+        |    CAST(ht * (CASE WHEN q0 = q1 THEN 1 ELSE 2 END)
+        |      + (h - ht) * (CASE WHEN q2 = q3 THEN 1 ELSE 2 END)
+        |      AS BIGINT) AS n_runs
+        |  FROM q)
+        |SELECT doc_id, n_pixels, n_runs,
+        |  round(CAST(n_pixels AS DOUBLE) / (n_runs * 2), 6) AS ratio
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // exact-integer systematic resampling: cross-multiplied interval
+    // containment, zero float anywhere
+    "pipeline_importance_resample" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    sum(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM w),
+        |t AS (SELECT CAST(max(cum) AS BIGINT) AS total FROM c),
+        |picks AS (
+        |  SELECT CAST(j AS BIGINT) AS pick_id,
+        |    CAST(2 * j + 1 AS BIGINT) * total AS target2mW
+        |  FROM (SELECT unnest(generate_series(0, 49)) AS j) g, t)
+        |SELECT p.pick_id, c.doc_id, c.w
+        |FROM c JOIN picks p
+        |  ON (c.cum - c.w) * 100 < p.target2mW
+        |  AND p.target2mW <= c.cum * 100
+        |ORDER BY p.pick_id""".stripMargin
   )
 
   private def sqlQuote(v: String): String = "'" + v.replace("'", "''") + "'"

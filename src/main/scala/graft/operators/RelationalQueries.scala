@@ -3052,6 +3052,206 @@ object RelationalQueries {
         .select(col("k").as("supp_key"), col("covered_days"),
           col("n_islands"), col("n_intervals"))
         .orderBy(col("supp_key"))
+    }),
+
+    // Cohort retention matrix: users bucketed by first-activity week,
+    // distinct-active counts per (cohort, weeks-since) cell — the
+    // product-analytics triangle view. All exact integers; one
+    // (user, week) distinct + one min + one grouped count, shuffles on
+    // user_id then on the 2-key cell (both partial-agg friendly; the
+    // cohort join broadcasts its user→cohort side at any realistic
+    // user cardinality per partition via AQE).
+    "rel_cohort_retention" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+          expr("datediff(to_date(ts), date'2024-01-01') div 7")
+            .cast("long").as("week"))
+        .distinct()
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("weeks_since"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    }),
+
+    // Lorenz curve by customer-revenue decile: ntile(10) over exact
+    // cents with the unique custkey tie-break, cumulative revenue
+    // share per decile — the concentration curve behind the Gini gate
+    // (rel_gini_revenue integrates this curve; here the 10 points are
+    // materialized). Integer sums end-to-end; one rounded division.
+    "rel_lorenz_points" -> ((s, dir) => {
+      val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("r"))
+      val dec = rev.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("r"), col("o_custkey")))
+          .cast("long"))
+      val ds = dec.groupBy(col("decile"))
+        .agg(count(lit(1)).cast("long").as("n_cust"),
+          sum(col("r")).cast("long").as("dec_rev"))
+      val wAll = Window.orderBy(col("decile"))
+      ds.withColumn("cum_rev",
+          sum(col("dec_rev")).over(
+            wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total",
+          sum(col("dec_rev")).over(
+            wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("decile"), col("n_cust"), col("dec_rev"),
+          round(col("cum_rev").cast("double") / col("total"), 6)
+            .as("cum_share"))
+        .orderBy(col("decile"))
+    }),
+
+    // Winsorized purchase-value stats: order statistics at ranks
+    // ceil(.05n)/ceil(.95n) (unique (cents, event_id) rank — an exact
+    // discrete quantile, no interpolation), values clamped to [lo, hi],
+    // winsorized mean from the exact integer clamped sum. The robust-
+    // moments companion to rel_mad_outliers.
+    "rel_winsorize_stats" -> ((s, dir) => {
+      val v = events(s, dir).where(col("event_type") === "purchase")
+        .select(col("event_id"), cents(col("value")).as("c"))
+      val ranked = v.withColumn("rk",
+        row_number().over(Window.orderBy(col("c"), col("event_id")))
+          .cast("long"))
+      val n = ranked.count()
+      val loRk = math.max(1L, math.ceil(0.05 * n).toLong)
+      val hiRk = math.max(1L, math.ceil(0.95 * n).toLong)
+      val lo = ranked.where(col("rk") === loRk).select(col("c").as("lo"))
+      val hi = ranked.where(col("rk") === hiRk).select(col("c").as("hi"))
+      ranked.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(greatest(col("lo"), least(col("hi"), col("c"))).as("w"),
+          col("lo"), col("hi"))
+        .groupBy(col("lo"), col("hi"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("w")).cast("long").as("winsor_sum_cents"))
+        .select(col("n"), col("lo").as("p05_cents"), col("hi").as("p95_cents"),
+          col("winsor_sum_cents"),
+          round(col("winsor_sum_cents").cast("double") / col("n"), 6)
+            .as("winsor_mean_cents"))
+    }),
+
+    // Theil T inequality index per nation over customer revenue
+    // (log-based counterpart of rel_gini_revenue; within-group terms
+    // (r/μ)·ln(r/μ) are left-folded in EXPLICIT custkey order — the
+    // rel_chi_square determinism pattern — with μ replayed exactly
+    // from integer sums; round(,6) absorbs libm-ln ulp).
+    "rel_theil_index" -> ((s, dir) => {
+      val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("r"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"))
+      val byNation = rev.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("nation"), col("o_custkey").as("cust"), col("r"))
+      val stats = byNation.groupBy(col("nation"))
+        .agg(count(lit(1)).cast("long").as("n_cust"),
+          sum(col("r")).cast("long").as("sum_rev"))
+      byNation.join(stats, Seq("nation"))
+        .withColumn("term",
+          (col("r") * col("n_cust") / col("sum_rev").cast("double")) *
+            log(col("r") * col("n_cust") / col("sum_rev").cast("double")))
+        .groupBy(col("nation"), col("n_cust"), col("sum_rev"))
+        .agg(expr("aggregate(transform(sort_array(collect_list(" +
+          "struct(cust, term))), s -> s.term), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x)").as("tsum"))
+        .select(col("nation"), col("n_cust"),
+          col("sum_rev").as("rev_cents"),
+          round(col("tsum") / col("n_cust"), 6).as("theil"))
+        .orderBy(col("nation"))
+    }),
+
+    // SAX symbolization of the daily-revenue series: 8-day PAA means
+    // z-scored against global daily moments and mapped to a 4-letter
+    // alphabet at the Gaussian quartile breakpoints ±0.6745/0 — the
+    // time-series motif/discretization primitive. Daily cents SQUARED
+    // overflow Long, so both moments are day-ordered double folds
+    // (products of integer-valued doubles round identically under
+    // IEEE in both engines; the fold order pins the sum). One grouped
+    // agg per stage; the moments ride a broadcast row.
+    "rel_sax_symbols" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      val m = daily.agg(count(lit(1)).cast("long").as("n"),
+        expr("aggregate(transform(sort_array(collect_list(" +
+          "struct(day, rev))), s -> CAST(s.rev AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("sx"),
+        expr("aggregate(transform(sort_array(collect_list(" +
+          "struct(day, rev))), s -> CAST(s.rev AS DOUBLE) " +
+          "* CAST(s.rev AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("sx2"))
+      val paa = daily.groupBy(expr("day div 8").cast("long").as("win"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum(col("rev")).cast("long").as("wsum"))
+      paa.crossJoin(broadcast(m))
+        .withColumn("mean", col("sx").cast("double") / col("n"))
+        .withColumn("sd", sqrt((col("sx2").cast("double")
+          - col("sx").cast("double") * col("sx") / col("n"))
+          / (col("n") - 1)))
+        .withColumn("z",
+          (col("wsum").cast("double") / col("n_days") - col("mean")) / col("sd"))
+        .select(col("win"), col("n_days"),
+          round(col("z"), 6).as("z"),
+          when(col("z") < -0.6745, "a").when(col("z") < 0, "b")
+            .when(col("z") < 0.6745, "c").otherwise("d").as("symbol"))
+        .orderBy(col("win"))
+    }),
+
+    // Local clustering coefficient over the decile co-purchase graph:
+    // per-node closed-wedge fraction 2T/(d(d−1)) — the node-level
+    // companion of graph_triangles' global count. Triangle counting
+    // joins oriented (a<b) edges once; per-node credit explodes each
+    // triangle's 3 corners. Exact integers until one rounded division.
+    "graph_local_clustering" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      edges.persist()
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).cast("long").as("d"))
+      // wedges a<b<c sharing a: join (a,b)x(a,c) then close with (b,c)
+      val tri = edges.as("e1").join(edges.as("e2"),
+          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+        .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+        .join(edges.as("e3"),
+          col("tb") === col("e3.a") && col("tc") === col("e3.b"),
+          "left_semi")
+      val perNode = tri
+        .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).cast("long").as("t"))
+      deg.where(col("d") >= 2)
+        .join(perNode, Seq("node"), "left")
+        .na.fill(0L, Seq("t"))
+        .select(col("node").cast("long").as("part_key"), col("d"), col("t"),
+          round(col("t") * 2.0 / (col("d") * (col("d") - 1)), 6).as("lcc"))
+        .orderBy(col("part_key"))
+    }),
+
+    // Eccentricity (6-hop-capped) of 8 seed customers on the
+    // customer–supplier graph: max BFS distance + reach count per
+    // seed — the diameter-profile diagnostic that tells you how many
+    // layer-synchronous rounds any frontier algorithm needs on this
+    // topology. Rides the shortestPathCounts kernel (per-seed settled
+    // state, one equi-join per layer), ignoring its σ column.
+    "graph_eccentricity" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.pipeline.GraphAlgos.shortestPathCounts(
+          graft.pipeline.GraphAlgos.symmetrize(edges),
+          sources = Seq(2L, 4L, 6L, 8L, 10L, 12L, 14L, 16L), rounds = 6)
+        .groupBy(col("seed"))
+        .agg(max(col("dist")).cast("long").as("ecc_capped"),
+          count(lit(1)).cast("long").as("n_reached"))
+        .select(expr("seed div 2").cast("long").as("seed_key"),
+          col("ecc_capped"), col("n_reached"))
+        .orderBy(col("seed_key"))
     })
   )
 
@@ -5388,7 +5588,177 @@ object RelationalQueries {
         |SELECT k AS supp_key, CAST(sum(en - st) AS BIGINT) AS covered_days,
         |  CAST(count(*) AS BIGINT) AS n_islands,
         |  CAST(sum(n_iv) AS BIGINT) AS n_intervals
-        |FROM runs GROUP BY k ORDER BY supp_key""".stripMargin
+        |FROM runs GROUP BY k ORDER BY supp_key""".stripMargin,
+
+    // distinct (user, week) + per-user min week + cell counts
+    "rel_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |      AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week
+        |      FROM ev GROUP BY user_id)
+        |SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(ev.week - c.cohort_week AS BIGINT) AS weeks_since,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ev JOIN c ON c.user_id = ev.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact-cents decile chain; ntile is SQL-standard in both engines
+    "rel_lorenz_points" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY o_custkey),
+        |dec AS (
+        |  SELECT CAST(ntile(10) OVER (ORDER BY r, o_custkey) AS BIGINT)
+        |    AS decile, r
+        |  FROM rev),
+        |ds AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(r) AS BIGINT) AS dec_rev
+        |  FROM dec GROUP BY decile)
+        |SELECT decile, n_cust, dec_rev,
+        |  round(CAST(sum(dec_rev) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / sum(dec_rev) OVER (), 6) AS cum_share
+        |FROM ds ORDER BY decile""".stripMargin,
+
+    // discrete order-statistic winsorization at ceil(.05n)/ceil(.95n)
+    "rel_winsorize_stats" ->
+      """WITH v AS (
+        |  SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |rk AS (
+        |  SELECT c, row_number() OVER (ORDER BY c, event_id) AS rk FROM v),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |lo AS (SELECT c AS lo FROM rk, n
+        |       WHERE rk = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))),
+        |hi AS (SELECT c AS hi FROM rk, n
+        |       WHERE rk = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))),
+        |w AS (SELECT greatest(lo, least(hi, c)) AS wv, lo, hi
+        |      FROM rk, lo, hi)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  min(lo) AS p05_cents, min(hi) AS p95_cents,
+        |  CAST(sum(wv) AS BIGINT) AS winsor_sum_cents,
+        |  round(CAST(sum(wv) AS DOUBLE) / count(*), 6) AS winsor_mean_cents
+        |FROM w""".stripMargin,
+
+    // within-nation Theil T with custkey-ordered term fold (the
+    // rel_chi_square fixed-order determinism pattern)
+    "rel_theil_index" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY o_custkey),
+        |b AS (
+        |  SELECT c_nationkey AS nation, o_custkey AS cust, r
+        |  FROM rev JOIN customer ON o_custkey = c_custkey),
+        |st AS (
+        |  SELECT nation, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(r) AS BIGINT) AS sum_rev
+        |  FROM b GROUP BY nation),
+        |tm AS (
+        |  SELECT b.nation, st.n_cust, st.sum_rev,
+        |    list_reduce(list(
+        |        (b.r * st.n_cust / CAST(st.sum_rev AS DOUBLE))
+        |          * ln(b.r * st.n_cust / CAST(st.sum_rev AS DOUBLE))
+        |        ORDER BY b.cust), (x, y) -> x + y) AS tsum
+        |  FROM b JOIN st ON st.nation = b.nation
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(nation AS BIGINT) AS nation, n_cust,
+        |  sum_rev AS rev_cents, round(tsum / n_cust, 6) AS theil
+        |FROM tm ORDER BY nation""".stripMargin,
+
+    // PAA + z-score from integer moments + quartile-breakpoint CASE
+    "rel_sax_symbols" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    list_reduce(list(CAST(rev AS DOUBLE) ORDER BY day),
+        |      (x, y) -> x + y) AS sx,
+        |    list_reduce(list(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)
+        |      ORDER BY day), (x, y) -> x + y) AS sx2
+        |  FROM daily),
+        |paa AS (
+        |  SELECT CAST(day // 8 AS BIGINT) AS win,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(rev) AS BIGINT) AS wsum
+        |  FROM daily GROUP BY 1),
+        |z AS (
+        |  SELECT win, n_days,
+        |    (CAST(wsum AS DOUBLE) / n_days - CAST(sx AS DOUBLE) / n)
+        |      / sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+        |             / (n - 1)) AS z
+        |  FROM paa, m)
+        |SELECT win, n_days, round(z, 6) AS z,
+        |  CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0 THEN 'b'
+        |       WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+        |FROM z ORDER BY win""".stripMargin,
+
+    // oriented wedge-close per corner over the decile co-purchase graph
+    "graph_local_clustering" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |edges AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS node FROM edges
+        |    UNION ALL SELECT b FROM edges) u
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        |  FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  WHERE EXISTS (SELECT 1 FROM edges e3
+        |                WHERE e3.a = e1.b AND e3.b = e2.b)),
+        |pn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+        |    SELECT ta AS node FROM tri
+        |    UNION ALL SELECT tb FROM tri
+        |    UNION ALL SELECT tc FROM tri) u
+        |  GROUP BY node)
+        |SELECT CAST(deg.node AS BIGINT) AS part_key, deg.d,
+        |  CAST(COALESCE(pn.t, 0) AS BIGINT) AS t,
+        |  round(COALESCE(pn.t, 0) * 2.0 / (deg.d * (deg.d - 1)), 6) AS lcc
+        |FROM deg LEFT JOIN pn ON pn.node = deg.node
+        |WHERE deg.d >= 2 ORDER BY part_key""".stripMargin,
+
+    // bounded recursive BFS per seed; min-dist closure replays the
+    // settled-first-arrival semantics of the layer kernel
+    "graph_eccentricity" ->
+      """WITH RECURSIVE edges0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT src, dst FROM edges0
+        |  UNION SELECT dst AS src, src AS dst FROM edges0),
+        |bfs AS (
+        |  SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS node,
+        |    CAST(0 AS BIGINT) AS dist
+        |  FROM (VALUES (2), (4), (6), (8), (10), (12), (14), (16)) s(seed)
+        |  WHERE seed IN (SELECT src FROM edges)
+        |  UNION
+        |  SELECT b.seed, e.dst AS node, b.dist + 1 AS dist
+        |  FROM bfs b JOIN edges e ON e.src = b.node
+        |  WHERE b.dist < 6),
+        |d AS (SELECT seed, node, min(dist) AS dist
+        |      FROM bfs GROUP BY seed, node)
+        |SELECT CAST(seed // 2 AS BIGINT) AS seed_key,
+        |  CAST(max(dist) AS BIGINT) AS ecc_capped,
+        |  CAST(count(*) AS BIGINT) AS n_reached
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   private def cusumOracle: String =

@@ -462,6 +462,47 @@ object Multimodal {
     }
   }
 
+  final case class ImageRle(
+      doc_id: Long,
+      n_pixels: Long,
+      n_runs: Long)
+
+  /**
+   * Scanline run-length compression stats over REAL decoded images:
+   * R-channel pixels quantized to `256/step` levels (`v / step`), runs
+   * counted row-major with a restart at every row boundary — the
+   * PackBits/TGA-style scanline-codec model. Emits exact integers only
+   * (run count; the gate derives the 2-bytes-per-run compression ratio);
+   * pixel buffers never leave the decode task.
+   */
+  def imageRleRuns(blobs: Dataset[MediaBlob], step: Int): Dataset[ImageRle] = {
+    require(step >= 1 && 256 % step == 0, "step must divide 256")
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { blob =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(blob.data))
+        require(img != null, s"undecodable media payload for doc ${blob.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var runs = 0L
+        var y = 0
+        while (y < h) {
+          var prev = -1
+          var x = 0
+          while (x < w) {
+            val q = ((img.getRGB(x, y) >> 16) & 0xff) / step
+            if (q != prev) { runs += 1L; prev = q }
+            x += 1
+          }
+          y += 1
+        }
+        ImageRle(blob.doc_id, w.toLong * h, runs)
+      }
+    }
+  }
+
   /**
    * Decode stage — mapPartitions with explicit batching (the Scala shape
    * of `mapInPandas`): pull `batchSize` blobs, decode each via the

@@ -57,7 +57,10 @@ object TextAnalysis {
       (n - length(regexp_replace(text, "[0-9]", ""))).cast("double") / n)
   }
 
-  private val stopwordsEn = Seq("the", "a", "an", "of", "and", "to", "in", "is",
+  /** The fixed English stopword list every stopword-driven operator
+    * shares (quality scoring, RAKE phrase breaking) — public so SQL
+    * oracles can inline the identical set. */
+  val stopwordsEn = Seq("the", "a", "an", "of", "and", "to", "in", "is",
     "it", "that", "for", "on", "with", "as", "this", "are", "be", "or")
 
   def stopwordRatio(text: Column): Column = {
