@@ -442,6 +442,22 @@ object BenchAnchors {
     * stores for a 2k-key stream) and FIXED by sizing the state shuffle
     * to the query — isolated median 2.35 → 1.43 s, old anchor kept. */
   private def r14DataShift: Map[String, Double] = Map(
+    // r14 NEW gates: no in-bench observation exists yet, so the loaded
+    // anchor projects the session-load factor this round measured on
+    // comparable rows (~1.45×) onto the 5-rep isolated quiet-box
+    // median; the median itself is the tripwire below.
+    "rel_cohort_retention" -> 1.03,   // iso 0.711
+    "rel_lorenz_points" -> 0.77,      // iso 0.528
+    "rel_winsorize_stats" -> 0.90,    // iso 0.618
+    "rel_theil_index" -> 0.83,        // iso 0.569
+    "rel_sax_symbols" -> 0.45,        // iso 0.310
+    "graph_local_clustering" -> 0.82, // iso 0.567
+    "graph_eccentricity" -> 8.70,     // iso 6.660 (8-seed 6-round BFS)
+    "cluster_davies_bouldin" -> 1.39, // iso 0.962
+    "embed_cosine_histogram" -> 1.42, // iso 0.977
+    "text_keyword_rake" -> 2.64,      // iso 1.824
+    "multimodal_rle_compress" -> 0.85, // iso 0.586
+    "pipeline_importance_resample" -> 0.41, // iso 0.285
     "rel_orc_roundtrip" -> 1.88,
     "rel_acf_seasonality" -> 1.49,
     "rel_markov_transitions" -> 1.14,
@@ -498,6 +514,20 @@ object BenchAnchors {
     * protocol), so their tripwires come from the unpolluted sessions
     * recorded in BASELINE.md round 14. */
   private def r14IsolatedTripwires: Map[String, Double] = Map(
+    // r14 new-gate tripwires (5-rep isolated quiet-box medians; the
+    // sub-0.5 s rows carry the same session-depth margin as below)
+    "rel_cohort_retention" -> 0.711,
+    "rel_lorenz_points" -> 0.528,
+    "rel_winsorize_stats" -> 0.618,
+    "rel_theil_index" -> 0.569,
+    "rel_sax_symbols" -> 0.46,
+    "graph_local_clustering" -> 0.567,
+    "graph_eccentricity" -> 6.660,
+    "cluster_davies_bouldin" -> 0.962,
+    "embed_cosine_histogram" -> 0.977,
+    "text_keyword_rake" -> 1.824,
+    "multimodal_rle_compress" -> 0.586,
+    "pipeline_importance_resample" -> 0.43,
     "rel_orc_roundtrip" -> 0.824,
     "rel_acf_seasonality" -> 0.731,
     "rel_markov_transitions" -> 0.507,

@@ -259,6 +259,77 @@ case class RepetitionStatsExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Quality-signal counts in ONE pass over the text:
+  * STRUCT(len, n_tokens, n_punct, n_digit, n_stop) — the integer inputs
+  * of `TextAnalysis.qualityScore`, which previously paid three separate
+  * regexp passes plus a split per row (the dominant stage of the
+  * 1M-doc pipeline rehearsal, BASELINE.md round 15).
+  *
+  * Exact Column-API parity by construction: `len` = numChars (Spark
+  * `length`); punct class is the literal `[.,!?;:'"()\-]` and digits
+  * `[0-9]`, counted on the RAW text (what the regexp_replace
+  * length-difference measured); tokens are maximal runs of
+  * non-`[ \t\n\f\r]` chars (Java `\s`) of the `lower()`ed text
+  * (leading-trim is irrelevant once empty tokens are dropped), and
+  * `n_stop` compares each lowered token against the caller's stopword
+  * set. All counts are exact integers, so the float chain composed on
+  * top of the struct is bit-identical to the regex formulation. */
+case class QualityStatsExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("len", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+  override def prettyName: String = "quality_stats"
+
+  @transient private lazy val sw: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isPunct(c: Char): Boolean = c match {
+    case '.' | ',' | '!' | '?' | ';' | ':' | '\'' | '"' | '(' | ')' | '-' => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val raw = u.toString
+    var np = 0L
+    var nd = 0L
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (isPunct(c)) np += 1
+      else if (c >= '0' && c <= '9') nd += 1
+      i += 1
+    }
+    val low = u.toLowerCase.toString
+    var nt = 0L
+    var ns = 0L
+    var j = 0
+    val n2 = low.length
+    while (j < n2) {
+      while (j < n2 && isWs(low.charAt(j))) j += 1
+      if (j < n2) {
+        val start = j
+        while (j < n2 && !isWs(low.charAt(j))) j += 1
+        nt += 1
+        if (sw.contains(low.substring(start, j))) ns += 1
+      }
+    }
+    InternalRow(u.numChars().toLong, nt, np, nd, ns)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points. */
 /**
  * Content-defined chunk spans of a text's RAW whitespace tokens (no
@@ -485,4 +556,6 @@ object text {
     SparkShims.column(Md5Lower64Expr(SparkShims.expression(c)))
   def repetition_stats(c: Column): Column =
     SparkShims.column(RepetitionStatsExpr(SparkShims.expression(c)))
+  def quality_stats(c: Column, stopwords: Seq[String]): Column =
+    SparkShims.column(QualityStatsExpr(SparkShims.expression(c), stopwords))
 }

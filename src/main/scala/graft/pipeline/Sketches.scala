@@ -416,7 +416,12 @@ object Sketches {
       df: DataFrame,
       keyCol: String,
       valCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      /** Attach the full-data `exact_common` calibration column. The
+        * production path at scale disables it — it is the one
+        * pair-join over raw sets (the scaladoc's drop-at-scale note),
+        * everything else touches k-sized sketches only. */
+      withExact: Boolean = true): DataFrame = {
     require(k >= 1, "sketch size must be positive")
     val raw = df.select(col(keyCol).cast("long").as("key"),
       col(valCol).cast("long").as("v")).distinct()
@@ -432,11 +437,7 @@ object Sketches {
     val common = sk.as("a").join(sk.as("b"),
         col("a.h") === col("b.h") && col("a.key") < col("b.key"))
       .select(col("a.key").as("key_a"), col("b.key").as("key_b"), col("a.h"))
-    val exact = raw.as("x").join(raw.as("y"),
-        col("x.v") === col("y.v") && col("x.key") < col("y.key"))
-      .groupBy(col("x.key").as("key_a"), col("y.key").as("key_b"))
-      .agg(count(lit(1)).cast("long").as("exact_common"))
-    val out = common
+    val sketchOut = common
       .join(theta.select(col("key").as("key_a"), col("theta").as("ta")),
         Seq("key_a"))
       .join(theta.select(col("key").as("key_b"), col("theta").as("tb")),
@@ -445,12 +446,17 @@ object Sketches {
       .groupBy(col("key_a"), col("key_b"))
       .agg(count(lit(1)).cast("long").as("n_common"),
         min(least(col("ta"), col("tb"))).cast("long").as("theta_star"))
-      .join(exact, Seq("key_a", "key_b"))
+    val withEst = sketchOut
       .select(col("key_a"), col("key_b"), col("n_common"), col("theta_star"),
         round(col("n_common") * lit(4294967296.0) / (col("theta_star") + 1), 6)
-          .as("est_common"),
-        col("exact_common"))
-      .localCheckpoint()
+          .as("est_common"))
+    val out = (if (withExact) {
+      val exact = raw.as("x").join(raw.as("y"),
+          col("x.v") === col("y.v") && col("x.key") < col("y.key"))
+        .groupBy(col("x.key").as("key_a"), col("y.key").as("key_b"))
+        .agg(count(lit(1)).cast("long").as("exact_common"))
+      withEst.join(exact, Seq("key_a", "key_b"))
+    } else withEst).localCheckpoint()
     sk.unpersist()
     raw.unpersist()
     out

@@ -1177,6 +1177,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(scores(1L) > scores(2L) && scores(1L) > scores(3L))
   }
 
+  test("quality_stats native pass equals the regex formulation bit-for-bit") {
+    // the single-pass QualityStatsExpr replaced three regexp passes +
+    // a split; this pins the replacement to the ORIGINAL Column-API
+    // formulation on the edge cases that could diverge (empty text,
+    // whitespace runs incl. \t\n\f\r, uppercase stopwords,
+    // punctuation-only, digits, unicode, stopword-as-substring)
+    val df = Seq(
+      (1L, ""),
+      (2L, "   \t\n\f\r   "),
+      (3L, "THE Quick BROWN fox AND THE dog"),
+      (4L, "!!!,,,...;;;:::'''\"\"\"((()))---"),
+      (5L, "123abc 456 7.89 -12"),
+      (6L, "héllo wörld ünïcode tëxt"),
+      (7L, "theater andover oft is-land"), // stopwords only as substrings
+      (8L, "the the the the the"),
+      (9L, (1 to 80).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val regexScore = {
+      val text = col("text")
+      val n = length(text)
+      val punctRatio = when(n === 0, 0.0).otherwise(
+        (n - length(regexp_replace(text, TextAnalysis.PunctClass, "")))
+          .cast("double") / n)
+      val digitRatio = when(n === 0, 0.0).otherwise(
+        (n - length(regexp_replace(text, "[0-9]", ""))).cast("double") / n)
+      val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+      val sw = typedlit(TextAnalysis.stopwordsEn)
+      val swRatio = when(size(toks) === 0, 0.0).otherwise(
+        size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+      val lengthScore = least(size(toks).cast("double") / 50.0, lit(1.0))
+      round(lengthScore * 0.4 + (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.2
+        + (lit(1.0) - least(digitRatio * 5.0, lit(1.0))) * 0.2
+        + least(swRatio * 4.0, lit(1.0)) * 0.2, 6)
+    }
+    val rows = df.select(col("id"),
+        TextAnalysis.qualityScore(col("text")).as("native"),
+        regexScore.as("regex"))
+      .as[(Long, Double, Double)].collect()
+    rows.foreach { case (id, nat, re) =>
+      assert(nat == re, s"id=$id native=$nat regex=$re")
+    }
+  }
+
   test("stratified sample: exactly k per full stratum, deterministic, partitioning-invariant") {
     val rows = (0L until 200L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
     val a = Sampling.stratifiedSample(rows, "id", "src", k = 10)

@@ -156,6 +156,122 @@ object ScalingHeavy {
       }
     }
 
+    if (families("kmv")) {
+      // kmvIntersections' production (sketch-only) data term: the
+      // per-key distinct + window top-k; the pair join touches k-sized
+      // sketches regardless of set size. 200 keys, values Zipf-shared
+      // so every pair overlaps. The exact_common calibration column is
+      // OFF (the drop-at-scale path); its cost is the one quadratic
+      // term and is reported once at the smallest size for contrast.
+      for (n <- Seq(1000000L, 3000000L, 10000000L)) {
+        val pairs = spark.range(n).select(
+          pmod(col("id"), lit(200L)).as("key"),
+          // value space ~n/40 with heavy sharing across keys; xxhash64
+          // decorrelates value from key (a multiplicative map mod a
+          // multiple of 200 would make v mod 200 a function of the key
+          // and no two keys would ever share a value)
+          pmod(expr("xxhash64(id)"), lit(math.max(1009L, n / 40))).as("v"))
+          .persist()
+        pairs.count()
+        val (t, rows) = time {
+          graft.pipeline.Sketches.kmvIntersections(
+            pairs, "key", "v", k = 256, withExact = false).count()
+        }
+        val exactNote = if (n == 1000000L) {
+          val (tx, _) = time {
+            graft.pipeline.Sketches.kmvIntersections(
+              pairs, "key", "v", k = 256, withExact = true).count()
+          }
+          f"  (withExact=$tx%6.2f s at this size only)"
+        } else ""
+        println(f"[scale] kmv rows=$n%9d  sketch=$t%6.2f s ($rows pairs)$exactNote")
+        pairs.unpersist()
+      }
+    }
+
+    if (families("walks")) {
+      // hashWalks' data term: one edges⋈frontier equi-join + keyed
+      // min_by per step; the frontier is seed-sized. Sweep |E| at
+      // fixed 10k seeds, then seeds at fixed |E| (both axes flat-ish
+      // per unit is the claim).
+      for (e <- Seq(1000000L, 3000000L, 10000000L)) {
+        val edges = edgesAt(spark, e).persist()
+        edges.count()
+        val seeds = (0L until 10000L).map(_ * 7L)
+        val (t, rows) = time {
+          graft.pipeline.GraphAlgos.hashWalks(edges, seeds, steps = 4).count()
+        }
+        println(f"[scale] walks |E|=$e%9d seeds=10000  $t%6.2f s ($rows rows)")
+        edges.unpersist()
+      }
+      val edges = edgesAt(spark, 3000000L).persist()
+      edges.count()
+      for (s <- Seq(10000, 30000, 100000)) {
+        // stride 1 keeps every seed inside the ~150k-node id range (a
+        // 7-stride pushed the 30k/100k sweeps past the node universe
+        // and silently capped the effective seed set)
+        val seeds = (0L until s.toLong)
+        val (t, rows) = time {
+          graft.pipeline.GraphAlgos.hashWalks(edges, seeds, steps = 4).count()
+        }
+        println(f"[scale] walks |E|=3000000 seeds=$s%6d  $t%6.2f s ($rows rows)")
+      }
+      edges.unpersist()
+    }
+
+    if (families("markov")) {
+      // rel_markov_transitions' kernel: per-user lead window + grouped
+      // transition counts — one shuffle on user_id, one on the 2-key
+      // cell. Data term = event rows.
+      for (n <- Seq(1000000L, 3000000L, 10000000L)) {
+        val ev = spark.range(n).select(
+          pmod(col("id") * 40503L, lit(n / 100)).as("user_id"),
+          col("id").as("ts"),
+          pmod(col("id") * 7L, lit(8L)).as("event_type"))
+          .persist()
+        ev.count()
+        val (t, rows) = time {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"))
+          ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+            .where(col("next_type").isNotNull)
+            .groupBy(col("event_type"), col("next_type"))
+            .agg(count(lit(1))).count()
+        }
+        println(f"[scale] markov rows=$n%9d  $t%6.2f s ($rows cells)")
+        ev.unpersist()
+      }
+    }
+
+    if (families("acf")) {
+      // rel_acf_seasonality's kernel: per-series window index + two
+      // lag self-joins + variance — data term = series length. 8
+      // series, lags 1/24, exact integer covariances.
+      for (n <- Seq(100000L, 300000L, 1000000L)) {
+        val y0 = spark.range(n).select(
+          pmod(col("id"), lit(8L)).as("series"),
+          (col("id") / 8L).as("i"),
+          (pmod(col("id") * 131L, lit(100L)) - 50L).as("y"))
+          .persist()
+        y0.count()
+        val (t, rows) = time {
+          val lagd = Seq(1L, 24L).map { l =>
+            y0.as("a").join(y0.as("b"),
+                col("a.series") === col("b.series") &&
+                  col("b.i") === col("a.i") + l)
+              .groupBy(col("a.series"))
+              .agg(sum(col("a.y") * col("b.y")).as("cov_scaled"))
+              .withColumn("lag", lit(l))
+          }
+          val v0 = y0.groupBy(col("series"))
+            .agg(sum(col("y") * col("y")).as("var_scaled"))
+          lagd.reduce(_ unionByName _).join(v0, Seq("series")).count()
+        }
+        println(f"[scale] acf rows=$n%8d  $t%6.2f s ($rows rows)")
+        y0.unpersist()
+      }
+    }
+
     if (families("cms")) {
       for (n <- Seq(5000L, 15000L, 50000L)) {
         val docs = docsAt(spark, n).persist()
