@@ -458,6 +458,12 @@ object BenchAnchors {
     "text_keyword_rake" -> 2.64,      // iso 1.824
     "multimodal_rle_compress" -> 0.85, // iso 0.586
     "pipeline_importance_resample" -> 0.41, // iso 0.285
+    // r15 wave-3 gates (same projected-load protocol)
+    "rel_funnel_paths" -> 0.82,       // iso 0.565
+    "rel_rfm_segments" -> 0.63,       // iso 0.436
+    "rel_burst_detection" -> 0.60,    // iso 0.411
+    "rel_entropy_binning" -> 0.48,    // iso 0.331
+    "text_code_ratio" -> 0.30,        // iso 0.150
     "rel_orc_roundtrip" -> 1.88,
     "rel_acf_seasonality" -> 1.49,
     "rel_markov_transitions" -> 1.14,
@@ -528,6 +534,11 @@ object BenchAnchors {
     "text_keyword_rake" -> 1.824,
     "multimodal_rle_compress" -> 0.586,
     "pipeline_importance_resample" -> 0.43,
+    "rel_funnel_paths" -> 0.565,
+    "rel_rfm_segments" -> 0.50,
+    "rel_burst_detection" -> 0.50,
+    "rel_entropy_binning" -> 0.45,
+    "text_code_ratio" -> 0.25,
     "rel_orc_roundtrip" -> 0.824,
     "rel_acf_seasonality" -> 0.731,
     "rel_markov_transitions" -> 0.507,

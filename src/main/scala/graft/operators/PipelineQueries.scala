@@ -2498,6 +2498,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Code-vs-prose heuristic signals per document: statement-ish lines
+    // (rtrim'd tail in ;{}), indented lines (4-space/tab lead), symbol
+    // char census [{}();=<>] — the filter that keeps code out of (or
+    // routes it into) a text corpus. Exact integer counts, one rounded
+    // composite; shuffle-free scan.
+    "text_code_ratio" -> ((s, dir) => {
+      val lines = split(col("text"), "\n")
+      val nLines = size(lines).cast("long")
+      val semi = size(filter(lines, l => rtrim(l).rlike("[;{}]$"))).cast("long")
+      val indent = size(filter(lines, l => l.rlike("^(    |\t)"))).cast("long")
+      val len = length(col("text")).cast("long")
+      val nSym = (len - length(regexp_replace(col("text"), "[{}();=<>]", "")))
+        .cast("long")
+      val symRatio = when(len === 0, 0.0).otherwise(nSym.cast("double") / len)
+      docs(s, dir).select(col("doc_id"), nLines.as("n_lines"),
+          semi.as("stmt_lines"), indent.as("indent_lines"),
+          nSym.as("n_symbols"),
+          round((semi + indent).cast("double") / greatest(nLines, lit(1L)) * 0.5
+            + least(symRatio * 10.0, lit(1.0)) * 0.5, 6).as("code_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Systematic (low-discrepancy) importance resampling by document
     // weight: pick j of m lands on the doc whose cumulative weight
     // interval contains (2j+1)·W/(2m) — replayed EXACTLY in integers
@@ -6346,6 +6368,34 @@ object PipelineQueries {
         |SELECT doc_id, n_pixels, n_runs,
         |  round(CAST(n_pixels AS DOUBLE) / (n_runs * 2), 6) AS ratio
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // line-census replay; Spark rtrim strips ' ' only, so rtrim(l, ' ')
+    "text_code_ratio" ->
+      """WITH lines AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    CAST(length(text)
+        |      - length(regexp_replace(text, '[{}();=<>]', '', 'g'))
+        |      AS BIGINT) AS n_symbols
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls,
+        |      l -> regexp_matches(rtrim(l, ' '), '[;{}]$'))) AS BIGINT)
+        |      AS stmt_lines,
+        |    CAST(len(list_filter(ls,
+        |      l -> regexp_matches(l, '^(    |\t)'))) AS BIGINT)
+        |      AS indent_lines,
+        |    len, n_symbols
+        |  FROM lines)
+        |SELECT doc_id, n_lines, stmt_lines, indent_lines, n_symbols,
+        |  round(CAST(stmt_lines + indent_lines AS DOUBLE)
+        |      / greatest(n_lines, 1) * 0.5
+        |    + least(CASE WHEN len = 0 THEN 0.0
+        |            ELSE CAST(n_symbols AS DOUBLE) / len END * 10.0,
+        |        1.0) * 0.5, 6) AS code_score
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // exact-integer systematic resampling: cross-multiplied interval
     // containment, zero float anywhere

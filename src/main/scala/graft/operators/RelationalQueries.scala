@@ -3252,6 +3252,103 @@ object RelationalQueries {
         .select(expr("seed div 2").cast("long").as("seed_key"),
           col("ecc_capped"), col("n_reached"))
         .orderBy(col("seed_key"))
+    }),
+
+    // Top user-journey prefixes: each user's first 3 events (ts,
+    // event_id order) joined into a path string, top-20 paths by
+    // (count, path) — the funnel-mining companion of
+    // rel_funnel_conversion (which fixes the funnel; this DISCOVERS
+    // it). One user-keyed window + one path-keyed count.
+    "rel_funnel_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val first3 = events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+      first3.groupBy(col("user_id"))
+        .agg(expr("array_join(transform(sort_array(collect_list(" +
+          "struct(rn, event_type))), s -> s.event_type), '>')").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    }),
+
+    // RFM segmentation: per-customer recency/frequency/monetary
+    // quartiles (ntile(4) with the unique custkey tie-break — exact
+    // integers everywhere), segment code r·100+f·10+m, per-segment
+    // counts + monetary mass. The classic CRM cube; three window
+    // passes over a customer-sized aggregate, never the fact table.
+    "rel_rfm_segments" -> ((s, dir) => {
+      val rfm = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(max(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+            .cast("long").as("last_day"),
+          count(lit(1)).cast("long").as("n_orders"),
+          sum(cents(col("o_totalprice"))).cast("long").as("m_cents"))
+      val seg = rfm
+        .withColumn("r_q", ntile(4).over(
+          Window.orderBy(col("last_day"), col("o_custkey"))).cast("long"))
+        .withColumn("f_q", ntile(4).over(
+          Window.orderBy(col("n_orders"), col("o_custkey"))).cast("long"))
+        .withColumn("m_q", ntile(4).over(
+          Window.orderBy(col("m_cents"), col("o_custkey"))).cast("long"))
+      seg.groupBy((col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+          .as("segment"))
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          sum(col("m_cents")).cast("long").as("segment_cents"))
+        .orderBy(col("segment"))
+    }),
+
+    // Burst detection over the daily order series: a day is a burst
+    // iff 2·c·n > 3·Σc (count > 1.5× mean — cross-multiplied
+    // integers, no float in the membership test), consecutive burst
+    // days merge into islands (day − row_number grouping), emitted as
+    // (start_day, n_days, peak, total). The Kleinberg-lite activity
+    // screen; one grouped pass + one window, no join.
+    "rel_burst_detection" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val tot = daily.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("c")).cast("long").as("t")).head()
+      val (n, total) = (tot.getLong(0), tot.getLong(1))
+      val bursts = daily.where(col("c") * 2 * n > lit(3L) * total)
+        .withColumn("grp",
+          col("day") - row_number().over(Window.orderBy(col("day"))))
+      bursts.groupBy(col("grp"))
+        .agg(min(col("day")).as("start_day"),
+          count(lit(1)).cast("long").as("n_days"),
+          max(col("c")).as("peak"),
+          sum(col("c")).cast("long").as("total_orders"))
+        .select(col("start_day"), col("n_days"), col("peak"),
+          col("total_orders"))
+        .orderBy(col("start_day"))
+    }),
+
+    // Supervised equal-frequency binning: event values → deciles
+    // (unique (cents, event_id) rank), per-bin event_type entropy via
+    // the fixed-order xlogx chain (type-ascending fold — the
+    // rel_chi_square pattern). The feature-engineering diagnostic:
+    // does the binned value separate the behavior classes.
+    "rel_entropy_binning" -> ((s, dir) => {
+      val v = events(s, dir).select(col("event_id"), col("event_type"),
+        cents(col("value")).as("c"))
+      val binned = v.withColumn("bin",
+        ntile(10).over(Window.orderBy(col("c"), col("event_id")))
+          .cast("long"))
+      val cells = binned.groupBy(col("bin"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("o"))
+      cells.groupBy(col("bin"))
+        .agg(sum(col("o")).cast("long").as("n"),
+          expr("aggregate(transform(sort_array(collect_list(" +
+            "struct(event_type, o))), s -> CAST(s.o AS DOUBLE) " +
+            "* ln(CAST(s.o AS DOUBLE))), CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc + x)").as("slk"))
+        .select(col("bin"), col("n"),
+          round(log(col("n").cast("double")) - col("slk") / col("n"), 6)
+            .as("entropy"))
+        .orderBy(col("bin"))
     })
   )
 
@@ -5758,7 +5855,88 @@ object RelationalQueries {
         |SELECT CAST(seed // 2 AS BIGINT) AS seed_key,
         |  CAST(max(dist) AS BIGINT) AS ecc_capped,
         |  CAST(count(*) AS BIGINT) AS n_reached
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // first-3 window + ordered string_agg path + top-20
+    "rel_funnel_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    // three ntile(4) windows over the customer aggregate
+    "rel_rfm_segments" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey,
+        |    CAST(max(datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS m_cents
+        |  FROM orders GROUP BY o_custkey),
+        |seg AS (
+        |  SELECT
+        |    CAST(ntile(4) OVER (ORDER BY last_day, o_custkey) AS BIGINT)
+        |      AS r_q,
+        |    CAST(ntile(4) OVER (ORDER BY n_orders, o_custkey) AS BIGINT)
+        |      AS f_q,
+        |    CAST(ntile(4) OVER (ORDER BY m_cents, o_custkey) AS BIGINT)
+        |      AS m_q,
+        |    m_cents
+        |  FROM rfm)
+        |SELECT r_q * 100 + f_q * 10 + m_q AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(m_cents) AS BIGINT) AS segment_cents
+        |FROM seg GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // cross-multiplied burst membership + gaps-and-islands
+    "rel_burst_detection" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(c) AS BIGINT) AS t FROM daily),
+        |b AS (
+        |  SELECT day, c,
+        |    day - row_number() OVER (ORDER BY day) AS grp
+        |  FROM daily, m WHERE c * 2 * n > 3 * t)
+        |SELECT CAST(min(day) AS BIGINT) AS start_day,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(max(c) AS BIGINT) AS peak,
+        |  CAST(sum(c) AS BIGINT) AS total_orders
+        |FROM b GROUP BY grp ORDER BY start_day""".stripMargin,
+
+    // decile bins + type-ordered xlogx fold entropy
+    "rel_entropy_binning" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events),
+        |binned AS (
+        |  SELECT event_type,
+        |    CAST(ntile(10) OVER (ORDER BY c, event_id) AS BIGINT) AS bin
+        |  FROM v),
+        |cells AS (
+        |  SELECT bin, event_type, CAST(count(*) AS BIGINT) AS o
+        |  FROM binned GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT bin, CAST(sum(o) AS BIGINT) AS n,
+        |    list_reduce(list(CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE))
+        |      ORDER BY event_type), (x, y) -> x + y) AS slk
+        |  FROM cells GROUP BY bin)
+        |SELECT bin, n,
+        |  round(ln(CAST(n AS DOUBLE)) - slk / n, 6) AS entropy
+        |FROM agg ORDER BY bin""".stripMargin
   )
 
   private def cusumOracle: String =
