@@ -11,21 +11,31 @@ fallCount (the probes bracket the jump). Switches contribute 1 edge
 (executed or not); per-case switch edges would need trampoline
 instrumentation (documented limitation).
 
-Source-site branch coverage (the JaCoCo-comparable metric): JaCoCo
+Source-site branch coverage (the JaCoCo-comparable metrics): JaCoCo
 counts branch outcomes at SOURCE conditionals (if / switch / && / ||),
 so a raw bytecode-edge metric over scalac output is not comparable —
 scalac lowers pattern matches, null/box checks, for-comprehensions, and
 lazy-val bitmaps into conditionals javac never emits. The --src mode
-approximates JaCoCo's definition on Scala: keep only bytecode
-conditional sites whose attributed source LINE contains an explicit
-conditional construct (`if`, `while`, a match/partial-function `case`,
-`&&`, `||` — after stripping comments, strings, and `case class/object`
-declarations), and report two-way edge coverage over that universe.
-Synthetic conditionals scalac emits on non-conditional lines drop out;
-type/guard tests on `case` lines stay (they ARE the case decision, the
-analog of JaCoCo's per-case switch edges). Known approximation: a
-condition spanning lines whose continuation line carries no conditional
-token is excluded (affects universe and covered symmetrically).
+filters to bytecode conditional sites whose attributed source LINE
+contains an explicit conditional construct (`if`, `while`, a
+match/partial-function `case`, `&&`, `||` — after stripping comments,
+strings, and `case class/object` declarations) and reports TWO numbers
+that bracket the unreproducible JaCoCo value:
+
+ - source-site EDGE coverage: every surviving bytecode edge counts.
+   OVER-strict: scalac duplicates one source test into up to 12 sites
+   (applyOrElse + isDefinedAt of a partial function each re-emit every
+   `==`/null scaffold on the `case` line).
+ - DECISION-LINE coverage: each conditional source line contributes 2
+   outcomes, covered when ANY of its sites took that direction — the
+   analog of JaCoCo's green/yellow/red per-line branch display.
+   UNDER-strict where one line holds several independent conditions.
+
+--branch-gate enforces the decision-line number (the bracket's upper
+bound; the per-edge lower bound prints alongside so the bracket is
+always visible). Known approximation: a condition spanning lines whose
+continuation line carries no conditional token is excluded (affects
+universe and covered symmetrically).
 
 Usage: report.py [dumpdir] [--per-file] [--gate[=LINE_PCT]]
                  [--src[=SRCROOT]] [--branch-gate[=BR_PCT]]
@@ -228,6 +238,8 @@ def main():
             return cond_cache[src]
 
         per_src_sb = defaultdict(lambda: [0, 0])  # src -> [covered, total]
+        # decision-line state per (src, line): [any_jump, any_fall, executed]
+        dec = defaultdict(lambda: [False, False, False])
         for (_cls, _idx), (src, line, site, fall, issw) in branch.items():
             cl = cond_lines_for(src)
             # unresolvable source (shouldn't happen for graft/*): keep the
@@ -238,24 +250,53 @@ def main():
                 per_src_sb[src][1] += 1
                 if site > 0:
                     per_src_sb[src][0] += 1
+                    d = dec[(src, line)]
+                    d[0] = d[1] = d[2] = True
+                else:
+                    dec[(src, line)]  # register the line
             else:
                 per_src_sb[src][1] += 2
                 if fall > 0:
                     per_src_sb[src][0] += 1
                 if site > fall:
                     per_src_sb[src][0] += 1
+                d = dec[(src, line)]
+                if site > fall:
+                    d[0] = True
+                if fall > 0:
+                    d[1] = True
+                if site > 0:
+                    d[2] = True
+        per_src_dec = defaultdict(lambda: [0, 0])  # src -> [covered, total]
+        for (src, _line), (aj, af, _ex) in dec.items():
+            per_src_dec[src][1] += 2
+            per_src_dec[src][0] += (1 if aj else 0) + (1 if af else 0)
         if per_file:
-            print("-- source-site branches (JaCoCo-definition approx) --")
+            print("-- source-site branches (edge-level) + decision lines --")
             for src in sorted(per_src_sb):
                 sb, st = per_src_sb[src]
+                dc, dt = per_src_dec.get(src, (0, 0))
                 if st:
-                    print(f"{100*sb/st:5.1f}% src-branches ({sb}/{st})  {src[0]}/{src[1]}")
+                    dpct = f"{100*dc/dt:5.1f}%" if dt else "   — "
+                    print(f"{100*sb/st:5.1f}% src-branches ({sb}/{st})  "
+                          f"{dpct} decisions ({dc}/{dt})  {src[0]}/{src[1]}")
         sbc = sum(v[0] for v in per_src_sb.values())
         sbt = sum(v[1] for v in per_src_sb.values())
+        dcc = sum(v[0] for v in per_src_dec.values())
+        dct = sum(v[1] for v in per_src_dec.values())
         if sbt:
-            src_branch_pct = 100 * sbc / sbt
-            print(f"TOTAL source-site branch coverage: {src_branch_pct:.2f}% "
-                  f"({sbc}/{sbt} edges at source conditionals)")
+            edge_pct = 100 * sbc / sbt
+            print(f"TOTAL source-site edge coverage:   {edge_pct:.2f}% "
+                  f"({sbc}/{sbt} edges at source conditionals; OVER-strict — "
+                  "scalac lowers one source test into up to 12 duplicated "
+                  "sites in partial-function scaffolding)")
+        if dct:
+            src_branch_pct = 100 * dcc / dct
+            print(f"TOTAL decision-line coverage:      {src_branch_pct:.2f}% "
+                  f"({dcc}/{dct}; 2 outcomes per source conditional line — "
+                  "the JaCoCo green/yellow/red line-display analog; "
+                  "UNDER-strict where one line holds several conditions. "
+                  "The true JaCoCo-equivalent lies between the two numbers.)")
 
     print(f"dumps: {len(files)}")
     if gate is not None:
@@ -271,10 +312,10 @@ def main():
             sys.exit(1)
         if src_branch_pct < branch_gate:
             print(f"BRANCH GATE FAILED: {src_branch_pct:.2f}% < "
-                  f"{branch_gate:.2f}% source-site branch", file=sys.stderr)
+                  f"{branch_gate:.2f}% decision-line branch", file=sys.stderr)
             sys.exit(1)
         print(f"branch gate passed: {src_branch_pct:.2f}% >= "
-              f"{branch_gate:.2f}% source-site branch")
+              f"{branch_gate:.2f}% decision-line branch")
 
 
 if __name__ == "__main__":
