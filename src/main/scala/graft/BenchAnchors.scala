@@ -464,6 +464,12 @@ object BenchAnchors {
     "rel_burst_detection" -> 0.60,    // iso 0.411
     "rel_entropy_binning" -> 0.48,    // iso 0.331
     "text_code_ratio" -> 0.30,        // iso 0.150
+    // r15 wave-4 gates (same projected-load protocol)
+    "rel_theil_sen" -> 5.83,          // iso 4.019 (45k-pair rank median)
+    "rel_seasonal_decompose" -> 0.55, // iso 0.377
+    "graph_motif_square" -> 1.36,     // iso 0.938
+    "graph_edge_support" -> 1.26,     // iso 0.869
+    "multimodal_image_gradient" -> 1.14, // iso 0.784
     "rel_orc_roundtrip" -> 1.88,
     "rel_acf_seasonality" -> 1.49,
     "rel_markov_transitions" -> 1.14,
@@ -539,6 +545,11 @@ object BenchAnchors {
     "rel_burst_detection" -> 0.50,
     "rel_entropy_binning" -> 0.45,
     "text_code_ratio" -> 0.25,
+    "rel_theil_sen" -> 4.019,
+    "rel_seasonal_decompose" -> 0.45,
+    "graph_motif_square" -> 0.938,
+    "graph_edge_support" -> 0.869,
+    "multimodal_image_gradient" -> 0.784,
     "rel_orc_roundtrip" -> 0.824,
     "rel_acf_seasonality" -> 0.731,
     "rel_markov_transitions" -> 0.507,

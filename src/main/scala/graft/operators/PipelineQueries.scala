@@ -2484,6 +2484,19 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // First-difference gradient census over REAL decoded images: the
+    // edge-energy screen (solid frames score 0). The quadrant
+    // generator's oracle is fully analytic — gradients exist only on
+    // the two quadrant seams, so every count/sum is a closed form.
+    "multimodal_image_gradient" -> ((s, dir) => {
+      val blobs = Multimodal.withEncodedImages(
+        s, docs(s, dir).select("doc_id"), "doc_id")
+      Multimodal.imageGradientStats(blobs).toDF()
+        .select(col("doc_id"), col("n_h_edges"), col("sum_h"),
+          col("n_v_edges"), col("sum_v"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Scanline RLE compression stats over REAL decoded images (PNG/BMP
     // via ImageIO): R channel quantized to 16 levels, runs restart per
     // row — the storage-planning dial for packed multimodal shards.
@@ -6344,6 +6357,31 @@ object PipelineQueries {
         |  round(sc.ssum / p.n_occ, 6) AS score
         |FROM pagg p JOIN sc ON sc.phrase = p.phrase
         |ORDER BY score DESC, p.phrase LIMIT 20""".stripMargin,
+
+    // analytic seam census: horizontal diffs exist only at the
+    // wl-1→wl column crossing, vertical only at the ht-1→ht row
+    // crossing; counts are rows/columns where the quadrant values differ
+    "multimodal_image_gradient" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (doc_id % 48 + 8) AS w, (doc_id % 32 + 8) AS h,
+        |    (doc_id % 48 + 8) // 2 AS wl, (doc_id % 32 + 8) // 2 AS ht,
+        |    (doc_id * 3 + 7) % 256 AS v0,
+        |    (doc_id * 3 + 38) % 256 AS v1,
+        |    (doc_id * 3 + 69) % 256 AS v2,
+        |    (doc_id * 3 + 100) % 256 AS v3
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(ht * (CASE WHEN v0 <> v1 THEN 1 ELSE 0 END)
+        |    + (h - ht) * (CASE WHEN v2 <> v3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_h_edges,
+        |  CAST(ht * abs(v0 - v1) + (h - ht) * abs(v2 - v3) AS BIGINT)
+        |    AS sum_h,
+        |  CAST(wl * (CASE WHEN v0 <> v2 THEN 1 ELSE 0 END)
+        |    + (w - wl) * (CASE WHEN v1 <> v3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_v_edges,
+        |  CAST(wl * abs(v0 - v2) + (w - wl) * abs(v1 - v3) AS BIGINT)
+        |    AS sum_v
+        |FROM dims ORDER BY doc_id""".stripMargin,
 
     // analytic replay of the quadrant generator: runs restart per row,
     // each row is two quantized spans (one when they collide)

@@ -3349,6 +3349,115 @@ object RelationalQueries {
           round(log(col("n").cast("double")) - col("slk") / col("n"), 6)
             .as("entropy"))
         .orderBy(col("bin"))
+    }),
+
+    // Theil–Sen robust slope of the daily-revenue series: median of all
+    // pairwise slopes ((slope, d1, d2) rank order — fully deterministic;
+    // even counts average the two central slopes, IEEE-commutative).
+    // The outlier-immune trend fit beside the OLS family; the pair join
+    // is day-count², not row-count² — bounded by the calendar.
+    "rel_theil_sen" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      val p = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+        .select(((col("b.rev") - col("a.rev")).cast("double")
+            / (col("b.day") - col("a.day"))).as("slope"),
+          col("a.day").as("d1"), col("b.day").as("d2"))
+      val n = p.count()
+      val (lo, hi) = ((n + 1) / 2, (n + 2) / 2)
+      p.withColumn("rn", row_number().over(
+          Window.orderBy(col("slope"), col("d1"), col("d2"))).cast("long"))
+        .where(col("rn") === lo || col("rn") === hi)
+        .groupBy()
+        .agg(round(avg(col("slope")), 6).as("theil_sen_slope"))
+        .select(lit(n).as("n_pairs"), col("theil_sen_slope"))
+    }),
+
+    // STL-lite seasonal decomposition: 7-row centered moving-average
+    // trend (full windows only — ROWS semantics, deterministic in both
+    // engines), detrended residuals folded per day-of-week in explicit
+    // day order. The weekly-seasonality profile that powers the ACF
+    // gate's interpretation.
+    "rel_seasonal_decompose" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val detr = daily
+        .withColumn("cnt7", count(lit(1)).over(w7))
+        .withColumn("sum7", sum(col("rev")).over(w7))
+        .where(col("cnt7") === 7)
+        .withColumn("detr",
+          col("rev").cast("double") - col("sum7").cast("double") / 7)
+        .withColumn("dow", pmod(col("day"), lit(7L)))
+      detr.groupBy(col("dow"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          expr("aggregate(transform(sort_array(collect_list(" +
+            "struct(day, detr))), s -> s.detr), CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc + x)").as("ssum"))
+        .select(col("dow"), col("n_days"),
+          round(col("ssum") / col("n_days"), 6).as("seasonal"))
+        .orderBy(col("dow"))
+    }),
+
+    // Square-motif (4-cycle) census on the decile co-purchase graph:
+    // per non-adjacent-or-adjacent pair (u, w), c = common neighbors;
+    // each pair closes c·(c−1)/2 squares — the bipartite-butterfly
+    // analog that finds co-co-purchase structure triangles miss.
+    // Top-20 pairs by (c, u, w); wedge generation is one
+    // center-keyed self-join.
+    "graph_motif_square" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      val nbrs = edges.select(col("a").as("v"), col("b").as("n"))
+        .unionByName(edges.select(col("b").as("v"), col("a").as("n")))
+      nbrs.as("x").join(nbrs.as("y"),
+          col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+        .groupBy(col("x.n").as("u"), col("y.n").as("w"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .where(col("c") >= 2)
+        .select(col("u").cast("long").as("u"), col("w").cast("long").as("w"),
+          col("c"), (col("c") * (col("c") - 1) / 2).cast("long").as("squares"))
+        .orderBy(col("c").desc, col("u"), col("w"))
+        .limit(20)
+    }),
+
+    // Edge triangle-support histogram (the k-truss readiness census):
+    // support(a,b) = common neighbors of a and b; the distribution
+    // tells you which truss levels exist before paying the iterative
+    // peel. Exact integers; one adjacency join per endpoint.
+    "graph_edge_support" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      edges.persist()
+      val nbrs = edges.select(col("a").as("v"), col("b").as("n"))
+        .unionByName(edges.select(col("b").as("v"), col("a").as("n")))
+      val sup = edges
+        .join(nbrs.as("s1"), col("s1.v") === col("a"))
+        .join(nbrs.as("s2"),
+          col("s2.v") === col("b") && col("s2.n") === col("s1.n"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).cast("long").as("support"))
+      edges.join(sup, Seq("a", "b"), "left")
+        .na.fill(0L, Seq("support"))
+        .groupBy(least(col("support"), lit(10L)).as("support_bucket"))
+        .agg(count(lit(1)).cast("long").as("n_edges"))
+        .orderBy(col("support_bucket"))
     })
   )
 
@@ -5936,7 +6045,98 @@ object RelationalQueries {
         |  FROM cells GROUP BY bin)
         |SELECT bin, n,
         |  round(ln(CAST(n AS DOUBLE)) - slk / n, 6) AS entropy
-        |FROM agg ORDER BY bin""".stripMargin
+        |FROM agg ORDER BY bin""".stripMargin,
+
+    // median of pairwise slopes at the deterministic (slope, d1, d2) rank
+    "rel_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.day - a.day) AS slope,
+        |    a.day AS d1, b.day AS d2
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+        |r AS (
+        |  SELECT slope,
+        |    row_number() OVER (ORDER BY slope, d1, d2) AS rn
+        |  FROM p)
+        |SELECT n.n AS n_pairs, round(avg(slope), 6) AS theil_sen_slope
+        |FROM r, n WHERE rn IN ((n.n + 1) // 2, (n.n + 2) // 2)
+        |GROUP BY n.n""".stripMargin,
+
+    // 7-ROW centered MA trend + day-ordered residual folds per dow
+    "rel_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |tr AS (
+        |  SELECT day, rev,
+        |    count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7,
+        |    sum(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7
+        |  FROM daily),
+        |d AS (
+        |  SELECT day, day % 7 AS dow,
+        |    CAST(rev AS DOUBLE) - CAST(sum7 AS DOUBLE) / 7 AS detr
+        |  FROM tr WHERE cnt7 = 7)
+        |SELECT CAST(dow AS BIGINT) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  round(list_reduce(list(detr ORDER BY day), (x, y) -> x + y)
+        |    / count(*), 6) AS seasonal
+        |FROM d GROUP BY dow ORDER BY dow""".stripMargin,
+
+    // butterfly-style wedge pairing: c common neighbors → c·(c−1)/2 squares
+    "graph_motif_square" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |edges AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |nbrs AS (
+        |  SELECT a AS v, b AS n FROM edges
+        |  UNION ALL SELECT b AS v, a AS n FROM edges),
+        |pairs AS (
+        |  SELECT x.n AS u, y.n AS w, CAST(count(*) AS BIGINT) AS c
+        |  FROM nbrs x JOIN nbrs y ON x.v = y.v AND x.n < y.n
+        |  GROUP BY 1, 2)
+        |SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS w, c,
+        |  CAST(c * (c - 1) // 2 AS BIGINT) AS squares
+        |FROM pairs WHERE c >= 2
+        |ORDER BY c DESC, u, w LIMIT 20""".stripMargin,
+
+    // per-edge common-neighbor count → capped support histogram
+    "graph_edge_support" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |edges AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |nbrs AS (
+        |  SELECT a AS v, b AS n FROM edges
+        |  UNION ALL SELECT b AS v, a AS n FROM edges),
+        |sup AS (
+        |  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+        |  FROM edges e
+        |  JOIN nbrs s1 ON s1.v = e.a
+        |  JOIN nbrs s2 ON s2.v = e.b AND s2.n = s1.n
+        |  GROUP BY 1, 2)
+        |SELECT CAST(least(COALESCE(sup.support, 0), 10) AS BIGINT)
+        |    AS support_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_edges
+        |FROM edges LEFT JOIN sup ON sup.a = edges.a AND sup.b = edges.b
+        |GROUP BY 1 ORDER BY support_bucket""".stripMargin
   )
 
   private def cusumOracle: String =

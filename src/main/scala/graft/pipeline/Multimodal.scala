@@ -462,6 +462,54 @@ object Multimodal {
     }
   }
 
+  final case class ImageGradient(
+      doc_id: Long,
+      n_h_edges: Long,
+      sum_h: Long,
+      n_v_edges: Long,
+      sum_v: Long)
+
+  /**
+   * First-difference gradient census over REAL decoded images: per
+   * horizontal neighbor pair |R[x+1,y] − R[x,y]| and per vertical pair
+   * |R[x,y+1] − R[x,y]|, counting nonzero transitions and summing
+   * absolute differences — the edge-energy screen (solid/padded frames
+   * score 0; the quadrant generator's analytic oracle predicts exactly
+   * the two boundary seams). Exact integers; pixels stay in the task.
+   */
+  def imageGradientStats(blobs: Dataset[MediaBlob]): Dataset[ImageGradient] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { blob =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(blob.data))
+        require(img != null, s"undecodable media payload for doc ${blob.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var nh = 0L; var sh = 0L; var nv = 0L; var sv = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (img.getRGB(x, y) >> 16) & 0xff
+            if (x + 1 < w) {
+              val d = math.abs(((img.getRGB(x + 1, y) >> 16) & 0xff) - v)
+              if (d != 0) { nh += 1; sh += d }
+            }
+            if (y + 1 < h) {
+              val d = math.abs(((img.getRGB(x, y + 1) >> 16) & 0xff) - v)
+              if (d != 0) { nv += 1; sv += d }
+            }
+            x += 1
+          }
+          y += 1
+        }
+        ImageGradient(blob.doc_id, nh, sh, nv, sv)
+      }
+    }
+  }
+
   final case class ImageRle(
       doc_id: Long,
       n_pixels: Long,

@@ -184,4 +184,52 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(seg == 3)
     assert(idx.manifest.segment(3).get.count == 50)
   }
+
+  test("vacuum of a fully-deleted segment drops its physical partitions") {
+    val (idx, maint) = newIndex("mve1", cap = 40)
+    idx.addAll(gaussianDf(40, 11), "embedding", "id")
+    idx.sealPending()
+    idx.delete((0L until 40L)) // everything tombstoned
+    val removed = maint.vacuumSegment(0, nowMs = 5555, minDeletedRatio = 0.0)
+    assert(removed == 40)
+    // the nLive == 0 arm: dynamic overwrite writes nothing for an empty
+    // partition, so the directories must be dropped directly
+    val store = idx.store
+    Seq(store.vectorsDir, store.codesDir, store.graphDir).foreach { d =>
+      assert(!Files.exists(java.nio.file.Paths.get(s"$d/segId=0")),
+        s"$d/segId=0 should be physically gone")
+    }
+    val after = idx.manifest.segment(0).get
+    assert(after.deletedCount == 0 && after.lastVacuumAtMs == 5555)
+    // the emptied index still answers queries (no dangling-scan crash)
+    val q = Seq((0L, Array(0f, 0f, 0f, 0f))).toDF("queryId", "qv")
+    assert(Search.query(spark, store, q, 5).count() == 0)
+  }
+
+  test("vacuumSegment threshold override gates in both directions") {
+    val (idx, maint) = newIndex("mve2", cap = 40)
+    idx.addAll(gaussianDf(40, 12), "embedding", "id")
+    idx.sealPending()
+    idx.delete((0L until 12L)) // ratio 0.3
+    // explicit stricter override refuses (threshold arm, ratio < 0.5)
+    assert(maint.vacuumSegment(0, nowMs = 1, minDeletedRatio = 0.5) == 0L)
+    assert(idx.manifest.segment(0).get.deletedCount == 12)
+    // default (-1) falls back to the policy ratio 0.25 and proceeds
+    assert(maint.vacuumSegment(0, nowMs = 2) == 12L)
+    assert(idx.manifest.segment(0).get.deletedCount == 0)
+  }
+
+  test("compaction scoring degenerate ranges: identical age and size score 0.5") {
+    val (idx, maint) = newIndex("mce1", cap = 20)
+    // two identical full segments sealed in one pass → ageRange == 0 and
+    // countRange == 0; both degenerate arms must yield the 0.5 midpoint
+    // and the planner must still produce a deterministic candidate set
+    idx.addAll(gaussianDf(40, 13), "embedding", "id")
+    idx.sealPending()
+    idx.delete((0L until 6L)) // some fragmentation so the frag gate passes
+    val candidates = maint.findCompactionCandidates(anchorSegId = 0)
+    assert(candidates.nonEmpty && candidates.contains(0))
+    assert(candidates == candidates.sorted.distinct ||
+      candidates.toSet.subsetOf(Set(0, 1)))
+  }
 }
