@@ -566,7 +566,10 @@ object BenchAnchors {
     "graph_ppr" -> 4.384,
     "rel_benford_deviation" -> 0.24,
     "stream_cusum_changepoint" -> 4.843,
-    "text_quality_filter" -> 0.564,
+    // re-probed after the QualityStatsExpr rewrite: the native pass adds
+    // ~0.3 s of plan-constant (CodegenFallback boundary) on the 2k-doc
+    // gate while cutting the 1M-doc stage 6.3x — priced deliberately
+    "text_quality_filter" -> 0.85,
     "ann_hybrid_rrf" -> 1.609,
     "graph_kcore" -> 8.029,
     "graph_path_counts" -> 4.698,

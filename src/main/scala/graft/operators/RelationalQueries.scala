@@ -3365,14 +3365,19 @@ object RelationalQueries {
         .select(((col("b.rev") - col("a.rev")).cast("double")
             / (col("b.day") - col("a.day"))).as("slope"),
           col("a.day").as("d1"), col("b.day").as("d2"))
-      val n = p.count()
-      val (lo, hi) = ((n + 1) / 2, (n + 2) / 2)
+      // the median rank is computed INSIDE the plan (global count
+      // window) — one job, no driver-side count() pre-action
       p.withColumn("rn", row_number().over(
           Window.orderBy(col("slope"), col("d1"), col("d2"))).cast("long"))
-        .where(col("rn") === lo || col("rn") === hi)
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .where(col("rn") === expr("(np + 1) div 2")
+          || col("rn") === expr("(np + 2) div 2"))
         .groupBy()
-        .agg(round(avg(col("slope")), 6).as("theil_sen_slope"))
-        .select(lit(n).as("n_pairs"), col("theil_sen_slope"))
+        .agg(max(col("np")).cast("long").as("n_pairs"),
+          round(avg(col("slope")), 6).as("theil_sen_slope"))
+        .select(col("n_pairs"), col("theil_sen_slope"))
     }),
 
     // STL-lite seasonal decomposition: 7-row centered moving-average

@@ -605,4 +605,37 @@ class PlanSpec extends AnyFunSuite {
       s"markov transitions planned a non-equi join:\n$p")
   }
 
+  test("importance resample: picks broadcast against the cumulative table") {
+    // the m-row pick table must be the broadcast side of the interval
+    // join — shuffling the corpus against 50 rows is the inverted shape
+    val p = plan("pipeline_importance_resample")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast interval join:\n$p")
+  }
+
+  test("edge support / square motifs: adjacency joins hash, never cartesian") {
+    Seq("graph_edge_support", "graph_motif_square").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q planned a cartesian:\n$p")
+    }
+  }
+
+  test("funnel paths: top-20 is TakeOrdered, never a global sort of paths") {
+    val p = plan("rel_funnel_paths")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
+  test("RAKE keywords: word-stats join hashes and top-20 is TakeOrdered") {
+    val p = plan("text_keyword_rake")
+    assert(!p.contains("CartesianProduct"), s"RAKE planned a cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
+  test("cohort retention: cells aggregate partially (no row-level fan-in)") {
+    val p = plan("rel_cohort_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"cohort retention planned a non-equi join:\n$p")
+  }
+
 }
