@@ -62,7 +62,13 @@ object Bench {
     // times are preserved in BENCH_FULL.json for audit. Bounded cost:
     // only flagged rows re-run (normally zero).
     val gateResults = firstPass.map { case (name, t) =>
-      val over = BenchAnchors.seconds.get(name).exists(a => t / a > RegressionFactor)
+      // re-measure from the NOISE threshold (1.5×), not only the flag
+      // threshold (2×): the in-bench load class rotates run to run
+      // (round-15 record: a row at 1.6 s isolated spiked to 8.8 s
+      // in-bench once and nowhere else), so transient spikes between
+      // 1.5× and 2× deserve the same best-of-3 adjudication before
+      // they anchor the published tail
+      val over = BenchAnchors.seconds.get(name).exists(a => t / a > RemeasureFactor)
       if (!over) name -> t
       else name -> (1 to 2).foldLeft(t) { (best, _) =>
         val t0 = System.nanoTime()
@@ -166,4 +172,8 @@ object Bench {
 
   /** A query slower than this multiple of its anchor is flagged. */
   val RegressionFactor = 2.0
+
+  /** A query slower than this multiple re-runs (best of 3) before its
+    * time is published — the session-load re-measure threshold. */
+  val RemeasureFactor = 1.5
 }

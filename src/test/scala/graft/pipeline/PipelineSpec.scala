@@ -1177,6 +1177,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(scores(1L) > scores(2L) && scores(1L) > scores(3L))
   }
 
+  test("WAV guard falsifiers: missing data chunk throws, silent audio no-ops gain") {
+    // a RIFF container holding ONLY an fmt chunk — the chunk walk ends
+    // without data, so nFrames stays 0 and the guard must throw
+    val bb = java.nio.ByteBuffer.allocate(8 + 4 + 8 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 16)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(8000)
+      .putInt(16000).putShort(2.toShort).putShort(16.toShort)
+    val noData = bb.array()
+    assertThrows[IllegalArgumentException](Audio.decodeWavStats(7L, noData))
+    assertThrows[IllegalArgumentException](
+      Audio.decodeWavDecimatedStats(7L, noData, 2))
+    assertThrows[IllegalArgumentException](
+      Audio.decodeWavGainStats(7L, noData, 30000L))
+    // an all-zero signal: maxAbs == 0 must take the no-scaling arm
+    val silent = Audio.encodeWavPcm16(5L, 8000, Array.fill(16)(0.toShort))
+    val g = Audio.decodeWavGainStats(5L, silent, 30000L)
+    assert(g.max_abs_in == 0L && g.peak_out == 0L)
+  }
+
   test("quality_stats native pass equals the regex formulation bit-for-bit") {
     // the single-pass QualityStatsExpr replaced three regexp passes +
     // a split; this pins the replacement to the ORIGINAL Column-API
