@@ -470,6 +470,10 @@ object BenchAnchors {
     "graph_motif_square" -> 1.36,     // iso 0.938
     "graph_edge_support" -> 1.26,     // iso 0.869
     "multimodal_image_gradient" -> 1.14, // iso 0.784
+    // r15 wave-5 gates (same projected-load protocol)
+    "multimodal_audio_clipping" -> 0.87, // iso 0.597
+    "rel_hhi_concentration" -> 1.22,  // iso 0.844
+    "graph_component_sizes" -> 4.96,  // iso 3.422 (star-CC rounds)
     "rel_orc_roundtrip" -> 1.88,
     "rel_acf_seasonality" -> 1.49,
     "rel_markov_transitions" -> 1.14,
@@ -550,6 +554,9 @@ object BenchAnchors {
     "graph_motif_square" -> 0.938,
     "graph_edge_support" -> 0.869,
     "multimodal_image_gradient" -> 0.784,
+    "multimodal_audio_clipping" -> 0.597,
+    "rel_hhi_concentration" -> 0.844,
+    "graph_component_sizes" -> 3.422,
     "rel_orc_roundtrip" -> 0.824,
     "rel_acf_seasonality" -> 0.731,
     "rel_markov_transitions" -> 0.507,

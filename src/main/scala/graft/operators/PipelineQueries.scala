@@ -2484,6 +2484,20 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // Clipping census over REAL decoded PCM on the clipping-planted
+    // loud corpus: saturated-frame counts + longest saturation run —
+    // the audio-QA screen for recording/transcode defects. The oracle
+    // replays the generator formula and the saturation threshold
+    // (|raw|·40 beyond the PCM-16 range) relationally.
+    "multimodal_audio_clipping" -> ((s, dir) => {
+      val blobs = Audio.withLoudWavAudio(
+        s, docs(s, dir).filter(col("doc_id") < 200), "doc_id")
+      Audio.clippingStats(blobs).toDF()
+        .select(col("doc_id"), col("n_frames"), col("n_clipped"),
+          col("max_clip_run"))
+        .orderBy(col("doc_id"))
+    }),
+
     // First-difference gradient census over REAL decoded images: the
     // edge-energy screen (solid frames score 0). The quadrant
     // generator's oracle is fully analytic — gradients exist only on
@@ -6357,6 +6371,40 @@ object PipelineQueries {
         |  round(sc.ssum / p.n_occ, 6) AS score
         |FROM pagg p JOIN sc ON sc.phrase = p.phrase
         |ORDER BY score DESC, p.phrase LIMIT 20""".stripMargin,
+
+    // generator replay + saturation predicate + gaps-and-islands runs
+    "multimodal_audio_clipping" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |s0 AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(256 + doc_id % 64 AS BIGINT) - 1)) AS i
+        |  FROM ids),
+        |s AS (
+        |  SELECT doc_id, i,
+        |    ((doc_id * 31 + i * 17) % 2001) - 1000 AS raw
+        |  FROM s0),
+        |c AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN raw * 40 >= 32767 OR raw * 40 <= -32768
+        |         THEN 1 ELSE 0 END AS clip
+        |  FROM s),
+        |base AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(sum(clip) AS BIGINT) AS n_clipped
+        |  FROM c GROUP BY doc_id),
+        |runs AS (
+        |  SELECT doc_id,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        |  FROM c WHERE clip = 1),
+        |mr AS (
+        |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_clip_run FROM (
+        |    SELECT doc_id, isl, count(*) AS cnt
+        |    FROM runs GROUP BY doc_id, isl) g
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id AS doc_id, b.n_frames, b.n_clipped,
+        |  CAST(COALESCE(mr.max_clip_run, 0) AS BIGINT) AS max_clip_run
+        |FROM base b LEFT JOIN mr ON mr.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // analytic seam census: horizontal diffs exist only at the
     // wl-1→wl column crossing, vertical only at the ht-1→ht row

@@ -3463,6 +3463,52 @@ object RelationalQueries {
         .groupBy(least(col("support"), lit(10L)).as("support_bucket"))
         .agg(count(lit(1)).cast("long").as("n_edges"))
         .orderBy(col("support_bucket"))
+    }),
+
+    // Herfindahl–Hirschman concentration of supplier revenue within
+    // each nation: HHI = 10000·Σ share² (suppkey-ordered square fold —
+    // the antitrust-dial companion of Gini/Theil/Lorenz that flags
+    // which nation's supply is a hot-key risk for join salting).
+    "rel_hhi_concentration" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("r"))
+      val byNation = rev.join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("nation"),
+          col("l_suppkey").as("supp"), col("r"))
+      val tot = byNation.groupBy(col("nation"))
+        .agg(count(lit(1)).cast("long").as("n_suppliers"),
+          sum(col("r")).cast("long").as("tot"))
+      byNation.join(tot, Seq("nation"))
+        .withColumn("sh", col("r").cast("double") / col("tot"))
+        .groupBy(col("nation"), col("n_suppliers"))
+        .agg(expr("aggregate(transform(sort_array(collect_list(" +
+          "struct(supp, sh))), s -> s.sh * s.sh), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x)").as("ssq"))
+        .select(col("nation"), col("n_suppliers"),
+          round(col("ssq") * 10000, 6).as("hhi"))
+        .orderBy(col("nation"))
+    }),
+
+    // Connected-component SIZE histogram over the decile co-purchase
+    // graph — the connectivity fingerprint (one giant component vs
+    // fragments) that decides whether CC output can broadcast. Rides
+    // the same star-rewriting kernel as graph_connected_components.
+    "graph_component_sizes" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      graft.pipeline.GraphAlgos.connectedComponentsStar(edges)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).cast("long").as("sz"))
+        .groupBy(col("sz").as("component_size"))
+        .agg(count(lit(1)).cast("long").as("n_components"))
+        .orderBy(col("component_size"))
     })
   )
 
@@ -6141,7 +6187,56 @@ object RelationalQueries {
         |    AS support_bucket,
         |  CAST(count(*) AS BIGINT) AS n_edges
         |FROM edges LEFT JOIN sup ON sup.a = edges.a AND sup.b = edges.b
-        |GROUP BY 1 ORDER BY support_bucket""".stripMargin
+        |GROUP BY 1 ORDER BY support_bucket""".stripMargin,
+
+    // suppkey-ordered share-square fold per nation
+    "rel_hhi_concentration" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM lineitem GROUP BY l_suppkey),
+        |b AS (
+        |  SELECT s_nationkey AS nation, l_suppkey AS supp, r
+        |  FROM rev JOIN supplier ON l_suppkey = s_suppkey),
+        |tot AS (
+        |  SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    CAST(sum(r) AS BIGINT) AS tot
+        |  FROM b GROUP BY nation),
+        |h AS (
+        |  SELECT b.nation, tot.n_suppliers,
+        |    list_reduce(list(
+        |      (CAST(b.r AS DOUBLE) / tot.tot) * (CAST(b.r AS DOUBLE) / tot.tot)
+        |      ORDER BY b.supp), (x, y) -> x + y) AS ssq
+        |  FROM b JOIN tot ON tot.nation = b.nation
+        |  GROUP BY 1, 2)
+        |SELECT CAST(nation AS BIGINT) AS nation, n_suppliers,
+        |  round(ssq * 10000, 6) AS hhi
+        |FROM h ORDER BY nation""".stripMargin,
+
+    // recursive min-label closure → per-component sizes → histogram
+    "graph_component_sizes" ->
+      """WITH RECURSIVE edges0 AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_partkey % 10 = 0 AND y.l_partkey % 10 = 0),
+        |edges AS (
+        |  SELECT a AS u, b AS v FROM edges0
+        |  UNION ALL SELECT b AS u, a AS v FROM edges0),
+        |nodes AS (SELECT DISTINCT u AS id FROM edges),
+        |cc AS (
+        |  SELECT id, id AS label FROM nodes
+        |  UNION
+        |  SELECT e.v AS id, cc.label FROM cc JOIN edges e ON cc.id = e.u),
+        |comp AS (
+        |  SELECT id, min(label) AS component FROM cc GROUP BY id),
+        |sizes AS (
+        |  SELECT component, CAST(count(*) AS BIGINT) AS sz
+        |  FROM comp GROUP BY component)
+        |SELECT sz AS component_size,
+        |  CAST(count(*) AS BIGINT) AS n_components
+        |FROM sizes GROUP BY sz ORDER BY component_size""".stripMargin
   )
 
   private def cusumOracle: String =

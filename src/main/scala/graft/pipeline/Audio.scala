@@ -141,10 +141,71 @@ object Audio {
       MediaMeta(0, 0, 1, n * 1000L / rate))
   }
 
+  /** [[synthBlob]] scaled 40× and clamped to PCM-16 range — samples
+    * with |raw| ≥ 820 saturate at ±32767/−32768, planting deterministic
+    * CLIPPING runs (the formula steps +17 mod 2001 per frame, so
+    * saturated stretches are contiguous index runs). */
+  def synthLoudBlob(docId: Long): MediaBlob = {
+    val n = (256 + docId % 64).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val raw = ((docId * 31 + i.toLong * 17) % 2001) - 1000
+      val scaled = raw * 40
+      samples(i) = math.max(-32768L, math.min(32767L, scaled)).toShort
+      i += 1
+    }
+    val rate = (8000 + (docId % 8) * 1000).toInt
+    MediaBlob(docId, "audio/wav", encodeWavPcm16(docId, rate, samples),
+      MediaMeta(0, 0, 1, n * 1000L / rate))
+  }
+
+  final case class WavClippingStats(
+      doc_id: Long,
+      n_frames: Long,
+      n_clipped: Long,
+      max_clip_run: Long)
+
+  /**
+   * Clipping census over real decoded PCM: a frame is CLIPPED when it
+   * saturates the PCM-16 range (s = 32767 or −32768); consecutive
+   * clipped frames form runs and the longest run is the audibility
+   * dial (a 1-frame clip is inaudible, a 50-frame run is distortion).
+   * The audio-QA screen for recording/transcode defects; exact
+   * integers, one pass per payload.
+   */
+  def decodeWavClippingStats(docId: Long, bytes: Array[Byte]): WavClippingStats = {
+    val s = decodeSamples(docId, bytes)
+    var clipped = 0L
+    var run = 0L
+    var maxRun = 0L
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == 32767 || s(i) == -32768) {
+        clipped += 1; run += 1
+        if (run > maxRun) maxRun = run
+      } else run = 0
+      i += 1
+    }
+    WavClippingStats(docId, s.length.toLong, clipped, maxRun)
+  }
+
   /** Attach real WAV payloads to a documents-like frame. */
   def withWavAudio(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaBlob] = {
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].map(synthBlob)
+  }
+
+  /** [[withWavAudio]] with the clipping-planted loud corpus. */
+  def withLoudWavAudio(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map(synthLoudBlob)
+  }
+
+  /** Clipping-census stage over WAV blobs. */
+  def clippingStats(blobs: Dataset[MediaBlob]): Dataset[WavClippingStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.map(b => decodeWavClippingStats(b.doc_id, b.data))
   }
 
   /** [[synthBlob]] with planted SILENCE: every third 32-frame block
