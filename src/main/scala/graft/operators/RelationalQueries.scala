@@ -969,9 +969,19 @@ object RelationalQueries {
       val name = s"stream_decay_${streamRunId.incrementAndGet()}"
       Option(lastDecayView.getAndSet(name))
         .foreach(prev => s.catalog.dropTempView(prev))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // State-store partition sizing (stream_dedup_survivors precedent,
+      // root cause of this gate's r14 drift): the aggregate groups on
+      // event_type (4 keys), but the state shuffle width is pinned by
+      // spark.sql.shuffle.partitions at batch 0 — 32 stores' open/
+      // snapshot/commit overhead dwarfs the 4-row state. Size it to the
+      // key space; a 100 TB deployment sets this to cluster scale.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name).orderBy(col("event_type"))
     }),
 
