@@ -2853,24 +2853,31 @@ object RelationalQueries {
     // doubled (2·mid = 2·rank + ties − 1 is always integral), so
     // R1/U are exact Longs; AUC = U1/(n0·n1) is the one rounded
     // division. The nonparametric twin of the z/t tests — no
-    // normality assumption, tie handling textbook. The global rank is
-    // the one inherently total-order step (same note as Gini: range-
-    // partitioned sort at scale; n here is purchases, not lineitems).
+    // normality assumption, tie handling textbook.
+    // Scale shape: the rank-sum only needs PER-VALUE mid-ranks, and every
+    // row with the same value shares one — so instead of globally ranking
+    // every purchase row (a single-task total sort at 100 TB), aggregate
+    // to a per-value histogram (t = ties, t1 = arm-1 count) and cumulate
+    // it: minrank(v) = 1 + Σ_{u<v} t(u), so 2·mid = 2·cumBefore + t + 1
+    // and R1 = Σ_v t1(v)·mid2(v). The one remaining global window runs
+    // over DISTINCT 2-decimal values — bounded by the price domain
+    // (sf0.01→sf0.1: 10× rows, 2.7× distinct), not by the fact table.
     "rel_mann_whitney" -> ((s, dir) => {
       val v = events(s, dir).where(col("event_type") === "purchase")
         .select((col("user_id") % 2).as("arm"), col("value"))
-      val wAll = Window.orderBy(col("value"))
-      val ranked = v
-        .withColumn("rnk", rank().over(wAll).cast("long"))
-        .withColumn("ties",
-          count(lit(1)).over(Window.partitionBy(col("value"))).cast("long"))
-        .withColumn("mid2", lit(2L) * col("rnk") + col("ties") - 1L)
-      ranked.groupBy()
+      val hist = v.groupBy(col("value"))
+        .agg(count(lit(1)).cast("long").as("t"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("t1"))
+      val wv = Window.orderBy(col("value"))
+      val cum = hist.withColumn("cum_before",
+        coalesce(sum(col("t"))
+          .over(wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("mid2", lit(2L) * col("cum_before") + col("t") + 1L)
+      cum.groupBy()
         .agg(
-          sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("n0"),
-          sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
-          sum(when(col("arm") === 1, col("mid2")).otherwise(0L)).cast("long")
-            .as("r1_scaled"))
+          sum(col("t") - col("t1")).cast("long").as("n0"),
+          sum(col("t1")).cast("long").as("n1"),
+          sum(col("t1") * col("mid2")).cast("long").as("r1_scaled"))
         .select(col("n0"), col("n1"), col("r1_scaled"),
           (col("r1_scaled") - col("n1") * (col("n1") + 1)).as("u1_scaled"),
           round((col("r1_scaled") - col("n1") * (col("n1") + 1))
@@ -3117,18 +3124,36 @@ object RelationalQueries {
     // discrete quantile, no interpolation), values clamped to [lo, hi],
     // winsorized mean from the exact integer clamped sum. The robust-
     // moments companion to rel_mad_outliers.
+    // Scale shape: the two order statistics depend only on WHICH cents
+    // value holds global rank ceil(.05n)/ceil(.95n) — the event_id
+    // tiebreak never changes that value — so rank the per-cents
+    // HISTOGRAM, not the rows: groupBy(c) + a cumulative count window
+    // over distinct 2-decimal cents (bounded by the price domain, not
+    // the fact table), pick the value whose cumulative range covers the
+    // target rank, broadcast it back. No mid-plan driver count(): n and
+    // the target ranks are computed inside the same window.
     "rel_winsorize_stats" -> ((s, dir) => {
       val v = events(s, dir).where(col("event_type") === "purchase")
         .select(col("event_id"), cents(col("value")).as("c"))
-      val ranked = v.withColumn("rk",
-        row_number().over(Window.orderBy(col("c"), col("event_id")))
+      val hist = v.groupBy(col("c"))
+        .agg(count(lit(1)).cast("long").as("f"))
+      val wc = Window.orderBy(col("c"))
+      val cum = hist
+        .withColumn("cum", sum(col("f"))
+          .over(wc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("long"))
-      val n = ranked.count()
-      val loRk = math.max(1L, math.ceil(0.05 * n).toLong)
-      val hiRk = math.max(1L, math.ceil(0.95 * n).toLong)
-      val lo = ranked.where(col("rk") === loRk).select(col("c").as("lo"))
-      val hi = ranked.where(col("rk") === hiRk).select(col("c").as("hi"))
-      ranked.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .withColumn("n_all", sum(col("f"))
+          .over(wc.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).cast("long"))
+      def pick(q: Double, out: String) = cum
+        .withColumn("target",
+          greatest(lit(1L), ceil(lit(q) * col("n_all")).cast("long")))
+        .where(col("cum") - col("f") < col("target")
+          && col("target") <= col("cum"))
+        .select(col("c").as(out))
+      val lo = pick(0.05, "lo")
+      val hi = pick(0.95, "hi")
+      v.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
         .select(greatest(col("lo"), least(col("hi"), col("c"))).as("w"),
           col("lo"), col("hi"))
         .groupBy(col("lo"), col("hi"))
@@ -3341,12 +3366,23 @@ object RelationalQueries {
     // the fixed-order xlogx chain (type-ascending fold — the
     // rel_chi_square pattern). The feature-engineering diagnostic:
     // does the binned value separate the behavior classes.
+    // Scale shape: the decile assignment needs every row's EXACT global
+    // rank (the event_id tiebreak decides which side of a bin boundary
+    // tied cents land on), so a plain ntile-over-global-Window would be
+    // a single-task total sort of the fact table. RangeRank instead
+    // builds the rank from a domain-bounded cents histogram (cumulative
+    // offsets over DISTINCT cents) + per-tie-group row_number by
+    // event_id; the ntile arithmetic is then reproduced in-plan from
+    // (rank, total) — no single-partition Exchange touches fact rows.
     "rel_entropy_binning" -> ((s, dir) => {
       val v = events(s, dir).select(col("event_id"), col("event_type"),
         cents(col("value")).as("c"))
-      val binned = v.withColumn("bin",
-        ntile(10).over(Window.orderBy(col("c"), col("event_id")))
-          .cast("long"))
+      val ranked = graft.pipeline.RangeRank.boundedDomainRank(
+        v, col("c"), Seq(col("event_id")), "rk",
+        totalCol = Some("n_total"))
+      val binned = ranked.withColumn("bin",
+        graft.pipeline.RangeRank.ntileFromRank(
+          col("rk"), col("n_total"), 10))
       val cells = binned.groupBy(col("bin"), col("event_type"))
         .agg(count(lit(1)).cast("long").as("o"))
       cells.groupBy(col("bin"))

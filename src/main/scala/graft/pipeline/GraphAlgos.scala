@@ -126,8 +126,13 @@ object GraphAlgos {
   }
 
   /** Node-count bound for broadcasting the per-round rank-side tables
-    * (~16 bytes/node -> ~64 MB at the bound). */
-  val BroadcastRankMaxNodes: Long = 4L * 1000 * 1000
+    * (~16 bytes/node -> ~64 MB at the bound). Tunable per deployment via
+    * `-Dgraft.graph.broadcastRankMaxNodes` (bigger executors can afford a
+    * higher cutover; tests force 0 to drive the partitioned billion-node
+    * regime on small fixtures and assert it matches the broadcast one). */
+  def BroadcastRankMaxNodes: Long =
+    sys.props.get("graft.graph.broadcastRankMaxNodes")
+      .map(_.toLong).getOrElse(4L * 1000 * 1000)
 
   /**
    * EDGE-WEIGHTED fixed-point PageRank: mass flows proportionally to

@@ -638,4 +638,35 @@ class PlanSpec extends AnyFunSuite {
       s"cohort retention planned a non-equi join:\n$p")
   }
 
+  test("rank rewrites: no single-partition exchange over un-aggregated fact rows") {
+    // rel_entropy_binning / rel_mann_whitney / rel_winsorize_stats used
+    // to rank RAW event rows through an unpartitioned Window — one task
+    // totally sorting the fact table. The rewrites rank a domain-bounded
+    // histogram instead, so every Exchange SinglePartition left in these
+    // plans must consume PRE-AGGREGATED data: an aggregate node sits
+    // somewhere in its subtree between it and any scan.
+    for (q <- Seq("rel_entropy_binning", "rel_mann_whitney",
+        "rel_winsorize_stats")) {
+      val p = plan(q)
+      val lines = p.linesIterator.toVector
+      def depth(l: String): Int = {
+        val i = l.indexOf("+-"); val j = l.indexOf(":-")
+        if (i < 0 && j < 0) 0 else if (i < 0) j else if (j < 0) i
+        else math.min(i, j)
+      }
+      val offenders = lines.zipWithIndex
+        .filter(_._1.contains("Exchange SinglePartition"))
+        .filterNot { case (l, i) =>
+          val d = depth(l)
+          lines.drop(i + 1).takeWhile(x => depth(x) > d || depth(x) == 0)
+            .exists(x => x.contains("HashAggregate")
+              || x.contains("SortAggregate")
+              || x.contains("ObjectHashAggregate"))
+        }
+      assert(offenders.isEmpty,
+        s"$q: single-partition exchange over un-aggregated rows at " +
+          s"lines ${offenders.map(_._2)}:\n$p")
+    }
+  }
+
 }

@@ -136,6 +136,7 @@ def main():
     gate = None
     srcroot = None
     branch_gate = None
+    missed = None
     for a in sys.argv[1:]:
         if a == "--gate":
             gate = 90.0
@@ -149,6 +150,12 @@ def main():
             branch_gate = 75.0
         elif a.startswith("--branch-gate="):
             branch_gate = float(a.split("=", 1)[1])
+        elif a.startswith("--missed="):
+            # list conditional source lines with an uncovered outcome for
+            # files whose path contains this substring (falsifier targets)
+            missed = a.split("=", 1)[1]
+            if srcroot is None:
+                srcroot = "src/main/scala"
     if branch_gate is not None and srcroot is None:
         srcroot = "src/main/scala"
     dumpdir = args[0] if args else "target/coverage"
@@ -271,6 +278,29 @@ def main():
         for (src, _line), (aj, af, _ex) in dec.items():
             per_src_dec[src][1] += 2
             per_src_dec[src][0] += (1 if aj else 0) + (1 if af else 0)
+        if missed is not None:
+            print(f"-- missed decision outcomes (files matching '{missed}') --")
+            src_text = {}
+            for (src, line), (aj, af, ex) in sorted(dec.items(),
+                    key=lambda kv: (kv[0][0][0], kv[0][0][1], kv[0][1])):
+                path = os.path.join(src[0], src[1])
+                if missed not in path or (aj and af):
+                    continue
+                if path not in src_text:
+                    full = None
+                    for root in (srcroot, "src/main/java"):
+                        p = os.path.join(root, path)
+                        if os.path.exists(p):
+                            full = p
+                            break
+                    src_text[path] = (open(full).read().split("\n")
+                                      if full else None)
+                txt = src_text[path]
+                snippet = (txt[line - 1].strip()[:90]
+                           if txt and line <= len(txt) else "?")
+                miss = ("BOTH" if not (aj or af)
+                        else "jump" if not aj else "fallthrough")
+                print(f"  {path}:{line} [{miss} missed] {snippet}")
         if per_file:
             print("-- source-site branches (edge-level) + decision lines --")
             for src in sorted(per_src_sb):
