@@ -90,6 +90,34 @@ class DistributedQuerySpec extends AnyFunSuite {
     assert(Search.queryDistributed(spark, idx.store, q, 5).count() === 0L)
   }
 
+  test("single-class manifests: sealed-only skips the brute path, active-only skips the cogroup") {
+    // sealed-only: drop the trailing empty ACTIVE segment from the
+    // manifest — bruteSegs.isEmpty must produce an empty brute side, not
+    // a degenerate cross join
+    val idx = newIndex(cap = 50)
+    val data = gaussianDf(100, 19)
+    idx.addAll(data, "embedding", "id")
+    idx.sealPending()
+    val m = idx.manifest
+    idx.store.writeManifest(m.copy(segments =
+      m.segments.filter(_.state == SegmentState.Sealed)))
+    val q = queriesOf(data, 5)
+    val sealedOnly = resultSet(
+      Search.queryDistributed(spark, idx.store, q, 6, queriesPerTask = 2))
+    assert(sealedOnly === resultSet(Search.query(spark, idx.store, q, 6)))
+    assert(sealedOnly.nonEmpty)
+    // active-only: nothing sealed yet — sealedSegs.isEmpty must produce
+    // an empty cogroup side and the brute scan alone must answer
+    val idx2 = newIndex(cap = 500)
+    val data2 = gaussianDf(80, 23)
+    idx2.addAll(data2, "embedding", "id") // under cap: stays ACTIVE
+    val q2 = queriesOf(data2, 5)
+    val activeOnly = resultSet(
+      Search.queryDistributed(spark, idx2.store, q2, 6, queriesPerTask = 2))
+    assert(activeOnly === resultSet(Search.query(spark, idx2.store, q2, 6)))
+    assert(activeOnly.nonEmpty)
+  }
+
   test("1M-query table completes with bounded tasks (GRAFT_HEAVY)") {
     assume(sys.env.get("GRAFT_HEAVY").contains("1"), "GRAFT_HEAVY not set")
     val idx = newIndex(cap = 1000)

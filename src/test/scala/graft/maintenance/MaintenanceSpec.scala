@@ -219,6 +219,90 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(idx.manifest.segment(0).get.deletedCount == 0)
   }
 
+  test("vacuum edge arms: empty-segment ratio, no-op vacuum, active segment without codes/graph") {
+    val (idx, maint) = newIndex("mve3", cap = 40)
+    idx.addAll(gaussianDf(40, 21), "embedding", "id")
+    idx.sealPending()
+    // (a) synthetic empty segment: count == 0 && deletedCount == 0 must
+    // take the total == 0 arm (ratio 0.0) and refuse under any positive
+    // threshold rather than divide by zero
+    val m = idx.manifest
+    idx.store.writeManifest(m.withSegment(
+      SegmentMeta(99, SegmentState.Sealed, 0, 0, 0L)))
+    assert(maint.vacuumSegment(99, nowMs = 1) == 0L)
+    // (b) removed == 0: a segment with NO tombstones vacuumed under an
+    // explicit 0.0 threshold proceeds past the gate but rewrites nothing;
+    // the manifest still stamps lastVacuumAtMs
+    assert(maint.vacuumSegment(0, nowMs = 7, minDeletedRatio = 0.0) == 0L)
+    assert(idx.manifest.segment(0).get.lastVacuumAtMs == 7L)
+    // (c) ACTIVE segment (never sealed -> no codes/graph partitions on
+    // disk): vacuum must skip the codes/graph rewrite arms, not create
+    // phantom directories
+    val (idx2, maint2) = newIndex("mve4", cap = 100)
+    idx2.addAll(gaussianDf(30, 22), "embedding", "id")
+    val activeSeg = idx2.manifest.segments.head.segId
+    idx2.delete(0L until 10L)
+    assert(maint2.vacuumSegment(activeSeg, nowMs = 3, minDeletedRatio = 0.0) == 10L)
+    val store2 = idx2.store
+    assert(!Files.exists(java.nio.file.Paths.get(s"${store2.codesDir}/segId=$activeSeg")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"${store2.graphDir}/segId=$activeSeg")))
+    // survivors remain queryable out of the rewritten vectors partition
+    assert(idx2.manifest.segment(activeSeg).get.deletedCount == 0)
+  }
+
+  test("compaction planner edge arms: min-segments floor, max-segments cap, fragmentation gate") {
+    // single fragmented segment: pick.size < compactionMinSegments -> Nil
+    val (idx1, maint1) = newIndex("mcp1", cap = 40)
+    idx1.addAll(gaussianDf(40, 31), "embedding", "id")
+    idx1.sealPending()
+    idx1.delete(0L until 12L)
+    assert(maint1.findCompactionCandidates(anchorSegId = 0).isEmpty)
+    // many small fragmented segments: the planner stops at
+    // compactionMaxSegments even though more candidates qualify
+    val (idx2, _) = newIndex("mcp2", cap = 10)
+    idx2.addAll(gaussianDf(60, 32), "embedding", "id") // 6 segments of 10
+    idx2.sealPending()
+    idx2.delete((0L until 60L).filter(_ % 3 == 0))     // ~1/3 fragmentation
+    val capped = new Maintenance(idx2,
+      MaintenancePolicy(compactionMaxSegments = 3, compactionFillBudget = 10.0))
+    val picked = capped.findCompactionCandidates(anchorSegId = 0)
+    assert(picked.size == 3, s"cap must bind: got $picked")
+    // fragmentation gate: pristine segments under a positive
+    // compactionMinFragmentation are refused as a set
+    val (idx3, _) = newIndex("mcp3", cap = 10)
+    idx3.addAll(gaussianDf(30, 33), "embedding", "id")
+    idx3.sealPending() // zero tombstones anywhere
+    val strict = new Maintenance(idx3,
+      MaintenancePolicy(compactionMinFragmentation = 0.2))
+    assert(strict.findCompactionCandidates(anchorSegId = 0).isEmpty)
+  }
+
+  test("compaction executor edge arms: empty source list and a failed mark both return -1") {
+    val (idx, maint) = newIndex("mcx1", cap = 100)
+    idx.addAll(gaussianDf(20, 41), "embedding", "id") // stays ACTIVE (under cap)
+    assert(maint.compactSegments(Nil, nowMs = 1) == -1)
+    // markCandidatesCompacting must refuse an ACTIVE segment outright
+    val activeSeg = idx.manifest.segments.head.segId
+    assert(!maint.markCandidatesCompacting(Seq(activeSeg)))
+    // maybeCompact: candidates EXIST but the mark step fails on the
+    // in-flight throttle (an injected COMPACTING segment + cap 1) —
+    // the planner's work must be discarded with -1, nothing mutated
+    val (idx2, _) = newIndex("mcx2", cap = 10)
+    idx2.addAll(gaussianDf(40, 42), "embedding", "id")
+    idx2.sealPending()
+    idx2.delete((0L until 40L).filter(_ % 3 == 0))
+    val m = idx2.manifest
+    idx2.store.writeManifest(m.withSegment(
+      SegmentMeta(98, SegmentState.Compacting, 5, 0, 0L)))
+    val throttled = new Maintenance(idx2,
+      MaintenancePolicy(maxConcurrentCompactions = 1, compactionFillBudget = 10.0))
+    assert(throttled.findCompactionCandidates(anchorSegId = 0).nonEmpty,
+      "fixture must produce candidates for the mark step to refuse")
+    assert(throttled.maybeCompact(anchorSegId = 0, nowMs = 2) == -1)
+    assert(idx2.manifest.segments.count(_.state == SegmentState.Compacting) == 1,
+      "a refused mark must not leave segments in COMPACTING")
+  }
+
   test("compaction scoring degenerate ranges: identical age and size score 0.5") {
     val (idx, maint) = newIndex("mce1", cap = 20)
     // two identical full segments sealed in one pass → ageRange == 0 and
