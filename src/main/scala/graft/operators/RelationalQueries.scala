@@ -2885,6 +2885,219 @@ object RelationalQueries {
             .as("auc"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov D between the experiment arms on
+    // purchase value, in EXACT integers: the ECDF gap at value v is
+    // |c0·n1 − c1·n0| / (n0·n1), so the max over v of the integer
+    // numerator IS the statistic scaled by n0·n1 — one rounded division
+    // at the end. Distribution-shape companion of the mean/rank tests
+    // (t/U detect location; KS detects any shape difference). Same
+    // scale shape as rel_mann_whitney: the only global window runs over
+    // DISTINCT 2-decimal values (price-domain-bounded histogram).
+    "rel_ks_test" -> ((s, dir) => {
+      val v = events(s, dir).where(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("arm"), col("value"))
+      val hist = v.groupBy(col("value")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("t0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("t1"))
+      val wv = Window.orderBy(col("value"))
+      val run = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("c0", sum(col("t0")).over(run).cast("long"))
+        .withColumn("c1", sum(col("t1")).over(run).cast("long"))
+        .withColumn("n0", sum(col("t0")).over(all).cast("long"))
+        .withColumn("n1", sum(col("t1")).over(all).cast("long"))
+        .groupBy()
+        .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+          max(abs(col("c0") * col("n1") - col("c1") * col("n0")))
+            .cast("long").as("d_scaled"))
+        .select(col("n0"), col("n1"), col("d_scaled"),
+          round(col("d_scaled").cast("double") / (col("n0") * col("n1")), 6)
+            .as("ks_d"))
+    }),
+
+    // Kendall tau-b between day index and daily revenue: every day pair
+    // classified concordant / discordant / revenue-tied in EXACT
+    // integers (the day axis is strictly increasing, so sign(day2-day1)
+    // is always +). The monotone-trend companion of rel_theil_sen (same
+    // calendar-bounded day-pair join — the ONE quadratic is over days,
+    // never orders). tau_b = (C - D) / sqrt(n0 * (n0 - T)): one float
+    // chain over three exact Longs.
+    "rel_kendall_tau" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).cast("long").as("rev"))
+      daily.as("a").join(daily.as("b"), col("b.day") > col("a.day"))
+        .groupBy()
+        .agg(
+          sum(when(col("b.rev") > col("a.rev"), 1L).otherwise(0L))
+            .cast("long").as("concordant"),
+          sum(when(col("b.rev") < col("a.rev"), 1L).otherwise(0L))
+            .cast("long").as("discordant"),
+          sum(when(col("b.rev") === col("a.rev"), 1L).otherwise(0L))
+            .cast("long").as("rev_ties"))
+        .select(col("concordant"), col("discordant"), col("rev_ties"),
+          round((col("concordant") - col("discordant")).cast("double")
+            / sqrt(((col("concordant") + col("discordant") + col("rev_ties"))
+              * (col("concordant") + col("discordant"))).cast("double")), 6)
+            .as("tau_b"))
+    }),
+
+    // Spearman rho between daily order count and daily revenue: tie-aware
+    // mid-ranks DOUBLED on both axes (2·mid = 2·rank + ties − 1 stays
+    // integral), then Pearson over the integer rank pairs from exact
+    // Σx/Σy/Σxy/Σx²/Σy² — builtin corr/stddev never touch it (the
+    // Welford-vs-sum-of-squares cross-engine rule). Windows run over the
+    // calendar-bounded daily aggregate, never the fact table.
+    "rel_spearman_rho" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(cents(col("o_totalprice"))).cast("long").as("rev"))
+      val ranked = daily
+        .withColumn("rx2", (lit(2L) * rank().over(Window.orderBy(col("n_orders")))
+          + count(lit(1)).over(Window.partitionBy(col("n_orders"))) - 1L)
+          .cast("long"))
+        .withColumn("ry2", (lit(2L) * rank().over(Window.orderBy(col("rev")))
+          + count(lit(1)).over(Window.partitionBy(col("rev"))) - 1L)
+          .cast("long"))
+      ranked.groupBy()
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum(col("rx2")).cast("long").as("sx"),
+          sum(col("ry2")).cast("long").as("sy"),
+          sum(col("rx2") * col("rx2")).cast("long").as("sxx"),
+          sum(col("ry2") * col("ry2")).cast("long").as("syy"),
+          sum(col("rx2") * col("ry2")).cast("long").as("sxy"))
+        .select(col("n_days"), col("sxy"),
+          // the two variance factors are each ~n·(2n)² and their PRODUCT
+          // overflows a Long — cast each factor before multiplying (the
+          // identical order in the DuckDB oracle)
+          round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+              * (col("n_days") * col("syy") - col("sy") * col("sy"))
+              .cast("double")), 6).as("rho"))
+    }),
+
+    // Cramér's V for event_type × customer market segment — the effect-
+    // size companion of rel_chi_square (a chi2 alone grows with n; V is
+    // the [0,1] association strength a 100 TB A/B readout actually
+    // reports). Cell/margin counts exact; each χ² term is the identical
+    // (n·o − r·c)²/(n·r·c) chain in BOTH engines, folded in fixed
+    // (event_type, segment) order; V = sqrt(χ²/(n·(min(r,c)−1))).
+    "rel_cramers_v" -> ((s, dir) => {
+      val joined = events(s, dir)
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+          Seq("user_id"))
+      val cells = joined.groupBy(col("event_type"), col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("o"))
+      val rows = cells.groupBy(col("event_type"))
+        .agg(sum(col("o")).cast("long").as("r"))
+      val cols0 = cells.groupBy(col("c_mktsegment"))
+        .agg(sum(col("o")).cast("long").as("cc"))
+      val tot = cells.agg(sum(col("o")).cast("long").as("n"),
+        countDistinct(col("event_type")).cast("long").as("nr"),
+        countDistinct(col("c_mktsegment")).cast("long").as("nc"))
+      val terms = cells.join(rows, Seq("event_type"))
+        .join(cols0, Seq("c_mktsegment")).crossJoin(broadcast(tot))
+        .select(col("event_type"), col("c_mktsegment"), col("n"), col("nr"),
+          col("nc"),
+          (((col("n") * col("o") - col("r") * col("cc")).cast("double")
+            * (col("n") * col("o") - col("r") * col("cc")).cast("double"))
+            / (col("n").cast("double") * col("r") * col("cc"))).as("term"))
+      terms.groupBy(col("n"), col("nr"), col("nc"))
+        .agg(expr("aggregate(transform(sort_array(collect_list(" +
+          "struct(event_type, c_mktsegment, term))), s -> s.term), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("chi2"))
+        .select(col("n"), col("nr").as("r_levels"), col("nc").as("c_levels"),
+          round(col("chi2"), 6).as("chi2"),
+          round(sqrt(col("chi2") / (col("n").cast("double")
+            * (least(col("nr"), col("nc")) - 1L).cast("double"))), 6)
+            .as("cramers_v"))
+    }),
+
+    // McNemar's paired test: for each (user, day) pair, did purchasing
+    // differ between the MORNING and EVENING condition? Only the
+    // discordant pairs carry signal — b = AM-only, c = PM-only —
+    // χ² = (b−c)²/(b+c). The paired companion of the two-proportion
+    // z-test (the same subject observed under both conditions, so the
+    // pairing removes between-subject variance). Counts exact; one
+    // float division. (Pairing on (user, day) rather than the whole
+    // window keeps the discordant cells populated — a 66-events/user
+    // corpus purchases in EVERY coarse half, b = c = 0.)
+    "rel_mcnemar" -> ((s, dir) => {
+      val flags = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          (hour(col("ts")) < 12).as("am"), col("event_type"))
+        .groupBy(col("user_id"), col("d"))
+        .agg(
+          max(when(col("event_type") === "purchase" && col("am"), 1L)
+            .otherwise(0L)).as("h1"),
+          max(when(col("event_type") === "purchase" && !col("am"), 1L)
+            .otherwise(0L)).as("h2"))
+      flags.groupBy()
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(when(col("h1") === 1 && col("h2") === 0, 1L).otherwise(0L))
+            .cast("long").as("b"),
+          sum(when(col("h1") === 0 && col("h2") === 1, 1L).otherwise(0L))
+            .cast("long").as("c"))
+        .select(col("n_pairs"), col("b"), col("c"),
+          round(((col("b") - col("c")) * (col("b") - col("c")))
+            .cast("double") / (col("b") + col("c")), 6).as("chi2_mcnemar"))
+    }),
+
+    // Wald–Wolfowitz runs test on daily revenue around its exact median:
+    // a trending series produces FEW long runs, a mean-reverting one
+    // many short runs — the randomness screen that catches what the
+    // mean tests can't. Median = the discrete order statistic at
+    // ceil(n/2) over the calendar-bounded daily aggregate (the exact
+    // winsorize machinery); runs counted by a lag window in day order;
+    // z from the textbook run-count moments (exact n₊/n₋/R integers,
+    // one float chain).
+    "rel_runs_test" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).cast("long").as("rev"))
+      val wr = Window.orderBy(col("rev"), col("day"))
+      val ranked = daily
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          wr.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).cast("long"))
+      val med = ranked
+        .where(col("rn") === greatest(lit(1L),
+          ceil(col("n").cast("double") / 2).cast("long")))
+        .select(col("rev").as("med"))
+      val signs = daily.crossJoin(broadcast(med))
+        .where(col("rev") =!= col("med"))
+        .select(col("day"), when(col("rev") > col("med"), 1L).otherwise(0L)
+          .as("sgn"))
+      val wd = Window.orderBy(col("day"))
+      val runs = signs
+        .withColumn("chg",
+          when(lag(col("sgn"), 1).over(wd).isNull
+            || lag(col("sgn"), 1).over(wd) =!= col("sgn"), 1L).otherwise(0L))
+      runs.groupBy()
+        .agg(sum(col("sgn")).cast("long").as("n_plus"),
+          sum(lit(1L) - col("sgn")).cast("long").as("n_minus"),
+          sum(col("chg")).cast("long").as("n_runs"))
+        .select(col("n_plus"), col("n_minus"), col("n_runs"),
+          round((col("n_runs").cast("double")
+            - (lit(2.0) * col("n_plus") * col("n_minus")
+              / (col("n_plus") + col("n_minus")) + 1.0))
+            / sqrt((lit(2.0) * col("n_plus") * col("n_minus")
+              * (lit(2.0) * col("n_plus") * col("n_minus")
+                - col("n_plus") - col("n_minus")))
+              / ((col("n_plus") + col("n_minus")).cast("double")
+                * (col("n_plus") + col("n_minus"))
+                * (col("n_plus") + col("n_minus") - 1))), 6).as("z_runs"))
+    }),
+
     // Two-proportion z-test over a hash-split experiment (user_id
     // parity = arm): conversion = more purchases than clicks. Counts
     // exact integers; the z statistic is ONE fixed chain of IEEE ops
@@ -5717,6 +5930,170 @@ object RelationalQueries {
         |  CAST(r1_scaled - n1 * (n1 + 1) AS BIGINT) AS u1_scaled,
         |  round(CAST(r1_scaled - n1 * (n1 + 1) AS DOUBLE)
         |    / (2.0 * n0 * n1), 6) AS auc
+        |FROM agg""".stripMargin,
+
+    // KS replay: identical histogram-ECDF construction
+    "rel_ks_test" ->
+      """WITH v AS (
+        |  SELECT user_id % 2 AS arm, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (
+        |  SELECT value,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+        |  FROM v GROUP BY value),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(t0) OVER (ORDER BY value) AS BIGINT) AS c0,
+        |    CAST(sum(t1) OVER (ORDER BY value) AS BIGINT) AS c1,
+        |    CAST(sum(t0) OVER () AS BIGINT) AS n0,
+        |    CAST(sum(t1) OVER () AS BIGINT) AS n1
+        |  FROM h)
+        |SELECT max(n0) AS n0, max(n1) AS n1,
+        |  CAST(max(abs(c0 * n1 - c1 * n0)) AS BIGINT) AS d_scaled,
+        |  round(CAST(max(abs(c0 * n1 - c1 * n0)) AS DOUBLE)
+        |    / (max(n0) * max(n1)), 6) AS ks_d
+        |FROM c""".stripMargin,
+
+    // Kendall tau-b replay: same day-pair classification
+    "rel_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant,
+        |    CAST(sum(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discordant,
+        |    CAST(sum(CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS rev_ties
+        |  FROM daily a JOIN daily b ON b.day > a.day)
+        |SELECT concordant, discordant, rev_ties,
+        |  round(CAST(concordant - discordant AS DOUBLE)
+        |    / sqrt(CAST((concordant + discordant + rev_ties)
+        |      * (concordant + discordant) AS DOUBLE)), 6) AS tau_b
+        |FROM p""".stripMargin,
+
+    // Spearman replay: doubled mid-ranks, Pearson from exact sums
+    "rel_spearman_rho" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT
+        |    CAST(2 * rank() OVER (ORDER BY n_orders)
+        |      + count(*) OVER (PARTITION BY n_orders) - 1 AS BIGINT) AS rx2,
+        |    CAST(2 * rank() OVER (ORDER BY rev)
+        |      + count(*) OVER (PARTITION BY rev) - 1 AS BIGINT) AS ry2
+        |  FROM daily),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+        |    CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+        |    CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+        |    CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+        |  FROM r)
+        |SELECT n_days, sxy,
+        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS rho
+        |FROM m""".stripMargin,
+
+    // Cramér's V replay: identical per-cell chain, fixed-order fold
+    "rel_cramers_v" ->
+      """WITH j AS (
+        |  SELECT e.event_type, c.c_mktsegment
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+        |cells AS (
+        |  SELECT event_type, c_mktsegment, CAST(count(*) AS BIGINT) AS o
+        |  FROM j GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT c_mktsegment, CAST(sum(o) AS BIGINT) AS cc
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nc
+        |  FROM cells),
+        |terms AS (
+        |  SELECT cells.event_type, cells.c_mktsegment, n, nr, nc,
+        |    (CAST(n * o - r * cc AS DOUBLE)
+        |      * CAST(n * o - r * cc AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * r * cc) AS term
+        |  FROM cells JOIN rt USING (event_type)
+        |    JOIN ct USING (c_mktsegment) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT n, nr, nc,
+        |    list_reduce(list(term ORDER BY event_type, c_mktsegment),
+        |      (x, y) -> x + y) AS chi2
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT n, nr AS r_levels, nc AS c_levels, round(chi2, 6) AS chi2,
+        |  round(sqrt(chi2 / (CAST(n AS DOUBLE)
+        |    * CAST(least(nr, nc) - 1 AS DOUBLE))), 6) AS cramers_v
+        |FROM agg""".stripMargin,
+
+    // McNemar replay: same (user, day) AM/PM pairing and discordant counts
+    "rel_mcnemar" ->
+      """WITH flags AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END) AS h1,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND EXTRACT(hour FROM ts) >= 12 THEN 1 ELSE 0 END) AS h2
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM flags)
+        |SELECT n_pairs, b, c,
+        |  round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+        |    AS chi2_mcnemar
+        |FROM agg""".stripMargin,
+
+    // runs-test replay: exact median order statistic + lag run starts
+    "rel_runs_test" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT rev, row_number() OVER (ORDER BY rev, day) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM daily),
+        |med AS (SELECT rev AS med FROM rk
+        |        WHERE rn = greatest(1, CAST(ceil(n / 2.0) AS BIGINT))),
+        |signs AS (
+        |  SELECT day, CASE WHEN rev > med THEN 1 ELSE 0 END AS sgn
+        |  FROM daily CROSS JOIN med WHERE rev <> med),
+        |runs AS (
+        |  SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+        |    OR lag(sgn) OVER (ORDER BY day) <> sgn THEN 1 ELSE 0 END AS chg
+        |  FROM signs),
+        |agg AS (
+        |  SELECT CAST(sum(sgn) AS BIGINT) AS n_plus,
+        |    CAST(sum(1 - sgn) AS BIGINT) AS n_minus,
+        |    CAST(sum(chg) AS BIGINT) AS n_runs
+        |  FROM runs)
+        |SELECT n_plus, n_minus, n_runs,
+        |  round((CAST(n_runs AS DOUBLE)
+        |    - (2.0 * n_plus * n_minus / (n_plus + n_minus) + 1.0))
+        |    / sqrt((2.0 * n_plus * n_minus
+        |      * (2.0 * n_plus * n_minus - n_plus - n_minus))
+        |      / (CAST(n_plus + n_minus AS DOUBLE) * (n_plus + n_minus)
+        |        * (n_plus + n_minus - 1))), 6) AS z_runs
         |FROM agg""".stripMargin,
 
     // z-test replay: identical op chain — pooled p, se, (p1-p0)/se

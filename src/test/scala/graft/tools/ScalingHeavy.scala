@@ -303,5 +303,113 @@ object ScalingHeavy {
         docs.unpersist()
       }
     }
+
+    if (families("analytics")) {
+      // r14 product-analytics wave (verdict r14 item 6): volume evidence
+      // for funnel paths, RFM, square motifs, edge support, eccentricity.
+      // Each replays its GATE's plan shape on synthetic corpora whose
+      // data term is the one the gate's scaladoc claims dominates.
+
+      // funnel + RFM: events/orders 1M -> 10M
+      for (n <- Seq(1000000L, 3000000L, 10000000L)) {
+        val users = n / 20
+        val ev = spark.range(n).select(
+          pmod(col("id") * 2654435761L, lit(users)).as("user_id"),
+          col("id").as("event_id"),
+          element_at(typedlit(Seq("view", "click", "cart", "purchase", "refund")),
+            pmod(col("id") * 40503L, lit(5)).cast("int") + 1).as("event_type"),
+          timestamp_seconds(pmod(col("id") * 7919L, lit(86400L * 365))).as("ts"))
+          .persist()
+        ev.count()
+        val (tF, nF) = time {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          ev.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+            .groupBy(col("user_id"))
+            .agg(expr("array_join(transform(sort_array(collect_list(" +
+              "struct(rn, event_type))), s -> s.event_type), '>')").as("path"))
+            .groupBy(col("path"))
+            .agg(count(lit(1)).cast("long").as("n_users"))
+            .orderBy(col("n_users").desc, col("path")).limit(20).count()
+        }
+        // RFM over the same scale: per-customer aggregate (the window
+        // subject is customers = rows/20, never the fact table)
+        val (tR, nR) = time {
+          val w = org.apache.spark.sql.expressions.Window
+          val rfm = ev.groupBy(col("user_id"))
+            .agg(max(col("ts")).cast("long").as("last_ts"),
+              count(lit(1)).cast("long").as("n_ev"),
+              sum(col("event_id") % 1000).cast("long").as("m"))
+          rfm.withColumn("r_q", ntile(4).over(
+              w.orderBy(col("last_ts"), col("user_id"))).cast("long"))
+            .withColumn("f_q", ntile(4).over(
+              w.orderBy(col("n_ev"), col("user_id"))).cast("long"))
+            .withColumn("m_q", ntile(4).over(
+              w.orderBy(col("m"), col("user_id"))).cast("long"))
+            .groupBy((col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("seg"))
+            .agg(count(lit(1)).cast("long").as("n"), sum(col("m")).as("mass"))
+            .count()
+        }
+        println(f"[scale] funnel events=$n%9d  paths=$tF%6.2f s ($nF rows)  rfm=$tR%6.2f s ($nR rows)")
+        ev.unpersist()
+      }
+
+      // motifs + edge support: bounded-degree graph, |E| 1M -> 10M
+      // (adjacency joins fan out by degree, so the synthetic graph pins
+      // degree ~40 like the gate's decile co-purchase projection)
+      for (e <- Seq(1000000L, 3000000L, 10000000L)) {
+        val v = e / 20
+        val edges = spark.range(e).select(
+            pmod(col("id"), lit(v)).as("a"),
+            pmod(col("id") + 1 + pmod(col("id") * 40503L, lit(37)), lit(v)).as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+          .distinct().persist()
+        val ne = edges.count()
+        val nbrs = edges.select(col("a").as("v"), col("b").as("n"))
+          .unionByName(edges.select(col("b").as("v"), col("a").as("n")))
+        val (tM, nM) = time {
+          nbrs.as("x").join(nbrs.as("y"),
+              col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+            .groupBy(col("x.n").as("u"), col("y.n").as("w"))
+            .agg(count(lit(1)).cast("long").as("c"))
+            .where(col("c") >= 2)
+            .orderBy(col("c").desc, col("u"), col("w")).limit(20).count()
+        }
+        val (tS, nS) = time {
+          edges.join(nbrs.as("s1"), col("s1.v") === col("a"))
+            .join(nbrs.as("s2"),
+              col("s2.v") === col("b") && col("s2.n") === col("s1.n"))
+            .groupBy(col("a"), col("b"))
+            .agg(count(lit(1)).cast("long").as("support"))
+            .groupBy(least(col("support"), lit(10L)).as("bk"))
+            .agg(count(lit(1))).count()
+        }
+        val (tE, nE) = time {
+          graft.pipeline.GraphAlgos.shortestPathCounts(
+              graft.pipeline.GraphAlgos.symmetrize(
+                edges.select(col("a").as("src"), col("b").as("dst"))),
+              sources = Seq(0L, 2L, 4L, 6L, 8L, 10L, 12L, 14L), rounds = 4)
+            .groupBy(col("seed"))
+            .agg(max(col("dist")), count(lit(1))).count()
+        }
+        println(f"[scale] motifs |E|=$ne%9d  squares=$tM%6.2f s ($nM)  support=$tS%6.2f s ($nS)  ecc=$tE%6.2f s ($nE)")
+        edges.unpersist()
+      }
+
+      // clipping census: loud WAV corpus 1x -> 10x (2k/6k/20k docs)
+      for (n <- Seq(2000L, 6000L, 20000L)) {
+        val docs = spark.range(n).select(col("id").as("doc_id")).persist()
+        docs.count()
+        val (t, rows) = time {
+          graft.pipeline.Audio.clippingStats(
+            graft.pipeline.Audio.withLoudWavAudio(spark, docs.toDF(), "doc_id"))
+            .toDF().count()
+        }
+        println(f"[scale] clipping docs=$n%6d  $t%6.2f s ($rows rows)")
+        docs.unpersist()
+      }
+    }
   }
 }
