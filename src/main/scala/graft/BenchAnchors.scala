@@ -15,6 +15,16 @@ object BenchAnchors {
   val seconds: Map[String, Double] = base ++ r14DataShift
 
   private def base: Map[String, Double] = Map(
+    // round-16 statistical-test wave: anchors = 2x the 5-rep quiet-box
+    // probe medians (0.33/0.53/0.39/1.16/0.20/0.42 s) — the loaded-
+    // regime headroom every fresh gate gets until its first in-bench
+    // distribution is recorded
+    "rel_ks_test" -> 0.70,
+    "rel_kendall_tau" -> 1.05,
+    "rel_spearman_rho" -> 0.80,
+    "rel_cramers_v" -> 2.30,
+    "rel_mcnemar" -> 0.45,
+    "rel_runs_test" -> 0.85,
     "ann_ivf_cosine" -> 1.009,
     "dedup_clusters" -> 3.819,
     "dedup_cosine_exact" -> 0.52, // round-8 isolated median (box drift)
