@@ -19,6 +19,14 @@ object BenchAnchors {
     // probe medians (0.33/0.53/0.39/1.16/0.20/0.42 s) — the loaded-
     // regime headroom every fresh gate gets until its first in-bench
     // distribution is recorded
+    // wave-2 stats gates: probed on a 2.5x-degraded box (control
+    // dedup_exact 2.57 vs 1.0 anchor), so anchors = raw medians
+    // (3.85/4.42/1.11/2.86 s) with NO further headroom — they already
+    // carry the load factor; refresh from a quiet box when one appears
+    "rel_anova_f" -> 3.9,
+    "rel_friedman_test" -> 4.4,
+    "rel_chi2_gof" -> 1.1,
+    "rel_tukey_fences" -> 2.9,
     "rel_ks_test" -> 0.70,
     "rel_kendall_tau" -> 1.05,
     "rel_spearman_rho" -> 0.80,

@@ -2982,6 +2982,132 @@ object RelationalQueries {
               .cast("double")), 6).as("rho"))
     }),
 
+    // One-way ANOVA F: does mean purchase value differ across customer
+    // market segments? Per-group moments are EXACT integers (n, Σc,
+    // Σc²); SSB/SSW come from ONE fixed-order float fold over the
+    // (bounded, segment-sorted) group table — builtin variance never
+    // touches it. F = (SSB/(k−1)) / (SSW/(N−k)). The >2-group
+    // completion of the z/t/U/KS experiment-test family.
+    "rel_anova_f" -> ((s, dir) => {
+      val v = events(s, dir).where(col("event_type") === "purchase")
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+          Seq("user_id"))
+        .select(col("c_mktsegment").as("seg"), cents(col("value")).as("c"))
+      val g = v.groupBy(col("seg"))
+        .agg(count(lit(1)).cast("long").as("ng"),
+          sum(col("c")).cast("long").as("sg"),
+          sum(col("c") * col("c")).cast("long").as("qg"))
+      g.groupBy()
+        .agg(count(lit(1)).cast("long").as("k"),
+          sum(col("ng")).cast("long").as("n"),
+          sum(col("sg")).cast("long").as("s"),
+          sum(col("qg")).cast("long").as("q"),
+          // Σ_g S_g²/n_g folded in segment order (each term is one IEEE
+          // division — identical chain in DuckDB's list_reduce)
+          expr("aggregate(transform(sort_array(collect_list(" +
+            "struct(seg, sg, ng))), x -> CAST(x.sg AS DOUBLE) * x.sg " +
+            "/ x.ng), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+            .as("sb0"))
+        .select(col("k"), col("n"),
+          round(((col("sb0") - col("s").cast("double") * col("s") / col("n"))
+            / (col("k") - 1).cast("double"))
+            / ((col("q").cast("double") - col("sb0"))
+              / (col("n") - col("k")).cast("double")), 6).as("f_stat"))
+    }),
+
+    // Friedman rank test: do the event types rank consistently across
+    // DAYS (each complete day = one block, types ranked within it by
+    // total value)? Mid-ranks doubled stay integral; the column rank
+    // sums R2_j are exact Longs; Q = 3·ΣR2_j²/(n·k·(k+1)) − 3·n·(k+1)
+    // is one float chain (mid-rank convention on ties, identical both
+    // engines). Blocks missing a type are excluded exactly — the
+    // textbook complete-block requirement.
+    "rel_friedman_test" -> ((s, dir) => {
+      val cell = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(sum(cents(col("value"))).cast("long").as("tv"))
+      val kAll = cell.select(countDistinct(col("event_type")).as("k"))
+      val complete = cell
+        .withColumn("nt", count(lit(1)).over(Window.partitionBy(col("d"))))
+        .crossJoin(broadcast(kAll))
+        .where(col("nt") === col("k"))
+      val ranked = complete.withColumn("r2",
+        (lit(2L) * rank().over(Window.partitionBy(col("d"))
+            .orderBy(col("tv")))
+          + count(lit(1)).over(Window.partitionBy(col("d"), col("tv")))
+          - 1L).cast("long"))
+      val colSums = ranked.groupBy(col("event_type"), col("k"))
+        .agg((count(lit(1))).cast("long").as("n_blocks"),
+          sum(col("r2")).cast("long").as("r2j"))
+      colSums.groupBy(col("k"))
+        .agg(max(col("n_blocks")).cast("long").as("n_blocks"),
+          sum(col("r2j") * col("r2j")).cast("long").as("ssq2"))
+        .select(col("n_blocks"), col("k"),
+          round(lit(3.0) * col("ssq2")
+            / (col("n_blocks") * col("k") * (col("k") + 1)).cast("double")
+            - lit(3.0) * col("n_blocks") * (col("k") + 1), 6)
+            .as("friedman_q"))
+    }),
+
+    // Chi-square goodness of fit of the event-type mix against the
+    // uniform null — the mix-drift tripwire (a 100 TB ingest where one
+    // event type silently doubles shows up here first). Observed counts
+    // exact; each (o − N/k)²/(N/k) term folded in type order.
+    "rel_chi2_gof" -> ((s, dir) => {
+      val o = events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("o"))
+      o.groupBy()
+        .agg(sum(col("o")).cast("long").as("n"),
+          count(lit(1)).cast("long").as("k"),
+          expr("aggregate(transform(sort_array(collect_list(" +
+            "struct(event_type, o))), x -> CAST(x.o AS DOUBLE) * x.o), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("osq"))
+        .select(col("n"), col("k"),
+          // Σ(o−e)²/e = (k/N)·Σo² − N for e = N/k — the algebraic form
+          // keeps the fold a pure Σo² (one chain, no per-term e)
+          round(col("k").cast("double") * col("osq") / col("n")
+            - col("n").cast("double"), 6).as("chi2_gof"))
+    }),
+
+    // Tukey fences outlier census on purchase value: Q1/Q3 as exact
+    // discrete order statistics (ranks ceil(.25n)/ceil(.75n) off the
+    // domain-bounded cents histogram — the winsorize machinery), fences
+    // at 1.5·IQR checked in DOUBLED integer units (2c vs 2q1−3·IQR —
+    // no float ever compares). The boxplot companion of
+    // rel_mad_outliers/rel_winsorize_stats.
+    "rel_tukey_fences" -> ((s, dir) => {
+      val v = events(s, dir).where(col("event_type") === "purchase")
+        .select(cents(col("value")).as("c"))
+      val hist = v.groupBy(col("c")).agg(count(lit(1)).cast("long").as("f"))
+      val wc = Window.orderBy(col("c"))
+      val cum = hist
+        .withColumn("cum", sum(col("f"))
+          .over(wc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .withColumn("n_all", sum(col("f"))
+          .over(wc.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).cast("long"))
+      def pick(q: Double, out: String) = cum
+        .withColumn("target",
+          greatest(lit(1L), ceil(lit(q) * col("n_all")).cast("long")))
+        .where(col("cum") - col("f") < col("target")
+          && col("target") <= col("cum"))
+        .select(col("c").as(out))
+      v.crossJoin(broadcast(pick(0.25, "q1")))
+        .crossJoin(broadcast(pick(0.75, "q3")))
+        .groupBy(col("q1"), col("q3"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(lit(2L) * col("c")
+            < lit(2L) * col("q1") - lit(3L) * (col("q3") - col("q1")), 1L)
+            .otherwise(0L)).cast("long").as("n_low"),
+          sum(when(lit(2L) * col("c")
+            > lit(2L) * col("q3") + lit(3L) * (col("q3") - col("q1")), 1L)
+            .otherwise(0L)).cast("long").as("n_high"))
+        .select(col("n"), col("q1").as("q1_cents"), col("q3").as("q3_cents"),
+          col("n_low"), col("n_high"))
+    }),
+
     // Cramér's V for event_type × customer market segment — the effect-
     // size companion of rel_chi_square (a chi2 alone grows with n; V is
     // the [0,1] association strength a 100 TB A/B readout actually
@@ -6006,6 +6132,102 @@ object RelationalQueries {
         |    / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
         |      * CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS rho
         |FROM m""".stripMargin,
+
+    // ANOVA replay: exact group moments, segment-ordered SSB fold
+    "rel_anova_f" ->
+      """WITH v AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |    CAST(round(e.value * 100, 0) AS BIGINT) AS c
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |  WHERE e.event_type = 'purchase'),
+        |g AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(c) AS BIGINT) AS sg,
+        |    CAST(sum(c * c) AS BIGINT) AS qg
+        |  FROM v GROUP BY seg),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+        |    CAST(sum(qg) AS BIGINT) AS q,
+        |    list_reduce(list(CAST(sg AS DOUBLE) * sg / ng ORDER BY seg),
+        |      (x, y) -> x + y) AS sb0
+        |  FROM g)
+        |SELECT k, n,
+        |  round(((sb0 - CAST(s AS DOUBLE) * s / n) / CAST(k - 1 AS DOUBLE))
+        |    / ((CAST(q AS DOUBLE) - sb0) / CAST(n - k AS DOUBLE)), 6)
+        |    AS f_stat
+        |FROM m""".stripMargin,
+
+    // Friedman replay: complete blocks, doubled mid-ranks per day
+    "rel_friedman_test" ->
+      """WITH cell AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS tv
+        |  FROM events GROUP BY 1, 2),
+        |ka AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        |       FROM cell),
+        |complete AS (
+        |  SELECT cell.*, k FROM cell CROSS JOIN ka
+        |  QUALIFY count(*) OVER (PARTITION BY d) = k),
+        |r AS (
+        |  SELECT event_type, k,
+        |    CAST(2 * rank() OVER (PARTITION BY d ORDER BY tv)
+        |      + count(*) OVER (PARTITION BY d, tv) - 1 AS BIGINT) AS r2
+        |  FROM complete),
+        |cs AS (
+        |  SELECT event_type, k, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(r2) AS BIGINT) AS r2j
+        |  FROM r GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT max(n_blocks) AS n_blocks, k,
+        |    CAST(sum(r2j * r2j) AS BIGINT) AS ssq2
+        |  FROM cs GROUP BY k)
+        |SELECT n_blocks, k,
+        |  round(3.0 * ssq2 / CAST(n_blocks * k * (k + 1) AS DOUBLE)
+        |    - 3.0 * n_blocks * (k + 1), 6) AS friedman_q
+        |FROM agg""".stripMargin,
+
+    // goodness-of-fit replay: (k/N)·Σo² − N algebraic form
+    "rel_chi2_gof" ->
+      """WITH o AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    list_reduce(list(CAST(o AS DOUBLE) * o ORDER BY event_type),
+        |      (x, y) -> x + y) AS osq
+        |  FROM o)
+        |SELECT n, k,
+        |  round(CAST(k AS DOUBLE) * osq / n - CAST(n AS DOUBLE), 6)
+        |    AS chi2_gof
+        |FROM m""".stripMargin,
+
+    // Tukey replay: histogram order statistics + doubled-unit fences
+    "rel_tukey_fences" ->
+      """WITH v AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT c, CAST(count(*) AS BIGINT) AS f FROM v GROUP BY c),
+        |cum AS (
+        |  SELECT c, f,
+        |    CAST(sum(f) OVER (ORDER BY c) AS BIGINT) AS cum,
+        |    CAST(sum(f) OVER () AS BIGINT) AS n_all
+        |  FROM h),
+        |q1 AS (SELECT c AS q1 FROM cum
+        |  WHERE cum - f < greatest(1, CAST(ceil(0.25 * n_all) AS BIGINT))
+        |    AND greatest(1, CAST(ceil(0.25 * n_all) AS BIGINT)) <= cum),
+        |q3 AS (SELECT c AS q3 FROM cum
+        |  WHERE cum - f < greatest(1, CAST(ceil(0.75 * n_all) AS BIGINT))
+        |    AND greatest(1, CAST(ceil(0.75 * n_all) AS BIGINT)) <= cum)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  min(q1) AS q1_cents, min(q3) AS q3_cents,
+        |  CAST(sum(CASE WHEN 2 * c < 2 * q1 - 3 * (q3 - q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN 2 * c > 2 * q3 + 3 * (q3 - q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM v CROSS JOIN q1 CROSS JOIN q3""".stripMargin,
 
     // Cramér's V replay: identical per-cell chain, fixed-order fold
     "rel_cramers_v" ->
