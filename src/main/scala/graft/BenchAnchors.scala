@@ -19,14 +19,14 @@ object BenchAnchors {
     // probe medians (0.33/0.53/0.39/1.16/0.20/0.42 s) — the loaded-
     // regime headroom every fresh gate gets until its first in-bench
     // distribution is recorded
-    // wave-2 stats gates: probed on a 2.5x-degraded box (control
-    // dedup_exact 2.57 vs 1.0 anchor), so anchors = raw medians
-    // (3.85/4.42/1.11/2.86 s) with NO further headroom — they already
-    // carry the load factor; refresh from a quiet box when one appears
-    "rel_anova_f" -> 3.9,
-    "rel_friedman_test" -> 4.4,
-    "rel_chi2_gof" -> 1.1,
-    "rel_tukey_fences" -> 2.9,
+    // wave-2/3 gates: anchors = 2x the quiet-box 5-rep medians
+    // (0.92/0.69/0.25/0.66 and 1.19/0.45 s; control dedup_exact 0.83x)
+    "rel_anova_f" -> 1.85,
+    "rel_friedman_test" -> 1.40,
+    "rel_chi2_gof" -> 0.50,
+    "rel_tukey_fences" -> 1.35,
+    "graph_k_truss" -> 2.40,
+    "rel_pareto_days" -> 0.90,
     "rel_ks_test" -> 0.70,
     "rel_kendall_tau" -> 1.05,
     "rel_spearman_rho" -> 0.80,
@@ -480,7 +480,11 @@ object BenchAnchors {
     "rel_funnel_paths" -> 0.82,       // iso 0.565
     "rel_rfm_segments" -> 0.63,       // iso 0.436
     "rel_burst_detection" -> 0.60,    // iso 0.411
-    "rel_entropy_binning" -> 0.48,    // iso 0.331
+    // re-anchored r16: the gate's PLAN changed deliberately (scale-safe
+    // histogram rank replacing the single-task global ntile — verdict
+    // r14 item 2); the new plan adds a broadcast + tie-group window,
+    // ~0.3 s at gate scale, and buys the 100 TB shape. In-bench 0.75 s.
+    "rel_entropy_binning" -> 1.0,
     "text_code_ratio" -> 0.30,        // iso 0.150
     // r15 wave-4 gates (same projected-load protocol)
     "rel_theil_sen" -> 5.83,          // iso 4.019 (45k-pair rank median)
@@ -565,7 +569,7 @@ object BenchAnchors {
     "rel_funnel_paths" -> 0.565,
     "rel_rfm_segments" -> 0.50,
     "rel_burst_detection" -> 0.50,
-    "rel_entropy_binning" -> 0.45,
+    "rel_entropy_binning" -> 0.90, // r16 plan change (scale-safe rank)
     "text_code_ratio" -> 0.25,
     "rel_theil_sen" -> 4.019,
     "rel_seasonal_decompose" -> 0.45,

@@ -3850,6 +3850,63 @@ object RelationalQueries {
         .orderBy(col("support_bucket"))
     }),
 
+    // 4-truss peel (two fixed rounds): drop every edge in fewer than 2
+    // triangles, recompute support on the survivor graph, drop again —
+    // the iterative continuation of graph_edge_support (which censuses
+    // support; this PEELS by it). Each round is one adjacency
+    // equi-join + keyed count over the CURRENT survivor set, so work
+    // shrinks monotonically; fixed rounds keep the oracle an unrolled
+    // CTE. Exact integers end-to-end.
+    "graph_k_truss" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      var edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      for (_ <- 1 to 2) {
+        val nbrs = edges.select(col("a").as("v"), col("b").as("n"))
+          .unionByName(edges.select(col("b").as("v"), col("a").as("n")))
+        val sup = edges
+          .join(nbrs.as("s1"), col("s1.v") === col("a"))
+          .join(nbrs.as("s2"),
+            col("s2.v") === col("b") && col("s2.n") === col("s1.n"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).cast("long").as("support"))
+        edges = edges.join(sup, Seq("a", "b"), "left")
+          .na.fill(0L, Seq("support"))
+          .where(col("support") >= 2)
+          .select(col("a"), col("b"))
+      }
+      edges.groupBy()
+        .agg(count(lit(1)).cast("long").as("n_truss_edges"),
+          sum(col("a") + col("b")).cast("long").as("endpoint_sum"),
+          countDistinct(col("a")).cast("long").as("n_left_nodes"))
+    }),
+
+    // Pareto front (skyline) of the daily (revenue, order-count) plane:
+    // a day survives iff no other day dominates it on both axes. The
+    // classic multi-criteria reporting operator; the anti-join runs
+    // over the calendar-bounded daily aggregate, never fact rows, so
+    // the quadratic is a bounded constant at any corpus size.
+    "rel_pareto_days" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).cast("long").as("rev"),
+          count(lit(1)).cast("long").as("n_orders"))
+      val dominated = daily.as("a").join(daily.as("b"),
+          col("b.rev") >= col("a.rev") && col("b.n_orders") >= col("a.n_orders")
+            && (col("b.rev") > col("a.rev")
+              || col("b.n_orders") > col("a.n_orders")),
+          "left_semi")
+      daily.join(dominated, Seq("day"), "left_anti")
+        .select(col("day"), col("rev"), col("n_orders"))
+        .orderBy(col("day"))
+    }),
+
     // Herfindahl–Hirschman concentration of supplier revenue within
     // each nation: HHI = 10000·Σ share² (suppkey-ordered square fold —
     // the antitrust-dial companion of Gini/Theil/Lorenz that flags
@@ -6132,6 +6189,59 @@ object RelationalQueries {
         |    / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
         |      * CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS rho
         |FROM m""".stripMargin,
+
+    // 4-truss replay: two unrolled peel rounds
+    "graph_k_truss" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 10 = 0),
+        |e0 AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey),
+        |n0 AS (SELECT a AS v, b AS n FROM e0
+        |       UNION ALL SELECT b AS v, a AS n FROM e0),
+        |s0 AS (
+        |  SELECT e0.a, e0.b, count(*) AS support
+        |  FROM e0 JOIN n0 s1 ON s1.v = e0.a
+        |    JOIN n0 s2 ON s2.v = e0.b AND s2.n = s1.n
+        |  GROUP BY e0.a, e0.b),
+        |e1 AS (
+        |  SELECT e0.a, e0.b FROM e0 LEFT JOIN s0
+        |    ON e0.a = s0.a AND e0.b = s0.b
+        |  WHERE coalesce(s0.support, 0) >= 2),
+        |n1 AS (SELECT a AS v, b AS n FROM e1
+        |       UNION ALL SELECT b AS v, a AS n FROM e1),
+        |s1r AS (
+        |  SELECT e1.a, e1.b, count(*) AS support
+        |  FROM e1 JOIN n1 s1 ON s1.v = e1.a
+        |    JOIN n1 s2 ON s2.v = e1.b AND s2.n = s1.n
+        |  GROUP BY e1.a, e1.b),
+        |e2 AS (
+        |  SELECT e1.a, e1.b FROM e1 LEFT JOIN s1r
+        |    ON e1.a = s1r.a AND e1.b = s1r.b
+        |  WHERE coalesce(s1r.support, 0) >= 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_truss_edges,
+        |  CAST(sum(a + b) AS BIGINT) AS endpoint_sum,
+        |  CAST(count(DISTINCT a) AS BIGINT) AS n_left_nodes
+        |FROM e2""".stripMargin,
+
+    // skyline replay: NOT EXISTS dominator over the daily aggregate
+    "rel_pareto_days" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(a.day AS BIGINT) AS day, a.rev, a.n_orders
+        |FROM daily a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM daily b
+        |  WHERE b.rev >= a.rev AND b.n_orders >= a.n_orders
+        |    AND (b.rev > a.rev OR b.n_orders > a.n_orders))
+        |ORDER BY a.day""".stripMargin,
 
     // ANOVA replay: exact group moments, segment-ordered SSB fold
     "rel_anova_f" ->
