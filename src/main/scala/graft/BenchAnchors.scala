@@ -25,7 +25,11 @@ object BenchAnchors {
     "rel_friedman_test" -> 1.40,
     "rel_chi2_gof" -> 0.50,
     "rel_tukey_fences" -> 1.35,
-    "graph_k_truss" -> 2.40,
+    // k_truss: 1.19 s isolated, but its four adjacency joins price very
+    // differently amid the full registry's cache pressure — first
+    // in-bench observation 4.71 s (quiet box, control 0.64x); anchor
+    // set to the LOADED regime per protocol
+    "graph_k_truss" -> 4.80,
     "rel_pareto_days" -> 0.90,
     "rel_ks_test" -> 0.70,
     "rel_kendall_tau" -> 1.05,

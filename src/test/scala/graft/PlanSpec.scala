@@ -638,6 +638,22 @@ class PlanSpec extends AnyFunSuite {
       s"cohort retention planned a non-equi join:\n$p")
   }
 
+  test("r16 stats gates: dimension joins broadcast; no cartesian anywhere") {
+    for (q <- Seq("rel_anova_f", "rel_cramers_v")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: customer dimension must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+    }
+    for (q <- Seq("graph_k_truss", "rel_ks_test", "rel_kendall_tau",
+        "rel_spearman_rho", "rel_mcnemar", "rel_runs_test",
+        "rel_friedman_test", "rel_chi2_gof", "rel_tukey_fences",
+        "rel_pareto_days")) {
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q planned a cartesian")
+    }
+  }
+
   test("rank rewrites: no single-partition exchange over un-aggregated fact rows") {
     // rel_entropy_binning / rel_mann_whitney / rel_winsorize_stats used
     // to rank RAW event rows through an unpartitioned Window — one task
