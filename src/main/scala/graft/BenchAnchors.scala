@@ -25,11 +25,12 @@ object BenchAnchors {
     "rel_friedman_test" -> 1.40,
     "rel_chi2_gof" -> 0.50,
     "rel_tukey_fences" -> 1.35,
-    // k_truss: 1.19 s isolated, but its four adjacency joins price very
-    // differently amid the full registry's cache pressure — first
-    // in-bench observation 4.71 s (quiet box, control 0.64x); anchor
-    // set to the LOADED regime per protocol
-    "graph_k_truss" -> 4.80,
+    // k_truss first priced in-bench at 4.71 s (vs 1.19 isolated) — root
+    // cause was round-2 RE-RUNNING round-1's whole support join through
+    // un-checkpointed lineage, fixed by the per-round localCheckpoint
+    // (the standing iterative-loop rule); anchor at 2x the post-fix
+    // isolated median
+    "graph_k_truss" -> 2.20,
     "rel_pareto_days" -> 0.90,
     "rel_ks_test" -> 0.70,
     "rel_kendall_tau" -> 1.05,
@@ -412,6 +413,20 @@ object BenchAnchors {
     // round-11 second wave (5-rep isolated medians, this box)
     "text_char_entropy" -> 0.222,
     "dedup_line_boilerplate" -> 0.436,
+    // r16 statistical/graph waves (5-rep quiet-box medians, controls
+    // 0.61-0.96x during the sessions)
+    "rel_ks_test" -> 0.333,
+    "rel_kendall_tau" -> 0.525,
+    "rel_spearman_rho" -> 0.389,
+    "rel_cramers_v" -> 1.162,
+    "rel_mcnemar" -> 0.198,
+    "rel_runs_test" -> 0.419,
+    "rel_anova_f" -> 0.915,
+    "rel_friedman_test" -> 0.686,
+    "rel_chi2_gof" -> 0.249,
+    "rel_tukey_fences" -> 0.656,
+    "graph_k_truss" -> 1.069, // post-checkpoint-fix median
+    "rel_pareto_days" -> 0.451,
     "pipeline_kappa_agreement" -> 0.230,
     "rel_psi_drift" -> 0.323,
     "graph_modularity" -> 1.346, // one-shot shape, no sizing action

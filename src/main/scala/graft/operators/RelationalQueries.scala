@@ -3861,11 +3861,16 @@ object RelationalQueries {
       val li = t(s, dir, "lineitem")
         .filter(col("l_partkey") % 10 === 0)
         .select(col("l_orderkey"), col("l_partkey"))
+      // each peel round consumes the PREVIOUS survivor set three times
+      // (edge list + both adjacency sides) — localCheckpoint per round
+      // (the repo's standing iterative-loop rule) or round 2's plan
+      // re-runs round 1's whole support join once per reference
       var edges = li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
         .distinct()
+        .localCheckpoint()
       for (_ <- 1 to 2) {
         val nbrs = edges.select(col("a").as("v"), col("b").as("n"))
           .unionByName(edges.select(col("b").as("v"), col("a").as("n")))
@@ -3875,10 +3880,13 @@ object RelationalQueries {
             col("s2.v") === col("b") && col("s2.n") === col("s1.n"))
           .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).cast("long").as("support"))
-        edges = edges.join(sup, Seq("a", "b"), "left")
+        val next = edges.join(sup, Seq("a", "b"), "left")
           .na.fill(0L, Seq("support"))
           .where(col("support") >= 2)
           .select(col("a"), col("b"))
+          .localCheckpoint()
+        org.apache.spark.sql.graft.SparkShims.unpersistCheckpoint(edges)
+        edges = next
       }
       edges.groupBy()
         .agg(count(lit(1)).cast("long").as("n_truss_edges"),
