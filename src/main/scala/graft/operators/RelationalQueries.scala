@@ -3894,6 +3894,51 @@ object RelationalQueries {
           countDistinct(col("a")).cast("long").as("n_left_nodes"))
     }),
 
+    // Holt double-exponential smoothing (level + trend) over daily
+    // revenue — the forecasting companion of rel_seasonal_decompose.
+    // The recursion l_t = αy_t + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b is
+    // inherently an ordered FOLD, so both engines left-fold the SAME
+    // day-sorted struct list seeded from the first element (l₁=y₁,
+    // b₁=0) with every constant cast to DOUBLE — bit-identical IEEE
+    // chains (the Kaplan–Meier product precedent). The fold subject is
+    // the calendar-bounded daily aggregate, never fact rows.
+    "rel_holt_linear" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).cast("long").as("rev"))
+      // the (level, trend) accumulator is a 2-element ARRAY, not a
+      // struct: DuckDB 1.0's list_reduce rebinds struct fields as they
+      // are computed (field 2's acc.l sees the NEW l — measured), so a
+      // struct fold silently diverges; list accumulators fold
+      // sequentially in both engines (GuardEdgesSpec-style probe in
+      // BASELINE.md round 16)
+      daily.groupBy()
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          expr("transform(sort_array(collect_list(struct(day, " +
+            "CAST(rev AS DOUBLE) AS l))), " +
+            "x -> array(x.l, CAST(0.0 AS DOUBLE)))").as("ss"))
+        .select(col("n_days"),
+          expr("""
+            aggregate(
+              slice(ss, 2, size(ss) - 1),
+              element_at(ss, 1),
+              (acc, x) -> array(
+                CAST(0.3 AS DOUBLE) * element_at(x, 1)
+                  + CAST(0.7 AS DOUBLE)
+                    * (element_at(acc, 1) + element_at(acc, 2)),
+                CAST(0.1 AS DOUBLE)
+                  * ((CAST(0.3 AS DOUBLE) * element_at(x, 1)
+                    + CAST(0.7 AS DOUBLE)
+                      * (element_at(acc, 1) + element_at(acc, 2)))
+                    - element_at(acc, 1))
+                  + CAST(0.9 AS DOUBLE) * element_at(acc, 2)))
+          """).as("s"))
+        .select(col("n_days"),
+          round(element_at(col("s"), 1), 6).as("level"),
+          round(element_at(col("s"), 2), 6).as("trend"))
+    }),
+
     // Pareto front (skyline) of the daily (revenue, order-count) plane:
     // a day survives iff no other day dominates it on both axes. The
     // classic multi-criteria reporting operator; the anti-join runs
@@ -6233,6 +6278,30 @@ object RelationalQueries {
         |  CAST(sum(a + b) AS BIGINT) AS endpoint_sum,
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_left_nodes
         |FROM e2""".stripMargin,
+
+    // Holt replay: identical first-element-seeded struct fold
+    "rel_holt_linear" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    list_reduce(
+        |      list([CAST(rev AS DOUBLE), CAST(0.0 AS DOUBLE)]
+        |        ORDER BY day),
+        |      (acc, x) -> [
+        |        CAST(0.3 AS DOUBLE) * x[1]
+        |          + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]),
+        |        CAST(0.1 AS DOUBLE)
+        |          * ((CAST(0.3 AS DOUBLE) * x[1]
+        |            + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+        |          + CAST(0.9 AS DOUBLE) * acc[2]]) AS s
+        |  FROM daily)
+        |SELECT n_days, round(s[1], 6) AS level, round(s[2], 6) AS trend
+        |FROM f""".stripMargin,
 
     // skyline replay: NOT EXISTS dominator over the daily aggregate
     "rel_pareto_days" ->
