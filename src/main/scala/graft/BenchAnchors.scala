@@ -33,6 +33,7 @@ object BenchAnchors {
     "graph_k_truss" -> 2.20,
     "rel_pareto_days" -> 0.90,
     "rel_holt_linear" -> 0.60,
+    "rel_page_hinkley" -> 0.50,
     "rel_ks_test" -> 0.70,
     "rel_kendall_tau" -> 1.05,
     "rel_spearman_rho" -> 0.80,
@@ -429,6 +430,7 @@ object BenchAnchors {
     "graph_k_truss" -> 1.069, // post-checkpoint-fix median
     "rel_pareto_days" -> 0.451,
     "rel_holt_linear" -> 0.272,
+    "rel_page_hinkley" -> 0.226,
     "pipeline_kappa_agreement" -> 0.230,
     "rel_psi_drift" -> 0.323,
     "graph_modularity" -> 1.346, // one-shot shape, no sizing action

@@ -3939,6 +3939,54 @@ object RelationalQueries {
           round(element_at(col("s"), 2), 6).as("trend"))
     }),
 
+    // Page–Hinkley change detection over daily revenue (δ = 0): the
+    // online-fold member of the drift family (CUSUM tracks a known
+    // baseline, PSI compares bin distributions; PH accumulates
+    // deviations from the RUNNING mean and alarms on mT − min(mT)).
+    // The recursion is a day-ordered fold over a 5-slot ARRAY
+    // accumulator [Σy, n, mT, min(mT), max(PH)] — arrays, not structs,
+    // per the DuckDB list_reduce rebind rule; every constant and the
+    // running-mean division are identical IEEE chains in both engines.
+    "rel_page_hinkley" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).cast("long").as("rev"))
+      daily.groupBy()
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          expr("transform(sort_array(collect_list(struct(day, " +
+            "CAST(rev AS DOUBLE) AS y))), x -> array(x.y, " +
+            "CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), " +
+            "CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)))").as("ss"))
+        .select(col("n_days"),
+          expr("""
+            aggregate(
+              slice(ss, 2, size(ss) - 1),
+              element_at(ss, 1),
+              (acc, x) -> array(
+                element_at(acc, 1) + element_at(x, 1),
+                element_at(acc, 2) + CAST(1.0 AS DOUBLE),
+                element_at(acc, 3) + (element_at(x, 1)
+                  - (element_at(acc, 1) + element_at(x, 1))
+                    / (element_at(acc, 2) + CAST(1.0 AS DOUBLE))),
+                least(element_at(acc, 4),
+                  element_at(acc, 3) + (element_at(x, 1)
+                    - (element_at(acc, 1) + element_at(x, 1))
+                      / (element_at(acc, 2) + CAST(1.0 AS DOUBLE)))),
+                greatest(element_at(acc, 5),
+                  element_at(acc, 3) + (element_at(x, 1)
+                    - (element_at(acc, 1) + element_at(x, 1))
+                      / (element_at(acc, 2) + CAST(1.0 AS DOUBLE)))
+                  - least(element_at(acc, 4),
+                    element_at(acc, 3) + (element_at(x, 1)
+                      - (element_at(acc, 1) + element_at(x, 1))
+                        / (element_at(acc, 2) + CAST(1.0 AS DOUBLE)))))))
+          """).as("s"))
+        .select(col("n_days"),
+          round(element_at(col("s"), 3), 6).as("mt"),
+          round(element_at(col("s"), 5), 6).as("ph_max"))
+    }),
+
     // Pareto front (skyline) of the daily (revenue, order-count) plane:
     // a day survives iff no other day dominates it on both axes. The
     // classic multi-criteria reporting operator; the anti-join runs
@@ -6301,6 +6349,35 @@ object RelationalQueries {
         |          + CAST(0.9 AS DOUBLE) * acc[2]]) AS s
         |  FROM daily)
         |SELECT n_days, round(s[1], 6) AS level, round(s[2], 6) AS trend
+        |FROM f""".stripMargin,
+
+    // Page–Hinkley replay: identical 5-slot array fold
+    "rel_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    list_reduce(
+        |      list([CAST(rev AS DOUBLE), CAST(1.0 AS DOUBLE),
+        |            CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |            CAST(0.0 AS DOUBLE)] ORDER BY day),
+        |      (acc, x) -> [
+        |        acc[1] + x[1],
+        |        acc[2] + CAST(1.0 AS DOUBLE),
+        |        acc[3] + (x[1] - (acc[1] + x[1])
+        |          / (acc[2] + CAST(1.0 AS DOUBLE))),
+        |        least(acc[4], acc[3] + (x[1] - (acc[1] + x[1])
+        |          / (acc[2] + CAST(1.0 AS DOUBLE)))),
+        |        greatest(acc[5], acc[3] + (x[1] - (acc[1] + x[1])
+        |          / (acc[2] + CAST(1.0 AS DOUBLE)))
+        |          - least(acc[4], acc[3] + (x[1] - (acc[1] + x[1])
+        |            / (acc[2] + CAST(1.0 AS DOUBLE)))))]) AS s
+        |  FROM daily)
+        |SELECT n_days, round(s[3], 6) AS mt, round(s[5], 6) AS ph_max
         |FROM f""".stripMargin,
 
     // skyline replay: NOT EXISTS dominator over the daily aggregate
