@@ -50,19 +50,26 @@ object Bench {
     // control anchor-ratio, stamped into both output lines. A flag from
     // a run with box_health > 1.5 is pre-labeled "degraded-box,
     // re-measure" rather than treated as a code regression.
+    // Ratios are against the ISOLATED medians (advisor r15): the loaded
+    // `seconds` anchors carry up-to-2x session headroom, which made quiet-
+    // box control ratios sit near 0.45-0.6 and pushed the fixed >1.5
+    // degraded-box threshold out to ~2.5-3x REAL drift. Against the
+    // quiet-box medians, ratio 1.0 = quiet box and >1.5 means what the
+    // protocol says. A rep that THROWS is dropped (not timed): a fast
+    // failure would otherwise stamp a near-zero ratio that drags the
+    // median down and masks a genuinely degraded box.
     val controlRatios = ControlRows.flatMap { name =>
       for (fn <- SparkEntry.queries.get(name);
-           a <- BenchAnchors.seconds.get(name)) yield {
-        val best = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] control $name FAILED: ${e.getMessage}")
-          }
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        name -> best / a
-      }
+           a <- BenchAnchors.isolatedSeconds.get(name)
+                  .orElse(BenchAnchors.seconds.get(name));
+           best <- (1 to 2).flatMap { _ =>
+             val t0 = System.nanoTime()
+             try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+             catch { case e: Throwable =>
+               System.err.println(s"[bench] control $name FAILED (rep dropped): ${e.getMessage}")
+               None
+             }
+           }.minOption) yield name -> best / a
     }
     val boxHealth =
       if (controlRatios.isEmpty) -1.0

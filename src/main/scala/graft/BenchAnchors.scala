@@ -12,9 +12,12 @@ package graft
   * adjudication protocol).
   */
 object BenchAnchors {
-  val seconds: Map[String, Double] = base ++ r14DataShift
+  // base ++ r14DataShift overlap is INTENTIONAL (the documented re-anchor
+  // class: the data-shift value wins); duplicates WITHIN a literal are not.
+  val seconds: Map[String, Double] =
+    checked("base", base) ++ checked("r14DataShift", r14DataShift)
 
-  private def base: Map[String, Double] = Map(
+  private def base: Seq[(String, Double)] = Seq(
     // round-16 statistical-test wave: anchors = 2x the 5-rep quiet-box
     // probe medians (0.33/0.53/0.39/1.16/0.20/0.42 s) — the loaded-
     // regime headroom every fresh gate gets until its first in-bench
@@ -415,22 +418,13 @@ object BenchAnchors {
     // round-11 second wave (5-rep isolated medians, this box)
     "text_char_entropy" -> 0.222,
     "dedup_line_boilerplate" -> 0.436,
-    // r16 statistical/graph waves (5-rep quiet-box medians, controls
-    // 0.61-0.96x during the sessions)
-    "rel_ks_test" -> 0.333,
-    "rel_kendall_tau" -> 0.525,
-    "rel_spearman_rho" -> 0.389,
-    "rel_cramers_v" -> 1.162,
-    "rel_mcnemar" -> 0.198,
-    "rel_runs_test" -> 0.419,
-    "rel_anova_f" -> 0.915,
-    "rel_friedman_test" -> 0.686,
-    "rel_chi2_gof" -> 0.249,
-    "rel_tukey_fences" -> 0.656,
-    "graph_k_truss" -> 1.069, // post-checkpoint-fix median
-    "rel_pareto_days" -> 0.451,
-    "rel_holt_linear" -> 0.272,
-    "rel_page_hinkley" -> 0.226,
+    // (the r16 statistical/graph-wave quiet-box MEDIANS that used to sit
+    // here were duplicate keys of the 2x-headroom anchors at the top of
+    // this literal — Scala Map literals silently keep the LAST entry, so
+    // the documented loaded anchors were dead code. Advisor round 15.
+    // The medians now live where they were meant to: as isolated Probe
+    // tripwires in r14IsolatedTripwires. A duplicate-key guard at the
+    // bottom of this file now fails loudly on any recurrence.)
     "pipeline_kappa_agreement" -> 0.230,
     "rel_psi_drift" -> 0.323,
     "graph_modularity" -> 1.346, // one-shot shape, no sizing action
@@ -453,7 +447,16 @@ object BenchAnchors {
     * trips at 1.5x isolated even though the loaded anchor would absorb
     * it. Probe prints the ratio (and warns) automatically for any query
     * listed here; refresh only from a 5-rep isolated median. */
-  val isolatedSeconds: Map[String, Double] = Map(
+  val isolatedSeconds: Map[String, Double] = {
+    val dual = checked("isolatedDualRegime", isolatedDualRegime)
+    val trip = checked("r14IsolatedTripwires", r14IsolatedTripwires)
+    val overlap = dual.keySet.intersect(trip.keySet)
+    require(overlap.isEmpty, // both maps gate the SAME (isolated) regime
+      s"isolated anchor declared twice across waves: ${overlap.toSeq.sorted.mkString(", ")}")
+    dual ++ trip
+  }
+
+  private def isolatedDualRegime: Seq[(String, Double)] = Seq(
     "pipeline_tokenizer_fertility" -> 0.714, // r11 Zipf-memo encode
     "text_bpe_encode" -> 0.445, // r11 Zipf-memo encode (was 2.10)
     "dedup_simhash" -> 1.90, // re-anchored r10 from isolated reps
@@ -461,7 +464,7 @@ object BenchAnchors {
     "stream_interval_join" -> 2.685, // r11 adjudication median
     "vec_knn_partitioned" -> 0.724,
     "cluster_dbscan_labels" -> 3.828, // r13 isolated median (star CC)
-  ) ++ r14IsolatedTripwires
+  )
 
   /** Round-14 re-anchor of the whole ≥1.3×-in-bench class (46 rows,
     * BASELINE.md round-14 adjudication). The driver REGENERATED
@@ -482,7 +485,7 @@ object BenchAnchors {
     * NOT here: its 1.3× isolated drift was root-caused (32 state
     * stores for a 2k-key stream) and FIXED by sizing the state shuffle
     * to the query — isolated median 2.35 → 1.43 s, old anchor kept. */
-  private def r14DataShift: Map[String, Double] = Map(
+  private def r14DataShift: Seq[(String, Double)] = Seq(
     // r14 NEW gates: no in-bench observation exists yet, so the loaded
     // anchor projects the session-load factor this round measured on
     // comparable rows (~1.45×) onto the 5-rep isolated quiet-box
@@ -574,7 +577,7 @@ object BenchAnchors {
     * absent from single-shot bench runs, absorbed by Bench's retry
     * protocol), so their tripwires come from the unpolluted sessions
     * recorded in BASELINE.md round 14. */
-  private def r14IsolatedTripwires: Map[String, Double] = Map(
+  private def r14IsolatedTripwires: Seq[(String, Double)] = Seq(
     // r14 new-gate tripwires (5-rep isolated quiet-box medians; the
     // sub-0.5 s rows carry the same session-depth margin as below)
     "rel_cohort_retention" -> 0.711,
@@ -651,5 +654,42 @@ object BenchAnchors {
     "graph_lpa" -> 6.158,
     "text_bigram_nll" -> 1.006,
     "stream_dedup_survivors" -> 1.426, // post-fix 5-rep median
+    // r15 statistical/graph-wave tripwires: the 5-rep quiet-box medians
+    // (controls 0.61-0.96x during those sessions) that were mistakenly
+    // appended to `base` as duplicate keys — restored here as the
+    // Probe-side gate the new rows were always meant to have; their
+    // loaded anchors stay at the 2x-headroom values in `base`.
+    "rel_ks_test" -> 0.333,
+    "rel_kendall_tau" -> 0.525,
+    "rel_spearman_rho" -> 0.389,
+    "rel_cramers_v" -> 1.162,
+    "rel_mcnemar" -> 0.198,
+    "rel_runs_test" -> 0.419,
+    "rel_anova_f" -> 0.915,
+    "rel_friedman_test" -> 0.686,
+    "rel_chi2_gof" -> 0.249,
+    "rel_tukey_fences" -> 0.656,
+    "graph_k_truss" -> 1.069, // post-checkpoint-fix median
+    "rel_pareto_days" -> 0.451,
+    "rel_holt_linear" -> 0.272,
+    "rel_page_hinkley" -> 0.226,
   )
+
+  /** Duplicate-key guard (advisor round 15): a Scala `Map` literal keeps
+    * the LAST occurrence of a duplicated key, so a re-declared anchor
+    * silently shadows the documented one — exactly how the r15
+    * statistical-wave medians disarmed their own 2x-headroom loaded
+    * anchors. Each anchor literal above is declared as a `Seq` and
+    * funneled through this check, which fails CLASS LOAD (so Bench,
+    * Probe, and every spec that touches anchors) on any recurrence. */
+  private def checked(name: String, entries: Seq[(String, Double)]): Map[String, Double] = {
+    val m = entries.toMap
+    require(
+      m.size == entries.size,
+      s"BenchAnchors.$name re-declares keys (Map literals keep the last, " +
+        "silently shadowing the documented anchor): " +
+        entries.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+          .toSeq.sorted.mkString(", "))
+    m
+  }
 }

@@ -82,7 +82,10 @@ object Search {
     * least-recently-used store — bounds a long-lived service querying
     * many ephemeral indexes. */
   private val inputCache = mutable.LinkedHashMap.empty[String, CachedInputs]
-  private val MaxCachedStores = 64
+  /** Size bound on cached stores (reference parity: SegmentCaches.java:
+    * 39-45 maximumSize). Var so CacheExpirySpec can drive the LRU
+    * overflow arm with three tiny stores instead of 65. */
+  private[index] var maxCachedStores: Int = 64
   /** Reference parity: SegmentCaches.java:39-45 evicts by
     * expireAfterAccess(10 min) as well as by size — without it a
     * long-lived service on one busy index pins codes+graph in the block
@@ -219,7 +222,7 @@ object Search {
         val entry = CachedInputs(version, payload, cb)
         entry.lastAccess = now
         inputCache.put(store.path, entry)
-        while (inputCache.size > MaxCachedStores) {
+        while (inputCache.size > maxCachedStores) {
           val (oldPath, old) = inputCache.head
           inputCache.remove(oldPath)
           parkSuperseded(oldPath, old, now)

@@ -2873,14 +2873,25 @@ object RelationalQueries {
         coalesce(sum(col("t"))
           .over(wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("mid2", lit(2L) * col("cum_before") + col("t") + 1L)
+      // cross-count products (t1·mid2, n1·(n1+1)) ride DECIMAL(38,0):
+      // a Long product of two row counts overflows once each arm passes
+      // ~3e9 rows (ANSI mode makes that a loud throw, not a wrap, but
+      // either way the gate dies) — the repo's standing cast-before-
+      // product rule, applied identically in the DuckDB replay. The
+      // BIGINT *_scaled output columns remain the exact-integer contract
+      // at any scale where they fit; the rounded ratio is the
+      // scale-unbounded statistic.
       cum.groupBy()
         .agg(
           sum(col("t") - col("t1")).cast("long").as("n0"),
           sum(col("t1")).cast("long").as("n1"),
-          sum(col("t1") * col("mid2")).cast("long").as("r1_scaled"))
-        .select(col("n0"), col("n1"), col("r1_scaled"),
-          (col("r1_scaled") - col("n1") * (col("n1") + 1)).as("u1_scaled"),
-          round((col("r1_scaled") - col("n1") * (col("n1") + 1))
+          sum(col("t1").cast("decimal(38,0)") * col("mid2"))
+            .cast("decimal(38,0)").as("r1_dec"))
+        .select(col("n0"), col("n1"),
+          col("r1_dec").cast("long").as("r1_scaled"),
+          (col("r1_dec") - col("n1").cast("decimal(38,0)") * (col("n1") + 1))
+            .cast("long").as("u1_scaled"),
+          round((col("r1_dec") - col("n1").cast("decimal(38,0)") * (col("n1") + 1))
             .cast("double") / (lit(2.0) * col("n0") * col("n1")), 6)
             .as("auc"))
     }),
@@ -2908,12 +2919,17 @@ object RelationalQueries {
         .withColumn("n0", sum(col("t0")).over(all).cast("long"))
         .withColumn("n1", sum(col("t1")).over(all).cast("long"))
         .groupBy()
+        // ECDF-gap numerator c0·n1 − c1·n0 in DECIMAL(38,0) (the
+        // cast-before-product rule — Long products of two row counts die
+        // past ~3e9 rows/arm); denominator n0·n1 via double. BIGINT
+        // d_scaled stays the exact contract wherever it fits.
         .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
-          max(abs(col("c0") * col("n1") - col("c1") * col("n0")))
-            .cast("long").as("d_scaled"))
-        .select(col("n0"), col("n1"), col("d_scaled"),
-          round(col("d_scaled").cast("double") / (col("n0") * col("n1")), 6)
-            .as("ks_d"))
+          max(abs(col("c0").cast("decimal(38,0)") * col("n1")
+            - col("c1").cast("decimal(38,0)") * col("n0"))).as("d_dec"))
+        .select(col("n0"), col("n1"),
+          col("d_dec").cast("long").as("d_scaled"),
+          round(col("d_dec").cast("double")
+            / (col("n0").cast("double") * col("n1")), 6).as("ks_d"))
     }),
 
     // Kendall tau-b between day index and daily revenue: every day pair
@@ -3797,8 +3813,12 @@ object RelationalQueries {
     // per non-adjacent-or-adjacent pair (u, w), c = common neighbors;
     // each pair closes c·(c−1)/2 squares — the bipartite-butterfly
     // analog that finds co-co-purchase structure triangles miss.
-    // Top-20 pairs by (c, u, w); wedge generation is one
-    // center-keyed self-join.
+    // Top-20 pairs by (c, u, w). Wedge machinery =
+    // GraphAlgos.cappedWedgePairs (shared with edge_support / k_truss);
+    // the decile filter is this GATE's dataset definition, the
+    // operator's own volume knob is the degreeCap parameter (uncapped
+    // here: identical output to the pre-refactor gate, the cap arm is
+    // fixture-pinned in GraphAlgosSpec and priced in ScalingHeavy).
     "graph_motif_square" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .filter(col("l_partkey") % 10 === 0)
@@ -3806,15 +3826,8 @@ object RelationalQueries {
       val edges = li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
-      val nbrs = edges.select(col("a").as("v"), col("b").as("n"))
-        .unionByName(edges.select(col("b").as("v"), col("a").as("n")))
-      nbrs.as("x").join(nbrs.as("y"),
-          col("x.v") === col("y.v") && col("x.n") < col("y.n"))
-        .groupBy(col("x.n").as("u"), col("y.n").as("w"))
-        .agg(count(lit(1)).cast("long").as("c"))
-        .where(col("c") >= 2)
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.pipeline.GraphAlgos.cappedWedgePairs(edges, minCommon = 2L)
         .select(col("u").cast("long").as("u"), col("w").cast("long").as("w"),
           col("c"), (col("c") * (col("c") - 1) / 2).cast("long").as("squares"))
         .orderBy(col("c").desc, col("u"), col("w"))
@@ -3824,7 +3837,11 @@ object RelationalQueries {
     // Edge triangle-support histogram (the k-truss readiness census):
     // support(a,b) = common neighbors of a and b; the distribution
     // tells you which truss levels exist before paying the iterative
-    // peel. Exact integers; one adjacency join per endpoint.
+    // peel. Exact integers. Support = GraphAlgos.cappedSupport (the
+    // shared wedge-class operator: degree-oriented sorted-adjacency
+    // intersection, each triangle crediting its three edges — |E| wide
+    // rows instead of a wedge-enumerating self-join); uncapped here so
+    // the histogram is exact (identical to the pre-refactor gate).
     "graph_edge_support" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .filter(col("l_partkey") % 10 === 0)
@@ -3832,19 +3849,8 @@ object RelationalQueries {
       val edges = li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
-      edges.persist()
-      val nbrs = edges.select(col("a").as("v"), col("b").as("n"))
-        .unionByName(edges.select(col("b").as("v"), col("a").as("n")))
-      val sup = edges
-        .join(nbrs.as("s1"), col("s1.v") === col("a"))
-        .join(nbrs.as("s2"),
-          col("s2.v") === col("b") && col("s2.n") === col("s1.n"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).cast("long").as("support"))
-      edges.join(sup, Seq("a", "b"), "left")
-        .na.fill(0L, Seq("support"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.pipeline.GraphAlgos.cappedSupport(edges)
         .groupBy(least(col("support"), lit(10L)).as("support_bucket"))
         .agg(count(lit(1)).cast("long").as("n_edges"))
         .orderBy(col("support_bucket"))
@@ -3857,38 +3863,21 @@ object RelationalQueries {
     // equi-join + keyed count over the CURRENT survivor set, so work
     // shrinks monotonically; fixed rounds keep the oracle an unrolled
     // CTE. Exact integers end-to-end.
+    // Peel = GraphAlgos.kTrussPeel (k=4 → support ≥ 2, two unrolled
+    // rounds, per-round localCheckpoint inside the operator). Uncapped
+    // here — the decile filter is the gate's dataset definition and the
+    // output matches the pre-refactor gate bit-for-bit; the degreeCap
+    // arm is fixture-pinned in GraphAlgosSpec.
     "graph_k_truss" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .filter(col("l_partkey") % 10 === 0)
         .select(col("l_orderkey"), col("l_partkey"))
-      // each peel round consumes the PREVIOUS survivor set three times
-      // (edge list + both adjacency sides) — localCheckpoint per round
-      // (the repo's standing iterative-loop rule) or round 2's plan
-      // re-runs round 1's whole support join once per reference
-      var edges = li.as("x").join(li.as("y"),
+      val edges = li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
-        .localCheckpoint()
-      for (_ <- 1 to 2) {
-        val nbrs = edges.select(col("a").as("v"), col("b").as("n"))
-          .unionByName(edges.select(col("b").as("v"), col("a").as("n")))
-        val sup = edges
-          .join(nbrs.as("s1"), col("s1.v") === col("a"))
-          .join(nbrs.as("s2"),
-            col("s2.v") === col("b") && col("s2.n") === col("s1.n"))
-          .groupBy(col("a"), col("b"))
-          .agg(count(lit(1)).cast("long").as("support"))
-        val next = edges.join(sup, Seq("a", "b"), "left")
-          .na.fill(0L, Seq("support"))
-          .where(col("support") >= 2)
-          .select(col("a"), col("b"))
-          .localCheckpoint()
-        org.apache.spark.sql.graft.SparkShims.unpersistCheckpoint(edges)
-        edges = next
-      }
-      edges.groupBy()
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.pipeline.GraphAlgos.kTrussPeel(edges, k = 4, rounds = 2)
+        .groupBy()
         .agg(count(lit(1)).cast("long").as("n_truss_edges"),
           sum(col("a") + col("b")).cast("long").as("endpoint_sum"),
           countDistinct(col("a")).cast("long").as("n_left_nodes"))
@@ -6207,12 +6196,14 @@ object RelationalQueries {
         |  SELECT
         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |    CAST(sum(CASE WHEN arm = 1 THEN 2 * rnk + ties - 1 ELSE 0 END)
-        |      AS BIGINT) AS r1_scaled
+        |    CAST(sum(CASE WHEN arm = 1
+        |        THEN CAST(2 * rnk + ties - 1 AS DECIMAL(38,0)) ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS r1_dec
         |  FROM r)
-        |SELECT n0, n1, r1_scaled,
-        |  CAST(r1_scaled - n1 * (n1 + 1) AS BIGINT) AS u1_scaled,
-        |  round(CAST(r1_scaled - n1 * (n1 + 1) AS DOUBLE)
+        |SELECT n0, n1, CAST(r1_dec AS BIGINT) AS r1_scaled,
+        |  CAST(r1_dec - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)
+        |    AS u1_scaled,
+        |  round(CAST(r1_dec - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS DOUBLE)
         |    / (2.0 * n0 * n1), 6) AS auc
         |FROM agg""".stripMargin,
 
@@ -6234,9 +6225,11 @@ object RelationalQueries {
         |    CAST(sum(t1) OVER () AS BIGINT) AS n1
         |  FROM h)
         |SELECT max(n0) AS n0, max(n1) AS n1,
-        |  CAST(max(abs(c0 * n1 - c1 * n0)) AS BIGINT) AS d_scaled,
-        |  round(CAST(max(abs(c0 * n1 - c1 * n0)) AS DOUBLE)
-        |    / (max(n0) * max(n1)), 6) AS ks_d
+        |  CAST(max(abs(CAST(c0 AS DECIMAL(38,0)) * n1
+        |    - CAST(c1 AS DECIMAL(38,0)) * n0)) AS BIGINT) AS d_scaled,
+        |  round(CAST(max(abs(CAST(c0 AS DECIMAL(38,0)) * n1
+        |    - CAST(c1 AS DECIMAL(38,0)) * n0)) AS DOUBLE)
+        |    / (CAST(max(n0) AS DOUBLE) * max(n1)), 6) AS ks_d
         |FROM c""".stripMargin,
 
     // Kendall tau-b replay: same day-pair classification

@@ -685,4 +685,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("wedge-class gates ride the shared capped-support machinery: " +
+      "merge-walk close, equi-joins only") {
+    // graph_edge_support / graph_motif_square / graph_k_truss all call
+    // GraphAlgos.{cappedSupport, cappedWedgePairs, kTrussPeel} since
+    // r16 (verdict r15 items 3+5). Edge support must stay in the
+    // adjacency-INTERSECTION form — the sorted_intersect merge walk
+    // over degree-oriented adjacency (|E| wide rows, O(√m) arrays) —
+    // and no wedge gate may plan a cartesian or nested-loop join.
+    // (k_truss's peel rounds collapse behind their localCheckpoints;
+    // the same supportOn body that edge_support pins IS the round body,
+    // so the intersection-form pin covers the peel too.)
+    val pe = plan("graph_edge_support")
+    assert(pe.contains("sorted_intersect"),
+      s"edge support left the merge-walk intersection form:\n$pe")
+    for (q <- Seq("graph_edge_support", "graph_motif_square", "graph_k_truss")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a cross join:\n$p")
+    }
+  }
+
 }

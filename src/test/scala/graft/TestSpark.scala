@@ -2,9 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One shared local SparkSession for all suites. */
+/** One shared local SparkSession for all suites. A `def` riding
+  * getOrCreate (not a lazy val): getOrCreate ignores a STOPPED default
+  * session and builds a fresh one, which is what lets
+  * StoppedContextCleanupSpec stop the context mid-run to drive Search's
+  * dead-context cache arms — every later suite transparently gets a new
+  * session. Suites cache it per-suite via their own `lazy val`; suites
+  * run sequentially in the one forked test JVM, so no suite observes a
+  * stop from another suite mid-flight. */
 object TestSpark {
-  lazy val spark: SparkSession = {
+  def spark: SparkSession = synchronized {
     // GRAFT_TEST_MASTER widens the pool for the heavy gates (e.g.
     // local[32] for HeavyXlSpec's 8 concurrent 100k Vamana builds);
     // default stays small so `sbt test` parallelism composes

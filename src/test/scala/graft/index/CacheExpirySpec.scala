@@ -161,6 +161,41 @@ class CacheExpirySpec extends AnyFunSuite {
     }
   }
 
+  test("size overflow evicts the LEAST-RECENTLY-USED store, and a hit refreshes LRU order") {
+    val clock0 = Search.clock
+    val grace0 = Search.graceNanos
+    val max0 = Search.maxCachedStores
+    var now = 1L
+    try {
+      Search.clock = () => now
+      Search.graceNanos = 0L // overflow evictions release immediately here
+      Search.maxCachedStores = 2
+      val a = sealedIndex(41)
+      val b = sealedIndex(42)
+      val c = sealedIndex(43)
+      Search.query(spark, a.store, q(a), 5).collect()
+      Search.query(spark, b.store, q(b), 5).collect()
+      // refresh A: it must move to most-recently-used, so the overflow
+      // below evicts B, not the insertion-older A
+      Search.query(spark, a.store, q(a), 5).collect()
+      Search.query(spark, c.store, q(c), 5).collect() // 3rd store overflows
+      assert(Search.cachedPaths.contains(a.store.path),
+        "LRU overflow evicted a store that was hit after B — eviction is " +
+          "running in insertion order, not access order")
+      assert(!Search.cachedPaths.contains(b.store.path),
+        "3rd store did not evict the least-recently-used entry")
+      assert(Search.cachedPaths.contains(c.store.path))
+      // evicted-then-requeried store rebuilds and re-caches (evicting A)
+      Search.query(spark, b.store, q(b), 5).collect()
+      assert(Search.cachedPaths.contains(b.store.path))
+      Seq(a, b, c).foreach(i => Search.invalidate(i.store.path))
+    } finally {
+      Search.clock = clock0
+      Search.graceNanos = grace0
+      Search.maxCachedStores = max0
+    }
+  }
+
   test("invalidate releases both cached and grace-listed entries for a path") {
     val clock0 = Search.clock
     val grace0 = Search.graceNanos

@@ -441,4 +441,106 @@ class GraphAlgosSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
   }
+
+  // ── wedge-class operators: cappedSupport / cappedWedgePairs / kTrussPeel ──
+
+  private def k4PlusPendant = Seq(
+    // K4 on {1,2,3,4}: every edge sits in exactly 2 triangles
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L)) // pendant: support 0
+
+  test("cappedSupport: exact per-edge triangle counts, zero-support edges included") {
+    val sup = GraphAlgos.cappedSupport(k4PlusPendant.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sup === Set(
+      (1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L),
+      (4L, 5L, 0L)))
+  }
+
+  test("cappedSupport: canonicalizes duplicates/orientations and drops self-loops") {
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 1L), (2L, 3L), (3L, 3L))
+    val sup = GraphAlgos.cappedSupport(messy.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sup === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("cappedSupport: degree cap drops the hub and every edge touching it") {
+    // star 0-{1..5} + chord 1-2. Uncapped: support(1,2) = 1 (via 0).
+    val e = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L), (1L, 2L)))
+      .toDF("src", "dst")
+    val uncapped = GraphAlgos.cappedSupport(e)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncapped.size === 6 && uncapped.contains((1L, 2L, 1L)))
+    // hub degree 5 > cap 4 → hub gone; only the chord survives, support 0
+    val capped = GraphAlgos.cappedSupport(e, degreeCap = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L, 0L)))
+  }
+
+  test("cappedWedgePairs: square diagonals close, adjacent pairs census too") {
+    // 4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) each share 2 neighbors
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val pairs = GraphAlgos.cappedWedgePairs(e, minCommon = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 3L, 2L), (2L, 4L, 2L)))
+    // minCommon = 1 also lists every wedge-adjacent pair once
+    val all = GraphAlgos.cappedWedgePairs(e)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all === Set((1L, 3L, 2L), (2L, 4L, 2L)))
+  }
+
+  test("kTrussPeel: clique keeps, pendant edge and hanging triangle drop") {
+    // K4 + pendant (4,5) + hanging triangle {5,6,7}: triangle edges have
+    // support 1 < 2 → peel round 1 removes them and the pendant; K4 is
+    // the 4-truss. A third round beyond the fixpoint changes nothing.
+    val e = (k4PlusPendant ++ Seq((5L, 6L), (5L, 7L), (6L, 7L)))
+      .toDF("src", "dst")
+    val expected = Set((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L))
+    val got2 = GraphAlgos.kTrussPeel(e, k = 4, rounds = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(got2 === expected)
+    val got3 = GraphAlgos.kTrussPeel(e, k = 4, rounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got3 === expected)
+  }
+
+  test("kTrussPeel: cascade — support recomputes on survivors each round") {
+    // K4 whose edge (3,4) also supports a triangle {3,4,8}: round 1
+    // drops (3,8),(4,8) (support 1); (3,4) keeps support 2 from the
+    // clique, so K4 still survives — but a CHAIN of triangles
+    // {1,2,9} hanging off edge (1,2) must not rescue (1,9),(2,9).
+    val e = (k4PlusPendant ++ Seq((3L, 8L), (4L, 8L), (1L, 9L), (2L, 9L)))
+      .toDF("src", "dst")
+    val got = GraphAlgos.kTrussPeel(e, k = 4, rounds = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("kTrussPeel: degreeCap peels the hub before trussing (the production knob)") {
+    // K4 + hub 9 wired to all four corners (hub degree 4, corners 4):
+    // uncapped the whole thing is a 4-truss (support(9,i) = 3); with
+    // degreeCap 3 the hub and its edges leave before the peel, the
+    // corners' CAPPED degree is evaluated on the ORIGINAL graph, so a
+    // cap of 3 also drops the corners — cap 4 keeps corners + hub.
+    val hub = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))
+    val e = (k4PlusPendant.take(6) ++ hub).toDF("src", "dst")
+    val uncapped = GraphAlgos.kTrussPeel(e, k = 4, rounds = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 10) // K4 + all hub edges survive
+    val capped = GraphAlgos.kTrussPeel(e, k = 4, rounds = 2, degreeCap = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(capped === Set.empty[(Long, Long)]) // corners had degree 4 too
+    // wire hub to only 3 corners: corners 1..3 degree 4, corner 4 degree
+    // 3, hub degree 3 — cap 4 keeps everything, truss then re-includes
+    // the hub triangles (support(9,i) = 2 among {1,2,3})
+    val e2 = (k4PlusPendant.take(6) ++ hub.take(3)).toDF("src", "dst")
+    val capped2 = GraphAlgos.kTrussPeel(e2, k = 4, rounds = 2, degreeCap = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(capped2 === Set((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 9L), (2L, 9L), (3L, 9L)))
+  }
 }

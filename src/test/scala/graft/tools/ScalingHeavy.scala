@@ -367,22 +367,16 @@ object ScalingHeavy {
             greatest(col("a"), col("b")).as("b"))
           .distinct().persist()
         val ne = edges.count()
-        val nbrs = edges.select(col("a").as("v"), col("b").as("n"))
-          .unionByName(edges.select(col("b").as("v"), col("a").as("n")))
+        // both rows ride the SHARED wedge-class operators the gates call
+        // since r16 (cappedWedgePairs / cappedSupport) — the curve
+        // measures the production code path, not a replica of it
+        val eSd = edges.select(col("a").as("src"), col("b").as("dst"))
         val (tM, nM) = time {
-          nbrs.as("x").join(nbrs.as("y"),
-              col("x.v") === col("y.v") && col("x.n") < col("y.n"))
-            .groupBy(col("x.n").as("u"), col("y.n").as("w"))
-            .agg(count(lit(1)).cast("long").as("c"))
-            .where(col("c") >= 2)
+          graft.pipeline.GraphAlgos.cappedWedgePairs(eSd, minCommon = 2L)
             .orderBy(col("c").desc, col("u"), col("w")).limit(20).count()
         }
         val (tS, nS) = time {
-          edges.join(nbrs.as("s1"), col("s1.v") === col("a"))
-            .join(nbrs.as("s2"),
-              col("s2.v") === col("b") && col("s2.n") === col("s1.n"))
-            .groupBy(col("a"), col("b"))
-            .agg(count(lit(1)).cast("long").as("support"))
+          graft.pipeline.GraphAlgos.cappedSupport(eSd)
             .groupBy(least(col("support"), lit(10L)).as("bk"))
             .agg(count(lit(1))).count()
         }
@@ -399,6 +393,7 @@ object ScalingHeavy {
       }
 
       // clipping census: loud WAV corpus 1x -> 10x (2k/6k/20k docs)
+      // (see also the `truss` family below for the r15-wave peel curve)
       for (n <- Seq(2000L, 6000L, 20000L)) {
         val docs = spark.range(n).select(col("id").as("doc_id")).persist()
         docs.count()
@@ -409,6 +404,38 @@ object ScalingHeavy {
         }
         println(f"[scale] clipping docs=$n%6d  $t%6.2f s ($rows rows)")
         docs.unpersist()
+      }
+    }
+
+    if (families("truss")) {
+      // graph_k_truss's data term (verdict r15 item 2): TWO support
+      // passes over a shrinking survivor set — wedge-volume work, the
+      // motif-square class. Measured 1M -> 10M edges on the same
+      // bounded-degree (~40) generator as the motifs block, uncapped
+      // AND with the degreeCap production knob so the knob's effect is
+      // a number, not a narrative. Support rides the intersection form
+      // (sorted adjacency + merge walk), so out-degree is O(√m)-bounded
+      // by orientation even before the cap.
+      for (e <- Seq(1000000L, 3000000L, 10000000L)) {
+        val v = e / 20
+        val edges = spark.range(e).select(
+            pmod(col("id"), lit(v)).as("a"),
+            pmod(col("id") + 1 + pmod(col("id") * 40503L, lit(37)), lit(v)).as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("src"),
+            greatest(col("a"), col("b")).as("dst"))
+          .distinct().persist()
+        val ne = edges.count()
+        val (tT, nT) = time {
+          graft.pipeline.GraphAlgos.kTrussPeel(edges, k = 4, rounds = 2).count()
+        }
+        val (tC, nC) = time {
+          graft.pipeline.GraphAlgos.kTrussPeel(edges, k = 4, rounds = 2,
+            degreeCap = 60).count()
+        }
+        println(f"[scale] truss |E|=$ne%9d  4-truss=$tT%7.2f s ($nT edges)  " +
+          f"cap60=$tC%7.2f s ($nC edges)")
+        edges.unpersist()
       }
     }
   }
