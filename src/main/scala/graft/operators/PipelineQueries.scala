@@ -887,6 +887,45 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // WebDataset-style tar-shard round trip (sources.TarShards): stage
+    // every document's (image blob, WAV audio, JSON sidecar) sample
+    // into hash-keyed ustar shards, read them back through the
+    // binaryFile-per-shard source, and prove PER-MEMBER BYTE-EXACTNESS
+    // by joining the roundtripped members against freshly regenerated
+    // originals. The oracle replays the member census closed-form over
+    // `documents`: blob lengths are deterministic functions of doc_id
+    // (image 77 B; WAV 556 + 2·(id mod 64) + 20·[id mod 3 = 0]; JSON =
+    // rendered length), and byte-exact count must equal member count.
+    // Idempotent: the stage dir is wiped and rewritten per run (and the
+    // shard bytes themselves are deterministic — mtime pinned to 0).
+    "multimodal_tar_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_tarshard").toString
+      val d = new java.io.File(base)
+      if (d.exists()) d.listFiles().foreach(f => { f.delete(); () })
+      def members = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val img = Multimodal.synthesizeBlob(id, "image")
+          val wav = Audio.synthBlob(id)
+          val json =
+            s"""{"doc_id":$id,"width":${img.meta.width},"height":${img.meta.height}}"""
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          Seq((f"$id%012d", "img", img.data),
+            (f"$id%012d", "json", json),
+            (f"$id%012d", "wav", wav.data))
+        }.toDF("key", "ext", "data")
+      graft.sources.TarShards.writeShards(members, base, nShards = 8)
+      graft.sources.TarShards.readShards(s, base)
+        .join(members.withColumnRenamed("data", "orig"), Seq("key", "ext"))
+        .groupBy(col("ext"))
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          sum(when(col("data") === col("orig"), 1L).otherwise(0L))
+            .cast("long").as("n_byte_exact"),
+          sum(length(col("data"))).cast("long").as("sum_bytes"))
+        .orderBy(col("ext"))
+    }),
+
     // Multimodal REAL decode: deterministic quadrant images encoded via
     // the JDK's actual PNG/BMP codecs, decoded back through javax.imageio
     // (format sniffed from the bytes), exact integer channel sums out.
@@ -4804,6 +4843,34 @@ object PipelineQueries {
         |  CAST(CASE WHEN mediaType = 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels,
         |  CAST(77 AS BIGINT) AS n_bytes
         |FROM scaled ORDER BY doc_id""".stripMargin,
+
+    // tar roundtrip replay: the member census from the closed-form blob
+    // lengths; byte-exact count = member count by construction (any
+    // writer/reader corruption shrinks the Spark side, never this one)
+    "multimodal_tar_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    doc_id % 640 + 16 AS w,
+        |    doc_id % 480 + 16 AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT 'img' AS ext, CAST(77 AS BIGINT) AS len FROM d
+        |  UNION ALL
+        |  SELECT 'json',
+        |    CAST(length('{"doc_id":' || CAST(doc_id AS VARCHAR) ||
+        |      ',"width":' || CAST(w AS VARCHAR) ||
+        |      ',"height":' || CAST(h AS VARCHAR) || '}') AS BIGINT)
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'wav',
+        |    CAST(556 + 2 * (doc_id % 64)
+        |      + CASE WHEN doc_id % 3 = 0 THEN 20 ELSE 0 END AS BIGINT)
+        |  FROM d)
+        |SELECT ext,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(count(*) AS BIGINT) AS n_byte_exact,
+        |  CAST(sum(len) AS BIGINT) AS sum_bytes
+        |FROM m GROUP BY ext ORDER BY ext""".stripMargin,
 
     "multimodal_frames_real" ->
       """WITH m AS (

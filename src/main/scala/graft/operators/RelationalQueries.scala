@@ -3976,6 +3976,121 @@ object RelationalQueries {
           round(element_at(col("s"), 5), 6).as("ph_max"))
     }),
 
+    // Reliability-diagram calibration bins + per-bin exact Brier terms
+    // for a deterministic pseudo-probability over purchase events:
+    // p = ((user_id·2654435761) mod 1000)/1000 (the bijective-hash
+    // estimator rule — replays relationally, zero collision analysis),
+    // label = value ≥ 50. Every bin stat is an exact integer (p in
+    // thousandths, squared error in millionths); the float columns are
+    // single rounded divisions off those integers. The post-training
+    // calibration readout a quality-score pipeline gates deploys on.
+    // Scale shape: one map-side-combined groupBy on the 10-value bin key.
+    "rel_calibration_bins" -> ((s, dir) => {
+      val e = events(s, dir).where(col("event_type") === "purchase")
+        .select(pmod(col("user_id") * 2654435761L, lit(1000L)).as("p_milli"),
+          when(col("value") >= 50.0, 1L).otherwise(0L).as("y"))
+      e.groupBy(floor(col("p_milli") / lit(100)).cast("long").as("bin"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("y")).cast("long").as("n_pos"),
+          sum(col("p_milli")).cast("long").as("sum_p_milli"),
+          sum((col("p_milli") - lit(1000L) * col("y"))
+            * (col("p_milli") - lit(1000L) * col("y")))
+            .cast("long").as("sq_milli"))
+        .select(col("bin"), col("n"), col("n_pos"), col("sum_p_milli"),
+          round(col("sum_p_milli").cast("double") / (lit(1000.0) * col("n")), 6)
+            .as("mean_p"),
+          round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+          round(col("sq_milli").cast("double") / (lit(1.0e6) * col("n")), 6)
+            .as("brier"))
+        .orderBy(col("bin"))
+    }),
+
+    // Benjamini–Hochberg FDR control over a 64-cohort test family, in
+    // EXACT integers end to end: pseudo-p-values in thousandths
+    // (bijective-hash + event-count mix), ascending rank k, reject the
+    // prefix up to the largest k with p_(k)·m ≤ 50·k (α = 0.05 cleared
+    // of division). The multiple-testing companion the per-test gates
+    // (z/t/KS/χ²) need before anyone acts on 64 simultaneous readouts.
+    // The only windows run over the 64-row COHORT AGGREGATE (satisfies
+    // the single-partition-exchange-consumes-aggregated-data pin).
+    "rel_fdr_bh" -> ((s, dir) => {
+      val cells = events(s, dir)
+        .groupBy(pmod(col("user_id"), lit(64L)).as("cohort"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+        .withColumn("p_milli",
+          pmod(col("cohort") * 2654435761L + col("n_events") * 7919L,
+            lit(1000L)))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = cells
+        .withColumn("k", row_number().over(
+          Window.orderBy(col("p_milli"), col("cohort"))))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("k_max", max(when(
+          col("p_milli") * col("m") <= lit(50L) * col("k"), col("k")))
+          .over(wAll))
+      ranked.select(col("cohort"), col("n_events"), col("p_milli"),
+          col("k").cast("long").as("k"),
+          (col("k") <= coalesce(col("k_max"), lit(0))).as("rejected"))
+        .orderBy(col("cohort"))
+    }),
+
+    // Exact ROC-AUC for the same deterministic score/label pair as
+    // rel_calibration_bins, via the per-score-value histogram (≤1000
+    // rows): AUC = Σ_s n_pos(s)·(2·cumneg_below(s) + n_neg(s)) over
+    // 2·P·N, ties counted half — the Mann-Whitney identity, exact
+    // integers until the one final division. The window runs over the
+    // SCORE HISTOGRAM, never fact rows (the single-partition-exchange
+    // pin), and the cross-count products ride DECIMAL(38,0) on both
+    // engines (Long products of two fact-scale counts wrap silently).
+    "rel_roc_auc" -> ((s, dir) => {
+      val e = events(s, dir).where(col("event_type") === "purchase")
+        .select(pmod(col("user_id") * 2654435761L, lit(1000L)).as("score"),
+          when(col("value") >= 50.0, 1L).otherwise(0L).as("y"))
+      val h = e.groupBy(col("score"))
+        .agg(sum(col("y")).cast("decimal(38,0)").as("n_pos"),
+          sum(lit(1L) - col("y")).cast("decimal(38,0)").as("n_neg"))
+      val wBelow = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("cumneg",
+          coalesce(sum(col("n_neg")).over(wBelow), lit(0).cast("decimal(38,0)")))
+        .agg(sum(col("n_pos")).cast("long").as("n_pos"),
+          sum(col("n_neg")).cast("long").as("n_neg"),
+          sum(col("n_pos") * (col("cumneg") * 2 + col("n_neg"))).as("num2"))
+        .select(col("n_pos"), col("n_neg"),
+          round(col("num2").cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+    }),
+
+    // Cumulative lift/gain deciles for the same score: decile 0 = top
+    // scores (bin = (999 - score) div 100), per-decile positives, then
+    // cumulative gain (share of all positives captured) and lift
+    // (precision over base rate) — the targeting readout next to the
+    // calibration one. All windows over the 10-row decile aggregate.
+    "rel_lift_deciles" -> ((s, dir) => {
+      val e = events(s, dir).where(col("event_type") === "purchase")
+        .select(pmod(col("user_id") * 2654435761L, lit(1000L)).as("score"),
+          when(col("value") >= 50.0, 1L).otherwise(0L).as("y"))
+      val d = e.groupBy(((lit(999L) - col("score")) / lit(100)).cast("long")
+          .as("decile"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("y")).cast("long").as("n_pos"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      d.withColumn("cum_n", sum(col("n")).over(wCum))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+        .withColumn("tot_n", sum(col("n")).over(wAll))
+        .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+        .select(col("decile"), col("n"), col("n_pos"),
+          col("cum_pos").cast("long").as("cum_pos"),
+          round(col("cum_pos").cast("double") / col("tot_pos"), 6).as("gain"),
+          round((col("cum_pos").cast("double") / col("cum_n"))
+            / (col("tot_pos").cast("double") / col("tot_n")), 6).as("lift"))
+        .orderBy(col("decile"))
+    }),
+
     // Pareto front (skyline) of the daily (revenue, order-count) plane:
     // a day survives iff no other day dominates it on both axes. The
     // classic multi-criteria reporting operator; the anti-join runs
@@ -6389,6 +6504,95 @@ object RelationalQueries {
         |  WHERE b.rev >= a.rev AND b.n_orders >= a.n_orders
         |    AND (b.rev > a.rev OR b.n_orders > a.n_orders))
         |ORDER BY a.day""".stripMargin,
+
+    // calibration replay: same integer bin stats, divisions at the end
+    "rel_calibration_bins" ->
+      """WITH e AS (
+        |  SELECT (user_id * 2654435761) % 1000 AS p_milli,
+        |    CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT CAST(floor(p_milli / 100) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(p_milli) AS BIGINT) AS sum_p_milli,
+        |    CAST(sum((p_milli - 1000 * y) * (p_milli - 1000 * y))
+        |      AS BIGINT) AS sq_milli
+        |  FROM e GROUP BY 1)
+        |SELECT bin, n, n_pos, sum_p_milli,
+        |  round(CAST(sum_p_milli AS DOUBLE) / (1000.0 * n), 6) AS mean_p,
+        |  round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+        |  round(CAST(sq_milli AS DOUBLE) / (1.0e6 * n), 6) AS brier
+        |FROM b ORDER BY bin""".stripMargin,
+
+    // BH replay: identical integer rank/threshold math over 64 cohorts
+    "rel_fdr_bh" ->
+      """WITH cells AS (
+        |  SELECT user_id % 64 AS cohort,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT cohort, n_events,
+        |    (cohort * 2654435761 + n_events * 7919) % 1000 AS p_milli
+        |  FROM cells),
+        |r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY p_milli, cohort) AS BIGINT) AS k,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM p),
+        |km AS (
+        |  SELECT max(CASE WHEN p_milli * m <= 50 * k THEN k END) AS k_max
+        |  FROM r)
+        |SELECT r.cohort, r.n_events, r.p_milli, r.k,
+        |  (r.k <= coalesce(km.k_max, 0)) AS rejected
+        |FROM r, km ORDER BY r.cohort""".stripMargin,
+
+    // AUC replay: identical Mann-Whitney histogram identity (DuckDB
+    // integer sums are HUGEINT — loud on overflow, exact until the
+    // one double division)
+    "rel_roc_auc" ->
+      """WITH e AS (
+        |  SELECT (user_id * 2654435761) % 1000 AS score,
+        |    CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (
+        |  SELECT score, CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(1 - y) AS BIGINT) AS n_neg
+        |  FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT *, coalesce(sum(n_neg) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        |  FROM h)
+        |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |  round(CAST(sum(n_pos * (2 * cumneg + n_neg)) AS DOUBLE)
+        |    / (2.0 * sum(n_pos) * sum(n_neg)), 6) AS auc
+        |FROM c""".stripMargin,
+
+    // lift replay: same 10-row decile aggregate, divisions at the end
+    "rel_lift_deciles" ->
+      """WITH e AS (
+        |  SELECT (user_id * 2654435761) % 1000 AS score,
+        |    CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (
+        |  SELECT (999 - score) // 100 AS decile,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT *,
+        |    sum(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum_n,
+        |    sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cum_pos,
+        |    sum(n) OVER () AS tot_n, sum(n_pos) OVER () AS tot_pos
+        |  FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+        |  CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS gain,
+        |  round((CAST(cum_pos AS DOUBLE) / cum_n)
+        |    / (CAST(tot_pos AS DOUBLE) / tot_n), 6) AS lift
+        |FROM c ORDER BY decile""".stripMargin,
 
     // ANOVA replay: exact group moments, segment-ordered SSB fold
     "rel_anova_f" ->

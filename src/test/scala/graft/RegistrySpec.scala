@@ -27,8 +27,8 @@ class RegistrySpec extends AnyFunSuite {
     * when gates are added; a PR that drops gates must lower it
     * EXPLICITLY here, never silently. */
   test("oracle-gate floor: the correctness surface never shrinks") {
-    assert(SparkEntry.queries.size >= 344,
-      s"gate registry shrank to ${SparkEntry.queries.size} (floor 344)")
+    assert(SparkEntry.queries.size >= 349,
+      s"gate registry shrank to ${SparkEntry.queries.size} (floor 349)")
   }
 
   test("query names are unique across modules (no silent map overwrite)") {

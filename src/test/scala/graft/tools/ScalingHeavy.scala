@@ -51,6 +51,76 @@ object ScalingHeavy {
       .filter(col("src") =!= col("dst"))
   }
 
+  /** One substring-run dedup probe (shared by `substring` and `top10`):
+    * HeavySubstringSpec's corpus shape so planted-pair recall is
+    * checkable at every size. */
+  private def substringProbe(spark: SparkSession, n: Long): Unit = {
+    val nPairs = n / 400
+    val words = expr(
+      """concat_ws(' ', transform(sequence(1, 40),
+        |  i -> concat('w', pmod(xxhash64(id, i), 4096))))""".stripMargin)
+    val boiler = "THIS DOCUMENT IS PROVIDED AS-IS WITHOUT WARRANTY OF " +
+      "ANY KIND EXPRESS OR IMPLIED BOILERPLATE."
+    val passage = expr(
+      s"""substring(repeat(concat('PLANTED-', pmod(id, $nPairs), '-'), 8),
+         |1, 60)""".stripMargin)
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        words,
+        when(pmod(col("id"), lit(3L)) === 0L, lit(boiler)).otherwise(lit("")),
+        when(col("id") < nPairs * 2, passage).otherwise(lit(""))).as("text"))
+      .persist()
+    docs.count()
+    val (t, agg) = time {
+      val out = graft.pipeline.Dedup.substringRuns(
+        docs, "doc_id", "text", gramLen = 30, maxDf = 50)
+      out.agg(count(lit(1)),
+        sum(when(col("max_shared_run") >= 60, 1L).otherwise(0L))).head()
+    }
+    println(f"[scale] substring docs=$n%8d  runs=$t%7.1f s  " +
+      f"pairs=${agg.getLong(0)}%8d  planted>=${agg.getLong(1)}%6d/$nPairs")
+    docs.unpersist()
+    ()
+  }
+
+  /** The staged-batch watermarked-window drain that is
+    * stream_cusum_changepoint / stream_late_drop's data term: n synthetic
+    * events over ~n/1000 hours, 4 mtime-pinned parquet batches, hourly
+    * windowed agg drained with AvailableNow into a memory sink. Times the
+    * DRAIN only (staging is setup). */
+  private def streamDrainProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = spark.range(n).select(
+      col("id").as("event_id"),
+      expr("timestamp_micros(id * 3600000000 div 1000)").as("ts"),
+      concat(lit("t"), pmod(col("id") * 7L, lit(8L))).as("event_type"),
+      (pmod(col("id") * 131L, lit(1000L)) / lit(10.0)).as("value"))
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_scale_stream_$n")
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+    val filesDir = new java.io.File(root, "in")
+    java.nio.file.Files.createDirectories(filesDir.toPath)
+    graft.operators.StreamStage.stageBatches(root, filesDir, (0 until 4).map(b =>
+      ev.filter(col("event_id") >= n * b / 4 && col("event_id") < n * (b + 1) / 4)))
+    val (t, rows) = time {
+      val agg = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      val name = s"scale_stream_$n"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val c = spark.table(name).count()
+      spark.catalog.dropTempView(name)
+      c
+    }
+    println(f"[scale] stream-drain events=$n%8d  $t%6.2f s ($rows windows)")
+    org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
+
   def main(args: Array[String]): Unit = {
     val families = if (args.isEmpty) Set("seal", "graph", "cms", "textrank")
       else args(0).split(",").toSet
@@ -126,34 +196,7 @@ object ScalingHeavy {
       // exact substring-run dedup's data term: posting-list volume is
       // ~270 grams/doc; planted pairs + capped boilerplate mirror the
       // HeavySubstringSpec corpus so recall is checkable at every size
-      for (n <- Seq(100000L, 300000L, 1000000L)) {
-        val nPairs = n / 400
-        val words = expr(
-          """concat_ws(' ', transform(sequence(1, 40),
-            |  i -> concat('w', pmod(xxhash64(id, i), 4096))))""".stripMargin)
-        val boiler = "THIS DOCUMENT IS PROVIDED AS-IS WITHOUT WARRANTY OF " +
-          "ANY KIND EXPRESS OR IMPLIED BOILERPLATE."
-        val passage = expr(
-          s"""substring(repeat(concat('PLANTED-', pmod(id, $nPairs), '-'), 8),
-             |1, 60)""".stripMargin)
-        val docs = spark.range(n).select(
-          col("id").as("doc_id"),
-          concat_ws(" ",
-            words,
-            when(pmod(col("id"), lit(3L)) === 0L, lit(boiler)).otherwise(lit("")),
-            when(col("id") < nPairs * 2, passage).otherwise(lit(""))).as("text"))
-          .persist()
-        docs.count()
-        val (t, agg) = time {
-          val out = graft.pipeline.Dedup.substringRuns(
-            docs, "doc_id", "text", gramLen = 30, maxDf = 50)
-          out.agg(count(lit(1)),
-            sum(when(col("max_shared_run") >= 60, 1L).otherwise(0L))).head()
-        }
-        println(f"[scale] substring docs=$n%8d  runs=$t%7.1f s  " +
-          f"pairs=${agg.getLong(0)}%8d  planted>=${agg.getLong(1)}%6d/$nPairs")
-        docs.unpersist()
-      }
+      for (n <- Seq(100000L, 300000L, 1000000L)) substringProbe(spark, n)
     }
 
     if (families("kmv")) {
@@ -437,6 +480,50 @@ object ScalingHeavy {
           f"cap60=$tC%7.2f s ($nC edges)")
         edges.unpersist()
       }
+    }
+
+    if (families("top10")) {
+      // Verdict r15 item 7/6: the PER-ROUND sf-step-up probe — every
+      // bench-TOP-10 row's data kernel at gate-equivalent volume and at
+      // 10x, one rep each, so scale regressions surface before a 100x
+      // deploy would find them. Rows covered fresh here: graph_triangles,
+      // graph_kcore, graph_pagerank, graph_stress_paths,
+      // graph_betweenness (one shared edge build per size),
+      // dedup_substring_runs/survivors (posting-list kernel), and
+      // stream_cusum_changepoint / stream_late_drop (staged-batch
+      // watermarked drain). vec_heavy_seal_query is NOT re-run: its
+      // single-segment Vamana curve (r11, 10x n -> 24x wall, capped by
+      // maxSegmentSize + cross-segment parallelism) stands while the
+      // seal path is byte-identical; re-measure it via the `seal` family
+      // whenever index/ code changes.
+      for (e <- Seq(1000000L, 10000000L)) {
+        val edges = graft.pipeline.GraphAlgos.symmetrize(edgesAt(spark, e)).persist()
+        edges.count()
+        val seeds = edges.select(col("src")).limit(100).distinct()
+          .orderBy(col("src")).limit(5)
+          .collect().map(_.getLong(0)).toSeq
+        val (tTri, _) = time {
+          graft.pipeline.GraphAlgos.triangleCounts(
+            edges.select(col("src").as("a"), col("dst").as("b"))).count()
+        }
+        val (tCore, _) = time {
+          graft.pipeline.GraphAlgos.kCorePeel(edges, k = 10, rounds = 8).count()
+        }
+        val (tPr, _) = time {
+          graft.pipeline.GraphAlgos.pageRankFixedPoint(edges, iterations = 3).count()
+        }
+        val (tSt, _) = time {
+          graft.pipeline.GraphAlgos.stressCentrality(edges, seeds, rounds = 3).count()
+        }
+        val (tBw, _) = time {
+          graft.pipeline.GraphAlgos.betweennessCentrality(edges, seeds, rounds = 3).count()
+        }
+        println(f"[scale] top10-graph |E|=$e%9d  tri=$tTri%6.2f  kcore=$tCore%6.2f  " +
+          f"pr3=$tPr%6.2f  stress=$tSt%6.2f  betw=$tBw%6.2f s")
+        edges.unpersist()
+      }
+      for (n <- Seq(100000L, 1000000L)) substringProbe(spark, n)
+      for (n <- Seq(100000L, 1000000L)) streamDrainProbe(spark, n)
     }
   }
 }
