@@ -37,6 +37,13 @@ object BenchAnchors {
     "rel_pareto_days" -> 0.90,
     "rel_holt_linear" -> 0.60,
     "rel_page_hinkley" -> 0.50,
+    // r17 wave (tar roundtrip + model-eval gates): anchors = 2x the
+    // 5-rep quiet-box medians (1.03/0.31/0.31/0.21/0.31 s)
+    "multimodal_tar_roundtrip" -> 2.05,
+    "rel_calibration_bins" -> 0.62,
+    "rel_fdr_bh" -> 0.62,
+    "rel_roc_auc" -> 0.43,
+    "rel_lift_deciles" -> 0.63,
     "rel_ks_test" -> 0.70,
     "rel_kendall_tau" -> 1.05,
     "rel_spearman_rho" -> 0.80,
@@ -578,6 +585,12 @@ object BenchAnchors {
     * protocol), so their tripwires come from the unpolluted sessions
     * recorded in BASELINE.md round 14. */
   private def r14IsolatedTripwires: Seq[(String, Double)] = Seq(
+    // r17 wave (5-rep isolated quiet-box medians)
+    "multimodal_tar_roundtrip" -> 1.025,
+    "rel_calibration_bins" -> 0.311,
+    "rel_fdr_bh" -> 0.311,
+    "rel_roc_auc" -> 0.213,
+    "rel_lift_deciles" -> 0.314,
     // r14 new-gate tripwires (5-rep isolated quiet-box medians; the
     // sub-0.5 s rows carry the same session-depth margin as below)
     "rel_cohort_retention" -> 0.711,
