@@ -71,10 +71,20 @@ object Search {
     * blocks are released. Entries keep full lineage (persist, not
     * checkpoint), so memory-pressure eviction degrades to a re-scan,
     * never an error. */
-  private[index] final case class CachedInputs(
-      version: String,
-      payload: org.apache.spark.sql.Dataset[SegPayloadRow],
-      codebooks: org.apache.spark.sql.Dataset[CodebookRow]) {
+  /** Manifest-state partitions of the query fan-out (F2 dispatch):
+    * sealed+compacting ride the PQ/graph path, active+pending ride the
+    * brute scan, WRITING is invisible (in neither set). */
+  private val SealedStates: Set[String] =
+    Set(SegmentState.Sealed, SegmentState.Compacting)
+  private val BruteStates: Set[String] =
+    Set(SegmentState.Active, SegmentState.Pending)
+
+  // plain class, not a case class: entries are compared by identity
+  // only, and the synthetic equals/copy of a case class is dead weight
+  private[index] final class CachedInputs(
+      val version: String,
+      val payload: org.apache.spark.sql.Dataset[SegPayloadRow],
+      val codebooks: org.apache.spark.sql.Dataset[CodebookRow]) {
     /** Updated on every hit — the expireAfterAccess clock. */
     var lastAccess: Long = 0L
   }
@@ -140,13 +150,12 @@ object Search {
     * segment files. Parking precedes the drain so a zero grace period
     * still releases within the same sweep. Called under the cache lock. */
   private def sweep(now: Long): Unit = {
-    val expired = inputCache.collect {
-      case (p, e) if now - e.lastAccess > ttlNanos => p
-    }
+    val expired = inputCache.iterator
+      .filter(kv => now - kv._2.lastAccess > ttlNanos).map(_._1).toList
     expired.foreach { p => inputCache.remove(p).foreach(parkSuperseded(p, _, now)) }
     val due = graceList.filter(_._1 <= now)
     if (due.nonEmpty) {
-      due.foreach { case (_, _, e) => release(e) }
+      due.foreach(t => release(t._3))
       graceList.filterInPlace(_._1 > now)
     }
   }
@@ -168,8 +177,14 @@ object Search {
     * a temp index being rebuilt on data-fingerprint change). */
   def invalidate(storePath: String): Unit = inputCache.synchronized {
     inputCache.remove(storePath).foreach(release)
-    graceList.filter(_._2 == storePath).foreach { case (_, _, e) => release(e) }
-    graceList.filterInPlace(_._2 != storePath)
+    var i = 0
+    while (i < graceList.length) {
+      if (graceList(i)._2 == storePath) {
+        release(graceList(i)._3)
+        graceList.remove(i)
+        ()
+      } else i += 1
+    }
   }
 
   /** Test hooks: entry count and grace-list depth under the lock. */
@@ -219,7 +234,7 @@ object Search {
             .filter(col("segId").isin(sealedSegs: _*)).as[GraphRow]
             .map(g => SegPayloadRow(g.segId, g.vecId, null, g.neighbors)))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val entry = CachedInputs(version, payload, cb)
+        val entry = new CachedInputs(version, payload, cb)
         entry.lastAccess = now
         inputCache.put(store.path, entry)
         while (inputCache.size > maxCachedStores) {
@@ -257,12 +272,8 @@ object Search {
     val phaseSink = graft.util.EngineMetrics.forSession(spark).phaseSink
     val obsTag = observeId.incrementAndGet()
 
-    val sealedSegs = m.segments.collect {
-      case s if s.state == SegmentState.Sealed || s.state == SegmentState.Compacting => s.segId
-    }
-    val bruteSegs = m.segments.collect {
-      case s if s.state == SegmentState.Active || s.state == SegmentState.Pending => s.segId
-    }
+    val sealedSegs = m.segments.filter(s => SealedStates(s.state)).map(_.segId)
+    val bruteSegs = m.segments.filter(s => BruteStates(s.state)).map(_.segId)
 
     // collect the query batch (the KNN contract is a bounded batch) — the
     // analog of sending q to every segment task. Broadcast and searched
@@ -326,9 +337,12 @@ object Search {
                 if (r.code != null) codeMap.put(r.vecId, r.code)
                 else adj.put(r.vecId, r.neighbors)
               }
-              qB.value.iterator.flatMap { case (qid, q) =>
-                SegmentSearch.searchSealed(segId, cb, q, codeMap, adj, perSegLimit, params, phaseSink)
-                  .iterator.map(a => (qid, segId, a.vecId))
+              // accessor form, not a case-lambda: the tuple is total here
+              // and scalac's partial-function scaffold is pure dead weight
+              // on the per-query hot path
+              qB.value.iterator.flatMap { t =>
+                SegmentSearch.searchSealed(segId, cb, t._2, codeMap, adj, perSegLimit, params, phaseSink)
+                  .iterator.map(a => (t._1, segId, a.vecId))
               }
             }
           }.toDF("queryId", "segId", "vecId")
@@ -409,12 +423,8 @@ object Search {
     val phaseSink = graft.util.EngineMetrics.forSession(spark).phaseSink
     val obsTag = observeId.incrementAndGet()
 
-    val sealedSegs = m.segments.collect {
-      case s if s.state == SegmentState.Sealed || s.state == SegmentState.Compacting => s.segId
-    }
-    val bruteSegs = m.segments.collect {
-      case s if s.state == SegmentState.Active || s.state == SegmentState.Pending => s.segId
-    }
+    val sealedSegs = m.segments.filter(s => SealedStates(s.state)).map(_.segId)
+    val bruteSegs = m.segments.filter(s => BruteStates(s.state)).map(_.segId)
 
     val q = queriesDf
       .select(col("queryId").cast("long"), col("qv").cast("array<float>"))
@@ -441,10 +451,10 @@ object Search {
 
         val (payload, cbs) = sealedInputs(spark, store, sealedSegs, manifestVersion)
         val segs = sealedSegs.toArray
-        val qRep = q.as[(Long, Array[Float])].flatMap { case (qid, qv) =>
+        val qRep = q.as[(Long, Array[Float])].flatMap { t =>
           // floorMod: Int.MinValue.abs is still negative
-          val b = java.lang.Math.floorMod(java.lang.Long.hashCode(qid), numBuckets)
-          segs.iterator.map(sid => QueryRep(sid, b, qid, qv))
+          val b = java.lang.Math.floorMod(java.lang.Long.hashCode(t._1), numBuckets)
+          segs.iterator.map(sid => QueryRep(sid, b, t._1, t._2))
         }
         val leftSide = payload.flatMap { r =>
           Iterator.range(0, numBuckets).map(b =>
@@ -455,7 +465,8 @@ object Search {
         })
 
         val candidates = leftSide.groupByKey(r => (r.segId, r.bucket))
-          .cogroup(qRep.groupByKey(r => (r.segId, r.bucket))) { case ((segId, _), rows, qs) =>
+          .cogroup(qRep.groupByKey(r => (r.segId, r.bucket))) { (key, rows, qs) =>
+            val segId = key._1
             var cb: Pq.Codebook = null
             val codeMap = new mutable.HashMap[Int, Array[Byte]]()
             val adj = new mutable.HashMap[Int, Array[Int]]()
@@ -521,16 +532,14 @@ object Search {
         .groupByKey(_._1)
         .mapValues(r => (r._2, r._3, r._4))
         .agg(topkAgg.toColumn.name("topk"))
-        .flatMap { case (qid, tk) =>
-          tk.iterator.zipWithIndex.map { case ((gid, score, payload), i) =>
-            (qid, gid, score, payload, i + 1)
+        .flatMap { t =>
+          t._2.iterator.zipWithIndex.map { zi =>
+            (t._1, zi._1._1, zi._1._2, zi._1._3, zi._2 + 1)
           }
         }
         .toDF("queryId", "gid", "score", "payload", "rank")
-      val distance = metric match {
-        case Metric.L2     => -col("score")
-        case Metric.Cosine => lit(1.0) - col("score")
-      }
+      val distance =
+        if (metric eq Metric.L2) -col("score") else lit(1.0) - col("score")
       merged
         .withColumn("distance", distance)
         .select(col("queryId"), col("gid"), col("score"), col("distance"), col("payload"), col("rank"))
@@ -558,11 +567,12 @@ object Search {
   private[index] def scored(
       df: DataFrame,
       metric: Metric,
-      normalizeOnRead: Boolean = false): DataFrame = metric match {
-    case Metric.L2 =>
+      normalizeOnRead: Boolean = false): DataFrame =
+    // `eq`: Metric values are the parse() singletons, reference identity
+    if (metric eq Metric.L2) {
       val d = sqrt(vector.l2_squared(col("embedding"), col("qv")))
       df.withColumn("distance", d).withColumn("score", -col("distance"))
-    case Metric.Cosine =>
+    } else {
       val sim =
         if (normalizeOnRead) {
           val denom = vector.vec_norm(col("embedding")) * vector.vec_norm(col("qv"))
@@ -570,7 +580,7 @@ object Search {
             .otherwise(vector.vec_dot(col("embedding"), col("qv")) / denom)
         } else vector.cosine_sim(col("embedding"), col("qv"))
       df.withColumn("score", sim).withColumn("distance", lit(1.0) - col("score"))
-  }
+    }
 
   private def emptyResults(spark: SparkSession): DataFrame = {
     import spark.implicits._

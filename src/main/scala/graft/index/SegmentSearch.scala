@@ -212,8 +212,8 @@ object SegmentSearch {
     val tAdc = System.nanoTime()
     val lut = Pq.buildLut(cb, q)
     val approxAll = codeMap.iterator
-      .filter { case (_, codes) => codes != null && codes.length >= cb.m }
-      .map { case (vecId, codes) => Approx(vecId, Pq.adcDistance(lut, cb.k, codes)) }
+      .filter(t => t._2 != null && t._2.length >= cb.m)
+      .map(t => Approx(t._1, Pq.adcDistance(lut, cb.k, t._2)))
       .toIndexedSeq
       .sortBy(a => (a.approx, a.vecId))
     phases.adcScan(System.nanoTime() - tAdc)

@@ -139,4 +139,50 @@ class SearchEdgeSpec extends AnyFunSuite {
     val q = Seq((0L, Array(0.1f, 0.2f, 0.3f, 0.4f))).toDF("queryId", "qv")
     assert(Search.query(spark, idx.store, q, 5).count() == 0L)
   }
+
+  test("a sealed segment whose codebook vanished yields nothing, loudly-tolerantly, on BOTH query paths") {
+    // operational reality: a partially-restored store (codebooks lost,
+    // payload intact) must degrade to empty results, never throw or
+    // fabricate scores. Codebooks are deleted BEFORE the first query so
+    // the sealed-input cache never holds them.
+    val idx = newIndex()
+    idx.addAll(gaussianDf(50, 9), "embedding", "id")
+    idx.sealPending()
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx.store.codebooksDir))
+    val q = queriesOf(gaussianDf(50, 9), 3)
+    assert(Search.query(spark, idx.store, q, 5).count() == 0L)
+    assert(Search.queryDistributed(spark, idx.store, q, 5).count() == 0L)
+  }
+
+  test("COSINE metric rides the heap merge and the distributed path; normalizeOnRead agrees") {
+    val dir = Files.createTempDirectory("graft-edge-cos").toString
+    val store = new IndexStore(dir)
+    store.createOrOpen(IndexMeta("edgecos", dimension = 4, metric = "COSINE",
+      maxSegmentSize = 50, pqM = 2, pqK = 4, graphDegree = 4,
+      graphBuildBreadth = 16), 1000L)
+    val idx = new SegmentedIndex(spark, store)
+    idx.addAll(gaussianDf(40, 13), "embedding", "id")
+    idx.sealPending()
+    val q = queriesOf(gaussianDf(40, 13), 3)
+    val heap = Search.query(spark, store, q, 5)
+      .select("queryId", "gid", "score", "distance", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    assert(heap.length == 15)
+    // cosine distance must derive from score as 1 - score on the heap path
+    heap.foreach { case (_, _, score, dist, _) =>
+      assert(math.abs(dist - (1.0 - score)) < 1e-12)
+    }
+    val dist = Search.queryDistributed(spark, store, q, 5)
+      .select("queryId", "gid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(dist == heap.map(t => (t._1, t._2, t._5)).toSet,
+      "distributed cosine ranking must equal the bounded heap-merge ranking")
+    val nor = Search.query(spark, store, q, 5,
+      Some(SearchParams.defaults(5, 4).copy(normalizeOnRead = true)))
+      .select("queryId", "gid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(nor == heap.map(t => (t._1, t._2, t._5)).toSet,
+      "normalizeOnRead must not change the ranking on finite-norm data")
+  }
 }

@@ -86,4 +86,29 @@ class SegmentSearchSpec extends AnyFunSuite {
       strict.copy(maxIters = 4, refineFrontier = true))
     assert(refined.nonEmpty)
   }
+
+  test("unusable code maps return empty: no codes at all, then all-null codes") {
+    val (_, cb, _, adj) = buildSegment(50, 8, 21)
+    val q = Array.fill(8)(0.3f)
+    assert(SegmentSearch.searchSealed(0, cb, q, Map.empty[Int, Array[Byte]],
+      adj, 5, SearchParams.defaults(5, 2)).isEmpty)
+    val nulls: Map[Int, Array[Byte]] =
+      (0 until 50).map(i => i -> (null: Array[Byte])).toMap
+    assert(SegmentSearch.searchSealed(0, cb, q, nulls, adj, 5,
+      SearchParams.defaults(5, 2)).isEmpty)
+  }
+
+  test("minHops keeps a dead-end frontier alive the required hops, then terminates") {
+    // every node's adjacency is null: each hop produces nothing, so the
+    // frontier survives exactly minHops rounds and the search ends
+    // instead of hanging; the ADC seed ranking still comes back.
+    val (_, cb, codeMap, _) = buildSegment(30, 8, 22)
+    val noAdj: Map[Int, Array[Int]] =
+      (0 until 30).map(i => i -> (null: Array[Int])).toMap
+    val q = Array.fill(8)(0.1f)
+    val p = SearchParams(efSearch = 50, beamWidth = 4, maxIters = 6,
+      maxExplore = 4096, minHops = 3)
+    val out = SegmentSearch.searchSealed(0, cb, q, codeMap, noAdj, 5, p)
+    assert(out.forall(a => a.vecId >= 0 && a.vecId < 30))
+  }
 }
