@@ -1190,10 +1190,25 @@ object Dedup {
       .filter(col("df_docs").between(2, maxDf))
       .select("g")
     val pg = grams.join(keep, Seq("g"), "left_semi")
-    val pairs = pg.as("a").join(pg.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.p").as("pa"), col("b.p").as("pb"))
+    // Pair generation as ONE grouped aggregation + in-memory pairing
+    // instead of the posting-list SELF-JOIN (which shuffled + sorted the
+    // capped posting list TWICE as the two sort-merge legs): group the
+    // occurrences per gram — a single exchange on g — and emit the
+    // cross pairs with a codegen'd nested transform. Output rows are
+    // identical to the equi-join's (same doc_a < doc_b pairs, same
+    // positions); per-gram pair volume is the SAME Σ_g df(g)² the join
+    // produced, and the per-group buffer is bounded by the df cap
+    // applied above (≤ maxDf docs per gram — the boilerplate grams that
+    // would make a group unbounded never reach this aggregation).
+    val pairs = pg.groupBy(col("g"))
+      .agg(collect_list(struct(col("doc_id"), col("p"))).as("occ"))
+      .select(explode(expr(
+        "flatten(transform(occ, a -> transform(" +
+          "filter(occ, b -> b.doc_id > a.doc_id), " +
+          "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "a.p AS pa, b.p AS pb))))")).as("pr"))
+      .select(col("pr.doc_a"), col("pr.doc_b"),
+        col("pr.pa"), col("pr.pb"))
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
     val out = pairs.withColumn("diag", col("pa") - col("pb"))

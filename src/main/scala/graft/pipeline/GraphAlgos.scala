@@ -1029,12 +1029,27 @@ object GraphAlgos {
       edges: DataFrame,
       sources: Seq[Long],
       rounds: Int): DataFrame = {
-    require(rounds >= 1, "at least one BFS round")
-    require(sources.nonEmpty, "shortestPathCounts needs a non-empty seed set")
-    val spark = edges.sparkSession
-    import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     e.persist()
+    val out = shortestPathCountsOn(e, sources, rounds)
+    e.unpersist()
+    out
+  }
+
+  /** The forward-pass body over an ALREADY-persisted, long-cast edge
+    * set — shared with [[betweennessCentrality]] / [[stressCentrality]],
+    * whose backward passes reuse the SAME cached edges (the public entry
+    * used to persist and release its own copy, so each centrality gate
+    * re-derived the full edge set — typically a fact-table join +
+    * symmetrize distinct — a second time for the backward pass). */
+  private def shortestPathCountsOn(
+      e: DataFrame,
+      sources: Seq[Long],
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one BFS round")
+    require(sources.nonEmpty, "shortestPathCounts needs a non-empty seed set")
+    val spark = e.sparkSession
+    import spark.implicits._
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val n = nodes.count()
@@ -1043,12 +1058,19 @@ object GraphAlgos {
     def maybeBcast(df: DataFrame): DataFrame =
       if (bcast) broadcast(df) else df
 
-    var settled = sources.toDF("seed")
+    // settled state = the LIST of per-round frontier checkpoints, united
+    // lazily where needed — re-checkpointing the whole accumulated set
+    // every round (the previous shape) wrote O(rounds · settled) and its
+    // shuffle-side anti-join moved the settled set per round; the union
+    // of checkpointed leaves scans the same rows with NO re-write, and
+    // under the broadcast regime the anti-join ships the (seed×node)-
+    // sized settled keys once per round instead of shuffling both sides.
+    var frontier = sources.toDF("seed")
       .join(nodes, col("seed") === col("node"), "left_semi")
       .select(col("seed"), col("seed").as("node"),
         lit(0L).as("dist"), lit(1L).as("sigma"))
       .localCheckpoint()
-    var frontier = settled
+    var frontiers = List(frontier)
     for (r <- 1 to rounds) {
       val cand = e.join(
           maybeBcast(frontier.select(col("seed"), col("node").as("src"), col("sigma"))),
@@ -1056,18 +1078,18 @@ object GraphAlgos {
         .groupBy(col("seed"), col("dst"))
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("seed"), col("dst").as("node"), col("sigma"))
+      val settledKeys = frontiers
+        .map(_.select(col("seed"), col("node")))
+        .reduce(_ unionByName _)
       val fresh = cand
-        .join(settled.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
+        .join(maybeBcast(settledKeys), Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(r.toLong).as("dist"), col("sigma"))
         .localCheckpoint()
-      val nextSettled = settled.unionByName(fresh).localCheckpoint()
-      SparkShims.unpersistCheckpoint(settled)
-      if (r > 1) SparkShims.unpersistCheckpoint(frontier)
-      settled = nextSettled
+      frontiers ::= fresh
       frontier = fresh
     }
-    if (rounds >= 1 && (frontier ne settled)) SparkShims.unpersistCheckpoint(frontier)
-    e.unpersist()
+    val settled = frontiers.reduce(_ unionByName _).localCheckpoint()
+    frontiers.foreach(SparkShims.unpersistCheckpoint)
     settled
   }
 
@@ -1203,24 +1225,34 @@ object GraphAlgos {
       sources: Seq[Long],
       rounds: Int): DataFrame = {
     require(rounds >= 2, "betweenness needs at least an interior layer")
-    val fwd = shortestPathCounts(edges, sources, rounds).persist()
+    // one cast+persist shared by BOTH passes — the forward pass must not
+    // cache and release a private copy, or the (often join-derived) edge
+    // set is recomputed from source for the backward layers
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     e.persist()
+    val fwd = shortestPathCountsOn(e, sources, rounds).persist()
+    // backward layers are (seed × layer)-sized — broadcast them under the
+    // same node bound as the forward pass, or every layer's δ⋈edges join
+    // SHUFFLES the static edge set (delta is a LogicalRDD leaf whose size
+    // the planner cannot estimate, so it never converts on its own)
+    val bcast = fwd.count() <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df
     var delta = fwd.where(col("dist") === rounds)
       .select(col("seed"), col("node"), col("sigma"), lit(0.0).as("delta"))
       .localCheckpoint()
     var layers = List(delta)
     for (r <- (rounds - 1) to 1 by -1) {
-      val contrib = delta
-        .select(col("seed"), col("node").as("dst"),
-          ((lit(1.0) + col("delta")) / col("sigma")).as("share"))
-        .join(e, Seq("dst"))
+      val contrib = e.join(
+          maybeBcast(delta.select(col("seed"), col("node").as("dst"),
+            ((lit(1.0) + col("delta")) / col("sigma")).as("share"))),
+          Seq("dst"))
         .groupBy(col("seed"), col("src"))
         .agg(sum(col("share")).as("sh"))
         .select(col("seed"), col("src").as("node"), col("sh"))
       val layer = fwd.where(col("dist") === r)
         .select(col("seed"), col("node"), col("sigma"))
-      val dr = layer.join(contrib, Seq("seed", "node"), "left")
+      val dr = layer.join(maybeBcast(contrib), Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sigma"),
           (col("sigma") * coalesce(col("sh"), lit(0.0))).as("delta"))
         .localCheckpoint()
@@ -1261,21 +1293,29 @@ object GraphAlgos {
       sources: Seq[Long],
       rounds: Int): DataFrame = {
     require(rounds >= 2, "stress needs at least an interior layer")
-    val fwd = shortestPathCounts(edges, sources, rounds).persist()
+    // one cast+persist shared by both passes (see betweennessCentrality)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     e.persist()
+    val fwd = shortestPathCountsOn(e, sources, rounds).persist()
+    // same broadcast rule as betweennessCentrality: layer state is
+    // (seed × layer)-sized — without the hint each backward layer
+    // shuffles the static edge set into a sort-merge join
+    val bcast = fwd.count() <= BroadcastRankMaxNodes
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df
     var g = fwd.where(col("dist") === rounds)
       .select(col("seed"), col("node"), lit(1L).as("g"))
       .localCheckpoint()
     var layers = List(g)
     for (r <- (rounds - 1) to 1 by -1) {
-      val succSum = g.select(col("seed"), col("node").as("dst"), col("g"))
-        .join(e, Seq("dst"))
+      val succSum = e.join(
+          maybeBcast(g.select(col("seed"), col("node").as("dst"), col("g"))),
+          Seq("dst"))
         .groupBy(col("seed"), col("src"))
         .agg(sum(col("g")).as("sg"))
         .select(col("seed"), col("src").as("node"), col("sg"))
       val layer = fwd.where(col("dist") === r).select(col("seed"), col("node"))
-      val gr = layer.join(succSum, Seq("seed", "node"), "left")
+      val gr = layer.join(maybeBcast(succSum), Seq("seed", "node"), "left")
         .select(col("seed"), col("node"),
           (lit(1L) + coalesce(col("sg"), lit(0L))).as("g"))
         .localCheckpoint()
