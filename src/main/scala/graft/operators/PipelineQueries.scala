@@ -1624,20 +1624,26 @@ object PipelineQueries {
         src.filter(col("doc_id") >= n * b / 4 && col("doc_id") < n * (b + 1) / 4)))
       val tokDir = new java.io.File(root, "tok").toString
       val cellDir = new java.io.File(root, "cells").toString
-      val q = s.readStream.schema(src.schema)
-        .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val tp = Sketches.cmsTokenPartials(batch, "text")
-          tp.persist()
-          tp.write.mode("overwrite").parquet(s"$tokDir/b$batchId")
-          Sketches.cmsCellPartials(tp)
-            .write.mode("overwrite").parquet(s"$cellDir/b$batchId")
-          tp.unpersist()
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // per-batch partial width: the default 32-way shuffle writes 32
+      // tiny files per batch per table (×4 batches ×2 tables) that the
+      // finish pass then pays to list and open — size the partials to
+      // the batch volume (guide §6: fewer, larger output files)
+      StreamStage.withStateParts(s, 8) {
+        val q = s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val tp = Sketches.cmsTokenPartials(batch, "text")
+            tp.persist()
+            tp.write.mode("overwrite").parquet(s"$tokDir/b$batchId")
+            Sketches.cmsCellPartials(tp)
+              .write.mode("overwrite").parquet(s"$cellDir/b$batchId")
+            tp.unpersist()
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       Sketches.cmsFinish(
         s.read.option("recursiveFileLookup", "true").parquet(tokDir),
         s.read.option("recursiveFileLookup", "true").parquet(cellDir))

@@ -787,16 +787,21 @@ object RelationalQueries {
         src.filter(col("l_orderkey") >= n * b / 4 &&
           col("l_orderkey") < n * (b + 1) / 4)))
       val cellDir = new java.io.File(root, "cells").toString
-      val q = s.readStream.schema(src.schema)
-        .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.pipeline.Sketches.hdrCells(batch, "v", subBits = 5)
-            .write.mode("overwrite").parquet(s"$cellDir/b$batchId")
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // per-batch partial width (the stream_cms_merge sizing): the
+      // default 32-way shuffle writes 32 tiny cell files per batch that
+      // the finish pass then lists and opens — size to batch volume
+      StreamStage.withStateParts(s, 8) {
+        val q = s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1").parquet(filesDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.pipeline.Sketches.hdrCells(batch, "v", subBits = 5)
+              .write.mode("overwrite").parquet(s"$cellDir/b$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       graft.pipeline.Sketches.hdrQuantiles(
         s.read.option("recursiveFileLookup", "true").parquet(cellDir),
         subBits = 5, quantilesPerMille = Seq(10, 250, 500, 750, 900, 990, 999))
@@ -822,9 +827,12 @@ object RelationalQueries {
       // result sets in the session catalog
       Option(lastStreamView.getAndSet(name))
         .foreach(prev => s.catalog.dropTempView(prev))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // hours × types keys — size the state width to the key space
+      StreamStage.withStateParts(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).orderBy(col("hour_ts"), col("event_type"))
     }),
 
@@ -885,9 +893,14 @@ object RelationalQueries {
       val name = s"stream_late_${streamRunId.incrementAndGet()}"
       Option(lastStreamView.getAndSet(name))
         .foreach(prev => s.catalog.dropTempView(prev))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // state sized to the key space (hours × types; the stream_decay
+      // precedent): 4 micro-batches × 32 default stores is pure
+      // open/snapshot/commit overhead for a few-hundred-key window agg
+      StreamStage.withStateParts(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val out = s.table(name)
       require(out.filter(col("event_type") === "sentinel").isEmpty,
         "sentinel window must stay above the final watermark")
@@ -914,9 +927,12 @@ object RelationalQueries {
       val name = s"stream_sliding_${streamRunId.incrementAndGet()}"
       Option(lastSlideView.getAndSet(name))
         .foreach(prev => s.catalog.dropTempView(prev))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // 2× hours × types keys — size the state width to the key space
+      StreamStage.withStateParts(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).orderBy(col("win_start"), col("event_type"))
     }),
 
@@ -944,9 +960,12 @@ object RelationalQueries {
       val name = s"stream_enrich_${streamRunId.incrementAndGet()}"
       Option(lastEnrichView.getAndSet(name))
         .foreach(prev => s.catalog.dropTempView(prev))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // hours × segments keys — size the state width to the key space
+      StreamStage.withStateParts(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).orderBy(col("hour_ts"), col("c_mktsegment"))
     }),
 
@@ -1109,9 +1128,12 @@ object RelationalQueries {
       val name = s"stream_sessionize_${streamRunId.incrementAndGet()}"
       Option(lastSessView.getAndSet(name))
         .foreach(prev => s.catalog.dropTempView(prev))
-      val q = sessions.toDF().writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // 50 user keys — size the state width to the key space
+      StreamStage.withStateParts(s, 8) {
+        val q = sessions.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("session_start"), round(col("session_value"), 4).as("session_value"))
@@ -2110,9 +2132,13 @@ object RelationalQueries {
         val name = s"stream_tws_${streamRunId.incrementAndGet()}"
         Option(lastStreamView.getAndSet(name))
           .foreach(prev => s.catalog.dropTempView(prev))
-        val q = snapshots.toDF().writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        // 50 user keys on ROCKSDB stores (an instance per store — the
+        // per-store setup cost is far above the HDFS provider's)
+        StreamStage.withStateParts(s, 4) {
+          val q = snapshots.toDF().writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.table(name).orderBy(col("user_id"), col("n_events"))
       } finally {
         prevProvider match {
@@ -2205,9 +2231,12 @@ object RelationalQueries {
       val name = s"stream_wtopk_${streamRunId.incrementAndGet()}"
       Option(lastStreamView.getAndSet(name))
         .foreach(prev => s.catalog.dropTempView(prev))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // hours × types keys — size the state width to the key space
+      StreamStage.withStateParts(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val w = Window.partitionBy(col("hour_ts"))
         .orderBy(col("n_events").desc, col("event_type"))
       s.table(name)
@@ -2382,9 +2411,12 @@ object RelationalQueries {
       val name = s"stream_sesw_${streamRunId.incrementAndGet()}"
       Option(lastStreamView.getAndSet(name))
         .foreach(prev => s.catalog.dropTempView(prev))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // bounded user key space — size the state width to it
+      StreamStage.withStateParts(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
       s.table(name)
         .filter(col("session_start") < "2099-01-01")
@@ -2508,9 +2540,12 @@ object RelationalQueries {
       val name = s"stream_psi_${streamRunId.incrementAndGet()}"
       Option(lastPsiView.getAndSet(name))
         .foreach(prev => s.catalog.dropTempView(prev))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // per-type × 10-bin histogram state — a handful of keys
+      StreamStage.withStateParts(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(col("event_type"), col("n_base"), col("n_curr"),
           round(col("psi"), 6).as("psi"))
@@ -3316,9 +3351,13 @@ object RelationalQueries {
       val name = s"stream_cusum_${streamRunId.incrementAndGet()}"
       Option(lastCusumView.getAndSet(name))
         .foreach(prev => s.catalog.dropTempView(prev))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // state sized to the key space (types × hours — the stream_decay
+      // precedent; 4 micro-batches on 32 default stores is fixed cost)
+      StreamStage.withStateParts(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       cusumOverHourly(s.table(name))
     }),
 

@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions.lit
  */
 object StreamStage {
 
+  /** State-store width sizing for a stateful streaming drain (the
+    * stream_decay / stream_interval_join precedent, generalized): the
+    * state shuffle width is pinned by `spark.sql.shuffle.partitions` at
+    * batch 0, and every micro-batch pays per-store open/snapshot/commit
+    * overhead — 32 stores for a few-hundred-key aggregate is pure fixed
+    * cost. Gates size the width to their key space / arrival rate and
+    * restore the session default afterwards; a 100 TB deployment sets
+    * the same knob to cluster scale. */
+  def withStateParts[T](
+      s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def stageBatches(
       root: java.io.File,
       filesDir: java.io.File,

@@ -321,6 +321,20 @@ object GraphAlgos {
     * automatically. */
   val BroadcastAdjacencyMaxEdges: Long = 8L * 1000 * 1000
 
+  /** Floor under which the degree/adjacency broadcast is NOT worth its
+    * fixed build latency: each broadcast is a separate collect + hashed-
+    * relation build + ship (~tens of ms even for a few KB), while the
+    * sort-merge exchange it replaces costs time LINEAR in the edge count
+    * — measured on the sf0.1 gates: the ~900k-edge co-purchase
+    * orientation gains 0.4 s from broadcasting, the ~20k-edge capped
+    * truss graph LOSES ~1 s to per-round broadcast builds. Below the
+    * floor both plans' data movement is trivial, so the fixed cost
+    * dominates; above it the linear term does. Tunable per deployment
+    * via `-Dgraft.graph.broadcastStructMinEdges`. */
+  def BroadcastStructMinEdges: Long =
+    sys.props.get("graft.graph.broadcastStructMinEdges")
+      .map(_.toLong).getOrElse(200L * 1000)
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     // the input edge set is typically the expensive part (a fact-table
     // self-join + distinct); orientation consumes it twice (degree agg,
@@ -334,9 +348,13 @@ object GraphAlgos {
     // the oriented set feeds all three legs of the intersection join —
     // persist it (src/dst only; the order key `dd` has no consumer on
     // this path), or the degree join is computed thrice
-    val o = orientByDegree(e).select(col("src"), col("dst")).persist()
-    val counts = wedgeClose(o, broadcastAdj = nEdges <= BroadcastAdjacencyMaxEdges)
-      .localCheckpoint() // materialize (≤ |V| rows) before releasing e/o
+    val bcast = nEdges <= BroadcastAdjacencyMaxEdges &&
+      nEdges >= BroadcastStructMinEdges
+    val o = orientByDegree(e, broadcastDeg = bcast)
+      .select(col("src"), col("dst")).persist()
+    // wedgeClose is eager (returns its counts checkpointed), so e/o can
+    // be released as soon as it returns
+    val counts = wedgeClose(o, broadcastAdj = bcast)
     o.unpersist()
     e.unpersist()
     counts
@@ -347,13 +365,20 @@ object GraphAlgos {
     * the order key a wedge-ORDERING consumer needs (the hub-star wedge
     * property in GraphAlgosSpec builds on it); the intersection-form
     * [[wedgeClose]] reads only (src, dst). */
-  private[pipeline] def orientByDegree(e: DataFrame): DataFrame = {
+  private[pipeline] def orientByDegree(
+      e: DataFrame, broadcastDeg: Boolean = false): DataFrame = {
+    // the degree table is node-sized — under the same size bound the
+    // adjacency broadcast uses, ship it to both joins instead of
+    // exchanging + sorting the EDGE set twice (the planner cannot see
+    // the aggregate's size, so it never converts on its own)
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (broadcastDeg) broadcast(df) else df
     val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val fwd = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    e.join(deg.select(col("n").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    e.join(maybeBcast(deg.select(col("n").as("a"), col("d").as("da"))), "a")
+      .join(maybeBcast(deg.select(col("n").as("b"), col("d").as("db"))), "b")
       .select(
         when(fwd, col("a")).otherwise(col("b")).as("src"),
         when(fwd, col("b")).otherwise(col("a")).as("dst"),
@@ -373,12 +398,21 @@ object GraphAlgos {
     * collect_list safe on a skewed 100 TB graph. */
   private[pipeline] def wedgeClose(o: DataFrame,
       broadcastAdj: Boolean = false): DataFrame = {
-    val tris = closedWedges(o, broadcastAdj)
+    // the triangle set feeds THREE credit legs — materialize it once
+    // (eager, closed-wedge-sized) or each union leg re-runs the whole
+    // adjacency join + merge-walk intersect (measured 3× the close
+    // stage's cost on the sf0.1 co-purchase graph). Returns the
+    // node-sized counts ALREADY checkpointed so the triangle rows can
+    // be released here rather than leak to the caller.
+    val tris = closedWedges(o, broadcastAdj).localCheckpoint()
     val credits = tris
       .select(col("src").as("node"), size(col("ws")).cast("long").as("c"))
       .unionByName(tris.select(col("dst").as("node"), size(col("ws")).cast("long").as("c")))
       .unionByName(tris.select(explode(col("ws")).as("node"), lit(1L).as("c")))
-    credits.groupBy(col("node")).agg(sum(col("c")).as("n_triangles"))
+    val counts = credits.groupBy(col("node")).agg(sum(col("c")).as("n_triangles"))
+      .localCheckpoint()
+    SparkShims.unpersistCheckpoint(tris)
+    counts
   }
 
   /** The triangle SET under a degree orientation, one row per oriented
@@ -454,13 +488,28 @@ object GraphAlgos {
     * consumes it four times (orientation degrees, both join sides,
     * the zero-fill left join). */
   def cappedSupport(edges: DataFrame,
-      degreeCap: Int = Int.MaxValue): DataFrame =
-    supportOn(degreeCappedCanonical(edges, degreeCap).localCheckpoint())
+      degreeCap: Int = Int.MaxValue): DataFrame = {
+    val e = degreeCappedCanonical(edges, degreeCap).localCheckpoint()
+    val nE = e.count()
+    val out = supportOn(e,
+      nE <= BroadcastAdjacencyMaxEdges && nE >= BroadcastStructMinEdges)
+    SparkShims.unpersistCheckpoint(e) // supportOn is eager — e is consumed
+    out
+  }
 
   /** Support body over an ALREADY materialized canonical edge set —
-    * shared by [[cappedSupport]] and each [[kTrussPeel]] round. */
-  private def supportOn(e: DataFrame): DataFrame = {
-    val tris = closedWedges(orientByDegree(e))
+    * shared by [[cappedSupport]] and each [[kTrussPeel]] round. `bcast`
+    * is the caller's size-aware degree/adjacency broadcast decision
+    * (same bound as [[triangleCounts]]); callers price it ONCE — the
+    * previous shape never passed the flag, so every truss round
+    * sort-merge-joined the edge set against its own degree table. */
+  private def supportOn(e: DataFrame, bcast: Boolean): DataFrame = {
+    // materialize the triangle set once (same 3-reference fan-out as
+    // [[wedgeClose]] — without this each credit leg re-runs the whole
+    // support join); the returned support table is checkpointed so the
+    // triangle rows can be released before returning
+    val tris = closedWedges(orientByDegree(e, broadcastDeg = bcast), bcast)
+      .localCheckpoint()
     val cred = tris.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"),
@@ -473,7 +522,10 @@ object GraphAlgos {
           greatest(col("dst"), col("w")).as("b"), lit(1L).as("c")))
     val sup = cred.groupBy(col("a"), col("b"))
       .agg(sum(col("c")).cast("long").as("support"))
-    e.join(sup, Seq("a", "b"), "left").na.fill(0L, Seq("support"))
+    val out = e.join(sup, Seq("a", "b"), "left").na.fill(0L, Seq("support"))
+      .localCheckpoint()
+    SparkShims.unpersistCheckpoint(tris)
+    out
   }
 
   /** Per-PAIR common-neighbor counts over the degree-capped graph:
@@ -517,15 +569,26 @@ object GraphAlgos {
     require(k >= 3, "k-truss needs k >= 3")
     require(rounds >= 1, "at least one peel round")
     var cur = degreeCappedCanonical(edges, degreeCap).localCheckpoint()
+    // one size decision for all rounds: the survivor set only SHRINKS,
+    // so a ≤-bound decision taken on the initial capped set stays valid
+    // (a set that starts under the broadcast floor stays under it)
+    val nE = cur.count()
+    val bcast =
+      nE <= BroadcastAdjacencyMaxEdges && nE >= BroadcastStructMinEdges
+    // supportOn is eager (returns its support table checkpointed), so a
+    // round's survivor set is a cheap filter VIEW over that checkpoint —
+    // re-materializing the filtered rows per round would write the
+    // edge-sized state twice per round for nothing
+    var curCkpt = cur
+    var curView: DataFrame = cur
     for (_ <- 1 to rounds) {
-      val next = supportOn(cur)
-        .where(col("support") >= k - 2)
+      val sup = supportOn(curView, bcast)
+      SparkShims.unpersistCheckpoint(curCkpt)
+      curCkpt = sup
+      curView = sup.where(col("support") >= k - 2)
         .select(col("a"), col("b"))
-        .localCheckpoint()
-      SparkShims.unpersistCheckpoint(cur)
-      cur = next
     }
-    cur
+    curView
   }
 
   /**

@@ -654,20 +654,32 @@ object TextAnalysis {
         |  transform(sequence(1, size(t) - 1),
         |    i -> struct(t[i-1] AS w1, try_element_at(t, i + 2) AS w2)))
         |""".stripMargin)
+    // pairs' upstream is the regex tokenizer + window-2 fan-out — the
+    // chain's dominant CPU. It feeds the vocab union (2 scans), the edge
+    // dictionary join, and (via vocab) the final rank join-back: persist
+    // it, and checkpoint the (small, distinct-word-sized) vocab once so
+    // the id dictionary is never re-derived from raw text again.
     val pairs = base.select(explode(gen).as("b"))
       .filter(col("b.w2").isNotNull && col("b.w1") =!= col("b.w2"))
       .select(col("b.w1").as("wa"), col("b.w2").as("wb"))
+    pairs.persist()
     val vocab = pairs.select(col("wa").as("word"))
       .union(pairs.select(col("wb").as("word"))).distinct()
       .withColumn("node",
         row_number().over(Window.orderBy(col("word"))).cast("long"))
+      .localCheckpoint()
     val va = vocab.select(col("word").as("__wa"), col("node").as("src"))
     val vb = vocab.select(col("word").as("__wb"), col("node").as("dst"))
     val e = pairs
       .join(broadcast(va), col("wa") === col("__wa"))
       .join(broadcast(vb), col("wb") === col("__wb"))
       .select(col("src"), col("dst"))
-    GraphAlgos.pageRankFixedPoint(GraphAlgos.symmetrize(e), iterations = 3)
+    // pageRankFixedPoint materializes its rounds eagerly — pairs is
+    // fully consumed when it returns
+    val ranks = GraphAlgos.pageRankFixedPoint(
+      GraphAlgos.symmetrize(e), iterations = 3)
+    pairs.unpersist()
+    ranks
       .join(broadcast(vocab.select(col("word"), col("node").as("__n"))),
         col("node") === col("__n"))
       .select(col("word"), col("rank_fp"))

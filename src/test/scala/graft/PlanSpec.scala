@@ -689,16 +689,15 @@ class PlanSpec extends AnyFunSuite {
       "merge-walk close, equi-joins only") {
     // graph_edge_support / graph_motif_square / graph_k_truss all call
     // GraphAlgos.{cappedSupport, cappedWedgePairs, kTrussPeel} since
-    // r16 (verdict r15 items 3+5). Edge support must stay in the
-    // adjacency-INTERSECTION form — the sorted_intersect merge walk
-    // over degree-oriented adjacency (|E| wide rows, O(√m) arrays) —
-    // and no wedge gate may plan a cartesian or nested-loop join.
-    // (k_truss's peel rounds collapse behind their localCheckpoints;
-    // the same supportOn body that edge_support pins IS the round body,
-    // so the intersection-form pin covers the peel too.)
-    val pe = plan("graph_edge_support")
-    assert(pe.contains("sorted_intersect"),
-      s"edge support left the merge-walk intersection form:\n$pe")
+    // r16 (verdict r15 items 3+5). The support body is EAGER since the
+    // r16 optimization round (its triangle set feeds three credit legs
+    // and is checkpointed once — the final gate plans are LogicalRDD
+    // tails), so the adjacency-INTERSECTION form (sorted_intersect merge
+    // walk, broadcast adjacency) is pinned at step level on the lazy
+    // closedWedges stage in GraphAlgosSpec ("close plan: merge-walk
+    // kernel present" + the per-iteration no-cartesian pin). Here we
+    // keep the gate-level no-cartesian sweep over whatever stays in
+    // front of the checkpoints (edge derivation, final aggregates).
     for (q <- Seq("graph_edge_support", "graph_motif_square", "graph_k_truss")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -69,8 +69,10 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(!stepPlan.contains("BroadcastNestedLoopJoin") &&
       !stepPlan.contains("CartesianProduct"), stepPlan)
 
-    val triPlan = GraphAlgos.triangleJoin(
-        Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b"))
+    // wedgeClose is eager since r16 (the triangle set feeds three credit
+    // legs and is checkpointed once) — pin the lazy close stage instead
+    val triPlan = GraphAlgos.closedWedges(GraphAlgos.orientByDegree(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")))
       .queryExecution.executedPlan.toString
     assert(!triPlan.contains("BroadcastNestedLoopJoin") &&
       !triPlan.contains("CartesianProduct"), triPlan)
@@ -190,7 +192,9 @@ class GraphAlgosSpec extends AnyFunSuite {
     val o = GraphAlgos.orientByDegree(
       edges.select(col("a").cast("long"), col("b").cast("long")))
       .select(col("src"), col("dst"))
-    val pb = GraphAlgos.wedgeClose(o, broadcastAdj = true)
+    // the lazy close stage (wedgeClose itself is eager since r16 — its
+    // checkpointed output plan is just a LogicalRDD scan)
+    val pb = GraphAlgos.closedWedges(o, broadcastAdj = true)
       .queryExecution.executedPlan.toString
     assert(pb.contains("sorted_intersect"), s"close must use the merge-walk kernel:\n$pb")
     assert(pb.contains("BroadcastHashJoin"), s"adjacency must broadcast when under the bound:\n$pb")

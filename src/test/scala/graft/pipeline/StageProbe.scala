@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage-level measurement for checkpoint-internal plans (test scope).
+  * The registered gates checkpoint their iterative/expensive stages, so
+  * a gate-level explain shows only the LogicalRDD tail — this tool
+  * rebuilds the interesting internal stage LAZILY at sf scale, prints
+  * its formatted plan, and times it against the noop sink (guide §1.4).
+  *
+  * Usage: sbt "Test/runMain graft.pipeline.StageProbe <stage> [sfDir] [reps]"
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("stage-probe").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def copurchaseParts: DataFrame = {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+    }
+
+    def time(label: String, df: => DataFrame): Unit = {
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        spark.sparkContext.setJobDescription(label)
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[stage] $label rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
+
+    args(0) match {
+      case "tri_edges" =>
+        time("tri_edges", copurchaseParts)
+      case "tri_orient" =>
+        val e = copurchaseParts.persist(); e.count()
+        time("tri_orient_smj", GraphAlgos.orientByDegree(e).select(col("src"), col("dst")))
+        time("tri_orient_bhj", GraphAlgos.orientByDegree(e, broadcastDeg = true)
+          .select(col("src"), col("dst")))
+      case "tri_close" =>
+        val e = copurchaseParts.persist()
+        val n = e.count()
+        val o = GraphAlgos.orientByDegree(e).select(col("src"), col("dst")).persist()
+        o.count()
+        val bc = n <= GraphAlgos.BroadcastAdjacencyMaxEdges
+        time("tri_close", GraphAlgos.wedgeClose(o, broadcastAdj = bc))
+        println(GraphAlgos.wedgeClose(o, broadcastAdj = bc)
+          .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      case "heavy" =>
+        // phase breakdown of HeavyBench.run (vec_heavy_seal_query)
+        import graft.core.{IndexMeta, SearchParams, SegmentState}
+        import graft.index.{IndexStore, ManifoldData, Search, SegmentedIndex}
+        import spark.implicits._
+        (1 to reps).foreach { i =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft-heavy-probe").toString
+          try {
+            def ms(t0: Long): String = f"${(System.nanoTime() - t0) / 1e9}%.3f s"
+            val data = spark.range(graft.HeavyBench.N)
+              .map(id => (id, ManifoldData.vectorFor(id)))
+              .toDF("vec_id", "embedding")
+            val store = new IndexStore(tmp)
+            store.createOrOpen(IndexMeta("heavy_bench", dimension = ManifoldData.Dim,
+              maxSegmentSize = graft.HeavyBench.SegmentSize, pqM = 16, pqK = 256,
+              graphDegree = 48, graphBuildBreadth = 128, graphAlpha = 1.2,
+              oversample = 4), System.currentTimeMillis())
+            val idx = new SegmentedIndex(spark, store)
+            var t0 = System.nanoTime()
+            idx.addAll(data, "embedding", "vec_id")
+            println(s"[stage] heavy rep $i addAll: ${ms(t0)}")
+            t0 = System.nanoTime()
+            idx.sealPending()
+            println(s"[stage] heavy rep $i seal: ${ms(t0)}")
+            t0 = System.nanoTime()
+            val queriesDf = spark.range(graft.HeavyBench.NumQueries.toLong)
+              .map(q => (q, ManifoldData.queryFor(q)))
+              .toDF("queryId", "qv")
+            val approx = Search.query(spark, store, queriesDf, graft.HeavyBench.K,
+                Some(SearchParams.defaults(graft.HeavyBench.K, oversample = 4)))
+              .select(col("queryId"), col("gid")).as[(Long, Long)].collect()
+            println(s"[stage] heavy rep $i query: ${ms(t0)} (${approx.length} rows)")
+            t0 = System.nanoTime()
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("queryId")).orderBy(col("d2").asc, col("gid").asc)
+            val truth = store.readVectors(spark).filter(!col("deleted"))
+              .crossJoin(broadcast(queriesDf))
+              .withColumn("d2", graft.functions.vector.l2_squared(col("embedding"), col("qv")))
+              .withColumn("rnk", row_number().over(w))
+              .filter(col("rnk") <= graft.HeavyBench.K)
+              .select(col("queryId"), col("gid")).count()
+            println(s"[stage] heavy rep $i truth: ${ms(t0)} ($truth rows)")
+          } finally {
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          }
+        }
+      case other =>
+        println(s"unknown stage: $other")
+    }
+    spark.stop()
+  }
+}
