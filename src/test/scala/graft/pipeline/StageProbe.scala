@@ -63,6 +63,73 @@ object StageProbe {
         time("tri_close", GraphAlgos.wedgeClose(o, broadcastAdj = bc))
         println(GraphAlgos.wedgeClose(o, broadcastAdj = bc)
           .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      case "ecc" =>
+        // graph_eccentricity stage breakdown: edge build+symmetrize,
+        // then the 6-round 8-seed forward pass
+        def eccEdges: DataFrame = {
+          val o = spark.read.parquet(s"$dir/orders.parquet")
+            .select(col("o_orderkey"), col("o_custkey"))
+          val li = spark.read.parquet(s"$dir/lineitem.parquet")
+            .select(col("l_orderkey"), col("l_suppkey"))
+          GraphAlgos.symmetrize(o.join(li, col("o_orderkey") === col("l_orderkey"))
+            .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")))
+        }
+        time("ecc_edges", eccEdges)
+        (1 to reps).foreach { i =>
+          val t0 = System.nanoTime()
+          val fwd = GraphAlgos.shortestPathCounts(eccEdges,
+            sources = Seq(2L, 4L, 6L, 8L, 10L, 12L, 14L, 16L), rounds = 6)
+          println(f"[stage] ecc_forward rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (${fwd.count()} rows)")
+        }
+      case "ecc_rounds" =>
+        // per-round cost split of the forward pass (replicates
+        // shortestPathCountsOn with timers around each sub-action)
+        import org.apache.spark.sql.graft.SparkShims
+        val o = spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val edges = GraphAlgos.symmetrize(
+          o.join(li, col("o_orderkey") === col("l_orderkey"))
+            .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")))
+        val sources = Seq(2L, 4L, 6L, 8L, 10L, 12L, 14L, 16L)
+        val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        e.persist()
+        var t0 = System.nanoTime()
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+        val n = nodes.count()
+        println(f"[stage] er nodes+materialize: ${(System.nanoTime() - t0) / 1e9}%.3f s (n=$n)")
+        import spark.implicits._
+        var frontier = sources.toDF("seed")
+          .join(nodes, col("seed") === col("node"), "left_semi")
+          .select(col("seed"), col("seed").as("node"),
+            lit(0L).as("dist"), lit(1L).as("sigma"))
+          .localCheckpoint()
+        var frontiers = List(frontier)
+        for (r <- 1 to 6) {
+          t0 = System.nanoTime()
+          val cand = e.join(
+              broadcast(frontier.select(col("seed"), col("node").as("src"), col("sigma"))),
+              Seq("src"))
+            .groupBy(col("seed"), col("dst"))
+            .agg(sum(col("sigma")).as("sigma"))
+            .select(col("seed"), col("dst").as("node"), col("sigma"))
+          val settledKeys = frontiers
+            .map(_.select(col("seed"), col("node")))
+            .reduce(_ unionByName _)
+          val fresh = cand
+            .join(broadcast(settledKeys), Seq("seed", "node"), "left_anti")
+            .select(col("seed"), col("node"), lit(r.toLong).as("dist"), col("sigma"))
+            .localCheckpoint()
+          println(f"[stage] er round $r: ${(System.nanoTime() - t0) / 1e9}%.3f s (${fresh.count()} fresh)")
+          frontiers ::= fresh
+          frontier = fresh
+        }
+        t0 = System.nanoTime()
+        val settled = frontiers.reduce(_ unionByName _).localCheckpoint()
+        println(f"[stage] er final union: ${(System.nanoTime() - t0) / 1e9}%.3f s (${settled.count()} rows)")
+        frontiers.foreach(SparkShims.unpersistCheckpoint)
       case "heavy" =>
         // phase breakdown of HeavyBench.run (vec_heavy_seal_query)
         import graft.core.{IndexMeta, SearchParams, SegmentState}
