@@ -62,6 +62,58 @@ object Distances {
     acc
   }
 
+  /** Early-abandoning variant of [[l2SquaredRange]] for THRESHOLD / ARGMIN
+    * decisions only: identical accumulation order, but once the running
+    * sum exceeds `bound` it returns the partial sum immediately. Summands
+    * are non-negative, so the completed value can only be ≥ the returned
+    * partial — any caller comparison of the form `d < bound` or
+    * `d <= bound` is already decided (false), which makes decisions
+    * bit-identical to the full kernel while skipping the remaining lanes.
+    * An abandoned return is NOT the distance — never store or rank by it.
+    * Under `-Dgraft.simd=1` it computes the full SIMD value (no abandon)
+    * so the opt-in path keeps exactly its existing semantics. */
+  def l2SquaredRangeBounded(
+      a: Array[Float], aOff: Int, b: Array[Float], bOff: Int, len: Int,
+      bound: Double): Double = {
+    if (simdEnabled) return graft.simd.SimdKernels.l2SquaredRange(a, aOff, b, bOff, len)
+    var acc = 0.0
+    var i = 0
+    while (i < len) {
+      var lim = i + 16
+      if (lim > len) lim = len
+      while (i < lim) {
+        val d = a(aOff + i).toDouble - b(bOff + i).toDouble
+        acc += d * d
+        i += 1
+      }
+      if (acc > bound) return acc
+    }
+    acc
+  }
+
+  /** [[l2Squared]] with the [[l2SquaredRangeBounded]] early-abandon
+    * contract (threshold/argmin decisions only). Checks the bound every
+    * 128 lanes — full-dim callers (α-prune dominance tests) benefit from
+    * abandoning a 768-dim sum halfway, but a tighter check cadence costs
+    * more vectorization than it saves (measured). */
+  def l2SquaredBounded(a: Array[Float], b: Array[Float], bound: Double): Double = {
+    if (simdEnabled) return graft.simd.SimdKernels.l2Squared(a, b)
+    val len = a.length
+    var acc = 0.0
+    var i = 0
+    while (i < len) {
+      var lim = i + 128
+      if (lim > len) lim = len
+      while (i < lim) {
+        val d = a(i).toDouble - b(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      if (acc > bound) return acc
+    }
+    acc
+  }
+
   /** Euclidean distance (reference: Distances.java:31-33). */
   def l2(a: Array[Float], b: Array[Float]): Double = math.sqrt(l2Squared(a, b))
 

@@ -112,9 +112,17 @@ object GraphAlgos {
         e.unpersist()
         shaped
       }
-    var ranks = nodes.withColumn("rank_fp", lit(r0)).localCheckpoint()
+    // deg rides IN the iteration state (node, deg, rank_fp): the former
+    // per-round rank⋈deg join — and in the broadcast regime its per-round
+    // broadcast BUILD job — becomes a one-time left join at init. The
+    // contribution rows are identical (inner-join rows = deg-not-null
+    // rows), so every round's integer math is unchanged.
+    var ranks = nodes
+      .join(deg, col("node") === col("deg_node"), "left")
+      .select(col("node"), col("deg"), lit(r0).as("rank_fp"))
+      .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val next = pageRankStep(eJ, nodes, deg, ranks, base, alphaNum, alphaDen,
+      val next = pageRankStep(eJ, ranks, base, alphaNum, alphaDen,
           broadcastRanks = bcastRanks)
         .localCheckpoint()
       SparkShims.unpersistCheckpoint(ranks) // release the superseded round
@@ -122,7 +130,7 @@ object GraphAlgos {
     }
     if (bcastRanks) e.unpersist() else SparkShims.unpersistCheckpoint(eJ)
     nodes.unpersist(); deg.unpersist()
-    ranks
+    ranks.select(col("node"), col("rank_fp"))
   }
 
   /** Node-count bound for broadcasting the per-round rank-side tables
@@ -185,23 +193,30 @@ object GraphAlgos {
     val bcast = n <= BroadcastRankMaxNodes
     def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
 
-    var ranks = nodes.withColumn("rank_fp", lit(r0)).localCheckpoint()
+    // out-weight rides IN the state (see pageRankFixedPoint's deg): the
+    // per-round rank⋈outW join and its broadcast build collapse into a
+    // one-time left join at init; per-edge integer math unchanged
+    var ranks = nodes
+      .join(maybeBcast(outW), col("node") === col("w_node"), "left")
+      .select(col("node"), col("ow"), lit(r0).as("rank_fp"))
+      .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val rw = ranks.join(maybeBcast(outW), col("node") === col("w_node"))
+      val rw = ranks.where(col("ow").isNotNull)
         .select(col("node").as("r_src"), col("rank_fp"), col("ow"))
       val inSum = e.join(maybeBcast(rw), col("src") === col("r_src"))
         .select(col("dst"),
           expr(s"($alphaNum * rank_fp * w) div ($alphaDen * ow)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
         .select(col("dst").as("in_node"), col("in_c"))
-      val next = nodes.join(maybeBcast(inSum), col("node") === col("in_node"), "left")
-        .select(col("node"), (lit(base) + coalesce(col("in_c"), lit(0L))).as("rank_fp"))
+      val next = ranks.join(maybeBcast(inSum), col("node") === col("in_node"), "left")
+        .select(col("node"), col("ow"),
+          (lit(base) + coalesce(col("in_c"), lit(0L))).as("rank_fp"))
         .localCheckpoint()
       SparkShims.unpersistCheckpoint(ranks)
       ranks = next
     }
     nodes.unpersist(); outW.unpersist(); e.unpersist()
-    ranks
+    ranks.select(col("node"), col("rank_fp"))
   }
 
   /** Edge layout for the partitioned regime: hash-partitioned and
@@ -222,29 +237,35 @@ object GraphAlgos {
 
   /** One PageRank round, lazy — split out so the per-iteration physical
     * plan stays pinnable in GraphAlgosSpec (the checkpoint in the loop
-    * reduces the public query's plan to a LogicalRDD scan). */
+    * reduces the public query's plan to a LogicalRDD scan). `state`
+    * carries (node, deg, rank_fp) with deg NULL for sink nodes. */
   private[pipeline] def pageRankStep(
-      e: DataFrame, nodes: DataFrame, deg: DataFrame, ranks: DataFrame,
+      e: DataFrame, state: DataFrame,
       base: Long, alphaNum: Long, alphaDen: Long,
       broadcastRanks: Boolean = false): DataFrame =
-    pageRankStepBase(e, nodes, deg, ranks, lit(base), alphaNum, alphaDen, broadcastRanks)
+    pageRankStepBase(e, state, lit(base), alphaNum, alphaDen, broadcastRanks)
 
   /** The step with a per-NODE teleport column (constant for classic
-    * PageRank, source-restricted for the personalized variant). */
+    * PageRank, source-restricted for the personalized variant). The
+    * contribution rows come straight from the deg-carrying state — the
+    * `deg.isNotNull` filter selects exactly the rows the former
+    * rank⋈deg inner join produced, with no per-round join or broadcast
+    * build; the state is node-complete so the final left join against it
+    * re-emits every node. */
   private[pipeline] def pageRankStepBase(
-      e: DataFrame, nodes: DataFrame, deg: DataFrame, ranks: DataFrame,
+      e: DataFrame, state: DataFrame,
       baseCol: org.apache.spark.sql.Column, alphaNum: Long, alphaDen: Long,
       broadcastRanks: Boolean = false): DataFrame = {
     def maybeBcast(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df
-    val contrib = ranks.join(maybeBcast(deg), col("node") === col("deg_node"))
+    val contrib = state.where(col("deg").isNotNull)
       .select(col("node").as("c_src"),
         expr(s"($alphaNum * rank_fp) div ($alphaDen * deg)").as("c"))
     val inSum = e.join(maybeBcast(contrib), col("src") === col("c_src"))
       .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
       .select(col("dst").as("in_node"), col("in_c"))
-    nodes.join(maybeBcast(inSum), col("node") === col("in_node"), "left")
-      .select(col("node"),
+    state.join(maybeBcast(inSum), col("node") === col("in_node"), "left")
+      .select(col("node"), col("deg"),
         (baseCol + coalesce(col("in_c"), lit(0L))).as("rank_fp"))
   }
 
@@ -287,9 +308,13 @@ object GraphAlgos {
         e.unpersist()
         shaped
       }
-    var ranks = nodes.withColumn("rank_fp", seeded(lit(r0v))).localCheckpoint()
+    // deg in the state — see pageRankFixedPoint
+    var ranks = nodes
+      .join(deg, col("node") === col("deg_node"), "left")
+      .select(col("node"), col("deg"), seeded(lit(r0v)).as("rank_fp"))
+      .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val next = pageRankStepBase(eJ, nodes, deg, ranks, seeded(lit(tele)),
+      val next = pageRankStepBase(eJ, ranks, seeded(lit(tele)),
           alphaNum, alphaDen, broadcastRanks = bcastRanks)
         .localCheckpoint()
       SparkShims.unpersistCheckpoint(ranks)
@@ -297,7 +322,7 @@ object GraphAlgos {
     }
     if (bcastRanks) e.unpersist() else SparkShims.unpersistCheckpoint(eJ)
     nodes.unpersist(); deg.unpersist()
-    ranks
+    ranks.select(col("node"), col("rank_fp"))
   }
 
   /**
@@ -623,13 +648,19 @@ object GraphAlgos {
 
   /** The peel loop over an ALREADY-persisted, long-cast edge set —
     * shared by [[kCorePeel]] and [[kCorePeelAtPercentile]] so the
-    * percentile path never caches the same edges twice. */
-  private def kCorePeelOn(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    * percentile path never caches the same edges twice. `knownNodeBound`
+    * lets a caller that already ran a sizing action (the percentile
+    * path's src-distinct count) price the broadcast DECISION without the
+    * extra union-distinct count job — it only selects the per-round join
+    * strategy, never the result. */
+  private def kCorePeelOn(e: DataFrame, k: Int, rounds: Int,
+      knownNodeBound: Option[Long] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "at least one peel round")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val n = nodes.count() // prices the broadcast decision; materializes e
+    // prices the broadcast decision; the count also materializes e
+    val n = knownNodeBound.getOrElse(nodes.count())
     val bcast = n <= BroadcastRankMaxNodes
 
     var alive = nodes.localCheckpoint()
@@ -682,16 +713,28 @@ object GraphAlgos {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     e.persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
-    val n = deg.count() // materializes e for the peel below
-    require(n > 0, "kCorePeelAtPercentile on an empty edge set")
-    val pos = math.max(1L, math.ceil(pct * n).toLong)
+    // ONE driver action for n, pos and k (was three: deg.count, then a
+    // separate window + head): n = Σm over the degree-value histogram,
+    // pos = max(1, ceil(pct·n)) computed inside the plan with the same
+    // double math, k = min value whose cumulative count reaches pos.
+    // Also materializes e for the peel below.
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c")).rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val hist = deg.groupBy(col("c")).agg(count(lit(1)).as("m"))
-    val cum = hist.withColumn("cum",
-      sum(col("m")).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("c")).rowsBetween(Long.MinValue, 0)))
-    val k = cum.filter(col("cum") >= pos)
-      .agg(min(col("c"))).head().getLong(0)
-    val out = kCorePeelOn(e, k.toInt, rounds)
+    val kRow = hist
+      .withColumn("cum", sum(col("m")).over(wCum))
+      .withColumn("n", sum(col("m")).over(wAll))
+      .filter(col("cum") >=
+        greatest(lit(1L), ceil(lit(pct) * col("n")).cast("long")))
+      .agg(min(col("c")), max(col("n"))).head()
+    require(!kRow.isNullAt(0), "kCorePeelAtPercentile on an empty edge set")
+    val k = kRow.getLong(0)
+    val n = kRow.getLong(1)
+    // n (src-distinct count) prices the broadcast decision: on the
+    // symmetrized inputs this operator documents it IS the node count
+    val out = kCorePeelOn(e, k.toInt, rounds, knownNodeBound = Some(n))
     e.unpersist()
     out
   }
@@ -1134,7 +1177,9 @@ object GraphAlgos {
         lit(0L).as("dist"), lit(1L).as("sigma"))
       .localCheckpoint()
     var frontiers = List(frontier)
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val cand = e.join(
           maybeBcast(frontier.select(col("seed"), col("node").as("src"), col("sigma"))),
           Seq("src"))
@@ -1150,6 +1195,13 @@ object GraphAlgos {
         .localCheckpoint()
       frontiers ::= fresh
       frontier = fresh
+      // an empty frontier is a fixpoint: every later round joins it and
+      // yields another empty set, so the remaining rounds are no-ops —
+      // exit with the identical settled union (take(1) on the freshly
+      // checkpointed frontier is a ~ms job; saturation before the round
+      // bound is the common case on small-diameter graphs)
+      exhausted = fresh.isEmpty
+      r += 1
     }
     val settled = frontiers.reduce(_ unionByName _).localCheckpoint()
     frontiers.foreach(SparkShims.unpersistCheckpoint)

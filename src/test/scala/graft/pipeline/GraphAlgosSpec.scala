@@ -63,8 +63,10 @@ class GraphAlgosSpec extends AnyFunSuite {
     val nodes = e.select(col("src").as("node")).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("deg_node"), col("deg"))
-    val ranks = nodes.withColumn("rank_fp", lit(1000L))
-    val stepPlan = GraphAlgos.pageRankStep(e, nodes, deg, ranks, 10L, 85L, 100L)
+    // state carries deg since r16 (one-time init join, no per-round build)
+    val ranks = nodes.join(deg, col("node") === col("deg_node"), "left")
+      .select(col("node"), col("deg"), lit(1000L).as("rank_fp"))
+    val stepPlan = GraphAlgos.pageRankStep(e, ranks, 10L, 85L, 100L)
       .queryExecution.executedPlan.toString
     assert(!stepPlan.contains("BroadcastNestedLoopJoin") &&
       !stepPlan.contains("CartesianProduct"), stepPlan)
@@ -143,17 +145,18 @@ class GraphAlgosSpec extends AnyFunSuite {
       val nodes = e.select(col("src").as("node")).distinct()
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(col("src").as("deg_node"), col("deg"))
-      val ranks = nodes.withColumn("rank_fp", lit(1000L))
+      val ranks = nodes.join(deg, col("node") === col("deg_node"), "left")
+        .select(col("node"), col("deg"), lit(1000L).as("rank_fp"))
       // the production shaping: hash-partitioned + sorted by src, layout
       // carried through the checkpoint — rounds >= 1 must reuse it
       val shaped = GraphAlgos.shapeEdges(e)
-      val step = GraphAlgos.pageRankStep(shaped, nodes, deg, ranks, 10L, 85L, 100L)
+      val step = GraphAlgos.pageRankStep(shaped, ranks, 10L, 85L, 100L)
       assert(edgeLegOffenders(step).isEmpty,
         s"edge leg re-exchanged or re-sorted:\n${step.queryExecution.executedPlan}")
       // negative control: an UNSHAPED checkpoint of the same edges must
       // show the per-round exchange this layout eliminates
       val unshaped = e.localCheckpoint()
-      val ctrl = GraphAlgos.pageRankStep(unshaped, nodes, deg, ranks, 10L, 85L, 100L)
+      val ctrl = GraphAlgos.pageRankStep(unshaped, ranks, 10L, 85L, 100L)
       assert(edgeLegOffenders(ctrl).nonEmpty,
         "control lost its exchange — the pin no longer distinguishes the layouts")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

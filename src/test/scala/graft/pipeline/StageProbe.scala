@@ -176,6 +176,163 @@ object StageProbe {
             org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
           }
         }
+      case "cop_pairs" =>
+        // co-purchase pair generation: SMJ self-join (current) vs ONE
+        // grouped aggregation + nested-transform pairing (substring-dedup
+        // pattern); both ending in the same distinct
+        def li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"))
+        def grouped = li.groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+          .select(explode(flatten(transform(col("parts"), (x, i) =>
+            transform(slice(col("parts"), i + lit(2), size(col("parts"))),
+              y => struct(x.as("a"), y.as("b"))))))
+            .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+        time("cop_selfjoin_distinct", copurchaseParts)
+        time("cop_grouped_distinct", grouped.distinct())
+        val a = copurchaseParts.count(); val b = grouped.distinct().count()
+        println(s"[stage] cop parity: selfjoin=$a grouped=$b ${if (a == b) "MATCH" else "MISMATCH"}")
+        val d = copurchaseParts.exceptAll(grouped.distinct()).count() +
+          grouped.distinct().exceptAll(copurchaseParts).count()
+        println(s"[stage] cop exceptAll diff rows: $d")
+      case "kcore_rounds" =>
+        // graph_kcore stage split: co-purchase edge build, percentile-k,
+        // then the 4 peel rounds — with partition counts and per-round
+        // survivor counts (early-exit candidate: identical count means
+        // the peel reached its fixpoint and remaining rounds are no-ops)
+        import org.apache.spark.sql.graft.SparkShims
+        val e0 = GraphAlgos.symmetrize(copurchaseParts
+          .select(col("a").as("src"), col("b").as("dst")))
+        var t0 = System.nanoTime()
+        val e = e0.select(col("src").cast("long"), col("dst").cast("long"))
+        e.persist()
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        val nDeg = deg.count()
+        println(f"[stage] kc edges+deg: ${(System.nanoTime() - t0) / 1e9}%.3f s (deg rows=$nDeg, eParts=${e.rdd.getNumPartitions})")
+        t0 = System.nanoTime()
+        val pos = math.max(1L, math.ceil(0.05 * nDeg).toLong)
+        val hist = deg.groupBy(col("c")).agg(count(lit(1)).as("m"))
+        val cum = hist.withColumn("cum",
+          sum(col("m")).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("c")).rowsBetween(Long.MinValue, 0)))
+        val k = cum.filter(col("cum") >= pos)
+          .agg(min(col("c"))).head().getLong(0)
+        println(f"[stage] kc percentile k: ${(System.nanoTime() - t0) / 1e9}%.3f s (k=$k)")
+        t0 = System.nanoTime()
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+        val n = nodes.count()
+        println(f"[stage] kc nodes: ${(System.nanoTime() - t0) / 1e9}%.3f s (n=$n)")
+        var alive = nodes.localCheckpoint()
+        for (r <- 1 to 4) {
+          t0 = System.nanoTime()
+          val next = GraphAlgos.survivingDegStep(e, alive, true)
+            .filter(col("core_deg") >= k)
+            .select(col("src").as("node"))
+            .localCheckpoint()
+          println(f"[stage] kc round $r: ${(System.nanoTime() - t0) / 1e9}%.3f s (${next.count()} alive)")
+          SparkShims.unpersistCheckpoint(alive)
+          alive = next
+        }
+        t0 = System.nanoTime()
+        val out = GraphAlgos.survivingDegStep(e, alive, true)
+          .select(col("src").as("node"), col("core_deg"))
+          .localCheckpoint()
+        println(f"[stage] kc final: ${(System.nanoTime() - t0) / 1e9}%.3f s (${out.count()} rows)")
+        e.unpersist()
+      case "ecc_rounds_wide" =>
+        // ecc_rounds with the persisted edge set repartitioned to
+        // defaultParallelism BEFORE the loop — tests the hypothesis that
+        // AQE coalesces the symmetrize-distinct shuffle to ~1 partition
+        // and every round's broadcast-join map side runs single-threaded
+        import org.apache.spark.sql.graft.SparkShims
+        val o = spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val edges = GraphAlgos.symmetrize(
+          o.join(li, col("o_orderkey") === col("l_orderkey"))
+            .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")))
+        val sources = Seq(2L, 4L, 6L, 8L, 10L, 12L, 14L, 16L)
+        val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        e.persist()
+        var t0 = System.nanoTime()
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+        val n = nodes.count()
+        println(f"[stage] erw nodes+materialize: ${(System.nanoTime() - t0) / 1e9}%.3f s (n=$n, eParts=${e.rdd.getNumPartitions})")
+        import spark.implicits._
+        var frontier = sources.toDF("seed")
+          .join(nodes, col("seed") === col("node"), "left_semi")
+          .select(col("seed"), col("seed").as("node"),
+            lit(0L).as("dist"), lit(1L).as("sigma"))
+          .localCheckpoint()
+        var frontiers = List(frontier)
+        for (r <- 1 to 6) {
+          t0 = System.nanoTime()
+          val cand = e.join(
+              broadcast(frontier.select(col("seed"), col("node").as("src"), col("sigma"))),
+              Seq("src"))
+            .groupBy(col("seed"), col("dst"))
+            .agg(sum(col("sigma")).as("sigma"))
+            .select(col("seed"), col("dst").as("node"), col("sigma"))
+          val settledKeys = frontiers
+            .map(_.select(col("seed"), col("node")))
+            .reduce(_ unionByName _)
+          val fresh = cand
+            .join(broadcast(settledKeys), Seq("seed", "node"), "left_anti")
+            .select(col("seed"), col("node"), lit(r.toLong).as("dist"), col("sigma"))
+            .localCheckpoint()
+          println(f"[stage] erw round $r: ${(System.nanoTime() - t0) / 1e9}%.3f s (${fresh.count()} fresh)")
+          frontiers ::= fresh
+          frontier = fresh
+        }
+        frontiers.foreach(SparkShims.unpersistCheckpoint)
+      case "bip_edges" =>
+        // split of the bipartite edge derivation shared by the
+        // pagerank/bfs/katz/hits/lpa/ecc/closeness/harmonic/sssp gates
+        val o = spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        def raw = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        time("bip_join_only", raw)
+        time("bip_symmetrized", GraphAlgos.symmetrize(raw))
+        time("bip_symmetrized_wide",
+          GraphAlgos.symmetrize(raw.repartition(spark.sparkContext.defaultParallelism)))
+        val e = GraphAlgos.symmetrize(raw)
+          .select(col("src").cast("long"), col("dst").cast("long"))
+        e.persist()
+        var t0 = System.nanoTime()
+        println(f"[stage] bip persist+count: ${(System.nanoTime() - t0) / 1e9}%.3f s (${e.count()} edges)")
+        t0 = System.nanoTime()
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+        println(f"[stage] bip nodes distinct: ${(System.nanoTime() - t0) / 1e9}%.3f s (${nodes.count()} nodes)")
+        println(GraphAlgos.symmetrize(raw)
+          .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+        e.unpersist()
+      case "seal_kernel" =>
+        // driver-side split of one segment's seal work (the flatMapGroups
+        // body): PQ train vs Vamana build vs encode, at the heavy-bench
+        // shape (2000 x dim-768, PQ 16x256, degree 48, breadth 128)
+        import graft.index.{GraphBuilder, ManifoldData, Pq}
+        val vecs: Array[Array[Float]] =
+          Array.tabulate(2000)(i => ManifoldData.vectorFor(i.toLong))
+        (1 to reps).foreach { i =>
+          var t0 = System.nanoTime()
+          val cb = Pq.train(vecs.toIndexedSeq, ManifoldData.Dim, 16, 256)
+          println(f"[stage] seal_kernel rep $i pq_train: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          t0 = System.nanoTime()
+          val graph = GraphBuilder.buildVamanaGraph(vecs, 48, 128, 1.2)
+          println(f"[stage] seal_kernel rep $i vamana: ${(System.nanoTime() - t0) / 1e9}%.3f s (deg0=${graph(0).length})")
+          t0 = System.nanoTime()
+          val codes = vecs.map(v => Pq.encode(cb, v))
+          println(f"[stage] seal_kernel rep $i encode: ${(System.nanoTime() - t0) / 1e9}%.3f s (${codes.length})")
+        }
       case other =>
         println(s"unknown stage: $other")
     }
