@@ -15,7 +15,31 @@ object BenchAnchors {
   // base ++ r14DataShift overlap is INTENTIONAL (the documented re-anchor
   // class: the data-shift value wins); duplicates WITHIN a literal are not.
   val seconds: Map[String, Double] =
-    checked("base", base) ++ checked("r14DataShift", r14DataShift)
+    checked("base", base) ++ checked("r14DataShift", r14DataShift) ++
+      checked("r16Refresh", r16Refresh)
+
+  /** Round-16 optimization-round refresh (r14DataShift protocol: loaded
+    * anchor ≈ 1.45× the 5-rep solo quiet-box median, median itself in
+    * [[r16IsolatedRefresh]]). Two classes: (a) the round-boundary DATA
+    * REGENERATION moved the gate's volume (vec_ingest_assignment read
+    * 2.2× and graph_bfs_khop 2.1× against old-data anchors on a quiet
+    * box — pure data shift, adjudicated solo per the SKILL protocol);
+    * (b) this round's optimizations made the old anchor so loose it
+    * would hide a real regression (kcore 9.83→6.63 s, triangles
+    * 7.80→5.88 s, textrank 5.81→4.15 s — OPTIMIZATION_r16.md). */
+  private def r16Refresh: Seq[(String, Double)] = Seq(
+    "vec_ingest_assignment" -> 0.87,   // iso 0.603 (data regen)
+    "graph_bfs_khop" -> 8.56,          // iso 5.901 (data regen)
+    "graph_eccentricity" -> 13.06,     // iso 9.008 (data regen, net of early-exit)
+    "graph_kcore" -> 9.61,             // iso 6.631 (tightened after optimization)
+    "graph_triangles" -> 8.52,         // iso 5.875 (tightened after optimization)
+    "text_textrank_keywords" -> 6.01,  // iso 4.145 (tightened after optimization)
+    // solo 5-rep reps 5.63-6.99 on the regenerated data (old-data anchor
+    // 4.772); its in-bench regime additionally runs ~1.6-2.4x the solo
+    // median (the load class the best-of-3 remeasure prices), so the
+    // old anchor false-flagged at 3.04x on a box whose controls read 1.02
+    "graph_hits" -> 8.86               // iso 6.108 (data regen)
+  )
 
   private def base: Seq[(String, Double)] = Seq(
     // round-16 statistical-test wave: anchors = 2x the 5-rep quiet-box
@@ -460,8 +484,26 @@ object BenchAnchors {
     val overlap = dual.keySet.intersect(trip.keySet)
     require(overlap.isEmpty, // both maps gate the SAME (isolated) regime
       s"isolated anchor declared twice across waves: ${overlap.toSeq.sorted.mkString(", ")}")
-    dual ++ trip
+    // r16 refresh OVERRIDES earlier waves by design (the documented
+    // re-anchor class: data regen at the round boundary + this round's
+    // optimizations; 5-rep solo medians, see r16Refresh scaladoc). The
+    // two CONTROL rows are here because box_health divides by these —
+    // stale control medians after a data regen misread data shift as a
+    // degraded box (baseline bench stamped 1.57 on a quiet box).
+    dual ++ trip ++ checked("r16IsolatedRefresh", r16IsolatedRefresh)
   }
+
+  private def r16IsolatedRefresh: Seq[(String, Double)] = Seq(
+    "vec_ingest_assignment" -> 0.603,
+    "graph_bfs_khop" -> 5.901,
+    "graph_eccentricity" -> 9.008,
+    "graph_kcore" -> 6.631,
+    "graph_triangles" -> 5.875,
+    "text_textrank_keywords" -> 4.145,
+    "rel_markov_transitions" -> 0.613, // control row (data regen)
+    "graph_hash_walks" -> 3.726,       // control row (data regen)
+    "graph_hits" -> 6.108              // data regen (5-rep solo)
+  )
 
   private def isolatedDualRegime: Seq[(String, Double)] = Seq(
     "pipeline_tokenizer_fertility" -> 0.714, // r11 Zipf-memo encode
